@@ -1,0 +1,174 @@
+"""Relational operator surface.
+
+Re-expresses the reference's relational semantics — the
+``DynamicQueryObject`` SQL builder (reference
+``src/database/dynamic-query-object.ts:5-66``) plus the routing CASE
+(``src/service/extract-load-service.ts:74-82``) and the stats aggregation it
+delegates to Postgres (``:329-336``) — as native DataFrame transformations.
+Where the reference concatenates SQL strings and lets Postgres plan them,
+here Catalyst is the planner: filters and projections push down to the scan,
+small join sides broadcast, aggregates get map-side partials automatically.
+
+Scale notes per operator are inline; nothing here collects to the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Pagination cap, ported from dynamic-query-object.ts:52.
+MAX_PAGE_SIZE = 50
+
+
+def project(df: DataFrame, columns: Sequence[str | Column]) -> DataFrame:
+    """``SELECT c1, ..., cn`` — reference ``buildSelect``
+    (dynamic-query-object.ts:30-32).
+
+    Catalyst prunes unselected columns all the way into the parquet
+    ``ReadSchema``, so a 2-column projection over a 16-column table reads
+    2 columns' pages at any scale.
+    """
+    return df.select(*columns)
+
+
+def filter_conjunctive(df: DataFrame, predicates: Sequence[Column]) -> DataFrame:
+    """``WHERE p1 AND p2 AND ...`` — reference ``condition``/``buildWhere``
+    (dynamic-query-object.ts:18-28,38-41).
+
+    Each conjunct is a Column expression, so all of them reach
+    ``PushedFilters`` on the parquet scan (row-group + page-level skipping).
+    """
+    if not predicates:
+        return df
+    return df.where(reduce(lambda a, b: a & b, predicates))
+
+
+def route_case(
+    df: DataFrame,
+    source_col: str | Column,
+    routes: Sequence[tuple[str, str]],
+    default: str = "extension",
+    output_col: str = "kind",
+) -> DataFrame:
+    """Multi-way substring CASE, first match wins.
+
+    Port of the entry-path router (extract-load-service.ts:74-82): nested
+    ternaries ``path.includes('nodes') ? 'nodes' : ...`` become one
+    ``when/otherwise`` chain — a single JVM-side projection, fused into
+    whole-stage codegen with neighbouring expressions (no shuffle, no UDF).
+
+    ``routes`` is an *ordered* list of ``(substring, label)``.
+    """
+    col = F.col(source_col) if isinstance(source_col, str) else source_col
+    expr: Column | None = None
+    for substring, label in routes:
+        cond = col.contains(substring)
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    routed = expr.otherwise(default) if expr is not None else F.lit(default)
+    return df.withColumn(output_col, routed)
+
+
+#: The reference's route table, in declaration order (first match wins).
+OSW_ROUTES: tuple[tuple[str, str], ...] = (
+    ("nodes", "nodes"),
+    ("edges", "edges"),
+    ("points", "points"),
+    ("lines", "lines"),
+    ("polygons", "polygons"),
+    ("zones", "zones"),
+)
+
+
+def join_inner(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str] | Column,
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Inner equi-join — reference ``buildInnerJoin``
+    (dynamic-query-object.ts:34-36), which only supports same-named keys.
+
+    ``broadcast_right=True`` forces a broadcast-hash join for dimension
+    tables (region/nation/customer-scale sides): at 100 TB the fact side
+    then never shuffles for the join. Without the hint Catalyst still
+    auto-broadcasts under ``spark.sql.autoBroadcastJoinThreshold``, and AQE
+    can convert sort-merge -> broadcast at runtime.
+    """
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, on=on, how="inner")
+
+
+def join_semi(left: DataFrame, right: DataFrame, on: str | Sequence[str] | Column) -> DataFrame:
+    """EXISTS semantics (``left_semi``).
+
+    Models the reference's delete-by-key / reload membership checks
+    (extract-load-service.ts:290-295) as a distributed semi-join: no columns
+    from the right survive, so Spark ships only the join keys.
+    """
+    return left.join(right, on=on, how="left_semi")
+
+
+def join_anti(left: DataFrame, right: DataFrame, on: str | Sequence[str] | Column) -> DataFrame:
+    """NOT EXISTS semantics (``left_anti``) — the complement used by the
+    idempotent-reload pattern (extract-load-service.ts:290-295)."""
+    return left.join(right, on=on, how="left_anti")
+
+
+def agg_group(
+    df: DataFrame,
+    keys: Sequence[str | Column],
+    aggregates: Sequence[Column],
+) -> DataFrame:
+    """Grouped aggregation — the engine-internal replacement for the
+    ``content.tdei_update_osw_stats`` stored procedure the reference calls
+    (extract-load-service.ts:329-336).
+
+    Spark plans this as partial (map-side) + final aggregation, so the
+    shuffle carries one partial row per (task, key), not one row per input
+    row — the property that keeps per-dataset stats cheap at 100 TB.
+    """
+    key_cols = [F.col(k) if isinstance(k, str) else k for k in keys]
+    return df.groupBy(*key_cols).agg(*aggregates)
+
+
+def sort(df: DataFrame, order_by: Sequence[Column]) -> DataFrame:
+    """``ORDER BY`` — reference ``buildOrder`` (dynamic-query-object.ts:42-44)
+    supports a single column; the engine generalizes to a key list.
+
+    Spark executes this as a range-partitioned sample-based total sort —
+    no single-node sort bottleneck.
+    """
+    return df.orderBy(*order_by)
+
+
+def paginate(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    page_no: int = 1,
+    page_size: int = 10,
+) -> DataFrame:
+    """LIMIT/OFFSET pagination — reference ``buildPagination``
+    (dynamic-query-object.ts:45-58): defaults page 1 / size 10, page size
+    hard-capped at 50, page/size floors of 1.
+
+    An explicit total ``order_by`` (callers must include a unique tiebreak
+    key) is required: LIMIT/OFFSET without a total order is nondeterministic
+    on any parallel engine. OFFSET is driver-side skip of a prefix — fine
+    for the reference's cap of 50 rows/page, never for deep paging at scale
+    (use keyset pagination: ``WHERE key > last_seen ORDER BY key LIMIT n``).
+    """
+    page_no = max(int(page_no), 1)
+    page_size = max(min(int(page_size), MAX_PAGE_SIZE), 1)
+    return df.orderBy(*order_by).offset((page_no - 1) * page_size).limit(page_size)
+
+
+def top_k(df: DataFrame, order_by: Sequence[Column], k: int) -> DataFrame:
+    """ORDER BY ... LIMIT k. Spark plans ``TakeOrderedAndProject``: each task
+    keeps a k-row heap and only k rows per partition reach the driver —
+    the right top-k shape at any scale (north-star similarity search relies
+    on this, SURVEY.md §2.4)."""
+    return df.orderBy(*order_by).limit(k)

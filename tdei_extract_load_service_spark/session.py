@@ -1,0 +1,86 @@
+"""SparkSession factory and fixture-table loading.
+
+Replaces the reference's process bootstrap (``src/app.ts:42-61``,
+``src/database/data-source.ts:14-31``): instead of an Express app + a
+Postgres pool, the engine's runtime is one SparkSession.
+
+Scale notes: shuffle partitions default to the local core count for tests
+(not Spark's 200 default); on a real cluster callers pass
+``shuffle_partitions ~= 2-3x total executor cores``. AQE is always on so
+runtime statistics re-plan skewed joins and coalesce small shuffle
+partitions — at 100 TB this is what absorbs per-key skew without manual
+salting in the common case.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: All driver fixture tables (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(
+    app_name: str = "tdei_extract_load_service_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    In ``local[N]`` mode there is a single JVM, so ``spark.driver.memory``
+    is the only memory knob; on a cluster the same conf dict applies to
+    executors via spark-submit.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
+    builder = (
+        SparkSession.builder.master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_tables(
+    spark: SparkSession,
+    sf_dir: str = DEFAULT_SF_DIR,
+    names: tuple[str, ...] = TABLES,
+    register_views: bool = True,
+) -> dict[str, DataFrame]:
+    """Load the parquet fixture tables, optionally registering temp views.
+
+    Column pruning + predicate pushdown reach the parquet scan because these
+    are plain ``spark.read.parquet`` frames — no caching, no collect.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if register_views:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
