@@ -1,0 +1,281 @@
+"""The dataset-load job — the reference's main path (SURVEY.md §3.1),
+recomposed Spark-first.
+
+Reference lifecycle (extract-load-service.ts:242-345): message → pre-delete
+→ BEGIN → zip stream → per-entry token pipeline → per-kind batched INSERTs
+→ per-file metadata → COMMIT → stats proc → publish. Here the same
+semantics are one declarative plan per stage:
+
+    binaryFile → zip_fanout → route_case → explode(features) →
+    decompose → strip-Z/elevation → per-kind key-scoped overwrite →
+    metadata pivot → stats aggregation → result dict
+
+Atomicity: the reference wraps all inserts in one Postgres transaction
+(O18). Spark's analogue here is per-sink dynamic-partition overwrite keyed
+on the dataset (each dataset's partition directory swap is the commit
+point), with ``sinks.writers.staged_swap_write`` available when one commit
+must span sinks. Stage timers mirror the reference's ``console.time``
+instrumentation (:301,:322,:327,:336).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tdei_extract_load_service_spark.functions.feature_json import process_feature_json
+from tdei_extract_load_service_spark.functions.geometry import process_geometry_elevation_cols
+from tdei_extract_load_service_spark.sinks.writers import overwrite_by_key
+from tdei_extract_load_service_spark.sources.geojson import (
+    assemble_feature_json,
+    decompose_feature,
+    explode_features,
+    header_json,
+)
+from tdei_extract_load_service_spark.sources.zip_fanout import (
+    read_zip_archives,
+    routed_entries,
+    zip_fanout,
+)
+
+#: kind -> sink table name (content.<table>, extract-load-service.ts:378,
+#: 426,478,689,736,783,830).
+SINK_TABLES = {
+    "nodes": "node",
+    "edges": "edge",
+    "points": "extension_point",
+    "lines": "extension_line",
+    "polygons": "extension_polygon",
+    "zones": "zone",
+    "extension": "extension",
+}
+
+#: kind -> content.dataset metadata column (extract-load-service.ts:89-118;
+#: note edges → event_info is the reference's own mapping).
+META_COLUMNS = {
+    "nodes": "node_info",
+    "edges": "event_info",
+    "points": "ext_point_info",
+    "lines": "ext_line_info",
+    "polygons": "ext_polygon_info",
+    "zones": "zone_info",
+}
+
+
+class NoGeoJsonEntriesError(Exception):
+    """Archive contained zero .geojson entries
+    (extract-load-service.ts:319-321)."""
+
+
+class MalformedGeoJsonError(Exception):
+    """A .geojson entry failed to parse — the reference normalizes JSON
+    syntax errors into a friendly pipeline failure (geoJsonPipeError,
+    extract-load-service.ts:41-49)."""
+
+
+@dataclass
+class LoadResult:
+    """The response message payload (O20, extract-load-service.ts:854-861;
+    format README.md:75-84)."""
+
+    success: bool
+    message: str
+    tdei_dataset_id: str
+    feature_counts: dict[str, int] = field(default_factory=dict)
+    timings: dict[str, float] = field(default_factory=dict)
+
+
+@F.pandas_udf(T.StringType())
+def _meta_json_udf(header: pd.Series) -> pd.Series:
+    """Metadata projection value coercion: null header values -> ''
+    (updateAdditionalFileData/updateExtensionFileData,
+    extract-load-service.ts:500,:521)."""
+
+    def one(h: str | None) -> str | None:
+        if h is None:
+            return None
+        doc = json.loads(h)
+        return json.dumps(
+            {k: ("" if v is None else v) for k, v in doc.items()}, separators=(", ", ": ")
+        )
+
+    return pd.Series([one(h) for h in header])
+
+
+def transform_features(features_df: DataFrame, fidelity: str = "jvm") -> DataFrame:
+    """O10/O11 over exploded feature rows -> adds ``feature`` (the final
+    JSON document for the JSONB-shaped sink column).
+
+    ``fidelity='jvm'``: decomposed columns + higher-order functions — whole
+    plan stays in codegen; canonical envelope on re-serialization.
+    ``fidelity='exact'``: Arrow-batched pandas UDF — byte-faithful envelope
+    (unknown feature-level keys survive), arbitrary nesting depth.
+    """
+    if fidelity == "exact":
+        return features_df.withColumn(
+            "feature", process_feature_json("feature_raw", "kind")
+        )
+    parsed = decompose_feature("feature_raw")
+    df = features_df.withColumns(
+        {
+            "_ftype": parsed["type"],
+            "_gtype": parsed["geometry"]["type"],
+            "_coords": parsed["geometry"]["coordinates"],
+            "_props": parsed["properties"],
+        }
+    )
+    new_coords, new_props = process_geometry_elevation_cols("kind", "_gtype", "_coords", "_props")
+    df = df.withColumns({"_coords": new_coords, "_props": new_props})
+    has_geometry = df["_gtype"].isNotNull() & df["_coords"].isNotNull() & (F.trim(df["_coords"]) != "null")
+    assembled = assemble_feature_json(df["_ftype"], df["_gtype"], df["_coords"], df["_props"])
+    # no geometry / null coordinates -> original document untouched
+    # (extract-load-service.ts:613-615)
+    feature = F.when(has_geometry, assembled).otherwise(df["feature_raw"])
+    return df.withColumn("feature", feature).drop("_ftype", "_gtype", "_coords", "_props")
+
+
+def load_dataset(
+    spark: SparkSession,
+    archive_path: str,
+    tdei_dataset_id: str,
+    user_id: str,
+    warehouse: str,
+    fidelity: str = "jvm",
+) -> LoadResult:
+    """Run the full extract-load lifecycle for one dataset.
+
+    Returns a LoadResult (never raises for data errors — O21 error
+    normalization, extract-load-service.ts:41-49: failures become a
+    friendly failure message, matching the publish-failure path :343).
+    """
+    timings: dict[str, float] = {}
+    try:
+        # -- extract: archive -> routed entries -------------------------
+        t0 = time.perf_counter()
+        entries = routed_entries(zip_fanout(read_zip_archives(spark, archive_path)))
+        # entries feed features, headers and stats: one fan-out, cached
+        entries = entries.persist()
+        n_entries = entries.count()
+        if n_entries == 0:
+            raise NoGeoJsonEntriesError(
+                f"No GeoJSON files found in the archive for dataset {tdei_dataset_id}"
+            )
+        # malformed-entry gate (O21, geoJsonPipeError extract-load-service.ts:41-49):
+        # a .geojson entry that isn't a JSON object fails the whole load, like
+        # the reference's pipeline error -> rollback -> failure publish
+        bad = (
+            entries.where(F.from_json("entry_text", "map<string,string>").isNull())
+            .select("entry")
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            raise MalformedGeoJsonError(
+                f"Unable to parse GeoJSON: invalid JSON in entry {bad[0].entry}"
+            )
+        timings["extract"] = time.perf_counter() - t0
+
+        # -- transform: features + per-kind routing ---------------------
+        t0 = time.perf_counter()
+        features = explode_features(entries)
+        features = transform_features(features, fidelity=fidelity)
+        features = features.withColumns(
+            {
+                "tdei_dataset_id": F.lit(tdei_dataset_id),
+                "requested_by": F.lit(user_id),
+            }
+        )
+        # extension features carry the extension_file FK
+        # (extract-load-service.ts:473-479); surrogate id = stable hash of
+        # (dataset, entry) instead of a DB sequence — distributed-safe
+        features = features.withColumn(
+            "ext_file_id",
+            F.when(
+                F.col("kind") == "extension",
+                F.xxhash64(F.lit(tdei_dataset_id), F.col("entry")),
+            ),
+        )
+        features = features.persist()
+        counts = {
+            r["kind"]: r["n"]
+            for r in features.groupBy("kind").agg(F.count("*").alias("n")).collect()
+        }
+        timings["transform"] = time.perf_counter() - t0
+
+        # -- load: one parameterized writer, 7 sinks (O12) ---------------
+        t0 = time.perf_counter()
+        for kind, table in SINK_TABLES.items():
+            sink_cols = ["tdei_dataset_id", "feature", "requested_by", "entry"]
+            if kind == "extension":
+                sink_cols.insert(1, "ext_file_id")
+            kind_df = features.where(F.col("kind") == kind).select(*sink_cols)
+            overwrite_by_key(kind_df, os.path.join(warehouse, table))
+
+        # extension-file registration (O16, extract-load-service.ts:515-536):
+        # one row per extension entry, created even when it has 0 features
+        # (empty-insert fallback O14, :230)
+        ext_entries = entries.where(F.col("kind") == "extension")
+        ext_files = ext_entries.select(
+            F.xxhash64(F.lit(tdei_dataset_id), F.col("entry")).alias("id"),
+            F.lit(tdei_dataset_id).alias("tdei_dataset_id"),
+            F.regexp_extract(F.element_at(F.split("entry", "/"), -1), r"^(.*?)(\.[^.]*)?$", 1).alias("name"),
+            _meta_json_udf(header_json("entry_text")).alias("file_meta"),
+            F.lit(user_id).alias("requested_by"),
+        )
+        overwrite_by_key(ext_files, os.path.join(warehouse, "extension_file"))
+        timings["load"] = time.perf_counter() - t0
+
+        # -- metadata: per-kind header -> dataset row (O15) --------------
+        t0 = time.perf_counter()
+        headers = entries.where(F.col("kind") != "extension").select(
+            "kind", "entry", _meta_json_udf(header_json("entry_text")).alias("meta")
+        )
+        # several files of one kind each overwrite the same column in the
+        # reference's sequential processing — last write wins; entry-name
+        # order is the deterministic distributed equivalent
+        last_meta = F.expr("max_by(meta, entry)")
+        pivoted = (
+            headers.groupBy(F.lit(tdei_dataset_id).alias("tdei_dataset_id"))
+            .pivot("kind", list(META_COLUMNS))
+            .agg(last_meta)
+        )
+        dataset_row = pivoted.select(
+            "tdei_dataset_id",
+            *[F.col(k).alias(col) for k, col in META_COLUMNS.items()],
+        )
+        overwrite_by_key(dataset_row, os.path.join(warehouse, "dataset"))
+        timings["metadata"] = time.perf_counter() - t0
+
+        # -- stats: the tdei_update_osw_stats analogue (O19) -------------
+        t0 = time.perf_counter()
+        from tdei_extract_load_service_spark.plans.stats import update_dataset_stats
+
+        update_dataset_stats(features, warehouse)
+        timings["stats"] = time.perf_counter() - t0
+
+        features.unpersist()
+        entries.unpersist()
+        return LoadResult(
+            success=True,
+            message="Extract load request processed successfully",
+            tdei_dataset_id=tdei_dataset_id,
+            feature_counts=counts,
+            timings={k: round(v, 4) for k, v in timings.items()},
+        )
+    except Exception as exc:  # noqa: BLE001 — O21: normalize into a failure publish
+        message = str(exc)
+        if "JSON" in message or "Malformed" in message:
+            message = f"Invalid GeoJSON content: {message[:200]}"
+        return LoadResult(
+            success=False,
+            message=message,
+            tdei_dataset_id=tdei_dataset_id,
+            timings={k: round(v, 4) for k, v in timings.items()},
+        )

@@ -1,0 +1,102 @@
+"""Queue-driven mode: Structured Streaming consumer over request messages.
+
+Reshapes the reference's always-on service-bus subscription (O1,
+queue-service.ts:38-61, topics src/subscriptions.json:2-8) as a streaming
+source + ``foreachBatch``: each micro-batch of extract-load request
+messages triggers the batch ``load_dataset`` job, and a response message is
+published per request (O20, extract-load-service.ts:854-861).
+
+The file source here is the dependency-free stand-in for Kafka/Service Bus —
+swap ``readStream.format("json")`` for ``format("kafka")`` + ``from_json``
+in production; everything downstream is unchanged. Bounded intake
+(``maxFilesPerTrigger``) carries over MAX_CONCURRENT_MESSAGES=2
+(environment.ts:12, applied queue-service.ts:29).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import SparkSession
+
+from tdei_extract_load_service_spark.plans.load_dataset import load_dataset
+
+#: Request message schema (README.md:61-71; ExtractLoadRequest
+#: extract-load-service.ts:22-29).
+REQUEST_SCHEMA = (
+    "messageId string, messageType string, "
+    "data struct<data_type string, file_upload_path string, "
+    "tdei_dataset_id string, user_id string>"
+)
+
+#: data_type dispatch (O2, extract-load-service.ts:242-260): flex and
+#: pathways are declared but unimplemented in the reference (:269-274).
+SUPPORTED_DATA_TYPES = {"osw"}
+
+
+def process_request(spark: SparkSession, message: dict, warehouse: str) -> dict:
+    """Dispatch one request message (O2) and build the response message."""
+    data = message.get("data") or {}
+    data_type = data.get("data_type")
+    if data_type not in SUPPORTED_DATA_TYPES:
+        # reference behavior: flex/pathways throw "Method not implemented."
+        result_success, result_message = False, f"Method not implemented for data_type: {data_type}"
+    else:
+        result = load_dataset(
+            spark,
+            archive_path=data["file_upload_path"],
+            tdei_dataset_id=data["tdei_dataset_id"],
+            user_id=data.get("user_id", ""),
+            warehouse=warehouse,
+        )
+        result_success, result_message = result.success, result.message
+    # response format: the request mutated with success/message
+    # (README.md:75-84, publishMessage extract-load-service.ts:854-861)
+    return {
+        **message,
+        "data": {**data, "success": result_success, "message": result_message},
+    }
+
+
+def run_queue_consumer(
+    spark: SparkSession,
+    request_dir: str,
+    response_dir: str,
+    warehouse: str,
+    checkpoint_dir: str,
+    max_messages_per_trigger: int = 2,
+    available_now: bool = True,
+) -> None:
+    """Consume request messages, run loads, publish responses.
+
+    ``available_now=True`` drains the backlog and stops (test/batch mode);
+    ``False`` runs continuously like the reference service.
+    """
+    os.makedirs(response_dir, exist_ok=True)
+    stream = (
+        spark.readStream.schema(REQUEST_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_messages_per_trigger))
+        .json(request_dir)
+    )
+
+    def handle_batch(batch_df, batch_id: int) -> None:
+        # messages are jobs: each drives a full distributed load; the
+        # driver-side loop is the queue handler, not a data path
+        for row in batch_df.collect():
+            message = row.asDict(recursive=True)
+            response = process_request(spark, message, warehouse)
+            out = os.path.join(response_dir, f"response-{batch_id}-{uuid.uuid4().hex}.json")
+            with open(out, "w") as fh:
+                json.dump(response, fh)
+
+    writer = (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    query = (
+        writer.trigger(availableNow=True) if available_now else writer.trigger(processingTime="5 seconds")
+    ).start()
+    if available_now:
+        query.awaitTermination()
