@@ -33,6 +33,14 @@ HEADLINE = (
     "header_project",
     "normalize_ts",
     "strip_z",
+    "window_tumbling",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "topk_similarity",
+    "similarity_ivf",
+    "text_quality",
+    "text_fingerprint",
 )
 
 

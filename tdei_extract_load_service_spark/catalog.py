@@ -438,3 +438,450 @@ def q_normalize_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ISO-8601 UTC normalization (O24, tdei-date.ts:3-6)."""
     ev = _read_events(spark, sf_dir)
     return ev.select("event_id", TS.normalize_ts("ts").alias("iso_utc"))
+
+
+# ---------------------------------------------------------------------------
+# Streaming-shaped batch query (event-time tumbling window)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_tumbling",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%dT%H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window aggregation — the batch twin of the
+    engine's Structured-Streaming windowed aggs (SURVEY.md §2.3 extension).
+    Bucketing via epoch arithmetic (unix_micros DIV) so it is session-tz
+    independent; rendering via normalize_ts."""
+    ev = _read_events(spark, sf_dir)
+    bucket_start = F.timestamp_seconds(F.expr("unix_micros(ts) DIV 3600000000") * 3600)
+    return R.agg_group(
+        ev.withColumn("window_start", TS.normalize_ts(bucket_start, "yyyy-MM-dd'T'HH:mm:ss")),
+        ["window_start", "event_type"],
+        [
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup family (north-star; operators/dedup.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: hash-groupBy with surviving-id selection; the
+    shuffle carries (hash, id), never the documents."""
+    from tdei_extract_load_service_spark.operators.dedup import dedup_exact_groups
+
+    return dedup_exact_groups(_read(spark, sf_dir, "documents"), "doc_id", ["text"])
+
+
+@register(
+    "dedup_ngram_jaccard",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+               i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(len(list_intersect(a.sh, b.sh))
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+    FROM d a, d b
+    WHERE a.doc_id < b.doc_id
+      AND ROUND(len(list_intersect(a.sh, b.sh))
+                / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.8
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs at >= 0.8 via inverted-index
+    blocking (no cross join; the oracle cross-joins because DuckDB can,
+    the Spark plan must not — semantics identical)."""
+    from tdei_extract_load_service_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _read(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.8
+    )
+
+
+@register("dedup_minhash_lsh", None)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + LSH(16 bands) candidate pairs with estimated
+    Jaccard >= 0.5. xxhash64-seeded — deterministic but not
+    SQL-mirrorable in DuckDB (no xxhash64), so rows-only check; exactness
+    is cross-validated against dedup_ngram_jaccard in tests."""
+    from tdei_extract_load_service_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _read(spark, sf_dir, "documents"), "doc_id", "text",
+        num_hashes=64, bands=16, n=3, threshold=0.5,
+    ).orderBy("doc_a", "doc_b")
+
+
+@register("dedup_simhash", None)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64-bit) near-dup pairs with Hamming <= 6 via 16-bit chunk
+    blocking. xxhash64-based -> rows-only check (validated in tests)."""
+    from tdei_extract_load_service_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(
+        _read(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=6
+    ).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cosine
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+      AND ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                   * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.45
+    """,
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact all-pairs form — the oracle
+    twin; scale path is LSH/IVF candidate generation)."""
+    from tdei_extract_load_service_spark.operators.dedup import embedding_cosine_pairs
+
+    return embedding_cosine_pairs(
+        _read(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.45
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (north-star; operators/similarity.py)
+# ---------------------------------------------------------------------------
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    """The benchmark query vector: embedding of vec_id=0 (a query
+    parameter, fetched once driver-side)."""
+    row = _read(spark, sf_dir, "embeddings").where(F.col("vec_id") == 0).first()
+    return [float(x) for x in row["embedding"]]
+
+
+@register(
+    "topk_similarity",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id AS id,
+           ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv)
+                 / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+    FROM embeddings e, q
+    ORDER BY cosine DESC, id ASC LIMIT 10
+    """,
+)
+def q_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (the ANN baseline): narrow scan +
+    TakeOrderedAndProject — k rows per partition reach the driver."""
+    from tdei_extract_load_service_spark.operators.similarity import topk_cosine
+
+    return topk_cosine(
+        _read(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        _query_vec(spark, sf_dir), k=10,
+    )
+
+
+@register(
+    "similarity_ivf",
+    """
+    WITH c AS (
+      SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+      FROM embeddings ORDER BY vec_id LIMIT 16
+    ),
+    assigned AS (
+      SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS vec, c.centroid_id
+      FROM embeddings e, c
+      QUALIFY row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY ROUND(list_dot_product(e.embedding::DOUBLE[], c.cv)
+                 / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC, c.centroid_id ASC) = 1
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    probe AS (
+      SELECT c.centroid_id FROM c, q
+      ORDER BY ROUND(list_dot_product(c.cv, q.qv)
+               / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
+               c.centroid_id ASC
+      LIMIT 4
+    )
+    SELECT a.id,
+           ROUND(list_dot_product(a.vec, q.qv)
+                 / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+    FROM assigned a, q
+    WHERE a.centroid_id IN (SELECT centroid_id FROM probe)
+    ORDER BY cosine DESC, a.id ASC LIMIT 10
+    """,
+)
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: 16 deterministic centroids, probe the 4
+    nearest lists, exact rank among candidates — scans ~1/4 of the data at
+    equal recall on clustered corpora."""
+    from tdei_extract_load_service_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(
+        _read(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        _query_vec(spark, sf_dir), k=10, num_centroids=16, n_probe=4,
+    )
+
+
+@register("similarity_lsh_bucketed", None)
+def q_similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucketed top-k (deterministic hash-derived
+    planes; xxhash64 -> rows-only check, recall validated in tests)."""
+    from tdei_extract_load_service_spark.operators.similarity import lsh_bucket_topk
+
+    return lsh_bucket_topk(
+        _read(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        _query_vec(spark, sf_dir), k=10, n_planes=4,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (north-star; operators/text.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_count",
+    r"""
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws_tokens,
+           len(regexp_extract_all(text, '\p{L}+|\p{N}|[^\p{L}\p{N}\s]')) AS n_bpe_ish_tokens
+    FROM documents
+    """,
+)
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens."""
+    from tdei_extract_load_service_spark.operators import text as TX
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count_ws("text").alias("n_ws_tokens"),
+        TX.token_count_bpe_ish("text").alias("n_bpe_ish_tokens"),
+    )
+
+
+@register(
+    "text_quality",
+    r"""
+    WITH m AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS words,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
+             CASE WHEN len(text) > 0
+                  THEN len(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) / len(text)
+                  ELSE 0.0 END AS punct_ratio
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, n_words, punct_ratio,
+             CASE WHEN len(words) > 0
+                  THEN list_sum(list_transform(words, w -> len(w))) / len(words)
+                  ELSE 0.0 END AS avg_word_len,
+             CASE WHEN len(words) > 0
+                  THEN len(list_filter(words, w -> lower(w) IN ('the','a','and','of','to','is','in'))) / len(words)
+                  ELSE 0.0 END AS stop_ratio
+      FROM m
+    )
+    SELECT doc_id, n_words,
+           ROUND(avg_word_len, 6) AS avg_word_len,
+           ROUND(punct_ratio, 6) AS punct_ratio,
+           ROUND(stop_ratio, 6) AS stopword_ratio,
+           ROUND(0.3 * least(n_words / 100.0, 1.0)
+                 + 0.2 * (CASE WHEN avg_word_len >= 3 AND avg_word_len <= 10 THEN 1.0 ELSE 0.5 END)
+                 + 0.2 * (1.0 - least(punct_ratio * 5, 1.0))
+                 + 0.3 * least(stop_ratio * 4, 1.0), 6) AS quality
+    FROM r
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/punctuation/stopword heuristics composed
+    into one [0,1] score (the C4/Gopher-rule shape)."""
+    from tdei_extract_load_service_spark.operators import text as TX
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count_ws("text").alias("n_words"),
+        F.round(TX.avg_word_length("text"), 6).alias("avg_word_len"),
+        F.round(TX.punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(TX.stopword_ratio("text"), 6).alias("stopword_ratio"),
+        TX.quality_score("text").alias("quality"),
+    )
+
+
+@register(
+    "text_langid",
+    """
+    WITH s AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    sc AS (
+      SELECT doc_id,
+        CASE WHEN len(w)>0 THEN len(list_filter(w, x -> x IN ('der','die','das','und','nicht','ist','ein')))/len(w) ELSE 0.0 END AS s_de,
+        CASE WHEN len(w)>0 THEN len(list_filter(w, x -> x IN ('the','a','and','of','to','is','in')))/len(w) ELSE 0.0 END AS s_en,
+        CASE WHEN len(w)>0 THEN len(list_filter(w, x -> x IN ('el','la','los','las','y','es','un')))/len(w) ELSE 0.0 END AS s_es,
+        CASE WHEN len(w)>0 THEN len(list_filter(w, x -> x IN ('le','la','les','et','est','un','une')))/len(w) ELSE 0.0 END AS s_fr,
+        CASE WHEN len(w)>0 THEN len(list_filter(w, x -> x IN ('的','是','了','在','我','有')))/len(w) ELSE 0.0 END AS s_zh
+      FROM s
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(s_de,s_en,s_es,s_fr,s_zh) = 0 THEN 'und'
+                WHEN s_de = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'de'
+                WHEN s_en = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'en'
+                WHEN s_es = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'es'
+                WHEN s_fr = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'fr'
+                ELSE 'zh' END AS lang_pred
+    FROM sc
+    """,
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-overlap language ID (argmax over per-language stopword hit
+    ratios, alphabetical tiebreak, 'und' when nothing matches)."""
+    from tdei_extract_load_service_spark.operators import text as TX
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.lang_id("text").alias("lang_pred"))
+
+
+@register(
+    "text_fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+               regexp_split_to_array(lower(trim(text)), '\s+'))), ' ')) AS fp
+    FROM documents
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive document fingerprint (md5 of the sorted distinct
+    word set)."""
+    from tdei_extract_load_service_spark.operators import text as TX
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.fingerprint("text").alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal (north-star; multimodal/binary_ops.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_meta",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS sha256,
+           'unknown' AS format
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary metadata extraction (byte length, content hash,
+    magic-number format sniff) over text bytes — the documents fixture has
+    no real media, so format legitimately sniffs 'unknown'; decode/frame
+    plumbing is exercised in tests with synthetic media bytes."""
+    from tdei_extract_load_service_spark.multimodal.binary_ops import binary_meta
+
+    docs = _read(spark, sf_dir, "documents")
+    meta = binary_meta(F.encode("text", "UTF-8"))
+    return docs.select(
+        "doc_id",
+        meta["n_bytes"].cast("bigint").alias("n_bytes"),
+        meta["sha256"].alias("sha256"),
+        meta["format"].alias("format"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full ETL pipeline as a registered query (rows-only)
+# ---------------------------------------------------------------------------
+
+
+@register("etl_load_dataset", None)
+def q_etl_load_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end dataset-load job on a deterministic synthetic OSW
+    archive: zip fan-out -> route -> explode -> strip-Z/elevation ->
+    per-kind sinks -> stats. Returns the per-kind stats table (stable
+    across runs; rows-only check — the load path's semantics are covered
+    by the pytest suite's golden assertions)."""
+    import io
+    import json
+    import tempfile
+    import zipfile
+
+    from tdei_extract_load_service_spark.plans.load_dataset import load_dataset
+
+    root = tempfile.mkdtemp(prefix="etl_catalog_")
+    doc = {
+        "type": "FeatureCollection",
+        "name": "synthetic",
+        "features": [
+            {
+                "type": "Feature",
+                "geometry": {"type": "Point", "coordinates": [i * 0.5, -i * 0.25, float(i % 3)]},
+                "properties": {"_id": f"n{i}"},
+            }
+            for i in range(100)
+        ],
+    }
+    edges = {
+        "type": "FeatureCollection",
+        "name": "synthetic-edges",
+        "features": [
+            {
+                "type": "Feature",
+                "geometry": {
+                    "type": "LineString",
+                    "coordinates": [[i, i, 1.0], [i + 1, i + 1, 2.0]],
+                },
+                "properties": {"_id": f"e{i}"},
+            }
+            for i in range(50)
+        ],
+    }
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("nodes.geojson", json.dumps(doc))
+        zf.writestr("edges.geojson", json.dumps(edges))
+    archive = f"{root}/synthetic.zip"
+    with open(archive, "wb") as fh:
+        fh.write(buf.getvalue())
+    result = load_dataset(spark, archive, "catalog-ds", "catalog-user", f"{root}/warehouse")
+    if not result.success:
+        raise RuntimeError(result.message)
+    return (
+        spark.read.parquet(f"{root}/warehouse/dataset_stats")
+        .select("tdei_dataset_id", "kind", "n_features", "n_files", "n_with_elevation")
+        .orderBy("kind")
+    )

