@@ -885,3 +885,159 @@ def q_etl_load_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("tdei_dataset_id", "kind", "n_features", "n_files", "n_with_elevation")
         .orderBy("kind")
     )
+
+
+# ---------------------------------------------------------------------------
+# Extended relational surface (SURVEY.md §2.3 "free built-ins": set ops,
+# distinct, window functions, cube/rollup, pivot, approx aggregates)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "distinct",
+    "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT (hash-based dedup; map-side partial distinct before the
+    shuffle — the dedup_exact primitive in relational form)."""
+    return _read(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+@register(
+    "set_ops",
+    """
+    SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (set semantics; Spark plans it as a distinct + semi-join).
+    UNION/EXCEPT share the same machinery (exercised in tests)."""
+    orders = _read(spark, sf_dir, "orders")
+    high = orders.where(F.col("o_totalprice") > 200000).select("o_custkey")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return high.intersect(urgent)
+
+
+@register(
+    "window_rank",
+    """
+    SELECT * FROM (
+      SELECT n_name, c_custkey, c_acctbal,
+             RANK() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey) AS bal_rank
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ) WHERE bal_rank <= 3
+    """,
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window function: top-3 customers by balance per nation —
+    single shuffle on the partition key, per-partition sort, rank streamed."""
+    from pyspark.sql import Window
+
+    customer = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    joined = R.join_inner(
+        customer, nation, on=customer.c_nationkey == nation.n_nationkey, broadcast_right=True
+    )
+    w = Window.partitionBy("n_name").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return (
+        joined.select("n_name", "c_custkey", "c_acctbal", F.rank().over(w).alias("bal_rank"))
+        .where(F.col("bal_rank") <= 3)
+    )
+
+
+@register(
+    "window_running_sum",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+    FROM orders WHERE o_custkey <= 100
+    """,
+)
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window with an explicit ROWS frame: running per-customer
+    spend in order-date order."""
+    from pyspark.sql import Window
+
+    orders = _read(spark, sf_dir, "orders").where(F.col("o_custkey") <= 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@register(
+    "rollup",
+    """
+    SELECT COALESCE(l_returnflag, '<all>') AS l_returnflag,
+           COALESCE(l_linestatus, '<all>') AS l_linestatus,
+           COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (grouping-sets machinery; CUBE tested too).
+    NULL group markers are coalesced to '<all>' on both sides so the hash
+    can't confuse subtotal rows with genuine NULL keys."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("l_linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "pivot",
+    """
+    SELECT l_returnflag,
+           ROUND(COALESCE(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0), 2) AS qty_open,
+           ROUND(COALESCE(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 0), 2) AS qty_filled
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT on an explicit value list (explicit values keep the plan a
+    single pass — no distinct-values pre-query)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum("l_quantity"))
+        .select(
+            "l_returnflag",
+            F.round(F.coalesce("O", F.lit(0.0)), 2).alias("qty_open"),
+            F.round(F.coalesce("F", F.lit(0.0)), 2).alias("qty_filled"),
+        )
+    )
+
+
+@register("approx_distinct", None)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the sketch path for
+    count-distinct at 100 TB (fixed-size sketch vs shuffle of all distinct
+    values). Estimator implementations differ engine-to-engine -> rows-only;
+    tests bound the error against the exact count."""
+    li = _read(spark, sf_dir, "lineitem")
+    return R.agg_group(
+        li,
+        ["l_returnflag"],
+        [
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.count("*").alias("n_rows"),
+        ],
+    ).orderBy("l_returnflag")

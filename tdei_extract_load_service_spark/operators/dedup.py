@@ -101,7 +101,16 @@ def ngram_jaccard_pairs(
     sh = df.select(
         _col(id_col).alias("id"), word_shingles(text_col, n).alias("shingles")
     ).withColumn("n_shingles", F.size("shingles"))
-    ex = sh.select("id", "n_shingles", F.explode("shingles").alias("shingle"))
+    # both sides of the self-join reference this subtree; persist so the
+    # shingling runs once, not twice (MEMORY_AND_DISK — spills, never OOMs).
+    # Join key = xxhash64(shingle): an 8-byte shuffle key instead of the
+    # shingle text; collision odds at ~2^-64 per pair are far below any
+    # float-rounding tolerance already accepted elsewhere.
+    ex = (
+        sh.select("id", "n_shingles", F.explode("shingles").alias("shingle_text"))
+        .select("id", "n_shingles", F.xxhash64("shingle_text").alias("shingle"))
+        .persist()
+    )
     if max_shingle_df is not None:
         ex = (
             ex.withColumn("_df", F.count("*").over(Window.partitionBy("shingle")))
@@ -188,7 +197,9 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    banded = sig.select("id", "sig", F.posexplode(band_hashes).alias("band", "bucket"))
+    # persist: the candidate self-join references this subtree twice; the
+    # signature fold (the expensive part) must run once per doc, not twice
+    banded = sig.select("id", "sig", F.posexplode(band_hashes).alias("band", "bucket")).persist()
     a, b = banded.alias("a"), banded.alias("b")
     candidates = (
         a.join(

@@ -1,0 +1,90 @@
+"""Event-time streaming operators.
+
+The reference has NO event-time semantics (SURVEY.md §1.3: its "streaming"
+is incremental arrival + backpressure only) — these are the engine's
+forward-looking extension over the ``events`` stream shape, built on
+Structured Streaming's incremental-execution model:
+
+- ``windowed_event_aggs``: tumbling event-time windows + watermark. State
+  is one row per (window, event_type); the watermark bounds state size —
+  windows older than it are finalized and evicted, so state is O(active
+  windows), not O(stream length), at any scale.
+- ``stateful_user_counts``: arbitrary stateful processing via
+  ``applyInPandasWithState`` — the ``GroupState`` pattern for operators
+  Spark lacks natively (the custom-stateful-op escape hatch).
+
+Both operate on any DataFrame with (ts timestamp, event_type string,
+user_id long, value double) — batch frames too (a batch DataFrame is the
+bounded special case; the windowed agg is oracle-checked in batch form as
+``window_tumbling``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATEFUL_OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
+STATEFUL_STATE_SCHEMA = "n_events bigint, total_value double"
+
+
+def windowed_event_aggs(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling-window counts/sums per event_type with a late-data bound.
+
+    The watermark says "accept events up to ``watermark_delay`` late";
+    anything later is dropped and the window's state row is freed — the
+    contract that keeps 100 TB/day streams at bounded memory.
+    """
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.window(F.col(ts_col), window_duration), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def _update_user_counts(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Running per-user totals carried across micro-batches in GroupState."""
+    (user_id,) = key
+    if state.exists:
+        n_events, total_value = state.get
+    else:
+        n_events, total_value = 0, 0.0
+    for pdf in pdfs:
+        n_events += len(pdf)
+        total_value += float(pdf["value"].sum())
+    state.update((n_events, total_value))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n_events], "total_value": [round(total_value, 2)]}
+    )
+
+
+def stateful_user_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: cumulative per-user event count + value
+    total, updated each micro-batch (emits the current running totals for
+    users seen in the batch). State: one tiny row per user, partitioned by
+    user_id — shuffle-once, then local state updates."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_user_counts,
+        outputStructType=STATEFUL_OUTPUT_SCHEMA,
+        stateStructType=STATEFUL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

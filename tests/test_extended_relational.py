@@ -1,0 +1,42 @@
+"""Extended relational built-ins: set ops, cube, approx aggregates."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_union_except(spark):
+    a = spark.createDataFrame([(1,), (2,), (3,)], "x int")
+    b = spark.createDataFrame([(3,), (4,)], "x int")
+    assert sorted(r.x for r in a.union(b).distinct().collect()) == [1, 2, 3, 4]
+    assert sorted(r.x for r in a.exceptAll(b).collect()) == [1, 2]
+    assert sorted(r.x for r in a.intersect(b).collect()) == [3]
+    # unionByName aligns schemas by column name, not position
+    c = spark.createDataFrame([(10, "a")], "y int, name string")
+    d = spark.createDataFrame([("b", 20)], "name string, y int")
+    assert {(r.y, r.name) for r in c.unionByName(d).collect()} == {(10, "a"), (20, "b")}
+
+
+def test_cube_totals(spark):
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    cube = (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    total = [r.n for r in cube if r.l_returnflag is None and r.l_linestatus is None]
+    assert total == [li.count()]  # grand-total row present exactly once
+    # cube = rollup ∪ the (None, status) slices -> strictly more rows
+    rollup_n = li.rollup("l_returnflag", "l_linestatus").agg(F.count("*")).count()
+    assert len(cube) > rollup_n
+
+
+def test_approx_count_distinct_error_bound(spark):
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    row = li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
+        F.countDistinct("l_partkey").alias("exact"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / row.exact < 0.1  # 5 sigma at rsd=0.02
