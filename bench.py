@@ -52,8 +52,11 @@ def main() -> None:
     spark = get_spark("bench")
 
     # warm the JVM + parquet footers once so per-query numbers measure the
-    # plan, not session bootstrap
+    # plan, not session bootstrap or first-touch footer reads
     spark.range(1).count()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")  # events ts
+    for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -727,8 +727,10 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/punctuation/stopword heuristics composed
     into one [0,1] score (the C4/Gopher-rule shape)."""
     from tdei_extract_load_service_spark.operators import text as TX
+    from tdei_extract_load_service_spark.session import spread
 
-    docs = _read(spark, sf_dir, "documents")
+    # single-row-group input: spread so the per-doc scoring uses all cores
+    docs = spread(_read(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         TX.token_count_ws("text").alias("n_words"),

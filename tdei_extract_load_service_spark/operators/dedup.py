@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from tdei_extract_load_service_spark.session import spread
+
 
 def _col(c: str | Column) -> Column:
     return F.col(c) if isinstance(c, str) else c
@@ -98,7 +100,7 @@ def ngram_jaccard_pairs(
     pair, then ``|A∩B| / (|A|+|B|-|A∩B|)``. Work is Σ per-shingle df², not
     |docs|².
     """
-    sh = df.select(
+    sh = spread(df).select(
         _col(id_col).alias("id"), word_shingles(text_col, n).alias("shingles")
     ).withColumn("n_shingles", F.size("shingles"))
     # both sides of the self-join reference this subtree; persist so the
@@ -181,7 +183,7 @@ def minhash_lsh_pairs(
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
-    sig = df.select(
+    sig = spread(df).select(
         _col(id_col).alias("id"),
         minhash_signature(word_shingles(text_col, n), num_hashes).alias("sig"),
     )
@@ -271,7 +273,7 @@ def simhash_pairs(
     The join key is a 16-bit chunk string — tiny shuffle payload.
     """
     chunk_len = bits // chunks
-    sh = df.select(_col(id_col).alias("id"), simhash_bits(text_col, bits).alias("bits"))
+    sh = spread(df).select(_col(id_col).alias("id"), simhash_bits(text_col, bits).alias("bits"))
     chunk_arr = F.array(
         *[
             F.concat_ws("", F.transform(F.slice("bits", c * chunk_len + 1, chunk_len), lambda b: b.cast("string")))
@@ -326,7 +328,7 @@ def embedding_cosine_pairs(
     path (O(n²): right at SF-test scale and as the verifier for the
     approximate paths; at 100 TB use ``operators.similarity``
     LSH/IVF bucketing for candidate generation instead)."""
-    vecs = df.select(_col(id_col).alias("id"), _col(vec_col).alias("vec"))
+    vecs = spread(df).select(_col(id_col).alias("id"), _col(vec_col).alias("vec"))
     a, b = vecs.alias("a"), vecs.alias("b")
     sim = cosine_similarity(F.col("a.vec"), F.col("b.vec"))
     return (

@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from tdei_extract_load_service_spark.operators.dedup import cosine_similarity
+from tdei_extract_load_service_spark.session import spread
 
 
 def _col(c: str | Column) -> Column:
@@ -45,7 +46,7 @@ def topk_cosine(
     """
     sim = F.round(cosine_similarity(_col(vec_col), _vec_lit(query_vec)), 6)
     return (
-        df.select(_col(id_col).alias("id"), sim.alias("cosine"))
+        spread(df).select(_col(id_col).alias("id"), sim.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col("id").asc())
         .limit(k)
     )
@@ -71,7 +72,7 @@ def ivf_assign(
     """Assign every vector to its nearest centroid (max cosine; centroid_id
     tiebreak) via a broadcast nested-loop + max_by — the big side never
     shuffles."""
-    joined = df.select(_col(id_col).alias("id"), _col(vec_col).alias("vec")).crossJoin(
+    joined = spread(df).select(_col(id_col).alias("id"), _col(vec_col).alias("vec")).crossJoin(
         F.broadcast(centroids)
     )
     sim = F.round(cosine_similarity(F.col("vec"), F.col("centroid_vec")), 6)

@@ -66,6 +66,22 @@ def get_spark(
     return spark
 
 
+def spread(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Round-robin repartition to the session's full parallelism.
+
+    Parquet scans can't split inside a row group, so a single-row-group
+    file (the SF fixtures; any small-file corpus) pins every pre-shuffle
+    operator to one task. Compute-heavy operators (shingling, MinHash
+    signatures, vector math, document scoring) call this first: the
+    repartition shuffle moves only the input rows once and unlocks all
+    cores for the per-row work that dominates. At 100 TB inputs have
+    thousands of row groups and natural parallelism — the repartition is
+    then a cheap no-op-shaped rebalance, or callers pass their own
+    partitioning instead.
+    """
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism * factor)
+
+
 def load_tables(
     spark: SparkSession,
     sf_dir: str = DEFAULT_SF_DIR,
