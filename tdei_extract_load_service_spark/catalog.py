@@ -1043,3 +1043,118 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_rows"),
         ],
     ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Multi-join analytical flagships (TPC-H Q3/Q5 shapes) + grouped-map UDF
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> fact join -> agg -> top-k.
+    customer (filtered) broadcasts; lineitem never shuffles for the join;
+    the orderdate/shipdate predicates push into both fact scans."""
+    customer = _read(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _read(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < TS.utc_literal("1995-03-15 00:00:00")
+    )
+    li = _read(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > TS.utc_literal("1995-03-15 00:00:00")
+    )
+    joined = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            TS.normalize_ts(F.col("o_orderdate"), "yyyy-MM-dd").alias("o_orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_local_volume",
+    """
+    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-way join with a region filter that prunes
+    through nation -> supplier/customer before touching the facts. All
+    dimension sides broadcast; only the orders-lineitem join shuffles."""
+    customer = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    supplier = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nr = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    sup = supplier.join(F.broadcast(nr), supplier.s_nationkey == nr.n_nationkey)
+    joined = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(sup),
+            (li.l_suppkey == sup.s_suppkey) & (customer.c_nationkey == sup.s_nationkey),
+        )
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+
+
+@register(
+    "grouped_normalize",
+    """
+    WITH e AS (
+      SELECT vec_id, label,
+             unnest(generate_series(1, len(embedding))) AS d,
+             unnest(embedding)::DOUBLE AS v
+      FROM embeddings
+    ),
+    m AS (SELECT label, d, AVG(v) AS mu FROM e GROUP BY label, d)
+    SELECT e.vec_id, e.label,
+           ROUND(sqrt(SUM((e.v - m.mu) * (e.v - m.mu))), 4) AS centered_norm
+    FROM e JOIN m USING (label, d)
+    GROUP BY e.vec_id, e.label
+    """,
+)
+def q_grouped_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map UDF surface (applyInPandas): per-label mean-centering of
+    embeddings, emitting each vector's centered norm. One shuffle on the
+    group key; Arrow-batched numpy does the per-group math."""
+    from tdei_extract_load_service_spark.operators.grouped import center_by_group
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return center_by_group(emb, "label", "vec_id", "embedding", round_to=4)
