@@ -82,10 +82,16 @@ def _first_z(c: Column, depth: int) -> Column:
     flat = c
     for _ in range(depth - 2):
         flat = F.flatten(flat)
-    first = F.element_at(
-        F.filter(flat, lambda leaf: (F.size(leaf) >= 3) & F.element_at(leaf, 3).isNotNull()), 1
+    # try_element_at: an all-2D geometry filters down to an empty array, and
+    # ANSI-mode element_at throws on out-of-bounds instead of returning null
+    # (caught by the property-based suite; the example matrix missed it)
+    first = F.try_element_at(
+        F.filter(
+            flat, lambda leaf: (F.size(leaf) >= 3) & F.try_element_at(leaf, F.lit(3)).isNotNull()
+        ),
+        F.lit(1),
     )
-    return F.element_at(first, 3)
+    return F.try_element_at(first, F.lit(3))
 
 
 def _dispatch(geom_type: Column, coords_json: Column, per_depth) -> Column:
