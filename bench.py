@@ -44,6 +44,75 @@ HEADLINE = (
 )
 
 
+#: ETL bench corpus: archives x features-per-archive (deterministic,
+#: synthesized once under /tmp and reused across runs).
+ETL_ARCHIVES = 3
+ETL_FEATURES = 10_000
+
+
+def _build_etl_corpus(root: str) -> None:
+    import io
+    import json
+    import zipfile
+
+    os.makedirs(root, exist_ok=True)
+    for a in range(ETL_ARCHIVES):
+        path = os.path.join(root, f"bench{a}.zip")
+        if os.path.exists(path):
+            continue
+        per_kind = ETL_FEATURES // 2
+        nodes = {
+            "type": "FeatureCollection",
+            "name": f"nodes-{a}",
+            "features": [
+                {"type": "Feature",
+                 "geometry": {"type": "Point", "coordinates": [i * 1e-4, -i * 1e-4, float(i % 5)]},
+                 "properties": {"_id": f"n{a}_{i}", "w": i}}
+                for i in range(per_kind)
+            ],
+        }
+        edges = {
+            "type": "FeatureCollection",
+            "name": f"edges-{a}",
+            "features": [
+                {"type": "Feature",
+                 "geometry": {"type": "LineString",
+                              "coordinates": [[i * 1e-4, 0.0, 1.0], [i * 1e-4 + 1e-5, 1e-5]]},
+                 "properties": {"_id": f"e{a}_{i}"}}
+                for i in range(per_kind)
+            ],
+        }
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr("nodes.geojson", json.dumps(nodes))
+            zf.writestr("edges.geojson", json.dumps(edges))
+        with open(path, "wb") as fh:
+            fh.write(buf.getvalue())
+
+
+def bench_etl_load(spark) -> float:
+    """Time the full extract->transform->load->metadata->stats job over the
+    synthetic corpus (ETL_ARCHIVES datasets, ETL_FEATURES features each)."""
+    import shutil
+    import tempfile
+
+    from tdei_extract_load_service_spark.plans.load_dataset import load_dataset
+
+    corpus = "/tmp/spark_graft_bench_etl"
+    _build_etl_corpus(corpus)
+    warehouse = tempfile.mkdtemp(prefix="bench_etl_wh_")
+    t0 = time.perf_counter()
+    for a in range(ETL_ARCHIVES):
+        result = load_dataset(
+            spark, os.path.join(corpus, f"bench{a}.zip"), f"bench-ds-{a}", "bench", warehouse
+        )
+        if not result.success:
+            raise RuntimeError(f"etl bench load failed: {result.message}")
+    dt = round(time.perf_counter() - t0, 4)
+    shutil.rmtree(warehouse, ignore_errors=True)
+    return dt
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from tdei_extract_load_service_spark.catalog import REGISTRY
@@ -68,6 +137,8 @@ def main() -> None:
         # force full execution of every operator in the plan
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+
+    timings["etl_load"] = bench_etl_load(spark)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

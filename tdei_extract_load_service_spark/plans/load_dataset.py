@@ -69,6 +69,37 @@ META_COLUMNS = {
 }
 
 
+#: column schema of each sink table (A5, FIXTURES.md; INSERT shapes
+#: extract-load-service.ts:378,426,478,689,736,783,830)
+def sink_schema(table: str) -> str:
+    base = "tdei_dataset_id string, feature string, requested_by string, entry string"
+    if table == "extension":
+        return "tdei_dataset_id string, ext_file_id bigint, feature string, requested_by string, entry string"
+    if table == "extension_file":
+        return "id bigint, tdei_dataset_id string, name string, file_meta string, requested_by string"
+    if table == "dataset":
+        cols = ", ".join(f"{c} string" for c in META_COLUMNS.values())
+        return f"tdei_dataset_id string, {cols}"
+    if table == "dataset_stats":
+        return (
+            "tdei_dataset_id string, kind string, n_features bigint, "
+            "n_files bigint, n_with_elevation bigint"
+        )
+    return base
+
+
+def read_sink(spark: SparkSession, warehouse: str, table: str) -> DataFrame:
+    """Read a sink table, returning a correctly-typed empty frame when the
+    table has no data yet (a freshly-deleted dataset can leave a partition
+    directory with zero files — a metastore-backed table would carry the
+    schema; this helper is the file-layout equivalent)."""
+    path = os.path.join(warehouse, table)
+    try:
+        return spark.read.schema(sink_schema(table)).parquet(path)
+    except Exception:  # noqa: BLE001 — missing directory
+        return spark.createDataFrame([], sink_schema(table))
+
+
 class NoGeoJsonEntriesError(Exception):
     """Archive contained zero .geojson entries
     (extract-load-service.ts:319-321)."""
@@ -157,6 +188,17 @@ def load_dataset(
     """
     timings: dict[str, float] = {}
     try:
+        # -- pre-delete: wipe all prior rows of this dataset (O17,
+        # delete_dataset_records_by_id extract-load-service.ts:290-295 —
+        # runs before the load, so a kind absent from the new archive
+        # can't leave stale rows behind)
+        t0 = time.perf_counter()
+        from tdei_extract_load_service_spark.sinks.writers import delete_by_key
+
+        for table in (*SINK_TABLES.values(), "extension_file", "dataset", "dataset_stats"):
+            delete_by_key(os.path.join(warehouse, table), tdei_dataset_id)
+        timings["delete"] = time.perf_counter() - t0
+
         # -- extract: archive -> routed entries -------------------------
         t0 = time.perf_counter()
         entries = routed_entries(zip_fanout(read_zip_archives(spark, archive_path)))
@@ -212,6 +254,10 @@ def load_dataset(
         # -- load: one parameterized writer, 7 sinks (O12) ---------------
         t0 = time.perf_counter()
         for kind, table in SINK_TABLES.items():
+            if counts.get(kind, 0) == 0:
+                # pre-delete already cleared any prior rows; an empty
+                # dynamic-overwrite write is a no-op Spark job — skip it
+                continue
             sink_cols = ["tdei_dataset_id", "feature", "requested_by", "entry"]
             if kind == "extension":
                 sink_cols.insert(1, "ext_file_id")

@@ -96,6 +96,23 @@ def overwrite_by_key(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", previous)
 
 
+def delete_by_key(path: str, key_value: str, key_col: str = "tdei_dataset_id") -> None:
+    """Remove one key's partition directory from a sink — the engine's form
+    of the pre-load ``delete_dataset_records_by_id`` stored procedure (O17,
+    extract-load-service.ts:290-295), which wipes ALL prior rows of the
+    dataset. Dynamic overwrite alone can't do this: it only replaces
+    partitions present in the *new* data, so a kind that disappeared on
+    reload would otherwise leave stale rows.
+
+    Local/HDFS-path implementation (directory remove); on object stores or
+    catalog tables use ``DELETE WHERE`` / Delta ``replaceWhere`` — same
+    contract.
+    """
+    part_dir = os.path.join(path, f"{key_col}={key_value}")
+    if os.path.exists(part_dir):
+        shutil.rmtree(part_dir)
+
+
 def staged_swap_write(
     df: DataFrame,
     final_path: str,

@@ -111,7 +111,7 @@ def test_result_and_counts(loaded):
     spark, warehouse, result = loaded
     assert result.success, result.message
     assert result.feature_counts == {"nodes": 3, "edges": 1, "zones": 1, "extension": 2}
-    assert set(result.timings) == {"extract", "transform", "load", "metadata", "stats"}
+    assert set(result.timings) == {"delete", "extract", "transform", "load", "metadata", "stats"}
 
 
 def test_node_elevation_semantics(loaded):
@@ -224,3 +224,21 @@ def test_malformed_geojson_entry_fails(spark, tmp_path):
     result = load_dataset(spark, archive, "ds-bad", "u", str(tmp_path / "wh3"))
     assert not result.success
     assert "lines.geojson" in result.message
+
+
+def test_reload_clears_disappeared_kind(spark, tmp_path):
+    # O17 pre-delete semantics: a kind present in load 1 but absent in
+    # load 2 must leave NO stale rows (dynamic overwrite alone would)
+    warehouse = str(tmp_path / "wh_stale")
+    a1 = str(tmp_path / "v1.zip")
+    make_zip(a1, {"nodes.geojson": json.dumps(NODES), "zones.geojson": json.dumps(ZONES)})
+    assert load_dataset(spark, a1, "ds-r", "u", warehouse).success
+    assert spark.read.parquet(os.path.join(warehouse, "zone")).count() == 1
+    a2 = str(tmp_path / "v2.zip")
+    make_zip(a2, {"nodes.geojson": json.dumps(NODES)})  # zones gone
+    assert load_dataset(spark, a2, "ds-r", "u", warehouse).success
+    from tdei_extract_load_service_spark.plans.load_dataset import read_sink
+
+    zones = read_sink(spark, warehouse, "zone").where(F.col("tdei_dataset_id") == "ds-r")
+    assert zones.count() == 0
+    assert spark.read.parquet(os.path.join(warehouse, "node")).count() == 3
