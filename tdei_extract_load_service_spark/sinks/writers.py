@@ -96,6 +96,55 @@ def overwrite_by_key(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", previous)
 
 
+def jdbc_staged_swap(
+    spark,
+    jdbc_url: str,
+    df: DataFrame,
+    final_table: str,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    jdbc_options: dict[str, str] | None = None,
+    rename_sql: str = "RENAME TABLE {src} TO {dst}",
+) -> None:
+    """Transactional table replace over JDBC — the O18 analogue
+    (runInTransaction, reference data-source.ts:33-65) for relational
+    sinks, where Spark's JDBC writer has no cross-statement transaction.
+
+    Pattern: bulk-load a staging table with the distributed writer, then
+    one short driver-side DB transaction (java.sql via the JVM gateway)
+    drops the old table and renames staging into place. Readers see the
+    old data until the commit; a failure anywhere before it leaves the
+    final table untouched (rollback = drop staging).
+
+    ``rename_sql`` is dialect-specific: Derby/MySQL ``RENAME TABLE a TO b``,
+    Postgres ``ALTER TABLE a RENAME TO b``.
+    """
+    staging = f"{final_table}_staging"
+    write_batched(
+        df,
+        jdbc_url=jdbc_url,
+        table=staging,
+        batch_size=batch_size,
+        mode="overwrite",
+        jdbc_options=jdbc_options,
+    )
+    jvm = spark._jvm  # noqa: SLF001
+    conn = jvm.java.sql.DriverManager.getConnection(jdbc_url)
+    try:
+        conn.setAutoCommit(False)
+        stmt = conn.createStatement()
+        meta = conn.getMetaData().getTables(None, None, final_table.upper(), None)
+        final_exists = meta.next()
+        if final_exists:
+            stmt.execute(f"DROP TABLE {final_table}")
+        stmt.execute(rename_sql.format(src=staging, dst=final_table))
+        conn.commit()
+    except Exception:
+        conn.rollback()
+        raise
+    finally:
+        conn.close()
+
+
 def delete_by_key(path: str, key_value: str, key_col: str = "tdei_dataset_id") -> None:
     """Remove one key's partition directory from a sink — the engine's form
     of the pre-load ``delete_dataset_records_by_id`` stored procedure (O17,

@@ -1,0 +1,42 @@
+"""Transactional stage-and-swap over JDBC (O18 parity) against Derby."""
+
+from __future__ import annotations
+
+import pytest
+
+from tdei_extract_load_service_spark.sinks.writers import jdbc_staged_swap
+
+TYPES = {"createTableColumnTypes": "k VARCHAR(32), v VARCHAR(128)"}
+
+
+@pytest.fixture(scope="module")
+def derby_url(tmp_path_factory):
+    db = tmp_path_factory.mktemp("derby_swap") / "swapdb"
+    return f"jdbc:derby:{db};create=true"
+
+
+def _read(spark, url, table):
+    return spark.read.format("jdbc").option("url", url).option("dbtable", table).load()
+
+
+def test_swap_creates_then_replaces(spark, derby_url):
+    v1 = spark.createDataFrame([("a", "1"), ("b", "2")], "k string, v string")
+    jdbc_staged_swap(spark, derby_url, v1, "swap_target", jdbc_options=TYPES)
+    assert {(r.k, r.v) for r in _read(spark, derby_url, "swap_target").collect()} == {("a", "1"), ("b", "2")}
+
+    v2 = spark.createDataFrame([("c", "3")], "k string, v string")
+    jdbc_staged_swap(spark, derby_url, v2, "swap_target", jdbc_options=TYPES)
+    assert {(r.k, r.v) for r in _read(spark, derby_url, "swap_target").collect()} == {("c", "3")}
+
+
+def test_failed_staging_leaves_final_intact(spark, derby_url):
+    import pyspark.sql.functions as F
+
+    good = spark.createDataFrame([("keep", "me")], "k string, v string")
+    jdbc_staged_swap(spark, derby_url, good, "swap_safe", jdbc_options=TYPES)
+    # a staging write that fails mid-flight (value too long for VARCHAR)
+    bad = spark.createDataFrame([("x", "y" * 1000)], "k string, v string")
+    with pytest.raises(Exception):
+        jdbc_staged_swap(spark, derby_url, bad, "swap_safe", jdbc_options=TYPES)
+    # the final table still serves the previous version
+    assert [(r.k, r.v) for r in _read(spark, derby_url, "swap_safe").collect()] == [("keep", "me")]
