@@ -1158,3 +1158,137 @@ def q_grouped_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _read(spark, sf_dir, "embeddings")
     return center_by_group(emb, "label", "vec_id", "embedding", round_to=4)
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time join, session windows, verified LSH dedup, quantiles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_asof",
+    """
+    WITH L AS (SELECT user_id, ts::TIMESTAMP AS ts, event_id FROM events WHERE event_type = 'click'),
+    R AS (SELECT user_id, ts::TIMESTAMP AS ts, event_id, value FROM events WHERE event_type = 'purchase'),
+    U AS (
+      SELECT user_id, ts, 0 AS is_right, event_id,
+             NULL::BIGINT AS r_event_id, NULL::DOUBLE AS r_value FROM L
+      UNION ALL
+      SELECT user_id, ts, 1, NULL, event_id, value FROM R
+    ),
+    C AS (
+      SELECT *,
+             last_value(r_event_id IGNORE NULLS) OVER w AS a_event_id,
+             last_value(r_value IGNORE NULLS) OVER w AS a_value
+      FROM U
+      WINDOW w AS (
+        PARTITION BY user_id
+        ORDER BY ts, is_right DESC, r_event_id NULLS FIRST, r_value NULLS FIRST
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id, a_event_id AS asof_event_id, ROUND(a_value, 2) AS asof_value
+    FROM C WHERE is_right = 0
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) join: every click joined to the user's most
+    recent prior purchase. Union+window formulation — one shuffle on the
+    key, no per-row subquery (operators/asof.py); the oracle mirrors the
+    same formulation in SQL."""
+    from tdei_extract_load_service_spark.operators.asof import join_asof
+
+    ev = _read_events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = join_asof(clicks, purchases, "user_id", "ts", "ts", ["event_id", "value"])
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("asof_event_id"),
+        F.round("asof_value", 2).alias("asof_value"),
+    )
+
+
+@register(
+    "session_window",
+    """
+    WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, value FROM events),
+    x AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 2 HOURS
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM x
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%dT%H:%M:%S') AS session_start,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (2h inactivity gap) per user — F.session_window's
+    dynamic-width windows; the oracle is the classic gaps-and-islands
+    rewrite (lag + cumulative sum), proving the semantics equivalence."""
+    from tdei_extract_load_service_spark.streaming.windows import sessionized_event_aggs
+
+    ev = _read_events(spark, sf_dir)
+    out = sessionized_event_aggs(ev, gap="2 hours")
+    return out.select(
+        "user_id",
+        TS.normalize_ts(F.col("session_start"), "yyyy-MM-dd'T'HH:mm:ss").alias("session_start"),
+        "n_events",
+        "total_value",
+    )
+
+
+@register("dedup_lsh_verified", None)
+def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates + exact Jaccard verification (the 100 TB near-dup
+    shape: sub-quadratic candidates, zero estimation error on output).
+    xxhash64-seeded candidate stage -> rows-only; tests assert it equals
+    the exact inverted-index result on the fixture."""
+    from tdei_extract_load_service_spark.operators.dedup import lsh_verified_pairs
+
+    return lsh_verified_pairs(
+        _read(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.8
+    ).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "quantiles",
+    """
+    SELECT l_returnflag,
+           CAST(ROUND(CAST(quantile_cont(l_extendedprice, 0.5) AS DECIMAL(28,6)), 2) AS DOUBLE)  AS p50,
+           CAST(ROUND(CAST(quantile_cont(l_extendedprice, 0.95) AS DECIMAL(28,6)), 2) AS DOUBLE) AS p95,
+           CAST(ROUND(CAST(quantile_cont(l_extendedprice, 0.99) AS DECIMAL(28,6)), 2) AS DOUBLE) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation — value-identical to DuckDB
+    quantile_cont); approx_percentile is the sketch path at scale.
+
+    Rounding goes through DECIMAL(28,6) first on BOTH sides: interpolated
+    midpoints regularly land a hair under .xx5 (e.g. 52724.244999999995),
+    where Spark's double-round and DuckDB's diverge; the 6-decimal
+    quantization removes the boundary noise before the 2-decimal round.
+    """
+    li = _read(spark, sf_dir, "lineitem")
+
+    def q(p: float) -> F.Column:
+        raw = F.expr(f"percentile(l_extendedprice, {p})")
+        return F.round(raw.cast("decimal(28,6)"), 2).cast("double")
+
+    return li.groupBy("l_returnflag").agg(
+        q(0.5).alias("p50"), q(0.95).alias("p95"), q(0.99).alias("p99")
+    )

@@ -343,3 +343,38 @@ def embedding_cosine_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def lsh_verified_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """MinHash-LSH candidate generation + EXACT Jaccard verification — the
+    production near-dup shape at 100 TB: the quadratic-ish inverted-index
+    join is replaced by LSH bucketing (misses a θ-pair with probability
+    ``(1-θ^r)^b`` ≈ 2e-4 at θ=0.8 with 16×4 bands), and every surviving
+    candidate is then scored exactly on its true shingle sets, so emitted
+    pairs carry no estimation error."""
+    candidates = minhash_lsh_pairs(
+        df, id_col, text_col, num_hashes=num_hashes, bands=bands, n=n, threshold=0.0
+    ).select("doc_a", "doc_b")
+    sh = df.select(
+        _col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
+    )
+    joined = (
+        candidates.join(sh.withColumnRenamed("id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jaccard = F.round(inter / union, 6)
+    return (
+        joined.withColumn("jaccard", jaccard)
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

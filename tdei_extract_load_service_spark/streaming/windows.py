@@ -88,3 +88,28 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def sessionized_event_aggs(
+    events: DataFrame,
+    gap: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Session windows: per-key event runs separated by >= ``gap`` of
+    silence (``F.session_window`` — dynamic-width state merged at event
+    time; in streaming mode pair with a watermark and state closes
+    ``gap`` after the last event).
+
+    Returns (key, session_start, n_events, total_value).
+    """
+    return (
+        events.groupBy(F.session_window(F.col(ts_col), gap), F.col(key_col))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col(key_col),
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
