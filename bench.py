@@ -41,6 +41,12 @@ HEADLINE = (
     "similarity_ivf",
     "text_quality",
     "text_fingerprint",
+    "join_asof",
+    "session_window",
+    "quantiles",
+    "dedup_lsh_verified",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_volume",
 )
 
 
