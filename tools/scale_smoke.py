@@ -1,0 +1,97 @@
+"""Scale smoke: replicate the sf0.1 fixtures ~10x into /tmp (≈sf1:
+6M-row lineitem, 20k embeddings, 50k documents) and run representative
+linear-path queries at both scales, reporting the runtime ratio.
+
+Purpose: empirical evidence that the headline plans scale ~linearly (a
+ratio well under the 10x data growth indicates fixed-overhead dominance;
+a ratio far above it indicates a super-linear operator — a bug).
+Replication shifts keys so join fan-out stays realistic instead of
+creating 10x duplicate key collisions.
+
+Usage: python tools/scale_smoke.py [replication]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = "/root/testdata/sf0.1"
+QUERIES = ("agg_group", "filter", "join_semi", "top_k", "topk_similarity", "text_fingerprint", "window_tumbling")
+KEY_SHIFT = 10_000_000
+
+
+def build(spark, out_dir: str, replication: int) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    plans = {
+        "lineitem": ("l_orderkey", None),
+        "orders": ("o_orderkey", "o_custkey"),
+        "customer": ("c_custkey", None),
+        "embeddings": ("vec_id", None),
+        "documents": ("doc_id", None),
+    }
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for table, (key, fk) in plans.items():
+        dst = os.path.join(out_dir, f"{table}.parquet")
+        if os.path.exists(dst):
+            continue
+        src = spark.read.parquet(os.path.join(SF_DIR, f"{table}.parquet"))
+        parts = []
+        for r in range(replication):
+            part = src.withColumn(key, F.col(key) + F.lit(r * KEY_SHIFT))
+            if fk:
+                part = part.withColumn(fk, F.col(fk) + F.lit(r * KEY_SHIFT))
+            parts.append(part)
+        from functools import reduce
+
+        reduce(lambda a, b: a.unionByName(b), parts).write.mode("overwrite").parquet(dst)
+    # events used by window_tumbling: replicate with shifted ids only
+    dst = os.path.join(out_dir, "events.parquet")
+    if not os.path.exists(dst):
+        ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+        from functools import reduce
+
+        reduce(
+            lambda a, b: a.unionByName(b),
+            [ev.withColumn("event_id", F.col("event_id") + F.lit(r * KEY_SHIFT)) for r in range(replication)],
+        ).write.mode("overwrite").parquet(dst)
+    for t in ("region", "nation", "supplier", "part"):
+        d = os.path.join(out_dir, f"{t}.parquet")
+        if not os.path.exists(d):
+            spark.read.parquet(os.path.join(SF_DIR, f"{t}.parquet")).write.mode("overwrite").parquet(d)
+
+
+def run(spark, sf_dir: str) -> dict[str, float]:
+    from tdei_extract_load_service_spark.catalog import REGISTRY
+
+    out = {}
+    for name in QUERIES:
+        t0 = time.perf_counter()
+        REGISTRY[name].query(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        out[name] = round(time.perf_counter() - t0, 2)
+    return out
+
+
+def main() -> None:
+    replication = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    from tdei_extract_load_service_spark.session import get_spark
+
+    spark = get_spark("scale_smoke")
+    scaled_dir = f"/tmp/spark_graft_scale_x{replication}"
+    build(spark, scaled_dir, replication)
+    base = run(spark, SF_DIR)
+    scaled = run(spark, scaled_dir)
+    print(f"{'query':28s} {'sf0.1':>8s} {'x' + str(replication):>8s} {'ratio':>6s}")
+    for name in QUERIES:
+        ratio = scaled[name] / base[name] if base[name] else float("inf")
+        print(f"{name:28s} {base[name]:8.2f} {scaled[name]:8.2f} {ratio:6.1f}")
+
+
+if __name__ == "__main__":
+    main()
