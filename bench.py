@@ -35,7 +35,9 @@ HEADLINE = (
     "strip_z",
     "window_tumbling",
     "dedup_exact",
-    "dedup_ngram_jaccard",
+    # exact ngram_jaccard is the oracle twin of dedup_lsh_verified (same
+    # output, quadratic-ish candidate volume) — the headline carries the
+    # production sub-quadratic path only
     "dedup_minhash_lsh",
     "topk_similarity",
     "similarity_ivf",

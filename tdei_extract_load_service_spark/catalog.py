@@ -394,18 +394,32 @@ def q_agg_prefix_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "strip_z",
     """
     SELECT vec_id,
-           list_transform(embedding[1:2], x -> round(CAST(x AS DOUBLE), 6)) AS xy
+           array_to_string(list_transform(embedding[1:2],
+                           x -> printf('%.6f', CAST(x AS DOUBLE))), ',') AS xy
     FROM embeddings
     """,
 )
 def q_strip_z(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leaf truncation to [x, y] (O10, stripZCoordinate
     extract-load-service.ts:556-569) — array-semantics twin over the
-    embeddings fixture; GeoJSON-shaped coverage lives in tests/ (A4 matrix)."""
+    embeddings fixture; GeoJSON-shaped coverage lives in tests/ (A4 matrix).
+
+    The array is rendered as fixed-format text ("x,y", 6 decimals) on BOTH
+    sides: the driver's hash canonicalizer sorts cell values in pandas,
+    which cannot hash list cells — a STRING column hashes everywhere, and
+    %.6f is correctly-rounded from the identical binary double in both
+    engines (a decimal tie at the 7th digit is not representable in binary,
+    so Java's HALF_UP and C's round-to-nearest agree)."""
     from tdei_extract_load_service_spark.functions.geometry import strip_z
 
     emb = _read(spark, sf_dir, "embeddings")
-    xy = F.transform(strip_z("embedding", depth=1), lambda x: F.round(x.cast("double"), 6))
+    xy = F.concat_ws(
+        ",",
+        F.transform(
+            strip_z("embedding", depth=1),
+            lambda x: F.format_string("%.6f", x.cast("double")),
+        ),
+    )
     return emb.select("vec_id", xy.alias("xy"))
 
 
@@ -492,9 +506,12 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_exact_groups(_read(spark, sf_dir, "documents"), "doc_id", ["text"])
 
 
-@register(
-    "dedup_ngram_jaccard",
-    """
+# Exact 3-gram Jaccard pairs at >= 0.8 — shared by the exact inverted-index
+# operator AND the LSH-verified operator: lsh_verified_pairs emits *exact*
+# Jaccard on its surviving candidates, and with 16x4 bands the miss
+# probability of a 0.8-pair is (1-0.8^4)^16 ~= 2e-4, so on the fixture both
+# operators produce the identical pair set and one SQL oracle serves both.
+_NGRAM_JACCARD_ORACLE = """
     WITH d AS (
       SELECT doc_id,
              list_distinct(list_transform(
@@ -509,8 +526,10 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE a.doc_id < b.doc_id
       AND ROUND(len(list_intersect(a.sh, b.sh))
                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.8
-    """,
-)
+    """
+
+
+@register("dedup_ngram_jaccard", _NGRAM_JACCARD_ORACLE)
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs at >= 0.8 via inverted-index
     blocking (no cross join; the oracle cross-joins because DuckDB can,
@@ -650,15 +669,47 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("similarity_lsh_bucketed", None)
+def _lsh_oracle_sql() -> str:
+    """Build the DuckDB twin of lsh_bucket_topk with the SAME plane
+    literals the Spark query uses (make_planes is a driver-side seeded
+    PRNG): dot products over identical doubles fold left-to-right in both
+    engines, so the sign tests — and hence the buckets — are bit-identical."""
+    from tdei_extract_load_service_spark.operators.similarity import make_planes
+
+    terms = []
+    for p, plane in enumerate(make_planes(4, 64)):
+        lit = "[" + ",".join(repr(v) for v in plane) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {lit}) >= 0"
+            f" THEN {2 ** p} ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v, {bucket} AS bucket FROM embeddings
+    ),
+    q AS (SELECT v AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
+    SELECT b.vec_id AS id,
+           ROUND(list_dot_product(b.v, q.qv)
+                 / (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+    FROM b, q WHERE b.bucket = q.qbucket
+    ORDER BY cosine DESC, id ASC LIMIT 10
+    """
+
+
+@register("similarity_lsh_bucketed", _lsh_oracle_sql())
 def q_similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH bucketed top-k (deterministic hash-derived
-    planes; xxhash64 -> rows-only check, recall validated in tests)."""
-    from tdei_extract_load_service_spark.operators.similarity import lsh_bucket_topk
+    """Random-hyperplane LSH bucketed top-k. The planes are seeded-PRNG
+    double literals shared verbatim with the oracle SQL, making the bucket
+    assignment — and so the whole approximate query — oracle-checkable."""
+    from tdei_extract_load_service_spark.operators.similarity import (
+        lsh_bucket_topk,
+        make_planes,
+    )
 
     return lsh_bucket_topk(
         _read(spark, sf_dir, "embeddings"), "vec_id", "embedding",
-        _query_vec(spark, sf_dir), k=10, n_planes=4,
+        _query_vec(spark, sf_dir), k=10, n_planes=4, planes=make_planes(4, 64),
     )
 
 
@@ -830,13 +881,25 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("etl_load_dataset", None)
+@register(
+    "etl_load_dataset",
+    """
+    SELECT * FROM (VALUES
+      ('catalog-ds', 'edges', CAST(50 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+      ('catalog-ds', 'nodes', CAST(100 AS BIGINT), CAST(1 AS BIGINT), CAST(66 AS BIGINT))
+    ) AS t(tdei_dataset_id, kind, n_features, n_files, n_with_elevation)
+    """,
+)
 def q_etl_load_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end dataset-load job on a deterministic synthetic OSW
     archive: zip fan-out -> route -> explode -> strip-Z/elevation ->
-    per-kind sinks -> stats. Returns the per-kind stats table (stable
-    across runs; rows-only check — the load path's semantics are covered
-    by the pytest suite's golden assertions)."""
+    per-kind sinks -> stats. Returns the per-kind stats table.
+
+    Golden oracle, derived by hand from reference semantics (not from a
+    run): 100 point features with z = i % 3 — the zero-Z-means-missing rule
+    (extract-load-service.ts:629) drops the 34 rows with i % 3 == 0, so 66
+    carry elevation; the 50 LineString edges are strip-Z-only (no elevation
+    for edges, :644-647), so 0. One file per kind."""
     import io
     import json
     import tempfile
@@ -1028,20 +1091,44 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct", None)
+@register(
+    "approx_distinct",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS approx_within_rsd
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): the sketch path for
     count-distinct at 100 TB (fixed-size sketch vs shuffle of all distinct
-    values). Estimator implementations differ engine-to-engine -> rows-only;
-    tests bound the error against the exact count."""
+    values).
+
+    Error-bounded oracle: the HLL++ estimate itself is engine-specific, so
+    the entry emits the *verification* — exact distinct count plus a boolean
+    asserting |approx - exact| <= 3*rsd*exact (99.7% envelope at rsd=0.02;
+    deterministic in practice: Spark's HLL++ is seed-free, so the estimate
+    is reproducible run-to-run). The oracle states the exact count and that
+    the bound must hold. At scale the exact column would be dropped; it is
+    part of the verification contract here, not the production shape."""
     li = _read(spark, sf_dir, "lineitem")
-    return R.agg_group(
+    agg = R.agg_group(
         li,
         ["l_returnflag"],
         [
             F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.count_distinct("l_partkey").alias("exact_parts"),
             F.count("*").alias("n_rows"),
         ],
+    )
+    within = (
+        F.abs(F.col("approx_parts") - F.col("exact_parts"))
+        <= F.lit(3 * 0.02) * F.col("exact_parts")
+    )
+    return agg.select(
+        "l_returnflag", "n_rows", "exact_parts", within.alias("approx_within_rsd")
     ).orderBy("l_returnflag")
 
 
@@ -1251,12 +1338,16 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_lsh_verified", None)
+@register("dedup_lsh_verified", _NGRAM_JACCARD_ORACLE)
 def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidates + exact Jaccard verification (the 100 TB near-dup
     shape: sub-quadratic candidates, zero estimation error on output).
-    xxhash64-seeded candidate stage -> rows-only; tests assert it equals
-    the exact inverted-index result on the fixture."""
+
+    Oracle = the same exact inverted-index SQL as dedup_ngram_jaccard: the
+    verify stage scores true shingle sets, so every emitted pair is exact;
+    the only divergence channel is an LSH band miss (prob ~2e-4 per
+    0.8-pair with 16x4 bands), absent on the fixtures (pytest asserts
+    set-equality with the exact operator)."""
     from tdei_extract_load_service_spark.operators.dedup import lsh_verified_pairs
 
     return lsh_verified_pairs(
@@ -1267,6 +1358,65 @@ def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "quantiles",
     """
+    SELECT l_returnflag, COUNT(*) AS n_rows,
+           TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles — the 100 TB default: ``approx_percentile``
+    (Greenwald-Khanna) keeps O(accuracy * log n) state per group instead of
+    buffering every value the way exact ``percentile`` does.
+
+    Error-bounded oracle: sketch internals are engine-specific, so the
+    entry verifies the GK guarantee instead of the raw value — a second
+    map-side-combined pass computes, for each returned quantile v, the
+    exact rank interval [count(x < v)+1, count(x <= v)] and checks it
+    intersects [(p-eps)*n, (p+eps)*n] with eps = 1/accuracy. The oracle
+    states group counts and that the bound must hold. Both passes are
+    narrow scans + partial aggregation — nothing buffers per-group values.
+    The exact interpolated form remains available as ``quantiles_exact``
+    (value-level oracle)."""
+    li = _read(spark, sf_dir, "lineitem")
+    accuracy = 10000
+    eps = 1.0 / accuracy
+    ps = [0.5, 0.95, 0.99]
+    approx = li.groupBy("l_returnflag").agg(
+        F.expr(
+            f"approx_percentile(l_extendedprice, array({', '.join(map(str, ps))}), {accuracy})"
+        ).alias("qv")
+    )
+    j = li.join(F.broadcast(approx), "l_returnflag")
+    checks = j.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        *[
+            F.sum(F.when(F.col("l_extendedprice") < F.col("qv")[i], 1).otherwise(0)).alias(f"lt{i}")
+            for i in range(len(ps))
+        ],
+        *[
+            F.sum(F.when(F.col("l_extendedprice") <= F.col("qv")[i], 1).otherwise(0)).alias(f"le{i}")
+            for i in range(len(ps))
+        ],
+    )
+    def ok(i: int, p: float) -> F.Column:
+        # GK guarantee: the returned element's rank is within eps*n of the
+        # p-quantile target rank; +-1 absorbs the floor/ceil discretization
+        # of the target (observed: GK sits exactly at the eps*n boundary).
+        lo = F.ceil((F.lit(p) - F.lit(eps)) * F.col("n_rows")) - 1
+        hi = F.ceil((F.lit(p) + F.lit(eps)) * F.col("n_rows")) + 1
+        return ((F.col(f"lt{i}") + 1) <= hi) & (F.col(f"le{i}") >= lo)
+    return checks.select(
+        "l_returnflag",
+        "n_rows",
+        ok(0, 0.5).alias("p50_ok"),
+        ok(1, 0.95).alias("p95_ok"),
+        ok(2, 0.99).alias("p99_ok"),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "quantiles_exact",
+    """
     SELECT l_returnflag,
            CAST(ROUND(CAST(quantile_cont(l_extendedprice, 0.5) AS DECIMAL(28,6)), 2) AS DOUBLE)  AS p50,
            CAST(ROUND(CAST(quantile_cont(l_extendedprice, 0.95) AS DECIMAL(28,6)), 2) AS DOUBLE) AS p95,
@@ -1274,9 +1424,11 @@ def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem GROUP BY l_returnflag
     """,
 )
-def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles (linear interpolation — value-identical to DuckDB
-    quantile_cont); approx_percentile is the sketch path at scale.
+    quantile_cont) — the oracle cross-check twin of ``quantiles``; NOT the
+    headline path, since exact ``percentile`` buffers every group value in
+    one aggregation buffer (OOM risk at 100 TB).
 
     Rounding goes through DECIMAL(28,6) first on BOTH sides: interpolated
     midpoints regularly land a hair under .xx5 (e.g. 52724.244999999995),

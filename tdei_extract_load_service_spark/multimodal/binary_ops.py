@@ -63,14 +63,47 @@ def binary_meta(content: str | Column) -> Column:
     )
 
 
+def parse_image_header(blob: bytes) -> dict | None:
+    """Pure-stdlib dimension/channel parse of the public image container
+    headers — PNG IHDR chunk, GIF logical-screen descriptor, JPEG SOFn
+    frame segment. A *real* byte-level decode of real image bytes (no
+    codec library), used as the decode tier below Pillow; returns None for
+    formats whose pixel metadata genuinely needs a codec."""
+    import struct
+
+    if len(blob) >= 26 and blob[:8] == b"\x89PNG\r\n\x1a\n" and blob[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", bytes(blob[16:24]))
+        color_type = blob[25]
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+        return {"format": "png", "width": w, "height": h, "n_channels": channels}
+    if len(blob) >= 10 and bytes(blob[:6]) in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", bytes(blob[6:10]))
+        return {"format": "gif", "width": w, "height": h, "n_channels": 3}
+    if len(blob) >= 4 and bytes(blob[:3]) == b"\xff\xd8\xff":
+        sof_markers = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                       0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+        i = 2
+        while i + 9 < len(blob) and blob[i] == 0xFF:
+            marker = blob[i + 1]
+            if marker in sof_markers:
+                h, w = struct.unpack(">HH", bytes(blob[i + 5 : i + 9]))
+                return {"format": "jpeg", "width": w, "height": h,
+                        "n_channels": blob[i + 9]}
+            seglen = struct.unpack(">H", bytes(blob[i + 2 : i + 4]))[0]
+            i += 2 + seglen
+    return None
+
+
 def decode_image(df: DataFrame, id_col: str = "media_id", content_col: str = "content") -> DataFrame:
     """Decode images to (format, width, height, channels) through
     ``mapInPandas``.
 
-    STUB BOUNDARY: without Pillow the decode step reports
-    ``decoded=false, error='NotImplementedError: ...'`` per row — the
-    Arrow plumbing, batch iteration and output schema are exactly what the
-    real decoder uses.
+    Decode tiers: (1) Pillow when importable — full decode; (2) the
+    pure-stdlib container-header parse (``parse_image_header``) for
+    PNG/GIF/JPEG — real dimensions/channels from real bytes;
+    (3) STUB BOUNDARY — other formats without Pillow report
+    ``decoded=false, error='NotImplementedError: ...'`` per row. All three
+    tiers share the same Arrow plumbing, batch iteration and output schema.
     """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -96,10 +129,14 @@ def decode_image(df: DataFrame, id_col: str = "media_id", content_col: str = "co
                     except Exception as exc:  # noqa: BLE001
                         rec["error"] = f"{type(exc).__name__}: {exc}"
                 else:
-                    rec["error"] = (
-                        "NotImplementedError: image decode requires Pillow "
-                        "(not installed in this environment)"
-                    )
+                    header = parse_image_header(blob)
+                    if header is not None:
+                        rec.update(decoded=True, **header)
+                    else:
+                        rec["error"] = (
+                            "NotImplementedError: full image decode requires "
+                            "Pillow (not installed in this environment)"
+                        )
                 for k, v in rec.items():
                     out[k].append(v)
             yield pd.DataFrame(out)

@@ -33,7 +33,10 @@ def _col(c: str | Column) -> Column:
 
 
 def _vec_lit(vec: list[float]) -> Column:
-    return F.array(*[F.lit(float(v)) for v in vec])
+    # one py4j call for the whole array — F.array(*[F.lit(v), ...]) costs a
+    # JVM round-trip per element, which dominates planning for 64-dim
+    # vectors used in several places per query
+    return F.lit([float(v) for v in vec])
 
 
 def topk_cosine(
@@ -70,20 +73,134 @@ def ivf_assign(
     df: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
     """Assign every vector to its nearest centroid (max cosine; centroid_id
-    tiebreak) via a broadcast nested-loop + max_by — the big side never
-    shuffles."""
-    joined = spread(df).select(_col(id_col).alias("id"), _col(vec_col).alias("vec")).crossJoin(
-        F.broadcast(centroids)
+    tiebreak) as ONE narrow projection — zero joins, zero shuffle.
+
+    The centroid set is bounded (num_centroids rows by construction), so it
+    is collected driver-side and inlined as literals; the argmax is an
+    ``array_max`` over per-centroid (sim, -centroid_id, centroid_id)
+    structs, which whole-stage codegen fuses into the scan. The previous
+    formulation (crossJoin(broadcast) + groupBy(id)) shuffled n x C rows
+    *including the embedding payload* — a C-fold amplified full-data
+    shuffle at 100 TB; this one shuffles nothing."""
+    rows = centroids.collect()  # bounded: == num_centroids, a model not data
+    return ivf_assign_model(df, rows, id_col, vec_col)
+
+
+def ivf_assign_model(
+    df: DataFrame, rows: list, id_col: str, vec_col: str
+) -> DataFrame:
+    """``ivf_assign`` on an already-collected centroid model (list of Rows
+    with centroid_id / centroid_vec) — lets callers that also need the
+    model driver-side (probe selection, k-means) pay for ONE collect."""
+    import math
+
+    if not rows:
+        raise ValueError("ivf_assign: empty centroid set")
+    ids = [int(r["centroid_id"]) for r in rows]
+    cvecs = [[float(x) for x in r["centroid_vec"]] for r in rows]
+    dim, n_c = len(cvecs[0]), len(ids)
+    # centroid norms driver-side, accumulated in position order — the same
+    # left-to-right fold the engines use, so the quotient stays bit-identical
+    # to cosine_similarity / the oracle's list_dot_product
+    cnorms = []
+    for cv in cvecs:
+        s = 0.0
+        for x in cv:
+            s += x * x
+        cnorms.append(math.sqrt(s))
+    # all C dot products in ONE fold over positions with a C-wide
+    # accumulator (the minhash_signature trick: a per-centroid expression
+    # tree blows past codegen's method limit at C=16 and falls back to
+    # interpreted eval — measured ~3x slower). M is the transposed centroid
+    # matrix literal: M[i][j] = centroid_j[i].
+    # one SQL-parsed literal instead of dim x C py4j lit calls (python-side
+    # Column construction was the dominant cost of the whole query); the 'D'
+    # suffix keeps exact double round-trip via repr
+    m_lit = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{cv[i]!r}D" for cv in cvecs) + ")" for i in range(dim)
+        )
+        + ")"
     )
-    sim = F.round(cosine_similarity(F.col("vec"), F.col("centroid_vec")), 6)
-    return (
-        joined.withColumn("sim", sim)
-        .groupBy("id")
-        .agg(
-            F.expr("max_by(centroid_id, struct(sim, -centroid_id))").alias("centroid_id"),
-            F.first("vec").alias("vec"),
+    ids_lit = F.lit(ids)
+    cnorm_lit = F.lit(cnorms)
+    vec = _col(vec_col)
+
+    def dots(v: Column) -> Column:
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(dim)),
+            F.array_repeat(F.lit(0.0), n_c),
+            lambda acc, i: F.zip_with(
+                acc,
+                F.element_at(m_lit, i),
+                lambda a, c: a + F.element_at(v, i).cast("double") * c,
+            ),
+        )
+
+    def vnorm(v: Column) -> Column:
+        return F.sqrt(
+            F.aggregate(
+                v, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+            )
+        )
+
+    # separate projection: _vnorm is referenced C times downstream, and
+    # CollapseProject keeps non-cheap multiply-referenced expressions
+    # materialized instead of inlining C copies of the fold
+    pre = spread(df).select(
+        _col(id_col).alias("id"),
+        vec.alias("vec"),
+        vnorm(vec).alias("_vnorm"),
+        dots(vec).alias("_dots"),
+    )
+    best = F.array_max(
+        F.zip_with(
+            F.col("_dots"),
+            F.sequence(F.lit(0), F.lit(n_c - 1)),
+            lambda d, j: F.struct(
+                F.round(
+                    d / (F.col("_vnorm") * F.element_at(cnorm_lit, j + 1)), 6
+                ).alias("sim"),
+                (-F.element_at(ids_lit, j + 1)).alias("neg_id"),
+                F.element_at(ids_lit, j + 1).alias("centroid_id"),
+            ),
         )
     )
+    return pre.select("id", best["centroid_id"].alias("centroid_id"), "vec")
+
+
+def kmeans_centroids(
+    df: DataFrame, id_col: str, vec_col: str, k: int, iters: int = 2
+) -> DataFrame:
+    """Deterministic Lloyd iterations seeded from the lowest-k ids — the
+    production upgrade over the fixed-subset bootstrap.
+
+    Each pass: shuffle-free argmax assignment (``ivf_assign``) then an
+    elementwise mean per centroid via per-component ``avg`` — map-side
+    partial aggregation, so the shuffle carries k x dim partial sums per
+    task, never the vectors. Driver holds only the k x dim model between
+    passes. Empty clusters keep their previous centroid."""
+    dim = len(df.select(_col(vec_col)).first()[0])
+    cents = ivf_centroids(df, id_col, vec_col, k)
+    prev = {int(r["centroid_id"]): list(r["centroid_vec"]) for r in cents.collect()}
+    spark = df.sparkSession
+    for _ in range(iters):
+        assigned = ivf_assign(df, cents, id_col, vec_col)
+        means = (
+            assigned.groupBy("centroid_id")
+            .agg(*[F.avg(F.col("vec")[i].cast("double")).alias(f"m{i}") for i in range(dim)])
+            .collect()
+        )
+        model = dict(prev)
+        for r in means:
+            model[int(r["centroid_id"])] = [float(r[f"m{i}"]) for i in range(dim)]
+        cents = spark.createDataFrame(
+            [(cid, vecv) for cid, vecv in sorted(model.items())],
+            "centroid_id bigint, centroid_vec array<double>",
+        )
+        prev = model
+    return cents
 
 
 def ivf_topk(
@@ -96,19 +213,39 @@ def ivf_topk(
     n_probe: int = 4,
 ) -> DataFrame:
     """IVF-style approximate top-k: probe the query's ``n_probe`` nearest
-    centroid lists, exact top-k among their members."""
-    centroids = ivf_centroids(df, id_col, vec_col, num_centroids)
-    assigned = ivf_assign(df, centroids, id_col, vec_col)
-    probe = (
-        centroids.select(
-            "centroid_id",
-            F.round(cosine_similarity(F.col("centroid_vec"), _vec_lit(query_vec)), 6).alias("qsim"),
-        )
-        .orderBy(F.col("qsim").desc(), F.col("centroid_id").asc())
-        .limit(n_probe)
-        .select("centroid_id")
-    )
-    candidates = assigned.join(F.broadcast(probe), "centroid_id", "left_semi")
+    centroid lists, exact top-k among their members.
+
+    The centroid model is collected once; both the assignment argmax and
+    the probe-list selection run driver-side on it, so the whole query is
+    one distributed pass: scan -> assign projection -> IN-filter on the
+    probed centroid ids (partition-prunable when the assignment is stored
+    ``partitionBy(centroid_id)``) -> TakeOrderedAndProject. No joins, no
+    shuffles, no per-stage micro-jobs.
+
+    Driver-side probe cosine accumulates in position order — bit-identical
+    to the engines' left-to-right folds, so the probed id set matches the
+    SQL oracle exactly."""
+    import math
+
+    rows = ivf_centroids(df, id_col, vec_col, num_centroids).collect()
+    assigned = ivf_assign_model(df, rows, id_col, vec_col)
+
+    def _dot(a: list[float], b: list[float]) -> float:
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    qv = [float(v) for v in query_vec]
+    qn = math.sqrt(_dot(qv, qv))
+    scored = []
+    for r in rows:
+        cv = [float(x) for x in r["centroid_vec"]]
+        qsim = round(_dot(cv, qv) / (math.sqrt(_dot(cv, cv)) * qn), 6)
+        scored.append((-qsim, int(r["centroid_id"])))
+    probe_ids = [cid for _, cid in sorted(scored)[:n_probe]]
+
+    candidates = assigned.where(F.col("centroid_id").isin(probe_ids))
     sim = F.round(cosine_similarity(F.col("vec"), _vec_lit(query_vec)), 6)
     return (
         candidates.select(F.col("id"), sim.alias("cosine"))
@@ -129,12 +266,32 @@ def lsh_plane(dim: int, plane_idx: int) -> Column:
     )
 
 
-def lsh_bucket(vec: Column, dim: int, n_planes: int = 12) -> Column:
-    """Sign-pattern bucket id (0..2^n_planes-1) from random hyperplanes."""
+def make_planes(n_planes: int, dim: int, seed: int = 20260813) -> list[list[float]]:
+    """Driver-side deterministic hyperplanes (seeded PRNG, components in
+    (-1, 1)). Because these are plain double literals, the same planes can
+    be injected verbatim into an external SQL engine — the DuckDB oracle
+    computes bit-identical dot products and therefore identical buckets."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.uniform(-1.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_bucket(
+    vec: Column,
+    dim: int,
+    n_planes: int = 12,
+    planes: list[list[float]] | None = None,
+) -> Column:
+    """Sign-pattern bucket id (0..2^n_planes-1) from random hyperplanes.
+
+    ``planes`` (optional) supplies explicit plane literals (see
+    ``make_planes``); default derives them from xxhash64 JVM-side."""
     bucket = F.lit(0)
     for p in range(n_planes):
+        plane = _vec_lit(planes[p]) if planes is not None else lsh_plane(dim, p)
         dot = F.aggregate(
-            F.zip_with(vec, lsh_plane(dim, p), lambda x, w: x.cast("double") * w),
+            F.zip_with(vec, plane, lambda x, w: x.cast("double") * w),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -150,6 +307,7 @@ def lsh_bucket_topk(
     k: int = 10,
     dim: int | None = None,
     n_planes: int = 8,
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """Bucketed approximate top-k: exact search restricted to the query's
     hyperplane-sign bucket (~|data|/2^n_planes candidates). Write the
@@ -159,11 +317,11 @@ def lsh_bucket_topk(
     bucketed = df.select(
         _col(id_col).alias("id"),
         _col(vec_col).alias("vec"),
-        lsh_bucket(_col(vec_col), dim, n_planes).alias("bucket"),
+        lsh_bucket(_col(vec_col), dim, n_planes, planes).alias("bucket"),
     )
     qbucket = (
         bucketed.sparkSession.range(1)
-        .select(lsh_bucket(_vec_lit(query_vec), dim, n_planes).alias("bucket"))
+        .select(lsh_bucket(_vec_lit(query_vec), dim, n_planes, planes).alias("bucket"))
     )
     candidates = bucketed.join(F.broadcast(qbucket), "bucket", "left_semi")
     sim = F.round(cosine_similarity(F.col("vec"), _vec_lit(query_vec)), 6)

@@ -316,8 +316,15 @@ def load_dataset(
             timings={k: round(v, 4) for k, v in timings.items()},
         )
     except Exception as exc:  # noqa: BLE001 — O21: normalize into a failure publish
+        from tdei_extract_load_service_spark.errors import DatabaseError, classify_db_error
+
+        exc = classify_db_error(exc)
         message = str(exc)
-        if "JSON" in message or "Malformed" in message:
+        if isinstance(exc, DatabaseError):
+            # typed integrity failure (23505/23503) — reference
+            # data-source.ts:96-107 surfaces the class name + short message
+            message = f"{type(exc).__name__}: {message}"
+        elif "JSON" in message or "Malformed" in message:
             message = f"Invalid GeoJSON content: {message[:200]}"
         return LoadResult(
             success=False,

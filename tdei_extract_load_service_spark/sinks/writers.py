@@ -22,12 +22,22 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
 import uuid
 
 from pyspark.sql import DataFrame
 
+from tdei_extract_load_service_spark.errors import classify_db_error
+
 #: Reference default: BULK_INSERT_BATCH_SIZE (environment.ts:26).
 DEFAULT_BATCH_SIZE = 1000
+
+#: Serializes dynamic-partition overwrites across driver threads: the mode
+#: toggle is session-global, and two concurrent write jobs on one sink root
+#: would also collide in the Hadoop committer's shared ``_temporary`` dir.
+#: Concurrent *loads* (queue consumer, maxConcurrentMessages=2) still
+#: overlap their extract/transform stages — only the commit serializes.
+_OVERWRITE_LOCK = threading.Lock()
 
 
 def write_batched(
@@ -59,7 +69,10 @@ def write_batched(
         )
         for k, v in (jdbc_options or {}).items():
             writer = writer.option(k, v)
-        writer.mode(mode).save()
+        try:
+            writer.mode(mode).save()
+        except Exception as exc:  # noqa: BLE001 — normalize integrity codes (O21)
+            raise classify_db_error(exc) from exc
         return
     if path is None:
         raise ValueError("either path or jdbc_url must be given")
@@ -84,16 +97,17 @@ def overwrite_by_key(
     until each partition's swap commits.
     """
     spark = df.sparkSession
-    previous = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            df.write.mode("overwrite")
-            .partitionBy(key_col, *extra_partition_cols)
-            .parquet(path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", previous)
+    with _OVERWRITE_LOCK:
+        previous = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                df.write.mode("overwrite")
+                .partitionBy(key_col, *extra_partition_cols)
+                .parquet(path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", previous)
 
 
 def jdbc_staged_swap(
@@ -104,6 +118,7 @@ def jdbc_staged_swap(
     batch_size: int = DEFAULT_BATCH_SIZE,
     jdbc_options: dict[str, str] | None = None,
     rename_sql: str = "RENAME TABLE {src} TO {dst}",
+    drop_before_rename: bool = True,
 ) -> None:
     """Transactional table replace over JDBC — the O18 analogue
     (runInTransaction, reference data-source.ts:33-65) for relational
@@ -117,6 +132,16 @@ def jdbc_staged_swap(
 
     ``rename_sql`` is dialect-specific: Derby/MySQL ``RENAME TABLE a TO b``,
     Postgres ``ALTER TABLE a RENAME TO b``.
+
+    Dialect requirement: the swap is only atomic on TRANSACTIONAL-DDL
+    engines (Postgres, Derby, SQL Server). On autocommit-DDL dialects
+    (MySQL, Oracle) the DROP commits immediately and a failure before the
+    rename loses the live table — use the dialect's single-statement
+    atomic swap there (MySQL ``RENAME TABLE a TO tmp, b TO a``) via
+    ``rename_sql``, with DROP disabled by ``drop_before_rename=False``.
+
+    Integrity failures during the bulk load surface as typed
+    DuplicateKeyError / ForeignKeyError (O21, data-source.ts:96-107).
     """
     staging = f"{final_table}_staging"
     write_batched(
@@ -132,17 +157,74 @@ def jdbc_staged_swap(
     try:
         conn.setAutoCommit(False)
         stmt = conn.createStatement()
-        meta = conn.getMetaData().getTables(None, None, final_table.upper(), None)
-        final_exists = meta.next()
-        if final_exists:
+        # case-insensitive existence probe: JDBC metadata stores unquoted
+        # identifiers in the dialect's folding case (Derby/Oracle upper,
+        # Postgres lower) — try the exact name plus both foldings
+        final_exists = False
+        for candidate in {final_table, final_table.upper(), final_table.lower()}:
+            meta = conn.getMetaData().getTables(None, None, candidate, None)
+            if meta.next():
+                final_exists = True
+                break
+        if final_exists and drop_before_rename:
             stmt.execute(f"DROP TABLE {final_table}")
         stmt.execute(rename_sql.format(src=staging, dst=final_table))
         conn.commit()
-    except Exception:
+    except Exception as exc:
         conn.rollback()
-        raise
+        raise classify_db_error(exc) from exc
     finally:
         conn.close()
+
+
+def blob_upload_layout(
+    df: DataFrame,
+    base_path: str,
+    project_col: str = "project_group_id",
+    record_col: str = "record_id",
+    ts_col: str | None = None,
+    hive_style: bool = False,
+    mode: str = "append",
+) -> None:
+    """Blob-upload sink with the reference's date-partitioned folder scheme
+    (storage-service.ts:13-19): ``{year}/{month}/{project}/{record}/...``,
+    month NOT zero-padded (JS ``getMonth()+1``).
+
+    ``ts_col`` supplies the partition date per row (the reference stamps
+    upload time — pass an ingest-timestamp column for the same effect;
+    default uses the session clock via ``current_timestamp()``). The write
+    is a normal ``partitionBy`` (executors write straight into their
+    partition directories — no extra shuffle beyond what the caller
+    provides), and with ``hive_style=False`` the driver then renames the
+    ``year=2026`` style directory levels to the raw ``2026`` form for
+    byte-for-byte layout parity. The rename pass is driver-side metadata
+    work proportional to the number of partition DIRECTORIES (not rows or
+    files) — the same order of work the Hadoop commit protocol already
+    does per job.
+    """
+    from pyspark.sql import functions as F
+
+    ts = F.col(ts_col) if ts_col else F.current_timestamp()
+    out = df.withColumn("year", F.year(ts)).withColumn("month", F.month(ts))
+    cols = ("year", "month", project_col, record_col)
+    out.write.mode(mode).partitionBy(*cols).parquet(base_path)
+    if hive_style:
+        return
+    # flatten k=v directory names level by level, depth-first so children
+    # are renamed before their parents' paths change
+    levels: list[tuple[str, int]] = [(base_path, 0)]
+    while levels:
+        current, depth = levels.pop()
+        if depth >= len(cols):
+            continue
+        prefix = f"{cols[depth]}="
+        for name in sorted(os.listdir(current)):
+            full = os.path.join(current, name)
+            if not (os.path.isdir(full) and name.startswith(prefix)):
+                continue
+            raw = os.path.join(current, name[len(prefix):])
+            os.rename(full, raw)
+            levels.append((raw, depth + 1))
 
 
 def delete_by_key(path: str, key_value: str, key_col: str = "tdei_dataset_id") -> None:
@@ -168,18 +250,24 @@ def staged_swap_write(
     partition_by: tuple[str, ...] = (),
 ) -> None:
     """Transaction-boundary analogue (O18, data-source.ts:33-65): write the
-    full output to a staging directory, then one atomic rename into place.
-    Any failure leaves the previous ``final_path`` untouched (rollback =
-    delete staging).
+    full output to a staging directory, then rename into place. Any
+    failure leaves ``final_path`` with valid data (rollback = delete
+    staging; a failure between the two renames of the existing-target path
+    restores the displaced previous output).
 
-    On HDFS/local FS the rename is atomic; on object stores use a metadata
-    catalog (Delta/Iceberg ``replaceWhere``) for the same commit semantics —
-    this function is the dependency-free form.
+    Atomicity note: each rename is atomic on HDFS/local FS, but replacing
+    an EXISTING target takes two renames (old out, staging in) — readers
+    racing that window can observe a missing ``final_path``. When true
+    single-commit-point semantics over concurrent readers are required,
+    use a catalog-backed sink (Delta/Iceberg ``replaceWhere``); this
+    function is the dependency-free form whose crash-recovery guarantee is
+    "final_path, if present, is always a complete dataset".
     """
     staging = f"{final_path}.staging-{uuid.uuid4().hex}"
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+    old: str | None = None
     try:
         writer.parquet(staging)
         if os.path.exists(final_path):
@@ -190,5 +278,9 @@ def staged_swap_write(
         else:
             os.rename(staging, final_path)
     except Exception:
+        # roll back: if the previous output was displaced but the new one
+        # did not land, put the previous output back
+        if old is not None and os.path.exists(old) and not os.path.exists(final_path):
+            os.rename(old, final_path)
         shutil.rmtree(staging, ignore_errors=True)
         raise

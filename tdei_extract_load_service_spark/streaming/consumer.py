@@ -83,13 +83,25 @@ def run_queue_consumer(
 
     def handle_batch(batch_df, batch_id: int) -> None:
         # messages are jobs: each drives a full distributed load; the
-        # driver-side loop is the queue handler, not a data path
-        for row in batch_df.collect():
-            message = row.asDict(recursive=True)
+        # driver-side pool is the queue handler, not a data path. The
+        # reference runs its <=2 messages CONCURRENTLY
+        # (maxConcurrentMessages, queue-service.ts:29) — mirrored here with
+        # a thread per message: the loads are independent Spark actions and
+        # the scheduler interleaves their stages (FAIR pool would also
+        # round-robin; FIFO still overlaps at stage granularity).
+        from concurrent.futures import ThreadPoolExecutor
+
+        def run_one(message: dict) -> None:
             response = process_request(spark, message, warehouse)
             out = os.path.join(response_dir, f"response-{batch_id}-{uuid.uuid4().hex}.json")
             with open(out, "w") as fh:
                 json.dump(response, fh)
+
+        messages = [row.asDict(recursive=True) for row in batch_df.collect()]
+        if not messages:
+            return
+        with ThreadPoolExecutor(max_workers=max_messages_per_trigger) as pool:
+            list(pool.map(run_one, messages))
 
     writer = (
         stream.writeStream.foreachBatch(handle_batch)

@@ -56,3 +56,55 @@ def test_jdbc_append_then_filtered_read(spark, derby_url):
     )
     rows = back.collect()
     assert len(rows) == 1 and rows[0].requested_by == "user2"
+
+
+# ---------------------------------------------------------------------------
+# O21 second half: integrity-violation SQLSTATEs -> typed exceptions
+# (reference data-source.ts:96-107, pg-error-constants.ts:211-213; the
+# SQLSTATEs are SQL-standard, so Derby raises the same 23505/23503)
+# ---------------------------------------------------------------------------
+
+
+def _execute(spark, url: str, *statements: str) -> None:
+    jvm = spark._jvm  # noqa: SLF001
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        stmt = conn.createStatement()
+        for s in statements:
+            stmt.execute(s)
+    finally:
+        conn.close()
+
+
+def test_duplicate_key_maps_to_typed_error(spark, derby_url):
+    from tdei_extract_load_service_spark.errors import DuplicateKeyError
+
+    _execute(
+        spark,
+        derby_url,
+        "CREATE TABLE dataset_meta (tdei_dataset_id VARCHAR(64) PRIMARY KEY, info VARCHAR(256))",
+        "INSERT INTO dataset_meta VALUES ('ds-dup', 'first load')",
+    )
+    dup = spark.createDataFrame(
+        [("ds-dup", "second load")], "tdei_dataset_id string, info string"
+    ).coalesce(1)
+    with pytest.raises(DuplicateKeyError) as err:
+        write_batched(dup, jdbc_url=derby_url, table="dataset_meta", mode="append")
+    # the reference surfaces exactly "Duplicate" (data-source.ts:101)
+    assert str(err.value) == "Duplicate"
+    assert err.value.sqlstate == "23505"
+
+
+def test_foreign_key_maps_to_typed_error(spark, derby_url):
+    from tdei_extract_load_service_spark.errors import ForeignKeyError
+
+    _execute(
+        spark,
+        derby_url,
+        "CREATE TABLE ext_file (id INT PRIMARY KEY, name VARCHAR(64))",
+        "CREATE TABLE ext_feature (fid INT, ext_file_id INT REFERENCES ext_file(id))",
+    )
+    orphan = spark.createDataFrame([(1, 999)], "fid int, ext_file_id int").coalesce(1)
+    with pytest.raises(ForeignKeyError) as err:
+        write_batched(orphan, jdbc_url=derby_url, table="ext_feature", mode="append")
+    assert err.value.sqlstate == "23503"

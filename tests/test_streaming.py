@@ -50,3 +50,61 @@ def test_queue_consumer_end_to_end(spark, tmp_path):
     # the successful load actually landed
     nodes = spark.read.parquet(os.path.join(warehouse, "node"))
     assert nodes.count() == 3
+
+
+def test_concurrent_messages_overlap_and_both_land(spark, tmp_path):
+    """Parity with maxConcurrentMessages=2 (queue-service.ts:29): the <=2
+    messages of a trigger run CONCURRENTLY. Overlap is observed via
+    monotonic enter/exit spans of the two load calls; correctness via both
+    datasets landing intact (the warehouse commit section serializes on
+    writers._OVERWRITE_LOCK, so concurrent loads can't corrupt shared
+    sink roots)."""
+    import threading
+    import time as _time
+
+    from tdei_extract_load_service_spark.plans import load_dataset as ld_mod
+    from tdei_extract_load_service_spark.streaming import consumer as consumer_mod
+
+    archive_a = str(tmp_path / "a.zip")
+    archive_b = str(tmp_path / "b.zip")
+    make_zip(archive_a, {"nodes.geojson": json.dumps(NODES)})
+    make_zip(archive_b, {"nodes.geojson": json.dumps(NODES)})
+
+    spans: dict[str, tuple[float, float]] = {}
+    lock = threading.Lock()
+    real_load = ld_mod.load_dataset
+
+    def traced_load(spark_, archive_path, tdei_dataset_id, user_id, warehouse, **kw):
+        t_in = _time.monotonic()
+        result = real_load(spark_, archive_path, tdei_dataset_id, user_id, warehouse, **kw)
+        with lock:
+            spans[tdei_dataset_id] = (t_in, _time.monotonic())
+        return result
+
+    consumer_mod.load_dataset = traced_load
+    try:
+        request_dir = tmp_path / "creq"
+        request_dir.mkdir()
+        for i, (ds, arch) in enumerate([("ds-c1", archive_a), ("ds-c2", archive_b)]):
+            (request_dir / f"msg{i}.json").write_text(json.dumps(
+                {"messageId": f"cm{i}", "messageType": "workflow", "data": {
+                    "data_type": "osw", "file_upload_path": arch,
+                    "tdei_dataset_id": ds, "user_id": "u1"}}))
+        run_queue_consumer(
+            spark,
+            request_dir=str(request_dir),
+            response_dir=str(tmp_path / "cresp"),
+            warehouse=str(tmp_path / "cwh"),
+            checkpoint_dir=str(tmp_path / "cckpt"),
+            available_now=True,
+        )
+    finally:
+        consumer_mod.load_dataset = real_load
+
+    assert set(spans) == {"ds-c1", "ds-c2"}
+    (s1, e1), (s2, e2) = spans["ds-c1"], spans["ds-c2"]
+    # overlapped execution: each load starts before the other finishes
+    assert s1 < e2 and s2 < e1, f"loads ran sequentially: {spans}"
+    nodes = spark.read.parquet(os.path.join(str(tmp_path / "cwh"), "node"))
+    assert nodes.where("tdei_dataset_id = 'ds-c1'").count() == 3
+    assert nodes.where("tdei_dataset_id = 'ds-c2'").count() == 3
