@@ -1067,6 +1067,128 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cube",
+    """
+    SELECT COALESCE(o_orderstatus, '<all>') AS o_orderstatus,
+           COALESCE(o_orderpriority, '<all>') AS o_orderpriority,
+           COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions — all 2^k grouping sets in one pass
+    (partial aggregation per set; the shuffle carries one partial row per
+    (task, group, set), same bound as agg_group x 4)."""
+    o = _read(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("o_orderpriority"),
+            "n",
+            "sum_price",
+        )
+    )
+
+
+@register(
+    "window_lag_delta",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(ROUND(o_totalprice - LAG(o_totalprice) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2)
+                AS DOUBLE) AS delta_price
+    FROM orders
+    WHERE o_custkey < 100
+    """,
+)
+def q_window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG with delta — the per-key time-series difference shape (one
+    shuffle on the partition key, sort within partition; Spark's window
+    frame state is one prior row)."""
+    from pyspark.sql import Window
+
+    o = _read(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    delta = F.round(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2)
+    return o.select(
+        "o_custkey", "o_orderkey", delta.cast("double").alias("delta_price")
+    )
+
+
+@register(
+    "sample_hash",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'r2'), 1, 8)) AS BIGINT) % 100 < 10
+    """,
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sample by key hash — the reproducible train/eval
+    split primitive (same row lands on the same side across engines,
+    re-runs and partitionings, unlike rand()-based sampling). Narrow
+    filter, no shuffle; the md5 predicate composes with column pruning."""
+    from tdei_extract_load_service_spark.operators.sampling import hash_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", percent=10, seed="r2").select("doc_id", "lang")
+
+
+@register(
+    "sample_split",
+    """
+    SELECT split, COUNT(*) AS n FROM (
+      SELECT CASE
+        WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'eval' WHEN b < 100 THEN 'test'
+      END AS split FROM (
+        SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'r2'), 1, 8)) AS BIGINT) % 100 AS b
+        FROM documents)
+    ) GROUP BY split ORDER BY split
+    """,
+)
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjoint named train/eval/test splits by hash bucket with exact
+    per-split counts — verifies both determinism and disjoint coverage."""
+    from tdei_extract_load_service_spark.operators.sampling import hash_split
+
+    docs = _read(spark, sf_dir, "documents")
+    out = hash_split(docs, "doc_id", {"train": 80, "eval": 10, "test": 10}, seed="r2")
+    return out.groupBy("split").agg(F.count("*").alias("n")).orderBy("split")
+
+
+@register(
+    "text_ngram_topk",
+    """
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    grams AS (SELECT w FROM words WHERE w <> '')
+    SELECT w AS token, COUNT(*) AS n
+    FROM grams GROUP BY w
+    ORDER BY n DESC, token ASC LIMIT 25
+    """,
+)
+def q_text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-k (the training-data 'most frequent tokens'
+    report): explode -> partial-count per task -> one shuffled row per
+    (task, token) -> TakeOrderedAndProject. The full token set never sits
+    on one node."""
+    docs = _read(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("token")).where(
+        F.col("token") != ""
+    )
+    return (
+        words.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(25)
+    )
+
+
+@register(
     "pivot",
     """
     SELECT l_returnflag,
@@ -1378,23 +1500,34 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     The exact interpolated form remains available as ``quantiles_exact``
     (value-level oracle)."""
     li = _read(spark, sf_dir, "lineitem")
-    accuracy = 10000
+    accuracy = 1000
     eps = 1.0 / accuracy
     ps = [0.5, 0.95, 0.99]
+    # pass 1: the sketch itself; group count is bounded (a GROUP BY key),
+    # so the collected result is a model, not data
     approx = li.groupBy("l_returnflag").agg(
         F.expr(
             f"approx_percentile(l_extendedprice, array({', '.join(map(str, ps))}), {accuracy})"
         ).alias("qv")
-    )
-    j = li.join(F.broadcast(approx), "l_returnflag")
-    checks = j.groupBy("l_returnflag").agg(
+    ).collect()
+    qv = {r["l_returnflag"]: [float(v) for v in r["qv"]] for r in approx}
+
+    # pass 2: exact rank interval of each returned value via conditional
+    # counts with per-group literal thresholds (no join) — map-side combine
+    def thr(i: int) -> F.Column:
+        c = F.lit(None).cast("double")
+        for flag, values in qv.items():
+            c = F.when(F.col("l_returnflag") == flag, F.lit(values[i])).otherwise(c)
+        return c
+
+    checks = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n_rows"),
         *[
-            F.sum(F.when(F.col("l_extendedprice") < F.col("qv")[i], 1).otherwise(0)).alias(f"lt{i}")
+            F.sum(F.when(F.col("l_extendedprice") < thr(i), 1).otherwise(0)).alias(f"lt{i}")
             for i in range(len(ps))
         ],
         *[
-            F.sum(F.when(F.col("l_extendedprice") <= F.col("qv")[i], 1).otherwise(0)).alias(f"le{i}")
+            F.sum(F.when(F.col("l_extendedprice") <= thr(i), 1).otherwise(0)).alias(f"le{i}")
             for i in range(len(ps))
         ],
     )

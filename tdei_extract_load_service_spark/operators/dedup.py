@@ -185,11 +185,40 @@ def minhash_lsh_pairs(
     """
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
-    rows_per_band = num_hashes // bands
     sig = spread(df).select(
         _col(id_col).alias("id"),
         minhash_signature(word_shingles(text_col, n), num_hashes).alias("sig"),
+    ).persist()
+    candidates = lsh_band_candidates(sig, num_hashes, bands)
+    # join the signatures back onto the (small) deduplicated candidate set
+    # instead of carrying the 64-long sig through the band self-join
+    scored = (
+        candidates.join(
+            sig.select(F.col("id").alias("doc_a"), F.col("sig").alias("sig_a")), "doc_a"
+        ).join(
+            sig.select(F.col("id").alias("doc_b"), F.col("sig").alias("sig_b")), "doc_b"
+        )
     )
+    est = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+    ) / F.lit(num_hashes)
+    return (
+        scored.withColumn("est_jaccard", F.round(est, 6))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def lsh_band_candidates(sig_df: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """Distinct candidate pairs (doc_a < doc_b) sharing >= 1 LSH band
+    bucket, from a persisted (id, sig) frame.
+
+    The band self-join shuffles ONLY (id, band, bucket) — 24 bytes a row,
+    16 rows a doc — never the signatures (they re-join after the pair
+    dedup) and never the documents. At 100 TB this is the difference
+    between a metadata-sized shuffle and replicating every signature x
+    bands across the wire."""
+    rows_per_band = num_hashes // bands
     band_hashes = F.array(
         *[
             F.xxhash64(
@@ -202,32 +231,17 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    # persist: the candidate self-join references this subtree twice; the
-    # signature fold (the expensive part) must run once per doc, not twice
-    banded = sig.select("id", "sig", F.posexplode(band_hashes).alias("band", "bucket")).persist()
+    banded = sig_df.select("id", F.posexplode(band_hashes).alias("band", "bucket"))
     a, b = banded.alias("a"), banded.hint("shuffle_hash").alias("b")
-    candidates = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("doc_a"),
-            F.col("b.id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
-    )
-    est = F.size(
-        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
-    ) / F.lit(num_hashes)
-    return (
-        candidates.withColumn("est_jaccard", F.round(est, 6))
-        .where(F.col("est_jaccard") >= threshold)
-        .select("doc_a", "doc_b", "est_jaccard")
     )
 
 
@@ -360,15 +374,21 @@ def lsh_verified_pairs(
     ``(1-θ^r)^b`` ≈ 2e-4 at θ=0.8 with 16×4 bands), and every surviving
     candidate is then scored exactly on its true shingle sets, so emitted
     pairs carry no estimation error."""
-    candidates = minhash_lsh_pairs(
-        df, id_col, text_col, num_hashes=num_hashes, bands=bands, n=n, threshold=0.0
-    ).select("doc_a", "doc_b")
-    sh = df.select(
+    # shingle ONCE: the same persisted (id, shingles) frame feeds both the
+    # signature fold and the exact-verify joins (one pass over the corpus,
+    # not three). Candidates skip estimate scoring entirely — the exact
+    # verify supersedes it.
+    sh = spread(df).select(
         _col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
-    )
+    ).persist()
+    # sig persists too: the band self-join references it on both sides and
+    # the signature fold must run once per doc, not twice
+    sig = sh.select("id", minhash_signature(F.col("sh"), num_hashes).alias("sig")).persist()
+    candidates = lsh_band_candidates(sig, num_hashes, bands)
     joined = (
-        candidates.join(sh.withColumnRenamed("id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
-        .join(sh.withColumnRenamed("id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+        candidates.join(
+            sh.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a"
+        ).join(sh.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter

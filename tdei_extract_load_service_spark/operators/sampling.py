@@ -1,0 +1,60 @@
+"""Deterministic sampling for training-data pipelines.
+
+``rand()``/``sampleBy`` draw from engine-specific RNG streams — a split
+made that way is irreproducible across engines, re-runs with different
+partitioning, and retries. Content-addressed (hash-based) sampling fixes
+that: membership is a pure function of the row key and a seed string, so
+the same row lands on the same side of the split everywhere, forever —
+the property training/eval splits and A/B cohorts actually need.
+
+Scale shape: a narrow ``where`` over a scan — no shuffle, no state; the
+predicate pushes into the scan's filter stage and composes with column
+pruning. (md5 is chosen over xxhash64 deliberately: both engines and the
+DuckDB oracle compute identical digests, keeping the op verifiable.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _col(c: str | Column) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def hash_bucket(key: str | Column, buckets: int = 100, seed: str = "") -> Column:
+    """Stable bucket in [0, buckets): first 8 hex chars of
+    md5(key || seed) as an integer, mod buckets."""
+    digest = F.md5(F.concat(_col(key).cast("string"), F.lit(seed)))
+    return (F.conv(F.substring(digest, 1, 8), 16, 10).cast("bigint") % buckets).cast(
+        "int"
+    )
+
+
+def hash_sample(
+    df: DataFrame, key_col: str | Column, percent: int, seed: str = ""
+) -> DataFrame:
+    """Keep a deterministic ``percent``% of rows by key hash."""
+    if not 0 <= percent <= 100:
+        raise ValueError("percent must be in [0, 100]")
+    return df.where(hash_bucket(key_col, 100, seed) < percent)
+
+
+def hash_split(
+    df: DataFrame, key_col: str | Column, percents: dict[str, int], seed: str = ""
+) -> DataFrame:
+    """Disjoint named splits (e.g. {'train': 90, 'eval': 5, 'test': 5}):
+    adds a ``split`` column assigning each row by its hash bucket. The
+    percents must sum to <= 100; rows beyond the sum get NULL (dropped
+    from every split — a holdout)."""
+    total = sum(percents.values())
+    if total > 100 or any(p < 0 for p in percents.values()):
+        raise ValueError("split percents must be >= 0 and sum to <= 100")
+    bucket = hash_bucket(key_col, 100, seed)
+    expr = F.lit(None).cast("string")
+    lo = 0
+    for name, p in percents.items():
+        expr = F.when((bucket >= lo) & (bucket < lo + p), F.lit(name)).otherwise(expr)
+        lo += p
+    return df.withColumn("split", expr)

@@ -204,23 +204,23 @@ def load_dataset(
         entries = routed_entries(zip_fanout(read_zip_archives(spark, archive_path)))
         # entries feed features, headers and stats: one fan-out, cached
         entries = entries.persist()
-        n_entries = entries.count()
+        # ONE materializing pass returns both the entry count and the
+        # malformed-entry gate (O21, geoJsonPipeError
+        # extract-load-service.ts:41-49) — previously a second full scan
+        # of entry_text
+        is_bad = F.from_json("entry_text", "map<string,string>").isNull()
+        gate = entries.agg(
+            F.count("*").alias("n"),
+            F.min(F.when(is_bad, F.col("entry"))).alias("bad_entry"),
+        ).collect()[0]
+        n_entries = gate["n"]
         if n_entries == 0:
             raise NoGeoJsonEntriesError(
                 f"No GeoJSON files found in the archive for dataset {tdei_dataset_id}"
             )
-        # malformed-entry gate (O21, geoJsonPipeError extract-load-service.ts:41-49):
-        # a .geojson entry that isn't a JSON object fails the whole load, like
-        # the reference's pipeline error -> rollback -> failure publish
-        bad = (
-            entries.where(F.from_json("entry_text", "map<string,string>").isNull())
-            .select("entry")
-            .limit(1)
-            .collect()
-        )
-        if bad:
+        if gate["bad_entry"] is not None:
             raise MalformedGeoJsonError(
-                f"Unable to parse GeoJSON: invalid JSON in entry {bad[0].entry}"
+                f"Unable to parse GeoJSON: invalid JSON in entry {gate['bad_entry']}"
             )
         timings["extract"] = time.perf_counter() - t0
 

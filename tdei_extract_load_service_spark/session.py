@@ -59,6 +59,11 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", "false")
     )
+    # ANSI sweep hook: SPARK_GRAFT_ANSI=1 runs the whole engine under
+    # spark.sql.ansi.enabled=true (strict out-of-bounds/overflow/cast
+    # semantics) — the test suite must stay green both ways
+    if os.environ.get("SPARK_GRAFT_ANSI"):
+        builder = builder.config("spark.sql.ansi.enabled", "true")
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
     spark = builder.getOrCreate()

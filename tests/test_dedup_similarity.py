@@ -121,3 +121,59 @@ def test_ann_recall_at_10(spark):
     assert 17 in brute and 17 in ivf and 17 in lsh
     assert len(brute & ivf) >= 1
     assert len(brute & lsh) >= 1
+
+
+def test_kmeans_centroids_deterministic_and_improve_assignment(spark):
+    """kmeans_centroids: deterministic across runs, k rows out, and the
+    Lloyd update does not worsen mean assignment similarity vs the
+    fixed-subset bootstrap (inertia-style check in cosine space)."""
+    from pyspark.sql import functions as F
+
+    from tdei_extract_load_service_spark.operators.dedup import cosine_similarity
+    from tdei_extract_load_service_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def mean_assigned_sim(cents) -> float:
+        assigned = ivf_assign(emb, cents, "vec_id", "embedding")
+        cv = cents.select(
+            F.col("centroid_id"), F.col("centroid_vec").cast("array<double>").alias("centroid_vec")
+        )
+        joined = assigned.join(cv, "centroid_id")
+        return joined.select(
+            F.avg(cosine_similarity(F.col("vec"), F.col("centroid_vec"))).alias("m")
+        ).collect()[0]["m"]
+
+    seed = ivf_centroids(emb, "vec_id", "embedding", 8)
+    km1 = kmeans_centroids(emb, "vec_id", "embedding", k=8, iters=2)
+    km2 = kmeans_centroids(emb, "vec_id", "embedding", k=8, iters=2)
+    rows1 = [(r["centroid_id"], tuple(r["centroid_vec"])) for r in km1.collect()]
+    rows2 = [(r["centroid_id"], tuple(r["centroid_vec"])) for r in km2.collect()]
+    assert rows1 == rows2 and len(rows1) == 8
+    assert mean_assigned_sim(km1) >= mean_assigned_sim(seed) - 1e-9
+
+
+def test_hash_split_disjoint_deterministic(spark):
+    """hash_split: every row lands in exactly one split, assignment is a
+    pure function of (key, seed), and fractions are approximately
+    honored."""
+    from tdei_extract_load_service_spark.operators.sampling import hash_sample, hash_split
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = docs.count()
+    out = hash_split(docs, "doc_id", {"train": 80, "eval": 10, "test": 10})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").count().withColumnRenamed("count", "n").collect()}
+    assert set(counts) == {"train", "eval", "test"}
+    assert sum(counts.values()) == n  # disjoint and exhaustive at 100%
+    assert counts["train"] > counts["eval"] and counts["train"] > counts["test"]
+    # determinism across invocations
+    a = sorted(r.doc_id for r in hash_sample(docs, "doc_id", 10).select("doc_id").collect())
+    b = sorted(r.doc_id for r in hash_sample(docs, "doc_id", 10).select("doc_id").collect())
+    assert a == b and 0 < len(a) < n
+    # different seed -> different membership (with overwhelming probability)
+    c = sorted(r.doc_id for r in hash_sample(docs, "doc_id", 10, seed="other").select("doc_id").collect())
+    assert a != c
