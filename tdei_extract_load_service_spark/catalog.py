@@ -1119,6 +1119,74 @@ def q_window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_sliding",
+    """
+    WITH w AS (
+      SELECT event_type, value, epoch_us(ts) AS t,
+             (CAST(floor(epoch_us(ts) / 1800000000) AS BIGINT) - k.k) * 1800000000 AS wstart_us
+      FROM events, (SELECT unnest(generate_series(0, 3)) AS k) k
+    )
+    SELECT strftime(make_timestamp(wstart_us), '%Y-%m-%dT%H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+    FROM w
+    WHERE t >= wstart_us AND t < wstart_us + 7200000000
+    GROUP BY 1, 2
+    """,
+)
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2-hour window every 30 minutes (each event lands in
+    size/slide = 4 windows) — the batch twin of the streaming sliding agg;
+    Spark's ``window()`` replicates rows window-count times BEFORE the
+    shuffle, so the exchange carries 4x the aggregate rows, not 4x the
+    data columns."""
+    ev = _read_events(spark, sf_dir)
+    w = F.window("ts", "2 hours", "30 minutes")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            TS.normalize_ts(F.col("w.start"), "yyyy-MM-dd'T'HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "join_range",
+    """
+    WITH iv AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS lo, MIN(epoch_us(ts)) + 7200000000 AS hi
+      FROM events GROUP BY user_id
+    )
+    SELECT iv.user_id, COUNT(*) AS n_events, ROUND(SUM(e.value), 2) AS total_value
+    FROM iv JOIN events e ON epoch_us(e.ts) >= iv.lo AND epoch_us(e.ts) < iv.hi
+    GROUP BY iv.user_id
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unkeyed interval-containment join via bucketization: all events
+    falling inside each user's first-activity 2-hour window. Equi-join on
+    1-hour bucket ids + residual range predicate — work proportional to
+    points + interval spans, never the cross product."""
+    from tdei_extract_load_service_spark.operators.range_join import bucketed_range_join
+
+    ev = _read_events(spark, sf_dir)
+    hour_us = 3600 * 1_000_000
+    pts = ev.select(F.unix_micros("ts").alias("p"), "value")
+    iv = (
+        ev.groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("lo"))
+        .withColumn("hi", F.col("lo") + 2 * hour_us)
+    )
+    joined = bucketed_range_join(pts, iv, "p", "lo", "hi", bucket_width=hour_us)
+    return joined.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value")
+    )
+
+
+@register(
     "sample_hash",
     """
     SELECT doc_id, lang

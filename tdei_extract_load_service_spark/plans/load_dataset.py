@@ -252,17 +252,28 @@ def load_dataset(
         timings["transform"] = time.perf_counter() - t0
 
         # -- load: one parameterized writer, 7 sinks (O12) ---------------
+        # the per-kind writes are independent jobs on disjoint sink roots —
+        # submit them concurrently (the reference necessarily serialized
+        # its 7 bulkInsert* calls on one DB transaction; Spark's scheduler
+        # interleaves the write stages, and per-path locks in the writer
+        # keep same-table commits safe)
         t0 = time.perf_counter()
-        for kind, table in SINK_TABLES.items():
-            if counts.get(kind, 0) == 0:
-                # pre-delete already cleared any prior rows; an empty
-                # dynamic-overwrite write is a no-op Spark job — skip it
-                continue
+        from concurrent.futures import ThreadPoolExecutor
+
+        def write_kind(kind_table: tuple[str, str]) -> None:
+            kind, table = kind_table
             sink_cols = ["tdei_dataset_id", "feature", "requested_by", "entry"]
             if kind == "extension":
                 sink_cols.insert(1, "ext_file_id")
             kind_df = features.where(F.col("kind") == kind).select(*sink_cols)
             overwrite_by_key(kind_df, os.path.join(warehouse, table))
+
+        # pre-delete already cleared any prior rows; an empty
+        # dynamic-overwrite write is a no-op Spark job — skip it
+        nonempty = [(k, t) for k, t in SINK_TABLES.items() if counts.get(k, 0) > 0]
+        if nonempty:
+            with ThreadPoolExecutor(max_workers=min(len(nonempty), 4)) as pool:
+                list(pool.map(write_kind, nonempty))
 
         # extension-file registration (O16, extract-load-service.ts:515-536):
         # one row per extension entry, created even when it has 0 features

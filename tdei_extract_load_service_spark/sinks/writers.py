@@ -32,12 +32,20 @@ from tdei_extract_load_service_spark.errors import classify_db_error
 #: Reference default: BULK_INSERT_BATCH_SIZE (environment.ts:26).
 DEFAULT_BATCH_SIZE = 1000
 
-#: Serializes dynamic-partition overwrites across driver threads: the mode
-#: toggle is session-global, and two concurrent write jobs on one sink root
-#: would also collide in the Hadoop committer's shared ``_temporary`` dir.
-#: Concurrent *loads* (queue consumer, maxConcurrentMessages=2) still
-#: overlap their extract/transform stages — only the commit serializes.
-_OVERWRITE_LOCK = threading.Lock()
+#: Per-sink-root locks: two concurrent write jobs on ONE root would collide
+#: in the Hadoop committer's shared ``_temporary`` dir, so writes to the
+#: same path serialize; writes to different sinks (different kinds,
+#: different warehouses) overlap freely. The overwrite MODE is passed as a
+#: per-write option, not a session conf, so no global serialization is
+#: needed. Concurrent loads (queue consumer, maxConcurrentMessages=2)
+#: overlap everything except same-table commits.
+_PATH_LOCKS: dict[str, threading.Lock] = {}
+_PATH_LOCKS_GUARD = threading.Lock()
+
+
+def _path_lock(path: str) -> threading.Lock:
+    with _PATH_LOCKS_GUARD:
+        return _PATH_LOCKS.setdefault(os.path.abspath(path), threading.Lock())
 
 
 def write_batched(
@@ -96,18 +104,13 @@ def overwrite_by_key(
     directory, other datasets are untouched, and readers see the old data
     until each partition's swap commits.
     """
-    spark = df.sparkSession
-    with _OVERWRITE_LOCK:
-        previous = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                df.write.mode("overwrite")
-                .partitionBy(key_col, *extra_partition_cols)
-                .parquet(path)
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", previous)
+    with _path_lock(path):
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")  # per-write, not session conf
+            .partitionBy(key_col, *extra_partition_cols)
+            .parquet(path)
+        )
 
 
 def jdbc_staged_swap(

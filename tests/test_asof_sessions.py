@@ -79,3 +79,36 @@ def test_lsh_verified_equals_exact(spark):
     # verified pairs carry exact scores; candidate loss bounded (~2e-4/pair)
     assert verified <= exact
     assert len(exact - verified) <= max(1, len(exact) // 10)
+
+
+def test_bucketed_range_join_matches_theta_join(spark):
+    """Property check: bucketization meets every qualifying (point,
+    interval) pair exactly once — equal to the naive theta join on random
+    data, across bucket widths (narrower/wider than typical intervals)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from tdei_extract_load_service_spark.operators.range_join import bucketed_range_join
+
+    rng = random.Random(42)
+    points = [(i, rng.randint(0, 10_000)) for i in range(400)]
+    intervals = []
+    for j in range(60):
+        lo = rng.randint(0, 9_500)
+        intervals.append((j, lo, lo + rng.randint(1, 900)))
+    pdf = spark.createDataFrame(points, "pid int, p long")
+    idf = spark.createDataFrame(intervals, "iid int, lo long, hi long")
+
+    expected = sorted(
+        (p_id, i_id)
+        for p_id, p in points
+        for i_id, lo, hi in intervals
+        if lo <= p < hi
+    )
+    for width in (64, 500, 2048):
+        got = sorted(
+            (r.pid, r.iid)
+            for r in bucketed_range_join(pdf, idf, "p", "lo", "hi", width).collect()
+        )
+        assert got == expected, f"width={width}"

@@ -57,7 +57,7 @@ def test_concurrent_messages_overlap_and_both_land(spark, tmp_path):
     messages of a trigger run CONCURRENTLY. Overlap is observed via
     monotonic enter/exit spans of the two load calls; correctness via both
     datasets landing intact (the warehouse commit section serializes on
-    writers._OVERWRITE_LOCK, so concurrent loads can't corrupt shared
+    writers._path_lock per-root locks, so concurrent loads can't corrupt shared
     sink roots)."""
     import threading
     import time as _time
