@@ -295,6 +295,21 @@ def q_paginate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "paginate_keyset",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderkey > 100 ORDER BY o_orderkey LIMIT 10
+    """,
+)
+def q_paginate_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset pagination (the deep-paging scale path): the predicate
+    reaches PushedFilters, so page cost is O(page) at any depth — vs
+    OFFSET's produce-and-discard prefix scan."""
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    return R.paginate_keyset(orders, F.col("o_orderkey"), after=100, page_size=10)
+
+
+@register(
     "top_k",
     """
     SELECT o_orderkey, o_totalprice

@@ -166,6 +166,27 @@ def paginate(
     return df.orderBy(*order_by).offset((page_no - 1) * page_size).limit(page_size)
 
 
+def paginate_keyset(
+    df: DataFrame,
+    key: Column,
+    after: object | None = None,
+    page_size: int = 10,
+) -> DataFrame:
+    """Keyset (seek) pagination — the deep-paging upgrade over OFFSET
+    (``paginate``): ``WHERE key > after ORDER BY key LIMIT n``.
+
+    OFFSET must produce and discard every prior row (page 1e6 scans 1e7
+    rows); keyset pushes the predicate into the scan (parquet min/max row
+    groups skip, partition pruning applies) and plans
+    ``TakeOrderedAndProject`` — page cost is O(page), independent of page
+    depth. ``key`` must be unique (or a composite struct) for gap-free
+    iteration; callers thread the last row's key as ``after``.
+    """
+    page_size = max(min(int(page_size), MAX_PAGE_SIZE), 1)
+    out = df if after is None else df.where(key > F.lit(after))
+    return out.orderBy(key.asc()).limit(page_size)
+
+
 def top_k(df: DataFrame, order_by: Sequence[Column], k: int) -> DataFrame:
     """ORDER BY ... LIMIT k. Spark plans ``TakeOrderedAndProject``: each task
     keeps a k-row heap and only k rows per partition reach the driver —

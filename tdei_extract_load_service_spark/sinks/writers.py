@@ -247,6 +247,42 @@ def delete_by_key(path: str, key_value: str, key_col: str = "tdei_dataset_id") -
         shutil.rmtree(part_dir)
 
 
+def compact_table(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    partition_by: tuple[str, ...] = (),
+) -> int:
+    """Small-files compaction for long-lived sinks. Incremental loads
+    write one file per task per job; thousands of loads leave a table in
+    KB-sized fragments whose per-file open/footer costs dominate scans.
+    Rewrites the table at ~``target_file_bytes`` per file (the
+    scan-efficient size; 128 MB default matches HDFS/object-store sweet
+    spots) with staged-swap visibility — readers see the old layout until
+    the swap. Returns the new file count.
+
+    The read streams straight into the staged write (one pass, no
+    collect); partitioned tables re-cluster within ``partition_by`` so
+    partition pruning is preserved.
+    """
+    import math
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    out = (
+        df.repartition(n_files, *partition_by) if partition_by else df.repartition(n_files)
+    )
+    staged_swap_write(out, path, partition_by=partition_by)
+    return n_files
+
+
 def staged_swap_write(
     df: DataFrame,
     final_path: str,

@@ -42,3 +42,29 @@ def test_hive_style_layout_keeps_partition_discovery(spark, tmp_path):
     back = spark.read.parquet(base)
     assert back.count() == 3
     assert back.where("project_group_id = 'pg-b' AND year = 2025").count() == 1
+
+
+def test_compact_table_reduces_files_preserves_rows(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from tdei_extract_load_service_spark.sinks.writers import compact_table
+
+    path = str(tmp_path / "fragmented")
+    df = spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 7).alias("grp"), F.md5(F.col("id").cast("string")).alias("payload")
+    )
+    df.repartition(64).write.parquet(path)  # 64 tiny fragments
+    import os as _os
+
+    def count_parquet(p):
+        return sum(f.endswith(".parquet") for _, _, fs in _os.walk(p) for f in fs)
+
+    before = count_parquet(path)
+    assert before >= 32
+    checksum_before = spark.read.parquet(path).agg(F.sum(F.crc32("payload"))).collect()[0][0]
+    compact_table(spark, path, target_file_bytes=1 << 30)
+    after = count_parquet(path)
+    assert after < before and after <= 4
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.agg(F.sum(F.crc32("payload"))).collect()[0][0] == checksum_before

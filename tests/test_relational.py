@@ -69,3 +69,30 @@ def test_pagination_requires_order(people, spark):
 
 def test_filter_conjunctive_empty(people):
     assert R.filter_conjunctive(people, []).count() == 5
+
+
+def test_keyset_pagination_chains_like_offset(spark):
+    """Walking pages via keyset (threading the last key) visits exactly the
+    same rows in the same order as OFFSET pagination over a unique order."""
+    from pyspark.sql import functions as F
+
+    from tdei_extract_load_service_spark.operators.relational import (
+        paginate,
+        paginate_keyset,
+    )
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    offset_rows = []
+    for page in (1, 2, 3):
+        offset_rows += [
+            r.o_orderkey
+            for r in paginate(orders, [F.col("o_orderkey").asc()], page_no=page, page_size=7).collect()
+        ]
+    keyset_rows, last = [], None
+    for _ in range(3):
+        batch = [r.o_orderkey for r in paginate_keyset(orders, F.col("o_orderkey"), after=last, page_size=7).collect()]
+        keyset_rows += batch
+        last = batch[-1]
+    assert keyset_rows == offset_rows
