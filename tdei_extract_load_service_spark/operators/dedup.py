@@ -148,20 +148,54 @@ def ngram_jaccard_pairs(
 
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
     """MinHash signature as array<bigint>: position i is
-    ``min(xxhash64(shingle, i))`` (the seed rides as an extra hashed value).
+    ``min over shingles of g_i(shingle)`` where
+    ``g_i(s) = h1(s) XOR rotl(h2(s), i)`` — the two-base-hash derivation
+    (Kirsch-Mitzenmacher-style): each shingle's STRING is hashed exactly
+    twice, and the other ``num_hashes - 2`` functions cost three bitwise
+    ops each, vs re-hashing the full string per seed (``num_hashes``x the
+    string work). Rotate-XOR instead of the classic ``h1 + i*h2`` keeps
+    the family overflow-free, so it runs identically under ANSI mode.
 
-    Single fold over the shingles with a ``num_hashes``-wide accumulator:
-    ``aggregate(shingles, [MAX..], (acc, s) -> zip_with(acc, seeds, least))``
-    — one pass, no explode, no shuffle, and a compact expression tree
-    (the naive ``num_hashes × array_min(transform(...))`` formulation
-    generates an expression per seed and overwhelms codegen: measured 212s
-    vs ~3s at sf0.1)."""
+    Single fold over the pre-hashed shingles with a ``num_hashes``-wide
+    accumulator — one pass, no explode, no shuffle, and a compact
+    expression tree (the naive ``num_hashes x array_min(transform(...))``
+    formulation generates an expression per seed and overwhelms codegen:
+    measured 212s vs ~3s at sf0.1)."""
     max_long = (1 << 63) - 1
-    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    return F.aggregate(
+
+    if num_hashes > 64:
+        raise ValueError("rotate-XOR family supports at most 64 derived hashes")
+
+    # h1/h2 materialize ONCE per shingle (an array<struct> intermediate);
+    # referencing a materialized struct field doesn't re-evaluate the hash,
+    # whereas inlining xxhash64(s) into all 64 slots would re-hash the
+    # string per slot.
+    hashed = F.transform(
         shingles,
+        lambda s: F.struct(F.xxhash64(s).alias("h1"), F.xxhash64(s, F.lit(1)).alias("h2")),
+    )
+
+    # rotl(h2, i) for a 64-bit long: (h2 << i) | (h2 >>> (64 - i)); shift
+    # amounts are Python constants (the function API requires literal
+    # shifts), so the whole g-array is one expression evaluated once per
+    # shingle.
+    def g_array(h: Column) -> Column:
+        h1, h2 = h["h1"], h["h2"]
+        return F.array(
+            *[
+                h1.bitwiseXOR(
+                    F.shiftleft(h2, i).bitwiseOR(F.shiftrightunsigned(h2, 64 - i))
+                    if i
+                    else h2
+                )
+                for i in range(num_hashes)
+            ]
+        )
+
+    return F.aggregate(
+        F.transform(hashed, g_array),
         F.array_repeat(F.lit(max_long), num_hashes),
-        lambda acc, s: F.zip_with(acc, seeds, lambda m, seed: F.least(m, F.xxhash64(s, seed))),
+        lambda acc, g: F.zip_with(acc, g, lambda m, v: F.least(m, v)),
     )
 
 
