@@ -1243,6 +1243,34 @@ def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_char_entropy",
+    """
+    WITH c AS (
+      SELECT doc_id, ch, COUNT(*)::DOUBLE AS cnt
+      FROM (SELECT doc_id, unnest(string_split_regex(text, '')) AS ch FROM documents)
+      WHERE ch <> '' GROUP BY doc_id, ch
+    )
+    SELECT doc_id,
+           ROUND(log2(SUM(cnt)) - SUM(cnt * log2(cnt)) / SUM(cnt), 6) AS char_entropy
+    FROM c GROUP BY doc_id
+    """,
+)
+def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon character entropy per document — the gibberish/boilerplate
+    quality signal (low entropy = repeated filler, high = encrypted/binary
+    junk). One-pass identity ``H = log2(n) - Σ cnt·log2(cnt) / n`` avoids
+    a self-join on totals; the (doc, char) pre-aggregation is map-side
+    combined, so the shuffle carries ≤ |alphabet| rows per doc per task."""
+    docs = _read(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id", F.explode(F.split("text", "")).alias("ch")
+    ).where(F.col("ch") != "")
+    counts = chars.groupBy("doc_id", "ch").agg(F.count("*").cast("double").alias("cnt"))
+    ent = F.log2(F.sum("cnt")) - F.sum(F.col("cnt") * F.log2("cnt")) / F.sum("cnt")
+    return counts.groupBy("doc_id").agg(F.round(ent, 6).alias("char_entropy"))
+
+
+@register(
     "text_ngram_topk",
     """
     WITH words AS (

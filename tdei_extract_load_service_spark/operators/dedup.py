@@ -224,13 +224,18 @@ def minhash_lsh_pairs(
         minhash_signature(word_shingles(text_col, n), num_hashes).alias("sig"),
     ).persist()
     candidates = lsh_band_candidates(sig, num_hashes, bands)
-    # join the signatures back onto the (small) deduplicated candidate set
-    # instead of carrying the 64-long sig through the band self-join
+    # join the signatures back onto the deduplicated candidate set instead
+    # of carrying the 64-long sig through the band self-join. The sig side
+    # is corpus-sized — shuffle_hash pins a key-partitioned join so the
+    # optimizer can never try to broadcast it (measured: a 10x corpus blew
+    # the broadcast build memory)
     scored = (
         candidates.join(
-            sig.select(F.col("id").alias("doc_a"), F.col("sig").alias("sig_a")), "doc_a"
+            sig.select(F.col("id").alias("doc_a"), F.col("sig").alias("sig_a")).hint("shuffle_hash"),
+            "doc_a",
         ).join(
-            sig.select(F.col("id").alias("doc_b"), F.col("sig").alias("sig_b")), "doc_b"
+            sig.select(F.col("id").alias("doc_b"), F.col("sig").alias("sig_b")).hint("shuffle_hash"),
+            "doc_b",
         )
     )
     est = F.size(
@@ -419,10 +424,17 @@ def lsh_verified_pairs(
     # the signature fold must run once per doc, not twice
     sig = sh.select("id", minhash_signature(F.col("sh"), num_hashes).alias("sig")).persist()
     candidates = lsh_band_candidates(sig, num_hashes, bands)
+    # shuffle_hash: the shingle-set side is corpus-sized (every doc's full
+    # shingle array) — it must never be broadcast-built (measured OOM at a
+    # 10x corpus when the optimizer under-estimated it)
     joined = (
         candidates.join(
-            sh.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a"
-        ).join(sh.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+            sh.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a")).hint("shuffle_hash"),
+            "doc_a",
+        ).join(
+            sh.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b")).hint("shuffle_hash"),
+            "doc_b",
+        )
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter

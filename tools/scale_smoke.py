@@ -21,7 +21,19 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SF_DIR = "/root/testdata/sf0.1"
-QUERIES = ("agg_group", "filter", "join_semi", "top_k", "topk_similarity", "text_fingerprint", "window_tumbling")
+QUERIES = (
+    "agg_group",
+    "filter",
+    "join_semi",
+    "top_k",
+    "topk_similarity",
+    "text_fingerprint",
+    "window_tumbling",
+    "dedup_lsh_verified",
+    "similarity_ivf",
+    "quantiles",
+    "join_range",
+)
 KEY_SHIFT = 10_000_000
 
 
