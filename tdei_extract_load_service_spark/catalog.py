@@ -605,6 +605,56 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_cluster",
+    """
+    WITH RECURSIVE
+    d AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+               i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM d a, d b
+      WHERE a.doc_id < b.doc_id
+        AND ROUND(len(list_intersect(a.sh, b.sh))
+                  / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.8
+    ),
+    edges(a, b) AS (
+      SELECT doc_a, doc_b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+      UNION SELECT doc_id, doc_id FROM documents
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+    """,
+)
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs resolved into duplicate clusters (connected
+    components; cluster_id = min doc id = the canonical survivor) — the
+    step between pair generation and actually dropping duplicates in a
+    training pipeline. Pair generation uses the production LSH+verify path
+    (sub-quadratic; emits the exact-Jaccard pair set); min-label
+    propagation then runs O(diameter) rounds of (id, label)-only shuffles.
+    The oracle is the transitive-closure recursive CTE over the same
+    exact-Jaccard edges."""
+    from tdei_extract_load_service_spark.operators.dedup import (
+        dedup_clusters,
+        lsh_verified_pairs,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = lsh_verified_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    return dedup_clusters(docs.select("doc_id"), pairs, "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Similarity search (north-star; operators/similarity.py)
 # ---------------------------------------------------------------------------
@@ -1078,6 +1128,54 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "sum_qty",
         )
+    )
+
+
+@register(
+    "join_outer",
+    """
+    SELECT n.n_name, COUNT(s.s_suppkey) AS n_suppliers
+    FROM nation n LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving unmatched dimension rows (nations with
+    zero suppliers keep count 0 — COUNT(col) skips the NULL probe side).
+    Same broadcast shape as join_inner; outer-ness only changes the
+    unmatched-row emission."""
+    n = _read(spark, sf_dir, "nation")
+    s = _read(spark, sf_dir, "supplier")
+    return (
+        n.join(s, s["s_nationkey"] == n["n_nationkey"], "left_outer")
+        .groupBy("n_name")
+        .agg(F.count("s_suppkey").alias("n_suppliers"))
+    )
+
+
+@register(
+    "grouping_sets",
+    """
+    SELECT COALESCE(l_returnflag, '<all>') AS l_returnflag,
+           COALESCE(l_linestatus, '<all>') AS l_linestatus,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither a rollup nor a cube): the two
+    single-dimension marginals in one pass over the fact table."""
+    li = _read(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, '<all>') AS l_returnflag,
+               COALESCE(l_linestatus, '<all>') AS l_linestatus,
+               COUNT(*) AS n
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
     )
 
 

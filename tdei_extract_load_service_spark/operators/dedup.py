@@ -364,6 +364,70 @@ def simhash_pairs(
 # ---------------------------------------------------------------------------
 
 
+def dedup_clusters(
+    ids: DataFrame, pairs: DataFrame, id_col: str = "doc_id", max_iter: int = 25
+) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate CLUSTERS: every doc gets a
+    ``cluster_id`` = the smallest doc id in its connected component (the
+    canonical survivor); singletons map to themselves.
+
+    Iterative min-label propagation (the standard large-graph
+    connected-components shape, cf. Hash-to-Min, Vassilvitskii et al.):
+    each round every node takes the min label over itself and its
+    neighbors; converges in O(component diameter) rounds — near-dup
+    components are shallow (stars/cliques around a template), so a handful
+    of rounds suffice; ``max_iter`` bounds adversarial chains.
+
+    Scale shape: per round one join keyed on the pair graph + one min-agg
+    — both shuffle only (id, label) longs. The driver sees a single
+    convergence COUNT per round, never the labels. Giant components make
+    hot join keys — AQE skew-split absorbs them.
+    """
+    # the union references the pair frame twice — persist it so expensive
+    # pair generation (an inverted-index or LSH join upstream) runs once
+    pairs_p = pairs.select("doc_a", "doc_b").persist()
+    # no distinct(): duplicate edges cannot change a MIN aggregate, and the
+    # dedup would cost an extra corpus-wide shuffle per materialization
+    edges = (
+        pairs_p.selectExpr("doc_a as src", "doc_b as dst")
+        .union(pairs_p.selectExpr("doc_b as src", "doc_a as dst"))
+        .persist()
+    )
+    # localCheckpoint (not persist): each round's plan references the
+    # previous labels TWICE (probe + update join), so lineage doubles per
+    # round — a 12-round chain OOMs the driver on plan bloat alone.
+    # Checkpointing truncates the logical plan to the materialized result;
+    # on a cluster with executor loss concerns use reliable checkpoint().
+    labels = ids.select(
+        _col(id_col).alias("node"), _col(id_col).alias("label")
+    ).localCheckpoint(eager=True)
+    # labels only ever DECREASE (least of own + neighborhood), so the label
+    # sum is a convergence witness: unchanged sum <=> no label moved. One
+    # cheap agg per round instead of an old-vs-new join.
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels.hint("shuffle_hash"), edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        labels = (
+            labels.join(neighbor_min.hint("shuffle_hash"), labels["node"] == neighbor_min["src"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    edges.unpersist()
+    pairs_p.unpersist()
+    return labels.select(_col("node").alias(id_col), F.col("label").alias("cluster_id"))
+
+
 def cosine_similarity(a: Column, b: Column) -> Column:
     """Cosine over two array<float|double> columns: elementwise cast to
     double *before* multiply, left-to-right fold — bit-compatible with the

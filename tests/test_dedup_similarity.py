@@ -177,3 +177,24 @@ def test_hash_split_disjoint_deterministic(spark):
     # different seed -> different membership (with overwhelming probability)
     c = sorted(r.doc_id for r in hash_sample(docs, "doc_id", 10, seed="other").select("doc_id").collect())
     assert a != c
+
+
+def test_dedup_clusters_connected_components(spark):
+    """Label propagation resolves pairs into exact connected components:
+    chain {1-2, 2-3}, pair {5-6}, singletons map to themselves."""
+    ids = spark.createDataFrame([(i,) for i in range(1, 9)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long"
+    )
+    out = {r.doc_id: r.cluster_id for r in D.dedup_clusters(ids, pairs, "doc_id").collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7, 8: 8}
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    """A worst-case chain (diameter = n) still converges within max_iter
+    rounds of min-label propagation."""
+    n = 12
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long")
+    out = {r.doc_id: r.cluster_id for r in D.dedup_clusters(ids, pairs, "doc_id", max_iter=25).collect()}
+    assert out == {i: 0 for i in range(n)}
