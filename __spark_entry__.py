@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from tdei_extract_load_service_spark.catalog import REGISTRY  # noqa: E402
+from tdei_extract_load_service_spark.catalog import REGISTRY, ordered_registry  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -26,12 +26,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: entry_.query for name, entry_ in REGISTRY.items()}
+    """One entry per implemented operator from SURVEY.md §2, ordered so the
+    production flagships sit inside the driver's 50-entry window
+    (catalog.DRIVER_WINDOW); tail entries are oracle-twins / rows-only
+    estimators still covered by tools/oracle_check.py."""
+    return {name: entry_.query for name, entry_ in ordered_registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for every SQL-expressible query."""
     return {
-        name: entry_.oracle for name, entry_ in REGISTRY.items() if entry_.oracle is not None
+        name: entry_.oracle
+        for name, entry_ in ordered_registry().items()
+        if entry_.oracle is not None
     }

@@ -144,6 +144,229 @@ def decode_image(df: DataFrame, id_col: str = "media_id", content_col: str = "co
     return df.select(id_col, content_col).mapInPandas(decode, schema=DECODE_SCHEMA)
 
 
+DECODE_PIXELS_SCHEMA = (
+    "media_id bigint, width int, height int, n_channels int, "
+    "pixel_checksum bigint, decoded boolean, error string"
+)
+
+_CHANNELS_BY_COLOR_TYPE = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(width: int, height: int, channels: int, pixels: bytes) -> bytes:
+    """Minimal stdlib PNG encoder (8-bit, color type 2=RGB or 6=RGBA).
+
+    Deliberately rotates the scanline filter (y % 5: None/Sub/Up/Average/
+    Paeth) so a decoder must implement every unfilter correctly to
+    round-trip pixels — this is the fixture generator for the decode tier,
+    not a general-purpose encoder."""
+    import struct
+    import zlib
+
+    color_type = {3: 2, 4: 6}[channels]
+    stride = width * channels
+    assert len(pixels) == stride * height
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        line = pixels[y * stride : (y + 1) * stride]
+        f = y % 5
+        raw.append(f)
+        if f == 0:
+            raw += line
+        elif f == 1:  # Sub
+            raw += bytes(
+                (line[i] - (line[i - channels] if i >= channels else 0)) % 256
+                for i in range(stride)
+            )
+        elif f == 2:  # Up
+            raw += bytes((line[i] - prev[i]) % 256 for i in range(stride))
+        elif f == 3:  # Average
+            raw += bytes(
+                (line[i] - (((line[i - channels] if i >= channels else 0) + prev[i]) // 2)) % 256
+                for i in range(stride)
+            )
+        else:  # Paeth
+            raw += bytes(
+                (
+                    line[i]
+                    - _paeth(
+                        line[i - channels] if i >= channels else 0,
+                        prev[i],
+                        prev[i - channels] if i >= channels else 0,
+                    )
+                )
+                % 256
+                for i in range(stride)
+            )
+        prev = line
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png_pixels(blob: bytes) -> dict:
+    """Real stdlib PNG pixel decode: chunk walk -> zlib inflate of the
+    concatenated IDAT stream -> per-scanline unfilter (all five PNG filter
+    types). Supports 8-bit depth, color types 0/2/4/6, non-interlaced;
+    palette (type 3) and interlaced images still need a codec and raise
+    ``ValueError`` (caught into the error column by the operator).
+
+    Returns {width, height, n_channels, pixels: bytes}."""
+    import struct
+    import zlib
+
+    if bytes(blob[:8]) != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG signature")
+    pos, width = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(blob):
+        (length,) = struct.unpack(">I", bytes(blob[pos : pos + 4]))
+        tag = bytes(blob[pos + 4 : pos + 8])
+        body = bytes(blob[pos + 8 : pos + 8 + length])
+        if tag == b"IHDR":
+            width, height, depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8:
+                raise ValueError(f"unsupported bit depth {depth}")
+            if color_type not in _CHANNELS_BY_COLOR_TYPE:
+                raise ValueError(f"unsupported color type {color_type} (palette needs a codec)")
+            if interlace != 0:
+                raise ValueError("interlaced PNG needs a codec")
+            channels = _CHANNELS_BY_COLOR_TYPE[color_type]
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("IDAT size mismatch")
+    out = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if f == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) % 256
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) % 256
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + (left + prev[i]) // 2) % 256
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                upleft = prev[i - channels] if i >= channels else 0
+                line[i] = (line[i] + _paeth(left, prev[i], upleft)) % 256
+        elif f != 0:
+            raise ValueError(f"bad filter byte {f}")
+        prev = bytes(line)
+        out += line
+    return {"width": width, "height": height, "n_channels": channels, "pixels": bytes(out)}
+
+
+def pixel_checksum(pixels: bytes) -> int:
+    """Position-weighted pixel checksum: sum(byte[i] * (i+1)). Chosen
+    because it is closed-form computable in plain SQL for deterministic
+    fixtures, making the zlib+unfilter round-trip oracle-checkable."""
+    return sum(b * (i + 1) for i, b in enumerate(pixels))
+
+
+def synth_png(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Deterministic PNG fixture generator over an id column (the sandbox
+    testdata ships no real media): pixel byte i of image ``mid`` is
+    ``(mid*7 + i) % 256``; width ``8 + mid%8``, height ``8 + mid%5``,
+    RGB/RGBA alternating by parity. Runs as an Arrow-batched mapInPandas —
+    the same plumbing a real media-ingest UDF uses."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h, c = 8 + mid % 8, 8 + mid % 5, 3 + mid % 2
+                px = bytes((mid * 7 + i) % 256 for i in range(w * h * c))
+                ids.append(mid)
+                blobs.append(encode_png(w, h, c, px))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    return df.select(id_col).mapInPandas(gen, schema="media_id bigint, content binary")
+
+
+def decode_image_pixels(
+    df: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """Full pixel decode of PNG binary columns through ``mapInPandas``
+    (Arrow-batched): inflate + unfilter, emitting dimensions, channel count
+    and a position-weighted pixel checksum. Non-PNG or codec-requiring
+    inputs land in the ``error`` column per row — the job never fails."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                k: []
+                for k in (
+                    "media_id",
+                    "width",
+                    "height",
+                    "n_channels",
+                    "pixel_checksum",
+                    "decoded",
+                    "error",
+                )
+            }
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                rec = dict(
+                    media_id=int(mid), width=None, height=None, n_channels=None,
+                    pixel_checksum=None, decoded=False, error=None,
+                )
+                try:
+                    d = decode_png_pixels(blob)
+                    rec.update(
+                        width=d["width"], height=d["height"],
+                        n_channels=d["n_channels"],
+                        pixel_checksum=pixel_checksum(d["pixels"]), decoded=True,
+                    )
+                except Exception as exc:  # noqa: BLE001
+                    rec["error"] = f"{type(exc).__name__}: {exc}"
+                for k, v in rec.items():
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, content_col).mapInPandas(decode, schema=DECODE_PIXELS_SCHEMA)
+
+
 def frame_sample(
     df: DataFrame,
     n_frames: int = 4,

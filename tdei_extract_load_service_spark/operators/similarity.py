@@ -203,6 +203,103 @@ def kmeans_centroids(
     return cents
 
 
+def kmeans_centroids_exact(
+    df: DataFrame, id_col: str, vec_col: str, k: int, iters: int = 2, dim: int | None = None
+) -> list[dict]:
+    """Deterministic, engine-reproducible Lloyd iterations; returns the
+    driver-side model (list of {centroid_id, centroid_vec} dicts).
+
+    Reproducibility design (what makes this oracle-checkable in SQL):
+
+    - seeds: the ``k`` lowest-id vectors (no RNG);
+    - assignment: the shuffle-free ``ivf_assign_model`` argmax — cosine
+      rounded to 6, centroid_id-asc tiebreak, identical to the oracle's
+      ``QUALIFY row_number()`` form;
+    - update: component mean as ``round(cast(sum(decimal(25,12)) as
+      double) / count, 9)``. DECIMAL addition is exact and therefore
+      order-independent — a plain double ``avg`` varies with partition
+      order and would diverge between engines — so both engines derive
+      bit-identical centroid literals, and every downstream dot product
+      stays bit-identical too. Empty clusters keep their previous centroid.
+
+    Scale: the shuffle carries k x dim decimal partial sums per task
+    (map-side combine), never the vectors; the driver holds only the
+    k x dim model between passes.
+    """
+    if dim is None:
+        dim = len(df.select(_col(vec_col)).first()[0])
+    seed_rows = ivf_centroids(df, id_col, vec_col, k).collect()
+    model = {
+        int(r["centroid_id"]): [float(x) for x in r["centroid_vec"]] for r in seed_rows
+    }
+    rows = [{"centroid_id": cid, "centroid_vec": v} for cid, v in sorted(model.items())]
+    for _ in range(iters):
+        assigned = ivf_assign_model(df, rows, id_col, vec_col)
+        n = F.count(F.lit(1))
+        means = (
+            assigned.groupBy("centroid_id")
+            .agg(
+                *[
+                    F.round(
+                        F.sum(
+                            F.col("vec")[i].cast("double").cast("decimal(25,12)")
+                        ).cast("double")
+                        / n,
+                        9,
+                    ).alias(f"m{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        for r in means:
+            model[int(r["centroid_id"])] = [float(r[f"m{i}"]) for i in range(dim)]
+        rows = [
+            {"centroid_id": cid, "centroid_vec": v} for cid, v in sorted(model.items())
+        ]
+    return rows
+
+
+def ivf_topk_model(
+    df: DataFrame,
+    model_rows: list,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF probe + exact re-rank against an already-built centroid model
+    (see ``ivf_topk`` for the plan shape: one distributed pass, no joins,
+    no shuffles)."""
+    import math
+
+    assigned = ivf_assign_model(df, model_rows, id_col, vec_col)
+
+    def _dot(a: list[float], b: list[float]) -> float:
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    qv = [float(v) for v in query_vec]
+    qn = math.sqrt(_dot(qv, qv))
+    scored = []
+    for r in model_rows:
+        cv = [float(x) for x in r["centroid_vec"]]
+        qsim = round(_dot(cv, qv) / (math.sqrt(_dot(cv, cv)) * qn), 6)
+        scored.append((-qsim, int(r["centroid_id"])))
+    probe_ids = [cid for _, cid in sorted(scored)[:n_probe]]
+
+    candidates = assigned.where(F.col("centroid_id").isin(probe_ids))
+    sim = F.round(cosine_similarity(F.col("vec"), _vec_lit(query_vec)), 6)
+    return (
+        candidates.select(F.col("id"), sim.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("id").asc())
+        .limit(k)
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str,
@@ -225,33 +322,8 @@ def ivf_topk(
     Driver-side probe cosine accumulates in position order — bit-identical
     to the engines' left-to-right folds, so the probed id set matches the
     SQL oracle exactly."""
-    import math
-
     rows = ivf_centroids(df, id_col, vec_col, num_centroids).collect()
-    assigned = ivf_assign_model(df, rows, id_col, vec_col)
-
-    def _dot(a: list[float], b: list[float]) -> float:
-        s = 0.0
-        for x, y in zip(a, b):
-            s += x * y
-        return s
-
-    qv = [float(v) for v in query_vec]
-    qn = math.sqrt(_dot(qv, qv))
-    scored = []
-    for r in rows:
-        cv = [float(x) for x in r["centroid_vec"]]
-        qsim = round(_dot(cv, qv) / (math.sqrt(_dot(cv, cv)) * qn), 6)
-        scored.append((-qsim, int(r["centroid_id"])))
-    probe_ids = [cid for _, cid in sorted(scored)[:n_probe]]
-
-    candidates = assigned.where(F.col("centroid_id").isin(probe_ids))
-    sim = F.round(cosine_similarity(F.col("vec"), _vec_lit(query_vec)), 6)
-    return (
-        candidates.select(F.col("id"), sim.alias("cosine"))
-        .orderBy(F.col("cosine").desc(), F.col("id").asc())
-        .limit(k)
-    )
+    return ivf_topk_model(df, rows, id_col, vec_col, query_vec, k=k, n_probe=n_probe)
 
 
 def lsh_plane(dim: int, plane_idx: int) -> Column:

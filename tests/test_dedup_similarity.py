@@ -198,3 +198,35 @@ def test_dedup_clusters_long_chain_converges(spark):
     pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long")
     out = {r.doc_id: r.cluster_id for r in D.dedup_clusters(ids, pairs, "doc_id", max_iter=25).collect()}
     assert out == {i: 0 for i in range(n)}
+
+
+def test_kmeans_exact_model_is_run_invariant(spark):
+    """kmeans_centroids_exact must return the identical model on repeated
+    runs regardless of partitioning — the property the SQL oracle twin
+    depends on (exact decimal sums are order-independent)."""
+    from tdei_extract_load_service_spark.operators.similarity import kmeans_centroids_exact
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    m1 = kmeans_centroids_exact(emb, "vec_id", "embedding", k=4, iters=2, dim=64)
+    m2 = kmeans_centroids_exact(
+        emb.repartition(7), "vec_id", "embedding", k=4, iters=2, dim=64
+    )
+    assert m1 == m2
+    assert len(m1) == 4 and all(len(r["centroid_vec"]) == 64 for r in m1)
+
+
+def test_ivf_kmeans_recall_not_worse_than_bootstrap(spark):
+    """Trained centroids should place the true top-1 in the probed lists at
+    least as reliably as the fixed-subset bootstrap on the fixture."""
+    from tdei_extract_load_service_spark.operators.similarity import (
+        ivf_topk_model,
+        kmeans_centroids_exact,
+        topk_cosine,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    model = kmeans_centroids_exact(emb, "vec_id", "embedding", k=8, iters=2, dim=64)
+    approx = ivf_topk_model(emb, model, "vec_id", "embedding", qv, k=10, n_probe=2)
+    exact_top1 = topk_cosine(emb, "vec_id", "embedding", qv, k=1).first()["id"]
+    assert exact_top1 in {r["id"] for r in approx.collect()}

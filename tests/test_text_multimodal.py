@@ -163,3 +163,46 @@ def test_decode_image_unknown_format_keeps_stub_boundary(spark):
         import PIL  # noqa: F401
     except ImportError:
         assert not out.decoded and "NotImplementedError" in out.error
+
+
+def test_png_pixel_roundtrip_all_filters():
+    """encode_png rotates every PNG filter type across scanlines; the
+    decoder must reverse all five to reproduce pixels exactly."""
+    from tdei_extract_load_service_spark.multimodal.binary_ops import (
+        decode_png_pixels,
+        encode_png,
+        pixel_checksum,
+    )
+
+    for mid in (0, 1, 2, 3, 4, 7, 11, 499):
+        w, h, c = 8 + mid % 8, 8 + mid % 5, 3 + mid % 2
+        px = bytes((mid * 7 + i) % 256 for i in range(w * h * c))
+        d = decode_png_pixels(encode_png(w, h, c, px))
+        assert (d["width"], d["height"], d["n_channels"]) == (w, h, c)
+        assert d["pixels"] == px
+        assert pixel_checksum(px) == sum(b * (i + 1) for i, b in enumerate(px))
+
+
+def test_png_pixel_decode_rejects_codec_formats():
+    import pytest as _pytest
+
+    from tdei_extract_load_service_spark.multimodal.binary_ops import decode_png_pixels
+
+    with _pytest.raises(ValueError, match="signature"):
+        decode_png_pixels(b"\xff\xd8\xff\xe0 not a png")
+
+
+def test_decode_image_pixels_spark_plumbing(spark):
+    """mapInPandas plumbing: fixtures generate, decode, and a malformed
+    blob lands in the error column without failing the job."""
+    from tdei_extract_load_service_spark.multimodal.binary_ops import (
+        decode_image_pixels,
+        synth_png,
+    )
+
+    ids = spark.range(0, 20).withColumnRenamed("id", "media_id")
+    ok = decode_image_pixels(synth_png(ids, "media_id")).collect()
+    assert len(ok) == 20 and all(r["decoded"] for r in ok)
+    bad = spark.createDataFrame([(1, bytearray(b"nope"))], "media_id bigint, content binary")
+    rows = decode_image_pixels(bad).collect()
+    assert rows[0]["decoded"] is False and "ValueError" in rows[0]["error"]
