@@ -561,24 +561,29 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + LSH(16 bands) candidate pairs with estimated
     Jaccard >= 0.5. xxhash64-seeded — deterministic but not
     SQL-mirrorable in DuckDB (no xxhash64), so rows-only check; exactness
-    is cross-validated against dedup_ngram_jaccard in tests."""
+    is cross-validated against dedup_ngram_jaccard in tests.
+
+    No global sort: the rows-only check counts rows, and a final orderBy
+    costs a full extra execution of the join pipeline for range-partition
+    sampling (measured ~3s of the cold run at sf0.1)."""
     from tdei_extract_load_service_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
         _read(spark, sf_dir, "documents"), "doc_id", "text",
         num_hashes=64, bands=16, n=3, threshold=0.5,
-    ).orderBy("doc_a", "doc_b")
+    )
 
 
 @register("dedup_simhash", None)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(64-bit) near-dup pairs with Hamming <= 6 via 16-bit chunk
-    blocking. xxhash64-based -> rows-only check (validated in tests)."""
+    blocking. xxhash64-based -> rows-only check (validated in tests).
+    No global sort — rows-only check, see dedup_minhash_lsh."""
     from tdei_extract_load_service_spark.operators.dedup import simhash_pairs
 
     return simhash_pairs(
         _read(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=6
-    ).orderBy("doc_a", "doc_b")
+    )
 
 
 @register(

@@ -148,54 +148,27 @@ def ngram_jaccard_pairs(
 
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
     """MinHash signature as array<bigint>: position i is
-    ``min over shingles of g_i(shingle)`` where
-    ``g_i(s) = h1(s) XOR rotl(h2(s), i)`` — the two-base-hash derivation
-    (Kirsch-Mitzenmacher-style): each shingle's STRING is hashed exactly
-    twice, and the other ``num_hashes - 2`` functions cost three bitwise
-    ops each, vs re-hashing the full string per seed (``num_hashes``x the
-    string work). Rotate-XOR instead of the classic ``h1 + i*h2`` keeps
-    the family overflow-free, so it runs identically under ANSI mode.
+    ``min(xxhash64(shingle, i))`` (the seed rides as an extra hashed value,
+    which is ANSI-safe — no arithmetic at all).
 
-    Single fold over the pre-hashed shingles with a ``num_hashes``-wide
-    accumulator — one pass, no explode, no shuffle, and a compact
-    expression tree (the naive ``num_hashes x array_min(transform(...))``
-    formulation generates an expression per seed and overwhelms codegen:
-    measured 212s vs ~3s at sf0.1)."""
+    Single fold over the shingles with a ``num_hashes``-wide accumulator —
+    one pass, no explode, no shuffle, and a compact expression tree (the
+    naive ``num_hashes x array_min(transform(...))`` formulation generates
+    an expression per seed and overwhelms codegen: measured 212s vs ~3s at
+    sf0.1).
+
+    Measured A/B note: a Kirsch-Mitzenmacher-style two-base-hash family
+    (``h1 XOR rotl(h2, i)``) that hashes each shingle string only twice
+    was tried and is ~1.6x SLOWER here (2.09s vs 1.28s signature-only at
+    sf0.1) — the array<struct> intermediate plus a 64-wide derived array
+    per shingle costs codegen more than 64 cheap re-hashes of short
+    shingle strings. Measurements beat derivation-count arithmetic."""
     max_long = (1 << 63) - 1
-
-    if num_hashes > 64:
-        raise ValueError("rotate-XOR family supports at most 64 derived hashes")
-
-    # h1/h2 materialize ONCE per shingle (an array<struct> intermediate);
-    # referencing a materialized struct field doesn't re-evaluate the hash,
-    # whereas inlining xxhash64(s) into all 64 slots would re-hash the
-    # string per slot.
-    hashed = F.transform(
-        shingles,
-        lambda s: F.struct(F.xxhash64(s).alias("h1"), F.xxhash64(s, F.lit(1)).alias("h2")),
-    )
-
-    # rotl(h2, i) for a 64-bit long: (h2 << i) | (h2 >>> (64 - i)); shift
-    # amounts are Python constants (the function API requires literal
-    # shifts), so the whole g-array is one expression evaluated once per
-    # shingle.
-    def g_array(h: Column) -> Column:
-        h1, h2 = h["h1"], h["h2"]
-        return F.array(
-            *[
-                h1.bitwiseXOR(
-                    F.shiftleft(h2, i).bitwiseOR(F.shiftrightunsigned(h2, 64 - i))
-                    if i
-                    else h2
-                )
-                for i in range(num_hashes)
-            ]
-        )
-
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
     return F.aggregate(
-        F.transform(hashed, g_array),
+        shingles,
         F.array_repeat(F.lit(max_long), num_hashes),
-        lambda acc, g: F.zip_with(acc, g, lambda m, v: F.least(m, v)),
+        lambda acc, s: F.zip_with(acc, seeds, lambda m, seed: F.least(m, F.xxhash64(s, seed))),
     )
 
 
@@ -207,6 +180,8 @@ def minhash_lsh_pairs(
     bands: int = 16,
     n: int = 3,
     threshold: float = 0.5,
+    slim: bool = False,
+    caches: list | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash LSH, scored by estimated
     Jaccard (fraction of agreeing signature positions).
@@ -216,28 +191,74 @@ def minhash_lsh_pairs(
     in ≥1 band meet in the join — the classic MinHash/LSH scheme
     (Broder '97; Leskovec-Rajaraman-Ullman ch.3), here as pure DataFrame
     ops so the bucket join shuffles hashes, not documents.
+
+    ``slim=True`` switches the band self-join to the metadata-only shape
+    (24 B/row shuffle, sigs re-joined post-dedup) for corpora where the
+    sig x bands shuffle volume dominates; default carries the sigs through
+    the join (measured 2.5x faster up to 10x sf0.1 — see shape comment
+    below).
+
+    The (id, sig) frame is persisted for the self-join; pass ``caches`` (a
+    list) to receive it for unpersisting after the consuming action —
+    otherwise it lives until session LRU eviction (long-lived sessions,
+    e.g. the queue consumer, should pass it).
     """
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     sig = spread(df).select(
         _col(id_col).alias("id"),
         minhash_signature(word_shingles(text_col, n), num_hashes).alias("sig"),
-    ).persist()
-    candidates = lsh_band_candidates(sig, num_hashes, bands)
-    # join the signatures back onto the deduplicated candidate set instead
-    # of carrying the 64-long sig through the band self-join. The sig side
-    # is corpus-sized — shuffle_hash pins a key-partitioned join so the
-    # optimizer can never try to broadcast it (measured: a 10x corpus blew
-    # the broadcast build memory)
-    scored = (
-        candidates.join(
-            sig.select(F.col("id").alias("doc_a"), F.col("sig").alias("sig_a")).hint("shuffle_hash"),
-            "doc_a",
-        ).join(
-            sig.select(F.col("id").alias("doc_b"), F.col("sig").alias("sig_b")).hint("shuffle_hash"),
-            "doc_b",
-        )
     )
+    if slim:
+        sig = sig.persist()
+        if caches is not None:
+            caches.append(sig)
+        # slim shape: the band self-join shuffles only (id, band, bucket) —
+        # 24 B/row — and the 64-long sigs re-join onto the deduplicated
+        # candidate set afterwards. shuffle_hash pins a key-partitioned
+        # join so the optimizer can never broadcast the corpus-sized sig
+        # side (measured: a 10x corpus blew the broadcast build memory).
+        candidates = lsh_band_candidates(sig, num_hashes, bands)
+        scored = (
+            candidates.join(
+                sig.select(F.col("id").alias("doc_a"), F.col("sig").alias("sig_a")).hint("shuffle_hash"),
+                "doc_a",
+            ).join(
+                sig.select(F.col("id").alias("doc_b"), F.col("sig").alias("sig_b")).hint("shuffle_hash"),
+                "doc_b",
+            )
+        )
+    else:
+        # default carry shape: sigs ride the band self-join, no re-joins.
+        # Measured at sf0.1 (min of 3): carry ~2.3s vs slim ~5.7s — the
+        # slim shape's two extra join stages dominate until the sig x bands
+        # shuffle volume (~8 KB/doc at 64 hashes x 16 bands) itself becomes
+        # the bottleneck (dup-skewed corpora: at a 979x pair blowup slim
+        # measured 2x faster — pick slim=True there). The exploded banded
+        # frame persists so the signature fold runs once and both join
+        # sides read the same materialized partitions (measured faster
+        # cold than persisting narrow (id, sig) and re-exploding per side).
+        banded = sig.select(
+            "id", "sig", F.posexplode(_band_hashes(num_hashes, bands)).alias("band", "bucket")
+        ).persist()
+        if caches is not None:
+            caches.append(banded)
+        a, b = banded.alias("a"), banded.hint("shuffle_hash").alias("b")
+        scored = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(
+                F.col("a.id").alias("doc_a"),
+                F.col("b.id").alias("doc_b"),
+                F.col("a.sig").alias("sig_a"),
+                F.col("b.sig").alias("sig_b"),
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
     est = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
     ) / F.lit(num_hashes)
@@ -245,6 +266,24 @@ def minhash_lsh_pairs(
         scored.withColumn("est_jaccard", F.round(est, 6))
         .where(F.col("est_jaccard") >= threshold)
         .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def _band_hashes(num_hashes: int, bands: int) -> Column:
+    """Per-band bucket ids from a ``sig`` column: xxhash64 of the band's
+    row slice (comma-joined) salted with the band index."""
+    rows_per_band = num_hashes // bands
+    return F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(",", *[
+                    F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                    for r in range(rows_per_band)
+                ]),
+                F.lit(b),
+            )
+            for b in range(bands)
+        ]
     )
 
 
@@ -257,20 +296,7 @@ def lsh_band_candidates(sig_df: DataFrame, num_hashes: int, bands: int) -> DataF
     dedup) and never the documents. At 100 TB this is the difference
     between a metadata-sized shuffle and replicating every signature x
     bands across the wire."""
-    rows_per_band = num_hashes // bands
-    band_hashes = F.array(
-        *[
-            F.xxhash64(
-                F.concat_ws(",", *[
-                    F.element_at("sig", b * rows_per_band + r + 1).cast("string")
-                    for r in range(rows_per_band)
-                ]),
-                F.lit(b),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sig_df.select("id", F.posexplode(band_hashes).alias("band", "bucket"))
+    banded = sig_df.select("id", F.posexplode(_band_hashes(num_hashes, bands)).alias("band", "bucket"))
     a, b = banded.alias("a"), banded.hint("shuffle_hash").alias("b")
     return (
         a.join(
@@ -401,10 +427,11 @@ def dedup_clusters(
     labels = ids.select(
         _col(id_col).alias("node"), _col(id_col).alias("label")
     ).localCheckpoint(eager=True)
-    # labels only ever DECREASE (least of own + neighborhood), so the label
-    # sum is a convergence witness: unchanged sum <=> no label moved. One
-    # cheap agg per round instead of an old-vs-new join.
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    # convergence witness: a per-row changed flag summed each round (zero
+    # changes <=> fixed point). A 0/1 sum is overflow-proof under ANSI for
+    # any corpus size, unlike the earlier sum(label)-delta witness, which
+    # could throw (ANSI) or in principle alias to 0 mod 2^64 (non-ANSI) on
+    # bigint doc ids.
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels.hint("shuffle_hash"), edges["dst"] == labels["node"])
@@ -416,13 +443,16 @@ def dedup_clusters(
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+                (F.coalesce(F.col("nmin"), F.col("label")) < F.col("label"))
+                .cast("long")
+                .alias("_changed"),
             )
             .localCheckpoint(eager=True)
         )
-        new_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if new_sum == prev_sum:
+        n_changed = labels.agg(F.sum("_changed")).collect()[0][0]
+        labels = labels.drop("_changed")
+        if n_changed == 0:
             break
-        prev_sum = new_sum
     edges.unpersist()
     pairs_p.unpersist()
     return labels.select(_col("node").alias(id_col), F.col("label").alias("cluster_id"))
@@ -470,13 +500,23 @@ def lsh_verified_pairs(
     threshold: float = 0.8,
     num_hashes: int = 64,
     bands: int = 16,
+    caches: list | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate generation + EXACT Jaccard verification — the
     production near-dup shape at 100 TB: the quadratic-ish inverted-index
     join is replaced by LSH bucketing (misses a θ-pair with probability
     ``(1-θ^r)^b`` ≈ 2e-4 at θ=0.8 with 16×4 bands), and every surviving
     candidate is then scored exactly on its true shingle sets, so emitted
-    pairs carry no estimation error."""
+    pairs carry no estimation error.
+
+    Unlike ``minhash_lsh_pairs`` the band join here is always the slim
+    (id, band, bucket) shape: the things re-joined for verification are the
+    full shingle SETS, which are far too wide to ride a x-bands self-join.
+
+    Two corpus-sized frames persist for the duration of the query; pass
+    ``caches`` (a list) to receive them for unpersisting after the
+    consuming action (long-lived sessions should — otherwise they stay
+    cached until LRU eviction)."""
     # shingle ONCE: the same persisted (id, shingles) frame feeds both the
     # signature fold and the exact-verify joins (one pass over the corpus,
     # not three). Candidates skip estimate scoring entirely — the exact
@@ -487,6 +527,8 @@ def lsh_verified_pairs(
     # sig persists too: the band self-join references it on both sides and
     # the signature fold must run once per doc, not twice
     sig = sh.select("id", minhash_signature(F.col("sh"), num_hashes).alias("sig")).persist()
+    if caches is not None:
+        caches.extend([sh, sig])
     candidates = lsh_band_candidates(sig, num_hashes, bands)
     # shuffle_hash: the shingle-set side is corpus-sized (every doc's full
     # shingle array) — it must never be broadcast-built (measured OOM at a

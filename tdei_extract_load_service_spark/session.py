@@ -47,9 +47,18 @@ def get_spark(
     executors via spark-submit.
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
+    # local-mode is ONE JVM whose heap defaults to 1g — i.e. ~13 MB of
+    # execution memory per task at 32 concurrent tasks, which forbids any
+    # per-partition hash build (a shuffled-hash join build OOMs on tens of
+    # MB). 8g ~= 250 MB/task — still far leaner than a real 32-core
+    # executor (which gets 64-128 GB), so plans proven here have headroom,
+    # not the other way round. Takes effect only at JVM launch; ignored on
+    # session reuse.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
     builder = (
         SparkSession.builder.master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
         .appName(app_name)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -30,6 +30,7 @@ QUERIES = (
     "text_fingerprint",
     "window_tumbling",
     "dedup_lsh_verified",
+    "dedup_minhash_lsh",
     "similarity_ivf",
     "quantiles",
     "join_range",
@@ -79,14 +80,25 @@ def build(spark, out_dir: str, replication: int) -> None:
             spark.read.parquet(os.path.join(SF_DIR, f"{t}.parquet")).write.mode("overwrite").parquet(d)
 
 
-def run(spark, sf_dir: str) -> dict[str, float]:
+def run(spark, sf_dir: str) -> dict[str, tuple[float, int]]:
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     from tdei_extract_load_service_spark.catalog import REGISTRY
 
     out = {}
     for name in QUERIES:
+        obs = Observation()
         t0 = time.perf_counter()
-        REGISTRY[name].query(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        out[name] = round(time.perf_counter() - t0, 2)
+        (
+            REGISTRY[name]
+            .query(spark, sf_dir)
+            .observe(obs, F.count(F.lit(1)).alias("rows"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        out[name] = (round(time.perf_counter() - t0, 2), int(obs.get["rows"]))
     return out
 
 
@@ -99,10 +111,23 @@ def main() -> None:
     build(spark, scaled_dir, replication)
     base = run(spark, SF_DIR)
     scaled = run(spark, scaled_dir)
-    print(f"{'query':28s} {'sf0.1':>8s} {'x' + str(replication):>8s} {'ratio':>6s}")
+    # rows ratio matters for the dedup family: replicated corpora carry
+    # identical text under shifted ids, so near-dup PAIR volume grows
+    # ~quadratically in the replication factor (e.g. ~1000x pairs at 10x
+    # docs) — read the time ratio against the output-rows ratio, not
+    # against the input growth alone.
+    print(
+        f"{'query':28s} {'sf0.1':>8s} {'x' + str(replication):>8s} {'ratio':>6s}"
+        f" {'rows0':>10s} {'rowsN':>10s} {'rows_ratio':>10s}"
+    )
     for name in QUERIES:
-        ratio = scaled[name] / base[name] if base[name] else float("inf")
-        print(f"{name:28s} {base[name]:8.2f} {scaled[name]:8.2f} {ratio:6.1f}")
+        (t_base, n_base), (t_scaled, n_scaled) = base[name], scaled[name]
+        ratio = t_scaled / t_base if t_base else float("inf")
+        rows_ratio = (n_scaled / n_base) if n_base else float("inf")
+        print(
+            f"{name:28s} {t_base:8.2f} {t_scaled:8.2f} {ratio:6.1f}"
+            f" {n_base:10d} {n_scaled:10d} {rows_ratio:10.1f}"
+        )
 
 
 if __name__ == "__main__":
