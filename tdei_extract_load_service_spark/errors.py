@@ -65,17 +65,36 @@ def _java_sqlstates(exc: BaseException) -> list[str]:
     return states
 
 
+#: SQLSTATE as actually rendered by JDBC drivers / Spark error text —
+#: anchored so a data value or row count that happens to contain the digit
+#: run (e.g. an id 4235051) can never be misclassified as a violation.
+#: Matches "SQLState: 23505", "SQLSTATE=23505", "ERROR 23505", or the
+#: Derby/PG style bracketed "[23505]" / quoted "'23505'" renderings.
+_STATE_RE_TEMPLATE = (
+    r"(?:SQL\s?STATE\s*[:=]?\s*|ERROR\s+|\[|')({code})(?![0-9])"
+)
+
+
+def _state_in_text(code: str, text: str) -> bool:
+    import re
+
+    return re.search(_STATE_RE_TEMPLATE.format(code=code), text, re.IGNORECASE) is not None
+
+
 def classify_db_error(exc: BaseException) -> BaseException:
     """Return the typed exception for a JDBC failure, or ``exc`` unchanged.
 
     Mirrors the reference switch (data-source.ts:96-107): only the two
     integrity codes are normalized; everything else propagates as-is.
+    Primary signal is the Java ``getSQLState()`` chain walk; the text
+    fallback (executor-side failures arrive flattened into the message)
+    requires an anchored SQLSTATE rendering, not a bare substring.
     """
     states = _java_sqlstates(exc)
     text = str(exc)
-    if UNIQUE_VIOLATION in states or UNIQUE_VIOLATION in text:
+    if UNIQUE_VIOLATION in states or _state_in_text(UNIQUE_VIOLATION, text):
         return DuplicateKeyError("Duplicate", UNIQUE_VIOLATION)
-    if FOREIGN_KEY_VIOLATION in states or FOREIGN_KEY_VIOLATION in text:
+    if FOREIGN_KEY_VIOLATION in states or _state_in_text(FOREIGN_KEY_VIOLATION, text):
         # the reference forwards the violated constraint name; the JDBC
         # message carries it — forward the first line as context
         first_line = text.splitlines()[0] if text else "foreign key violation"

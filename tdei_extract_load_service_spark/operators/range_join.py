@@ -48,14 +48,28 @@ def bucketed_range_join(
     ``lo <= point < hi`` (hi exclusive). Numeric columns (use epoch
     micros for timestamps). Returns the joined frame with all columns of
     both inputs.
+
+    ``how`` accepts the point-preserving joins only (inner / left /
+    left_semi / left_anti): the exact range predicate is part of the JOIN
+    CONDITION, so a left join null-extends points with no containing
+    interval exactly once. right/full are rejected — the interval side is
+    replicated per bucket it spans, so an unmatched interval would emit
+    one null-extended row per replica, which is not the semantics anyone
+    wants from this operator.
     """
     if bucket_width <= 0:
         raise ValueError("bucket_width must be positive")
-    p = points.withColumn("_bucket", F.floor(_col(point_col) / bucket_width))
+    allowed = {"inner", "left", "left_outer", "left_semi", "semi", "left_anti", "anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"bucketed_range_join supports {sorted(allowed)}; '{how}' would emit "
+            "one row per bucket replica of an unmatched interval"
+        )
+    p = points.withColumn("_pbucket", F.floor(_col(point_col) / bucket_width))
     # hi is exclusive: an interval ending exactly on a bucket boundary does
     # not cover that next bucket, hence the -1
     iv = intervals.withColumn(
-        "_bucket",
+        "_ibucket",
         F.explode(
             F.sequence(
                 F.floor(_col(lo_col) / bucket_width),
@@ -63,7 +77,9 @@ def bucketed_range_join(
             )
         ),
     )
-    joined = p.join(iv, "_bucket", how).where(
-        (_col(point_col) >= _col(lo_col)) & (_col(point_col) < _col(hi_col))
+    cond = (
+        (F.col("_pbucket") == F.col("_ibucket"))
+        & (_col(point_col) >= _col(lo_col))
+        & (_col(point_col) < _col(hi_col))
     )
-    return joined.drop("_bucket")
+    return p.join(iv, cond, how).drop("_pbucket", "_ibucket")

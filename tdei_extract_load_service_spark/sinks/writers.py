@@ -214,7 +214,11 @@ def blob_upload_layout(
     if hive_style:
         return
     # flatten k=v directory names level by level, depth-first so children
-    # are renamed before their parents' paths change
+    # are renamed before their parents' paths change. A second append into
+    # an already-flattened base finds the raw target directory existing
+    # (e.g. '2026' from the prior call) — merge-move the children into it
+    # instead of renaming the directory itself, which would raise
+    # ENOTEMPTY mid-walk and leave a mixed half-renamed layout.
     levels: list[tuple[str, int]] = [(base_path, 0)]
     while levels:
         current, depth = levels.pop()
@@ -226,8 +230,23 @@ def blob_upload_layout(
             if not (os.path.isdir(full) and name.startswith(prefix)):
                 continue
             raw = os.path.join(current, name[len(prefix):])
-            os.rename(full, raw)
+            _merge_move(full, raw)
             levels.append((raw, depth + 1))
+
+
+def _merge_move(src: str, dst: str) -> None:
+    """Move ``src`` to ``dst``; when ``dst`` already exists as a directory,
+    recursively merge the children (part-file names are task-unique, so
+    real collisions only happen for marker files, which last-write-wins)."""
+    if not os.path.exists(dst):
+        os.rename(src, dst)
+        return
+    if os.path.isfile(src) or os.path.isfile(dst):
+        os.replace(src, dst)
+        return
+    for child in os.listdir(src):
+        _merge_move(os.path.join(src, child), os.path.join(dst, child))
+    os.rmdir(src)
 
 
 def delete_by_key(path: str, key_value: str, key_col: str = "tdei_dataset_id") -> None:

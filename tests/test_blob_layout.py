@@ -68,3 +68,32 @@ def test_compact_table_reduces_files_preserves_rows(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 10_000
     assert back.agg(F.sum(F.crc32("payload"))).collect()[0][0] == checksum_before
+
+
+def test_blob_layout_double_append_merges(spark, tmp_path):
+    """A second append into an already-flattened base must merge into the
+    existing raw directories, not crash on ENOTEMPTY (ADVICE r2)."""
+    from tdei_extract_load_service_spark.sinks.writers import blob_upload_layout
+
+    base = str(tmp_path / "blob2")
+    df1 = spark.createDataFrame(
+        [("p1", "r1", "2026-03-05 10:00:00")], "project_group_id string, record_id string, ts string"
+    ).withColumn("ts", __import__("pyspark.sql.functions", fromlist=["F"]).to_timestamp("ts"))
+    blob_upload_layout(df1, base, ts_col="ts")
+    df2 = spark.createDataFrame(
+        [("p1", "r2", "2026-03-07 10:00:00"), ("p2", "r1", "2026-04-01 00:00:00")],
+        "project_group_id string, record_id string, ts string",
+    ).withColumn("ts", __import__("pyspark.sql.functions", fromlist=["F"]).to_timestamp("ts"))
+    blob_upload_layout(df2, base, ts_col="ts")  # must not raise
+    import os
+
+    assert sorted(os.listdir(os.path.join(base, "2026"))) == ["3", "4"]
+    assert sorted(os.listdir(os.path.join(base, "2026", "3"))) == ["p1"]
+    assert sorted(os.listdir(os.path.join(base, "2026", "3", "p1"))) == ["r1", "r2"]
+    # both appends' rows are all readable back
+    rows = spark.read.parquet(
+        os.path.join(base, "2026", "3", "p1", "r1"),
+        os.path.join(base, "2026", "3", "p1", "r2"),
+        os.path.join(base, "2026", "4", "p2", "r1"),
+    ).count()
+    assert rows == 3

@@ -40,3 +40,22 @@ def test_approx_count_distinct_error_bound(spark):
         F.countDistinct("l_partkey").alias("exact"),
     ).collect()[0]
     assert abs(row.approx - row.exact) / row.exact < 0.1  # 5 sigma at rsd=0.02
+
+
+def test_range_join_left_outer_null_extends(spark):
+    """how='left' keeps points with no containing interval (exactly once,
+    null-extended) — the exact predicate is part of the join condition."""
+    from tdei_extract_load_service_spark.operators.range_join import bucketed_range_join
+
+    points = spark.createDataFrame([(1, 5), (2, 55), (3, 205)], "pid int, p int")
+    intervals = spark.createDataFrame([(100, 0, 60)], "iid int, lo int, hi int")
+    out = bucketed_range_join(points, intervals, "p", "lo", "hi", bucket_width=10, how="left")
+    rows = {r["pid"]: r for r in out.collect()}
+    assert len(rows) == 3
+    assert rows[1]["iid"] == 100 and rows[2]["iid"] == 100
+    assert rows[3]["iid"] is None and rows[3]["lo"] is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="replica"):
+        bucketed_range_join(points, intervals, "p", "lo", "hi", 10, how="right")

@@ -108,3 +108,23 @@ def test_foreign_key_maps_to_typed_error(spark, derby_url):
     with pytest.raises(ForeignKeyError) as err:
         write_batched(orphan, jdbc_url=derby_url, table="ext_feature", mode="append")
     assert err.value.sqlstate == "23503"
+
+
+def test_classify_db_error_no_substring_false_positive():
+    """A failure whose message merely CONTAINS the digit run 23505 (a data
+    value) must not be rewritten into DuplicateKeyError (ADVICE r2)."""
+    from tdei_extract_load_service_spark.errors import (
+        DuplicateKeyError,
+        ForeignKeyError,
+        classify_db_error,
+    )
+
+    innocent = RuntimeError("task failed processing row id 4235051 at offset 235037")
+    assert classify_db_error(innocent) is innocent
+
+    rendered = RuntimeError("java.sql.SQLException: duplicate key; SQLState: 23505 code 0")
+    assert isinstance(classify_db_error(rendered), DuplicateKeyError)
+    bracket = RuntimeError("ERROR: insert violates foreign key [23503] on table x")
+    assert isinstance(classify_db_error(bracket), ForeignKeyError)
+    pg_style = RuntimeError("org.postgresql.util.PSQLException: ERROR 23505: duplicate key")
+    assert isinstance(classify_db_error(pg_style), DuplicateKeyError)
