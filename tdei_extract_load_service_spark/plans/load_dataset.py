@@ -212,6 +212,7 @@ def load_dataset(
         gate = entries.agg(
             F.count("*").alias("n"),
             F.min(F.when(is_bad, F.col("entry"))).alias("bad_entry"),
+            F.count(F.when(F.col("kind") == "extension", 1)).alias("n_ext"),
         ).collect()[0]
         n_entries = gate["n"]
         if n_entries == 0:
@@ -227,6 +228,14 @@ def load_dataset(
         # -- transform: features + per-kind routing ---------------------
         t0 = time.perf_counter()
         features = explode_features(entries)
+        # explode-skew fix: feature rows inherit the ENTRY partitioning
+        # (one task per input file), so one giant .geojson would pin its
+        # millions of features to a single core through the whole
+        # parse/transform. A round-robin shuffle of the raw feature text
+        # right after the explode spreads the per-feature work across the
+        # cluster; its cost is one pass over bytes we are about to parse,
+        # re-serialize and write anyway.
+        features = features.repartition(spark.sparkContext.defaultParallelism)
         features = transform_features(features, fidelity=fidelity)
         features = features.withColumns(
             {
@@ -277,37 +286,43 @@ def load_dataset(
 
         # extension-file registration (O16, extract-load-service.ts:515-536):
         # one row per extension entry, created even when it has 0 features
-        # (empty-insert fallback O14, :230)
-        ext_entries = entries.where(F.col("kind") == "extension")
-        ext_files = ext_entries.select(
-            F.xxhash64(F.lit(tdei_dataset_id), F.col("entry")).alias("id"),
-            F.lit(tdei_dataset_id).alias("tdei_dataset_id"),
-            F.regexp_extract(F.element_at(F.split("entry", "/"), -1), r"^(.*?)(\.[^.]*)?$", 1).alias("name"),
-            _meta_json_udf(header_json("entry_text")).alias("file_meta"),
-            F.lit(user_id).alias("requested_by"),
-        )
-        overwrite_by_key(ext_files, os.path.join(warehouse, "extension_file"))
+        # (empty-insert fallback O14, :230). The gate pass already counted
+        # extension entries — zero means this whole job (pandas-UDF header
+        # parse + parquet commit) would write nothing; skip it.
+        if gate["n_ext"] > 0:
+            ext_entries = entries.where(F.col("kind") == "extension")
+            ext_files = ext_entries.select(
+                F.xxhash64(F.lit(tdei_dataset_id), F.col("entry")).alias("id"),
+                F.lit(tdei_dataset_id).alias("tdei_dataset_id"),
+                F.regexp_extract(F.element_at(F.split("entry", "/"), -1), r"^(.*?)(\.[^.]*)?$", 1).alias("name"),
+                _meta_json_udf(header_json("entry_text")).alias("file_meta"),
+                F.lit(user_id).alias("requested_by"),
+            )
+            overwrite_by_key(ext_files, os.path.join(warehouse, "extension_file"))
         timings["load"] = time.perf_counter() - t0
 
         # -- metadata: per-kind header -> dataset row (O15) --------------
+        # an archive of only extension files updates no metadata column in
+        # the reference's per-kind switch — skip the pivot job outright
         t0 = time.perf_counter()
-        headers = entries.where(F.col("kind") != "extension").select(
-            "kind", "entry", _meta_json_udf(header_json("entry_text")).alias("meta")
-        )
-        # several files of one kind each overwrite the same column in the
-        # reference's sequential processing — last write wins; entry-name
-        # order is the deterministic distributed equivalent
-        last_meta = F.expr("max_by(meta, entry)")
-        pivoted = (
-            headers.groupBy(F.lit(tdei_dataset_id).alias("tdei_dataset_id"))
-            .pivot("kind", list(META_COLUMNS))
-            .agg(last_meta)
-        )
-        dataset_row = pivoted.select(
-            "tdei_dataset_id",
-            *[F.col(k).alias(col) for k, col in META_COLUMNS.items()],
-        )
-        overwrite_by_key(dataset_row, os.path.join(warehouse, "dataset"))
+        if n_entries - gate["n_ext"] > 0:
+            headers = entries.where(F.col("kind") != "extension").select(
+                "kind", "entry", _meta_json_udf(header_json("entry_text")).alias("meta")
+            )
+            # several files of one kind each overwrite the same column in the
+            # reference's sequential processing — last write wins; entry-name
+            # order is the deterministic distributed equivalent
+            last_meta = F.expr("max_by(meta, entry)")
+            pivoted = (
+                headers.groupBy(F.lit(tdei_dataset_id).alias("tdei_dataset_id"))
+                .pivot("kind", list(META_COLUMNS))
+                .agg(last_meta)
+            )
+            dataset_row = pivoted.select(
+                "tdei_dataset_id",
+                *[F.col(k).alias(col) for k, col in META_COLUMNS.items()],
+            )
+            overwrite_by_key(dataset_row, os.path.join(warehouse, "dataset"))
         timings["metadata"] = time.perf_counter() - t0
 
         # -- stats: the tdei_update_osw_stats analogue (O19) -------------
