@@ -233,17 +233,30 @@ def minhash_lsh_pairs(
         # Measured at sf0.1 (min of 3): carry ~2.3s vs slim ~5.7s — the
         # slim shape's two extra join stages dominate until the sig x bands
         # shuffle volume (~8 KB/doc at 64 hashes x 16 bands) itself becomes
-        # the bottleneck (dup-skewed corpora: at a 979x pair blowup slim
-        # measured 2x faster — pick slim=True there). The exploded banded
-        # frame persists so the signature fold runs once and both join
-        # sides read the same materialized partitions (measured faster
-        # cold than persisting narrow (id, sig) and re-exploding per side).
+        # the bottleneck. The exploded banded frame persists so the
+        # signature fold runs once and both join sides read the same
+        # materialized partitions (measured faster cold than persisting
+        # narrow (id, sig) and re-exploding per side).
+        #
+        # First-collision-band dedup: a pair colliding in k bands comes out
+        # of the join k times; a dropDuplicates here would shuffle the
+        # joined rows WITH both sigs attached (~1 KB/row), and on
+        # dup-skewed corpora that is the whole runtime (30x replicated
+        # smoke: 473s, 6x slower than the verified path). Both sides'
+        # band-hash arrays are already in the joined row, so "this is the
+        # pair's FIRST colliding band" is a narrow filter — every pair
+        # survives exactly once, no exchange at all (115x -> see SCALE.md).
         banded = sig.select(
-            "id", "sig", F.posexplode(_band_hashes(num_hashes, bands)).alias("band", "bucket")
-        ).persist()
+            "id",
+            "sig",
+            _band_hashes(num_hashes, bands).alias("bh"),
+        ).select("id", "sig", "bh", F.posexplode("bh").alias("band", "bucket")).persist()
         if caches is not None:
             caches.append(banded)
         a, b = banded.alias("a"), banded.hint("shuffle_hash").alias("b")
+        first_collision_band = F.array_position(
+            F.zip_with(F.col("a.bh"), F.col("b.bh"), lambda x, y: x == y), F.lit(True)
+        )  # 1-based index of the pair's first agreeing band
         scored = (
             a.join(
                 b,
@@ -251,13 +264,13 @@ def minhash_lsh_pairs(
                 & (F.col("a.bucket") == F.col("b.bucket"))
                 & (F.col("a.id") < F.col("b.id")),
             )
+            .where(first_collision_band == F.col("a.band") + 1)
             .select(
                 F.col("a.id").alias("doc_a"),
                 F.col("b.id").alias("doc_b"),
                 F.col("a.sig").alias("sig_a"),
                 F.col("b.sig").alias("sig_b"),
             )
-            .dropDuplicates(["doc_a", "doc_b"])
         )
     est = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)

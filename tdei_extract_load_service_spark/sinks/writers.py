@@ -113,6 +113,78 @@ def overwrite_by_key(
         )
 
 
+def _replace_where_predicate(key_col: str, keys: list) -> str:
+    """Render the ``replaceWhere`` predicate for a keyed overwrite.
+
+    Strings are single-quoted with embedded quotes doubled (the one escape
+    SQL string literals need); numerics render bare. Pure function so the
+    dialect rendering is testable without the Delta package installed.
+    """
+    if not keys:
+        raise ValueError("replaceWhere requires at least one key")
+
+    def render(k) -> str:
+        if isinstance(k, bool):
+            raise TypeError("boolean partition keys are not supported")
+        if isinstance(k, (int, float)):
+            return repr(k)
+        return "'" + str(k).replace("'", "''") + "'"
+
+    return f"{key_col} IN ({', '.join(render(k) for k in keys)})"
+
+
+def overwrite_by_key_delta(
+    df: DataFrame,
+    path: str,
+    key_col: str = "tdei_dataset_id",
+    keys: list | None = None,
+    extra_partition_cols: tuple[str, ...] = (),
+) -> None:
+    """``overwrite_by_key`` with true single-commit-point semantics: Delta's
+    ``replaceWhere`` replaces the key's rows and commits one transaction-log
+    entry, so concurrent readers see either the old or the new version —
+    never the missing-directory window of the two-rename parquet path
+    (``staged_swap_write`` docstring).
+
+    Optional dependency: requires the ``delta-spark`` package and a session
+    with the Delta catalog extensions; raises ``NotImplementedError`` with
+    the enable recipe otherwise. The parquet-based ``overwrite_by_key``
+    remains the dependency-free default.
+
+    ``keys``: the key values being replaced. Defaults to the distinct
+    values in ``df`` — bounded collect: one value per dataset being loaded
+    (the reference processes exactly one per message).
+    """
+    try:
+        import delta  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - exercised via test skip
+        raise NotImplementedError(
+            "overwrite_by_key_delta requires delta-spark: install it and build "
+            "the session with delta.configure_spark_with_delta_pip(builder) + "
+            "spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension"
+        ) from exc
+    if keys is None:
+        keys = [r[0] for r in df.select(key_col).distinct().collect()]
+        if not keys:
+            return  # nothing to replace, nothing to write
+    predicate = _replace_where_predicate(key_col, keys)
+    with _path_lock(path):
+        (
+            df.write.format("delta")
+            .mode("overwrite")
+            .option("replaceWhere", predicate)
+            .partitionBy(key_col, *extra_partition_cols)
+            .save(path)
+        )
+
+
+#: Dialect rename statements for ``jdbc_staged_swap``. The reference's
+#: actual sink is Postgres (data-source.ts), whose rename is the ALTER
+#: form; Derby (the embedded test engine) and MySQL use RENAME TABLE.
+RENAME_SQL_DERBY = "RENAME TABLE {src} TO {dst}"
+RENAME_SQL_POSTGRES = "ALTER TABLE {src} RENAME TO {dst}"
+
+
 def jdbc_staged_swap(
     spark,
     jdbc_url: str,
@@ -120,7 +192,7 @@ def jdbc_staged_swap(
     final_table: str,
     batch_size: int = DEFAULT_BATCH_SIZE,
     jdbc_options: dict[str, str] | None = None,
-    rename_sql: str = "RENAME TABLE {src} TO {dst}",
+    rename_sql: str = RENAME_SQL_DERBY,
     drop_before_rename: bool = True,
 ) -> None:
     """Transactional table replace over JDBC — the O18 analogue

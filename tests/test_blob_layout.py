@@ -97,3 +97,38 @@ def test_blob_layout_double_append_merges(spark, tmp_path):
         os.path.join(base, "2026", "4", "p2", "r1"),
     ).count()
     assert rows == 3
+
+
+def test_replace_where_predicate_rendering():
+    from tdei_extract_load_service_spark.sinks.writers import _replace_where_predicate
+
+    assert _replace_where_predicate("tdei_dataset_id", ["ds-1"]) == "tdei_dataset_id IN ('ds-1')"
+    assert _replace_where_predicate("k", ["a'b", "c"]) == "k IN ('a''b', 'c')"
+    assert _replace_where_predicate("k", [1, 2.5]) == "k IN (1, 2.5)"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _replace_where_predicate("k", [])
+
+
+def test_overwrite_by_key_delta_gate(spark, tmp_path):
+    """Without delta-spark installed the adapter raises the documented
+    NotImplementedError; with it installed, it performs a single-commit
+    keyed replace (exercised only where the package exists)."""
+    import pytest as _pytest
+
+    from tdei_extract_load_service_spark.sinks.writers import overwrite_by_key_delta
+
+    df = spark.createDataFrame([("ds-1", "x")], "tdei_dataset_id string, feature string")
+    try:
+        import delta  # noqa: F401
+    except ImportError:
+        with _pytest.raises(NotImplementedError, match="delta-spark"):
+            overwrite_by_key_delta(df, str(tmp_path / "delta_sink"))
+        return
+    path = str(tmp_path / "delta_sink")
+    overwrite_by_key_delta(df, path)
+    df2 = spark.createDataFrame([("ds-1", "y")], "tdei_dataset_id string, feature string")
+    overwrite_by_key_delta(df2, path)
+    rows = spark.read.format("delta").load(path).collect()
+    assert [(r.tdei_dataset_id, r.feature) for r in rows] == [("ds-1", "y")]

@@ -40,3 +40,39 @@ def test_failed_staging_leaves_final_intact(spark, derby_url):
         jdbc_staged_swap(spark, derby_url, bad, "swap_safe", jdbc_options=TYPES)
     # the final table still serves the previous version
     assert [(r.k, r.v) for r in _read(spark, derby_url, "swap_safe").collect()] == [("keep", "me")]
+
+
+def test_rename_sql_dialect_parameterization(spark, derby_url):
+    """The dialect string is a real parameter: passing Derby's syntax
+    explicitly works, and the Postgres dialect constant renders the
+    reference's actual sink statement (data-source.ts sink dialect)."""
+    from tdei_extract_load_service_spark.sinks.writers import (
+        RENAME_SQL_DERBY,
+        RENAME_SQL_POSTGRES,
+    )
+
+    assert RENAME_SQL_POSTGRES.format(src="t_staging", dst="t") == (
+        "ALTER TABLE t_staging RENAME TO t"
+    )
+    df = spark.createDataFrame([("p", "q")], "k string, v string")
+    jdbc_staged_swap(
+        spark, derby_url, df, "swap_dialect", jdbc_options=TYPES, rename_sql=RENAME_SQL_DERBY
+    )
+    assert [(r.k, r.v) for r in _read(spark, derby_url, "swap_dialect").collect()] == [("p", "q")]
+
+
+def test_wrong_dialect_string_rolls_back(spark, derby_url):
+    """Running the POSTGRES rename against Derby exercises the full
+    statement-construction + execute path with the reference's dialect
+    string; the engine rejects the syntax and the swap must roll back,
+    leaving the live table serving the previous version."""
+    from tdei_extract_load_service_spark.sinks.writers import RENAME_SQL_POSTGRES
+
+    v1 = spark.createDataFrame([("live", "1")], "k string, v string")
+    jdbc_staged_swap(spark, derby_url, v1, "swap_pg", jdbc_options=TYPES)
+    v2 = spark.createDataFrame([("next", "2")], "k string, v string")
+    with pytest.raises(Exception):
+        jdbc_staged_swap(
+            spark, derby_url, v2, "swap_pg", jdbc_options=TYPES, rename_sql=RENAME_SQL_POSTGRES
+        )
+    assert [(r.k, r.v) for r in _read(spark, derby_url, "swap_pg").collect()] == [("live", "1")]

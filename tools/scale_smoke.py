@@ -8,7 +8,9 @@ a ratio far above it indicates a super-linear operator — a bug).
 Replication shifts keys so join fan-out stays realistic instead of
 creating 10x duplicate key collisions.
 
-Usage: python tools/scale_smoke.py [replication]
+Usage: python tools/scale_smoke.py [replication] [query,query,...]
+(the optional comma-list restricts the run — e.g. the 30x confirmation run
+for the super-linear ops doesn't need the whole linear family again)
 """
 
 from __future__ import annotations
@@ -80,14 +82,14 @@ def build(spark, out_dir: str, replication: int) -> None:
             spark.read.parquet(os.path.join(SF_DIR, f"{t}.parquet")).write.mode("overwrite").parquet(d)
 
 
-def run(spark, sf_dir: str) -> dict[str, tuple[float, int]]:
+def run(spark, sf_dir: str, queries=QUERIES) -> dict[str, tuple[float, int]]:
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
     from tdei_extract_load_service_spark.catalog import REGISTRY
 
     out = {}
-    for name in QUERIES:
+    for name in queries:
         obs = Observation()
         t0 = time.perf_counter()
         (
@@ -104,13 +106,14 @@ def run(spark, sf_dir: str) -> dict[str, tuple[float, int]]:
 
 def main() -> None:
     replication = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    queries = tuple(sys.argv[2].split(",")) if len(sys.argv) > 2 else QUERIES
     from tdei_extract_load_service_spark.session import get_spark
 
     spark = get_spark("scale_smoke")
     scaled_dir = f"/tmp/spark_graft_scale_x{replication}"
     build(spark, scaled_dir, replication)
-    base = run(spark, SF_DIR)
-    scaled = run(spark, scaled_dir)
+    base = run(spark, SF_DIR, queries)
+    scaled = run(spark, scaled_dir, queries)
     # rows ratio matters for the dedup family: replicated corpora carry
     # identical text under shifted ids, so near-dup PAIR volume grows
     # ~quadratically in the replication factor (e.g. ~1000x pairs at 10x
@@ -120,7 +123,7 @@ def main() -> None:
         f"{'query':28s} {'sf0.1':>8s} {'x' + str(replication):>8s} {'ratio':>6s}"
         f" {'rows0':>10s} {'rowsN':>10s} {'rows_ratio':>10s}"
     )
-    for name in QUERIES:
+    for name in queries:
         (t_base, n_base), (t_scaled, n_scaled) = base[name], scaled[name]
         ratio = t_scaled / t_base if t_base else float("inf")
         rows_ratio = (n_scaled / n_base) if n_base else float("inf")
