@@ -172,6 +172,16 @@ def main() -> None:
     # one untimed query end-to-end: JIT-compiles the agg/codegen machinery
     # every headline entry shares, so entry #1 doesn't absorb the warmup
     REGISTRY["project"].query(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # the dedup family runs on a separate machinery surface (higher-order
+    # functions, banded self-join, array hashing) that the relational warmup
+    # never touches; one untimed tiny-sf pass JIT-compiles it so the first
+    # dedup entry measures its plan, not the JVM's tiered-compilation ramp
+    # (measured at sf0.1: identical query 26.9s -> 9.2s -> 2.3s across three
+    # in-session runs — the bench is the steady state of a long-lived
+    # consumer, per the etl warmup note below)
+    REGISTRY["dedup_minhash_lsh"].query(spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
