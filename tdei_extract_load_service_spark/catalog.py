@@ -49,19 +49,46 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    """Parquet scan + timestamp normalization.
+
+    Fixture timestamp columns are parquet TIMESTAMP with
+    isAdjustedToUTC=false, which Spark reads as TIMESTAMP_NTZ while DuckDB
+    reads naive TIMESTAMP. Each NTZ wall clock is mapped to the instant
+    with that SAME wall clock in UTC — exactly how the DuckDB oracle
+    treats the naive value. Under a UTC session a bare cast IS that
+    mapping, and because it stays a plain attribute reference, timestamp
+    predicates (tpch_q3/q5 date filters) still reach PushedFilters on the
+    scan. Under any other session timezone the cast alone drifts by the
+    UTC offset (probed under America/Los_Angeles), so the offset is
+    cancelled with ``from_utc_timestamp(cast(c), current_timezone())`` —
+    correct everywhere, at the cost of pushdown through the arithmetic
+    (acceptable: the engine's canonical sessions pin UTC in session.py)."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    ntz_cols = [f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"]
+    if not ntz_cols:
+        return df
+    session_tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
+    utc_session = session_tz in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00")
+    for name in ntz_cols:
+        c = F.col(name).cast("timestamp")
+        if not utc_session:
+            c = F.from_utc_timestamp(c, F.current_timezone())
+        df = df.withColumn(name, c)
+    return df
 
 
 def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which vanilla Spark 4 rejects
-    (PARQUET_TYPE_ILLEGAL). Read nanos as int64 and rebuild a (truncating)
-    microsecond timestamp — the same floor DuckDB applies when formatting
-    sub-micro precision away."""
+    """events with ``ts`` as a microsecond TIMESTAMP whatever the fixture
+    vintage wrote: current fixtures carry parquet TIMESTAMP (micros, naive
+    — normalized by ``_read``); older ones carried TIMESTAMP(NANOS), which
+    vanilla Spark 4 rejects (PARQUET_TYPE_ILLEGAL) unless read as int64
+    nanos and rebuilt with a truncating integer DIV (no float division —
+    ns values ~1.7e18 overflow double's exact range)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _read(spark, sf_dir, "events")
-    # integer DIV: ns values (~1.7e18) overflow double's exact range, so no
-    # float division on the way to microseconds
-    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return ev
 
 
 # ---------------------------------------------------------------------------

@@ -233,10 +233,17 @@ def minhash_lsh_pairs(
         # Measured at sf0.1 (min of 3): carry ~2.3s vs slim ~5.7s — the
         # slim shape's two extra join stages dominate until the sig x bands
         # shuffle volume (~8 KB/doc at 64 hashes x 16 bands) itself becomes
-        # the bottleneck. The exploded banded frame persists so the
-        # signature fold runs once and both join sides read the same
-        # materialized partitions (measured faster cold than persisting
-        # narrow (id, sig) and re-exploding per side).
+        # the bottleneck.
+        #
+        # Persist the NARROW (id, sig) frame, not the exploded banded
+        # frame: Catalyst's projection collapse inlines the ``sig``
+        # expression into every consumer, so materializing banded directly
+        # recomputes the 64-wide signature fold 17x per row (1 sig column
+        # + 16 band hashes) — measured 4.84s vs 1.53s at sf0.1 (3.2x),
+        # identical output rows. With sig materialized, the banded frame
+        # derives band hashes from a cached ATTRIBUTE (16 slice+xxhash64
+        # nodes, cheap) and both join sides recompute only that derivation
+        # from the same cached partitions.
         #
         # First-collision-band dedup: a pair colliding in k bands comes out
         # of the join k times; a dropDuplicates here would shuffle the
@@ -246,13 +253,14 @@ def minhash_lsh_pairs(
         # band-hash arrays are already in the joined row, so "this is the
         # pair's FIRST colliding band" is a narrow filter — every pair
         # survives exactly once, no exchange at all (115x -> see SCALE.md).
+        sig = sig.persist()
+        if caches is not None:
+            caches.append(sig)
         banded = sig.select(
             "id",
             "sig",
             _band_hashes(num_hashes, bands).alias("bh"),
-        ).select("id", "sig", "bh", F.posexplode("bh").alias("band", "bucket")).persist()
-        if caches is not None:
-            caches.append(banded)
+        ).select("id", "sig", "bh", F.posexplode("bh").alias("band", "bucket"))
         a, b = banded.alias("a"), banded.hint("shuffle_hash").alias("b")
         first_collision_band = F.array_position(
             F.zip_with(F.col("a.bh"), F.col("b.bh"), lambda x, y: x == y), F.lit(True)
