@@ -1774,59 +1774,20 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     buffering every value the way exact ``percentile`` does.
 
     Error-bounded oracle: sketch internals are engine-specific, so the
-    entry verifies the GK guarantee instead of the raw value — a second
-    map-side-combined pass computes, for each returned quantile v, the
-    exact rank interval [count(x < v)+1, count(x <= v)] and checks it
-    intersects [(p-eps)*n, (p+eps)*n] with eps = 1/accuracy. The oracle
-    states group counts and that the bound must hold. Both passes are
-    narrow scans + partial aggregation — nothing buffers per-group values.
-    The exact interpolated form remains available as ``quantiles_exact``
-    (value-level oracle)."""
-    li = _read(spark, sf_dir, "lineitem")
-    accuracy = 1000
-    eps = 1.0 / accuracy
-    ps = [0.5, 0.95, 0.99]
-    # pass 1: the sketch itself; group count is bounded (a GROUP BY key),
-    # so the collected result is a model, not data
-    approx = li.groupBy("l_returnflag").agg(
-        F.expr(
-            f"approx_percentile(l_extendedprice, array({', '.join(map(str, ps))}), {accuracy})"
-        ).alias("qv")
-    ).collect()
-    qv = {r["l_returnflag"]: [float(v) for v in r["qv"]] for r in approx}
-
-    # pass 2: exact rank interval of each returned value via conditional
-    # counts with per-group literal thresholds (no join) — map-side combine
-    def thr(i: int) -> F.Column:
-        c = F.lit(None).cast("double")
-        for flag, values in qv.items():
-            c = F.when(F.col("l_returnflag") == flag, F.lit(values[i])).otherwise(c)
-        return c
-
-    checks = li.groupBy("l_returnflag").agg(
-        F.count("*").alias("n_rows"),
-        *[
-            F.sum(F.when(F.col("l_extendedprice") < thr(i), 1).otherwise(0)).alias(f"lt{i}")
-            for i in range(len(ps))
-        ],
-        *[
-            F.sum(F.when(F.col("l_extendedprice") <= thr(i), 1).otherwise(0)).alias(f"le{i}")
-            for i in range(len(ps))
-        ],
+    entry verifies the GK guarantee instead of the raw value — see
+    ``operators.quantiles.grouped_quantiles_checked`` (second
+    map-side-combined pass checking the exact rank interval of each
+    returned value; CASE-literal thresholds at this bounded key
+    cardinality, broadcast-joined threshold table past 100 groups so the
+    expression tree never grows O(groups)). The exact interpolated form
+    remains available as ``quantiles_exact`` (value-level oracle)."""
+    from tdei_extract_load_service_spark.operators.quantiles import (
+        grouped_quantiles_checked,
     )
-    def ok(i: int, p: float) -> F.Column:
-        # GK guarantee: the returned element's rank is within eps*n of the
-        # p-quantile target rank; +-1 absorbs the floor/ceil discretization
-        # of the target (observed: GK sits exactly at the eps*n boundary).
-        lo = F.ceil((F.lit(p) - F.lit(eps)) * F.col("n_rows")) - 1
-        hi = F.ceil((F.lit(p) + F.lit(eps)) * F.col("n_rows")) + 1
-        return ((F.col(f"lt{i}") + 1) <= hi) & (F.col(f"le{i}") >= lo)
-    return checks.select(
-        "l_returnflag",
-        "n_rows",
-        ok(0, 0.5).alias("p50_ok"),
-        ok(1, 0.95).alias("p95_ok"),
-        ok(2, 0.99).alias("p99_ok"),
+
+    li = _read(spark, sf_dir, "lineitem")
+    return grouped_quantiles_checked(
+        li, "l_returnflag", "l_extendedprice", ps=[0.5, 0.95, 0.99], accuracy=1000
     ).orderBy("l_returnflag")
 
 
