@@ -6,10 +6,12 @@ source + ``foreachBatch``: each micro-batch of extract-load request
 messages triggers the batch ``load_dataset`` job, and a response message is
 published per request (O20, extract-load-service.ts:854-861).
 
-The file source here is the dependency-free stand-in for Kafka/Service Bus —
-swap ``readStream.format("json")`` for ``format("kafka")`` + ``from_json``
-in production; everything downstream is unchanged. Bounded intake
-(``maxFilesPerTrigger``) carries over MAX_CONCURRENT_MESSAGES=2
+Sources are pluggable behind ``run_queue_consumer(request_stream=...)``:
+``request_stream_from_files`` is the dependency-free stand-in,
+``request_stream_from_kafka`` the broker ingress (gated on the
+spark-sql-kafka connector); both feed the identical ``process_request`` /
+response-publish contract. Bounded intake (``maxFilesPerTrigger`` /
+``maxOffsetsPerTrigger``) carries over MAX_CONCURRENT_MESSAGES=2
 (environment.ts:12, applied queue-service.ts:29).
 """
 
@@ -19,7 +21,8 @@ import json
 import os
 import uuid
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from tdei_extract_load_service_spark.plans.load_dataset import load_dataset
 
@@ -60,26 +63,90 @@ def process_request(spark: SparkSession, message: dict, warehouse: str) -> dict:
     }
 
 
-def run_queue_consumer(
-    spark: SparkSession,
-    request_dir: str,
-    response_dir: str,
-    warehouse: str,
-    checkpoint_dir: str,
-    max_messages_per_trigger: int = 2,
-    available_now: bool = True,
-) -> None:
-    """Consume request messages, run loads, publish responses.
-
-    ``available_now=True`` drains the backlog and stops (test/batch mode);
-    ``False`` runs continuously like the reference service.
-    """
-    os.makedirs(response_dir, exist_ok=True)
-    stream = (
+def request_stream_from_files(
+    spark: SparkSession, request_dir: str, max_messages_per_trigger: int = 2
+) -> DataFrame:
+    """File-directory request source — the dependency-free broker stand-in.
+    One JSON file per message; ``maxFilesPerTrigger`` carries the
+    reference's maxConcurrentMessages intake bound."""
+    return (
         spark.readStream.schema(REQUEST_SCHEMA)
         .option("maxFilesPerTrigger", str(max_messages_per_trigger))
         .json(request_dir)
     )
+
+
+def decode_broker_requests(raw: DataFrame) -> DataFrame:
+    """Broker frame (binary ``value`` payloads — Kafka's shape, also Event
+    Hubs/Service Bus adapters) -> REQUEST_SCHEMA columns.
+
+    Split from the source builder so the payload contract is testable
+    without a broker on the classpath: the same expression must decode a
+    batch DataFrame of encoded messages to exactly what the file source
+    reads. Malformed payloads parse (PERMISSIVE) to an all-null record —
+    dropped on the required ``messageId`` (the reference nacks
+    unparseable messages, queue-service.ts:44-52)."""
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), REQUEST_SCHEMA).alias("m")
+    )
+    return parsed.where(F.col("m.messageId").isNotNull()).select("m.*")
+
+
+def request_stream_from_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    max_offsets_per_trigger: int = 2,
+) -> DataFrame:
+    """Kafka request source mirroring the reference's broker ingress
+    (queue-service.ts:38-61): same message payloads, same downstream
+    ``process_request`` seam, intake bounded per trigger.
+
+    Requires the spark-sql-kafka connector on the JVM classpath (shipped
+    separately from pyspark); raises ``NotImplementedError`` when absent
+    so deployments without the jar fail at build time, not mid-stream.
+    """
+    try:
+        raw = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("subscribe", topic)
+            .option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+            .load()
+        )
+    except Exception as exc:  # connector jar absent -> DATA_SOURCE_NOT_FOUND
+        raise NotImplementedError(
+            "Kafka source requires the spark-sql-kafka-0-10 connector on the "
+            "Spark classpath (--packages org.apache.spark:spark-sql-kafka-0-10_2.13)"
+        ) from exc
+    return decode_broker_requests(raw)
+
+
+def run_queue_consumer(
+    spark: SparkSession,
+    request_dir: str | None = None,
+    response_dir: str = "",
+    warehouse: str = "",
+    checkpoint_dir: str = "",
+    max_messages_per_trigger: int = 2,
+    available_now: bool = True,
+    request_stream: DataFrame | None = None,
+) -> None:
+    """Consume request messages, run loads, publish responses.
+
+    ``available_now=True`` drains the backlog and stops (test/batch mode);
+    ``False`` runs continuously like the reference service. The source is
+    pluggable: pass ``request_stream`` (any streaming DataFrame with
+    REQUEST_SCHEMA columns — ``request_stream_from_kafka`` for broker
+    deployments) or let ``request_dir`` build the file source.
+    """
+    os.makedirs(response_dir, exist_ok=True)
+    if request_stream is not None:
+        stream = request_stream
+    elif request_dir is not None:
+        stream = request_stream_from_files(spark, request_dir, max_messages_per_trigger)
+    else:
+        raise ValueError("pass request_dir or request_stream")
 
     def handle_batch(batch_df, batch_id: int) -> None:
         # messages are jobs: each drives a full distributed load; the

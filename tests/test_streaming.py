@@ -108,3 +108,107 @@ def test_concurrent_messages_overlap_and_both_land(spark, tmp_path):
     nodes = spark.read.parquet(os.path.join(str(tmp_path / "cwh"), "node"))
     assert nodes.where("tdei_dataset_id = 'ds-c1'").count() == 3
     assert nodes.where("tdei_dataset_id = 'ds-c2'").count() == 3
+
+
+def test_broker_decode_matches_file_source_parse(spark, tmp_path):
+    """The Kafka/broker payload decoder and the file source must read the
+    SAME message bytes to the SAME rows — the source-pluggability contract
+    (VERDICT r3 #4). Runs without a broker: the decoder is applied to a
+    batch frame of encoded payloads."""
+    from tdei_extract_load_service_spark.streaming.consumer import (
+        REQUEST_SCHEMA,
+        decode_broker_requests,
+    )
+
+    messages = [
+        {"messageId": "k1", "messageType": "workflow", "data": {
+            "data_type": "osw", "file_upload_path": "/tmp/a.zip",
+            "tdei_dataset_id": "ds-k1", "user_id": "u9"}},
+        {"messageId": "k2", "messageType": "workflow", "data": {
+            "data_type": "flex", "file_upload_path": "/tmp/b.zip",
+            "tdei_dataset_id": "ds-k2", "user_id": "u9"}},
+    ]
+    # broker shape: binary value payload per record (Kafka's frame)
+    raw = spark.createDataFrame(
+        [(json.dumps(m).encode("utf-8"),) for m in messages] + [(b"{not json",)],
+        "value binary",
+    )
+    decoded = decode_broker_requests(raw)
+    got = sorted(
+        (r.asDict(recursive=True) for r in decoded.collect()),
+        key=lambda r: r["messageId"],
+    )
+
+    # file source on the same bytes
+    fdir = tmp_path / "fsrc"
+    fdir.mkdir()
+    for i, m in enumerate(messages):
+        (fdir / f"m{i}.json").write_text(json.dumps(m))
+    fgot = sorted(
+        (
+            r.asDict(recursive=True)
+            for r in spark.read.schema(REQUEST_SCHEMA).json(str(fdir)).collect()
+        ),
+        key=lambda r: r["messageId"],
+    )
+    assert got == fgot
+    assert len(got) == 2  # the malformed payload was dropped, not crashed
+
+
+def test_pluggable_request_stream_same_responses(spark, tmp_path):
+    """run_queue_consumer(request_stream=...) must behave identically to
+    the request_dir path on the same messages."""
+    from tdei_extract_load_service_spark.streaming.consumer import (
+        request_stream_from_files,
+        run_queue_consumer,
+    )
+
+    archive = str(tmp_path / "osw.zip")
+    make_zip(archive, {"nodes.geojson": json.dumps(NODES)})
+    msg = {"messageId": "p1", "messageType": "workflow", "data": {
+        "data_type": "osw", "file_upload_path": archive,
+        "tdei_dataset_id": "ds-p1", "user_id": "u1"}}
+
+    outs = {}
+    for mode in ("dir", "stream"):
+        rdir = tmp_path / f"req_{mode}"
+        rdir.mkdir()
+        (rdir / "m.json").write_text(json.dumps(msg))
+        kwargs = dict(
+            response_dir=str(tmp_path / f"resp_{mode}"),
+            warehouse=str(tmp_path / f"wh_{mode}"),
+            checkpoint_dir=str(tmp_path / f"ckpt_{mode}"),
+            available_now=True,
+        )
+        if mode == "dir":
+            run_queue_consumer(spark, request_dir=str(rdir), **kwargs)
+        else:
+            run_queue_consumer(
+                spark,
+                request_stream=request_stream_from_files(spark, str(rdir)),
+                **kwargs,
+            )
+        (resp_file,) = os.listdir(tmp_path / f"resp_{mode}")
+        outs[mode] = json.loads((tmp_path / f"resp_{mode}" / resp_file).read_text())
+    assert outs["dir"] == outs["stream"]
+    assert outs["dir"]["data"]["success"] is True
+
+
+def test_kafka_source_gated_without_connector(spark):
+    """Without the spark-sql-kafka jar the Kafka builder must fail fast
+    with NotImplementedError (skip-guarded if a connector IS present)."""
+    import pytest as _pytest
+
+    from tdei_extract_load_service_spark.streaming.consumer import (
+        request_stream_from_kafka,
+    )
+
+    try:
+        spark.readStream.format("kafka").option(
+            "kafka.bootstrap.servers", "localhost:9"
+        ).option("subscribe", "t").load()
+        _pytest.skip("kafka connector present on this classpath")
+    except Exception:
+        pass
+    with _pytest.raises(NotImplementedError, match="spark-sql-kafka"):
+        request_stream_from_kafka(spark, "localhost:9", "requests")
