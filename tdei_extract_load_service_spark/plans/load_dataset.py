@@ -140,6 +140,51 @@ def _meta_json_udf(header: pd.Series) -> pd.Series:
     return pd.Series([one(h) for h in header])
 
 
+#: Memoized transform expression trees, keyed by fidelity. Building the
+#: geometry/elevation when-chains costs ~0.9s of py4j round-trips per call
+#: (measured: the "transform" bench stage was dominated by driver-side
+#: DataFrame CONSTRUCTION, not execution) — but the Columns are unresolved
+#: name-based expressions, immutable and reusable across every load in the
+#: process, so one build serves the lifetime of the queue consumer.
+_TRANSFORM_EXPRS: dict[str, tuple] = {}
+
+
+def _transform_exprs(fidelity: str) -> tuple:
+    if fidelity not in _TRANSFORM_EXPRS:
+        if fidelity == "exact":
+            _TRANSFORM_EXPRS[fidelity] = (
+                process_feature_json("feature_raw", "kind"),
+            )
+        else:
+            parsed = decompose_feature("feature_raw")
+            decompose_cols = {
+                "_ftype": parsed["type"],
+                "_gtype": parsed["geometry"]["type"],
+                "_coords": parsed["geometry"]["coordinates"],
+                "_props": parsed["properties"],
+            }
+            new_coords, new_props = process_geometry_elevation_cols(
+                "kind", "_gtype", "_coords", "_props"
+            )
+            has_geometry = (
+                F.col("_gtype").isNotNull()
+                & F.col("_coords").isNotNull()
+                & (F.trim(F.col("_coords")) != "null")
+            )
+            assembled = assemble_feature_json(
+                F.col("_ftype"), F.col("_gtype"), F.col("_coords"), F.col("_props")
+            )
+            # no geometry / null coordinates -> original document untouched
+            # (extract-load-service.ts:613-615)
+            feature = F.when(has_geometry, assembled).otherwise(F.col("feature_raw"))
+            _TRANSFORM_EXPRS[fidelity] = (
+                decompose_cols,
+                {"_coords": new_coords, "_props": new_props},
+                feature,
+            )
+    return _TRANSFORM_EXPRS[fidelity]
+
+
 def transform_features(features_df: DataFrame, fidelity: str = "jvm") -> DataFrame:
     """O10/O11 over exploded feature rows -> adds ``feature`` (the final
     JSON document for the JSONB-shaped sink column).
@@ -150,25 +195,11 @@ def transform_features(features_df: DataFrame, fidelity: str = "jvm") -> DataFra
     (unknown feature-level keys survive), arbitrary nesting depth.
     """
     if fidelity == "exact":
-        return features_df.withColumn(
-            "feature", process_feature_json("feature_raw", "kind")
-        )
-    parsed = decompose_feature("feature_raw")
-    df = features_df.withColumns(
-        {
-            "_ftype": parsed["type"],
-            "_gtype": parsed["geometry"]["type"],
-            "_coords": parsed["geometry"]["coordinates"],
-            "_props": parsed["properties"],
-        }
-    )
-    new_coords, new_props = process_geometry_elevation_cols("kind", "_gtype", "_coords", "_props")
-    df = df.withColumns({"_coords": new_coords, "_props": new_props})
-    has_geometry = df["_gtype"].isNotNull() & df["_coords"].isNotNull() & (F.trim(df["_coords"]) != "null")
-    assembled = assemble_feature_json(df["_ftype"], df["_gtype"], df["_coords"], df["_props"])
-    # no geometry / null coordinates -> original document untouched
-    # (extract-load-service.ts:613-615)
-    feature = F.when(has_geometry, assembled).otherwise(df["feature_raw"])
+        (feature,) = _transform_exprs(fidelity)
+        return features_df.withColumn("feature", feature)
+    decompose_cols, geom_cols, feature = _transform_exprs(fidelity)
+    df = features_df.withColumns(decompose_cols)
+    df = df.withColumns(geom_cols)
     return df.withColumn("feature", feature).drop("_ftype", "_gtype", "_coords", "_props")
 
 
@@ -254,10 +285,22 @@ def load_dataset(
             ),
         )
         features = features.persist()
-        counts = {
-            r["kind"]: r["n"]
-            for r in features.groupBy("kind").agg(F.count("*").alias("n")).collect()
-        }
+        # ONE materializing aggregation returns the per-kind counts AND the
+        # per-kind statistics (O19) — previously a second full pass over
+        # the persisted features recomputed them in the stats stage. Rows
+        # collected = kinds present (bounded taxonomy): a model, not data.
+        kind_aggs = (
+            features.groupBy("kind")
+            .agg(
+                F.count("*").alias("n"),
+                F.countDistinct("entry").alias("n_files"),
+                F.sum(
+                    F.when(F.col("feature").contains('"ext:elevation"'), 1).otherwise(0)
+                ).alias("n_with_elevation"),
+            )
+            .collect()
+        )
+        counts = {r["kind"]: r["n"] for r in kind_aggs}
         timings["transform"] = time.perf_counter() - t0
 
         # -- load: one parameterized writer, 7 sinks (O12) ---------------
@@ -275,7 +318,14 @@ def load_dataset(
             if kind == "extension":
                 sink_cols.insert(1, "ext_file_id")
             kind_df = features.where(F.col("kind") == kind).select(*sink_cols)
-            overwrite_by_key(kind_df, os.path.join(warehouse, table))
+            # file sizing: the filtered frame inherits the transform's full
+            # partitioning, so a small kind would write one near-empty file
+            # per partition (32 tiny files for 5k rows here; at scale, tiny
+            # files x kinds x datasets is the classic small-files problem).
+            # counts[kind] is already known — coalesce (narrow, no shuffle)
+            # to ~250k rows/file, floor 1.
+            n_files = max(1, counts.get(kind, 0) // 250_000)
+            overwrite_by_key(kind_df.coalesce(n_files), os.path.join(warehouse, table))
 
         # pre-delete already cleared any prior rows; an empty
         # dynamic-overwrite write is a no-op Spark job — skip it
@@ -298,7 +348,12 @@ def load_dataset(
                 _meta_json_udf(header_json("entry_text")).alias("file_meta"),
                 F.lit(user_id).alias("requested_by"),
             )
-            overwrite_by_key(ext_files, os.path.join(warehouse, "extension_file"))
+            # one row per extension entry — bounded; don't scatter it over
+            # the full shuffle partitioning as near-empty files
+            overwrite_by_key(
+                ext_files.coalesce(max(1, gate["n_ext"] // 250_000)),
+                os.path.join(warehouse, "extension_file"),
+            )
         timings["load"] = time.perf_counter() - t0
 
         # -- metadata: per-kind header -> dataset row (O15) --------------
@@ -306,30 +361,55 @@ def load_dataset(
         # the reference's per-kind switch — skip the pivot job outright
         t0 = time.perf_counter()
         if n_entries - gate["n_ext"] > 0:
-            headers = entries.where(F.col("kind") != "extension").select(
-                "kind", "entry", _meta_json_udf(header_json("entry_text")).alias("meta")
+            # header extraction runs distributed (the pandas UDF sees the
+            # full entry text); only the RESULT — one small header-JSON
+            # string per FILE — comes to the driver. With O(files) rows the
+            # pivot's shuffle stage bought nothing over assembling the
+            # single dataset row here (one job instead of two).
+            header_rows = (
+                entries.where(F.col("kind") != "extension")
+                .select("kind", "entry", _meta_json_udf(header_json("entry_text")).alias("meta"))
+                .collect()
             )
-            # several files of one kind each overwrite the same column in the
-            # reference's sequential processing — last write wins; entry-name
-            # order is the deterministic distributed equivalent
-            last_meta = F.expr("max_by(meta, entry)")
-            pivoted = (
-                headers.groupBy(F.lit(tdei_dataset_id).alias("tdei_dataset_id"))
-                .pivot("kind", list(META_COLUMNS))
-                .agg(last_meta)
+            # several files of one kind each overwrite the same column in
+            # the reference's sequential processing — last write wins;
+            # entry-name order is the deterministic distributed equivalent
+            # (== the previous max_by(meta, entry) pivot)
+            last_meta: dict[str, str] = {}
+            for r in sorted(header_rows, key=lambda r: r["entry"]):
+                last_meta[r["kind"]] = r["meta"]
+            # Arrow-backed local frame: a plain Python-list createDataFrame
+            # scans through a pickled Python RDD — measured 3.5s per 2-row
+            # write vs 0.2s for the Arrow path
+            dataset_row = spark.createDataFrame(
+                pd.DataFrame(
+                    [[tdei_dataset_id, *[last_meta.get(k) for k in META_COLUMNS]]],
+                    columns=["tdei_dataset_id", *META_COLUMNS.values()],
+                ),
+                sink_schema("dataset"),
             )
-            dataset_row = pivoted.select(
-                "tdei_dataset_id",
-                *[F.col(k).alias(col) for k, col in META_COLUMNS.items()],
-            )
-            overwrite_by_key(dataset_row, os.path.join(warehouse, "dataset"))
+            # exactly one row per dataset -> one file
+            overwrite_by_key(dataset_row.coalesce(1), os.path.join(warehouse, "dataset"))
         timings["metadata"] = time.perf_counter() - t0
 
         # -- stats: the tdei_update_osw_stats analogue (O19) -------------
+        # already aggregated in the counts pass — materialize the bounded
+        # (dataset, kind) rows without re-scanning the features
         t0 = time.perf_counter()
-        from tdei_extract_load_service_spark.plans.stats import update_dataset_stats
-
-        update_dataset_stats(features, warehouse)
+        if kind_aggs:
+            stats_df = spark.createDataFrame(
+                pd.DataFrame(
+                    [
+                        [tdei_dataset_id, r["kind"], r["n"], r["n_files"], r["n_with_elevation"]]
+                        for r in kind_aggs
+                    ],
+                    columns=[
+                        "tdei_dataset_id", "kind", "n_features", "n_files", "n_with_elevation",
+                    ],
+                ),
+                sink_schema("dataset_stats"),
+            )
+            overwrite_by_key(stats_df.coalesce(1), os.path.join(warehouse, "dataset_stats"))
         timings["stats"] = time.perf_counter() - t0
 
         features.unpersist()

@@ -31,5 +31,11 @@ def dataset_stats(features: DataFrame) -> DataFrame:
 
 def update_dataset_stats(features: DataFrame, warehouse: str) -> None:
     """Recompute and key-scoped-overwrite the stats table for the datasets
-    present in ``features`` (the post-load hook shape of O19)."""
-    overwrite_by_key(dataset_stats(features), os.path.join(warehouse, "dataset_stats"))
+    present in ``features`` (the post-load hook shape of O19).
+
+    Output is one row per (dataset, kind) — bounded by the kind taxonomy —
+    so the write coalesces to one file instead of scattering a handful of
+    rows across the full shuffle partitioning."""
+    overwrite_by_key(
+        dataset_stats(features).coalesce(1), os.path.join(warehouse, "dataset_stats")
+    )
