@@ -1015,6 +1015,64 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_audio",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+             800 + (doc_id % 5) * 100 AS n_samples
+      FROM documents
+    ),
+    s AS (
+      SELECT d.doc_id, d.sample_rate, d.n_samples, t.i,
+             ((d.doc_id * 31 + t.i * 17 + 977) % 4001) - 2000 AS v,
+             CASE WHEN t.i >= 1
+                  THEN ((d.doc_id * 31 + (t.i - 1) * 17 + 977) % 4001) - 2000
+             END AS v_prev
+      FROM dims d CROSS JOIN range(0, 1200) t(i)
+      WHERE t.i < d.n_samples
+    )
+    SELECT doc_id, sample_rate, CAST(1 AS INT) AS n_channels,
+           CAST(n_samples AS BIGINT) AS n_samples,
+           ROUND(n_samples * 1000.0 / sample_rate, 3) AS duration_ms,
+           ROUND(sqrt(SUM(CAST(v AS DOUBLE) * v) / n_samples), 6) AS rms,
+           CAST(SUM(CASE WHEN v_prev * v < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS zero_crossings
+    FROM s
+    GROUP BY doc_id, sample_rate, n_samples
+    """,
+)
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real WAV audio decode (stdlib RIFF/fmt/data chunk walk, PCM16 —
+    no codec library) + per-clip features over deterministic WAV fixtures.
+
+    The fixture generator (multimodal/binary_ops.py synth_wav) writes
+    sample i of clip ``doc_id`` as ``((doc_id*31 + i*17 + 977) % 4001) -
+    2000``, so sample rate, duration, RMS amplitude and zero-crossing
+    count only match the oracle's closed form if the RIFF walk and int16
+    little-endian unpack are byte-exact. The integer sum of squares stays
+    below 2^53, so the rounded RMS is bit-identical across engines.
+    Compressed audio (mp3/flac/ADPCM) stays behind the declared codec
+    stub boundary (decode_wav_audio raises into the error column)."""
+    from tdei_extract_load_service_spark.multimodal.binary_ops import (
+        decode_audio,
+        synth_wav,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    decoded = decode_audio(synth_wav(docs, "doc_id"))
+    return decoded.select(
+        F.col("media_id").alias("doc_id"),
+        "sample_rate",
+        "n_channels",
+        "n_samples",
+        "duration_ms",
+        "rms",
+        "zero_crossings",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Full ETL pipeline as a registered query (rows-only)
 # ---------------------------------------------------------------------------

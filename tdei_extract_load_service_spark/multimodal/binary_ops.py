@@ -399,3 +399,145 @@ def frame_sample(
             yield pd.DataFrame(rows)
 
     return df.select(id_col, content_col).mapInPandas(sample, schema=FRAME_SAMPLE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# audio: real stdlib WAV (RIFF/PCM16) decode + features
+# ---------------------------------------------------------------------------
+
+DECODE_AUDIO_SCHEMA = (
+    "media_id bigint, sample_rate int, n_channels int, n_samples bigint, "
+    "duration_ms double, rms double, zero_crossings bigint, "
+    "decoded boolean, error string"
+)
+
+
+def encode_wav(sample_rate: int, samples: list[int], channels: int = 1) -> bytes:
+    """Minimal stdlib PCM16 WAV writer (RIFF/fmt/data) — the audio fixture
+    generator (the sandbox testdata ships no real media). ``samples`` are
+    interleaved int16 values."""
+    import struct
+
+    body = struct.pack(f"<{len(samples)}h", *samples)
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16)
+    data_len = len(body)
+    riff_len = 4 + (8 + len(fmt)) + (8 + data_len)
+    return (
+        b"RIFF" + struct.pack("<I", riff_len) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", data_len) + body
+    )
+
+
+def decode_wav_audio(blob: bytes) -> dict:
+    """Real stdlib WAV decode: RIFF chunk walk -> fmt (PCM16 only) ->
+    int16 sample array. Compressed codecs (mp3/flac/ADPCM...) genuinely
+    need a codec library and raise ``ValueError`` (caught into the error
+    column by the operator — the declared stub boundary for lossy audio).
+
+    Returns {sample_rate, n_channels, samples: list[int] (channel 0)}."""
+    import struct
+
+    if bytes(blob[:4]) != b"RIFF" or bytes(blob[8:12]) != b"WAVE":
+        raise ValueError("not a RIFF/WAVE signature")
+    pos = 12
+    sample_rate = channels = None
+    data = None
+    while pos + 8 <= len(blob):
+        tag = bytes(blob[pos : pos + 4])
+        (length,) = struct.unpack("<I", bytes(blob[pos + 4 : pos + 8]))
+        body = bytes(blob[pos + 8 : pos + 8 + length])
+        if tag == b"fmt ":
+            audio_format, channels, sample_rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if audio_format != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV encoding (format={audio_format}, bits={bits}): "
+                    "compressed audio needs a codec"
+                )
+        elif tag == b"data":
+            data = body
+        pos += 8 + length + (length % 2)  # chunks are word-aligned
+    if sample_rate is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    n = len(data) // 2
+    samples = struct.unpack(f"<{n}h", data[: n * 2])
+    return {
+        "sample_rate": sample_rate,
+        "n_channels": channels,
+        "samples": list(samples[::channels]),  # channel 0
+    }
+
+
+def synth_wav(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Deterministic WAV fixture generator over an id column: sample i of
+    media ``mid`` is ``((mid*31 + i*17 + 977) % 4001) - 2000`` (PCM16
+    range), ``n_samples = 800 + (mid%5)*100``, ``sample_rate = 8000 +
+    (mid%3)*4000`` — closed-form so a SQL oracle can recompute every
+    feature. Arrow-batched mapInPandas, same plumbing as real ingest."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                n = 800 + (mid % 5) * 100
+                sr = 8000 + (mid % 3) * 4000
+                samples = [((mid * 31 + i * 17 + 977) % 4001) - 2000 for i in range(n)]
+                ids.append(mid)
+                blobs.append(encode_wav(sr, samples))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    return df.select(id_col).mapInPandas(gen, schema="media_id bigint, content binary")
+
+
+def decode_audio(
+    df: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """WAV decode + per-clip features through ``mapInPandas``
+    (Arrow-batched): sample rate, channel/sample counts, duration, RMS
+    amplitude and zero-crossing count (the language/speech-pipeline
+    basics). Non-WAV or compressed inputs land in the ``error`` column per
+    row — the job never fails."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            out = {
+                k: []
+                for k in (
+                    "media_id", "sample_rate", "n_channels", "n_samples",
+                    "duration_ms", "rms", "zero_crossings", "decoded", "error",
+                )
+            }
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                rec = dict(
+                    media_id=int(mid), sample_rate=None, n_channels=None,
+                    n_samples=None, duration_ms=None, rms=None,
+                    zero_crossings=None, decoded=False, error=None,
+                )
+                try:
+                    d = decode_wav_audio(blob)
+                    s = d["samples"]
+                    n = len(s)
+                    # integer sum of squares is exact (< 2^53), so the
+                    # rounded RMS is bit-identical to the SQL oracle's
+                    sumsq = sum(v * v for v in s)
+                    zc = sum(1 for i in range(1, n) if s[i - 1] * s[i] < 0)
+                    rec.update(
+                        sample_rate=d["sample_rate"], n_channels=d["n_channels"],
+                        n_samples=n,
+                        duration_ms=round(n * 1000.0 / d["sample_rate"], 3),
+                        rms=round(math.sqrt(sumsq / n), 6) if n else 0.0,
+                        zero_crossings=zc, decoded=True,
+                    )
+                except Exception as exc:  # noqa: BLE001
+                    rec["error"] = f"{type(exc).__name__}: {exc}"
+                for k, v in rec.items():
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, content_col).mapInPandas(decode, schema=DECODE_AUDIO_SCHEMA)

@@ -206,3 +206,78 @@ def test_decode_image_pixels_spark_plumbing(spark):
     bad = spark.createDataFrame([(1, bytearray(b"nope"))], "media_id bigint, content binary")
     rows = decode_image_pixels(bad).collect()
     assert rows[0]["decoded"] is False and "ValueError" in rows[0]["error"]
+
+
+def test_wav_roundtrip_pure_python():
+    """encode_wav -> decode_wav_audio is sample-exact (mono and stereo)."""
+    from tdei_extract_load_service_spark.multimodal.binary_ops import (
+        decode_wav_audio,
+        encode_wav,
+    )
+
+    mono = [0, 100, -200, 32767, -32768, 5]
+    d = decode_wav_audio(encode_wav(16000, mono))
+    assert d["sample_rate"] == 16000
+    assert d["n_channels"] == 1
+    assert d["samples"] == mono
+
+    stereo = [1, -1, 2, -2, 3, -3]  # interleaved L/R
+    d2 = decode_wav_audio(encode_wav(8000, stereo, channels=2))
+    assert d2["n_channels"] == 2
+    assert d2["samples"] == [1, 2, 3]  # channel 0
+
+
+def test_wav_decode_rejects_codec_formats():
+    import pytest
+
+    from tdei_extract_load_service_spark.multimodal.binary_ops import (
+        decode_wav_audio,
+        encode_wav,
+    )
+
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav_audio(b"ID3\x04mp3-ish bytes here")
+    # compressed WAV container (format tag != 1/PCM) is the stub boundary
+    import struct
+
+    blob = bytearray(encode_wav(8000, [1, 2, 3]))
+    fmt_pos = blob.index(b"fmt ") + 8
+    blob[fmt_pos : fmt_pos + 2] = struct.pack("<H", 85)  # MP3-in-WAV tag
+    with pytest.raises(ValueError, match="codec"):
+        decode_wav_audio(bytes(blob))
+
+
+def test_decode_audio_spark_plumbing(spark):
+    """synth_wav -> decode_audio over Spark: features match a direct
+    Python recompute, and a corrupt blob lands in the error column
+    without failing the job."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from tdei_extract_load_service_spark.multimodal.binary_ops import (
+        decode_audio,
+        synth_wav,
+    )
+
+    ids = spark.range(7).select(F.col("id").alias("media_id"))
+    wavs = synth_wav(ids, "media_id")
+    got = {r["media_id"]: r.asDict() for r in decode_audio(wavs).collect()}
+    assert len(got) == 7
+    for mid, r in got.items():
+        n = 800 + (mid % 5) * 100
+        sr = 8000 + (mid % 3) * 4000
+        s = [((mid * 31 + i * 17 + 977) % 4001) - 2000 for i in range(n)]
+        assert r["decoded"] is True and r["error"] is None
+        assert (r["sample_rate"], r["n_channels"], r["n_samples"]) == (sr, 1, n)
+        assert r["duration_ms"] == round(n * 1000.0 / sr, 3)
+        assert r["rms"] == round(math.sqrt(sum(v * v for v in s) / n), 6)
+        assert r["zero_crossings"] == sum(
+            1 for i in range(1, n) if s[i - 1] * s[i] < 0
+        )
+
+    corrupt = spark.createDataFrame(
+        [(99, bytearray(b"not audio at all"))], "media_id bigint, content binary"
+    )
+    (bad,) = decode_audio(corrupt).collect()
+    assert bad["decoded"] is False and "ValueError" in bad["error"]
