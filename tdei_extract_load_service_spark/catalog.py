@@ -1079,6 +1079,75 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_pack_sequences",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS pre
+      FROM t
+    )
+    SELECT doc_id AS id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(FLOOR(pre / 2048.0) AS BIGINT) AS bin_id,
+           CAST(pre % 2048 AS BIGINT) AS bin_offset
+    FROM c
+    """,
+)
+def q_text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training shards: documents laid end-to-end in
+    doc_id order, cut every 2048 tokens (contiguous fill — one window
+    cumsum, the streaming-order packing real pipelines use). Oracle is
+    the identical cumulative-sum window in SQL."""
+    from tdei_extract_load_service_spark.operators.packing import pack_sequences
+    from tdei_extract_load_service_spark.operators.text import token_count_ws
+
+    docs = _read(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs.select("doc_id", token_count_ws("text").alias("n_tokens")),
+        "doc_id",
+        "n_tokens",
+        budget=2048,
+    )
+
+
+@register(
+    "embedding_quantize",
+    """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, vd, list_max(list_transform(vd, x -> abs(x))) AS scale
+      FROM v
+    )
+    SELECT vec_id AS id, len(vd) AS n_dims, ROUND(scale, 6) AS scale,
+           CAST(COALESCE(list_sum(list_transform(range(1, len(vd) + 1),
+                 i -> CAST(TRUNC(vd[i] / scale * 127) AS BIGINT) * i)), 0)
+                AS BIGINT) AS q_checksum
+    FROM s
+    """,
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (scale = max|v|, truncating
+    cast) verified via a position-weighted checksum of the full quantized
+    vector. Both engines evaluate the same left-to-right double
+    expression (v/scale*127) and the same truncation semantics (Spark
+    int cast truncates; the oracle spells TRUNC explicitly), so the
+    checksum is value-exact."""
+    from tdei_extract_load_service_spark.operators.packing import quantize_embeddings
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return quantize_embeddings(emb, "vec_id", "embedding")
+
+
+@register(
     "etl_load_dataset",
     """
     SELECT * FROM (VALUES

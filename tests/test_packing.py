@@ -1,0 +1,55 @@
+"""Sequence packing + embedding quantization (operators/packing.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tdei_extract_load_service_spark.operators.packing import (
+    pack_sequences,
+    quantize_embeddings,
+)
+
+
+def test_pack_sequences_contiguous_fill(spark):
+    # tokens: 10, 900, 200, 1500, 5 laid end-to-end, budget 1000
+    rows = [(1, 10), (2, 900), (3, 200), (4, 1500), (5, 5)]
+    df = spark.createDataFrame(rows, "doc_id bigint, n_tokens bigint")
+    out = {
+        r["id"]: (r["bin_id"], r["bin_offset"], r["n_tokens"])
+        for r in pack_sequences(df, "doc_id", "n_tokens", budget=1000).collect()
+    }
+    # cumulative starts: 0, 10, 910, 1110, 2610
+    assert out[1] == (0, 0, 10)
+    assert out[2] == (0, 10, 900)
+    assert out[3] == (0, 910, 200)  # straddles into bin 1 — starts in bin 0
+    assert out[4] == (1, 110, 1500)
+    assert out[5] == (2, 610, 5)
+
+
+def test_pack_sequences_sharded(spark):
+    rows = [("a", 1, 600), ("a", 2, 600), ("b", 3, 600)]
+    df = spark.createDataFrame(rows, "shard string, doc_id bigint, n_tokens bigint")
+    out = {
+        (r["shard"], r["id"]): (r["bin_id"], r["bin_offset"])
+        for r in pack_sequences(
+            df, "doc_id", "n_tokens", budget=1000, partition_cols=("shard",)
+        ).collect()
+    }
+    # each shard packs independently from offset 0
+    assert out[("a", 1)] == (0, 0)
+    assert out[("a", 2)] == (0, 600)
+    assert out[("b", 3)] == (0, 0)
+
+
+def test_quantize_embeddings_checksum_and_zero_guard(spark):
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = {r["id"]: r.asDict() for r in quantize_embeddings(df, "vec_id", "embedding").collect()}
+    # scale = 1.0; q = trunc([0.5, -1.0, 0.25] * 127) = [63, -127, 31]
+    assert out[1]["scale"] == 1.0
+    assert out[1]["q_checksum"] == 63 * 1 + (-127) * 2 + 31 * 3
+    assert out[1]["n_dims"] == 3
+    # all-zero vector: scale 0, every q 0 (no div-by-zero)
+    assert out[2]["scale"] == 0.0 and out[2]["q_checksum"] == 0
