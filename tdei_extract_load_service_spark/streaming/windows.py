@@ -113,3 +113,28 @@ def sessionized_event_aggs(
             "total_value",
         )
     )
+
+
+def stream_dedup_exact(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: drop rows whose ``key_cols`` were already
+    seen within the watermark horizon (``dropDuplicatesWithinWatermark``).
+
+    The streaming face of ``operators.dedup.dedup_exact``: state keeps one
+    tiny row per distinct key and — unlike plain ``dropDuplicates``, whose
+    state grows with stream length — evicts every key older than the
+    watermark, so state is O(distinct keys per horizon) at any scale. The
+    exactly-once contract this buys: a key is emitted once per horizon,
+    duplicates inside the horizon are dropped even when they arrive in
+    different micro-batches.
+
+    On a batch frame Spark rejects the within-watermark form; callers use
+    ``dedup_exact`` there (the semantics coincide on bounded input).
+    """
+    return events.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
+        key_cols
+    )

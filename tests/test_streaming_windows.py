@@ -191,3 +191,66 @@ def test_watermark_drops_late_events_and_evicts_state(spark, tmp_path):
     # 20:00 and 21:00 windows, not the four windows the stream touched
     final_state_rows = progresses[-1]["stateOperators"][0]["numRowsTotal"]
     assert final_state_rows == 2, f"state not evicted: {final_state_rows} rows"
+
+
+def test_stream_dedup_exact_drops_cross_batch_duplicates(spark, tmp_path):
+    """stream_dedup_exact: duplicates of a key are dropped across
+    micro-batches within the watermark horizon, and the dedup state
+    EVICTS once the watermark passes (metrics-level proof)."""
+    from tdei_extract_load_service_spark.streaming.windows import stream_dedup_exact
+
+    rows = [
+        [
+            {"ts": "2024-01-01 10:00:00", "event_type": "click", "user_id": 1, "value": 1.0},
+            {"ts": "2024-01-01 10:00:00", "event_type": "click", "user_id": 1, "value": 1.0},
+        ],
+        # same key arrives again in a LATER micro-batch -> still a dup
+        [
+            {"ts": "2024-01-01 10:00:00", "event_type": "click", "user_id": 1, "value": 1.0},
+            {"ts": "2024-01-01 10:30:00", "event_type": "view", "user_id": 2, "value": 2.0},
+        ],
+        # event time jumps far ahead -> watermark passes the old keys
+        [
+            {"ts": "2024-01-01 20:00:00", "event_type": "click", "user_id": 3, "value": 3.0},
+        ],
+        [
+            {"ts": "2024-01-01 21:00:00", "event_type": "click", "user_id": 4, "value": 4.0},
+        ],
+    ]
+    src = tmp_path / "dedup_events"
+    _write_events(src, rows)
+    import os as _os
+    import time as _time
+
+    base = _time.time() - 100
+    for i in range(len(rows)):
+        _os.utime(src / f"batch{i}.json", (base + i * 10, base + i * 10))
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = (
+        stream_dedup_exact(stream, ["user_id", "event_type", "ts"], watermark_delay="2 hours")
+        .writeStream.format("memory")
+        .queryName("sdedup_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sdedup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("sdedup_test").collect()
+    keys = sorted((r.user_id, str(r.ts)) for r in out)
+    # user 1's three copies (two in batch 0, one in batch 1) -> ONE row
+    assert keys == [
+        (1, "2024-01-01 10:00:00"),
+        (2, "2024-01-01 10:30:00"),
+        (3, "2024-01-01 20:00:00"),
+        (4, "2024-01-01 21:00:00"),
+    ]
+    progresses = [p for p in q.recentProgress if p.get("stateOperators")]
+    final_state = progresses[-1]["stateOperators"][0]["numRowsTotal"]
+    # 10:00/10:30 keys evicted once the watermark passed them — state holds
+    # only the keys still inside the horizon
+    assert final_state <= 2, f"dedup state not evicted: {final_state} rows"
