@@ -1117,6 +1117,44 @@ def q_text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_tfidf_topk",
+    r"""
+    WITH docs AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS words
+      FROM documents
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    hits AS (
+      SELECT d.doc_id, len(d.words) AS dl, w.term, COUNT(*) AS tf
+      FROM docs d, UNNEST(d.words) AS w(term)
+      WHERE w.term IN ('hash', 'join', 'vector')
+      GROUP BY d.doc_id, len(d.words), w.term
+    ),
+    dfreq AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df_t FROM hits GROUP BY term
+    )
+    SELECT h.doc_id AS id,
+           CAST(SUM(CAST(FLOOR(1000000000 * h.tf * n.n_docs
+                               / (f.df_t * h.dl)) AS BIGINT)) AS BIGINT) AS score
+    FROM hits h JOIN dfreq f USING (term) CROSS JOIN n
+    GROUP BY h.doc_id
+    ORDER BY score DESC, id ASC
+    LIMIT 10
+    """,
+)
+def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-10 for the query {hash, join, vector} — fixed-point
+    integer scoring (floor(1e9 * tf * N / (df * dl)) summed as BIGINT) so
+    the cross-term sum is order-independent and bit-identical in both
+    engines; float scoring would make distributed summation order matter
+    at the last ulp."""
+    from tdei_extract_load_service_spark.operators.text import tfidf_topk
+
+    docs = _read(spark, sf_dir, "documents")
+    return tfidf_topk(docs, "doc_id", "text", ("hash", "join", "vector"), k=10)
+
+
+@register(
     "embedding_quantize",
     """
     WITH v AS (

@@ -107,3 +107,60 @@ def fingerprint(text: str | Column) -> Column:
     hash/winnowing upgrades slot in behind the same column contract)."""
     words = F.array_sort(F.array_distinct(F.split(F.lower(F.trim(_col(text))), r"\s+")))
     return F.md5(F.concat_ws(" ", words))
+
+
+def tfidf_topk(
+    df: "DataFrame",
+    id_col: str,
+    text_col: str,
+    query_terms: tuple[str, ...],
+    k: int = 10,
+    scale: int = 1_000_000_000,
+) -> "DataFrame":
+    """TF-IDF document ranking for a fixed query — the search/ranking
+    primitive of a text pipeline, scored in FIXED-POINT integers so the
+    ranking is bit-identical across engines.
+
+    Per doc d and query term t: contribution = floor(scale * tf(t,d) * N
+    / (df(t) * dl(d))) — plain TF-IDF with ratio idf (N/df) and document-
+    length normalization, kept entirely in 64-bit integer arithmetic
+    (floats would make the cross-term sum order-dependent; worst case
+    scale*tf*N ~ 1e9 * 50 * 1e5 stays under 2^63). Logarithmic idf /
+    BM25 saturation are drop-in replacements where last-ulp float
+    divergence between engines is acceptable.
+
+    Plan shape: tokenize -> explode -> filter to query terms BEFORE any
+    shuffle (work is O(query-term hits, not corpus tokens)); df comes
+    from one tiny agg (|query| rows, broadcast back); final score is one
+    hash agg + TakeOrderedAndProject. No corpus-sized shuffle carries
+    text. One driver-side scalar count supplies N (a model, not data).
+    """
+    docs = df.select(
+        _col(id_col).alias("id"),
+        F.split(F.lower(F.trim(_col(text_col))), r"\s+").alias("words"),
+    ).withColumn("dl", F.size("words"))
+    n = df.count()
+
+    hits = (
+        docs.select("id", "dl", F.explode("words").alias("term"))
+        .where(F.col("term").isin(*query_terms))
+        .groupBy("id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_per_term = hits.groupBy("term").agg(F.countDistinct("id").alias("df_t"))
+    scored = (
+        hits.join(F.broadcast(df_per_term), "term")
+        .withColumn(
+            "contrib",
+            F.floor(
+                F.lit(scale) * F.col("tf") * F.lit(n) / (F.col("df_t") * F.col("dl"))
+            ).cast("bigint"),
+        )
+        .groupBy("id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(k)
+        .select("id", "score")
+    )

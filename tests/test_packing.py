@@ -53,3 +53,23 @@ def test_quantize_embeddings_checksum_and_zero_guard(spark):
     assert out[1]["n_dims"] == 3
     # all-zero vector: scale 0, every q 0 (no div-by-zero)
     assert out[2]["scale"] == 0.0 and out[2]["q_checksum"] == 0
+
+
+def test_tfidf_topk_hand_computed(spark):
+    from tdei_extract_load_service_spark.operators.text import tfidf_topk
+
+    rows = [
+        (1, "hash join hash"),        # dl=3, tf(hash)=2, tf(join)=1
+        (2, "join scan scan scan"),   # dl=4, tf(join)=1
+        (3, "scan scan"),             # no query terms
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["id"]: r["score"] for r in tfidf_topk(df, "doc_id", "text", ("hash", "join"), k=10).collect()}
+    n = 3
+    # df(hash)=1, df(join)=2
+    s1 = (1_000_000_000 * 2 * n) // (1 * 3) + (1_000_000_000 * 1 * n) // (2 * 3)
+    s2 = (1_000_000_000 * 1 * n) // (2 * 4)
+    assert out == {1: s1, 2: s2}
+    # the plan broadcasts the tiny per-term df and never shuffles text
+    plan = tfidf_topk(df, "doc_id", "text", ("hash", "join"), k=10)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
