@@ -73,3 +73,56 @@ def test_tfidf_topk_hand_computed(spark):
     # the plan broadcasts the tiny per-term df and never shuffles text
     plan = tfidf_topk(df, "doc_id", "text", ("hash", "join"), k=10)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pack_sequences_invariants_property(spark):
+    """Property check over randomized corpora: offsets stay inside the
+    budget, bins fill contiguously (cumulative-sum consistency), and
+    every document is assigned exactly once."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=3000), min_size=1, max_size=40),
+        st.integers(min_value=16, max_value=2048),
+    )
+    def check(token_counts, budget):
+        rows = [(i, n) for i, n in enumerate(token_counts)]
+        df = spark.createDataFrame(rows, "doc_id bigint, n_tokens bigint")
+        out = sorted(
+            (r["id"], r["n_tokens"], r["bin_id"], r["bin_offset"])
+            for r in pack_sequences(df, "doc_id", "n_tokens", budget=budget).collect()
+        )
+        assert [i for i, *_ in out] == list(range(len(token_counts)))
+        pre = 0
+        for i, n, bin_id, bin_offset in out:
+            assert 0 <= bin_offset < budget
+            assert bin_id == pre // budget
+            assert bin_offset == pre % budget
+            assert n == token_counts[i]
+            pre += n
+
+    check()
+
+
+def test_quantize_embeddings_scale_property(spark):
+    """Property check: scale equals max|v| and the checksum is bounded by
+    127 * sum(i+1) (every quantized component is in [-127, 127])."""
+    from hypothesis import given, settings, strategies as st
+
+    finite = st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32)
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(st.lists(finite, min_size=1, max_size=8), min_size=1, max_size=6))
+    def check(vectors):
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(vectors)]
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+        out = {r["id"]: r for r in quantize_embeddings(df, "vec_id", "embedding").collect()}
+        for i, v in enumerate(vectors):
+            r = out[i]
+            assert r["n_dims"] == len(v)
+            assert r["scale"] == round(max(abs(float(x)) for x in v), 6)
+            bound = 127 * sum(range(1, len(v) + 1))
+            assert -bound <= r["q_checksum"] <= bound
+
+    check()
