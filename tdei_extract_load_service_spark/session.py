@@ -81,19 +81,27 @@ def get_spark(
 
 
 def spread(df: DataFrame, factor: int = 1) -> DataFrame:
-    """Round-robin repartition to the session's full parallelism.
+    """Round-robin repartition UP to the session's full parallelism —
+    a no-op on already-well-partitioned input.
 
     Parquet scans can't split inside a row group, so a single-row-group
     file (the SF fixtures; any small-file corpus) pins every pre-shuffle
     operator to one task. Compute-heavy operators (shingling, MinHash
     signatures, vector math, document scoring) call this first: the
     repartition shuffle moves only the input rows once and unlocks all
-    cores for the per-row work that dominates. At 100 TB inputs have
-    thousands of row groups and natural parallelism — the repartition is
-    then a cheap no-op-shaped rebalance, or callers pass their own
-    partitioning instead.
+    cores for the per-row work that dominates.
+
+    Guarded: at 100 TB inputs have thousands of row groups and natural
+    parallelism, and an unconditional ``repartition(defaultParallelism)``
+    there would SHRINK parallelism through a full shuffle. When the frame
+    already has at least the target partitions, it is returned untouched
+    (the partition count probe plans the RDD lineage driver-side; no job
+    runs).
     """
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism * factor)
+    target = df.sparkSession.sparkContext.defaultParallelism * factor
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def load_tables(
