@@ -1117,6 +1117,42 @@ def q_text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "histogram",
+    """
+    SELECT CAST(LEAST(FLOOR(l_extendedprice / 5000.0), 19) AS BIGINT) AS bin,
+           CAST(LEAST(FLOOR(l_extendedprice / 5000.0), 19) * 5000 AS DOUBLE) AS bin_lo,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(l_extendedprice), 2) AS DOUBLE) AS total
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (20 bins of 5000 over l_extendedprice, last
+    bin open-ended) — one map-side-combined aggregation, the profiling
+    primitive behind every column-stats pass. Bin assignment is pure
+    arithmetic (floor + least), so there is no two-pass min/max and no
+    driver model; data-dependent ranges compose by bolting the quantiles
+    entry's collected bounds onto the same shape."""
+    li = _read(spark, sf_dir, "lineitem")
+    bin_col = F.least(F.floor(F.col("l_extendedprice") / 5000.0), F.lit(19)).cast("bigint")
+    return (
+        li.select(bin_col.alias("bin"), "l_extendedprice")
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * 5000).cast("double").alias("bin_lo"),
+            "n",
+            "total",
+        )
+    )
+
+
+@register(
     "text_tfidf_topk",
     r"""
     WITH docs AS (
