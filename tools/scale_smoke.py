@@ -101,6 +101,12 @@ def run(spark, sf_dir: str, queries=QUERIES) -> dict[str, tuple[float, int]]:
             .save()
         )
         out[name] = (round(time.perf_counter() - t0, 2), int(obs.get["rows"]))
+        # the dedup entries persist corpus-sized frames and the catalog
+        # callable offers no unpersist hook here — clear between queries
+        # so query N's time doesn't include query N-1's cache pressure
+        # (measured at x30: dedup_lsh_verified 58.5s after minhash's
+        # caches vs 23.9s isolated)
+        spark.catalog.clearCache()
     return out
 
 
