@@ -1117,6 +1117,75 @@ def q_text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, metric,
+           CAST(ROUND(value, 2) AS DOUBLE) AS value
+    FROM (
+      SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS value
+      FROM lineitem WHERE l_orderkey <= 100
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+      FROM lineitem WHERE l_orderkey <= 100
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount', l_discount
+      FROM lineitem WHERE l_orderkey <= 100
+    )
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide -> long unpivot (melt) of three lineitem measures — the
+    DataFrame ``unpivot`` API (SQL ``stack``); the oracle is the UNION ALL
+    expansion it is defined as. Narrow projection: no shuffle, the
+    key filter reaches the scan."""
+    li = _read(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 100)
+    out = li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        [F.col("l_quantity").alias("quantity"),
+         F.col("l_extendedprice").alias("extendedprice"),
+         F.col("l_discount").alias("discount")],
+        "metric",
+        "value",
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", "metric", F.round("value", 2).alias("value")
+    )
+
+
+@register(
+    "window_range_frame",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+             AS spend_30d
+    FROM orders
+    WHERE o_custkey <= 200
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame analytic window: per customer, rolling 30-day spend at
+    each order — a VALUE-based frame (rangeBetween over epoch seconds),
+    distinct from the ROWS frames of window_running_sum/window_lag_delta.
+    Frame membership is time-arithmetic on the same epoch values in both
+    engines, so the windowed sums agree exactly."""
+    from pyspark.sql import Window as W
+
+    orders = _read(spark, sf_dir, "orders").where(F.col("o_custkey") <= 200)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
+    )
+
+
+@register(
     "histogram",
     """
     SELECT CAST(LEAST(FLOOR(l_extendedprice / 5000.0), 19) AS BIGINT) AS bin,
