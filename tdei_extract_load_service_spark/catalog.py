@@ -1663,6 +1663,33 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_stratified",
+    """
+    SELECT lang, COUNT(*) AS n_kept
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 's4'), 1, 8)) AS BIGINT) % 100
+          < CASE lang WHEN 'en' THEN 10 WHEN 'zh' THEN 100 ELSE 40 END
+    GROUP BY lang
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling — downsample the dominant
+    language (en -> 10%), keep all of a rare one (zh -> 100%), default
+    40%: the class-rebalancing move of a training-mix pipeline, as a pure
+    row-local hash predicate (no shuffle, no RNG, reproducible across
+    engines/re-runs, unlike ``sampleBy``)."""
+    from tdei_extract_load_service_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    kept = stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": 10, "zh": 100}, default_percent=40, seed="s4"
+    )
+    return kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
+
+
+@register(
     "sample_split",
     """
     SELECT split, COUNT(*) AS n FROM (

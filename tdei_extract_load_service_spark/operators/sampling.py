@@ -58,3 +58,29 @@ def hash_split(
         expr = F.when((bucket >= lo) & (bucket < lo + p), F.lit(name)).otherwise(expr)
         lo += p
     return df.withColumn("split", expr)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str | Column,
+    strata_col: str | Column,
+    rates: dict[str, int],
+    default_percent: int = 0,
+    seed: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: each stratum keeps its own
+    hash-rate (e.g. downsample the dominant language to 10% while keeping
+    100% of the rare ones — the class-rebalancing move every training-mix
+    pipeline makes). Strata missing from ``rates`` use ``default_percent``.
+
+    Same scale shape as ``hash_sample``: membership is a pure row-local
+    predicate (hash + CASE on the stratum value) — no shuffle, no
+    per-group state, unlike ``sampleBy`` whose fractions draw from an
+    engine-specific RNG."""
+    if any(not 0 <= p <= 100 for p in rates.values()) or not 0 <= default_percent <= 100:
+        raise ValueError("rates must be in [0, 100]")
+    bucket = hash_bucket(key_col, 100, seed)
+    threshold = F.lit(default_percent)
+    for stratum, p in rates.items():
+        threshold = F.when(_col(strata_col) == stratum, F.lit(p)).otherwise(threshold)
+    return df.where(bucket < threshold)

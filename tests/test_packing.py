@@ -126,3 +126,32 @@ def test_quantize_embeddings_scale_property(spark):
             assert -bound <= r["q_checksum"] <= bound
 
     check()
+
+
+def test_stratified_hash_sample_rates(spark):
+    from tdei_extract_load_service_spark.operators.sampling import (
+        hash_sample,
+        stratified_hash_sample,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 8, "en").when(F.col("id") % 10 == 8, "zh")
+         .otherwise("fr").alias("lang"),
+    )
+    kept = stratified_hash_sample(
+        df, "doc_id", "lang", {"en": 10, "zh": 100}, default_percent=50, seed="t"
+    )
+    rates = {
+        r["lang"]: r["n"]
+        for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert rates["zh"] == 1000  # 100% of the rare stratum
+    assert 0.05 < rates["en"] / 8000 < 0.15  # ~10%
+    assert 0.4 < rates["fr"] / 1000 < 0.6  # default 50%
+    # per-stratum membership equals the global hash_sample at that rate
+    en_only = hash_sample(df.where(F.col("lang") == "en"), "doc_id", 10, seed="t")
+    assert sorted(r["doc_id"] for r in en_only.collect()) == sorted(
+        r["doc_id"] for r in kept.where(F.col("lang") == "en").collect()
+    )
