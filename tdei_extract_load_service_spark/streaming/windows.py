@@ -138,3 +138,41 @@ def stream_dedup_exact(
     return events.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "1 hour",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join on ``key_col`` where the right event falls
+    within ``[left_ts - within, left_ts + within]`` — the event-correlation
+    primitive (click->view attribution, request->response pairing).
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, which is exactly what lets Spark EVICT buffered rows: a side's
+    state row can be dropped once the other side's watermark has passed the
+    farthest instant that could still match it (watermark_delay + within).
+    Without the time-bound condition a stream-stream join must buffer both
+    streams forever.
+
+    Column contract: output carries the key, both timestamps and both
+    payloads, with right-side columns suffixed ``_r``.
+    """
+    lw = left.withWatermark(left_ts, watermark_delay).alias("l")
+    rename = {c: f"{c}_r" for c in right.columns if c != key_col}
+    r = right
+    for old, new in rename.items():
+        r = r.withColumnRenamed(old, new)
+    rw = r.withWatermark(f"{right_ts}_r" if right_ts in rename else right_ts, watermark_delay).alias("r")
+    rts = f"{right_ts}_r" if right_ts in rename else right_ts
+    cond = (
+        (F.col(f"l.{key_col}") == F.col(f"r.{key_col}"))
+        & (F.col(f"r.{rts}") >= F.expr(f"l.{left_ts} - INTERVAL {within}"))
+        & (F.col(f"r.{rts}") <= F.expr(f"l.{left_ts} + INTERVAL {within}"))
+    )
+    return lw.join(rw, cond, "inner").drop(F.col(f"r.{key_col}"))

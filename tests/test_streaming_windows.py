@@ -254,3 +254,64 @@ def test_stream_dedup_exact_drops_cross_batch_duplicates(spark, tmp_path):
     # 10:00/10:30 keys evicted once the watermark passed them — state holds
     # only the keys still inside the horizon
     assert final_state <= 2, f"dedup state not evicted: {final_state} rows"
+
+
+def test_stream_interval_join_correlates_within_bound(spark, tmp_path):
+    """Stream-stream interval join: events pair across micro-batches only
+    when within the time bound; the join state stays bounded (both sides
+    evict behind the watermark)."""
+    from tdei_extract_load_service_spark.streaming.windows import stream_interval_join
+
+    clicks = [
+        [{"ts": "2024-01-01 10:00:00", "event_type": "click", "user_id": 1, "value": 1.0}],
+        [{"ts": "2024-01-01 10:30:00", "event_type": "click", "user_id": 2, "value": 2.0}],
+        [{"ts": "2024-01-01 20:00:00", "event_type": "click", "user_id": 9, "value": 0.0}],
+        [{"ts": "2024-01-01 21:00:00", "event_type": "click", "user_id": 9, "value": 0.0}],
+    ]
+    views = [
+        # within 1h of user 1's click -> pairs
+        [{"ts": "2024-01-01 10:20:00", "event_type": "view", "user_id": 1, "value": 10.0}],
+        # 5h after user 2's click -> outside the bound, no pair
+        [{"ts": "2024-01-01 15:30:00", "event_type": "view", "user_id": 2, "value": 20.0}],
+        [{"ts": "2024-01-01 20:10:00", "event_type": "view", "user_id": 9, "value": 0.0}],
+        [{"ts": "2024-01-01 21:10:00", "event_type": "view", "user_id": 9, "value": 0.0}],
+    ]
+    csrc, vsrc = tmp_path / "clicks", tmp_path / "views"
+    _write_events(csrc, clicks)
+    _write_events(vsrc, views)
+    import os as _os
+    import time as _time
+
+    base = _time.time() - 100
+    for i in range(len(clicks)):
+        _os.utime(csrc / f"batch{i}.json", (base + i * 10, base + i * 10))
+        _os.utime(vsrc / f"batch{i}.json", (base + i * 10, base + i * 10))
+
+    cstream = (
+        spark.readStream.schema(EVENT_SCHEMA).option("maxFilesPerTrigger", "1").json(str(csrc))
+    )
+    vstream = (
+        spark.readStream.schema(EVENT_SCHEMA).option("maxFilesPerTrigger", "1").json(str(vsrc))
+    )
+    joined = stream_interval_join(
+        cstream, vstream, "user_id", within="1 hour", watermark_delay="2 hours"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("sij_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sij_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("sij_test").collect()
+    pairs = sorted((r.user_id, str(r.ts), str(r.ts_r)) for r in out)
+    assert (1, "2024-01-01 10:00:00", "2024-01-01 10:20:00") in pairs
+    assert all(u != 2 for u, *_ in pairs), f"out-of-bound pair emitted: {pairs}"
+    # user 9's two click/view pairs at 20:00/21:00 correlate within 1h
+    assert len([p for p in pairs if p[0] == 9]) >= 2
+    # state bounded: the join buffered rows behind the watermark evict
+    progresses = [p for p in q.recentProgress if p.get("stateOperators")]
+    final_state = progresses[-1]["stateOperators"][0]["numRowsTotal"]
+    assert final_state <= 6, f"join state not evicted: {final_state}"
