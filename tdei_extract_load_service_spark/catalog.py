@@ -1117,6 +1117,42 @@ def q_text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "interval_join",
+    """
+    SELECT c.user_id,
+           strftime(c.ts, '%Y-%m-%dT%H:%M:%S') AS click_ts,
+           strftime(v.ts, '%Y-%m-%dT%H:%M:%S') AS view_ts,
+           CAST(ROUND(v.value, 2) AS DOUBLE) AS view_value
+    FROM events c JOIN events v
+      ON c.user_id = v.user_id
+     AND v.ts >= c.ts - INTERVAL 30 MINUTE
+     AND v.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click' AND v.event_type = 'view'
+    """,
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``streaming.windows.stream_interval_join`` (same
+    function — ``withWatermark`` is a no-op on bounded input): click->view
+    correlation within +-30 minutes per user. Value-oracle-checked here;
+    the streaming form with state eviction is pytest-proven."""
+    from tdei_extract_load_service_spark.streaming.windows import stream_interval_join
+
+    ev = _read_events(spark, sf_dir)
+    joined = stream_interval_join(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "view"),
+        "user_id",
+        within="30 minutes",
+    )
+    return joined.select(
+        "user_id",
+        TS.normalize_ts(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss").alias("click_ts"),
+        TS.normalize_ts(F.col("ts_r"), "yyyy-MM-dd'T'HH:mm:ss").alias("view_ts"),
+        F.round("value_r", 2).alias("view_value"),
+    )
+
+
+@register(
     "unpivot",
     """
     SELECT l_orderkey, l_linenumber, metric,
