@@ -118,10 +118,19 @@ def test_quantize_embeddings_scale_property(spark):
         rows = [(i, [float(x) for x in v]) for i, v in enumerate(vectors)]
         df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
         out = {r["id"]: r for r in quantize_embeddings(df, "vec_id", "embedding").collect()}
+        from decimal import ROUND_HALF_UP, Decimal
+
         for i, v in enumerate(vectors):
             r = out[i]
             assert r["n_dims"] == len(v)
-            assert r["scale"] == round(max(abs(float(x)) for x in v), 6)
+            # Spark's F.round is HALF_UP; Python's round() is banker's —
+            # mirror Spark (hypothesis found the exact-tie 1.5390625)
+            expect = float(
+                Decimal(repr(max(abs(float(x)) for x in v))).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            )
+            assert r["scale"] == expect
             bound = 127 * sum(range(1, len(v) + 1))
             assert -bound <= r["q_checksum"] <= bound
 
