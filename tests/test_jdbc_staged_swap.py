@@ -76,3 +76,39 @@ def test_wrong_dialect_string_rolls_back(spark, derby_url):
             spark, derby_url, v2, "swap_pg", jdbc_options=TYPES, rename_sql=RENAME_SQL_POSTGRES
         )
     assert [(r.k, r.v) for r in _read(spark, derby_url, "swap_pg").collect()] == [("live", "1")]
+
+
+def test_overwrite_by_key_failed_job_leaves_old_data(spark, tmp_path):
+    """Atomicity of the file-layout keyed overwrite: a write job that
+    FAILS mid-flight (task exception during the new data's computation)
+    must leave the previously committed dataset fully readable — the
+    commit point is the partition-directory swap, which never runs for an
+    aborted job."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tdei_extract_load_service_spark.sinks.writers import overwrite_by_key
+
+    path = str(tmp_path / "atomic_sink")
+    v1 = spark.range(100).select(
+        F.lit("ds-a").alias("tdei_dataset_id"),
+        F.col("id").alias("n"),
+        F.lit("v1").alias("payload"),
+    )
+    overwrite_by_key(v1, path)
+    assert spark.read.parquet(path).where("payload = 'v1'").count() == 100
+
+    poisoned = spark.range(100).select(
+        F.lit("ds-a").alias("tdei_dataset_id"),
+        F.col("id").alias("n"),
+        F.when(F.col("id") < 50, F.lit("v2")).otherwise(
+            F.raise_error(F.lit("injected mid-job failure"))
+        ).alias("payload"),
+    )
+    with pytest.raises(Exception, match="injected"):
+        overwrite_by_key(poisoned, path)
+
+    # the failed overwrite committed nothing: v1 fully intact, no v2 rows
+    after = spark.read.parquet(path)
+    assert after.where("payload = 'v1'").count() == 100
+    assert after.where("payload = 'v2'").count() == 0
