@@ -258,3 +258,46 @@ def test_disjoint_sink_commits_overlap_within_load(spark, tmp_path):
     # the two disjoint-table writes overlapped — neither waited for the
     # other's lock (same-table writes DO serialize; see writers._path_lock)
     assert s_node < e_edge and s_edge < e_node, f"sink writes serialized: {spans}"
+
+
+def test_consumer_checkpoint_resume_exactly_once(spark, tmp_path):
+    """Restarting the consumer with the same checkpoint must process ONLY
+    messages that arrived since the last run — the file-source offsets in
+    the checkpoint give exactly-once request consumption across restarts
+    (the reference relies on broker acks for the same guarantee)."""
+    archive = str(tmp_path / "osw.zip")
+    make_zip(archive, {"nodes.geojson": json.dumps(NODES)})
+
+    request_dir = tmp_path / "rreq"
+    request_dir.mkdir()
+    response_dir = str(tmp_path / "rresp")
+    common = dict(
+        request_dir=str(request_dir),
+        response_dir=response_dir,
+        warehouse=str(tmp_path / "rwh"),
+        checkpoint_dir=str(tmp_path / "rckpt"),
+        available_now=True,
+    )
+
+    def msg(i):
+        return {"messageId": f"r{i}", "messageType": "workflow", "data": {
+            "data_type": "osw", "file_upload_path": archive,
+            "tdei_dataset_id": f"ds-r{i}", "user_id": "u1"}}
+
+    (request_dir / "m0.json").write_text(json.dumps(msg(0)))
+    run_queue_consumer(spark, **common)
+    first = sorted(os.listdir(response_dir))
+    assert len(first) == 1
+
+    # second run, same checkpoint: one NEW message, the old one must not
+    # be reprocessed (no duplicate response, warehouse row count stable)
+    (request_dir / "m1.json").write_text(json.dumps(msg(1)))
+    run_queue_consumer(spark, **common)
+    responses = []
+    for name in os.listdir(response_dir):
+        with open(os.path.join(response_dir, name)) as fh:
+            responses.append(json.load(fh))
+    ids = sorted(r["messageId"] for r in responses)
+    assert ids == ["r0", "r1"], f"duplicate or missing processing: {ids}"
+    nodes = spark.read.parquet(os.path.join(str(tmp_path / "rwh"), "node"))
+    assert nodes.select("tdei_dataset_id").distinct().count() == 2
