@@ -119,10 +119,13 @@ def ngram_jaccard_pairs(
             .where(F.col("_df") <= max_shingle_df)
             .drop("_df")
         )
-    # shuffle-hash beats sort-merge here: the probe rows are tiny and the
-    # per-key groups are bounded (capped df), so skipping both sorts wins
-    # ~25% measured at sf0.1; under pathological skew switch back to SMJ
-    a, b = ex.alias("a"), ex.hint("shuffle_hash").alias("b")
+    # sort-merge, not shuffle-hash: SHJ's per-task build map cannot spill,
+    # and at x100 (500k docs) the corpus-sized build side OOMs under the
+    # fixed 32-partition local layout ("cannot acquire memory to build
+    # unsafe hashed relation"); SMJ spills and measured EQUAL at sf0.1
+    # (1.45s both). The hint still forbids the other failure mode — the
+    # optimizer broadcast-building a corpus-sized side (OOMed at x10).
+    a, b = ex.alias("a"), ex.hint("merge").alias("b")
     shared = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(
@@ -215,16 +218,17 @@ def minhash_lsh_pairs(
             caches.append(sig)
         # slim shape: the band self-join shuffles only (id, band, bucket) —
         # 24 B/row — and the 64-long sigs re-join onto the deduplicated
-        # candidate set afterwards. shuffle_hash pins a key-partitioned
-        # join so the optimizer can never broadcast the corpus-sized sig
-        # side (measured: a 10x corpus blew the broadcast build memory).
+        # candidate set afterwards. The merge hint pins a spillable
+        # key-partitioned join: never a broadcast of the corpus-sized sig
+        # side (a 10x corpus blew the broadcast build memory), never a
+        # shuffled-hash build map (cannot spill — OOMed at x100).
         candidates = lsh_band_candidates(sig, num_hashes, bands)
         scored = (
             candidates.join(
-                sig.select(F.col("id").alias("doc_a"), F.col("sig").alias("sig_a")).hint("shuffle_hash"),
+                sig.select(F.col("id").alias("doc_a"), F.col("sig").alias("sig_a")).hint("merge"),
                 "doc_a",
             ).join(
-                sig.select(F.col("id").alias("doc_b"), F.col("sig").alias("sig_b")).hint("shuffle_hash"),
+                sig.select(F.col("id").alias("doc_b"), F.col("sig").alias("sig_b")).hint("merge"),
                 "doc_b",
             )
         )
@@ -253,6 +257,11 @@ def minhash_lsh_pairs(
         # band-hash arrays are already in the joined row, so "this is the
         # pair's FIRST colliding band" is a narrow filter — every pair
         # survives exactly once, no exchange at all (115x -> see SCALE.md).
+        #
+        # merge hint (was shuffle_hash until round 4): a shuffled-hash
+        # build map cannot spill, and the sig-carrying band side OOMed at
+        # x100 (500k docs) under the 32-partition local layout; sort-merge
+        # spills, measured equal at sf0.1 (1.45s both) and 82s at x100.
         sig = sig.persist()
         if caches is not None:
             caches.append(sig)
@@ -261,7 +270,7 @@ def minhash_lsh_pairs(
             "sig",
             _band_hashes(num_hashes, bands).alias("bh"),
         ).select("id", "sig", "bh", F.posexplode("bh").alias("band", "bucket"))
-        a, b = banded.alias("a"), banded.hint("shuffle_hash").alias("b")
+        a, b = banded.alias("a"), banded.hint("merge").alias("b")
         first_collision_band = F.array_position(
             F.zip_with(F.col("a.bh"), F.col("b.bh"), lambda x, y: x == y), F.lit(True)
         )  # 1-based index of the pair's first agreeing band
@@ -317,7 +326,7 @@ def lsh_band_candidates(sig_df: DataFrame, num_hashes: int, bands: int) -> DataF
     between a metadata-sized shuffle and replicating every signature x
     bands across the wire."""
     banded = sig_df.select("id", F.posexplode(_band_hashes(num_hashes, bands)).alias("band", "bucket"))
-    a, b = banded.alias("a"), banded.hint("shuffle_hash").alias("b")
+    a, b = banded.alias("a"), banded.hint("merge").alias("b")
     return (
         a.join(
             b,
@@ -383,7 +392,7 @@ def simhash_pairs(
         ]
     )
     chunked = sh.select("id", "bits", F.posexplode(chunk_arr).alias("chunk_idx", "chunk"))
-    a, b = chunked.alias("a"), chunked.hint("shuffle_hash").alias("b")
+    a, b = chunked.alias("a"), chunked.hint("merge").alias("b")
     candidates = (
         a.join(
             b,
@@ -454,12 +463,12 @@ def dedup_clusters(
     # bigint doc ids.
     for _ in range(max_iter):
         neighbor_min = (
-            edges.join(labels.hint("shuffle_hash"), edges["dst"] == labels["node"])
+            edges.join(labels.hint("merge"), edges["dst"] == labels["node"])
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
         labels = (
-            labels.join(neighbor_min.hint("shuffle_hash"), labels["node"] == neighbor_min["src"], "left")
+            labels.join(neighbor_min.hint("merge"), labels["node"] == neighbor_min["src"], "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
@@ -550,15 +559,16 @@ def lsh_verified_pairs(
     if caches is not None:
         caches.extend([sh, sig])
     candidates = lsh_band_candidates(sig, num_hashes, bands)
-    # shuffle_hash: the shingle-set side is corpus-sized (every doc's full
-    # shingle array) — it must never be broadcast-built (measured OOM at a
-    # 10x corpus when the optimizer under-estimated it)
+    # merge hint: the shingle-set side is corpus-sized (every doc's full
+    # shingle array) — it must never be broadcast-built (OOM at a 10x
+    # corpus when the optimizer under-estimated it) NOR hash-built
+    # (shuffled-hash build maps cannot spill; OOMed at x100)
     joined = (
         candidates.join(
-            sh.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a")).hint("shuffle_hash"),
+            sh.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a")).hint("merge"),
             "doc_a",
         ).join(
-            sh.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b")).hint("shuffle_hash"),
+            sh.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b")).hint("merge"),
             "doc_b",
         )
     )
