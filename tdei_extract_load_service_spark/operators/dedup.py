@@ -373,6 +373,7 @@ def simhash_pairs(
     max_hamming: int = 8,
     bits: int = 64,
     chunks: int = 4,
+    caches: list | None = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming.
 
@@ -382,17 +383,40 @@ def simhash_pairs(
     precisely pairs with Hamming ≤ chunks-1 always collide; for larger
     budgets this is the standard probabilistic block (Manku et al. '07).
     The join key is a 16-bit chunk string — tiny shuffle payload.
+
+    First-collision-chunk dedup (same move as ``minhash_lsh_pairs``): a
+    pair colliding in k chunks comes out of the join k times, and the
+    earlier ``dropDuplicates`` shuffled every occurrence WITH both bit
+    vectors attached — on a dup-heavy corpus that exchange's sort spills
+    exhausted 75+ GB of disk at x100 (500k docs, ~99M occurrence rows).
+    Both sides' chunk arrays already ride the joined row, so "this is the
+    pair's first agreeing chunk" is a narrow filter: every pair survives
+    exactly once with NO post-join exchange, and the Hamming filter then
+    prunes before anything else materializes.
     """
     chunk_len = bits // chunks
-    sh = spread(df).select(_col(id_col).alias("id"), simhash_bits(text_col, bits).alias("bits"))
+    # persist the NARROW (id, bits) frame: projection collapse would
+    # otherwise re-inline the per-word SimHash fold into every consumer
+    # (bits column + each chunk string + both join sides) — the same trap
+    # measured on the minhash signature fold (SCALE.md)
+    sh = spread(df).select(
+        _col(id_col).alias("id"), simhash_bits(text_col, bits).alias("bits")
+    ).persist()
+    if caches is not None:
+        caches.append(sh)
     chunk_arr = F.array(
         *[
             F.concat_ws("", F.transform(F.slice("bits", c * chunk_len + 1, chunk_len), lambda b: b.cast("string")))
             for c in range(chunks)
         ]
     )
-    chunked = sh.select("id", "bits", F.posexplode(chunk_arr).alias("chunk_idx", "chunk"))
+    chunked = sh.select("id", "bits", chunk_arr.alias("ch")).select(
+        "id", "bits", "ch", F.posexplode("ch").alias("chunk_idx", "chunk")
+    )
     a, b = chunked.alias("a"), chunked.hint("merge").alias("b")
+    first_collision_chunk = F.array_position(
+        F.zip_with(F.col("a.ch"), F.col("b.ch"), lambda x, y: x == y), F.lit(True)
+    )  # 1-based index of the pair's first agreeing chunk
     candidates = (
         a.join(
             b,
@@ -400,11 +424,11 @@ def simhash_pairs(
             & (F.col("a.chunk") == F.col("b.chunk"))
             & (F.col("a.id") < F.col("b.id")),
         )
+        .where(first_collision_chunk == F.col("a.chunk_idx") + 1)
         .select(
             F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"),
             F.col("a.bits").alias("bits_a"), F.col("b.bits").alias("bits_b"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
     )
     hamming = F.size(F.filter(F.zip_with("bits_a", "bits_b", lambda x, y: x != y), lambda m: m))
     return (
