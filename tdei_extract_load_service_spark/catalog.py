@@ -1275,8 +1275,8 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT term, COUNT(DISTINCT doc_id) AS df_t FROM hits GROUP BY term
     )
     SELECT h.doc_id AS id,
-           CAST(SUM(CAST(FLOOR(1000000000 * h.tf * n.n_docs
-                               / (f.df_t * h.dl)) AS BIGINT)) AS BIGINT) AS score
+           CAST(SUM((1000000000 * h.tf * n.n_docs)
+                    // (f.df_t * h.dl)) AS BIGINT) AS score
     FROM hits h JOIN dfreq f USING (term) CROSS JOIN n
     GROUP BY h.doc_id
     ORDER BY score DESC, id ASC
@@ -1285,10 +1285,10 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-10 for the query {hash, join, vector} — fixed-point
-    integer scoring (floor(1e9 * tf * N / (df * dl)) summed as BIGINT) so
+    integer scoring ((1e9 * tf * N) DIV (df * dl), summed as BIGINT) so
     the cross-term sum is order-independent and bit-identical in both
-    engines; float scoring would make distributed summation order matter
-    at the last ulp."""
+    engines; true integer division (Spark DIV / DuckDB //) rather than
+    floor-of-double-division, which loses exactness past 2^53."""
     from tdei_extract_load_service_spark.operators.text import tfidf_topk
 
     docs = _read(spark, sf_dir, "documents")

@@ -44,7 +44,15 @@ def grouped_quantiles_checked(
     boolean per requested quantile. Both passes are narrow scans with
     partial (map-side) aggregation; the collected quantile values are a
     model of |groups| x |ps| floats, never data.
+
+    Null policy (one behavior on BOTH code paths): rows with a null group
+    key or a null value are excluded up front — a group whose values are
+    all null has no quantiles to verify (approx_percentile returns NULL
+    for it) and simply does not appear in the output, and null keys
+    previously diverged between the CASE path (counted, check false) and
+    the join path (silently dropped by the null-key inner join).
     """
+    df = df.filter(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
     eps = 1.0 / accuracy
     approx = (
         df.groupBy(group_col)
@@ -55,7 +63,13 @@ def grouped_quantiles_checked(
         )
         .collect()
     )
-    qv = {r[group_col]: [float(v) for v in r["qv"]] for r in approx}
+    # defensive: after the null filter no group should yield a NULL
+    # quantile array, but skip rather than TypeError if one does
+    qv = {
+        r[group_col]: [float(v) for v in r["qv"]]
+        for r in approx
+        if r["qv"] is not None and all(v is not None for v in r["qv"])
+    }
 
     if len(qv) <= broadcast_threshold:
         # small-key path: thresholds as inline CASE literals — zero joins

@@ -121,13 +121,18 @@ def tfidf_topk(
     primitive of a text pipeline, scored in FIXED-POINT integers so the
     ranking is bit-identical across engines.
 
-    Per doc d and query term t: contribution = floor(scale * tf(t,d) * N
-    / (df(t) * dl(d))) — plain TF-IDF with ratio idf (N/df) and document-
-    length normalization, kept entirely in 64-bit integer arithmetic
-    (floats would make the cross-term sum order-dependent; worst case
-    scale*tf*N ~ 1e9 * 50 * 1e5 stays under 2^63). Logarithmic idf /
-    BM25 saturation are drop-in replacements where last-ulp float
-    divergence between engines is acceptable.
+    Per doc d and query term t: contribution = (scale * tf(t,d) * N)
+    DIV (df(t) * dl(d)) — plain TF-IDF with ratio idf (N/df) and document-
+    length normalization. The quotient uses integer division (Spark
+    ``DIV``, oracle ``//``), NOT floor-of-float-division: ``/`` on bigints
+    is double division, which silently loses exactness once the numerator
+    passes 2^53. With true integer arithmetic the only bound is the
+    product itself staying under 2^63 — validated below (Spark's non-ANSI
+    bigint multiply wraps silently past 2^63 while DuckDB errors, so an
+    unguarded overflow would be a cross-engine mismatch, not a crash).
+    Floats would also make the cross-term sum order-dependent.
+    Logarithmic idf / BM25 saturation are drop-in replacements where
+    last-ulp float divergence between engines is acceptable.
 
     Plan shape: tokenize -> explode -> filter to query terms BEFORE any
     shuffle (work is O(query-term hits, not corpus tokens)); df comes
@@ -140,6 +145,15 @@ def tfidf_topk(
         F.split(F.lower(F.trim(_col(text_col))), r"\s+").alias("words"),
     ).withColumn("dl", F.size("words"))
     n = df.count()
+    # overflow guard: scale * tf * N must stay < 2^63. tf <= dl, and a
+    # single doc repeating one term 2^20 times is already pathological —
+    # use that as the headroom factor rather than scanning for max(dl).
+    if scale * max(n, 1) > (2**63 - 1) // (1 << 20):
+        raise ValueError(
+            f"scale*N = {scale * n} risks bigint overflow in the fixed-point "
+            "score; pass a smaller `scale` (the ranking only needs enough "
+            "resolution to separate documents, not 1e9)"
+        )
 
     hits = (
         docs.select("id", "dl", F.explode("words").alias("term"))
@@ -152,9 +166,10 @@ def tfidf_topk(
         hits.join(F.broadcast(df_per_term), "term")
         .withColumn(
             "contrib",
-            F.floor(
-                F.lit(scale) * F.col("tf") * F.lit(n) / (F.col("df_t") * F.col("dl"))
-            ).cast("bigint"),
+            F.expr(
+                f"(CAST({scale} AS BIGINT) * tf * CAST({n} AS BIGINT))"
+                " DIV (df_t * dl)"
+            ),
         )
         .groupBy("id")
         .agg(F.sum("contrib").alias("score"))

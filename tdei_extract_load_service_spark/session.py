@@ -80,9 +80,48 @@ def get_spark(
     return spark
 
 
-def spread(df: DataFrame, factor: int = 1) -> DataFrame:
+#: Logical-plan nodes whose presence means the frame is (or sits above)
+#: shuffle output — already distributed by ``spark.sql.shuffle.partitions``,
+#: and probing/repartitioning it would add a pointless second exchange.
+#: ``Repartition`` also covers explicit coalesce/repartition in the
+#: lineage: the caller already chose a partitioning, don't second-guess.
+_SHUFFLED_PLAN_NODES = (
+    "Aggregate",
+    "Join ",
+    "Window",
+    "Deduplicate",
+    "Repartition",
+    "Sort ",
+    "Intersect",
+    "Except",
+)
+
+
+def _parquet_split_count(files: list[str], stop_at: int) -> int:
+    """Count parquet row groups across ``files``, early-exiting at
+    ``stop_at``. Row groups — not byte-range splits — are the real unit of
+    scan parallelism: a byte range inside someone else's row group is a
+    partition that emits zero rows. Unreadable/non-local files count as one
+    split each (conservative: fewer splits → we repartition)."""
+    try:
+        import pyarrow.parquet as pq
+    except Exception:  # pragma: no cover - pyarrow is baked in
+        return 0
+    total = 0
+    for uri in files:
+        path = uri[7:] if uri.startswith("file://") else uri.removeprefix("file:")
+        try:
+            total += pq.ParquetFile(path).metadata.num_row_groups
+        except Exception:
+            total += 1
+        if total >= stop_at:
+            return total
+    return total
+
+
+def spread(df: DataFrame, factor: int = 1, well_partitioned: bool = False) -> DataFrame:
     """Round-robin repartition UP to the session's full parallelism —
-    a no-op on already-well-partitioned input.
+    a no-op on input that demonstrably already has it.
 
     Parquet scans can't split inside a row group, so a single-row-group
     file (the SF fixtures; any small-file corpus) pins every pre-shuffle
@@ -91,14 +130,45 @@ def spread(df: DataFrame, factor: int = 1) -> DataFrame:
     repartition shuffle moves only the input rows once and unlocks all
     cores for the per-row work that dominates.
 
-    Guarded: at 100 TB inputs have thousands of row groups and natural
-    parallelism, and an unconditional ``repartition(defaultParallelism)``
-    there would SHRINK parallelism through a full shuffle. When the frame
-    already has at least the target partitions, it is returned untouched
-    (the partition count probe plans the RDD lineage driver-side; no job
-    runs).
+    Guard ladder (at 100 TB inputs have thousands of row groups and an
+    unconditional ``repartition(defaultParallelism)`` would funnel them
+    through a needless full shuffle):
+
+    1. ``well_partitioned=True`` — caller's explicit opt-out, no probe.
+    2. Frame contains a shuffle (agg/join/window/sort/... in the analyzed
+       plan) — skip: it is already spread across shuffle partitions, and
+       probing such a frame via ``df.rdd`` could eagerly execute upstream
+       stages under AQE.
+    3. Pure scan with >= target input FILES — skip: file boundaries alone
+       give enough splits.
+    4. Pure scan with few files — count actual parquet ROW GROUPS in their
+       footers (driver-side metadata read, bounded by ``stop_at``). This is
+       the honest gate: a giant single-row-group file reports >= target
+       byte-range partitions while only one split emits rows, which is
+       exactly the pathology spread exists to fix — partition count lies,
+       footers don't.
+    5. In-memory frames (no input files, no shuffle): fall back to the
+       partition-count probe, which is safe there (no scan, no AQE stage).
     """
+    if well_partitioned:
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism * factor
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:  # pragma: no cover - py4j internals moved
+        plan = ""
+    if any(node in plan for node in _SHUFFLED_PLAN_NODES):
+        return df
+    try:
+        files = list(df.inputFiles())
+    except Exception:
+        files = []
+    if files:
+        if len(files) >= target:
+            return df
+        if _parquet_split_count(files, stop_at=target) >= target:
+            return df
+        return df.repartition(target)
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)

@@ -140,13 +140,18 @@ def run_queue_consumer(
     REQUEST_SCHEMA columns — ``request_stream_from_kafka`` for broker
     deployments) or let ``request_dir`` build the file source.
     """
+    # validate args BEFORE any side effect: a missing source or an empty
+    # response_dir should be a clear ValueError, not a bare
+    # FileNotFoundError from makedirs("")
+    if request_stream is None and request_dir is None:
+        raise ValueError("pass request_dir or request_stream")
+    if not response_dir:
+        raise ValueError("response_dir is required (responses are written there)")
     os.makedirs(response_dir, exist_ok=True)
     if request_stream is not None:
         stream = request_stream
-    elif request_dir is not None:
-        stream = request_stream_from_files(spark, request_dir, max_messages_per_trigger)
     else:
-        raise ValueError("pass request_dir or request_stream")
+        stream = request_stream_from_files(spark, request_dir, max_messages_per_trigger)
 
     def handle_batch(batch_df, batch_id: int) -> None:
         # messages are jobs: each drives a full distributed load; the

@@ -51,3 +51,34 @@ def test_catalog_quantiles_matches_previous_shape(spark):
     rows = out.collect()
     assert out.columns == ["l_returnflag", "n_rows", "p50_ok", "p95_ok", "p99_ok"]
     assert all(r["p50_ok"] and r["p95_ok"] and r["p99_ok"] for r in rows)
+
+
+def test_null_values_and_null_keys_excluded_consistently(spark):
+    """ADVICE r4: an all-null-value group used to TypeError (approx_percentile
+    returns NULL -> float(None)); null group keys diverged between the CASE
+    path (counted, check false) and the join path (silently dropped). Policy
+    now: null keys and null values are excluded on BOTH paths."""
+    from pyspark.sql import types as T
+
+    rows = (
+        [("a", float(v)) for v in range(100)]
+        + [("allnull", None)] * 10          # group with no non-null values
+        + [(None, 5.0)] * 10                # null group key
+        + [("b", float(v)) for v in range(50)]
+        + [("b", None)] * 5                 # null values inside a live group
+    )
+    schema = T.StructType(
+        [T.StructField("g", T.StringType()), T.StructField("v", T.DoubleType())]
+    )
+    df = spark.createDataFrame(rows, schema)
+    out = grouped_quantiles_checked(df, "g", "v", ps=[0.5], accuracy=1000)
+    got = {r["g"]: r for r in out.collect()}
+    assert set(got) == {"a", "b"}
+    assert got["a"]["n_rows"] == 100 and got["a"]["p50_ok"]
+    assert got["b"]["n_rows"] == 50 and got["b"]["p50_ok"]
+
+    # same policy past the broadcast threshold (join path)
+    out2 = grouped_quantiles_checked(df, "g", "v", ps=[0.5], broadcast_threshold=1)
+    got2 = {r["g"]: r for r in out2.collect()}
+    assert set(got2) == {"a", "b"}
+    assert got2["a"]["n_rows"] == 100 and got2["b"]["n_rows"] == 50

@@ -301,3 +301,20 @@ def test_consumer_checkpoint_resume_exactly_once(spark, tmp_path):
     assert ids == ["r0", "r1"], f"duplicate or missing processing: {ids}"
     nodes = spark.read.parquet(os.path.join(str(tmp_path / "rwh"), "node"))
     assert nodes.select("tdei_dataset_id").distinct().count() == 2
+
+
+def test_consumer_arg_validation_before_side_effects(spark, tmp_path):
+    """ADVICE r4: omitting response_dir used to crash with a bare
+    FileNotFoundError from makedirs(""), and the missing-source ValueError
+    was unreachable until after that side effect. Both must be clear
+    ValueErrors raised before anything touches the filesystem."""
+    import pytest
+
+    from tdei_extract_load_service_spark.streaming.consumer import run_queue_consumer
+
+    with pytest.raises(ValueError, match="request_dir or request_stream"):
+        run_queue_consumer(spark, response_dir=str(tmp_path / "resp"))
+    with pytest.raises(ValueError, match="response_dir"):
+        run_queue_consumer(spark, request_dir=str(tmp_path / "req"))
+    # the failed calls must not have created anything
+    assert not (tmp_path / "resp").exists()
