@@ -1387,11 +1387,19 @@ def q_etl_load_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     archive = f"{root}/synthetic.zip"
     with open(archive, "wb") as fh:
         fh.write(buf.getvalue())
-    result = load_dataset(spark, archive, "catalog-ds", "catalog-user", f"{root}/warehouse")
+    # manifest mode: the whole multi-sink load publishes through ONE
+    # atomic pointer swap (sinks/manifest.py) — the driver's hash gate
+    # therefore certifies the production single-commit-point path
+    result = load_dataset(
+        spark, archive, "catalog-ds", "catalog-user", f"{root}/warehouse",
+        commit_mode="manifest",
+    )
     if not result.success:
         raise RuntimeError(result.message)
+    from tdei_extract_load_service_spark.plans.load_dataset import read_sink
+
     return (
-        spark.read.parquet(f"{root}/warehouse/dataset_stats")
+        read_sink(spark, f"{root}/warehouse", "dataset_stats")
         .select("tdei_dataset_id", "kind", "n_features", "n_files", "n_with_elevation")
         .orderBy("kind")
     )
@@ -2274,6 +2282,19 @@ def q_similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # are shape-subsumed by an in-window sibling (project+filter, sort+paginate,
 # dedup_exact, rollup+grouping_sets, window_lag_delta, window_tumbling,
 # sample_hash, text_quality respectively).
+#
+# Round-5 rotation (VERDICT r4 #1): the 8 round-4 operators
+# (multimodal_audio, text_pack_sequences, text_tfidf_topk,
+# embedding_quantize, interval_join, unpivot, window_range_frame,
+# histogram) are promoted into the window for driver certification; the 8
+# demoted entries are each long-stable and shape-subsumed by an in-window
+# sibling — sort (paginate/paginate_keyset begin with the same orderBy),
+# join_outer (join_inner/semi/anti exercise the same join machinery),
+# rollup (grouping_sets is its superset), pivot (unpivot now certifies the
+# (un)pivot pair; pivot stays oracle_check-covered), set_ops,
+# window_rank (window_lag_delta + promoted window_range_frame cover the
+# window machinery), approx_distinct, sample_hash (sample family all
+# oracle_check-covered).
 
 DRIVER_WINDOW: list[str] = [
     "project",
@@ -2284,7 +2305,6 @@ DRIVER_WINDOW: list[str] = [
     "join_anti",
     "agg_group",
     "agg_stats",
-    "sort",
     "paginate",
     "paginate_keyset",
     "dynamic_query",
@@ -2306,17 +2326,10 @@ DRIVER_WINDOW: list[str] = [
     "text_fingerprint",
     "multimodal_meta",
     "etl_load_dataset",
-    "set_ops",
-    "window_rank",
-    "rollup",
-    "join_outer",
     "grouping_sets",
     "window_lag_delta",
     "join_range",
-    "sample_hash",
     "text_ngram_topk",
-    "pivot",
-    "approx_distinct",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_volume",
     "grouped_normalize",
@@ -2326,6 +2339,14 @@ DRIVER_WINDOW: list[str] = [
     "quantiles",
     "similarity_ivf_kmeans",
     "multimodal_decode",
+    "text_tfidf_topk",
+    "text_pack_sequences",
+    "embedding_quantize",
+    "multimodal_audio",
+    "interval_join",
+    "unpivot",
+    "window_range_frame",
+    "histogram",
 ]
 
 

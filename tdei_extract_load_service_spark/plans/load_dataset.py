@@ -92,7 +92,18 @@ def read_sink(spark: SparkSession, warehouse: str, table: str) -> DataFrame:
     """Read a sink table, returning a correctly-typed empty frame when the
     table has no data yet (a freshly-deleted dataset can leave a partition
     directory with zero files — a metastore-backed table would carry the
-    schema; this helper is the file-layout equivalent)."""
+    schema; this helper is the file-layout equivalent).
+
+    Manifest warehouses (``load_dataset(commit_mode="manifest")``) are
+    resolved through the pointer file, so the read is a consistent
+    snapshot even while a load is committing."""
+    from tdei_extract_load_service_spark.sinks.manifest import (
+        is_manifest_warehouse,
+        read_table,
+    )
+
+    if is_manifest_warehouse(warehouse):
+        return read_table(spark, warehouse, table, schema=sink_schema(table))
     path = os.path.join(warehouse, table)
     try:
         return spark.read.schema(sink_schema(table)).parquet(path)
@@ -210,24 +221,57 @@ def load_dataset(
     user_id: str,
     warehouse: str,
     fidelity: str = "jvm",
+    commit_mode: str = "partition",
 ) -> LoadResult:
     """Run the full extract-load lifecycle for one dataset.
 
     Returns a LoadResult (never raises for data errors — O21 error
     normalization, extract-load-service.ts:41-49: failures become a
     friendly failure message, matching the publish-failure path :343).
+
+    ``commit_mode``:
+
+    - ``"partition"`` (default) — each sink commits independently via
+      dynamic partition overwrite. Crash-safe per table, but a reader
+      racing the load can see table A updated before table B.
+    - ``"manifest"`` — the full multi-sink load publishes through ONE
+      atomic pointer swap (``sinks.manifest``), matching the reference's
+      single-transaction visibility (O18, data-source.ts:33-65): a reader
+      sees the complete old state or the complete new state of ALL
+      tables, and a mid-load crash publishes nothing. Readers must go
+      through ``read_sink`` / ``sinks.manifest.read_table``.
     """
     timings: dict[str, float] = {}
+    all_tables = (*SINK_TABLES.values(), "extension_file", "dataset", "dataset_stats")
+    txn = None
+    if commit_mode == "manifest":
+        from tdei_extract_load_service_spark.sinks.manifest import ManifestTxn
+
+        txn = ManifestTxn(warehouse)
+    elif commit_mode != "partition":
+        raise ValueError(f"unknown commit_mode {commit_mode!r}")
+
+    def sink_write(table: str, df) -> None:
+        if txn is not None:
+            txn.write(table, df, tdei_dataset_id)
+        else:
+            overwrite_by_key(df, os.path.join(warehouse, table))
+
     try:
         # -- pre-delete: wipe all prior rows of this dataset (O17,
         # delete_dataset_records_by_id extract-load-service.ts:290-295 —
         # runs before the load, so a kind absent from the new archive
-        # can't leave stale rows behind)
+        # can't leave stale rows behind). In manifest mode the deletes are
+        # STAGED and land atomically with the writes at commit.
         t0 = time.perf_counter()
-        from tdei_extract_load_service_spark.sinks.writers import delete_by_key
+        if txn is not None:
+            for table in all_tables:
+                txn.delete(table, tdei_dataset_id)
+        else:
+            from tdei_extract_load_service_spark.sinks.writers import delete_by_key
 
-        for table in (*SINK_TABLES.values(), "extension_file", "dataset", "dataset_stats"):
-            delete_by_key(os.path.join(warehouse, table), tdei_dataset_id)
+            for table in all_tables:
+                delete_by_key(os.path.join(warehouse, table), tdei_dataset_id)
         timings["delete"] = time.perf_counter() - t0
 
         # -- extract: archive -> routed entries -------------------------
@@ -325,7 +369,7 @@ def load_dataset(
             # counts[kind] is already known — coalesce (narrow, no shuffle)
             # to ~250k rows/file, floor 1.
             n_files = max(1, counts.get(kind, 0) // 250_000)
-            overwrite_by_key(kind_df.coalesce(n_files), os.path.join(warehouse, table))
+            sink_write(table, kind_df.coalesce(n_files))
 
         # pre-delete already cleared any prior rows; an empty
         # dynamic-overwrite write is a no-op Spark job — skip it
@@ -350,9 +394,8 @@ def load_dataset(
             )
             # one row per extension entry — bounded; don't scatter it over
             # the full shuffle partitioning as near-empty files
-            overwrite_by_key(
-                ext_files.coalesce(max(1, gate["n_ext"] // 250_000)),
-                os.path.join(warehouse, "extension_file"),
+            sink_write(
+                "extension_file", ext_files.coalesce(max(1, gate["n_ext"] // 250_000))
             )
         timings["load"] = time.perf_counter() - t0
 
@@ -389,7 +432,7 @@ def load_dataset(
                 sink_schema("dataset"),
             )
             # exactly one row per dataset -> one file
-            overwrite_by_key(dataset_row.coalesce(1), os.path.join(warehouse, "dataset"))
+            sink_write("dataset", dataset_row.coalesce(1))
         timings["metadata"] = time.perf_counter() - t0
 
         # -- stats: the tdei_update_osw_stats analogue (O19) -------------
@@ -409,8 +452,15 @@ def load_dataset(
                 ),
                 sink_schema("dataset_stats"),
             )
-            overwrite_by_key(stats_df.coalesce(1), os.path.join(warehouse, "dataset_stats"))
+            sink_write("dataset_stats", stats_df.coalesce(1))
         timings["stats"] = time.perf_counter() - t0
+
+        # -- commit: in manifest mode, ONE pointer swap publishes every
+        # sink written above (the reference's single COMMIT) -------------
+        if txn is not None:
+            t0 = time.perf_counter()
+            txn.commit()
+            timings["commit"] = time.perf_counter() - t0
 
         features.unpersist()
         entries.unpersist()
@@ -422,6 +472,10 @@ def load_dataset(
             timings={k: round(v, 4) for k, v in timings.items()},
         )
     except Exception as exc:  # noqa: BLE001 — O21: normalize into a failure publish
+        if txn is not None:
+            # rollback: the pointer was never swapped, so no reader saw
+            # anything; just reap this transaction's staged directories
+            txn.abort()
         from tdei_extract_load_service_spark.errors import DatabaseError, classify_db_error
 
         exc = classify_db_error(exc)

@@ -1,0 +1,233 @@
+"""Manifest-pointer atomic commit for the parquet warehouse.
+
+The reference commits a whole dataset load — seven kind tables, the
+extension-file registry, the dataset metadata row, and the stats table —
+inside ONE Postgres transaction (O18, ``src/database/data-source.ts:33-65``):
+a concurrent reader sees either the complete old state or the complete new
+state of every table. The dependency-free parquet path could not say that:
+``overwrite_by_key`` commits per partition directory and
+``staged_swap_write`` has a two-rename window, so a reader racing a load
+could observe table A already swapped while table B still held the old
+rows.
+
+This module closes that gap with the classic manifest-pointer design
+(the mechanism behind Delta/Iceberg snapshots, reduced to one JSON file):
+
+- Every write lands in a FRESH versioned directory
+  ``root/data/<table>/<dataset>-<txn>`` — never overwriting live data.
+- The warehouse has one tiny pointer file, ``root/_MANIFEST.json``,
+  mapping ``table -> dataset -> version dir``.
+- Commit = write the new manifest to a temp name and ``os.replace`` it
+  over the pointer. One atomic rename publishes every table of the
+  transaction at once; a crash anywhere before it leaves the pointer —
+  and therefore every reader — on the complete previous state.
+- Readers snapshot the pointer ONCE and then read only the directories it
+  names, so a commit racing the read cannot tear the snapshot.
+
+Garbage collection: a directory displaced by a commit is recorded as a
+tombstone in the new manifest and physically deleted by the NEXT commit —
+i.e. displaced data survives exactly one commit interval, giving in-flight
+snapshot readers that interval to finish (the same grace-period contract
+as Delta's ``VACUUM``, with the retention measured in commits instead of
+hours). ``keep_commits`` widens it.
+
+At 100 TB nothing here is driver-heavy: data moves only through
+distributed parquet writes into fresh directories (no renames of data
+files at all — object-store friendly, where directory rename is a copy);
+the pointer swap is one small-file replace; the manifest itself is
+O(tables x datasets), the same cardinality the reference keeps as rows in
+its ``content.dataset`` table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tdei_extract_load_service_spark.sinks.writers import _path_lock
+
+MANIFEST_NAME = "_MANIFEST.json"
+
+_EMPTY_MANIFEST: dict = {"txn": 0, "tables": {}, "tombstones": []}
+
+
+def _manifest_path(root: str) -> str:
+    return os.path.join(root, MANIFEST_NAME)
+
+
+def is_manifest_warehouse(root: str) -> bool:
+    return os.path.exists(_manifest_path(root))
+
+
+def read_manifest(root: str) -> dict:
+    """Snapshot the pointer. One read = one consistent snapshot; callers
+    must not re-read mid-query."""
+    try:
+        with open(_manifest_path(root)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return json.loads(json.dumps(_EMPTY_MANIFEST))
+
+
+def _safe_component(value: str) -> str:
+    """Dataset ids become path components — keep them filesystem-safe."""
+    return re.sub(r"[^A-Za-z0-9._-]", "_", str(value))
+
+
+def read_table(
+    spark: SparkSession,
+    root: str,
+    table: str,
+    schema=None,
+    manifest: dict | None = None,
+) -> DataFrame:
+    """Read one table at the manifest's current snapshot. Pass ``manifest``
+    to pin several tables to the SAME snapshot (e.g. a join across kind
+    tables mid-commit). Returns a typed empty frame (``schema`` required
+    for that) when the table has no committed data."""
+    m = manifest if manifest is not None else read_manifest(root)
+    reldirs = sorted(m["tables"].get(table, {}).values())
+    if not reldirs:
+        if schema is None:
+            raise ValueError(
+                f"table {table!r} has no committed data and no schema was given"
+            )
+        return spark.createDataFrame([], schema)
+    paths = [os.path.join(root, d) for d in reldirs]
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(*paths)
+
+
+class ManifestTxn:
+    """One multi-table transaction: stage any number of per-dataset table
+    versions, then publish them all with a single pointer swap.
+
+    Usage::
+
+        txn = ManifestTxn(root)
+        try:
+            txn.delete("node", "ds-1")          # applied at commit
+            txn.write("node", node_df, "ds-1")  # distributed write, staged
+            txn.write("dataset_stats", stats_df, "ds-1")
+            txn.commit()
+        except Exception:
+            txn.abort()
+            raise
+
+    ``write``/``delete`` may be called from concurrent threads (the
+    per-kind writers): the data writes go to disjoint fresh directories
+    and the bookkeeping appends are GIL-atomic. Only ``commit`` touches
+    shared state, under the warehouse lock.
+    """
+
+    def __init__(self, root: str, keep_commits: int = 1) -> None:
+        self.root = root
+        self.txn_id = uuid.uuid4().hex[:12]
+        self.keep_commits = keep_commits
+        self._writes: list[tuple[str, str, str]] = []  # (table, dataset, reldir)
+        self._deletes: list[tuple[str, str]] = []
+        self._done = False
+
+    def write(self, table: str, df: DataFrame, dataset_id: str) -> None:
+        """Stage one (table, dataset) version: a distributed parquet write
+        into a directory unique to this transaction. Caller controls file
+        count via coalesce/repartition on ``df``."""
+        reldir = os.path.join(
+            "data", _safe_component(table), f"{_safe_component(dataset_id)}-{self.txn_id}"
+        )
+        df.write.mode("overwrite").parquet(os.path.join(self.root, reldir))
+        self._writes.append((table, str(dataset_id), reldir))
+
+    def delete(self, table: str, dataset_id: str) -> None:
+        """Stage removal of a dataset's rows from a table (O17,
+        delete_dataset_records_by_id, extract-load-service.ts:290-295) —
+        nothing is visible or destroyed until commit."""
+        self._deletes.append((table, str(dataset_id)))
+
+    def commit(self) -> dict:
+        """Publish every staged write/delete with one atomic pointer swap,
+        then garbage-collect directories tombstoned by PREVIOUS commits.
+        Returns the new manifest."""
+        if self._done:
+            raise RuntimeError("transaction already committed or aborted")
+        with _path_lock(self.root):
+            current = read_manifest(self.root)
+            new = {
+                "txn": current["txn"] + 1,
+                "tables": {t: dict(m) for t, m in current["tables"].items()},
+                "tombstones": [],
+            }
+            displaced: list[str] = []
+            for table, dataset in self._deletes:
+                old = new["tables"].get(table, {}).pop(dataset, None)
+                if old is not None:
+                    displaced.append(old)
+            for table, dataset, reldir in self._writes:
+                old = new["tables"].setdefault(table, {}).get(dataset)
+                if old is not None and old != reldir:
+                    displaced.append(old)
+                new["tables"][table][dataset] = reldir
+            # displaced dirs become tombstones for a later commit to reap;
+            # tombstones old enough (aged >= keep_commits) are reaped NOW,
+            # strictly after the pointer swap succeeds
+            ripe = [
+                t for t in current["tombstones"]
+                if new["txn"] - t["txn"] >= self.keep_commits
+            ]
+            new["tombstones"] = [
+                t for t in current["tombstones"] if t not in ripe
+            ] + [{"txn": new["txn"], "dir": d} for d in displaced]
+
+            os.makedirs(self.root, exist_ok=True)
+            tmp = _manifest_path(self.root) + f".tmp-{self.txn_id}"
+            with open(tmp, "w") as fh:
+                json.dump(new, fh, indent=1, sort_keys=True)
+                fh.flush()
+                os.fsync(fh.fileno())
+            # THE commit point: one atomic replace publishes all tables
+            os.replace(tmp, _manifest_path(self.root))
+            self._done = True
+            for tomb in ripe:
+                shutil.rmtree(os.path.join(self.root, tomb["dir"]), ignore_errors=True)
+            return new
+
+    def abort(self) -> None:
+        """Roll back: remove staged directories. The pointer was never
+        touched, so no reader ever saw anything from this transaction."""
+        if self._done:
+            return
+        self._done = True
+        for _table, _dataset, reldir in self._writes:
+            shutil.rmtree(os.path.join(self.root, reldir), ignore_errors=True)
+
+
+def gc_orphans(root: str) -> list[str]:
+    """Remove data directories referenced by neither the manifest's tables
+    nor its tombstones — debris from crashed transactions (whose writes
+    landed but whose commit never ran). Safe to run any time; returns the
+    removed relative paths."""
+    m = read_manifest(root)
+    live = {d for table in m["tables"].values() for d in table.values()}
+    live |= {t["dir"] for t in m["tombstones"]}
+    removed: list[str] = []
+    data_root = os.path.join(root, "data")
+    if not os.path.isdir(data_root):
+        return removed
+    with _path_lock(root):
+        for table in sorted(os.listdir(data_root)):
+            tdir = os.path.join(data_root, table)
+            if not os.path.isdir(tdir):
+                continue
+            for version in sorted(os.listdir(tdir)):
+                rel = os.path.join("data", table, version)
+                if rel not in live:
+                    shutil.rmtree(os.path.join(root, rel), ignore_errors=True)
+                    removed.append(rel)
+    return removed

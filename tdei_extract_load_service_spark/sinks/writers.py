@@ -10,8 +10,12 @@ its delete-then-reload-inside-a-transaction pattern (O17/O18,
   leaving all other datasets' partitions untouched; the swap of each
   partition directory is the commit point.
 - ``staged_swap_write``: write everything to a staging location, then one
-  atomic rename into place — the multi-table transaction analogue when a
-  single commit point must cover several sinks.
+  atomic rename into place — single-table replace with a two-rename
+  visibility window on existing targets.
+- For a single commit point covering SEVERAL sinks at once (the
+  reference's one-transaction load), use ``sinks.manifest.ManifestTxn``:
+  versioned directories + one atomic pointer-file swap, no rename of data
+  paths at all.
 
 JDBC writing (the reference's actual sink) is supported but not exercised
 in tests (no Postgres in the container); the 1,000-row batch default is
@@ -389,9 +393,11 @@ def staged_swap_write(
     an EXISTING target takes two renames (old out, staging in) — readers
     racing that window can observe a missing ``final_path``. When true
     single-commit-point semantics over concurrent readers are required,
-    use a catalog-backed sink (Delta/Iceberg ``replaceWhere``); this
-    function is the dependency-free form whose crash-recovery guarantee is
-    "final_path, if present, is always a complete dataset".
+    use ``sinks.manifest.ManifestTxn`` (dependency-free pointer-swap
+    commit, also multi-table) or a catalog-backed sink (Delta/Iceberg
+    ``replaceWhere``); this function is the simplest form whose
+    crash-recovery guarantee is "final_path, if present, is always a
+    complete dataset".
     """
     staging = f"{final_path}.staging-{uuid.uuid4().hex}"
     writer = df.write.mode("overwrite")

@@ -14,6 +14,10 @@ import os
 from tdei_extract_load_service_spark.catalog import DRIVER_WINDOW, REGISTRY, ordered_registry
 
 # Entries the north star cares most about — must always be driver-checked.
+# r5 rotation (VERDICT r4 #1): pivot/approx_distinct demoted to the
+# oracle_check tail as long-stable shape-subsumed entries; the round-4
+# operators (tfidf, packing, quantize, audio, interval_join, unpivot,
+# range frame, histogram) take flagship status for driver certification.
 FLAGSHIPS = [
     "dedup_lsh_verified",
     "quantiles",
@@ -21,8 +25,6 @@ FLAGSHIPS = [
     "tpch_q5_local_volume",
     "join_asof",
     "session_window",
-    "pivot",
-    "approx_distinct",
     "text_ngram_topk",
     "grouped_normalize",
     "dedup_cluster",
@@ -30,6 +32,14 @@ FLAGSHIPS = [
     "similarity_ivf",
     "similarity_lsh_bucketed",
     "join_range",
+    "text_tfidf_topk",
+    "text_pack_sequences",
+    "embedding_quantize",
+    "multimodal_audio",
+    "interval_join",
+    "unpivot",
+    "window_range_frame",
+    "histogram",
 ]
 
 

@@ -1,0 +1,262 @@
+"""Manifest-pointer atomic commit (VERDICT r4 #2): the parquet warehouse's
+multi-sink transaction. The reference commits seven kind tables + metadata
++ stats in ONE Postgres transaction (data-source.ts:33-65); these tests
+prove the pointer-swap design gives the same visibility contract — a
+reader NEVER observes a half-swapped multi-sink state, under success,
+mid-write failure, and mid-swap (pointer-replace) failure.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import zipfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from tdei_extract_load_service_spark.plans.load_dataset import load_dataset, read_sink
+from tdei_extract_load_service_spark.sinks import manifest as mf
+
+
+def _df(spark, rows, schema="id: long, v: string"):
+    return spark.createDataFrame(rows, schema)
+
+
+def make_zip(path: str, entries: dict[str, str]) -> None:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for name, text in entries.items():
+            zf.writestr(name, text)
+    with open(path, "wb") as fh:
+        fh.write(buf.getvalue())
+
+
+def _nodes_doc(n, tag):
+    return json.dumps({
+        "type": "FeatureCollection",
+        "name": f"nodes-{tag}",
+        "features": [
+            {"type": "Feature",
+             "geometry": {"type": "Point", "coordinates": [float(i), float(i), 5.0]},
+             "properties": {"_id": f"{tag}-n{i}"}}
+            for i in range(n)
+        ],
+    })
+
+
+def _edges_doc(n, tag):
+    return json.dumps({
+        "type": "FeatureCollection",
+        "name": f"edges-{tag}",
+        "features": [
+            {"type": "Feature",
+             "geometry": {"type": "LineString",
+                          "coordinates": [[i, i, 1.0], [i + 1, i, 2.0]]},
+             "properties": {"_id": f"{tag}-e{i}"}}
+            for i in range(n)
+        ],
+    })
+
+
+# ---------------------------------------------------------------------------
+# ManifestTxn unit behavior
+# ---------------------------------------------------------------------------
+
+def test_commit_publishes_all_tables_at_once(spark, tmp_path):
+    root = str(tmp_path / "wh")
+    txn = mf.ManifestTxn(root)
+    txn.write("a", _df(spark, [(1, "a1")]), "ds")
+    txn.write("b", _df(spark, [(2, "b1")]), "ds")
+    # before commit: nothing visible
+    assert not mf.is_manifest_warehouse(root)
+    txn.commit()
+    assert mf.read_table(spark, root, "a").count() == 1
+    assert mf.read_table(spark, root, "b").count() == 1
+
+
+def test_mid_swap_failure_publishes_nothing(spark, tmp_path, monkeypatch):
+    """THE half-swap test: txn 2 rewrites tables a AND b; the pointer
+    replace is made to fail. Every read after the failure must see the
+    complete txn-1 state of BOTH tables — not a mix."""
+    root = str(tmp_path / "wh")
+    txn1 = mf.ManifestTxn(root)
+    txn1.write("a", _df(spark, [(1, "a-old")]), "ds")
+    txn1.write("b", _df(spark, [(1, "b-old")]), "ds")
+    txn1.commit()
+
+    txn2 = mf.ManifestTxn(root)
+    txn2.write("a", _df(spark, [(2, "a-new")]), "ds")
+    txn2.write("b", _df(spark, [(2, "b-new")]), "ds")
+    real_replace = os.replace
+
+    def exploding_replace(src, dst):
+        if os.path.basename(dst) == mf.MANIFEST_NAME:
+            raise OSError("injected crash at the commit point")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(mf.os, "replace", exploding_replace)
+    with pytest.raises(OSError, match="injected"):
+        txn2.commit()
+    monkeypatch.undo()
+
+    got_a = {r["v"] for r in mf.read_table(spark, root, "a").collect()}
+    got_b = {r["v"] for r in mf.read_table(spark, root, "b").collect()}
+    assert got_a == {"a-old"} and got_b == {"b-old"}, "reader saw a half-swap"
+    # rollback + orphan GC reap the staged-but-never-published directories
+    txn2.abort()
+    assert mf.gc_orphans(root) == []
+    data_dirs = {
+        os.path.join(t, v)
+        for t in os.listdir(os.path.join(root, "data"))
+        for v in os.listdir(os.path.join(root, "data", t))
+    }
+    assert all(txn2.txn_id not in d for d in data_dirs)
+
+
+def test_snapshot_readers_survive_one_subsequent_commit(spark, tmp_path):
+    """Displaced data lives for keep_commits more commits (tombstone
+    grace), so a frame planned against the old snapshot still reads."""
+    root = str(tmp_path / "wh")
+    txn1 = mf.ManifestTxn(root)
+    txn1.write("a", _df(spark, [(1, "old")]), "ds")
+    txn1.commit()
+    snapshot = mf.read_manifest(root)
+    old_frame = mf.read_table(spark, root, "a", manifest=snapshot)
+
+    txn2 = mf.ManifestTxn(root)
+    txn2.write("a", _df(spark, [(2, "new")]), "ds")
+    txn2.commit()
+    # old dir is tombstoned, not deleted — the pinned snapshot still reads
+    assert {r["v"] for r in old_frame.collect()} == {"old"}
+    assert {r["v"] for r in mf.read_table(spark, root, "a").collect()} == {"new"}
+
+    # the NEXT commit reaps the ripe tombstone
+    txn3 = mf.ManifestTxn(root)
+    txn3.write("a", _df(spark, [(3, "newer")]), "ds")
+    txn3.commit()
+    m = mf.read_manifest(root)
+    live = {d for t in m["tables"].values() for d in t.values()}
+    tombs = {t["dir"] for t in m["tombstones"]}
+    for t in os.listdir(os.path.join(root, "data", "a")):
+        rel = os.path.join("data", "a", t)
+        assert rel in live | tombs, f"unreaped zombie dir {rel}"
+    assert all(txn1.txn_id not in d for d in live | tombs), "txn1 dir must be reaped"
+
+
+def test_delete_is_atomic_with_writes(spark, tmp_path):
+    root = str(tmp_path / "wh")
+    txn1 = mf.ManifestTxn(root)
+    txn1.write("a", _df(spark, [(1, "ds1-a")]), "ds1")
+    txn1.write("a", _df(spark, [(2, "ds2-a")]), "ds2")
+    txn1.commit()
+    txn2 = mf.ManifestTxn(root)
+    txn2.delete("a", "ds1")
+    txn2.write("b", _df(spark, [(3, "ds1-b")]), "ds1")
+    txn2.commit()
+    assert {r["v"] for r in mf.read_table(spark, root, "a").collect()} == {"ds2-a"}
+    assert {r["v"] for r in mf.read_table(spark, root, "b").collect()} == {"ds1-b"}
+
+
+def test_empty_table_reads_as_typed_empty_frame(spark, tmp_path):
+    root = str(tmp_path / "wh")
+    mf.ManifestTxn(root).commit()  # manifest exists, no tables
+    out = mf.read_table(spark, root, "nothing", schema="id: long, v: string")
+    assert out.count() == 0 and out.columns == ["id", "v"]
+    with pytest.raises(ValueError, match="no schema"):
+        mf.read_table(spark, root, "nothing")
+
+
+# ---------------------------------------------------------------------------
+# load_dataset(commit_mode="manifest") end-to-end
+# ---------------------------------------------------------------------------
+
+def test_manifest_load_matches_partition_load(spark, tmp_path):
+    entries = {"nodes.geojson": _nodes_doc(9, "v1"), "edges.geojson": _edges_doc(4, "v1")}
+    a = str(tmp_path / "a.zip")
+    make_zip(a, entries)
+    wh_p = str(tmp_path / "wh_partition")
+    wh_m = str(tmp_path / "wh_manifest")
+    rp = load_dataset(spark, a, "ds", "u", wh_p)
+    rm = load_dataset(spark, a, "ds", "u", wh_m, commit_mode="manifest")
+    assert rp.success and rm.success
+    assert rp.feature_counts == rm.feature_counts
+    for table in ("node", "edge", "dataset", "dataset_stats"):
+        # partitioned parquet surfaces the partition column last; compare
+        # name-sorted columns (the driver's hash does the same)
+        dp = read_sink(spark, wh_p, table)
+        dm = read_sink(spark, wh_m, table)
+        assert sorted(dp.columns) == sorted(dm.columns), table
+        cols = sorted(dp.columns)
+        assert sorted(map(str, dp.select(*cols).collect())) == sorted(
+            map(str, dm.select(*cols).collect())
+        ), table
+
+
+def test_manifest_reload_replaces_and_drops_absent_kind_atomically(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    a1 = str(tmp_path / "a1.zip")
+    make_zip(a1, {"nodes.geojson": _nodes_doc(5, "v1"), "edges.geojson": _edges_doc(3, "v1")})
+    assert load_dataset(spark, a1, "ds", "u", wh, commit_mode="manifest").success
+    # reload: nodes only — edges must vanish (O17 delete-then-reload)
+    a2 = str(tmp_path / "a2.zip")
+    make_zip(a2, {"nodes.geojson": _nodes_doc(7, "v2")})
+    assert load_dataset(spark, a2, "ds", "u", wh, commit_mode="manifest").success
+    assert read_sink(spark, wh, "node").count() == 7
+    assert read_sink(spark, wh, "edge").count() == 0
+    ids = {json.loads(r["feature"])["properties"]["_id"][:2]
+           for r in read_sink(spark, wh, "node").collect()}
+    assert ids == {"v2"}
+
+
+def test_failed_manifest_load_leaves_all_sinks_on_old_state(spark, tmp_path):
+    """A reload that dies mid-load (malformed second file, after the good
+    first file) publishes NOTHING: every sink — kinds, metadata, stats —
+    still shows the complete previous load. The partition-mode path
+    cannot make this promise; the manifest path must."""
+    wh = str(tmp_path / "wh")
+    a1 = str(tmp_path / "a1.zip")
+    make_zip(a1, {"nodes.geojson": _nodes_doc(5, "v1"), "edges.geojson": _edges_doc(3, "v1")})
+    assert load_dataset(spark, a1, "ds", "u", wh, commit_mode="manifest").success
+    before = {
+        t: sorted(map(str, read_sink(spark, wh, t).collect()))
+        for t in ("node", "edge", "dataset", "dataset_stats")
+    }
+
+    a2 = str(tmp_path / "a2.zip")
+    make_zip(a2, {"nodes.geojson": _nodes_doc(9, "v2"),
+                  "edges.geojson": "{not valid json"})
+    result = load_dataset(spark, a2, "ds", "u", wh, commit_mode="manifest")
+    assert not result.success
+
+    after = {
+        t: sorted(map(str, read_sink(spark, wh, t).collect()))
+        for t in ("node", "edge", "dataset", "dataset_stats")
+    }
+    assert after == before, "failed load leaked partial state into a sink"
+    mf.gc_orphans(wh)  # staged debris reaped; manifest state still intact
+    assert {
+        t: sorted(map(str, read_sink(spark, wh, t).collect()))
+        for t in ("node", "edge", "dataset", "dataset_stats")
+    } == before
+
+
+def test_concurrent_dataset_loads_compose(spark, tmp_path):
+    """Two datasets loaded into one manifest warehouse (the consumer's
+    maxConcurrentMessages shape): both commits land, neither clobbers the
+    other's tables."""
+    wh = str(tmp_path / "wh")
+    a1, a2 = str(tmp_path / "a1.zip"), str(tmp_path / "a2.zip")
+    make_zip(a1, {"nodes.geojson": _nodes_doc(4, "d1")})
+    make_zip(a2, {"nodes.geojson": _nodes_doc(6, "d2")})
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f1 = pool.submit(load_dataset, spark, a1, "ds1", "u", wh, "jvm", "manifest")
+        f2 = pool.submit(load_dataset, spark, a2, "ds2", "u", wh, "jvm", "manifest")
+        assert f1.result().success and f2.result().success
+    nodes = read_sink(spark, wh, "node")
+    per_ds = {r["tdei_dataset_id"]: r["n"] for r in
+              nodes.groupBy("tdei_dataset_id").agg(F.count("*").alias("n")).collect()}
+    assert per_ds == {"ds1": 4, "ds2": 6}
