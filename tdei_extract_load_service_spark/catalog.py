@@ -1016,6 +1016,45 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_jpeg",
+    """
+    SELECT doc_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+           CAST(1 AS INT) AS n_channels,
+           CAST(SUM((2 * ((doc_id * 7 + b.i * 13) % 128))
+                    * (8192 * (b.i // 2) + 512 * (b.i % 2) + 3872)) AS BIGINT)
+             AS pixel_checksum
+    FROM documents CROSS JOIN range(0, 4) b(i)
+    GROUP BY doc_id
+    """,
+)
+def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real baseline-JPEG pixel decode — pure stdlib Huffman decode, DC
+    prediction, dequantization and full float IDCT (multimodal/jpeg.py),
+    no codec library — over deterministic DC-only fixtures.
+
+    JPEG is lossy, so a general pixel oracle is impossible; the fixtures
+    make it exact: a block whose only coefficient is DC decodes to a flat
+    tile of ``round(dc*q0/8) + 128`` under ANY correct IDCT, giving the
+    position-weighted checksum the closed form above (block b of image
+    doc_id carries dc = ((doc_id*7 + b*13) % 128) - 64, q0 = 16, so the
+    tile value is 2*((doc_id*7 + b*13) % 128); the inner weight is
+    sum of (y*16+x+1) over the 8x8 tile at (b//2, b%2)). The decoder still
+    runs the entire real path — the full-AC spectrum is cross-checked in
+    pytest against an independent direct-formula IDCT. Progressive /
+    subsampled JPEG and video frames remain the declared codec boundary."""
+    from tdei_extract_load_service_spark.multimodal.binary_ops import (
+        decode_image_pixels,
+        synth_jpeg,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    decoded = decode_image_pixels(synth_jpeg(docs, "doc_id"))
+    return decoded.select(
+        F.col("media_id").alias("doc_id"), "width", "height", "n_channels", "pixel_checksum"
+    )
+
+
+@register(
     "multimodal_audio",
     """
     WITH dims AS (

@@ -324,13 +324,39 @@ def synth_png(df: DataFrame, id_col: str = "media_id") -> DataFrame:
     return df.select(id_col).mapInPandas(gen, schema="media_id bigint, content binary")
 
 
+def synth_jpeg(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Deterministic baseline-JPEG fixture generator over an id column:
+    16x16 grayscale, four 8x8 blocks, block b of image ``mid`` carrying
+    only a DC coefficient ``((mid*7 + b*13) % 128) - 64``. DC-only blocks
+    decode to flat tiles of exactly ``2*dc + 128`` under any correct IDCT
+    (multimodal/jpeg.py), which is what gives this LOSSY format a
+    closed-form SQL oracle — while the decoder still runs the full real
+    path (Huffman, DC prediction, dequant, IDCT)."""
+    from tdei_extract_load_service_spark.multimodal.jpeg import encode_jpeg_gray_blocks
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                dcs = [((mid * 7 + b * 13) % 128) - 64 for b in range(4)]
+                ids.append(mid)
+                blobs.append(encode_jpeg_gray_blocks(16, 16, dcs))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    return df.select(id_col).mapInPandas(gen, schema="media_id bigint, content binary")
+
+
 def decode_image_pixels(
     df: DataFrame, id_col: str = "media_id", content_col: str = "content"
 ) -> DataFrame:
-    """Full pixel decode of PNG binary columns through ``mapInPandas``
-    (Arrow-batched): inflate + unfilter, emitting dimensions, channel count
-    and a position-weighted pixel checksum. Non-PNG or codec-requiring
-    inputs land in the ``error`` column per row — the job never fails."""
+    """Full pixel decode of image binary columns through ``mapInPandas``
+    (Arrow-batched), dispatching on the magic number: PNG via stdlib
+    inflate + unfilter, baseline JPEG via the stdlib Huffman + IDCT
+    decoder (multimodal/jpeg.py). Emits dimensions, channel count and a
+    position-weighted pixel checksum. Codec-requiring inputs (palette or
+    interlaced PNG, progressive or subsampled JPEG, other formats) land in
+    the ``error`` column per row — the job never fails."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -352,7 +378,14 @@ def decode_image_pixels(
                     pixel_checksum=None, decoded=False, error=None,
                 )
                 try:
-                    d = decode_png_pixels(blob)
+                    if bytes(blob[:3]) == b"\xff\xd8\xff":
+                        from tdei_extract_load_service_spark.multimodal.jpeg import (
+                            decode_jpeg_pixels,
+                        )
+
+                        d = decode_jpeg_pixels(blob)
+                    else:
+                        d = decode_png_pixels(blob)
                     rec.update(
                         width=d["width"], height=d["height"],
                         n_channels=d["n_channels"],

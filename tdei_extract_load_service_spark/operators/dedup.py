@@ -444,7 +444,11 @@ def simhash_pairs(
 
 
 def dedup_clusters(
-    ids: DataFrame, pairs: DataFrame, id_col: str = "doc_id", max_iter: int = 25
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into duplicate CLUSTERS: every doc gets a
     ``cluster_id`` = the smallest doc id in its connected component (the
@@ -461,6 +465,10 @@ def dedup_clusters(
     — both shuffle only (id, label) longs. The driver sees a single
     convergence COUNT per round, never the labels. Giant components make
     hot join keys — AQE skew-split absorbs them.
+
+    ``metrics``: pass a dict to receive ``{"rounds": k, "converged": bool}``
+    — the observability hook the x100 long-diameter smoke
+    (tools/cluster_smoke.py) uses to assert rounds == diameter bound.
     """
     # the union references the pair frame twice — persist it so expensive
     # pair generation (an inverted-index or LSH join upstream) runs once
@@ -485,7 +493,10 @@ def dedup_clusters(
     # any corpus size, unlike the earlier sum(label)-delta witness, which
     # could throw (ANSI) or in principle alias to 0 mod 2^64 (non-ANSI) on
     # bigint doc ids.
+    rounds = 0
+    converged = False
     for _ in range(max_iter):
+        rounds += 1
         neighbor_min = (
             edges.join(labels.hint("merge"), edges["dst"] == labels["node"])
             .groupBy("src")
@@ -505,7 +516,11 @@ def dedup_clusters(
         n_changed = labels.agg(F.sum("_changed")).collect()[0][0]
         labels = labels.drop("_changed")
         if n_changed == 0:
+            converged = True
             break
+    if metrics is not None:
+        metrics["rounds"] = rounds
+        metrics["converged"] = converged
     edges.unpersist()
     pairs_p.unpersist()
     return labels.select(_col("node").alias(id_col), F.col("label").alias("cluster_id"))

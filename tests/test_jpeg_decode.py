@@ -1,0 +1,152 @@
+"""Stdlib baseline-JPEG decode tier (VERDICT r4 #5): the decoder must run
+the real path — Huffman decode, DC prediction, dequant, IDCT — and agree
+with (a) the DC-only closed form and (b) an independent direct-formula
+IDCT on full-AC spectra. Plus the Spark-side dispatch plumbing."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from tdei_extract_load_service_spark.multimodal.jpeg import (
+    ZIGZAG,
+    decode_jpeg_pixels,
+    encode_jpeg_gray_blocks,
+    encode_jpeg_gray_coeffs,
+)
+
+
+def _ref_idct(coeffs):
+    """Independent reference: the direct O(64^2) IDCT sum straight from
+    the standard's formula — deliberately NOT the separable implementation
+    the production decoder uses."""
+    out = []
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                    s += (
+                        cu * cv * coeffs[u * 8 + v]
+                        * math.cos((2 * x + 1) * v * math.pi / 16)
+                        * math.cos((2 * y + 1) * u * math.pi / 16)
+                    )
+            val = int(round(s / 4.0)) + 128
+            out.append(max(0, min(255, val)))
+    return out
+
+
+def test_dc_only_blocks_decode_to_flat_tiles():
+    dcs = [5, -17, 63, -64, 0, 42, -1, 13]
+    d = decode_jpeg_pixels(encode_jpeg_gray_blocks(16, 32, dcs))
+    assert (d["width"], d["height"], d["n_channels"]) == (16, 32, 1)
+    for b, dc in enumerate(dcs):
+        by, bx = divmod(b, 2)
+        expected = 2 * dc + 128
+        tile = {
+            d["pixels"][(by * 8 + yy) * 16 + bx * 8 + xx]
+            for yy in range(8)
+            for xx in range(8)
+        }
+        assert tile == {expected}, f"block {b} not flat {expected}: {tile}"
+
+
+def test_full_ac_spectrum_matches_independent_idct():
+    random.seed(11)
+    q = [16] * 64
+    blocks = []
+    for _ in range(6):
+        nat = [0] * 64
+        nat[0] = random.randint(-40, 40)
+        for _k in range(8):
+            nat[random.randrange(1, 64)] = random.randint(-12, 12)
+        nat[63] = 3  # forces a ZRL-containing run
+        blocks.append(nat)
+    d = decode_jpeg_pixels(encode_jpeg_gray_coeffs(24, 16, blocks, qtable=q))
+    for b, nat in enumerate(blocks):
+        exp = _ref_idct([nat[i] * q[i] for i in range(64)])
+        by, bx = divmod(b, 3)
+        got = [
+            d["pixels"][(by * 8 + yy) * 24 + bx * 8 + xx]
+            for yy in range(8)
+            for xx in range(8)
+        ]
+        assert got == exp, f"block {b} disagrees with reference IDCT"
+
+
+def test_nontrivial_quant_table_is_applied():
+    q = [16] * 64
+    q[9] = 40  # AC (1,1)
+    nat = [0] * 64
+    nat[0], nat[9] = 10, 3
+    d = decode_jpeg_pixels(encode_jpeg_gray_coeffs(8, 8, [nat], qtable=q))
+    assert list(d["pixels"]) == _ref_idct([nat[i] * q[i] for i in range(64)])
+
+
+def test_dc_prediction_spans_blocks():
+    # large DC jumps across blocks exercise diff categories both signs
+    dcs = [0, 63, -64, 0, 63, -64]
+    d = decode_jpeg_pixels(encode_jpeg_gray_blocks(48, 8, dcs))
+    for b, dc in enumerate(dcs):
+        assert d["pixels"][b * 8] == 2 * dc + 128
+
+
+def test_declared_boundaries_raise():
+    blob = bytearray(encode_jpeg_gray_blocks(16, 16, [1, 2, 3, 4]))
+    # flip SOF0 -> SOF2 (progressive): find FFC0
+    i = bytes(blob).find(b"\xff\xc0")
+    blob[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg_pixels(bytes(blob))
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg_pixels(b"\x89PNG\r\n\x1a\n")
+
+
+def test_zigzag_is_an_involution_layout():
+    assert sorted(ZIGZAG) == list(range(64))
+    assert ZIGZAG[0] == 0 and ZIGZAG[1] == 1 and ZIGZAG[2] == 8
+
+
+def test_spark_dispatch_mixed_png_jpeg(spark):
+    """decode_image_pixels routes by magic number: one frame carrying both
+    PNG and JPEG blobs decodes both through the same Arrow plumbing."""
+    from pyspark.sql import functions as F
+
+    from tdei_extract_load_service_spark.multimodal.binary_ops import (
+        decode_image_pixels,
+        synth_jpeg,
+        synth_png,
+    )
+
+    ids = spark.range(40).select(F.col("id").alias("media_id"))
+    mixed = synth_png(ids.where("media_id % 2 = 0")).unionByName(
+        synth_jpeg(ids.where("media_id % 2 = 1"))
+    )
+    out = decode_image_pixels(mixed).collect()
+    assert len(out) == 40
+    by_id = {r["media_id"]: r for r in out}
+    assert all(r["decoded"] for r in out), [r for r in out if not r["decoded"]][:2]
+    # spot-check one of each against the driver-side decoders
+    jr = by_id[1]
+    assert (jr["width"], jr["height"], jr["n_channels"]) == (16, 16, 1)
+    pr = by_id[2]
+    assert pr["width"] == 8 + 2 % 8 and pr["n_channels"] == 3 + 2 % 2
+
+
+def test_catalog_entry_against_inline_closed_form(spark):
+    from tdei_extract_load_service_spark.catalog import REGISTRY
+
+    rows = REGISTRY["multimodal_decode_jpeg"].query(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        mid = r["doc_id"]
+        exp = sum(
+            (2 * ((mid * 7 + b * 13) % 128))
+            * (8192 * (b // 2) + 512 * (b % 2) + 3872)
+            for b in range(4)
+        )
+        assert r["pixel_checksum"] == exp and r["width"] == 16
