@@ -629,11 +629,69 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (exact all-pairs form — the oracle
-    twin; scale path is LSH/IVF candidate generation)."""
+    twin; scale path is ``dedup_embedding_lsh``)."""
     from tdei_extract_load_service_spark.operators.dedup import embedding_cosine_pairs
 
     return embedding_cosine_pairs(
         _read(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.45
+    )
+
+
+def _embedding_lsh_oracle_sql(
+    n_bands: int = 3, planes_per_band: int = 6, threshold: float = 0.9
+) -> str:
+    """DuckDB twin of embedding_lsh_pairs with the SAME plane literals
+    (similarity.make_planes). The Spark side unions first-collision-band
+    joins; the DISTINCT OR-join here defines the identical pair set, and
+    the exact-cosine verify makes the values — not just the candidates —
+    comparable."""
+    from tdei_extract_load_service_spark.operators.similarity import make_planes
+
+    planes = make_planes(n_bands * planes_per_band, 64)
+    band_exprs = []
+    for band in range(n_bands):
+        terms = []
+        for p in range(planes_per_band):
+            lit = "[" + ",".join(repr(v) for v in planes[band * planes_per_band + p]) + "]::DOUBLE[]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {lit}) >= 0"
+                f" THEN {2 ** p} ELSE 0 END)"
+            )
+        band_exprs.append(" + ".join(terms) + f" AS b{band}")
+    on = " OR ".join(f"a.b{j} = b.b{j}" for j in range(n_bands))
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec, {', '.join(band_exprs)}
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.vec, b.vec)
+                 / (sqrt(list_dot_product(a.vec, a.vec))
+                    * sqrt(list_dot_product(b.vec, b.vec))), 6) AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id AND ({on})
+    WHERE ROUND(list_dot_product(a.vec, b.vec)
+                / (sqrt(list_dot_product(a.vec, a.vec))
+                   * sqrt(list_dot_product(b.vec, b.vec))), 6) >= {threshold}
+    """
+
+
+@register("dedup_embedding_lsh", _embedding_lsh_oracle_sql(n_bands=4, planes_per_band=4, threshold=0.45))
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs THE SCALE WAY: banded random-hyperplane
+    LSH candidates + exact cosine verify (operators/dedup.py
+    embedding_lsh_pairs) — closes the documented gap where
+    dedup_embedding_cosine was the only (all-pairs) embedding dedup.
+    Seeded plane literals are shared verbatim with the oracle, so the
+    approximate operator is fully value-oracle-checked: same candidates,
+    same cosines. Every emitted pair is exact-verified TRUE; recall is
+    the bands x planes knob."""
+    from tdei_extract_load_service_spark.operators.dedup import embedding_lsh_pairs
+    from tdei_extract_load_service_spark.operators.similarity import make_planes
+
+    return embedding_lsh_pairs(
+        _read(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        threshold=0.45, dim=64, n_bands=4, planes_per_band=4,
+        planes=make_planes(16, 64),
     )
 
 
@@ -1152,6 +1210,7 @@ def q_text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_tokens",
         budget=2048,
+        allow_global_sort=True,  # bounded SF fixture; shard at scale
     )
 
 
@@ -1277,23 +1336,14 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     primitive behind every column-stats pass. Bin assignment is pure
     arithmetic (floor + least), so there is no two-pass min/max and no
     driver model; data-dependent ranges compose by bolting the quantiles
-    entry's collected bounds onto the same shape."""
-    li = _read(spark, sf_dir, "lineitem")
-    bin_col = F.least(F.floor(F.col("l_extendedprice") / 5000.0), F.lit(19)).cast("bigint")
-    return (
-        li.select(bin_col.alias("bin"), "l_extendedprice")
-        .groupBy("bin")
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.sum("l_extendedprice"), 2).alias("total"),
-        )
-        .select(
-            "bin",
-            (F.col("bin") * 5000).cast("double").alias("bin_lo"),
-            "n",
-            "total",
-        )
+    entry's collected bounds onto the same shape (operator:
+    operators/profiling.py)."""
+    from tdei_extract_load_service_spark.operators.profiling import (
+        fixed_width_histogram,
     )
+
+    li = _read(spark, sf_dir, "lineitem")
+    return fixed_width_histogram(li, "l_extendedprice", bin_width=5000.0, n_bins=20)
 
 
 @register(

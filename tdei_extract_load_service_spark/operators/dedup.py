@@ -539,13 +539,91 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def embedding_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    dim: int = 64,
+    n_bands: int = 3,
+    planes_per_band: int = 6,
+    planes: list[list[float]] | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs at scale: banded random-hyperplane LSH
+    candidate generation + exact cosine verification — the production
+    counterpart of the all-pairs ``embedding_cosine_pairs`` verifier
+    (which is O(n²) by design).
+
+    Shape (the same ladder the text dedup family earned at x100):
+
+    - one pass computes ``n_bands`` sign-pattern bucket ids per vector
+      from shared plane literals (``similarity.make_planes`` — double
+      literals an external SQL engine can reuse verbatim, so even this
+      approximate operator is value-oracle-checkable);
+    - the banded frame is persisted NARROW (id, vec, band buckets) before
+      fan-out — the minhash projection-collapse lesson: without it each
+      band's self-join re-folds the 64-dim dot products;
+    - per band, a merge-hinted (spillable sort-merge, the x100 pin)
+      self-join on the band bucket, keeping a pair only in its FIRST
+      colliding band (``a.b_i != b.b_i`` for all earlier bands) — no
+      pair-dedup exchange ever materializes duplicate candidates;
+    - exact cosine verify >= threshold, so every emitted pair is TRUE;
+      recall is the LSH knob (bands x planes), documented not hidden.
+
+    Feed the result to ``dedup_clusters`` for survivor election.
+    """
+    from tdei_extract_load_service_spark.operators.similarity import lsh_bucket
+
+    if planes is not None and len(planes) != n_bands * planes_per_band:
+        raise ValueError("need n_bands * planes_per_band planes")
+    band_cols = []
+    for band in range(n_bands):
+        sub = (
+            planes[band * planes_per_band : (band + 1) * planes_per_band]
+            if planes is not None
+            else None
+        )
+        band_cols.append(
+            lsh_bucket(
+                _col(vec_col), dim, planes_per_band, sub
+            ).alias(f"_b{band}")
+        )
+    banded = (
+        spread(df)
+        .select(_col(id_col).alias("id"), _col(vec_col).alias("vec"), *band_cols)
+        .persist()
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    per_band = []
+    for band in range(n_bands):
+        cond = (F.col(f"a._b{band}") == F.col(f"b._b{band}")) & (
+            F.col("a.id") < F.col("b.id")
+        )
+        for earlier in range(band):
+            cond &= F.col(f"a._b{earlier}") != F.col(f"b._b{earlier}")
+        per_band.append(
+            a.join(b.hint("merge"), cond).select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.round(
+                    cosine_similarity(F.col("a.vec"), F.col("b.vec")), 6
+                ).alias("cosine"),
+            )
+        )
+    out = per_band[0]
+    for frame in per_band[1:]:
+        out = out.unionByName(frame)
+    return out.where(F.col("cosine") >= threshold)
+
+
 def embedding_cosine_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.45
 ) -> DataFrame:
     """Exact near-dup pairs by cosine similarity — the all-pairs oracle
     path (O(n²): right at SF-test scale and as the verifier for the
-    approximate paths; at 100 TB use ``operators.similarity``
-    LSH/IVF bucketing for candidate generation instead)."""
+    approximate paths; at 100 TB use ``embedding_lsh_pairs`` /
+    ``operators.similarity`` LSH/IVF bucketing for candidate generation
+    instead)."""
     vecs = spread(df).select(_col(id_col).alias("id"), _col(vec_col).alias("vec"))
     a, b = vecs.alias("a"), vecs.alias("b")
     sim = cosine_similarity(F.col("a.vec"), F.col("b.vec"))

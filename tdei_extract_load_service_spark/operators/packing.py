@@ -41,6 +41,7 @@ def pack_sequences(
     n_tokens_col: str | Column,
     budget: int,
     partition_cols: tuple[str, ...] = (),
+    allow_global_sort: bool = False,
 ) -> DataFrame:
     """Contiguous-fill sequence packing: documents laid end-to-end in
     deterministic ``id`` order are cut into bins every ``budget`` tokens.
@@ -53,12 +54,24 @@ def pack_sequences(
 
     Shape: one window cumulative sum over the (optionally sharded)
     ordering. With ``partition_cols`` the cumsum is per shard — no global
-    sort at scale.
+    sort at scale. WITHOUT them the window is one total order
+    (``Window.orderBy`` with no partition = a single task holding the
+    whole corpus), which only makes sense for bounded inputs — so it must
+    be requested explicitly with ``allow_global_sort=True``; a 100 TB
+    caller that forgets ``partition_cols`` gets this error, not a
+    silently-pinned single task.
     """
     nt = _col(n_tokens_col)
-    w = Window.orderBy(id_col)
     if partition_cols:
         w = Window.partitionBy(*partition_cols).orderBy(id_col)
+    elif allow_global_sort:
+        w = Window.orderBy(id_col)
+    else:
+        raise ValueError(
+            "pack_sequences without partition_cols is a single total order "
+            "(one task holds the whole corpus). Pass partition_cols to pack "
+            "within shards, or allow_global_sort=True for bounded inputs."
+        )
     pre = (F.sum(nt).over(w) - nt).cast("bigint")
     out_cols = [
         _col(id_col).alias("id") if id_col != "id" else F.col("id"),

@@ -230,3 +230,34 @@ def test_ivf_kmeans_recall_not_worse_than_bootstrap(spark):
     approx = ivf_topk_model(emb, model, "vec_id", "embedding", qv, k=10, n_probe=2)
     exact_top1 = topk_cosine(emb, "vec_id", "embedding", qv, k=1).first()["id"]
     assert exact_top1 in {r["id"] for r in approx.collect()}
+
+
+def test_embedding_lsh_pairs_subset_of_exact_with_identical_cosines(spark):
+    """The scale-path embedding dedup: every LSH-surfaced pair must be a
+    TRUE pair (exact-cosine verified), with cosine values identical to the
+    all-pairs operator; first-collision-band union must emit no duplicate
+    pairs. Recall < 1 is the documented LSH trade, not a bug."""
+    from tdei_extract_load_service_spark.operators.dedup import (
+        embedding_cosine_pairs,
+        embedding_lsh_pairs,
+    )
+    from tdei_extract_load_service_spark.operators.similarity import make_planes
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.45).collect()
+    }
+    approx = embedding_lsh_pairs(
+        emb, "vec_id", "embedding", threshold=0.45,
+        dim=64, n_bands=4, planes_per_band=4, planes=make_planes(16, 64),
+    ).collect()
+    pairs = [(r["id_a"], r["id_b"]) for r in approx]
+    assert len(pairs) == len(set(pairs)), "first-collision-band dedup leaked duplicates"
+    for r in approx:
+        key = (r["id_a"], r["id_b"])
+        assert key in exact, f"LSH emitted a non-pair {key}"
+        assert r["cosine"] == exact[key], f"cosine mismatch at {key}"
+    assert exact, "fixture must contain true pairs at this threshold"
+    recall = len(pairs) / len(exact)
+    assert recall > 0.3, f"LSH recall collapsed: {recall} ({len(pairs)}/{len(exact)})"

@@ -65,6 +65,16 @@ EXPECTATIONS: dict[str, list[str]] = {
     "text_pack_sequences": ["Window", "!Join"],
     # int8 quantization: a pure projection — no shuffle at all
     "embedding_quantize": ["!Exchange", "!Join"],
+    # histogram: ONE map-side-combined hash aggregation — no join, no
+    # second (min/max) pass, bin arithmetic inline
+    "histogram": ["HashAggregate", "partial_count", "!Join"],
+    # banded embedding LSH: same spillable-sort-merge pin as the text
+    # dedup family (the x100 lesson applies to any corpus-sized
+    # self-join); first-collision-band union means no dedup Exchange
+    "dedup_embedding_lsh": ["SortMergeJoin", "!BroadcastHashJoin", "!ShuffledHashJoin"],
+    # JPEG decode: Arrow-batched python fan-out over a pruned single
+    # column — no shuffle anywhere
+    "multimodal_decode_jpeg": ["ArrowEvalPython|MapInPandas", "!Exchange"],
 }
 
 
