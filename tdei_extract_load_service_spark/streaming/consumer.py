@@ -39,8 +39,14 @@ REQUEST_SCHEMA = (
 SUPPORTED_DATA_TYPES = {"osw"}
 
 
-def process_request(spark: SparkSession, message: dict, warehouse: str) -> dict:
-    """Dispatch one request message (O2) and build the response message."""
+def process_request(
+    spark: SparkSession, message: dict, warehouse: str, commit_mode: str = "partition"
+) -> dict:
+    """Dispatch one request message (O2) and build the response message.
+
+    ``commit_mode="manifest"`` runs each load with the single-commit-point
+    manifest warehouse (``sinks/manifest.py``) — the visibility contract of
+    the reference's one DB transaction per message."""
     data = message.get("data") or {}
     data_type = data.get("data_type")
     if data_type not in SUPPORTED_DATA_TYPES:
@@ -53,6 +59,7 @@ def process_request(spark: SparkSession, message: dict, warehouse: str) -> dict:
             tdei_dataset_id=data["tdei_dataset_id"],
             user_id=data.get("user_id", ""),
             warehouse=warehouse,
+            commit_mode=commit_mode,
         )
         result_success, result_message = result.success, result.message
     # response format: the request mutated with success/message
@@ -131,6 +138,7 @@ def run_queue_consumer(
     max_messages_per_trigger: int = 2,
     available_now: bool = True,
     request_stream: DataFrame | None = None,
+    commit_mode: str = "partition",
 ) -> None:
     """Consume request messages, run loads, publish responses.
 
@@ -139,6 +147,8 @@ def run_queue_consumer(
     pluggable: pass ``request_stream`` (any streaming DataFrame with
     REQUEST_SCHEMA columns — ``request_stream_from_kafka`` for broker
     deployments) or let ``request_dir`` build the file source.
+    ``commit_mode`` is forwarded to every load ("manifest" = one atomic
+    pointer swap per message, the reference's per-message transaction).
     """
     # validate args BEFORE any side effect: a missing source or an empty
     # response_dir should be a clear ValueError, not a bare
@@ -164,7 +174,7 @@ def run_queue_consumer(
         from concurrent.futures import ThreadPoolExecutor
 
         def run_one(message: dict) -> None:
-            response = process_request(spark, message, warehouse)
+            response = process_request(spark, message, warehouse, commit_mode)
             out = os.path.join(response_dir, f"response-{batch_id}-{uuid.uuid4().hex}.json")
             with open(out, "w") as fh:
                 json.dump(response, fh)

@@ -260,3 +260,37 @@ def test_concurrent_dataset_loads_compose(spark, tmp_path):
     per_ds = {r["tdei_dataset_id"]: r["n"] for r in
               nodes.groupBy("tdei_dataset_id").agg(F.count("*").alias("n")).collect()}
     assert per_ds == {"ds1": 4, "ds2": 6}
+
+
+def test_consumer_manifest_mode_end_to_end(spark, tmp_path):
+    """commit_mode plumbs through the queue consumer: each message's load
+    publishes via one pointer swap; responses succeed; read_sink resolves
+    the pointer."""
+    import os
+
+    from tdei_extract_load_service_spark.streaming.consumer import run_queue_consumer
+
+    a1, a2 = str(tmp_path / "a1.zip"), str(tmp_path / "a2.zip")
+    make_zip(a1, {"nodes.geojson": _nodes_doc(5, "c1")})
+    make_zip(a2, {"nodes.geojson": _nodes_doc(3, "c2")})
+    request_dir = tmp_path / "req"
+    request_dir.mkdir()
+    for i, (ds, path) in enumerate([("cds-1", a1), ("cds-2", a2)]):
+        (request_dir / f"m{i}.json").write_text(json.dumps({
+            "messageId": f"m{i}", "messageType": "workflow",
+            "data": {"data_type": "osw", "file_upload_path": path,
+                     "tdei_dataset_id": ds, "user_id": "u"}}))
+    warehouse = str(tmp_path / "wh")
+    run_queue_consumer(
+        spark, request_dir=str(request_dir), response_dir=str(tmp_path / "resp"),
+        warehouse=warehouse, checkpoint_dir=str(tmp_path / "ckpt"),
+        commit_mode="manifest",
+    )
+    responses = [json.loads((tmp_path / "resp" / f).read_text())
+                 for f in os.listdir(tmp_path / "resp")]
+    assert len(responses) == 2 and all(r["data"]["success"] for r in responses)
+    assert mf.is_manifest_warehouse(warehouse)
+    nodes = read_sink(spark, warehouse, "node")
+    per_ds = {r["tdei_dataset_id"]: r["n"] for r in
+              nodes.groupBy("tdei_dataset_id").agg(F.count("*").alias("n")).collect()}
+    assert per_ds == {"cds-1": 5, "cds-2": 3}
