@@ -1113,6 +1113,42 @@ def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_resize",
+    """
+    SELECT doc_id,
+           CAST(16 AS INT) AS src_width, CAST(16 AS INT) AS src_height,
+           CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+           CAST(1 AS INT) AS n_channels,
+           CAST(SUM((2 * ((doc_id * 7 + b.i * 13) % 128))
+                    * (512 * (b.i // 2) + 64 * (b.i % 2) + 232)) AS BIGINT)
+             AS pixel_checksum
+    FROM documents CROSS JOIN range(0, 4) b(i)
+    GROUP BY doc_id
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode -> nearest-neighbor resize chain (16x16 baseline JPEG ->
+    8x8 thumbnail), value-verified end to end: the DC-only fixture's flat
+    8x8 tiles survive any correct decode+NN-sample, so the resized
+    position-weighted checksum has the closed form above (source pixel of
+    output (x,y) is (2y,2x); tile weight = sum of (y*8+x+1) over the 4x4
+    output region each source block covers = 512*by + 64*bx + 232).
+    Completes the multimodal op family: meta, decode (PNG+JPEG pixels),
+    feature-extract (audio), RESIZE, frame-sample."""
+    from tdei_extract_load_service_spark.multimodal.binary_ops import (
+        resize_image_pixels,
+        synth_jpeg,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    resized = resize_image_pixels(synth_jpeg(docs, "doc_id"), out_w=8, out_h=8)
+    return resized.select(
+        F.col("media_id").alias("doc_id"), "src_width", "src_height",
+        "width", "height", "n_channels", "pixel_checksum",
+    )
+
+
+@register(
     "multimodal_audio",
     """
     WITH dims AS (

@@ -539,6 +539,18 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def planes_per_band_for(n_rows: int, target_bucket: int = 256) -> int:
+    """The LSH sizing knob: planes per band so the expected per-bucket
+    population is ~``target_bucket`` (candidate work per band is then
+    ``n_rows * target_bucket / 2`` — linear in the corpus, not quadratic).
+    Floor 4, cap 24 (beyond 2^24 buckets the band join key is just an id)."""
+    import math
+
+    if n_rows <= target_bucket:
+        return 4
+    return max(4, min(24, math.ceil(math.log2(n_rows / target_bucket))))
+
+
 def embedding_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -569,6 +581,15 @@ def embedding_lsh_pairs(
       pair-dedup exchange ever materializes duplicate candidates;
     - exact cosine verify >= threshold, so every emitted pair is TRUE;
       recall is the LSH knob (bands x planes), documented not hidden.
+
+    SIZE the bucket space to the corpus: per-band candidate volume is
+    ``sum(bucket_size^2)/2`` over ``2^planes_per_band`` buckets, so with a
+    FIXED plane count per-bucket population — and therefore candidate
+    volume — grows quadratically with corpus size (measured: the sf-tuned
+    4-plane config at x30 heads toward ~450M candidates, SCALE.md). Use
+    ``planes_per_band_for(n_rows)`` (``~log2(n/target_bucket)``) so
+    buckets stay bounded; more planes = fewer false candidates but lower
+    per-band recall, compensated with more bands.
 
     Feed the result to ``dedup_clusters`` for survivor election.
     """

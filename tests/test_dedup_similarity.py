@@ -261,3 +261,18 @@ def test_embedding_lsh_pairs_subset_of_exact_with_identical_cosines(spark):
     assert exact, "fixture must contain true pairs at this threshold"
     recall = len(pairs) / len(exact)
     assert recall > 0.3, f"LSH recall collapsed: {recall} ({len(pairs)}/{len(exact)})"
+
+
+def test_planes_per_band_sizing_keeps_buckets_bounded():
+    """The x30 lesson as arithmetic: fixed plane counts make candidate
+    volume quadratic in corpus size; the sizing helper keeps expected
+    bucket population ~target so candidate work stays linear."""
+    from tdei_extract_load_service_spark.operators.dedup import planes_per_band_for
+
+    assert planes_per_band_for(100) == 4              # tiny corpus: floor
+    assert planes_per_band_for(60_000, 256) == 8      # the x30 fixture
+    assert planes_per_band_for(10**9, 256) == 22      # web scale
+    assert planes_per_band_for(10**12, 256) == 24     # cap: key space bound
+    for n in (10_000, 10**6, 10**8):
+        p = planes_per_band_for(n, 256)
+        assert n / (2 ** p) <= 256 or p == 24

@@ -150,3 +150,55 @@ def test_catalog_entry_against_inline_closed_form(spark):
             for b in range(4)
         )
         assert r["pixel_checksum"] == exp and r["width"] == 16
+
+
+def test_resize_chain_png_and_jpeg(spark):
+    """decode->nearest-neighbor-resize over both codec tiers; PNG resize
+    verified against a driver-side brute force of the same generator."""
+    from pyspark.sql import functions as F
+
+    from tdei_extract_load_service_spark.multimodal.binary_ops import (
+        decode_png_pixels,
+        pixel_checksum,
+        resize_image_pixels,
+        synth_jpeg,
+        synth_png,
+    )
+
+    ids = spark.range(12).select(F.col("id").alias("media_id"))
+    out_j = {r["media_id"]: r for r in
+             resize_image_pixels(synth_jpeg(ids), 8, 8).collect()}
+    assert all(r["decoded"] and r["width"] == 8 for r in out_j.values())
+
+    out_p = {r["media_id"]: r for r in
+             resize_image_pixels(synth_png(ids), 4, 4).collect()}
+    # brute-force the same resize driver-side from the PNG generator spec
+    from tdei_extract_load_service_spark.multimodal.binary_ops import encode_png
+
+    for mid in (0, 3, 7, 11):
+        w, h, c = 8 + mid % 8, 8 + mid % 5, 3 + mid % 2
+        px = bytes((mid * 7 + i) % 256 for i in range(w * h * c))
+        d = decode_png_pixels(encode_png(w, h, c, px))
+        resized = bytearray()
+        for y in range(4):
+            sy = (y * h) // 4
+            for x in range(4):
+                sx = (x * w) // 4
+                base = (sy * w + sx) * c
+                resized += d["pixels"][base : base + c]
+        assert out_p[mid]["pixel_checksum"] == pixel_checksum(bytes(resized)), mid
+        assert (out_p[mid]["src_width"], out_p[mid]["n_channels"]) == (w, c)
+
+
+def test_catalog_resize_entry_closed_form(spark):
+    from tdei_extract_load_service_spark.catalog import REGISTRY
+
+    rows = REGISTRY["multimodal_resize"].query(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        mid = r["doc_id"]
+        exp = sum(
+            (2 * ((mid * 7 + b * 13) % 128)) * (512 * (b // 2) + 64 * (b % 2) + 232)
+            for b in range(4)
+        )
+        assert r["pixel_checksum"] == exp and r["width"] == 8

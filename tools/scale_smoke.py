@@ -33,6 +33,7 @@ QUERIES = (
     "window_tumbling",
     "dedup_lsh_verified",
     "dedup_minhash_lsh",
+    "dedup_embedding_lsh",
     "similarity_ivf",
     "quantiles",
     "join_range",
