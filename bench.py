@@ -57,6 +57,8 @@ HEADLINE = (
     "embedding_quantize",
     "multimodal_audio",
     "dedup_simhash",
+    "dedup_embedding_lsh",
+    "multimodal_resize",
 )
 
 

@@ -526,17 +526,21 @@ def dedup_clusters(
     return labels.select(_col("node").alias(id_col), F.col("label").alias("cluster_id"))
 
 
+def _dot(x: Column, y: Column) -> Column:
+    """Elementwise-cast-to-double, left-to-right-fold dot product —
+    bit-compatible with DuckDB's ``list_dot_product(a::DOUBLE[], ...)``."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def cosine_similarity(a: Column, b: Column) -> Column:
     """Cosine over two array<float|double> columns: elementwise cast to
     double *before* multiply, left-to-right fold — bit-compatible with the
     DuckDB oracle's ``list_dot_product(a::DOUBLE[], b::DOUBLE[])``."""
-    def dot(x: Column, y: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
 def planes_per_band_for(n_rows: int, target_bucket: int = 256) -> int:
@@ -611,7 +615,16 @@ def embedding_lsh_pairs(
         )
     banded = (
         spread(df)
-        .select(_col(id_col).alias("id"), _col(vec_col).alias("vec"), *band_cols)
+        .select(
+            _col(id_col).alias("id"),
+            _col(vec_col).alias("vec"),
+            # per-ROW norm, materialized by the persist: the verify stage
+            # sees ~bucket_size candidates per row, and recomputing
+            # sqrt(dot(v,v)) per PAIR costs a second 64-wide fold per
+            # candidate. Same doubles, same ops -> bit-identical cosines.
+            F.sqrt(_dot(_col(vec_col), _col(vec_col))).alias("_nrm"),
+            *band_cols,
+        )
         .persist()
     )
     a, b = banded.alias("a"), banded.alias("b")
@@ -627,7 +640,9 @@ def embedding_lsh_pairs(
                 F.col("a.id").alias("id_a"),
                 F.col("b.id").alias("id_b"),
                 F.round(
-                    cosine_similarity(F.col("a.vec"), F.col("b.vec")), 6
+                    _dot(F.col("a.vec"), F.col("b.vec"))
+                    / (F.col("a._nrm") * F.col("b._nrm")),
+                    6,
                 ).alias("cosine"),
             )
         )

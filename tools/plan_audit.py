@@ -75,6 +75,8 @@ EXPECTATIONS: dict[str, list[str]] = {
     # JPEG decode: Arrow-batched python fan-out over a pruned single
     # column — no shuffle anywhere
     "multimodal_decode_jpeg": ["ArrowEvalPython|MapInPandas", "!Exchange"],
+    # decode->resize chain: still one Arrow-batched fan-out, no shuffle
+    "multimodal_resize": ["ArrowEvalPython|MapInPandas", "!Exchange"],
 }
 
 
