@@ -27,6 +27,7 @@ from tdei_extract_load_service_spark.functions import maps as M
 from tdei_extract_load_service_spark.functions import timestamps as TS
 from tdei_extract_load_service_spark.operators import relational as R
 from tdei_extract_load_service_spark.operators.query_builder import DynamicQueryBuilder
+from tdei_extract_load_service_spark.session import spread
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -1066,7 +1067,10 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_png,
     )
 
-    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    # spread BEFORE the python fan-out: the single-row-group fixture scan
+    # is one partition, which would pin the whole per-image decode chain
+    # to one core (measured: 2.8s -> sub-second on local[32])
+    docs = spread(_read(spark, sf_dir, "documents").select("doc_id"))
     decoded = decode_image_pixels(synth_png(docs, "doc_id"))
     return decoded.select(
         F.col("media_id").alias("doc_id"), "width", "height", "n_channels", "pixel_checksum"
@@ -1105,7 +1109,7 @@ def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_jpeg,
     )
 
-    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    docs = spread(_read(spark, sf_dir, "documents").select("doc_id"))
     decoded = decode_image_pixels(synth_jpeg(docs, "doc_id"))
     return decoded.select(
         F.col("media_id").alias("doc_id"), "width", "height", "n_channels", "pixel_checksum"
@@ -1140,7 +1144,7 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_jpeg,
     )
 
-    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    docs = spread(_read(spark, sf_dir, "documents").select("doc_id"))
     resized = resize_image_pixels(synth_jpeg(docs, "doc_id"), out_w=8, out_h=8)
     return resized.select(
         F.col("media_id").alias("doc_id"), "src_width", "src_height",
@@ -1193,7 +1197,7 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_wav,
     )
 
-    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    docs = spread(_read(spark, sf_dir, "documents").select("doc_id"))
     decoded = decode_audio(synth_wav(docs, "doc_id"))
     return decoded.select(
         F.col("media_id").alias("doc_id"),

@@ -96,7 +96,14 @@ def quantize_embeddings(
     ``sum(q_i * (i+1))`` — the same position-weighted checksum shape the
     multimodal decode oracle uses, so the full quantized vector is
     value-verified without shipping arrays through the comparator.
-    All-zero vectors quantize to zeros (scale 0 guarded)."""
+    All-zero vectors quantize to zeros (scale 0 guarded).
+
+    No shuffle — but DO spread single-row-group scans: the per-vector
+    higher-order-function work is real compute, and a one-partition
+    input pins it to one core."""
+    from tdei_extract_load_service_spark.session import spread
+
+    df = spread(df)
     v = F.transform(_col(vec_col), lambda x: x.cast("double"))
     scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
     q = F.transform(v, lambda x: F.when(scale > 0, (x / scale * bits_range).cast("int")).otherwise(F.lit(0)))

@@ -63,8 +63,10 @@ EXPECTATIONS: dict[str, list[str]] = {
     # sequence packing: ONE window over the ordering — no join, no
     # aggregation exchange beyond the window's own sort
     "text_pack_sequences": ["Window", "!Join"],
-    # int8 quantization: a pure projection — no shuffle at all
-    "embedding_quantize": ["!Exchange", "!Join"],
+    # int8 quantization: a pure projection — no KEYED shuffle, no join
+    # (the single round-robin exchange is the deliberate input spread of
+    # a one-partition fixture scan; see session.spread)
+    "embedding_quantize": ["!hashpartitioning", "!Join"],
     # histogram: ONE map-side-combined hash aggregation — no join, no
     # second (min/max) pass, bin arithmetic inline
     "histogram": ["HashAggregate", "partial_count", "!Join"],
@@ -74,9 +76,10 @@ EXPECTATIONS: dict[str, list[str]] = {
     "dedup_embedding_lsh": ["SortMergeJoin", "!BroadcastHashJoin", "!ShuffledHashJoin"],
     # JPEG decode: Arrow-batched python fan-out over a pruned single
     # column — no shuffle anywhere
-    "multimodal_decode_jpeg": ["ArrowEvalPython|MapInPandas", "!Exchange"],
-    # decode->resize chain: still one Arrow-batched fan-out, no shuffle
-    "multimodal_resize": ["ArrowEvalPython|MapInPandas", "!Exchange"],
+    "multimodal_decode_jpeg": ["ArrowEvalPython|MapInPandas", "!hashpartitioning"],
+    # decode->resize chain: still one Arrow-batched fan-out; only the
+    # round-robin input spread, never a keyed shuffle
+    "multimodal_resize": ["ArrowEvalPython|MapInPandas", "!hashpartitioning"],
 }
 
 
