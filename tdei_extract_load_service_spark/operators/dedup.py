@@ -597,17 +597,21 @@ def embedding_lsh_pairs(
 
     Feed the result to ``dedup_clusters`` for survivor election.
     """
-    from tdei_extract_load_service_spark.operators.similarity import lsh_bucket
+    from tdei_extract_load_service_spark.operators.similarity import (
+        lsh_bucket,
+        make_planes,
+    )
 
-    if planes is not None and len(planes) != n_bands * planes_per_band:
+    if planes is None:
+        # each band MUST see distinct planes — handing lsh_bucket its
+        # default (plane indices 0..k-1) would give every band identical
+        # buckets, silently reducing n_bands bands to one
+        planes = make_planes(n_bands * planes_per_band, dim)
+    if len(planes) != n_bands * planes_per_band:
         raise ValueError("need n_bands * planes_per_band planes")
     band_cols = []
     for band in range(n_bands):
-        sub = (
-            planes[band * planes_per_band : (band + 1) * planes_per_band]
-            if planes is not None
-            else None
-        )
+        sub = planes[band * planes_per_band : (band + 1) * planes_per_band]
         band_cols.append(
             lsh_bucket(
                 _col(vec_col), dim, planes_per_band, sub

@@ -18,7 +18,11 @@ Archives are deliberately SMALL (200 features): per-message latency
 flatness probes the driver/stream machinery, not parquet throughput —
 the data-volume story is the many-archive smoke and the giant-file smoke.
 
-Usage: python tools/soak_consumer.py [n_messages] (default 1000)
+Usage: python tools/soak_consumer.py [n_messages] [commit_mode]
+(defaults 1000, partition). commit_mode=manifest additionally soaks the
+pointer-swap warehouse across many datasets: the manifest is rewritten
+per commit and grows O(datasets x tables), so a many-dataset run checks
+that neither the swap latency nor GC degrades.
 """
 
 from __future__ import annotations
@@ -84,6 +88,7 @@ def _pctl(values: list[float], p: float) -> float:
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
+    commit_mode = sys.argv[2] if len(sys.argv) > 2 else "partition"
     from tdei_extract_load_service_spark.plans.load_dataset import load_dataset
     from tdei_extract_load_service_spark.session import get_spark
     from tdei_extract_load_service_spark.streaming.consumer import run_queue_consumer
@@ -122,6 +127,7 @@ def main() -> None:
             spark, request_dir=request_dir, response_dir=response_dir,
             warehouse=warehouse, checkpoint_dir=ckpt,
             max_messages_per_trigger=2, available_now=True,
+            commit_mode=commit_mode,
         )
         return time.perf_counter() - t0
 
@@ -146,8 +152,10 @@ def main() -> None:
             r = json.load(fh)
         responses[r["messageId"]] = r["data"]["success"]
     ok = sum(1 for v in responses.values() if v)
+    from tdei_extract_load_service_spark.plans.load_dataset import read_sink
+
     landed = (
-        spark.read.parquet(os.path.join(warehouse, "node"))
+        read_sink(spark, warehouse, "node")
         .select("tdei_dataset_id").distinct().count()
     )
 
@@ -160,6 +168,7 @@ def main() -> None:
     head, tail = gaps[:100], gaps[-100:]
     result = {
         "messages": n,
+        "commit_mode": commit_mode,
         "features_per_archive": FEATURES,
         "wall_s": round(wall, 1),
         "per_message_s": round(wall / n, 3),
