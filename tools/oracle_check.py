@@ -58,9 +58,25 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entry_mod
-    from tdei_extract_load_service_spark.session import get_spark
 
-    spark = get_spark("oracle_check")
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        # driver-shaped session: NO engine confs (no AQE/shuffle-partition
+        # tuning) and a deliberately non-UTC timezone — correctness must
+        # not depend on get_spark's configuration, exactly as when the
+        # external driver imports __spark_entry__ into its own session
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .appName("oracle_check_vanilla")
+            .config("spark.sql.session.timeZone", "America/Los_Angeles")
+            .config("spark.driver.memory", "16g")
+            .getOrCreate()
+        )
+    else:
+        from tdei_extract_load_service_spark.session import get_spark
+
+        spark = get_spark("oracle_check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
