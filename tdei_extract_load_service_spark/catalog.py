@@ -1153,6 +1153,43 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_video_frames",
+    """
+    WITH s AS (SELECT i AS k, i * 2 AS frame_idx FROM range(0, 3) t(i))
+    SELECT doc_id, CAST(s.frame_idx AS INT) AS frame_idx,
+           CAST(6 AS INT) AS n_total_frames,
+           CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+           CAST(1 AS INT) AS n_channels,
+           CAST(SUM((2 * ((doc_id * 7 + s.frame_idx * 29 + b.i * 13) % 128))
+                    * (8192 * (b.i // 2) + 512 * (b.i % 2) + 3872)) AS BIGINT)
+             AS pixel_checksum
+    FROM documents CROSS JOIN s CROSS JOIN range(0, 4) b(i)
+    GROUP BY doc_id, s.frame_idx
+    """,
+)
+def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling: stdlib AVI (RIFF) container parse ->
+    3-of-6 evenly spaced frames -> stdlib baseline-JPEG decode of each
+    sampled frame (multimodal/avi.py + jpeg.py). Motion-JPEG's frames are
+    complete JPEGs, so this tier needs no codec library; DC-only fixture
+    frames give each (doc, frame) checksum the closed form above
+    (sample indices floor(k*6/3) = 0,2,4; frame f block b carries
+    dc = ((doc*7 + f*29 + b*13) % 128) - 64). Inter-frame codecs
+    (H.264/VP9, MP4/MKV) remain the declared boundary."""
+    from tdei_extract_load_service_spark.multimodal.binary_ops import (
+        frame_sample_decoded,
+        synth_avi,
+    )
+
+    docs = spread(_read(spark, sf_dir, "documents").select("doc_id"))
+    sampled = frame_sample_decoded(synth_avi(docs, "doc_id", n_frames=6), n_frames=3)
+    return sampled.select(
+        F.col("media_id").alias("doc_id"), "frame_idx", "n_total_frames",
+        "width", "height", "n_channels", "pixel_checksum",
+    )
+
+
+@register(
     "multimodal_audio",
     """
     WITH dims AS (

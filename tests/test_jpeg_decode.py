@@ -202,3 +202,34 @@ def test_catalog_resize_entry_closed_form(spark):
             for b in range(4)
         )
         assert r["pixel_checksum"] == exp and r["width"] == 8
+
+
+def test_video_frame_sampling_decodes_real_frames(spark):
+    """AVI/MJPEG tier: container parse -> even sampling -> real JPEG
+    decode per frame; non-AVI input lands in the error column."""
+    from pyspark.sql import functions as F
+
+    from tdei_extract_load_service_spark.multimodal.binary_ops import (
+        frame_sample_decoded,
+        synth_avi,
+    )
+
+    ids = spark.range(10).select(F.col("id").alias("media_id"))
+    out = frame_sample_decoded(synth_avi(ids, n_frames=6), n_frames=3).collect()
+    assert len(out) == 30
+    assert all(r["decoded"] and r["n_total_frames"] == 6 for r in out)
+    assert sorted({r["frame_idx"] for r in out}) == [0, 2, 4]
+    # spot-check one checksum against the fixture's closed form
+    r = next(x for x in out if x["media_id"] == 7 and x["frame_idx"] == 2)
+    exp = sum(
+        (2 * ((7 * 7 + 2 * 29 + b * 13) % 128))
+        * (8192 * (b // 2) + 512 * (b % 2) + 3872)
+        for b in range(4)
+    )
+    assert r["pixel_checksum"] == exp
+
+    # a non-AVI blob: per-row error, job survives
+    bad = spark.createDataFrame([(99, bytearray(b"\xff\xd8\xffnot a riff"))],
+                                "media_id long, content binary")
+    errs = frame_sample_decoded(bad).collect()
+    assert len(errs) == 1 and not errs[0]["decoded"] and "AVI" in errs[0]["error"]
