@@ -80,6 +80,8 @@ EXPECTATIONS: dict[str, list[str]] = {
     # decode->resize chain: still one Arrow-batched fan-out; only the
     # round-robin input spread, never a keyed shuffle
     "multimodal_resize": ["ArrowEvalPython|MapInPandas", "!hashpartitioning"],
+    # container-parse -> per-frame JPEG decode fan-out: same shape
+    "multimodal_video_frames": ["ArrowEvalPython|MapInPandas", "!hashpartitioning"],
 }
 
 
