@@ -43,10 +43,15 @@ def encode_avi_mjpeg(frames: list[bytes], width: int, height: int, fps: int = 10
             len(frames), 0, 1, max_bytes, width, height, 0, 0, 0, 0,
         ),
     )
+    # AVISTREAMHEADER, all 56 bytes: fccType fccHandler dwFlags wPriority
+    # wLanguage dwInitialFrames dwScale dwRate dwStart dwLength
+    # dwSuggestedBufferSize dwQuality dwSampleSize rcFrame(RECT, 4x16-bit)
     strh = _chunk(
         b"strh",
-        b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps,
-                                        0, len(frames), max_bytes, 0, 0, 0),
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps,
+                      0, len(frames), max_bytes, 0, 0)
+        + struct.pack("<4H", 0, 0, width, height),
     )
     # BITMAPINFOHEADER
     strf = _chunk(

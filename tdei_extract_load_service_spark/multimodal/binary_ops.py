@@ -347,6 +347,19 @@ def synth_jpeg(df: DataFrame, id_col: str = "media_id") -> DataFrame:
     return df.select(id_col).mapInPandas(gen, schema="media_id bigint, content binary")
 
 
+def decode_any_image(blob) -> dict:
+    """THE codec dispatch: sniff the magic number and run the matching
+    stdlib pixel decoder (PNG inflate+unfilter or baseline-JPEG
+    Huffman+IDCT). One shared entry point so every operator (decode,
+    resize, future tiers) sniffs and dispatches identically. Raises
+    ValueError for codec-requiring inputs — callers catch per row."""
+    if bytes(blob[:3]) == b"\xff\xd8\xff":
+        from tdei_extract_load_service_spark.multimodal.jpeg import decode_jpeg_pixels
+
+        return decode_jpeg_pixels(blob)
+    return decode_png_pixels(blob)
+
+
 def decode_image_pixels(
     df: DataFrame, id_col: str = "media_id", content_col: str = "content"
 ) -> DataFrame:
@@ -378,14 +391,7 @@ def decode_image_pixels(
                     pixel_checksum=None, decoded=False, error=None,
                 )
                 try:
-                    if bytes(blob[:3]) == b"\xff\xd8\xff":
-                        from tdei_extract_load_service_spark.multimodal.jpeg import (
-                            decode_jpeg_pixels,
-                        )
-
-                        d = decode_jpeg_pixels(blob)
-                    else:
-                        d = decode_png_pixels(blob)
+                    d = decode_any_image(blob)
                     rec.update(
                         width=d["width"], height=d["height"],
                         n_channels=d["n_channels"],
@@ -428,8 +434,6 @@ def resize_image_pixels(
     divergence is acceptable."""
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from tdei_extract_load_service_spark.multimodal.jpeg import decode_jpeg_pixels
-
         for pdf in batches:
             out = {
                 k: []
@@ -445,10 +449,7 @@ def resize_image_pixels(
                     pixel_checksum=None, decoded=False, error=None,
                 )
                 try:
-                    if bytes(blob[:3]) == b"\xff\xd8\xff":
-                        d = decode_jpeg_pixels(blob)
-                    else:
-                        d = decode_png_pixels(blob)
+                    d = decode_any_image(blob)
                     sw, sh, c = d["width"], d["height"], d["n_channels"]
                     px = d["pixels"]
                     resized = bytearray(out_w * out_h * c)

@@ -139,11 +139,9 @@ def encode_jpeg_gray_coeffs(
             runs.append(((zero_run << 4) | category(zz[k]), zz[k]))
             zero_run = 0
         if zero_run:
-            runs.append((0x00, 0))  # EOB
-        elif not runs or runs[-1][0] != 0x00:
-            # block may end exactly at k=63 with a nonzero — no EOB needed,
-            # but emitting one only when zeros remain matches the spec
-            pass
+            # EOB closes the block; when the spectrum ends exactly at k=63
+            # with a nonzero, no EOB is needed (or allowed) per the spec
+            runs.append((0x00, 0))
         coded.append((diff, runs))
         ac_syms.extend(rs for rs, _ in runs)
     if not ac_syms:
@@ -374,6 +372,13 @@ def decode_jpeg_pixels(blob: bytes) -> dict:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = body[0]
+            if ns != len(frame["comps"]):
+                # a legal baseline variant (one scan per component) whose
+                # reconstruction we don't implement — must be the declared
+                # boundary, never a silent single-plane mis-decode
+                raise ValueError(
+                    "non-interleaved (multi-scan) JPEG needs a codec"
+                )
             scan = []
             for c in range(ns):
                 cid, tids = body[1 + c * 2], body[2 + c * 2]

@@ -144,15 +144,20 @@ def tfidf_topk(
         _col(id_col).alias("id"),
         F.split(F.lower(F.trim(_col(text_col))), r"\s+").alias("words"),
     ).withColumn("dl", F.size("words"))
-    n = df.count()
-    # overflow guard: scale * tf * N must stay < 2^63. tf <= dl, and a
-    # single doc repeating one term 2^20 times is already pathological —
-    # use that as the headroom factor rather than scanning for max(dl).
-    if scale * max(n, 1) > (2**63 - 1) // (1 << 20):
+    # N and the EXACT tf bound (tf <= max doc length) in ONE scan — the
+    # overflow guard must reject only genuinely unsafe inputs: a
+    # worst-case-headroom guess either rejects safe large corpora (the
+    # first guard rejected any N > ~8.8k at the default scale) or misses
+    # a single pathological document.
+    stats = docs.agg(
+        F.count("*").alias("n"), F.max("dl").alias("max_dl")
+    ).collect()[0]
+    n, max_dl = stats["n"], stats["max_dl"] or 0
+    if scale * max(n, 1) * max(max_dl, 1) > 2**63 - 1:
         raise ValueError(
-            f"scale*N = {scale * n} risks bigint overflow in the fixed-point "
-            "score; pass a smaller `scale` (the ranking only needs enough "
-            "resolution to separate documents, not 1e9)"
+            f"scale*max_tf*N = {scale}*{max_dl}*{n} overflows bigint in the "
+            "fixed-point score; pass a smaller `scale` (the ranking only "
+            "needs enough resolution to separate documents)"
         )
 
     hits = (

@@ -244,11 +244,34 @@ def load_dataset(
     timings: dict[str, float] = {}
     all_tables = (*SINK_TABLES.values(), "extension_file", "dataset", "dataset_stats")
     txn = None
+    from tdei_extract_load_service_spark.sinks.manifest import is_manifest_warehouse
+
     if commit_mode == "manifest":
+        # refuse to overlay a manifest onto a partition-layout warehouse:
+        # the first pointer swap would HIDE every dataset already loaded
+        # there (read_sink resolves only the manifest once one exists)
+        if not is_manifest_warehouse(warehouse) and any(
+            os.path.isdir(os.path.join(warehouse, t)) for t in all_tables
+        ):
+            raise ValueError(
+                f"warehouse {warehouse!r} already holds partition-mode "
+                "tables; loading it with commit_mode='manifest' would make "
+                "them invisible. Use a fresh root or keep commit_mode='partition'."
+            )
         from tdei_extract_load_service_spark.sinks.manifest import ManifestTxn
 
         txn = ManifestTxn(warehouse)
-    elif commit_mode != "partition":
+    elif commit_mode == "partition":
+        # the reverse mix is just as silent: partition writes under a
+        # manifest root are invisible to read_sink and never deleted by
+        # the manifest's staged deletes
+        if is_manifest_warehouse(warehouse):
+            raise ValueError(
+                f"warehouse {warehouse!r} is a manifest warehouse; load it "
+                "with commit_mode='manifest' (partition-mode writes there "
+                "would be invisible to readers)."
+            )
+    else:
         raise ValueError(f"unknown commit_mode {commit_mode!r}")
 
     def sink_write(table: str, df) -> None:

@@ -80,21 +80,49 @@ def get_spark(
     return spark
 
 
-#: Logical-plan nodes whose presence means the frame is (or sits above)
-#: shuffle output — already distributed by ``spark.sql.shuffle.partitions``,
-#: and probing/repartitioning it would add a pointless second exchange.
-#: ``Repartition`` also covers explicit coalesce/repartition in the
-#: lineage: the caller already chose a partitioning, don't second-guess.
-_SHUFFLED_PLAN_NODES = (
-    "Aggregate",
-    "Join ",
-    "Window",
-    "Deduplicate",
-    "Repartition",
-    "Sort ",
-    "Intersect",
-    "Except",
+#: Logical-plan node CLASSES whose presence means the frame is (or sits
+#: above) shuffle output — already distributed by
+#: ``spark.sql.shuffle.partitions`` — or carries an explicit
+#: caller-chosen partitioning (Repartition covers coalesce/repartition:
+#: don't second-guess it). Matched against node class names from a real
+#: plan-tree walk, NOT a substring scan of the plan's toString() (where a
+#: column named "Window" or a literal containing "Join " would
+#: misclassify the frame).
+_SHUFFLED_PLAN_NODES = frozenset(
+    {
+        "Aggregate",
+        "Join",
+        "Window",
+        "WindowGroupLimit",
+        "Deduplicate",
+        "DeduplicateWithinWatermark",
+        "Repartition",
+        "RepartitionByExpression",
+        "RebalancePartitions",
+        "Sort",
+        "Intersect",
+        "Except",
+        "Distinct",
+        "GlobalLimit",
+        "FlatMapGroupsInPandas",
+        "CoGroup",
+    }
 )
+
+
+def _has_shuffled_node(jplan) -> bool:
+    """Walk the analyzed logical plan (py4j) checking node class names
+    against the blocklist. Driver-side tree walk — no job runs."""
+    stack = [jplan]
+    while stack:
+        node = stack.pop()
+        name = node.getClass().getSimpleName().removesuffix("$")
+        if name in _SHUFFLED_PLAN_NODES:
+            return True
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    return False
 
 
 def _parquet_split_count(files: list[str], stop_at: int) -> int:
@@ -154,11 +182,10 @@ def spread(df: DataFrame, factor: int = 1, well_partitioned: bool = False) -> Da
         return df
     target = df.sparkSession.sparkContext.defaultParallelism * factor
     try:
-        plan = df._jdf.queryExecution().analyzed().toString()
+        if _has_shuffled_node(df._jdf.queryExecution().analyzed()):
+            return df
     except Exception:  # pragma: no cover - py4j internals moved
-        plan = ""
-    if any(node in plan for node in _SHUFFLED_PLAN_NODES):
-        return df
+        pass
     try:
         files = list(df.inputFiles())
     except Exception:

@@ -208,26 +208,44 @@ class ManifestTxn:
             shutil.rmtree(os.path.join(self.root, reldir), ignore_errors=True)
 
 
-def gc_orphans(root: str) -> list[str]:
+def gc_orphans(root: str, min_age_seconds: float = 3600.0) -> list[str]:
     """Remove data directories referenced by neither the manifest's tables
     nor its tombstones — debris from crashed transactions (whose writes
-    landed but whose commit never ran). Safe to run any time; returns the
-    removed relative paths."""
-    m = read_manifest(root)
-    live = {d for table in m["tables"].values() for d in table.values()}
-    live |= {t["dir"] for t in m["tombstones"]}
+    landed but whose commit never ran). Returns the removed relative paths.
+
+    Concurrency contract: the manifest snapshot is taken INSIDE the
+    warehouse lock (a commit can't slip between the read and the deletes),
+    and an unreferenced directory is only reaped once it is older than
+    ``min_age_seconds`` — an IN-FLIGHT transaction's staged directories
+    are unreferenced too (writes happen before the pointer swap, outside
+    any lock), and age is the only thing distinguishing them from crash
+    debris. Keep the grace period above your longest write stage, or run
+    gc only when no loads are in flight (``min_age_seconds=0`` for tests /
+    quiesced maintenance windows)."""
+    import time
+
     removed: list[str] = []
     data_root = os.path.join(root, "data")
     if not os.path.isdir(data_root):
         return removed
+    now = time.time()
     with _path_lock(root):
+        m = read_manifest(root)
+        live = {d for table in m["tables"].values() for d in table.values()}
+        live |= {t["dir"] for t in m["tombstones"]}
         for table in sorted(os.listdir(data_root)):
             tdir = os.path.join(data_root, table)
             if not os.path.isdir(tdir):
                 continue
             for version in sorted(os.listdir(tdir)):
                 rel = os.path.join("data", table, version)
-                if rel not in live:
+                if rel in live:
+                    continue
+                try:
+                    age = now - os.path.getmtime(os.path.join(root, rel))
+                except OSError:
+                    continue
+                if age >= min_age_seconds:
                     shutil.rmtree(os.path.join(root, rel), ignore_errors=True)
                     removed.append(rel)
     return removed

@@ -5,7 +5,6 @@ IDCT on full-AC spectra. Plus the Spark-side dispatch plumbing."""
 
 from __future__ import annotations
 
-import math
 import random
 
 import pytest
@@ -18,26 +17,7 @@ from tdei_extract_load_service_spark.multimodal.jpeg import (
 )
 
 
-def _ref_idct(coeffs):
-    """Independent reference: the direct O(64^2) IDCT sum straight from
-    the standard's formula — deliberately NOT the separable implementation
-    the production decoder uses."""
-    out = []
-    for y in range(8):
-        for x in range(8):
-            s = 0.0
-            for u in range(8):
-                for v in range(8):
-                    cu = 1 / math.sqrt(2) if u == 0 else 1.0
-                    cv = 1 / math.sqrt(2) if v == 0 else 1.0
-                    s += (
-                        cu * cv * coeffs[u * 8 + v]
-                        * math.cos((2 * x + 1) * v * math.pi / 16)
-                        * math.cos((2 * y + 1) * u * math.pi / 16)
-                    )
-            val = int(round(s / 4.0)) + 128
-            out.append(max(0, min(255, val)))
-    return out
+from tests.jpeg_ref import ref_idct as _ref_idct  # noqa: E402
 
 
 def test_dc_only_blocks_decode_to_flat_tiles():
@@ -233,3 +213,35 @@ def test_video_frame_sampling_decodes_real_frames(spark):
                                 "media_id long, content binary")
     errs = frame_sample_decoded(bad).collect()
     assert len(errs) == 1 and not errs[0]["decoded"] and "AVI" in errs[0]["error"]
+
+
+def test_non_interleaved_color_jpeg_is_a_declared_boundary():
+    """Code-review r5: a 3-component SOF with a 1-component scan (legal
+    non-interleaved baseline) used to silently return n_channels=3 over a
+    single decoded plane; it must raise into the error column instead."""
+    import struct
+
+    blob = encode_jpeg_gray_blocks(16, 16, [1, 2, 3, 4])
+    i = blob.find(b"\xff\xc0")
+    (seglen,) = struct.unpack(">H", blob[i + 2 : i + 4])
+    # rebuild SOF0 claiming 3 components (4:4:4), keep the 1-component SOS
+    prec_dims = blob[i + 4 : i + 9]  # precision + height + width
+    sof3 = (
+        b"\xff\xc0" + struct.pack(">H", 2 + 6 + 9) + prec_dims + bytes([3])
+        + bytes([1, 0x11, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0])
+    )
+    patched = blob[:i] + sof3 + blob[i + 2 + seglen:]
+    with pytest.raises(ValueError, match="non-interleaved"):
+        decode_jpeg_pixels(patched)
+
+
+def test_avi_stream_header_is_full_56_bytes():
+    """Code-review r5: strh was 4 bytes short of AVISTREAMHEADER."""
+    import struct
+
+    from tdei_extract_load_service_spark.multimodal.avi import encode_avi_mjpeg
+
+    blob = encode_avi_mjpeg([encode_jpeg_gray_blocks(16, 16, [0, 0, 0, 0])], 16, 16)
+    i = blob.find(b"strh")
+    (size,) = struct.unpack("<I", blob[i + 4 : i + 8])
+    assert size == 56, f"AVISTREAMHEADER must be 56 bytes, got {size}"

@@ -106,7 +106,7 @@ def test_mid_swap_failure_publishes_nothing(spark, tmp_path, monkeypatch):
     assert got_a == {"a-old"} and got_b == {"b-old"}, "reader saw a half-swap"
     # rollback + orphan GC reap the staged-but-never-published directories
     txn2.abort()
-    assert mf.gc_orphans(root) == []
+    assert mf.gc_orphans(root, min_age_seconds=0) == []
     data_dirs = {
         os.path.join(t, v)
         for t in os.listdir(os.path.join(root, "data"))
@@ -235,7 +235,15 @@ def test_failed_manifest_load_leaves_all_sinks_on_old_state(spark, tmp_path):
         for t in ("node", "edge", "dataset", "dataset_stats")
     }
     assert after == before, "failed load leaked partial state into a sink"
-    mf.gc_orphans(wh)  # staged debris reaped; manifest state still intact
+    # the failed load ABORTED, so its staging is already gone; simulate a
+    # CRASHED transaction (staged writes, no abort, no commit) for gc:
+    crashed = mf.ManifestTxn(wh)
+    crashed.write("node", spark.createDataFrame([(1, "x")], "id: long, v: string"), "crash-ds")
+    # default grace: a young unreferenced dir could be an in-flight
+    # writer's — must survive; min_age=0 = quiesced maintenance reap
+    assert mf.gc_orphans(wh) == []
+    reaped = mf.gc_orphans(wh, min_age_seconds=0)
+    assert reaped and all(crashed.txn_id in d for d in reaped)
     assert {
         t: sorted(map(str, read_sink(spark, wh, t).collect()))
         for t in ("node", "edge", "dataset", "dataset_stats")
@@ -294,3 +302,21 @@ def test_consumer_manifest_mode_end_to_end(spark, tmp_path):
     per_ds = {r["tdei_dataset_id"]: r["n"] for r in
               nodes.groupBy("tdei_dataset_id").agg(F.count("*").alias("n")).collect()}
     assert per_ds == {"cds-1": 5, "cds-2": 3}
+
+
+def test_commit_mode_mixing_is_refused(spark, tmp_path):
+    """Code-review r5: loading a manifest warehouse in partition mode (or
+    overlaying a manifest onto a partition warehouse) silently hid data
+    from readers; both directions must refuse loudly."""
+    a = str(tmp_path / "a.zip")
+    make_zip(a, {"nodes.geojson": _nodes_doc(3, "m1")})
+
+    wh_m = str(tmp_path / "wh_m")
+    assert load_dataset(spark, a, "ds", "u", wh_m, commit_mode="manifest").success
+    with pytest.raises(ValueError, match="manifest warehouse"):
+        load_dataset(spark, a, "ds2", "u", wh_m)  # partition into manifest
+
+    wh_p = str(tmp_path / "wh_p")
+    assert load_dataset(spark, a, "ds", "u", wh_p).success
+    with pytest.raises(ValueError, match="partition-mode tables"):
+        load_dataset(spark, a, "ds2", "u", wh_p, commit_mode="manifest")

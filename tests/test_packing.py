@@ -175,3 +175,25 @@ def test_pack_sequences_refuses_silent_global_sort(spark):
     df = spark.createDataFrame([(1, 10)], "doc_id bigint, n_tokens bigint")
     with pytest.raises(ValueError, match="partition_cols"):
         pack_sequences(df, "doc_id", "n_tokens", budget=100)
+
+
+def test_tfidf_overflow_guard_allows_large_safe_corpora(spark):
+    """Code-review r5: the first guard used a 2^20 worst-case tf headroom
+    and rejected ANY corpus past ~8.8k docs at the default scale. The
+    guard now uses the exact bound (scale * max_doc_len * N): a 20k-doc
+    corpus of short docs is safe and must rank; a genuinely overflowing
+    scale must still raise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tdei_extract_load_service_spark.operators.text import tfidf_topk
+
+    docs = spark.range(20_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma doc"), F.col("id").cast("string")).alias("text"),
+    )
+    out = tfidf_topk(docs, "doc_id", "text", ("alpha", "beta"), k=5)
+    assert out.count() == 5  # old guard: ValueError before any job ran
+
+    with pytest.raises(ValueError, match="overflows bigint"):
+        tfidf_topk(docs, "doc_id", "text", ("alpha",), k=5, scale=2**62)
