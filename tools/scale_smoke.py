@@ -37,6 +37,16 @@ QUERIES = (
     "similarity_ivf",
     "quantiles",
     "join_range",
+    # round-4/5 additions: codec fan-outs (embarrassingly parallel),
+    # fixed-point ranking, packing window, histogram aggregation
+    "text_tfidf_topk",
+    "text_pack_sequences",
+    "embedding_quantize",
+    "histogram",
+    "multimodal_decode_jpeg",
+    "multimodal_resize",
+    "multimodal_video_frames",
+    "multimodal_audio",
 )
 KEY_SHIFT = 10_000_000
 
