@@ -1424,6 +1424,48 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "column_profile",
+    """
+    WITH a AS (
+      SELECT COUNT(l_quantity) AS n_q, SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS nn_q,
+             SUM(CAST(l_quantity AS DECIMAL(38,6))) AS s_q,
+             SUM(CAST(CAST(l_quantity AS DECIMAL(38,6)) * CAST(l_quantity AS DECIMAL(38,6)) AS DECIMAL(38,12))) AS ss_q,
+             MIN(CAST(l_quantity AS DOUBLE)) AS mn_q, MAX(CAST(l_quantity AS DOUBLE)) AS mx_q,
+             COUNT(l_extendedprice) AS n_e, SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS nn_e,
+             SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS s_e,
+             SUM(CAST(CAST(l_extendedprice AS DECIMAL(38,6)) * CAST(l_extendedprice AS DECIMAL(38,6)) AS DECIMAL(38,12))) AS ss_e,
+             MIN(CAST(l_extendedprice AS DOUBLE)) AS mn_e, MAX(CAST(l_extendedprice AS DOUBLE)) AS mx_e,
+             COUNT(l_discount) AS n_d, SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS nn_d,
+             SUM(CAST(l_discount AS DECIMAL(38,6))) AS s_d,
+             SUM(CAST(CAST(l_discount AS DECIMAL(38,6)) * CAST(l_discount AS DECIMAL(38,6)) AS DECIMAL(38,12))) AS ss_d,
+             MIN(CAST(l_discount AS DOUBLE)) AS mn_d, MAX(CAST(l_discount AS DOUBLE)) AS mx_d
+      FROM lineitem
+    )
+    SELECT t.col AS "column", t.n, t.n_null,
+           ROUND(t.s / t.n, 6) AS mean,
+           ROUND(sqrt(GREATEST((t.ss - t.s * t.s / t.n) / (t.n - 1.0), 0.0)), 6) AS stddev,
+           ROUND(t.mn, 6) AS "min", ROUND(t.mx, 6) AS "max"
+    FROM a, LATERAL (VALUES
+      ('l_quantity', a.n_q, CAST(a.nn_q AS BIGINT), CAST(a.s_q AS DOUBLE), CAST(a.ss_q AS DOUBLE), a.mn_q, a.mx_q),
+      ('l_extendedprice', a.n_e, CAST(a.nn_e AS BIGINT), CAST(a.s_e AS DOUBLE), CAST(a.ss_e AS DOUBLE), a.mn_e, a.mx_e),
+      ('l_discount', a.n_d, CAST(a.nn_d AS BIGINT), CAST(a.s_d AS DOUBLE), CAST(a.ss_d AS DOUBLE), a.mn_d, a.mx_d)
+    ) t(col, n, n_null, s, ss, mn, mx)
+    """,
+)
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """describe()/summary()-shape column statistics in ONE scan
+    (operators/profiling.py column_profile): counts, null counts,
+    DECIMAL-exact sums and sums-of-squares shuffled (order-independent),
+    mean/stddev derived in one explicit IEEE-double formula evaluated
+    identically by both engines — built-in avg()/stddev() would diverge
+    at the last ulp from engine-specific summation order."""
+    from tdei_extract_load_service_spark.operators.profiling import column_profile
+
+    li = _read(spark, sf_dir, "lineitem")
+    return column_profile(li, ("l_quantity", "l_extendedprice", "l_discount"))
+
+
+@register(
     "text_tfidf_topk",
     r"""
     WITH docs AS (

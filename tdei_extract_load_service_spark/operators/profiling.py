@@ -19,6 +19,61 @@ def _col(c: str | Column) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+def column_profile(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+    """``df.summary()``-shape column statistics — (column, n, n_null,
+    mean, stddev, min, max) per requested numeric column — as ONE
+    map-side-combined aggregation over a single scan, unpivoted to long
+    form. The dataset-profiling pass every ingest runs before schema
+    decisions.
+
+    Cross-engine exactness: the shuffled aggregates are COUNTs, MIN/MAX
+    and DECIMAL(38,6)/(38,12) sums (order-independent, exact), and
+    mean/stddev derive from them in ONE explicit double formula evaluated
+    identically by any IEEE engine — never the engine's own avg()/
+    stddev(), whose internal summation order differs per engine and
+    diverges at the last ulp. Same trick as the k-means entry's
+    DECIMAL-exact centroid update.
+
+    Scale shape: one aggregation row (6 x |cols| cells) regardless of
+    input size; the unpivot is a driver-free projection of that row.
+    """
+    aggs = []
+    for c in cols:
+        dec = F.col(c).cast("decimal(38,6)")
+        aggs += [
+            F.count(F.col(c)).alias(f"__n_{c}"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nn_{c}"),
+            F.sum(dec).alias(f"__s_{c}"),
+            F.sum((dec * dec).cast("decimal(38,12)")).alias(f"__ss_{c}"),
+            F.min(F.col(c).cast("double")).alias(f"__mn_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"__mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    structs = []
+    for c in cols:
+        n = F.col(f"__n_{c}").cast("double")
+        s = F.col(f"__s_{c}").cast("double")
+        ss = F.col(f"__ss_{c}").cast("double")
+        mean = s / n
+        # sample variance from exact sums; clamp tiny negative fp residue
+        var = F.greatest((ss - s * s / n) / (n - F.lit(1.0)), F.lit(0.0))
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"__n_{c}").alias("n"),
+                F.col(f"__nn_{c}").cast("bigint").alias("n_null"),
+                F.round(mean, 6).alias("mean"),
+                F.round(F.sqrt(var), 6).alias("stddev"),
+                F.round(F.col(f"__mn_{c}"), 6).alias("min"),
+                F.round(F.col(f"__mx_{c}"), 6).alias("max"),
+            )
+        )
+    # inline() fans the one agg row out to |cols| rows in the SAME pass —
+    # a union of per-column selects would re-reference (and potentially
+    # re-execute) the aggregation once per column
+    return one.select(F.inline(F.array(*structs)))
+
+
 def fixed_width_histogram(
     df: DataFrame,
     value_col: str | Column,

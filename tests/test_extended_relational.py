@@ -59,3 +59,31 @@ def test_range_join_left_outer_null_extends(spark):
 
     with _pytest.raises(ValueError, match="replica"):
         bucketed_range_join(points, intervals, "p", "lo", "hi", 10, how="right")
+
+
+def test_column_profile_one_pass_and_null_handling(spark):
+    """column_profile: df.summary() shape from ONE aggregation pass —
+    exact stats vs hand computation, nulls counted not averaged, and no
+    join / no per-column re-scan in the plan."""
+    import math
+
+    from pyspark.sql import types as T
+
+    from tdei_extract_load_service_spark.operators.profiling import column_profile
+
+    rows = [(1.0, 10.0), (2.0, None), (3.0, 30.0), (4.0, None)]
+    df = spark.createDataFrame(
+        rows, T.StructType([T.StructField("a", T.DoubleType()),
+                            T.StructField("b", T.DoubleType())])
+    )
+    out = {r["column"]: r for r in column_profile(df, ("a", "b")).collect()}
+    assert out["a"]["n"] == 4 and out["a"]["n_null"] == 0
+    assert out["a"]["mean"] == 2.5
+    assert out["a"]["stddev"] == round(math.sqrt(5.0 / 3.0), 6)
+    assert (out["a"]["min"], out["a"]["max"]) == (1.0, 4.0)
+    assert out["b"]["n"] == 2 and out["b"]["n_null"] == 2
+    assert out["b"]["mean"] == 20.0 and out["b"]["stddev"] == round(math.sqrt(200.0), 6)
+
+    plan = column_profile(df, ("a", "b"))._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Union" not in plan
+    assert plan.count("HashAggregate") <= 2  # partial + final of ONE agg

@@ -82,6 +82,9 @@ EXPECTATIONS: dict[str, list[str]] = {
     "multimodal_resize": ["ArrowEvalPython|MapInPandas", "!hashpartitioning"],
     # container-parse -> per-frame JPEG decode fan-out: same shape
     "multimodal_video_frames": ["ArrowEvalPython|MapInPandas", "!hashpartitioning"],
+    # summary()-shape profiling: ONE aggregation, no join, no per-column
+    # union re-scan (inline() fans the single agg row out)
+    "column_profile": ["HashAggregate", "partial_count", "!Join", "!Union"],
 }
 
 
