@@ -1466,6 +1466,48 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "column_correlations",
+    """
+    WITH a AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(38,6))) AS s_q,
+             SUM(CAST(CAST(l_quantity AS DECIMAL(38,6)) * CAST(l_quantity AS DECIMAL(38,6)) AS DECIMAL(38,12))) AS ss_q,
+             SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS s_e,
+             SUM(CAST(CAST(l_extendedprice AS DECIMAL(38,6)) * CAST(l_extendedprice AS DECIMAL(38,6)) AS DECIMAL(38,12))) AS ss_e,
+             SUM(CAST(l_discount AS DECIMAL(38,6))) AS s_d,
+             SUM(CAST(CAST(l_discount AS DECIMAL(38,6)) * CAST(l_discount AS DECIMAL(38,6)) AS DECIMAL(38,12))) AS ss_d,
+             SUM(CAST(CAST(l_quantity AS DECIMAL(38,6)) * CAST(l_extendedprice AS DECIMAL(38,6)) AS DECIMAL(38,12))) AS sp_qe,
+             SUM(CAST(CAST(l_quantity AS DECIMAL(38,6)) * CAST(l_discount AS DECIMAL(38,6)) AS DECIMAL(38,12))) AS sp_qd,
+             SUM(CAST(CAST(l_extendedprice AS DECIMAL(38,6)) * CAST(l_discount AS DECIMAL(38,6)) AS DECIMAL(38,12))) AS sp_ed
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+    )
+    SELECT t.col_a, t.col_b,
+           ROUND(CASE WHEN (t.ssx - t.sx * t.sx / t.n) > 0 AND (t.ssy - t.sy * t.sy / t.n) > 0
+                 THEN (t.sp - t.sx * t.sy / t.n)
+                      / sqrt((t.ssx - t.sx * t.sx / t.n) * (t.ssy - t.sy * t.sy / t.n))
+                 END, 6) AS corr
+    FROM a, LATERAL (VALUES
+      ('l_quantity', 'l_extendedprice', CAST(a.n AS DOUBLE), CAST(a.s_q AS DOUBLE), CAST(a.ss_q AS DOUBLE), CAST(a.s_e AS DOUBLE), CAST(a.ss_e AS DOUBLE), CAST(a.sp_qe AS DOUBLE)),
+      ('l_quantity', 'l_discount', CAST(a.n AS DOUBLE), CAST(a.s_q AS DOUBLE), CAST(a.ss_q AS DOUBLE), CAST(a.s_d AS DOUBLE), CAST(a.ss_d AS DOUBLE), CAST(a.sp_qd AS DOUBLE)),
+      ('l_extendedprice', 'l_discount', CAST(a.n AS DOUBLE), CAST(a.s_e AS DOUBLE), CAST(a.ss_e AS DOUBLE), CAST(a.s_d AS DOUBLE), CAST(a.ss_d AS DOUBLE), CAST(a.sp_ed AS DOUBLE))
+    ) t(col_a, col_b, n, sx, ssx, sy, ssy, sp)
+    """,
+)
+def q_column_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations in ONE aggregation (profiling /
+    feature-selection pass): DECIMAL-exact sums + cross-products shuffled,
+    corr derived in one explicit IEEE-double formula identical in both
+    engines — built-in corr() diverges at the last ulp."""
+    from tdei_extract_load_service_spark.operators.profiling import (
+        column_correlations,
+    )
+
+    li = _read(spark, sf_dir, "lineitem")
+    return column_correlations(li, ("l_quantity", "l_extendedprice", "l_discount"))
+
+
+@register(
     "text_tfidf_topk",
     r"""
     WITH docs AS (

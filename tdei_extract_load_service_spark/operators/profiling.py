@@ -74,6 +74,60 @@ def column_profile(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
     return one.select(F.inline(F.array(*structs)))
 
 
+def column_correlations(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+    """Pairwise Pearson correlation matrix over ``cols`` — the
+    feature-selection/profiling pass — as ONE aggregation: for k columns
+    the shuffle carries k sums + k sum-of-squares + k*(k-1)/2
+    cross-product sums, all DECIMAL-exact (order-independent), and each
+    correlation derives from them in one explicit IEEE-double formula —
+    the same cross-engine-exactness discipline as ``column_profile``
+    (built-in corr() diverges at the last ulp between engines).
+
+    Returns (col_a, col_b, corr) for a < b in the given order. Rows where
+    ANY requested column is null are excluded (complete-case, the
+    convention that keeps every pair on the same n).
+    """
+    cond = None
+    for c in cols:
+        nn = F.col(c).isNotNull()
+        cond = nn if cond is None else (cond & nn)
+    base = df.where(cond)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        dec = F.col(c).cast("decimal(38,6)")
+        aggs.append(F.sum(dec).alias(f"__s_{c}"))
+        aggs.append(F.sum((dec * dec).cast("decimal(38,12)")).alias(f"__ss_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            da = F.col(a).cast("decimal(38,6)")
+            db = F.col(b).cast("decimal(38,6)")
+            aggs.append(F.sum((da * db).cast("decimal(38,12)")).alias(f"__sp_{a}_{b}"))
+    one = base.agg(*aggs)
+    n = F.col("__n").cast("double")
+    structs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            sa = F.col(f"__s_{a}").cast("double")
+            sb = F.col(f"__s_{b}").cast("double")
+            ssa = F.col(f"__ss_{a}").cast("double")
+            ssb = F.col(f"__ss_{b}").cast("double")
+            sp = F.col(f"__sp_{a}_{b}").cast("double")
+            cov = sp - sa * sb / n
+            var_a = ssa - sa * sa / n
+            var_b = ssb - sb * sb / n
+            corr = F.when(
+                (var_a > 0) & (var_b > 0), cov / F.sqrt(var_a * var_b)
+            ).otherwise(F.lit(None).cast("double"))
+            structs.append(
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    F.round(corr, 6).alias("corr"),
+                )
+            )
+    return one.select(F.inline(F.array(*structs)))
+
+
 def fixed_width_histogram(
     df: DataFrame,
     value_col: str | Column,

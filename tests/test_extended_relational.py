@@ -87,3 +87,29 @@ def test_column_profile_one_pass_and_null_handling(spark):
     plan = column_profile(df, ("a", "b"))._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "Union" not in plan
     assert plan.count("HashAggregate") <= 2  # partial + final of ONE agg
+
+
+def test_column_correlations_matches_hand_computation(spark):
+    """Pearson from DECIMAL-exact sums vs numpy on the same data; perfect
+    linear relation = 1.0; constant column -> NULL (zero variance)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from tdei_extract_load_service_spark.operators.profiling import (
+        column_correlations,
+    )
+
+    xs = [1.0, 2.0, 3.0, 4.0, 5.0, 7.5]
+    ys = [2.1, 3.9, 6.2, 8.0, 9.9, 15.1]
+    rows = [(x, y, 2 * x + 1, 4.0) for x, y in zip(xs, ys)]
+    schema = T.StructType([T.StructField(c, T.DoubleType()) for c in ("x", "y", "z", "c")])
+    df = spark.createDataFrame(rows, schema)
+    out = {(r["col_a"], r["col_b"]): r["corr"]
+           for r in column_correlations(df, ("x", "y", "z", "c")).collect()}
+    assert out[("x", "z")] == 1.0           # exact linear relation
+    assert out[("x", "c")] is None          # zero-variance column
+    expected = float(np.corrcoef(xs, ys)[0, 1])
+    assert abs(out[("x", "y")] - round(expected, 6)) <= 1e-6
+    # one agg, no join/union (same plan discipline as column_profile)
+    plan = column_correlations(df, ("x", "y"))._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Union" not in plan

@@ -85,6 +85,7 @@ EXPECTATIONS: dict[str, list[str]] = {
     # summary()-shape profiling: ONE aggregation, no join, no per-column
     # union re-scan (inline() fans the single agg row out)
     "column_profile": ["HashAggregate", "partial_count", "!Join", "!Union"],
+    "column_correlations": ["HashAggregate", "!Join", "!Union"],
 }
 
 
