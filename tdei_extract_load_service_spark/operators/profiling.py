@@ -54,16 +54,18 @@ def column_profile(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
         n = F.col(f"__n_{c}").cast("double")
         s = F.col(f"__s_{c}").cast("double")
         ss = F.col(f"__ss_{c}").cast("double")
-        mean = s / n
-        # sample variance from exact sums; clamp tiny negative fp residue
+        # NULL (not 0/0 = NaN) for degenerate counts: mean needs n>=1,
+        # sample stddev needs n>=2
+        mean = F.when(n >= 1, s / n)
         var = F.greatest((ss - s * s / n) / (n - F.lit(1.0)), F.lit(0.0))
+        stddev = F.when(n >= 2, F.sqrt(var))
         structs.append(
             F.struct(
                 F.lit(c).alias("column"),
                 F.col(f"__n_{c}").alias("n"),
                 F.col(f"__nn_{c}").cast("bigint").alias("n_null"),
                 F.round(mean, 6).alias("mean"),
-                F.round(F.sqrt(var), 6).alias("stddev"),
+                F.round(stddev, 6).alias("stddev"),
                 F.round(F.col(f"__mn_{c}"), 6).alias("min"),
                 F.round(F.col(f"__mx_{c}"), 6).alias("max"),
             )

@@ -276,3 +276,22 @@ def test_planes_per_band_sizing_keeps_buckets_bounded():
     for n in (10_000, 10**6, 10**8):
         p = planes_per_band_for(n, 256)
         assert n / (2 ** p) <= 256 or p == 24
+
+
+def test_dedup_clusters_reports_non_convergence(spark):
+    """max_iter exhaustion on a path longer than the budget must be
+    visible via metrics, not silent: labels are a valid PARTIAL
+    propagation and converged=False tells the caller to raise max_iter."""
+    from pyspark.sql import functions as F
+
+    from tdei_extract_load_service_spark.operators.dedup import dedup_clusters
+
+    ids = spark.range(12).select(F.col("id").alias("doc_id"))
+    path = spark.range(11).select(F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b"))
+    metrics = {}
+    out = dedup_clusters(ids, path, max_iter=3, metrics=metrics)
+    assert out.count() == 12
+    assert metrics == {"rounds": 3, "converged": False}
+    metrics2 = {}
+    dedup_clusters(ids, path, max_iter=15, metrics=metrics2).collect()
+    assert metrics2["converged"] and metrics2["rounds"] == 12

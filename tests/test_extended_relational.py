@@ -113,3 +113,18 @@ def test_column_correlations_matches_hand_computation(spark):
     # one agg, no join/union (same plan discipline as column_profile)
     plan = column_correlations(df, ("x", "y"))._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "Union" not in plan
+
+
+def test_column_profile_degenerate_counts_are_null_not_nan(spark):
+    from pyspark.sql import types as T
+
+    from tdei_extract_load_service_spark.operators.profiling import column_profile
+
+    schema = T.StructType([T.StructField("a", T.DoubleType()),
+                           T.StructField("b", T.DoubleType())])
+    df = spark.createDataFrame([(None, 5.0)], schema)
+    out = {r["column"]: r for r in column_profile(df, ("a", "b")).collect()}
+    # empty column: no mean/stddev, not NaN
+    assert out["a"]["n"] == 0 and out["a"]["mean"] is None and out["a"]["stddev"] is None
+    # single value: mean yes, sample stddev undefined -> NULL
+    assert out["b"]["mean"] == 5.0 and out["b"]["stddev"] is None

@@ -320,3 +320,37 @@ def test_commit_mode_mixing_is_refused(spark, tmp_path):
     assert load_dataset(spark, a, "ds", "u", wh_p).success
     with pytest.raises(ValueError, match="partition-mode tables"):
         load_dataset(spark, a, "ds2", "u", wh_p, commit_mode="manifest")
+
+
+def test_racing_commits_on_same_dataset_serialize_to_one_winner(spark, tmp_path):
+    """Two transactions replacing the SAME (table, dataset) race their
+    commits: the lock serializes the pointer swaps, the last writer wins,
+    and the loser's directory is tombstoned — never a torn mix."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    root = str(tmp_path / "wh")
+    base = mf.ManifestTxn(root)
+    base.write("a", _df(spark, [(0, "orig")]), "ds")
+    base.commit()
+
+    t1 = mf.ManifestTxn(root)
+    t1.write("a", _df(spark, [(1, "one")]), "ds")
+    t2 = mf.ManifestTxn(root)
+    t2.write("a", _df(spark, [(2, "two")]), "ds")
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f1 = pool.submit(t1.commit)
+        f2 = pool.submit(t2.commit)
+        f1.result(), f2.result()
+
+    m = mf.read_manifest(root)
+    assert m["txn"] == 3
+    winner = m["tables"]["a"]["ds"]
+    assert winner.endswith(t1.txn_id) or winner.endswith(t2.txn_id)
+    got = {r["v"] for r in mf.read_table(spark, root, "a").collect()}
+    assert got in ({"one"}, {"two"}), f"torn read: {got}"
+    # the loser's dir is tombstoned (reader grace); the ORIGINAL version,
+    # displaced one commit earlier, was ripe and reaped by the second
+    # commit — exactly the one-interval survival policy
+    tombs = {t["dir"] for t in m["tombstones"]}
+    loser = t2.txn_id if winner.endswith(t1.txn_id) else t1.txn_id
+    assert len(tombs) == 1 and any(loser in d for d in tombs)
