@@ -59,6 +59,9 @@ HEADLINE = (
     "dedup_simhash",
     "dedup_embedding_lsh",
     "multimodal_resize",
+    "multimodal_video_frames",
+    "column_profile",
+    "column_correlations",
 )
 
 

@@ -37,6 +37,12 @@ def column_profile(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
     Scale shape: one aggregation row (6 x |cols| cells) regardless of
     input size; the unpivot is a driver-free projection of that row.
     """
+    from tdei_extract_load_service_spark.session import spread
+
+    # DECIMAL partial aggregation is real per-row compute — spread a
+    # single-row-group scan so the partial phase uses every core; project
+    # FIRST so the round-robin exchange carries only the profiled columns
+    df = spread(df.select(*cols))
     aggs = []
     for c in cols:
         dec = F.col(c).cast("decimal(38,6)")
@@ -93,7 +99,10 @@ def column_correlations(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
     for c in cols:
         nn = F.col(c).isNotNull()
         cond = nn if cond is None else (cond & nn)
-    base = df.where(cond)
+    from tdei_extract_load_service_spark.session import spread
+
+    # project before spreading: the exchange carries only `cols`
+    base = spread(df.where(cond).select(*cols))
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         dec = F.col(c).cast("decimal(38,6)")
