@@ -1428,22 +1428,23 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH a AS (
       SELECT COUNT(l_quantity) AS n_q, SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS nn_q,
-             SUM(CAST(l_quantity AS DECIMAL(38,6))) AS s_q,
-             SUM(CAST(CAST(l_quantity AS DECIMAL(38,6)) * CAST(l_quantity AS DECIMAL(38,6)) AS DECIMAL(38,12))) AS ss_q,
+             SUM(CAST(l_quantity AS DECIMAL(30,6))) AS s_q,
+             SUM(CAST(CAST(l_quantity AS DECIMAL(30,6)) * CAST(l_quantity AS DECIMAL(30,6)) AS DECIMAL(38,12))) AS ss_q,
              MIN(CAST(l_quantity AS DOUBLE)) AS mn_q, MAX(CAST(l_quantity AS DOUBLE)) AS mx_q,
              COUNT(l_extendedprice) AS n_e, SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS nn_e,
-             SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS s_e,
-             SUM(CAST(CAST(l_extendedprice AS DECIMAL(38,6)) * CAST(l_extendedprice AS DECIMAL(38,6)) AS DECIMAL(38,12))) AS ss_e,
+             SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS s_e,
+             SUM(CAST(CAST(l_extendedprice AS DECIMAL(30,6)) * CAST(l_extendedprice AS DECIMAL(30,6)) AS DECIMAL(38,12))) AS ss_e,
              MIN(CAST(l_extendedprice AS DOUBLE)) AS mn_e, MAX(CAST(l_extendedprice AS DOUBLE)) AS mx_e,
              COUNT(l_discount) AS n_d, SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS nn_d,
-             SUM(CAST(l_discount AS DECIMAL(38,6))) AS s_d,
-             SUM(CAST(CAST(l_discount AS DECIMAL(38,6)) * CAST(l_discount AS DECIMAL(38,6)) AS DECIMAL(38,12))) AS ss_d,
+             SUM(CAST(l_discount AS DECIMAL(30,6))) AS s_d,
+             SUM(CAST(CAST(l_discount AS DECIMAL(30,6)) * CAST(l_discount AS DECIMAL(30,6)) AS DECIMAL(38,12))) AS ss_d,
              MIN(CAST(l_discount AS DOUBLE)) AS mn_d, MAX(CAST(l_discount AS DOUBLE)) AS mx_d
       FROM lineitem
     )
     SELECT t.col AS "column", t.n, t.n_null,
-           ROUND(t.s / t.n, 6) AS mean,
-           ROUND(sqrt(GREATEST((t.ss - t.s * t.s / t.n) / (t.n - 1.0), 0.0)), 6) AS stddev,
+           ROUND(CASE WHEN t.n >= 1 THEN t.s / t.n END, 6) AS mean,
+           ROUND(CASE WHEN t.n >= 2
+                 THEN sqrt(GREATEST((t.ss - t.s * t.s / t.n) / (t.n - 1.0), 0.0)) END, 6) AS stddev,
            ROUND(t.mn, 6) AS "min", ROUND(t.mx, 6) AS "max"
     FROM a, LATERAL (VALUES
       ('l_quantity', a.n_q, CAST(a.nn_q AS BIGINT), CAST(a.s_q AS DOUBLE), CAST(a.ss_q AS DOUBLE), a.mn_q, a.mx_q),
@@ -1470,15 +1471,15 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH a AS (
       SELECT COUNT(*) AS n,
-             SUM(CAST(l_quantity AS DECIMAL(38,6))) AS s_q,
-             SUM(CAST(CAST(l_quantity AS DECIMAL(38,6)) * CAST(l_quantity AS DECIMAL(38,6)) AS DECIMAL(38,12))) AS ss_q,
-             SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS s_e,
-             SUM(CAST(CAST(l_extendedprice AS DECIMAL(38,6)) * CAST(l_extendedprice AS DECIMAL(38,6)) AS DECIMAL(38,12))) AS ss_e,
-             SUM(CAST(l_discount AS DECIMAL(38,6))) AS s_d,
-             SUM(CAST(CAST(l_discount AS DECIMAL(38,6)) * CAST(l_discount AS DECIMAL(38,6)) AS DECIMAL(38,12))) AS ss_d,
-             SUM(CAST(CAST(l_quantity AS DECIMAL(38,6)) * CAST(l_extendedprice AS DECIMAL(38,6)) AS DECIMAL(38,12))) AS sp_qe,
-             SUM(CAST(CAST(l_quantity AS DECIMAL(38,6)) * CAST(l_discount AS DECIMAL(38,6)) AS DECIMAL(38,12))) AS sp_qd,
-             SUM(CAST(CAST(l_extendedprice AS DECIMAL(38,6)) * CAST(l_discount AS DECIMAL(38,6)) AS DECIMAL(38,12))) AS sp_ed
+             SUM(CAST(l_quantity AS DECIMAL(30,6))) AS s_q,
+             SUM(CAST(CAST(l_quantity AS DECIMAL(30,6)) * CAST(l_quantity AS DECIMAL(30,6)) AS DECIMAL(38,12))) AS ss_q,
+             SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS s_e,
+             SUM(CAST(CAST(l_extendedprice AS DECIMAL(30,6)) * CAST(l_extendedprice AS DECIMAL(30,6)) AS DECIMAL(38,12))) AS ss_e,
+             SUM(CAST(l_discount AS DECIMAL(30,6))) AS s_d,
+             SUM(CAST(CAST(l_discount AS DECIMAL(30,6)) * CAST(l_discount AS DECIMAL(30,6)) AS DECIMAL(38,12))) AS ss_d,
+             SUM(CAST(CAST(l_quantity AS DECIMAL(30,6)) * CAST(l_extendedprice AS DECIMAL(30,6)) AS DECIMAL(38,12))) AS sp_qe,
+             SUM(CAST(CAST(l_quantity AS DECIMAL(30,6)) * CAST(l_discount AS DECIMAL(30,6)) AS DECIMAL(38,12))) AS sp_qd,
+             SUM(CAST(CAST(l_extendedprice AS DECIMAL(30,6)) * CAST(l_discount AS DECIMAL(30,6)) AS DECIMAL(38,12))) AS sp_ed
       FROM lineitem
       WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
     )

@@ -19,6 +19,34 @@ def _col(c: str | Column) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+def _dec(c: str) -> Column:
+    """Operand type for exact moment aggregates: DECIMAL(18,6) gives a
+    product type of DECIMAL(37,12) — EXACT in Spark. Squaring
+    decimal(38,6) operands instead resolves (under Spark's
+    allowPrecisionLoss) to decimal(38,6), silently ROUNDING every
+    square/cross-product to 6 decimals per row before any outer cast —
+    stddev of small-magnitude data came back 0.0 (caught by the r5
+    review, reproduced by execution). Bounds the profiled values to
+    |v| < 1e12, which profiling inputs meet. The DuckDB oracle twins use
+    DECIMAL(30,6) operands for the same exactness (DuckDB's DECIMAL(18)
+    product does not widen and overflows instead); the engines agree
+    because both products are EXACT, not because the types match."""
+    return F.col(c).cast("decimal(18,6)")
+
+
+def _moment_aggs(cols: tuple[str, ...]) -> list[Column]:
+    """Shared sum / sum-of-squares aggregates (exact DECIMAL moments) —
+    one definition so column_profile and column_correlations cannot
+    drift (their degenerate-count guards already did once)."""
+    aggs: list[Column] = []
+    for c in cols:
+        aggs.append(F.sum(_dec(c)).alias(f"__s_{c}"))
+        aggs.append(
+            F.sum((_dec(c) * _dec(c)).cast("decimal(38,12)")).alias(f"__ss_{c}")
+        )
+    return aggs
+
+
 def column_profile(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
     """``df.summary()``-shape column statistics — (column, n, n_null,
     mean, stddev, min, max) per requested numeric column — as ONE
@@ -42,15 +70,16 @@ def column_profile(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
     # DECIMAL partial aggregation is real per-row compute — spread a
     # single-row-group scan so the partial phase uses every core; project
     # FIRST so the round-robin exchange carries only the profiled columns
+    if not cols:
+        raise ValueError("column_profile needs at least one column")
     df = spread(df.select(*cols))
-    aggs = []
+    aggs = _moment_aggs(cols)
     for c in cols:
-        dec = F.col(c).cast("decimal(38,6)")
         aggs += [
             F.count(F.col(c)).alias(f"__n_{c}"),
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nn_{c}"),
-            F.sum(dec).alias(f"__s_{c}"),
-            F.sum((dec * dec).cast("decimal(38,12)")).alias(f"__ss_{c}"),
+            # count(1) - count(col): never NULL on zero rows, one fewer
+            # aggregate buffer than a sum-of-when
+            (F.count(F.lit(1)) - F.count(F.col(c))).alias(f"__nn_{c}"),
             F.min(F.col(c).cast("double")).alias(f"__mn_{c}"),
             F.max(F.col(c).cast("double")).alias(f"__mx_{c}"),
         ]
@@ -95,6 +124,8 @@ def column_correlations(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
     ANY requested column is null are excluded (complete-case, the
     convention that keeps every pair on the same n).
     """
+    if len(cols) < 2:
+        raise ValueError("column_correlations needs at least two columns")
     cond = None
     for c in cols:
         nn = F.col(c).isNotNull()
@@ -103,16 +134,12 @@ def column_correlations(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
 
     # project before spreading: the exchange carries only `cols`
     base = spread(df.where(cond).select(*cols))
-    aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in cols:
-        dec = F.col(c).cast("decimal(38,6)")
-        aggs.append(F.sum(dec).alias(f"__s_{c}"))
-        aggs.append(F.sum((dec * dec).cast("decimal(38,12)")).alias(f"__ss_{c}"))
+    aggs = [F.count(F.lit(1)).alias("__n")] + _moment_aggs(cols)
     for i, a in enumerate(cols):
         for b in cols[i + 1 :]:
-            da = F.col(a).cast("decimal(38,6)")
-            db = F.col(b).cast("decimal(38,6)")
-            aggs.append(F.sum((da * db).cast("decimal(38,12)")).alias(f"__sp_{a}_{b}"))
+            aggs.append(
+                F.sum((_dec(a) * _dec(b)).cast("decimal(38,12)")).alias(f"__sp_{a}_{b}")
+            )
     one = base.agg(*aggs)
     n = F.col("__n").cast("double")
     structs = []

@@ -128,3 +128,36 @@ def test_column_profile_degenerate_counts_are_null_not_nan(spark):
     assert out["a"]["n"] == 0 and out["a"]["mean"] is None and out["a"]["stddev"] is None
     # single value: mean yes, sample stddev undefined -> NULL
     assert out["b"]["mean"] == 5.0 and out["b"]["stddev"] is None
+
+
+def test_profiling_exact_at_small_magnitudes(spark):
+    """Code-review r5 #2: decimal(38,6)*decimal(38,6) resolves to scale 6
+    in Spark (allowPrecisionLoss), rounding every square to zero for
+    small-magnitude data — stddev came back 0.0 and a perfect correlation
+    NULL. The DECIMAL(18,6)-operand fix keeps products exact (37,12)."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from tdei_extract_load_service_spark.operators.profiling import (
+        column_correlations,
+        column_profile,
+    )
+
+    schema = T.StructType([T.StructField("a", T.DoubleType()),
+                           T.StructField("b", T.DoubleType())])
+    df = spark.createDataFrame(
+        [(1e-4, 2e-4), (2e-4, 4e-4), (3e-4, 6e-4), (4e-4, 8e-4)], schema
+    )
+    prof = {r["column"]: r for r in column_profile(df, ("a", "b")).collect()}
+    assert prof["a"]["stddev"] == 0.000129  # round(sqrt(5/3)*1e-4, 6)
+    corr = column_correlations(df, ("a", "b")).collect()[0]
+    assert corr["corr"] == 1.0
+
+    with pytest.raises(ValueError, match="at least one column"):
+        column_profile(df, ())
+    with pytest.raises(ValueError, match="at least two"):
+        column_correlations(df, ("a",))
+    # zero-row null count is 0, not NULL
+    empty = {r["column"]: r for r in
+             column_profile(df.where("a > 1"), ("a",)).collect()}
+    assert empty["a"]["n_null"] == 0 and empty["a"]["mean"] is None
