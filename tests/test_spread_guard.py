@@ -85,3 +85,9 @@ def test_explicit_caller_partitioning_is_respected(spark):
     # partitioning; spread must not second-guess it
     df = spark.range(100).coalesce(1)
     assert spread(df) is df
+
+
+def test_spread_factor_multiplies_target(spark):
+    df = spark.range(100, numPartitions=1)
+    out = spread(df, factor=2)
+    assert out.rdd.getNumPartitions() == 2 * spark.sparkContext.defaultParallelism
