@@ -85,13 +85,26 @@ def read_table(
     table: str,
     schema=None,
     manifest: dict | None = None,
+    dataset_id: str | None = None,
 ) -> DataFrame:
     """Read one table at the manifest's current snapshot. Pass ``manifest``
     to pin several tables to the SAME snapshot (e.g. a join across kind
     tables mid-commit). Returns a typed empty frame (``schema`` required
-    for that) when the table has no committed data."""
+    for that) when the table has no committed data.
+
+    ``dataset_id`` scopes the read to ONE dataset's directory — the
+    manifest-path form of partition pruning: the manifest maps (table,
+    dataset) straight to its directory, so a single-dataset reader plans
+    O(1) paths instead of unioning every dataset's directory (the same
+    win ``tdei_dataset_id=...`` partition filters give the partition
+    layout)."""
     m = manifest if manifest is not None else read_manifest(root)
-    reldirs = sorted(m["tables"].get(table, {}).values())
+    table_map = m["tables"].get(table, {})
+    if dataset_id is not None:
+        one = table_map.get(str(dataset_id))
+        reldirs = [one] if one is not None else []
+    else:
+        reldirs = sorted(table_map.values())
     if not reldirs:
         if schema is None:
             raise ValueError(

@@ -354,3 +354,22 @@ def test_racing_commits_on_same_dataset_serialize_to_one_winner(spark, tmp_path)
     tombs = {t["dir"] for t in m["tombstones"]}
     loser = t2.txn_id if winner.endswith(t1.txn_id) else t1.txn_id
     assert len(tombs) == 1 and any(loser in d for d in tombs)
+
+
+def test_read_table_dataset_scope_prunes_to_one_directory(spark, tmp_path):
+    """dataset_id pushes the manifest's (table, dataset) mapping into the
+    read: one directory planned, not a union over every dataset — the
+    manifest-path form of partition pruning."""
+    root = str(tmp_path / "wh")
+    txn = mf.ManifestTxn(root)
+    for ds, v in (("ds1", "one"), ("ds2", "two"), ("ds3", "three")):
+        txn.write("a", _df(spark, [(1, v)]), ds)
+    txn.commit()
+
+    scoped = mf.read_table(spark, root, "a", dataset_id="ds2")
+    assert [r["v"] for r in scoped.collect()] == ["two"]
+    assert len(scoped.inputFiles()) < len(mf.read_table(spark, root, "a").inputFiles())
+    # missing dataset: typed empty frame with a schema, like empty tables
+    empty = mf.read_table(spark, root, "a", schema="id: long, v: string",
+                          dataset_id="nope")
+    assert empty.count() == 0
