@@ -221,6 +221,21 @@ class ManifestTxn:
             shutil.rmtree(os.path.join(self.root, reldir), ignore_errors=True)
 
 
+def delete_dataset(root: str, dataset_id: str, tables: tuple[str, ...] | None = None) -> dict:
+    """Remove one dataset from every table (or the given ``tables``) in a
+    single atomic commit — the standalone form of the load's staged
+    pre-delete (O17, delete_dataset_records_by_id): a reader sees the
+    dataset everywhere or nowhere, never mid-removal. Displaced
+    directories follow the normal tombstone grace. Returns the new
+    manifest."""
+    txn = ManifestTxn(root)
+    m = read_manifest(root)
+    targets = tables if tables is not None else tuple(m["tables"])
+    for table in targets:
+        txn.delete(table, dataset_id)
+    return txn.commit()
+
+
 def gc_orphans(root: str, min_age_seconds: float = 3600.0) -> list[str]:
     """Remove data directories referenced by neither the manifest's tables
     nor its tombstones — debris from crashed transactions (whose writes

@@ -373,3 +373,20 @@ def test_read_table_dataset_scope_prunes_to_one_directory(spark, tmp_path):
     empty = mf.read_table(spark, root, "a", schema="id: long, v: string",
                           dataset_id="nope")
     assert empty.count() == 0
+
+
+def test_delete_dataset_is_one_atomic_commit_across_tables(spark, tmp_path):
+    root = str(tmp_path / "wh")
+    txn = mf.ManifestTxn(root)
+    for t in ("a", "b"):
+        txn.write(t, _df(spark, [(1, "ds1")]), "ds1")
+        txn.write(t, _df(spark, [(2, "ds2")]), "ds2")
+    txn.commit()
+
+    m = mf.delete_dataset(root, "ds1")
+    assert m["txn"] == 2
+    for t in ("a", "b"):
+        vals = {r["v"] for r in mf.read_table(spark, root, t).collect()}
+        assert vals == {"ds2"}, f"{t}: {vals}"
+    # displaced dirs tombstoned for reader grace, reaped next commit
+    assert len(m["tombstones"]) == 2
