@@ -41,6 +41,8 @@ its ``content.dataset`` table.
 
 from __future__ import annotations
 
+import contextlib
+import hashlib
 import json
 import os
 import re
@@ -52,12 +54,46 @@ from pyspark.sql import DataFrame, SparkSession
 from tdei_extract_load_service_spark.sinks.writers import _path_lock
 
 MANIFEST_NAME = "_MANIFEST.json"
+LOCK_NAME = "_MANIFEST.lock"
 
 _EMPTY_MANIFEST: dict = {"txn": 0, "tables": {}, "tombstones": []}
 
 
 def _manifest_path(root: str) -> str:
     return os.path.join(root, MANIFEST_NAME)
+
+
+@contextlib.contextmanager
+def _warehouse_lock(root: str):
+    """Serialize manifest read-modify-write across THREADS and PROCESSES.
+
+    The in-process ``_path_lock`` alone is not enough: two driver
+    processes sharing one warehouse (two queue consumers, or a load
+    racing a maintenance ``delete_dataset``/``gc_orphans``) would both
+    read the old manifest and ``os.replace`` last-writer-wins, silently
+    dropping the other commit's published tables. So commit/gc also hold
+    an OS-level advisory lock (``fcntl.flock`` on ``root/_MANIFEST.lock``)
+    — blocking, released on close, crash-safe (the kernel drops it with
+    the fd, so a killed committer cannot wedge the warehouse).
+
+    The thread lock is still taken FIRST: ``flock`` is per-open-file and
+    re-entrant within a process, so without it two threads of one process
+    could interleave. Lock order (thread, then file) is fixed everywhere,
+    so no deadlock. On filesystems where flock is a no-op (some NFS
+    mounts) the behavior degrades to the previous single-process
+    guarantee; object-store deployments should front commits with a
+    single committer service exactly as the reference fronts Postgres.
+    """
+    import fcntl
+
+    os.makedirs(root, exist_ok=True)
+    with _path_lock(root):
+        with open(os.path.join(root, LOCK_NAME), "a+") as fh:
+            fcntl.flock(fh.fileno(), fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(fh.fileno(), fcntl.LOCK_UN)
 
 
 def is_manifest_warehouse(root: str) -> bool:
@@ -75,8 +111,18 @@ def read_manifest(root: str) -> dict:
 
 
 def _safe_component(value: str) -> str:
-    """Dataset ids become path components — keep them filesystem-safe."""
-    return re.sub(r"[^A-Za-z0-9._-]", "_", str(value))
+    """Dataset ids become path components — keep them filesystem-safe AND
+    collision-free. Sanitizing alone is lossy (``'a/b'`` and ``'a_b'``
+    both map to ``a_b``; staged in one transaction they would share a
+    directory and the second write would clobber the first), so whenever
+    sanitization changed the value, a short stable hash of the RAW id is
+    appended: distinct raw ids always get distinct components, while
+    already-clean ids keep their readable unsuffixed form."""
+    raw = str(value)
+    safe = re.sub(r"[^A-Za-z0-9._-]", "_", raw)
+    if safe != raw:
+        safe += "." + hashlib.sha256(raw.encode()).hexdigest()[:8]
+    return safe
 
 
 def read_table(
@@ -170,7 +216,7 @@ class ManifestTxn:
         Returns the new manifest."""
         if self._done:
             raise RuntimeError("transaction already committed or aborted")
-        with _path_lock(self.root):
+        with _warehouse_lock(self.root):
             current = read_manifest(self.root)
             new = {
                 "txn": current["txn"] + 1,
@@ -257,7 +303,7 @@ def gc_orphans(root: str, min_age_seconds: float = 3600.0) -> list[str]:
     if not os.path.isdir(data_root):
         return removed
     now = time.time()
-    with _path_lock(root):
+    with _warehouse_lock(root):
         m = read_manifest(root)
         live = {d for table in m["tables"].values() for d in table.values()}
         live |= {t["dir"] for t in m["tombstones"]}

@@ -390,3 +390,93 @@ def test_delete_dataset_is_one_atomic_commit_across_tables(spark, tmp_path):
         assert vals == {"ds2"}, f"{t}: {vals}"
     # displaced dirs tombstoned for reader grace, reaped next commit
     assert len(m["tombstones"]) == 2
+
+
+# ---------------------------------------------------------------------------
+# Cross-process atomicity (ADVICE r5 #1) + path-component uniqueness (#4)
+# ---------------------------------------------------------------------------
+
+def test_commit_takes_the_os_level_warehouse_lock(tmp_path):
+    """commit() must hold fcntl.flock on root/_MANIFEST.lock — the
+    in-process threading lock cannot serialize two DRIVER PROCESSES
+    sharing one warehouse. This test holds the flock from the parent and
+    proves a child process's commit blocks until release."""
+    import fcntl
+    import subprocess
+    import sys
+    import time
+
+    root = str(tmp_path / "wh")
+    os.makedirs(root)
+    child_code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from tdei_extract_load_service_spark.sinks import manifest as mf\n"
+        "t = mf.ManifestTxn(%r)\n"
+        "t._writes.append(('t', 'ds', 'data/t/ds-x'))\n"
+        "t.commit()\n"
+    ) % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))), root)
+
+    with open(os.path.join(root, mf.LOCK_NAME), "a+") as fh:
+        fcntl.flock(fh.fileno(), fcntl.LOCK_EX)
+        child = subprocess.Popen([sys.executable, "-c", child_code])
+        # child must NOT be able to commit while we hold the lock
+        deadline = time.time() + 3.0
+        while time.time() < deadline and child.poll() is None:
+            time.sleep(0.1)
+        assert child.poll() is None, "child committed while parent held the flock"
+        assert not os.path.exists(mf._manifest_path(root))
+        fcntl.flock(fh.fileno(), fcntl.LOCK_UN)
+    assert child.wait(timeout=30) == 0
+    m = mf.read_manifest(root)
+    assert m["tables"]["t"]["ds"] == "data/t/ds-x"
+
+
+def test_concurrent_process_commits_all_survive(tmp_path):
+    """Two separate driver processes hammer the same warehouse with
+    interleaved read-modify-write commits; with the OS lock every commit's
+    dataset survives (before the fix, os.replace last-writer-wins silently
+    discarded the other process's published tables)."""
+    import subprocess
+    import sys
+
+    root = str(tmp_path / "wh")
+    n = 60
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    child_code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from tdei_extract_load_service_spark.sinks import manifest as mf\n"
+        "tag = sys.argv[1]\n"
+        "for i in range(%d):\n"
+        "    t = mf.ManifestTxn(%r)\n"
+        "    t._writes.append(('t', f'{tag}-{i}', f'data/t/{tag}-{i}'))\n"
+        "    t.commit()\n"
+    ) % (repo, n, root)
+    kids = [
+        subprocess.Popen([sys.executable, "-c", child_code, tag])
+        for tag in ("alpha", "beta")
+    ]
+    for k in kids:
+        assert k.wait(timeout=120) == 0
+    m = mf.read_manifest(root)
+    datasets = set(m["tables"]["t"])
+    assert len(datasets) == 2 * n, f"lost {2 * n - len(datasets)} commits"
+    assert m["txn"] == 2 * n
+
+
+def test_safe_component_lossy_ids_get_distinct_dirs(spark, tmp_path):
+    """'a/b' and 'a_b' sanitize to the same component; before the fix they
+    shared one staged directory in a single transaction and the second
+    write clobbered the first. The hash suffix keeps raw ids distinct
+    while already-clean ids stay readable."""
+    assert mf._safe_component("a/b") != mf._safe_component("a_b")
+    assert mf._safe_component("a_b") == "a_b"  # clean ids: no suffix
+    assert mf._safe_component("a/b") == mf._safe_component("a/b")  # stable
+
+    root = str(tmp_path / "wh")
+    txn = mf.ManifestTxn(root)
+    txn.write("t", _df(spark, [(1, "slash")]), "a/b")
+    txn.write("t", _df(spark, [(2, "underscore")]), "a_b")
+    txn.commit()
+    got_slash = {r["v"] for r in mf.read_table(spark, root, "t", dataset_id="a/b").collect()}
+    got_under = {r["v"] for r in mf.read_table(spark, root, "t", dataset_id="a_b").collect()}
+    assert got_slash == {"slash"} and got_under == {"underscore"}
