@@ -562,8 +562,9 @@ def embedding_lsh_pairs(
     threshold: float = 0.9,
     dim: int = 64,
     n_bands: int = 3,
-    planes_per_band: int = 6,
+    planes_per_band: int | None = None,
     planes: list[list[float]] | None = None,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs at scale: banded random-hyperplane LSH
     candidate generation + exact cosine verification — the production
@@ -590,10 +591,22 @@ def embedding_lsh_pairs(
     ``sum(bucket_size^2)/2`` over ``2^planes_per_band`` buckets, so with a
     FIXED plane count per-bucket population — and therefore candidate
     volume — grows quadratically with corpus size (measured: the sf-tuned
-    4-plane config at x30 heads toward ~450M candidates, SCALE.md). Use
-    ``planes_per_band_for(n_rows)`` (``~log2(n/target_bucket)``) so
-    buckets stay bounded; more planes = fewer false candidates but lower
-    per-band recall, compensated with more bands.
+    4-plane config at x30 heads toward ~450M candidates, SCALE.md).
+    Corpus-aware sizing is therefore the DEFAULT: when neither ``planes``
+    nor ``planes_per_band`` is supplied, the plane count comes from
+    ``planes_per_band_for(df.count())`` (``~log2(n/target_bucket)``) — one
+    cheap count (a model, not data) keeps buckets bounded and candidate
+    work linear, so a 100 TB caller copying the zero-config call cannot
+    land in the quadratic trap. Pass explicit ``planes`` (+
+    ``planes_per_band``) only for reproducibility against an external
+    oracle; more planes = fewer false candidates but lower per-band
+    recall, compensated with more bands.
+
+    The result is eagerly materialized (``localCheckpoint``) so the
+    banded working frame can be unpersisted before returning — repeated
+    calls do not accumulate cached blocks for the session lifetime (the
+    ``dedup_clusters`` pattern). The verified pair set is the small end
+    of the funnel, so the checkpoint is cheap.
 
     Feed the result to ``dedup_clusters`` for survivor election.
     """
@@ -602,6 +615,16 @@ def embedding_lsh_pairs(
         make_planes,
     )
 
+    if planes_per_band is None:
+        if planes is not None:
+            if len(planes) % n_bands:
+                raise ValueError("len(planes) must be a multiple of n_bands")
+            planes_per_band = len(planes) // n_bands
+        else:
+            planes_per_band = planes_per_band_for(df.count())
+    if metrics is not None:
+        metrics["planes_per_band"] = planes_per_band
+        metrics["n_buckets_per_band"] = 2 ** planes_per_band
     if planes is None:
         # each band MUST see distinct planes — handing lsh_bucket its
         # default (plane indices 0..k-1) would give every band identical
@@ -653,7 +676,13 @@ def embedding_lsh_pairs(
     out = per_band[0]
     for frame in per_band[1:]:
         out = out.unionByName(frame)
-    return out.where(F.col("cosine") >= threshold)
+    # materialize the verified pairs, then release the banded cache —
+    # without this, repeated calls leak persisted blocks for the session
+    # lifetime (ADVICE r5 #3); localCheckpoint also truncates the n_bands
+    # self-join lineage before the result feeds dedup_clusters' rounds
+    result = out.where(F.col("cosine") >= threshold).localCheckpoint(eager=True)
+    banded.unpersist()
+    return result
 
 
 def embedding_cosine_pairs(

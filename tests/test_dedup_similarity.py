@@ -295,3 +295,70 @@ def test_dedup_clusters_reports_non_convergence(spark):
     metrics2 = {}
     dedup_clusters(ids, path, max_iter=15, metrics=metrics2).collect()
     assert metrics2["converged"] and metrics2["rounds"] == 12
+
+
+def test_embedding_lsh_auto_sizing_scales_with_corpus(spark):
+    """VERDICT r5 #3: with no explicit planes, the operator derives
+    planes_per_band from the CORPUS SIZE — two different corpus sizes must
+    pick different bucket counts, and the auto-sized result must stay a
+    subset of the exact pairs with identical cosines."""
+    from tdei_extract_load_service_spark.operators.dedup import (
+        embedding_cosine_pairs,
+        embedding_lsh_pairs,
+        planes_per_band_for,
+    )
+
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    n = emb.count()
+    # 10x-replicated corpus with distinct ids: big enough (5000) to clear
+    # the 4-plane floor that the 500-row fixture sits under
+    big = emb.crossJoin(spark.range(10).withColumnRenamed("id", "_rep")).select(
+        (F.col("vec_id") + F.col("_rep") * 1_000_000).alias("vec_id"),
+        "embedding",
+    )
+
+    m_full, m_big = {}, {}
+    approx_full = embedding_lsh_pairs(
+        emb, "vec_id", "embedding", threshold=0.45, dim=64, n_bands=4,
+        metrics=m_full,
+    )
+    embedding_lsh_pairs(
+        big, "vec_id", "embedding", threshold=1.01, dim=64, n_bands=4,
+        metrics=m_big,
+    )
+    assert m_full["planes_per_band"] == planes_per_band_for(n)
+    assert m_big["planes_per_band"] == planes_per_band_for(10 * n)
+    assert m_big["planes_per_band"] > m_full["planes_per_band"], (
+        f"corpus sizes {n} and {10 * n} must size buckets differently"
+    )
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.45).collect()
+    }
+    rows = approx_full.collect()
+    assert rows, "auto-sized run must surface pairs on the fixture"
+    for r in rows:
+        key = (r["id_a"], r["id_b"])
+        assert key in exact, f"auto-sized LSH emitted a non-pair {key}"
+        assert r["cosine"] == exact[key]
+
+
+def test_embedding_lsh_releases_its_cache(spark):
+    """ADVICE r5 #3: repeated calls must not accumulate persisted blocks —
+    the banded working frame is unpersisted once the (checkpointed) result
+    is materialized."""
+    from tdei_extract_load_service_spark.operators.dedup import embedding_lsh_pairs
+    from tdei_extract_load_service_spark.operators.similarity import make_planes
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    spark.catalog.clearCache()  # session-shared cache: isolate this probe
+    jvm_catalog = spark._jsparkSession.sharedState().cacheManager()
+    for _ in range(2):
+        embedding_lsh_pairs(
+            emb, "vec_id", "embedding", threshold=0.45, dim=64,
+            n_bands=4, planes_per_band=4, planes=make_planes(16, 64),
+        ).count()
+    assert jvm_catalog.isEmpty(), "banded frames left persisted after return"
