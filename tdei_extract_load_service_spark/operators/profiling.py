@@ -37,14 +37,39 @@ def _dec(c: str) -> Column:
 def _moment_aggs(cols: tuple[str, ...]) -> list[Column]:
     """Shared sum / sum-of-squares aggregates (exact DECIMAL moments) —
     one definition so column_profile and column_correlations cannot
-    drift (their degenerate-count guards already did once)."""
+    drift (their degenerate-count guards already did once).
+
+    ``__nd_<c>`` counts the DECIMAL-cast values: under non-ANSI Spark a
+    value outside the DECIMAL(18,6) bound casts to NULL, silently
+    dropping the row from the sums while plain count() still counts it —
+    the guard aggregate lets callers FAIL on that instead of returning a
+    silently wrong mean/stddev/corr (ADVICE r5 #2)."""
     aggs: list[Column] = []
     for c in cols:
         aggs.append(F.sum(_dec(c)).alias(f"__s_{c}"))
         aggs.append(
             F.sum((_dec(c) * _dec(c)).cast("decimal(38,12)")).alias(f"__ss_{c}")
         )
+        aggs.append(F.count(_dec(c)).alias(f"__nd_{c}"))
     return aggs
+
+
+def _bound_guard(c: str, n_raw: Column, op: str) -> Column:
+    """Evaluates to ``n_raw`` normally; RAISES at execution when the
+    DECIMAL cast dropped rows (|v| >= 1e12) — loud failure instead of a
+    silently shifted statistic. Stays a pure column expression, so the
+    operators remain lazy single-aggregation plans."""
+    return F.when(
+        F.col(f"__nd_{c}") < n_raw,
+        F.raise_error(
+            F.lit(
+                f"{op}: column {c!r} has values outside the DECIMAL(18,6) "
+                "exact-moment bound (|v| < 1e12); its mean/stddev would be "
+                "silently wrong. Rescale the column or profile it as a "
+                "pre-scaled expression."
+            )
+        ).cast("bigint"),
+    ).otherwise(n_raw)
 
 
 def column_profile(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
@@ -97,7 +122,7 @@ def column_profile(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
         structs.append(
             F.struct(
                 F.lit(c).alias("column"),
-                F.col(f"__n_{c}").alias("n"),
+                _bound_guard(c, F.col(f"__n_{c}"), "column_profile").alias("n"),
                 F.col(f"__nn_{c}").cast("bigint").alias("n_null"),
                 F.round(mean, 6).alias("mean"),
                 F.round(stddev, 6).alias("stddev"),
@@ -141,7 +166,12 @@ def column_correlations(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
                 F.sum((_dec(a) * _dec(b)).cast("decimal(38,12)")).alias(f"__sp_{a}_{b}")
             )
     one = base.agg(*aggs)
-    n = F.col("__n").cast("double")
+    # complete-case filter means every column's raw count is __n: guard
+    # each column's decimal count against it (overflow -> loud failure)
+    guarded_n = F.col("__n")
+    for c in cols:
+        guarded_n = _bound_guard(c, guarded_n, "column_correlations")
+    n = guarded_n.cast("double")
     structs = []
     for i, a in enumerate(cols):
         for b in cols[i + 1 :]:

@@ -161,3 +161,43 @@ def test_profiling_exact_at_small_magnitudes(spark):
     empty = {r["column"]: r for r in
              column_profile(df.where("a > 1"), ("a",)).collect()}
     assert empty["a"]["n_null"] == 0 and empty["a"]["mean"] is None
+
+
+def test_profiling_raises_on_decimal_bound_overflow(spark):
+    """ADVICE r5 #2: a value with |v| >= 1e12 NULLs out of the
+    DECIMAL(18,6) cast under non-ANSI Spark, silently dropping the row
+    from the moment sums while n still counts it. The guard aggregate
+    must turn that into a LOUD execution-time failure, not a silently
+    shifted mean/stddev/corr."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from tdei_extract_load_service_spark.operators.profiling import (
+        column_correlations,
+        column_profile,
+    )
+
+    ok = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 1.0), (3.0, 5.0)], "a: double, b: double"
+    )
+    # sanity: in-bound data still profiles
+    assert len(column_profile(ok, ("a", "b")).collect()) == 2
+    assert len(column_correlations(ok, ("a", "b")).collect()) == 1
+
+    bad = spark.createDataFrame(
+        [(1.0, 2.0), (5.0e12, 1.0), (3.0, 5.0)], "a: double, b: double"
+    )
+    # under ANSI the decimal cast itself throws (NUMERIC_VALUE_OUT_OF_RANGE);
+    # under non-ANSI the cast NULLs and OUR guard must raise — loud either way
+    ansi_before = spark.conf.get("spark.sql.ansi.enabled")
+    for ansi in ("true", "false"):
+        spark.conf.set("spark.sql.ansi.enabled", ansi)
+        try:
+            with pytest.raises(Exception, match="Decimal\\(18,\\s*6\\)|DECIMAL\\(18,6\\)"):
+                column_profile(bad, ("a", "b")).collect()
+            with pytest.raises(Exception, match="Decimal\\(18,\\s*6\\)|DECIMAL\\(18,6\\)"):
+                column_correlations(bad, ("a", "b")).collect()
+            # the clean column alone still profiles — the guard is per-column
+            assert len(column_profile(bad, ("b",)).collect()) == 1
+        finally:
+            spark.conf.set("spark.sql.ansi.enabled", ansi_before)
