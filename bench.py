@@ -226,12 +226,21 @@ def main() -> None:
     timings["etl_load"] = etl_best
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # the r1-comparable matched set (25 original headline queries +
+    # etl_load): reported as its own subtotal so the cross-round trendline
+    # reads straight off the JSON — the total alone stopped being
+    # comparable when round 5 widened the headline set (VERDICT r5 wrong #4)
+    matched = [*HEADLINE[:25], "etl_load"]
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
+                "matched_r1_set": matched,
+                "matched_r1_subtotal": round(
+                    sum(timings[q] for q in matched if q in timings), 4
+                ),
                 "queries": timings,
                 "etl_stages": etl_stages,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
