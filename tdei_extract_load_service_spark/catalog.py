@@ -1349,14 +1349,15 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataFrame ``unpivot`` API (SQL ``stack``); the oracle is the UNION ALL
     expansion it is defined as. Narrow projection: no shuffle, the
     key filter reaches the scan."""
+    from tdei_extract_load_service_spark.operators.relational import unpivot_measures
+
     li = _read(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 100)
-    out = li.unpivot(
+    out = unpivot_measures(
+        li,
         ["l_orderkey", "l_linenumber"],
-        [F.col("l_quantity").alias("quantity"),
-         F.col("l_extendedprice").alias("extendedprice"),
-         F.col("l_discount").alias("discount")],
-        "metric",
-        "value",
+        {"quantity": "l_quantity",
+         "extendedprice": "l_extendedprice",
+         "discount": "l_discount"},
     )
     return out.select(
         "l_orderkey", "l_linenumber", "metric", F.round("value", 2).alias("value")
@@ -1381,18 +1382,16 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct from the ROWS frames of window_running_sum/window_lag_delta.
     Frame membership is time-arithmetic on the same epoch values in both
     engines, so the windowed sums agree exactly."""
-    from pyspark.sql import Window as W
+    from tdei_extract_load_service_spark.operators.relational import rolling_range_sum
 
     orders = _read(spark, sf_dir, "orders").where(F.col("o_custkey") <= 200)
-    w = (
-        W.partitionBy("o_custkey")
-        .orderBy(F.unix_timestamp("o_orderdate"))
-        .rangeBetween(-30 * 86400, 0)
+    rolled = rolling_range_sum(
+        orders, "o_custkey", "o_orderdate", "o_totalprice", 30 * 86400, "_spend"
     )
-    return orders.select(
+    return rolled.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
+        F.round(F.col("_spend"), 2).alias("spend_30d"),
     )
 
 
@@ -1891,17 +1890,22 @@ def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's ``window()`` replicates rows window-count times BEFORE the
     shuffle, so the exchange carries 4x the aggregate rows, not 4x the
     data columns."""
+    from tdei_extract_load_service_spark.operators.relational import time_window_agg
+
     ev = _read_events(spark, sf_dir)
-    w = F.window("ts", "2 hours", "30 minutes")
-    return (
-        ev.groupBy(w.alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
-        .select(
-            TS.normalize_ts(F.col("w.start"), "yyyy-MM-dd'T'HH:mm:ss").alias("window_start"),
-            "event_type",
-            "n_events",
-            "total_value",
-        )
+    out = time_window_agg(
+        ev,
+        "ts",
+        "2 hours",
+        {"n_events": F.count("*"), "total_value": F.round(F.sum("value"), 2)},
+        slide="30 minutes",
+        keys=("event_type",),
+    )
+    return out.select(
+        TS.normalize_ts(F.col("window_start"), "yyyy-MM-dd'T'HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
     )
 
 
@@ -2025,13 +2029,10 @@ def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     junk). One-pass identity ``H = log2(n) - Σ cnt·log2(cnt) / n`` avoids
     a self-join on totals; the (doc, char) pre-aggregation is map-side
     combined, so the shuffle carries ≤ |alphabet| rows per doc per task."""
+    from tdei_extract_load_service_spark.operators.text import char_entropy
+
     docs = _read(spark, sf_dir, "documents")
-    chars = docs.select(
-        "doc_id", F.explode(F.split("text", "")).alias("ch")
-    ).where(F.col("ch") != "")
-    counts = chars.groupBy("doc_id", "ch").agg(F.count("*").cast("double").alias("cnt"))
-    ent = F.log2(F.sum("cnt")) - F.sum(F.col("cnt") * F.log2("cnt")) / F.sum("cnt")
-    return counts.groupBy("doc_id").agg(F.round(ent, 6).alias("char_entropy"))
+    return char_entropy(docs, "doc_id", "text")
 
 
 @register(
@@ -2525,27 +2526,15 @@ def q_similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # New registrations default to the tail — promoting one into the window is
 # a deliberate edit here, so the window can't silently regress again.
 #
-# Tail rationale: quantiles_exact / dedup_ngram_jaccard /
-# dedup_embedding_cosine are oracle twins pytest-proven equal to their
-# production counterparts; dedup_minhash_lsh / dedup_simhash are rows-only
-# estimators (weak driver signal anyway); scan / top_k / distinct / cube /
-# window_running_sum / window_sliding / sample_split / text_char_entropy
-# are shape-subsumed by an in-window sibling (project+filter, sort+paginate,
-# dedup_exact, rollup+grouping_sets, window_lag_delta, window_tumbling,
-# sample_hash, text_quality respectively).
-#
-# Round-5 rotation (VERDICT r4 #1): the 8 round-4 operators
-# (multimodal_audio, text_pack_sequences, text_tfidf_topk,
-# embedding_quantize, interval_join, unpivot, window_range_frame,
-# histogram) are promoted into the window for driver certification; the 8
-# demoted entries are each long-stable and shape-subsumed by an in-window
-# sibling — sort (paginate/paginate_keyset begin with the same orderBy),
-# join_outer (join_inner/semi/anti exercise the same join machinery),
-# rollup (grouping_sets is its superset), pivot (unpivot now certifies the
-# (un)pivot pair; pivot stays oracle_check-covered), set_ops,
-# window_rank (window_lag_delta + promoted window_range_frame cover the
-# window machinery), approx_distinct, sample_hash (sample family all
-# oracle_check-covered).
+# Tail rationale: oracle twins pytest-proven equal to in-window production
+# entries (quantiles_exact, dedup_ngram_jaccard, dedup_embedding_cosine),
+# rows-only estimators (dedup_minhash_lsh, dedup_simhash — weak driver
+# signal anyway), and entries shape-subsumed by an in-window sibling
+# (scan, top_k, distinct, cube, window_running_sum, sample_split, ...).
+# Round-5 rotation promoted the 8 round-4 operators, demoting 8
+# long-stable shape-subsumed entries (sort, join_outer, rollup, pivot,
+# set_ops, window_rank, approx_distinct, sample_hash) — full rationale in
+# the r5 git history.
 #
 # ROTATION POLICY (written down per VERDICT r5 #1): the catalog (78+) has
 # outgrown the 50-entry window, so every round ends with new work that the

@@ -565,6 +565,7 @@ def embedding_lsh_pairs(
     planes_per_band: int | None = None,
     planes: list[list[float]] | None = None,
     metrics: dict | None = None,
+    eager: bool = True,
 ) -> DataFrame:
     """Embedding near-dup pairs at scale: banded random-hyperplane LSH
     candidate generation + exact cosine verification — the production
@@ -676,11 +677,16 @@ def embedding_lsh_pairs(
     out = per_band[0]
     for frame in per_band[1:]:
         out = out.unionByName(frame)
+    out = out.where(F.col("cosine") >= threshold)
+    if not eager:
+        # lazy escape hatch (plan inspection / caller-managed lifetime):
+        # the banded frame stays persisted; the CALLER owns unpersisting it
+        return out
     # materialize the verified pairs, then release the banded cache —
     # without this, repeated calls leak persisted blocks for the session
     # lifetime (ADVICE r5 #3); localCheckpoint also truncates the n_bands
     # self-join lineage before the result feeds dedup_clusters' rounds
-    result = out.where(F.col("cosine") >= threshold).localCheckpoint(eager=True)
+    result = out.localCheckpoint(eager=True)
     banded.unpersist()
     return result
 

@@ -193,3 +193,82 @@ def top_k(df: DataFrame, order_by: Sequence[Column], k: int) -> DataFrame:
     the right top-k shape at any scale (north-star similarity search relies
     on this, SURVEY.md §2.4)."""
     return df.orderBy(*order_by).limit(k)
+
+
+def unpivot_measures(
+    df: DataFrame,
+    id_cols: Sequence[str],
+    measures: dict[str, str | Column],
+    metric_col: str = "metric",
+    value_col: str = "value",
+) -> DataFrame:
+    """Wide -> long melt of several measure columns: one output row per
+    (id row, measure), ``metric_col`` holding the measure's alias. Pure
+    narrow projection (Spark ``unpivot`` / SQL ``stack``): no shuffle, no
+    data movement — row count multiplies by |measures| but each output
+    row carries only the id columns + one value, so this is how you feed
+    per-metric pipelines without |measures| separate scans."""
+    mcols = [
+        (F.col(c) if isinstance(c, str) else c).alias(alias)
+        for alias, c in measures.items()
+    ]
+    return df.unpivot(list(id_cols), mcols, metric_col, value_col)
+
+
+def rolling_range_sum(
+    df: DataFrame,
+    partition_col: str,
+    order_ts_col: str,
+    value_col: str,
+    preceding_seconds: int,
+    alias: str = "rolling_sum",
+) -> DataFrame:
+    """VALUE-based rolling window: per partition, the sum of ``value_col``
+    over rows whose timestamp lies within ``preceding_seconds`` before the
+    current row's (inclusive) — RANGE frame over epoch seconds, distinct
+    from ROWS frames (gaps and duplicate timestamps behave by VALUE
+    distance, not row position).
+
+    Scale shape: one shuffle on ``partition_col`` + an in-partition sort;
+    frame evaluation is streaming within the sort (no per-row rescan).
+    Skewed partitions (one giant customer) are the caller's salting
+    concern, same as any keyed window."""
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy(partition_col)
+        .orderBy(F.unix_timestamp(order_ts_col))
+        .rangeBetween(-preceding_seconds, 0)
+    )
+    return df.withColumn(alias, F.sum(value_col).over(w))
+
+
+def time_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    size: str,
+    aggs: dict[str, Column],
+    slide: str | None = None,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Tumbling (``slide`` omitted) or sliding time-window aggregation —
+    the batch twin of the streaming windowed aggs (same ``F.window``
+    semantics, no watermark needed on bounded input). Returns one row per
+    (window, keys) with ``window_start``/``window_end`` timestamps plus
+    the aggregate columns.
+
+    Scale shape: ``F.window`` with a slide replicates each row into
+    size/slide windows BEFORE the shuffle, but the exchange carries the
+    aggregate-input columns only (the groupBy keys + agg operands), so a
+    4x window fan-out is 4x the aggregate rows — not 4x the table."""
+    w = F.window(ts_col, size, slide) if slide else F.window(ts_col, size)
+    return (
+        df.groupBy(w.alias("_w"), *keys)
+        .agg(*[c.alias(a) for a, c in aggs.items()])
+        .select(
+            F.col("_w.start").alias("window_start"),
+            F.col("_w.end").alias("window_end"),
+            *keys,
+            *aggs.keys(),
+        )
+    )

@@ -7,7 +7,7 @@ oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: BPE-ish token pattern: letter runs, single digits, single punctuation —
@@ -184,3 +184,19 @@ def tfidf_topk(
         .limit(k)
         .select("id", "score")
     )
+
+
+def char_entropy(df: "DataFrame", id_col: str, text_col: str) -> "DataFrame":
+    """Shannon character entropy per document — the gibberish/boilerplate
+    quality signal (low = repeated filler, high = encrypted/binary junk).
+
+    One-pass identity ``H = log2(n) - Σ cnt·log2(cnt) / n`` avoids a
+    self-join on totals; the (doc, char) pre-aggregation is map-side
+    combined, so the shuffle carries ≤ |alphabet| rows per doc per task.
+    Returns (id_col, char_entropy)."""
+    chars = df.select(
+        id_col, F.explode(F.split(_col(text_col), "")).alias("_ch")
+    ).where(F.col("_ch") != "")
+    counts = chars.groupBy(id_col, "_ch").agg(F.count("*").cast("double").alias("_cnt"))
+    ent = F.log2(F.sum("_cnt")) - F.sum(F.col("_cnt") * F.log2("_cnt")) / F.sum("_cnt")
+    return counts.groupBy(id_col).agg(F.round(ent, 6).alias("char_entropy"))

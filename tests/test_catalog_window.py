@@ -14,10 +14,10 @@ import os
 from tdei_extract_load_service_spark.catalog import DRIVER_WINDOW, REGISTRY, ordered_registry
 
 # Entries the north star cares most about — must always be driver-checked.
-# r5 rotation (VERDICT r4 #1): pivot/approx_distinct demoted to the
-# oracle_check tail as long-stable shape-subsumed entries; the round-4
-# operators (tfidf, packing, quantize, audio, interval_join, unpivot,
-# range frame, histogram) take flagship status for driver certification.
+# r6 rotation (VERDICT r5 #1): similarity_lsh_bucketed hands flagship
+# status to dedup_embedding_lsh, which certifies the same seeded-plane
+# machinery end-to-end plus verify; the round-5 profiling/multimodal
+# operators join for their first driver certification.
 FLAGSHIPS = [
     "dedup_lsh_verified",
     "quantiles",
@@ -30,7 +30,7 @@ FLAGSHIPS = [
     "dedup_cluster",
     "etl_load_dataset",
     "similarity_ivf",
-    "similarity_lsh_bucketed",
+    "dedup_embedding_lsh",
     "join_range",
     "text_tfidf_topk",
     "text_pack_sequences",
@@ -40,6 +40,11 @@ FLAGSHIPS = [
     "unpivot",
     "window_range_frame",
     "histogram",
+    "column_profile",
+    "column_correlations",
+    "multimodal_decode_jpeg",
+    "multimodal_resize",
+    "multimodal_video_frames",
 ]
 
 

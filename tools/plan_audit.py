@@ -95,9 +95,25 @@ def main() -> int:
     from tdei_extract_load_service_spark.session import get_spark
 
     spark = get_spark("plan_audit")
+    # entries whose production path eagerly materializes (localCheckpoint
+    # truncates lineage, hiding the join plan): audit the LAZY form of the
+    # same call instead
+    def _lazy_embedding_lsh(spark, sf_dir):
+        from tdei_extract_load_service_spark.catalog import _read
+        from tdei_extract_load_service_spark.operators.dedup import embedding_lsh_pairs
+        from tdei_extract_load_service_spark.operators.similarity import make_planes
+
+        return embedding_lsh_pairs(
+            _read(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+            threshold=0.45, dim=64, n_bands=4, planes_per_band=4,
+            planes=make_planes(16, 64), eager=False,
+        )
+
+    LAZY_OVERRIDES = {"dedup_embedding_lsh": _lazy_embedding_lsh}
+
     sections, failures = [], []
     for name, expects in EXPECTATIONS.items():
-        df = REGISTRY[name].query(spark, sf_dir)
+        df = LAZY_OVERRIDES.get(name, REGISTRY[name].query)(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
         # "pattern" must appear; "!pattern" must NOT appear
         missing = [
