@@ -1508,6 +1508,104 @@ def q_column_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "column_profile_categorical",
+    """
+    WITH long AS (
+      SELECT 'c_mktsegment' AS col_name, c_mktsegment AS value FROM customer
+      UNION ALL
+      SELECT 'c_nationkey', CAST(c_nationkey AS VARCHAR) FROM customer
+    ),
+    grouped AS (
+      SELECT col_name, value, COUNT(*) AS value_n FROM long GROUP BY col_name, value
+    ),
+    stats AS (
+      SELECT col_name,
+             CAST(SUM(CASE WHEN value IS NOT NULL THEN value_n ELSE 0 END) AS BIGINT) AS n,
+             CAST(COALESCE(SUM(CASE WHEN value IS NULL THEN value_n END), 0) AS BIGINT) AS n_null,
+             COUNT(value) AS n_distinct
+      FROM grouped GROUP BY col_name
+    ),
+    ranked AS (
+      SELECT col_name, value, value_n,
+             ROW_NUMBER() OVER (PARTITION BY col_name ORDER BY value_n DESC, value ASC) AS rank
+      FROM grouped WHERE value IS NOT NULL
+    )
+    SELECT r.col_name, s.n, s.n_null, s.n_distinct, r.rank, r.value, r.value_n
+    FROM ranked r JOIN stats s USING (col_name) WHERE r.rank <= 3
+    """,
+)
+def q_column_profile_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/categorical half of the ingest profile (VERDICT r5 #5):
+    per column, row/null/exact-distinct counts + deterministic top-k
+    values — one data pass (melt -> one grouped count; stats derive from
+    the group rows, so no count-distinct Expand and no second scan);
+    operators/profiling.py column_profile_categorical."""
+    from tdei_extract_load_service_spark.operators.profiling import (
+        column_profile_categorical,
+    )
+
+    cust = _read(spark, sf_dir, "customer")
+    return column_profile_categorical(cust, ("c_mktsegment", "c_nationkey"), top_k=3)
+
+
+@register("column_distinct_sketch", None)
+def q_column_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count sketch per column — the
+    arbitrary-cardinality scale path (fixed-size sketch state, ONE
+    aggregation; exact distinct on an id column would shuffle every
+    value). Rows-only by design: sketch internals are engine-specific,
+    so no DuckDB value twin — the 5%-rsd bound against exact counts is
+    pytest-proven (tests/test_extended_relational.py)."""
+    from tdei_extract_load_service_spark.operators.profiling import (
+        column_distinct_counts,
+    )
+
+    ords = _read(spark, sf_dir, "orders")
+    return column_distinct_counts(
+        ords, ("o_custkey", "o_orderstatus", "o_orderpriority")
+    )
+
+
+@register(
+    "histogram_auto",
+    """
+    WITH b AS (
+      SELECT quantile_cont(l_extendedprice, 0.01) AS lo,
+             quantile_cont(l_extendedprice, 0.99) AS hi
+      FROM lineitem
+    ),
+    binned AS (
+      SELECT CAST(GREATEST(LEAST(FLOOR((l_extendedprice - b.lo) / ((b.hi - b.lo) / 20)),
+                                 19), 0) AS BIGINT) AS bin,
+             l_extendedprice AS v, b.lo AS lo, b.hi AS hi
+      FROM lineitem, b
+    )
+    SELECT bin,
+           CAST(bin * ((hi - lo) / 20) + lo AS DOUBLE) AS bin_lo,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(v), 2) AS DOUBLE) AS total
+    FROM binned GROUP BY bin, lo, hi
+    """,
+)
+def q_histogram_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram with DATA-DEPENDENT bounds (VERDICT r5 #8): the p1/p99
+    quantile pass supplies the range — a two-value driver-side model —
+    and fixed_width_histogram bins over it with outliers clamped into the
+    edge bins. exact=True here so DuckDB's quantile_cont computes
+    bit-identical bounds (the quantiles_exact value-identity result);
+    production calls default to the GK sketch bounds, rank-error-bounded
+    by the quantiles entry's machinery."""
+    from tdei_extract_load_service_spark.operators.profiling import (
+        quantile_bounds_histogram,
+    )
+
+    li = _read(spark, sf_dir, "lineitem")
+    return quantile_bounds_histogram(
+        li, "l_extendedprice", n_bins=20, p_lo=0.01, p_hi=0.99, exact=True
+    )
+
+
+@register(
     "text_tfidf_topk",
     r"""
     WITH docs AS (

@@ -232,3 +232,131 @@ def fixed_width_histogram(
             "total",
         )
     )
+
+
+def column_profile_categorical(
+    df: DataFrame, cols: tuple[str, ...], top_k: int = 3
+) -> DataFrame:
+    """String/categorical column profile — the other half of an ingest
+    profile (``column_profile`` covers numerics): per column, row count,
+    null count, exact distinct count, and the ``top_k`` most frequent
+    values with their counts (ties broken by value ascending, so the
+    result is deterministic).
+
+    Returns one row per (column, top value): ``(col_name, n, n_null,
+    n_distinct, rank, value, value_n)`` — the per-column stats repeat on
+    each of its top-k rows, which keeps the output flat (oracle-friendly)
+    without an array column.
+
+    Scale shape: ONE data pass. The wide frame melts to (col_name, value)
+    — a narrow projection, no shuffle — then a single map-side-combined
+    groupBy(col_name, value) count. Everything downstream (per-column
+    stats, ranking) aggregates THOSE group rows: cardinality = total
+    distinct values across columns, which is bounded for categorical
+    columns by definition. n/n_null/n_distinct derive from the group
+    counts (sum over non-null groups, null-group count, group count), so
+    no second scan and no count-distinct Expand. For high-cardinality
+    columns (ids, free text) use ``column_distinct_counts`` — a sketch —
+    instead; top-k values on such columns are meaningless anyway."""
+    from pyspark.sql import Window as W
+
+    if not cols:
+        raise ValueError("column_profile_categorical needs at least one column")
+    melted = df.select(
+        *[F.col(c).cast("string").alias(c) for c in cols]
+    ).unpivot([], list(cols), "col_name", "value")
+    grouped = melted.groupBy("col_name", "value").agg(F.count("*").alias("value_n"))
+    stats = grouped.groupBy("col_name").agg(
+        F.sum(F.when(F.col("value").isNotNull(), F.col("value_n")).otherwise(0))
+        .cast("bigint").alias("n"),
+        F.coalesce(
+            F.sum(F.when(F.col("value").isNull(), F.col("value_n"))), F.lit(0)
+        ).cast("bigint").alias("n_null"),
+        F.count(F.col("value")).alias("n_distinct"),
+    )
+    ranked = (
+        grouped.where(F.col("value").isNotNull())
+        .withColumn(
+            "rank",
+            # bigint: the type every SQL engine's row_number() carries,
+            # so oracle twins compare without per-entry casts
+            F.row_number().over(
+                W.partitionBy("col_name").orderBy(
+                    F.col("value_n").desc(), F.col("value").asc()
+                )
+            ).cast("bigint"),
+        )
+        .where(F.col("rank") <= top_k)
+    )
+    # stats is |cols| rows — broadcast keeps the join shuffle-free
+    return ranked.join(F.broadcast(stats), "col_name").select(
+        "col_name", "n", "n_null", "n_distinct", "rank", "value", "value_n"
+    )
+
+
+def column_distinct_counts(
+    df: DataFrame, cols: tuple[str, ...], rsd: float = 0.05
+) -> DataFrame:
+    """Sketch-sized distinct counts for arbitrary-cardinality columns —
+    ``approx_count_distinct`` (HyperLogLog++, relative error ``rsd``) per
+    column in ONE aggregation whose state is |cols| fixed-size sketches,
+    never per-value groups. The scale path when a column might hold ids
+    or free text; pytest bounds it against exact counts."""
+    if not cols:
+        raise ValueError("column_distinct_counts needs at least one column")
+    one = df.agg(
+        *[F.approx_count_distinct(c, rsd).alias(f"__d_{c}") for c in cols]
+    )
+    structs = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(f"__d_{c}").alias("n_distinct_approx"),
+        )
+        for c in cols
+    ]
+    return one.select(F.inline(F.array(*structs)))
+
+
+def quantile_bounds_histogram(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+    exact: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Histogram with DATA-DEPENDENT bounds — the real-world profiling
+    shape where the range is not known a priori: one quantile pass finds
+    [p_lo, p_hi], then ``fixed_width_histogram`` bins the data over that
+    range (outliers clamp into the edge bins, so every row is counted).
+
+    The collected bounds are a TWO-VALUE model, not data — the same
+    driver-side contract as the k-means centroids. Default bounds come
+    from the Greenwald-Khanna sketch (``approx_percentile``, O(accuracy *
+    log n) state — the 100 TB path); ``exact=True`` switches to the exact
+    interpolated percentile (buffers the column in one aggregation
+    buffer) for oracle reproducibility, where DuckDB's ``quantile_cont``
+    computes bit-identical bounds.
+
+    Plan: one quantile aggregation + one histogram aggregation — two
+    passes total, both map-side combined, no join."""
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    fn = "percentile" if exact else "approx_percentile"
+    extra = "" if exact else f", {accuracy}"
+    row = df.agg(
+        F.expr(f"{fn}({value_col}, {p_lo}{extra})").alias("lo"),
+        F.expr(f"{fn}({value_col}, {p_hi}{extra})").alias("hi"),
+    ).first()
+    lo, hi = row["lo"], row["hi"]
+    if lo is None or hi is None:
+        raise ValueError(f"no non-null values in {value_col!r} to bound a histogram")
+    if not hi > lo:
+        raise ValueError(
+            f"degenerate range [{lo}, {hi}] for {value_col!r}: constant column — "
+            "a histogram needs spread; use column_profile for constant detection"
+        )
+    return fixed_width_histogram(
+        df, value_col, bin_width=(hi - lo) / n_bins, n_bins=n_bins, lo=lo
+    )

@@ -201,3 +201,72 @@ def test_profiling_raises_on_decimal_bound_overflow(spark):
             assert len(column_profile(bad, ("b",)).collect()) == 1
         finally:
             spark.conf.set("spark.sql.ansi.enabled", ansi_before)
+
+
+def test_column_profile_categorical_counts_and_ties(spark):
+    """Categorical profile: exact distinct/null counts and deterministic
+    top-k (ties break by value ascending), one row per (column, top
+    value) with the per-column stats repeated."""
+    from tdei_extract_load_service_spark.operators.profiling import (
+        column_profile_categorical,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", None), ("b", "y"), ("c", "y"), (None, "x")],
+        "seg: string, tag: string",
+    )
+    rows = column_profile_categorical(df, ("seg", "tag"), top_k=2).collect()
+    by = {(r["col_name"], r["rank"]): r for r in rows}
+    seg1 = by[("seg", 1)]
+    # 'a' and 'b' tie at 2 -> 'a' wins rank 1 by value order
+    assert (seg1["value"], seg1["value_n"]) == ("a", 2)
+    assert (by[("seg", 2)]["value"], by[("seg", 2)]["value_n"]) == ("b", 2)
+    assert seg1["n"] == 5 and seg1["n_null"] == 1 and seg1["n_distinct"] == 3
+    tag1 = by[("tag", 1)]
+    assert (tag1["value"], tag1["value_n"]) == ("y", 3)
+    assert tag1["n"] == 5 and tag1["n_null"] == 1 and tag1["n_distinct"] == 2
+    assert len(rows) == 4  # two columns x top-2
+
+
+def test_column_distinct_sketch_within_rsd_of_exact(spark):
+    """HLL++ sketch distinct counts stay within a generous multiple of
+    the requested 5% rsd of the exact counts on real fixture columns."""
+    from pyspark.sql import functions as F
+
+    from tdei_extract_load_service_spark.operators.profiling import (
+        column_distinct_counts,
+    )
+
+    ords = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    approx = {
+        r["col_name"]: r["n_distinct_approx"]
+        for r in column_distinct_counts(
+            ords, ("o_custkey", "o_orderstatus", "o_orderpriority")
+        ).collect()
+    }
+    for c in ("o_custkey", "o_orderstatus", "o_orderpriority"):
+        exact = ords.select(F.countDistinct(c)).first()[0]
+        assert abs(approx[c] - exact) <= max(1, 0.15 * exact), (c, approx[c], exact)
+
+
+def test_quantile_bounds_histogram_covers_every_row(spark):
+    """Data-dependent-bounds histogram: the default (sketch-bounds) path
+    must clamp outliers into the edge bins so sum(n) == row count, and
+    the degenerate constant column must raise instead of dividing by
+    zero."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tdei_extract_load_service_spark.operators.profiling import (
+        quantile_bounds_histogram,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    hist = quantile_bounds_histogram(li, "l_extendedprice", n_bins=20).collect()
+    assert sum(r["n"] for r in hist) == li.count()
+    assert {r["bin"] for r in hist} <= set(range(20))
+    assert min(r["bin"] for r in hist) == 0 and max(r["bin"] for r in hist) == 19
+
+    const = spark.createDataFrame([(7.0,)] * 10, "v: double")
+    with pytest.raises(ValueError, match="degenerate range"):
+        quantile_bounds_histogram(const, "v", n_bins=5)
