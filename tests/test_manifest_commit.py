@@ -480,3 +480,52 @@ def test_safe_component_lossy_ids_get_distinct_dirs(spark, tmp_path):
     got_slash = {r["v"] for r in mf.read_table(spark, root, "t", dataset_id="a/b").collect()}
     got_under = {r["v"] for r in mf.read_table(spark, root, "t", dataset_id="a_b").collect()}
     assert got_slash == {"slash"} and got_under == {"underscore"}
+
+
+def test_racing_commits_overlapping_tables_tombstones_consistent(spark, tmp_path):
+    """VERDICT r5 #6: two transactions write the SAME dataset to
+    OVERLAPPING table sets and race their commits. Contract: last commit
+    wins on the shared table, the non-overlapping tables from BOTH
+    transactions are live, every displaced directory is tombstoned
+    exactly once, and no live pointer names a missing directory."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    root = str(tmp_path / "wh")
+    base = mf.ManifestTxn(root)
+    base.write("shared", _df(spark, [(0, "orig")]), "ds")
+    base.commit()
+
+    t1 = mf.ManifestTxn(root)
+    t1.write("shared", _df(spark, [(1, "one")]), "ds")
+    t1.write("only1", _df(spark, [(1, "o1")]), "ds")
+    t2 = mf.ManifestTxn(root)
+    t2.write("shared", _df(spark, [(2, "two")]), "ds")
+    t2.write("only2", _df(spark, [(2, "o2")]), "ds")
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f1 = pool.submit(t1.commit)
+        f2 = pool.submit(t2.commit)
+        f1.result(), f2.result()
+
+    m = mf.read_manifest(root)
+    assert m["txn"] == 3
+    # both non-overlapping tables live, shared belongs to one winner
+    assert set(m["tables"]) == {"shared", "only1", "only2"}
+    winner = m["tables"]["shared"]["ds"]
+    assert winner.endswith(t1.txn_id) or winner.endswith(t2.txn_id)
+    # every live pointer resolves to a real directory
+    for table, datasets in m["tables"].items():
+        for reldir in datasets.values():
+            assert os.path.isdir(os.path.join(root, reldir)), (table, reldir)
+    # displaced shared versions: the loser's (displaced by commit 3) is
+    # tombstoned; 'orig' (displaced by commit 2, ripe at 3) was reaped
+    tombs = [t["dir"] for t in m["tombstones"]]
+    assert len(tombs) == len(set(tombs)), f"double-tombstoned: {tombs}"
+    loser_id = t2.txn_id if winner.endswith(t1.txn_id) else t1.txn_id
+    assert any(loser_id in d for d in tombs)
+    assert not any(base.txn_id in d for d in tombs)
+    # reads are never torn: the winner's row is what a reader sees
+    got = {r["v"] for r in mf.read_table(spark, root, "shared").collect()}
+    assert got in ({"one"}, {"two"})
+    # and the loser's non-overlapping table still reads fine
+    assert {r["v"] for r in mf.read_table(spark, root, "only1").collect()} == {"o1"}
+    assert {r["v"] for r in mf.read_table(spark, root, "only2").collect()} == {"o2"}
