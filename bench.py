@@ -62,6 +62,11 @@ HEADLINE = (
     "multimodal_video_frames",
     "column_profile",
     "column_correlations",
+    # round-6 additions: new operators get a steady-state trendline the
+    # round they land. Appended so prior names stay comparable.
+    "column_profile_categorical",
+    "histogram_auto",
+    "text_repetition_stats",
 )
 
 

@@ -1606,6 +1606,50 @@ def q_histogram_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_repetition_stats",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\s+') END AS words
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, len(words) AS n_words,
+             CASE WHEN len(words) > 0
+                  THEN ROUND(len(list_distinct(words))::DOUBLE / len(words), 6) END AS distinct_word_ratio,
+             CASE WHEN len(words) >= 2
+                  THEN list_transform(generate_series(1, len(words) - 1),
+                                      i -> words[i] || ' ' || words[i + 1])
+                  ELSE [] END AS bg
+      FROM w
+    ),
+    bgc AS (
+      SELECT doc_id, b, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(bg) AS b FROM s) GROUP BY doc_id, b
+    ),
+    agg AS (
+      SELECT doc_id, SUM(c) AS total, COUNT(*) AS n_distinct, MAX(c) AS top
+      FROM bgc GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.n_words, s.distinct_word_ratio,
+           CASE WHEN a.total > 0 THEN ROUND(a.top::DOUBLE / a.total, 6) ELSE 0.0 END AS top_bigram_frac,
+           CASE WHEN a.total > 0 THEN ROUND(1.0 - a.n_distinct::DOUBLE / a.total, 6) ELSE 0.0 END AS dup_bigram_frac
+    FROM s LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q_text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition quality signals (distinct-word ratio,
+    top/dup bigram fractions) — the cheap pre-filter a training pipeline
+    runs before any dedup or scoring; operators/text.py
+    repetition_stats. Word ratios are shuffle-free array expressions; the
+    bigram stats are one map-side-combined (doc, bigram) aggregation."""
+    from tdei_extract_load_service_spark.operators.text import repetition_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    return repetition_stats(docs, "doc_id", "text")
+
+
+@register(
     "text_tfidf_topk",
     r"""
     WITH docs AS (

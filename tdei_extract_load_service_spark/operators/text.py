@@ -200,3 +200,110 @@ def char_entropy(df: "DataFrame", id_col: str, text_col: str) -> "DataFrame":
     counts = chars.groupBy(id_col, "_ch").agg(F.count("*").cast("double").alias("_cnt"))
     ent = F.log2(F.sum("_cnt")) - F.sum(F.col("_cnt") * F.log2("_cnt")) / F.sum("_cnt")
     return counts.groupBy(id_col).agg(F.round(ent, 6).alias("char_entropy"))
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher/C4-style repetition quality signals per document — the
+    filters a training-data pipeline runs before anything expensive:
+
+    - ``n_words``: whitespace token count;
+    - ``distinct_word_ratio``: |distinct words| / n_words (low = looping
+      text);
+    - ``top_bigram_frac``: occurrences of the most frequent word bigram /
+      total bigrams (high = template/boilerplate);
+    - ``dup_bigram_frac``: fraction of bigram occurrences that are
+      repeats (1 - distinct/total).
+
+    Scale shape: the word-level ratios are pure higher-order array
+    expressions (no shuffle at all); the bigram stats explode to
+    (doc, bigram) and aggregate with map-side combine, so the shuffle
+    carries one row per distinct bigram per doc per task — bounded by
+    document length, never corpus size. Docs with < 2 words report 0
+    bigram fractions (no bigrams to repeat)."""
+    words = F.split(F.trim(_col(text_col)), r"\s+")
+    base = df.select(
+        _col(id_col).alias(id_col),
+        words.alias("_w"),
+        F.when(F.trim(_col(text_col)) == "", 0).otherwise(F.size(words)).alias("n_words"),
+    )
+    word_stats = base.select(
+        id_col,
+        "n_words",
+        F.when(
+            F.col("n_words") > 0,
+            F.round(F.size(F.array_distinct("_w")) / F.col("n_words"), 6),
+        ).otherwise(F.lit(None).cast("double")).alias("distinct_word_ratio"),
+        # adjacent-pair array: words[i] + ' ' + words[i+1]
+        F.when(
+            F.col("n_words") >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_words") - 2),
+                lambda i: F.concat_ws(" ", F.col("_w")[i], F.col("_w")[i + 1]),
+            ),
+        ).otherwise(F.array().cast("array<string>")).alias("_bg"),
+    )
+    bg_counts = (
+        word_stats.select(id_col, F.explode_outer("_bg").alias("_b"))
+        .groupBy(id_col, "_b")
+        .agg(F.count("_b").alias("_c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("_total"),
+            F.count(F.when(F.col("_b").isNotNull(), 1)).alias("_distinct"),
+            F.max("_c").alias("_top"),
+        )
+    )
+    return (
+        word_stats.drop("_bg")
+        .join(bg_counts, id_col)
+        .select(
+            id_col,
+            "n_words",
+            "distinct_word_ratio",
+            F.when(F.col("_total") > 0, F.round(F.col("_top") / F.col("_total"), 6))
+            .otherwise(F.lit(0.0)).alias("top_bigram_frac"),
+            F.when(
+                F.col("_total") > 0,
+                F.round(1.0 - F.col("_distinct") / F.col("_total"), 6),
+            ).otherwise(F.lit(0.0)).alias("dup_bigram_frac"),
+        )
+    )
+
+
+#: Conservative PII patterns sharable across regex dialects (no
+#: lookaround, no backrefs — valid in Java regex AND RE2): emails,
+#: international-ish phone numbers, and 13-19-digit card-like runs.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    # card BEFORE phone: a 13-19-digit run also matches the looser phone
+    # shape, and replacement order is dict order
+    "card": r"\b[0-9]{13,19}\b",
+    "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+}
+
+
+def redact_pii(
+    text: str | Column, patterns: dict[str, str] | None = None
+) -> Column:
+    """Replace each PII match with ``<TYPE>`` — the scrub every
+    training-data pipeline runs before publishing a corpus. Pure column
+    expression (chained ``regexp_replace``, JVM-side, codegen'd): no
+    UDF, no shuffle; order is deterministic (dict order), so longer/more
+    specific patterns should precede general ones."""
+    out = _col(text)
+    for name, pat in (patterns or PII_PATTERNS).items():
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return out
+
+
+def pii_match_counts(
+    text: str | Column, patterns: dict[str, str] | None = None
+) -> list[Column]:
+    """Per-pattern match counts (``regexp_count``) — the audit metric
+    paired with ``redact_pii``: run BEFORE scrubbing to size the blast
+    radius, and after to prove zero remaining matches. One column per
+    pattern."""
+    return [
+        F.regexp_count(_col(text), F.lit(pat)).alias(f"n_{name}")
+        for name, pat in (patterns or PII_PATTERNS).items()
+    ]

@@ -281,3 +281,70 @@ def test_decode_audio_spark_plumbing(spark):
     )
     (bad,) = decode_audio(corrupt).collect()
     assert bad["decoded"] is False and "ValueError" in bad["error"]
+
+
+def test_repetition_stats_hand_computed(spark):
+    """Repetition signals against hand-computed values, including the
+    looping-text shape they exist to catch and the degenerate docs."""
+    from tdei_extract_load_service_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),          # loop: 3 distinct bigrams? a b, b a -> 2
+            (2, "all words here differ"),
+            (3, "one"),
+            (4, ""),
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df, "doc_id", "text").collect()}
+    # doc 1: 6 words, 2 distinct -> ratio 1/3; bigrams: [a b, b a, a b, b a, a b]
+    # total 5, distinct 2, top 3
+    assert out[1]["n_words"] == 6
+    assert out[1]["distinct_word_ratio"] == round(2 / 6, 6)
+    assert out[1]["top_bigram_frac"] == 0.6
+    assert out[1]["dup_bigram_frac"] == round(1 - 2 / 5, 6)
+    # doc 2: everything unique
+    assert out[2]["distinct_word_ratio"] == 1.0
+    assert out[2]["top_bigram_frac"] == round(1 / 3, 6)
+    assert out[2]["dup_bigram_frac"] == 0.0
+    # doc 3: one word, no bigrams
+    assert out[3]["n_words"] == 1 and out[3]["top_bigram_frac"] == 0.0
+    # doc 4: empty text
+    assert out[4]["n_words"] == 0
+    assert out[4]["distinct_word_ratio"] is None
+    assert out[4]["dup_bigram_frac"] == 0.0
+
+
+def test_redact_pii_and_match_counts(spark):
+    """PII scrub: emails/phones/card-like runs replaced with typed
+    markers, and the audit counts agree — zero matches remain after the
+    scrub."""
+    from pyspark.sql import functions as F
+
+    from tdei_extract_load_service_spark.operators.text import (
+        pii_match_counts,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@example.co.uk or call +1 (206) 555-0100"),
+            (2, "card 4111111111111111 expires soon"),
+            (3, "nothing sensitive here"),
+        ],
+        "id: long, text: string",
+    )
+    before = {r["id"]: r for r in df.select("id", *pii_match_counts("text")).collect()}
+    assert before[1]["n_email"] == 1 and before[1]["n_phone"] == 1
+    assert before[2]["n_card"] == 1
+    assert before[3]["n_email"] == before[3]["n_phone"] == before[3]["n_card"] == 0
+
+    scrubbed = df.select("id", redact_pii("text").alias("text"))
+    rows = {r["id"]: r["text"] for r in scrubbed.collect()}
+    assert "<EMAIL>" in rows[1] and "<PHONE>" in rows[1]
+    assert "jane" not in rows[1] and "555" not in rows[1]
+    assert rows[2] == "card <CARD> expires soon"
+    assert rows[3] == "nothing sensitive here"
+    after = scrubbed.select("id", *pii_match_counts("text")).collect()
+    assert all(r["n_email"] == r["n_phone"] == r["n_card"] == 0 for r in after)
