@@ -86,6 +86,21 @@ EXPECTATIONS: dict[str, list[str]] = {
     # union re-scan (inline() fans the single agg row out)
     "column_profile": ["HashAggregate", "partial_count", "!Join", "!Union"],
     "column_correlations": ["HashAggregate", "!Join", "!Union"],
+    # categorical profile: ONE grouped count feeds both the stats and the
+    # ranking — no count-distinct Expand, no Union re-scan; the stats
+    # join is a broadcast of |cols| rows
+    "column_profile_categorical": ["HashAggregate", "partial_count", "BroadcastHashJoin", "!Expand", "!Union", "!SortMergeJoin"],
+    # HLL sketch distinct counts: one aggregation of fixed-size sketch
+    # buffers — no join, no Expand, no per-value groups
+    "column_distinct_sketch": ["HashAggregate", "!Join", "!Expand"],
+    # quantile-bounded histogram: the bounds pass is collected as a
+    # 2-value model, so the audited (binning) plan is the same single
+    # map-side-combined aggregation as the fixed-bounds histogram
+    "histogram_auto": ["HashAggregate", "partial_count", "!Join"],
+    # repetition stats: word ratios are pure array expressions; the
+    # bigram aggregation is map-side combined; the per-doc join of the
+    # two framings stays an equi join, never a nested loop
+    "text_repetition_stats": ["HashAggregate", "partial_count", "!BroadcastNestedLoopJoin", "!CartesianProduct"],
 }
 
 
