@@ -248,16 +248,20 @@ def column_profile_categorical(
     each of its top-k rows, which keeps the output flat (oracle-friendly)
     without an array column.
 
-    Scale shape: ONE data pass. The wide frame melts to (col_name, value)
-    — a narrow projection, no shuffle — then a single map-side-combined
-    groupBy(col_name, value) count. Everything downstream (per-column
-    stats, ranking) aggregates THOSE group rows: cardinality = total
-    distinct values across columns, which is bounded for categorical
-    columns by definition. n/n_null/n_distinct derive from the group
-    counts (sum over non-null groups, null-group count, group count), so
-    no second scan and no count-distinct Expand. For high-cardinality
-    columns (ids, free text) use ``column_distinct_counts`` — a sketch —
-    instead; top-k values on such columns are meaningless anyway."""
+    Scale shape: ONE data pass, ONE scan in the physical plan. The wide
+    frame melts to (col_name, value) — Spark's ``unpivot`` lowers to an
+    ``Expand``, a narrow projection with no shuffle — then a single
+    map-side-combined groupBy(col_name, value) count. Everything
+    downstream operates on THOSE group rows (cardinality = total
+    distinct values across columns, bounded for categorical columns by
+    definition): per-column n/n_null/n_distinct come from WINDOW
+    aggregates partitioned by col_name rather than a second aggregation
+    branch, because a second branch re-executes the melt+count — the
+    naive stats-join version scanned the table twice (caught by its own
+    plan audit). One Exchange on col_name feeds both window specs and
+    the ranking. For high-cardinality columns (ids, free text) use
+    ``column_distinct_counts`` — a sketch — instead; top-k values on
+    such columns are meaningless anyway."""
     from pyspark.sql import Window as W
 
     if not cols:
@@ -266,30 +270,36 @@ def column_profile_categorical(
         *[F.col(c).cast("string").alias(c) for c in cols]
     ).unpivot([], list(cols), "col_name", "value")
     grouped = melted.groupBy("col_name", "value").agg(F.count("*").alias("value_n"))
-    stats = grouped.groupBy("col_name").agg(
-        F.sum(F.when(F.col("value").isNotNull(), F.col("value_n")).otherwise(0))
-        .cast("bigint").alias("n"),
-        F.coalesce(
-            F.sum(F.when(F.col("value").isNull(), F.col("value_n"))), F.lit(0)
-        ).cast("bigint").alias("n_null"),
-        F.count(F.col("value")).alias("n_distinct"),
-    )
+    per_col = W.partitionBy("col_name")  # unordered: whole-partition frame
     ranked = (
-        grouped.where(F.col("value").isNotNull())
-        .withColumn(
-            "rank",
+        grouped.select(
+            "col_name",
+            "value",
+            "value_n",
+            F.sum(F.when(F.col("value").isNotNull(), F.col("value_n")).otherwise(0))
+            .over(per_col).cast("bigint").alias("n"),
+            F.coalesce(
+                F.sum(F.when(F.col("value").isNull(), F.col("value_n"))).over(per_col),
+                F.lit(0),
+            ).cast("bigint").alias("n_null"),
+            F.count(F.col("value")).over(per_col).alias("n_distinct"),
             # bigint: the type every SQL engine's row_number() carries,
             # so oracle twins compare without per-entry casts
-            F.row_number().over(
-                W.partitionBy("col_name").orderBy(
-                    F.col("value_n").desc(), F.col("value").asc()
-                )
-            ).cast("bigint"),
+            F.when(
+                F.col("value").isNotNull(),
+                F.row_number().over(
+                    per_col.orderBy(
+                        # nulls sort LAST so they never consume a top-k rank
+                        F.col("value").isNull().asc(),
+                        F.col("value_n").desc(),
+                        F.col("value").asc(),
+                    )
+                ),
+            ).cast("bigint").alias("rank"),
         )
         .where(F.col("rank") <= top_k)
     )
-    # stats is |cols| rows — broadcast keeps the join shuffle-free
-    return ranked.join(F.broadcast(stats), "col_name").select(
+    return ranked.select(
         "col_name", "n", "n_null", "n_distinct", "rank", "value", "value_n"
     )
 

@@ -86,10 +86,11 @@ EXPECTATIONS: dict[str, list[str]] = {
     # union re-scan (inline() fans the single agg row out)
     "column_profile": ["HashAggregate", "partial_count", "!Join", "!Union"],
     "column_correlations": ["HashAggregate", "!Join", "!Union"],
-    # categorical profile: ONE grouped count feeds both the stats and the
-    # ranking — no count-distinct Expand, no Union re-scan; the stats
-    # join is a broadcast of |cols| rows
-    "column_profile_categorical": ["HashAggregate", "partial_count", "BroadcastHashJoin", "!Expand", "!Union", "!SortMergeJoin"],
+    # categorical profile: the melt is an Expand (that IS Spark's
+    # unpivot); ONE grouped count feeds stats and ranking via window
+    # aggregates, so the table is scanned exactly once and there is no
+    # join branch re-executing the melt
+    "column_profile_categorical": ["HashAggregate", "partial_count", "Expand", "Window", "=1:FileScan", "!Union", "!Join"],
     # HLL sketch distinct counts: one aggregation of fixed-size sketch
     # buffers — no join, no Expand, no per-value groups
     "column_distinct_sketch": ["HashAggregate", "!Join", "!Expand"],
@@ -130,12 +131,19 @@ def main() -> int:
     for name, expects in EXPECTATIONS.items():
         df = LAZY_OVERRIDES.get(name, REGISTRY[name].query)(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
-        # "pattern" must appear; "!pattern" must NOT appear
-        missing = [
-            e
-            for e in expects
-            if (re.search(e[1:], plan) if e.startswith("!") else not re.search(e, plan))
-        ]
+
+        # "pattern" must appear; "!pattern" must NOT appear;
+        # "=N:pattern" must appear exactly N times (e.g. "=1:FileScan"
+        # asserts a single table scan — no hidden re-scan branch)
+        def _violated(e: str) -> bool:
+            if e.startswith("!"):
+                return bool(re.search(e[1:], plan))
+            if e.startswith("="):
+                n, _, pat = e[1:].partition(":")
+                return len(re.findall(pat, plan)) != int(n)
+            return not re.search(e, plan)
+
+        missing = [e for e in expects if _violated(e)]
         status = "OK" if not missing else f"MISSING {missing}"
         if missing:
             failures.append((name, missing))
