@@ -67,6 +67,8 @@ HEADLINE = (
     "column_profile_categorical",
     "histogram_auto",
     "text_repetition_stats",
+    "tpch_q1_pricing_summary",
+    "tpch_q6_forecast_revenue",
 )
 
 

@@ -2364,6 +2364,85 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the wide scan-agg — one pass over the biggest
+    table computing eight aggregates per (returnflag, linestatus), the
+    classic map-side-combine showcase (the shuffle carries <10 group rows
+    per task regardless of fact size). Cross-engine exactness discipline:
+    per-row products stay IEEE double (deterministic), the SUMs go
+    through DECIMAL(18,6) (order-independent, exact — the column_profile
+    trick), and each avg is ONE explicit double division — never the
+    engine's avg(). The shipdate predicate reaches PushedFilters."""
+    li = _read(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= TS.utc_literal("1998-09-02 00:00:00")
+    )
+
+    def dsum(c: Column) -> Column:
+        return F.sum(c.cast("decimal(18,6)"))
+
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum(F.col("l_quantity")).cast("double").alias("sum_qty"),
+        dsum(F.col("l_extendedprice")).cast("double").alias("sum_base_price"),
+        dsum(disc).cast("double").alias("sum_disc_price"),
+        dsum(charge).cast("double").alias("sum_charge"),
+        F.round(dsum(F.col("l_quantity")).cast("double") / F.count("*"), 6).alias("avg_qty"),
+        F.round(dsum(F.col("l_extendedprice")).cast("double") / F.count("*"), 6).alias("avg_price"),
+        F.round(dsum(F.col("l_discount")).cast("double") / F.count("*"), 6).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure predicate-pushdown showcase — four conjunctive
+    filters (two range families) that must ALL reach the parquet scan,
+    then a single global sum. At 100 TB this is the query where pushdown
+    + row-group statistics skipping decide everything; the plan audit
+    asserts every predicate lands in PushedFilters and there is no join
+    and no second pass."""
+    li = _read(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= TS.utc_literal("1994-01-01 00:00:00"))
+        & (F.col("l_shipdate") < TS.utc_literal("1995-01-01 00:00:00"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@register(
     "grouped_normalize",
     """
     WITH e AS (

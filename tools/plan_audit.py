@@ -102,6 +102,11 @@ EXPECTATIONS: dict[str, list[str]] = {
     # bigram aggregation is map-side combined; the per-doc join of the
     # two framings stays an equi join, never a nested loop
     "text_repetition_stats": ["HashAggregate", "partial_count", "!BroadcastNestedLoopJoin", "!CartesianProduct"],
+    # TPC-H Q1: wide scan-agg with map-side partials; the shipdate
+    # predicate reaches the scan; no join
+    "tpch_q1_pricing_summary": ["HashAggregate", "partial_sum", "PushedFilters: \\[.*LessThanOrEqual", "!Join"],
+    # TPC-H Q6: every predicate in PushedFilters, one global agg, no join
+    "tpch_q6_forecast_revenue": ["PushedFilters: \\[.*GreaterThanOrEqual.*l_discount", "PushedFilters: \\[.*LessThan\\(l_quantity", "partial_sum", "!Join"],
 }
 
 
@@ -111,6 +116,9 @@ def main() -> int:
     from tdei_extract_load_service_spark.session import get_spark
 
     spark = get_spark("plan_audit")
+    # default 100-char metadata truncation hides the tail of a 4+-filter
+    # PushedFilters list — the audit must see every pushed predicate
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
     # entries whose production path eagerly materializes (localCheckpoint
     # truncates lineage, hiding the join plan): audit the LAZY form of the
     # same call instead
