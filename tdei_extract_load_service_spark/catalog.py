@@ -1650,6 +1650,45 @@ def q_text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_prep",
+    r"""
+    WITH w AS (
+      SELECT doc_id, text,
+             CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\s+') END AS words
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, text, len(words) AS n_words,
+             CASE WHEN len(words) > 0
+                  THEN ROUND(len(list_distinct(words))::DOUBLE / len(words), 6) END AS dwr
+      FROM w
+    ),
+    kept AS (
+      SELECT doc_id, n_words,
+             md5(array_to_string(list_sort(list_distinct(
+                 regexp_split_to_array(lower(trim(text)), '\s+'))), ' ')) AS fp
+      FROM s WHERE n_words >= 10 AND dwr >= 0.3
+    )
+    SELECT MIN(doc_id) AS doc_id, arg_min(n_words, doc_id) AS n_words, COUNT(*) AS n_dups
+    FROM kept GROUP BY fp
+    """,
+)
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-preparation composition (quality filter ->
+    content dedup -> survivor election) as ONE declarative plan —
+    operators/text.py corpus_prep_survivors. Proves the profiling/dedup
+    operators COMPOSE: Catalyst fuses the repetition filter, the
+    fingerprint projection and the survivor aggregation; only the doc-id
+    join and the (fingerprint, id) groupBy shuffle."""
+    from tdei_extract_load_service_spark.operators.text import corpus_prep_survivors
+
+    docs = _read(spark, sf_dir, "documents")
+    return corpus_prep_survivors(
+        docs, "doc_id", "text", min_words=10, min_distinct_ratio=0.3
+    )
+
+
+@register(
     "text_tfidf_topk",
     r"""
     WITH docs AS (

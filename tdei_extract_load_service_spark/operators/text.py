@@ -307,3 +307,45 @@ def pii_match_counts(
         F.regexp_count(_col(text), F.lit(pat)).alias(f"n_{name}")
         for name, pat in (patterns or PII_PATTERNS).items()
     ]
+
+
+def corpus_prep_survivors(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 10,
+    min_distinct_ratio: float = 0.3,
+) -> DataFrame:
+    """End-to-end corpus preparation — the composition every pretraining
+    pipeline runs, as ONE declarative plan: quality-filter (repetition
+    signals) -> content dedup (order-insensitive fingerprint) -> survivor
+    election (min id per content group). Returns one row per surviving
+    document: ``(id_col, n_words, n_dups)`` with ``n_dups`` the size of
+    the content group it won.
+
+    Scale shape: ``repetition_stats`` joins back to the corpus on the id
+    (one doc-keyed equi shuffle — the quality columns cannot ride the
+    scan because the bigram stats are an aggregation); the dedup groupBy
+    then shuffles only (fingerprint, id, n_words), never text. Swap the
+    fingerprint stage for ``dedup.lsh_verified_pairs`` +
+    ``dedup.dedup_clusters`` when near-dup (not exact-content) collapse
+    is wanted — same survivor contract."""
+    rep = repetition_stats(df, id_col, text_col)
+    kept = (
+        df.select(_col(id_col).alias(id_col), _col(text_col).alias("_text"))
+        .join(rep, id_col)
+        .where(
+            (F.col("n_words") >= min_words)
+            & (F.col("distinct_word_ratio") >= min_distinct_ratio)
+        )
+    )
+    return (
+        kept.select(id_col, "n_words", fingerprint("_text").alias("_fp"))
+        .groupBy("_fp")
+        .agg(
+            F.min(id_col).alias("_keep"),
+            F.min_by("n_words", _col(id_col)).alias("n_words"),
+            F.count("*").alias("n_dups"),
+        )
+        .select(F.col("_keep").alias(id_col), "n_words", "n_dups")
+    )

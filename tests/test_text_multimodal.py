@@ -348,3 +348,29 @@ def test_redact_pii_and_match_counts(spark):
     assert rows[3] == "nothing sensitive here"
     after = scrubbed.select("id", *pii_match_counts("text")).collect()
     assert all(r["n_email"] == r["n_phone"] == r["n_card"] == 0 for r in after)
+
+
+def test_corpus_prep_survivors_composition(spark):
+    """Filter -> fingerprint dedup -> survivor election on a hand-built
+    corpus: short/looping docs drop, same-content docs collapse to the
+    min id, and word order does not defeat the dedup."""
+    from tdei_extract_load_service_spark.operators.text import corpus_prep_survivors
+
+    long_a = " ".join(f"w{i}" for i in range(12))
+    long_a_shuffled = " ".join(f"w{i}" for i in (5, 3, 11, 0, 1, 2, 4, 6, 7, 8, 9, 10))
+    long_b = " ".join(f"v{i}" for i in range(15))
+    df = spark.createDataFrame(
+        [
+            (1, long_a),
+            (2, long_a_shuffled),   # same word set, different order -> dup of 1
+            (3, long_b),
+            (4, "tiny doc"),        # < 10 words -> filtered
+            (5, "x y " * 10),       # 20 words, 2 distinct -> ratio 0.1 -> filtered
+        ],
+        "doc_id: long, text: string",
+    )
+    rows = {r["doc_id"]: r for r in
+            corpus_prep_survivors(df, "doc_id", "text", 10, 0.3).collect()}
+    assert set(rows) == {1, 3}
+    assert rows[1]["n_dups"] == 2 and rows[1]["n_words"] == 12
+    assert rows[3]["n_dups"] == 1 and rows[3]["n_words"] == 15

@@ -47,6 +47,14 @@ QUERIES = (
     "multimodal_resize",
     "multimodal_video_frames",
     "multimodal_audio",
+    # round-6 additions: single-scan profiling family, repetition
+    # signals (explode-heavy), wide scan-agg + pushdown flagships
+    "column_profile",
+    "column_profile_categorical",
+    "histogram_auto",
+    "text_repetition_stats",
+    "tpch_q1_pricing_summary",
+    "tpch_q6_forecast_revenue",
 )
 KEY_SHIFT = 10_000_000
 
