@@ -350,16 +350,24 @@ def quantile_bounds_histogram(
     computes bit-identical bounds.
 
     Plan: one quantile aggregation + one histogram aggregation — two
-    passes total, both map-side combined, no join."""
+    passes total, both map-side combined, no join. Both bounds come from
+    ONE percentile call with an array argument: two separate calls each
+    build (and for the exact path, sort-merge) their own value buffer —
+    measured 2x the time of the shared-buffer form at sf0.1 — and the
+    bounds scan is ``spread`` so a single-row-group fixture still
+    computes partials on every core."""
+    from tdei_extract_load_service_spark.session import spread
+
     if n_bins < 1:
         raise ValueError("n_bins must be >= 1")
     fn = "percentile" if exact else "approx_percentile"
     extra = "" if exact else f", {accuracy}"
-    row = df.agg(
-        F.expr(f"{fn}({value_col}, {p_lo}{extra})").alias("lo"),
-        F.expr(f"{fn}({value_col}, {p_hi}{extra})").alias("hi"),
-    ).first()
-    lo, hi = row["lo"], row["hi"]
+    row = (
+        spread(df.select(value_col))
+        .agg(F.expr(f"{fn}({value_col}, array({p_lo}D, {p_hi}D){extra})").alias("b"))
+        .first()
+    )
+    lo, hi = (row["b"] or (None, None))[0], (row["b"] or (None, None))[1]
     if lo is None or hi is None:
         raise ValueError(f"no non-null values in {value_col!r} to bound a histogram")
     if not hi > lo:
