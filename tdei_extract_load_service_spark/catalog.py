@@ -2431,6 +2431,17 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _read(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") <= TS.utc_literal("1998-09-02 00:00:00")
     )
+    # eight DECIMAL partial aggregates are real per-row compute: spread a
+    # single-row-group fixture scan so the partial phase uses every core
+    # (no-op on multi-row-group input; filter already pushed to the scan;
+    # the round-robin exchange carries only the six aggregate operands).
+    # Measured 1.42s -> 0.85s steady-state at sf0.1.
+    li = spread(
+        li.select(
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax",
+        )
+    )
 
     def dsum(c: Column) -> Column:
         return F.sum(c.cast("decimal(18,6)"))
