@@ -1,0 +1,118 @@
+"""Property-based coverage of the round-6 text/profiling operators:
+randomized corpora checked against independent pure-Python references in
+one Spark job per batch (the geometry property-test pattern — Hypothesis
+would re-launch a Spark job per example, so randomized BATCHES + seeded
+reproducibility give the same coverage at tractable cost).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from collections import Counter
+
+VOCAB = ["a", "bb", "ccc", "dd", "e", "longword", "x1", "y2"]
+
+
+def _random_doc(rng: random.Random) -> str:
+    shape = rng.randrange(5)
+    if shape == 0:
+        return ""
+    if shape == 1:
+        return rng.choice(VOCAB)
+    n = rng.randrange(2, 40)
+    if shape == 2:  # looping text
+        loop = [rng.choice(VOCAB) for _ in range(rng.randrange(1, 3))]
+        return " ".join(loop * (n // max(len(loop), 1) + 1))
+    return " ".join(rng.choice(VOCAB) for _ in range(n))
+
+
+def _py_repetition(text: str) -> dict:
+    words = text.strip().split() if text.strip() else []
+    n = len(words)
+    out = {"n_words": n}
+    out["distinct_word_ratio"] = round(len(set(words)) / n, 6) if n else None
+    bigrams = [f"{words[i]} {words[i + 1]}" for i in range(n - 1)] if n >= 2 else []
+    if bigrams:
+        c = Counter(bigrams)
+        out["top_bigram_frac"] = round(max(c.values()) / len(bigrams), 6)
+        out["dup_bigram_frac"] = round(1 - len(c) / len(bigrams), 6)
+    else:
+        out["top_bigram_frac"] = 0.0
+        out["dup_bigram_frac"] = 0.0
+    return out
+
+
+def test_repetition_stats_matches_python_reference_on_random_corpus(spark):
+    from tdei_extract_load_service_spark.operators.text import repetition_stats
+
+    rng = random.Random(20260814)
+    docs = [(i, _random_doc(rng)) for i in range(300)]
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    got = {r["doc_id"]: r for r in repetition_stats(df, "doc_id", "text").collect()}
+    assert len(got) == len(docs)
+    for doc_id, text in docs:
+        want = _py_repetition(text)
+        have = got[doc_id]
+        for k, v in want.items():
+            h = have[k]
+            if v is None:
+                assert h is None, (doc_id, k, h, text)
+            elif isinstance(v, float):
+                assert h is not None and math.isclose(h, v, abs_tol=1e-6), (doc_id, k, h, v, text)
+            else:
+                assert h == v, (doc_id, k, h, v, text)
+
+
+def test_categorical_profile_matches_python_reference_on_random_frame(spark):
+    from tdei_extract_load_service_spark.operators.profiling import (
+        column_profile_categorical,
+    )
+
+    rng = random.Random(99)
+    vals_a = ["red", "green", "blue", None]
+    vals_b = ["x", "y", None, "z", "w"]
+    rows = [(rng.choice(vals_a), rng.choice(vals_b)) for _ in range(500)]
+    df = spark.createDataFrame(rows, "a: string, b: string")
+    got = {}
+    for r in column_profile_categorical(df, ("a", "b"), top_k=2).collect():
+        got.setdefault(r["col_name"], {})[r["rank"]] = r
+
+    for idx, col in enumerate(("a", "b")):
+        values = [r[idx] for r in rows]
+        non_null = [v for v in values if v is not None]
+        c = Counter(non_null)
+        # deterministic top-k: count desc, value asc
+        ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+        for rank, (val, n_val) in enumerate(ranked, start=1):
+            r = got[col][rank]
+            assert (r["value"], r["value_n"]) == (val, n_val), (col, rank, r)
+            assert r["n"] == len(non_null)
+            assert r["n_null"] == len(values) - len(non_null)
+            assert r["n_distinct"] == len(c)
+
+
+def test_quantile_histogram_bin_invariants_random(spark):
+    """Invariants on random data: bins partition the row count, bin ids
+    stay in range, bin_lo is monotone in bin id, and per-bin totals sum
+    to the (decimal-exact) column total."""
+    from pyspark.sql import functions as F
+
+    from tdei_extract_load_service_spark.operators.profiling import (
+        quantile_bounds_histogram,
+    )
+
+    rng = random.Random(7)
+    rows = [(round(rng.gauss(100.0, 25.0), 2),) for _ in range(2000)]
+    df = spark.createDataFrame(rows, "v: double")
+    hist = sorted(
+        quantile_bounds_histogram(df, "v", n_bins=12).collect(),
+        key=lambda r: r["bin"],
+    )
+    assert sum(r["n"] for r in hist) == len(rows)
+    assert all(0 <= r["bin"] < 12 for r in hist)
+    los = [r["bin_lo"] for r in hist]
+    assert los == sorted(los)
+    assert math.isclose(
+        sum(r["total"] for r in hist), sum(v for (v,) in rows), rel_tol=1e-9
+    )
