@@ -2821,6 +2821,12 @@ def q_similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tools/oracle_check.py, which the judge runs — a demotion is a move to
 # the soft signal, not to zero signal.
 #
+# ROUND-7 PROMOTION QUEUE (policy rule (a)): the seven round-6 entries —
+# column_profile_categorical, histogram_auto, text_repetition_stats,
+# corpus_prep, tpch_q1_pricing_summary, tpch_q6_forecast_revenue
+# (column_distinct_sketch may stay tail: rows-only signal either way) —
+# must enter the window at the start of round 7.
+#
 # Round-6 rotation (VERDICT r5 #1): promoted the six round-5 operators
 # that had never had a driver CORRECTNESS row — dedup_embedding_lsh,
 # column_profile, column_correlations, multimodal_decode_jpeg,
