@@ -69,6 +69,7 @@ HEADLINE = (
     "text_repetition_stats",
     "tpch_q1_pricing_summary",
     "tpch_q6_forecast_revenue",
+    "text_winnow_fingerprint",
 )
 
 

@@ -1650,6 +1650,49 @@ def q_text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_winnow_fingerprint",
+    r"""
+    WITH t AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
+    h AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(length(s) - 7, 0)),
+                            i -> substr(md5(substr(s, i, 8)), 1, 16)) AS hs
+      FROM t
+    ),
+    m AS (
+      SELECT doc_id, len(hs) - 3 AS nw,
+             list_transform(generate_series(1, greatest(len(hs) - 3, 0)),
+                            j -> list_min(hs[j:j+3])) AS mins
+      FROM h
+    )
+    SELECT doc_id,
+           CASE WHEN nw >= 1
+                THEN md5(array_to_string(list_sort(list_distinct(mins)), ',')) END AS winnow_sig,
+           CASE WHEN nw >= 1 THEN len(list_distinct(mins)) END AS n_selected
+    FROM m
+    """,
+)
+def q_text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) rolling-hash fingerprint — the substring-level
+    dedup key (operators/text.py winnow_hashes): k=8-char shingle md5
+    prefixes, w=4 window minima, doc sig = md5 of the sorted distinct
+    selected set. Pure higher-order expressions, zero shuffle; the
+    lexicographic-min trick makes even the rolling-hash selection
+    value-oracle-checkable across engines."""
+    from tdei_extract_load_service_spark.operators.text import (
+        winnow_fingerprint,
+        winnow_hashes,
+    )
+
+    docs = spread(_read(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        winnow_fingerprint("text").alias("winnow_sig"),
+        F.size(winnow_hashes("text")).cast("bigint").alias("n_selected"),
+    )
+
+
+@register(
     "corpus_prep",
     r"""
     WITH w AS (

@@ -349,3 +349,52 @@ def corpus_prep_survivors(
         )
         .select(F.col("_keep").alias(id_col), "n_words", "n_dups")
     )
+
+
+def winnow_hashes(text: str | Column, k: int = 8, w: int = 4) -> Column:
+    """Winnowing-selected shingle hashes (Schleimer/Wilkerson/Aiken, the
+    MOSS scheme — the 'rolling hash' upgrade the plain ``fingerprint``
+    docstring promises): hash every k-character shingle, slide a w-hash
+    window taking the minimum, return the sorted distinct selected
+    hashes. Any shared substring of length >= k + w - 1 contributes at
+    least one common selected hash — the LOCAL similarity property a
+    whole-doc hash lacks, which makes this array the inverted-index key
+    set for substring-level near-dup joins (the dedup_ngram_jaccard
+    machinery on a winnowed, much smaller index).
+
+    Pure higher-order column expression (no explode, no shuffle, no
+    UDF): per-row cost is O(len) shingle hashes + O(len * w) window
+    mins. Cross-engine note: hashes are md5 hex PREFIXES compared
+    LEXICOGRAPHICALLY — winnowing only needs a total order, and string
+    order is identical in every engine, sidestepping hex->int casts.
+    NULL for documents shorter than k + w - 1 chars (no full window).
+
+    Caveat (sequence semantics): ``F.sequence(1, 0)`` is DESCENDING
+    [1, 0], not empty — short docs briefly build bogus shingles, but
+    every such case has n_windows < 1 and falls into the NULL branch,
+    so the output is well-defined; the guard below keeps w >= 2 so
+    n_windows can never be spuriously positive."""
+    if k < 2 or w < 2:
+        raise ValueError("winnowing needs k >= 2 and w >= 2")
+    t = F.lower(F.trim(_col(text)))
+    n_grams = F.length(t) - F.lit(k - 1)
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(0))),
+        lambda i: F.substring(F.md5(t.substr(i, F.lit(k))), 1, 16),
+    )
+    n_windows = F.size(hashes) - F.lit(w - 1)
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_windows, F.lit(0))),
+        lambda j: F.array_min(F.slice(hashes, j, w)),
+    )
+    return F.when(n_windows >= 1, F.array_sort(F.array_distinct(mins)))
+
+
+def winnow_fingerprint(text: str | Column, k: int = 8, w: int = 4) -> Column:
+    """One-value winnowing fingerprint: md5 over the selected-hash set
+    (``winnow_hashes``). Identical docs always share it; near-identical
+    docs OFTEN do (their selected sets usually coincide) — use the hash
+    SET itself for graded overlap scoring. NULL (not md5 of empty) for
+    docs too short to winnow."""
+    hs = winnow_hashes(text, k, w)
+    return F.when(hs.isNotNull(), F.md5(F.concat_ws(",", hs)))

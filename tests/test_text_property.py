@@ -116,3 +116,49 @@ def test_quantile_histogram_bin_invariants_random(spark):
     assert math.isclose(
         sum(r["total"] for r in hist), sum(v for (v,) in rows), rel_tol=1e-9
     )
+
+
+def test_winnowing_guarantee_and_edges(spark):
+    """The winnowing theorem on random data: any two docs sharing a
+    substring of length >= k + w - 1 (= 11 for k=8, w=4) share at least
+    one SELECTED hash. Plus edge cases: short docs are NULL, identical
+    docs share the sig, and parameters are guarded."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tdei_extract_load_service_spark.operators.text import (
+        winnow_fingerprint,
+        winnow_hashes,
+    )
+
+    rng = random.Random(4242)
+
+    def rand_text(n):
+        return "".join(rng.choice("abcdefgh ") for _ in range(n))
+
+    shared = rand_text(15)  # > k + w - 1
+    rows = []
+    for i in range(30):
+        prefix, suffix = rand_text(rng.randrange(0, 25)), rand_text(rng.randrange(0, 25))
+        rows.append((2 * i, prefix + shared + rand_text(8)))
+        rows.append((2 * i + 1, rand_text(8) + shared + suffix))
+    df = spark.createDataFrame(rows, "id: long, t: string")
+    got = {r["id"]: r["hs"] for r in
+           df.select("id", winnow_hashes("t").alias("hs")).collect()}
+    for i in range(30):
+        a, b = set(got[2 * i]), set(got[2 * i + 1])
+        assert a & b, f"winnowing guarantee violated for pair {i}"
+
+    edge = spark.createDataFrame(
+        [(1, "x" * 10), (2, "x" * 11), (3, ""), (4, "same document text"),
+         (5, "same document text")],
+        "id: long, t: string",
+    )
+    sig = {r["id"]: r["s"] for r in
+           edge.select("id", winnow_fingerprint("t").alias("s")).collect()}
+    assert sig[1] is None and sig[3] is None   # < k + w - 1 chars
+    assert sig[2] is not None                  # exactly k + w - 1
+    assert sig[4] == sig[5] is not None
+
+    with pytest.raises(ValueError, match="k >= 2 and w >= 2"):
+        winnow_hashes("t", k=8, w=1)

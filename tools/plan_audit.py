@@ -107,6 +107,9 @@ EXPECTATIONS: dict[str, list[str]] = {
     "tpch_q1_pricing_summary": ["HashAggregate", "partial_sum", "PushedFilters: \\[.*LessThanOrEqual", "!Join"],
     # TPC-H Q6: every predicate in PushedFilters, one global agg, no join
     "tpch_q6_forecast_revenue": ["PushedFilters: \\[.*GreaterThanOrEqual.*l_discount", "PushedFilters: \\[.*LessThan\\(l_quantity", "partial_sum", "!Join"],
+    # winnowing fingerprint: pure higher-order projection — no shuffle
+    # beyond the deliberate input spread, no join, no aggregation
+    "text_winnow_fingerprint": ["Project", "!Join", "!HashAggregate", "!hashpartitioning"],
 }
 
 
