@@ -70,6 +70,7 @@ HEADLINE = (
     "tpch_q1_pricing_summary",
     "tpch_q6_forecast_revenue",
     "text_winnow_fingerprint",
+    "dedup_winnow",
 )
 
 

@@ -1693,6 +1693,50 @@ def q_text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_winnow",
+    r"""
+    WITH t AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
+    h AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(length(s) - 7, 0)),
+                            i -> substr(md5(substr(s, i, 8)), 1, 16)) AS hs
+      FROM t
+    ),
+    m AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(len(hs) - 3, 0)),
+                            j -> list_min(hs[j:j+3])) AS mins
+      FROM h
+    ),
+    sel AS (
+      SELECT doc_id, list_distinct(mins) AS ws, len(list_distinct(mins)) AS sz
+      FROM m WHERE len(mins) >= 1
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(len(list_intersect(a.ws, b.ws))::DOUBLE
+                 / (a.sz + b.sz - len(list_intersect(a.ws, b.ws))), 6) AS jaccard
+    FROM sel a, sel b
+    WHERE a.doc_id < b.doc_id
+      AND ROUND(len(list_intersect(a.ws, b.ws))::DOUBLE
+                / (a.sz + b.sz - len(list_intersect(a.ws, b.ws))), 6) >= 0.5
+    """,
+)
+def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level near-dup pairs via winnowing fingerprints
+    (operators/dedup.py winnow_pairs): inverted-index join on the
+    winnow-selected hashes, exact jaccard over the selected sets —
+    catches shared passages that word-level shingles miss. The oracle
+    cross-joins because DuckDB can at SF scale; the Spark plan is the
+    merge-pinned inverted index (work ∝ Σ per-hash df², never |docs|²),
+    with ``max_hash_df`` as the hot-shingle recall knob at corpus scale
+    (uncapped here so the oracle is exact)."""
+    from tdei_extract_load_service_spark.operators.dedup import winnow_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return winnow_pairs(docs, "doc_id", "text", threshold=0.5)
+
+
+@register(
     "corpus_prep",
     r"""
     WITH w AS (

@@ -772,3 +772,98 @@ def lsh_verified_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    k: int = 8,
+    w: int = 4,
+    max_hash_df: int | None = None,
+    eager: bool = True,
+) -> DataFrame:
+    """SUBSTRING-level near-dup pairs via winnowing fingerprints
+    (``text.winnow_hashes``) — catches shared passages that word-level
+    n-gram Jaccard misses when the surrounding text differs (quotes,
+    boilerplate blocks, templated sections). Returns (doc_a, doc_b,
+    jaccard) over the selected-hash SETS, jaccard >= ``threshold``;
+    every emitted pair's jaccard is exact over the winnowed sets.
+
+    Scale shape — the inverted-index ladder the text dedup family earned:
+
+    - winnowed hash arrays materialize ONCE on a persisted narrow
+      (id, hashes, size) frame (projection-collapse lesson: the O(len*w)
+      HOF chain must not re-inline into every consumer);
+    - explode -> inverted index keyed on the 16-char hash; the self-join
+      is merge-pinned (spillable sort-merge, the x100 lesson — never a
+      broadcast or an unspillable hash build of a corpus-sized side);
+    - ``max_hash_df`` drops hashes appearing in more than that many docs
+      BEFORE the join — the hot-key cap (ubiquitous boilerplate shingles
+      make near-cartesian buckets at corpus scale; fixture p99 df is 64
+      but the max is 328 of 500 docs). Dropped hashes shrink measured
+      overlap, so capped jaccard UNDERESTIMATES: a recall knob, exactly
+      like ``max_shingle_df`` in the n-gram operator. None = exact.
+    - pair overlap is ONE count aggregation; set sizes ride the exploded
+      rows, so no join back to the corpus.
+
+    The result is eagerly materialized (localCheckpoint) and the working
+    frame unpersisted — the embedding_lsh_pairs cache contract.
+    """
+    from tdei_extract_load_service_spark.operators.text import winnow_hashes
+
+    sets = (
+        spread(df)
+        .select(
+            _col(id_col).alias("id"),
+            winnow_hashes(_col(text_col), k, w).alias("ws"),
+        )
+        .where(F.col("ws").isNotNull())
+        .withColumn("sz", F.size("ws"))
+        .persist()
+    )
+    ex = sets.select("id", "sz", F.explode("ws").alias("h"))
+    if max_hash_df is not None:
+        hot = (
+            ex.groupBy("h").agg(F.count("*").alias("hdf"))
+            .where(F.col("hdf") > max_hash_df)
+            .select("h")
+        )
+        # anti join against the (small) hot-hash set; broadcast is safe
+        # because the cap bounds nothing about it — hot hashes are FEW by
+        # construction (heavy-hitter tail), and even if not, the anti
+        # join keys are 16-char strings, not documents
+        ex = ex.join(F.broadcast(hot), "h", "left_anti")
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(
+            b.hint("merge"),
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_shared")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    if not eager:
+        # lazy escape hatch (plan inspection / caller-managed lifetime):
+        # the sets frame stays persisted; the CALLER owns unpersisting it
+        return pairs
+    result = pairs.localCheckpoint(eager=True)
+    sets.unpersist()
+    return result

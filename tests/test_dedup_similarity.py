@@ -362,3 +362,39 @@ def test_embedding_lsh_releases_its_cache(spark):
             n_bands=4, planes_per_band=4, planes=make_planes(16, 64),
         ).count()
     assert jvm_catalog.isEmpty(), "banded frames left persisted after return"
+
+
+def test_winnow_pairs_exact_and_capped(spark):
+    """Substring-level dedup: identical docs pair at 1.0; docs sharing a
+    long passage pair above docs sharing nothing; the hot-hash cap keeps
+    results a SUBSET of the uncapped pairs with never-higher jaccard
+    (the documented recall trade)."""
+    from tdei_extract_load_service_spark.operators.dedup import winnow_pairs
+
+    passage = "the quick brown fox jumps over the lazy dog near the river bank"
+    df = spark.createDataFrame(
+        [
+            (1, passage),
+            (2, passage),                                  # exact dup
+            (3, "INTRO " + passage + " OUTRO trailing words here"),
+            (4, "completely unrelated content with different words entirely"),
+        ],
+        "doc_id: long, text: string",
+    )
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in winnow_pairs(df, "doc_id", "text", threshold=0.0).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert pairs.get((1, 3), 0.0) > pairs.get((1, 4), 0.0)
+    assert pairs.get((1, 3), 0.0) > 0.3  # shared passage dominates
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    full = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in winnow_pairs(docs, "doc_id", "text", threshold=0.5).collect()}
+    capped = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+              for r in winnow_pairs(
+                  docs, "doc_id", "text", threshold=0.5, max_hash_df=64
+              ).collect()}
+    assert full, "fixture must contain winnow pairs at 0.5"
+    assert set(capped) <= set(full), "cap must never CREATE pairs"
+    for key, j in capped.items():
+        assert j <= full[key] + 1e-9, f"cap raised jaccard at {key}"

@@ -110,6 +110,9 @@ EXPECTATIONS: dict[str, list[str]] = {
     # winnowing fingerprint: pure higher-order projection — no shuffle
     # beyond the deliberate input spread, no join, no aggregation
     "text_winnow_fingerprint": ["Project", "!Join", "!HashAggregate", "!hashpartitioning"],
+    # winnow near-dup join: same merge-pinned inverted-index ladder as
+    # the other corpus-sized self-joins (audited on the lazy form)
+    "dedup_winnow": ["SortMergeJoin", "!BroadcastNestedLoopJoin", "!ShuffledHashJoin", "!CartesianProduct"],
 }
 
 
@@ -136,7 +139,19 @@ def main() -> int:
             planes=make_planes(16, 64), eager=False,
         )
 
-    LAZY_OVERRIDES = {"dedup_embedding_lsh": _lazy_embedding_lsh}
+    def _lazy_winnow(spark, sf_dir):
+        from tdei_extract_load_service_spark.catalog import _read
+        from tdei_extract_load_service_spark.operators.dedup import winnow_pairs
+
+        return winnow_pairs(
+            _read(spark, sf_dir, "documents"), "doc_id", "text",
+            threshold=0.5, eager=False,
+        )
+
+    LAZY_OVERRIDES = {
+        "dedup_embedding_lsh": _lazy_embedding_lsh,
+        "dedup_winnow": _lazy_winnow,
+    }
 
     sections, failures = [], []
     for name, expects in EXPECTATIONS.items():
