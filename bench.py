@@ -70,7 +70,13 @@ HEADLINE = (
     "tpch_q1_pricing_summary",
     "tpch_q6_forecast_revenue",
     "text_winnow_fingerprint",
-    "dedup_winnow",
+    # dedup_winnow is EXCLUDED from the sf0.1 headline deliberately: the
+    # synthetic documents corpus draws from a ~25-word vocabulary, so
+    # every 8-char substring shingle is corpus-hot and the inverted
+    # index measures the frequency cap, not the plan — a corpus
+    # pathology real text does not have. Correctness runs at sf0.01
+    # (oracle mirrors the cap); the plan shape is audited like the
+    # other dedup joins.
 )
 
 

@@ -1711,29 +1711,36 @@ def q_text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     sel AS (
       SELECT doc_id, list_distinct(mins) AS ws, len(list_distinct(mins)) AS sz
       FROM m WHERE len(mins) >= 1
+    ),
+    e AS (SELECT doc_id, sz, unnest(ws) AS hh FROM sel),
+    keep AS (SELECT hh FROM e GROUP BY hh HAVING COUNT(*) <= 256),
+    ef AS (SELECT e.doc_id, e.sz, e.hh FROM e JOIN keep USING (hh)),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.sz AS sa, b.sz AS sb, COUNT(*) AS n
+      FROM ef a JOIN ef b ON a.hh = b.hh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           ROUND(len(list_intersect(a.ws, b.ws))::DOUBLE
-                 / (a.sz + b.sz - len(list_intersect(a.ws, b.ws))), 6) AS jaccard
-    FROM sel a, sel b
-    WHERE a.doc_id < b.doc_id
-      AND ROUND(len(list_intersect(a.ws, b.ws))::DOUBLE
-                / (a.sz + b.sz - len(list_intersect(a.ws, b.ws))), 6) >= 0.5
+    SELECT doc_a, doc_b,
+           ROUND(n::DOUBLE / (sa + sb - n), 6) AS jaccard
+    FROM p WHERE ROUND(n::DOUBLE / (sa + sb - n), 6) >= 0.5
     """,
 )
 def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level near-dup pairs via winnowing fingerprints
     (operators/dedup.py winnow_pairs): inverted-index join on the
     winnow-selected hashes, exact jaccard over the selected sets —
-    catches shared passages that word-level shingles miss. The oracle
-    cross-joins because DuckDB can at SF scale; the Spark plan is the
-    merge-pinned inverted index (work ∝ Σ per-hash df², never |docs|²),
-    with ``max_hash_df`` as the hot-shingle recall knob at corpus scale
-    (uncapped here so the oracle is exact)."""
+    catches shared passages that word-level shingles miss. Runs the
+    PRODUCTION configuration (max_hash_df=256, the hot-shingle cap that
+    keeps candidate volume linear-ish in the corpus — an uncapped x10
+    run pinned the host on Σdf² work); the oracle mirrors the cap
+    exactly, so even the recall knob is value-checked. The intersection
+    counts only capped hashes while set sizes stay full — jaccard is an
+    underestimate by design for docs touching ubiquitous shingles."""
     from tdei_extract_load_service_spark.operators.dedup import winnow_pairs
 
     docs = _read(spark, sf_dir, "documents")
-    return winnow_pairs(docs, "doc_id", "text", threshold=0.5)
+    return winnow_pairs(docs, "doc_id", "text", threshold=0.5, max_hash_df=256)
 
 
 @register(
@@ -2908,11 +2915,12 @@ def q_similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tools/oracle_check.py, which the judge runs — a demotion is a move to
 # the soft signal, not to zero signal.
 #
-# ROUND-7 PROMOTION QUEUE (policy rule (a)): the seven round-6 entries —
+# ROUND-7 PROMOTION QUEUE (policy rule (a)): the round-6 entries —
 # column_profile_categorical, histogram_auto, text_repetition_stats,
-# corpus_prep, tpch_q1_pricing_summary, tpch_q6_forecast_revenue
-# (column_distinct_sketch may stay tail: rows-only signal either way) —
-# must enter the window at the start of round 7.
+# corpus_prep, tpch_q1_pricing_summary, tpch_q6_forecast_revenue,
+# text_winnow_fingerprint, dedup_winnow (column_distinct_sketch may stay
+# tail: rows-only signal either way) — must enter the window at the
+# start of round 7.
 #
 # Round-6 rotation (VERDICT r5 #1): promoted the six round-5 operators
 # that had never had a driver CORRECTNESS row — dedup_embedding_lsh,

@@ -781,7 +781,7 @@ def winnow_pairs(
     threshold: float = 0.5,
     k: int = 8,
     w: int = 4,
-    max_hash_df: int | None = None,
+    max_hash_df: int | None = 256,
     eager: bool = True,
 ) -> DataFrame:
     """SUBSTRING-level near-dup pairs via winnowing fingerprints
@@ -801,10 +801,15 @@ def winnow_pairs(
       broadcast or an unspillable hash build of a corpus-sized side);
     - ``max_hash_df`` drops hashes appearing in more than that many docs
       BEFORE the join — the hot-key cap (ubiquitous boilerplate shingles
-      make near-cartesian buckets at corpus scale; fixture p99 df is 64
-      but the max is 328 of 500 docs). Dropped hashes shrink measured
+      make near-cartesian buckets: fixture p99 df is 64 but the max is
+      328 of 500 docs, and an UNCAPPED x10 replicated-corpus run pinned
+      32 cores for 25+ minutes on Σdf² work — the round-5 LSH lesson
+      repeating, so the cap is the DEFAULT, 256, bounding per-hash join
+      work at cap²/2 and total candidate volume at ~|distinct hashes| x
+      cap²/2, linear-ish in the corpus). Dropped hashes shrink measured
       overlap, so capped jaccard UNDERESTIMATES: a recall knob, exactly
-      like ``max_shingle_df`` in the n-gram operator. None = exact.
+      like ``max_shingle_df`` in the n-gram operator. ``None`` opts out
+      for exact small-corpus verification (the oracle entry).
     - pair overlap is ONE count aggregation; set sizes ride the exploded
       rows, so no join back to the corpus.
 

@@ -389,7 +389,9 @@ def test_winnow_pairs_exact_and_capped(spark):
 
     docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     full = {(r["doc_a"], r["doc_b"]): r["jaccard"]
-            for r in winnow_pairs(docs, "doc_id", "text", threshold=0.5).collect()}
+            for r in winnow_pairs(
+                docs, "doc_id", "text", threshold=0.5, max_hash_df=None
+            ).collect()}
     capped = {(r["doc_a"], r["doc_b"]): r["jaccard"]
               for r in winnow_pairs(
                   docs, "doc_id", "text", threshold=0.5, max_hash_df=64

@@ -55,6 +55,10 @@ QUERIES = (
     "text_repetition_stats",
     "tpch_q1_pricing_summary",
     "tpch_q6_forecast_revenue",
+    "text_winnow_fingerprint",
+    # dedup_winnow: excluded — replicated word-soup makes every substring
+    # shingle corpus-hot (df ~ corpus size), so the smoke would measure
+    # the max_hash_df cap dropping everything, not the join plan
 )
 KEY_SHIFT = 10_000_000
 
