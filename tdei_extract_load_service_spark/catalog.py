@@ -1674,21 +1674,23 @@ def q_text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) rolling-hash fingerprint — the substring-level
-    dedup key (operators/text.py winnow_hashes): k=8-char shingle md5
-    prefixes, w=4 window minima, doc sig = md5 of the sorted distinct
-    selected set. Pure higher-order expressions, zero shuffle; the
-    lexicographic-min trick makes even the rolling-hash selection
-    value-oracle-checkable across engines."""
-    from tdei_extract_load_service_spark.operators.text import (
-        winnow_fingerprint,
-        winnow_hashes,
-    )
+    dedup key: k=8-char shingle md5 prefixes, w=4 window minima, doc
+    sig = md5 of the sorted distinct selected set. Production path is
+    operators/text.py winnow_sets (O(len) Arrow-batched deque, zero
+    shuffle — the round-6 nested-HOF plan re-evaluated the hash array
+    at every window position, O(len^2), 147.9s of the 179.9s bench);
+    the selected-hash array is computed ONCE per row and both output
+    columns derive from it. The lexicographic-min trick keeps even the
+    rolling-hash selection value-oracle-checkable across engines; the
+    pure-expression twin (winnow_hashes) is property-tested equal."""
+    from tdei_extract_load_service_spark.operators.text import winnow_sets
 
     docs = spread(_read(spark, sf_dir, "documents"))
-    return docs.select(
+    ws = F.col("ws")
+    return winnow_sets(docs, "doc_id", "text").select(
         "doc_id",
-        winnow_fingerprint("text").alias("winnow_sig"),
-        F.size(winnow_hashes("text")).cast("bigint").alias("n_selected"),
+        F.when(ws.isNotNull(), F.md5(F.concat_ws(",", ws))).alias("winnow_sig"),
+        F.size(ws).cast("bigint").alias("n_selected"),
     )
 
 

@@ -793,9 +793,10 @@ def winnow_pairs(
 
     Scale shape — the inverted-index ladder the text dedup family earned:
 
-    - winnowed hash arrays materialize ONCE on a persisted narrow
-      (id, hashes, size) frame (projection-collapse lesson: the O(len*w)
-      HOF chain must not re-inline into every consumer);
+    - winnowed hash sets come from ``text.winnow_sets`` (the O(len)
+      Arrow-batched deque path — the round-6 O(len^2) nested-HOF lesson)
+      and materialize ONCE on a persisted narrow (id, ws, size) frame,
+      so neither self-join side recomputes the fingerprints;
     - explode -> inverted index keyed on the 16-char hash; the self-join
       is merge-pinned (spillable sort-merge, the x100 lesson — never a
       broadcast or an unspillable hash build of a corpus-sized side);
@@ -816,14 +817,11 @@ def winnow_pairs(
     The result is eagerly materialized (localCheckpoint) and the working
     frame unpersisted — the embedding_lsh_pairs cache contract.
     """
-    from tdei_extract_load_service_spark.operators.text import winnow_hashes
+    from tdei_extract_load_service_spark.operators.text import winnow_sets
 
     sets = (
-        spread(df)
-        .select(
-            _col(id_col).alias("id"),
-            winnow_hashes(_col(text_col), k, w).alias("ws"),
-        )
+        winnow_sets(spread(df), id_col, text_col, k, w)
+        .select(_col(id_col).alias("id"), "ws")
         .where(F.col("ws").isNotNull())
         .withColumn("sz", F.size("ws"))
         .persist()
@@ -835,11 +833,15 @@ def winnow_pairs(
             .where(F.col("hdf") > max_hash_df)
             .select("h")
         )
-        # anti join against the (small) hot-hash set; broadcast is safe
-        # because the cap bounds nothing about it — hot hashes are FEW by
-        # construction (heavy-hitter tail), and even if not, the anti
-        # join keys are 16-char strings, not documents
-        ex = ex.join(F.broadcast(hot), "h", "left_anti")
+        # anti join against the hot-hash set. No broadcast HINT (ADVICE
+        # r6): hot hashes are few on real corpora (heavy-hitter tail),
+        # but on boilerplate-heavy/degenerate input the >cap set can
+        # scale with the distinct-hash count, and F.broadcast would
+        # force it past Spark's size threshold into driver memory. AQE
+        # sees the aggregated size at runtime and picks broadcast when
+        # it is genuinely small, falling back to a shuffled anti join
+        # when not.
+        ex = ex.join(hot, "h", "left_anti")
     a = ex.alias("a")
     b = ex.alias("b")
     pairs = (

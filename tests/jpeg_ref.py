@@ -1,14 +1,31 @@
 """Shared reference IDCT for the JPEG test suites — the direct O(64^2)
 sum straight from the standard's formula, deliberately NOT the separable
 implementation the production decoder uses, so both suites validate
-against one independent reference."""
+against one independent reference.
+
+Agreement contract (round 7, after a hypothesis-found ±1 divergence —
+VERDICT r6 #2): two correct float IDCTs that accumulate in different
+orders (direct double sum with a final /4.0 here; basis factors with the
+C/2 folded in, in the decoder) can land on OPPOSITE SIDES of an exact
+.5 rounding tie — e.g. DC=41·9, one AC at natural 36, where 21 pixels
+are exactly 177.5 and the two float paths disagree by one ulp around it.
+IEEE 1180 (the IDCT-accuracy spec real codecs are tested against)
+tolerates |Δ| <= 1 anywhere; ``assert_idct_agrees`` is deliberately
+stricter: EXACT equality everywhere except pixels whose true value is a
+.5 tie, where either rounding is accepted. Any off-by-one away from a
+tie is still a hard failure — the property that actually catches IDCT
+bugs — while the contract no longer overclaims bit-identity between two
+independent float accumulations."""
 
 from __future__ import annotations
 
 import math
 
 
-def ref_idct(coeffs):
+def ref_idct_float(coeffs):
+    """Unrounded reference IDCT: level-shifted float samples (no round,
+    no clamp) — the ground truth ``assert_idct_agrees`` measures rounding
+    ties against."""
     out = []
     for y in range(8):
         for x in range(8):
@@ -22,6 +39,29 @@ def ref_idct(coeffs):
                         * math.cos((2 * x + 1) * v * math.pi / 16)
                         * math.cos((2 * y + 1) * u * math.pi / 16)
                     )
-            val = int(round(s / 4.0)) + 128
-            out.append(max(0, min(255, val)))
+            out.append(s / 4.0 + 128.0)
     return out
+
+
+def ref_idct(coeffs):
+    return [
+        max(0, min(255, int(round(s - 128.0)) + 128))
+        for s in ref_idct_float(coeffs)
+    ]
+
+
+def assert_idct_agrees(got, coeffs, where=""):
+    """Assert decoded samples match the reference: bit-equal everywhere,
+    except that at an exact .5 rounding tie of the TRUE value either
+    neighbour is accepted (|Δ| == 1 only there). See module docstring."""
+    exp = ref_idct(coeffs)
+    exact = ref_idct_float(coeffs)
+    assert len(got) == 64
+    for i, (g, e, ex) in enumerate(zip(got, exp, exact)):
+        if g == e:
+            continue
+        frac = ex - math.floor(ex)
+        assert abs(g - e) == 1 and abs(frac - 0.5) < 1e-6, (
+            f"{where}pixel {i}: got {g}, reference {e}, exact {ex!r} — "
+            "disagreement is only permitted at a .5 rounding tie"
+        )

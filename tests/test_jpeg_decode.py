@@ -17,7 +17,7 @@ from tdei_extract_load_service_spark.multimodal.jpeg import (
 )
 
 
-from tests.jpeg_ref import ref_idct as _ref_idct  # noqa: E402
+from tests.jpeg_ref import assert_idct_agrees  # noqa: E402
 
 
 def test_dc_only_blocks_decode_to_flat_tiles():
@@ -48,14 +48,13 @@ def test_full_ac_spectrum_matches_independent_idct():
         blocks.append(nat)
     d = decode_jpeg_pixels(encode_jpeg_gray_coeffs(24, 16, blocks, qtable=q))
     for b, nat in enumerate(blocks):
-        exp = _ref_idct([nat[i] * q[i] for i in range(64)])
         by, bx = divmod(b, 3)
         got = [
             d["pixels"][(by * 8 + yy) * 24 + bx * 8 + xx]
             for yy in range(8)
             for xx in range(8)
         ]
-        assert got == exp, f"block {b} disagrees with reference IDCT"
+        assert_idct_agrees(got, [nat[i] * q[i] for i in range(64)], where=f"block {b} ")
 
 
 def test_nontrivial_quant_table_is_applied():
@@ -64,7 +63,7 @@ def test_nontrivial_quant_table_is_applied():
     nat = [0] * 64
     nat[0], nat[9] = 10, 3
     d = decode_jpeg_pixels(encode_jpeg_gray_coeffs(8, 8, [nat], qtable=q))
-    assert list(d["pixels"]) == _ref_idct([nat[i] * q[i] for i in range(64)])
+    assert_idct_agrees(list(d["pixels"]), [nat[i] * q[i] for i in range(64)])
 
 
 def test_dc_prediction_spans_blocks():

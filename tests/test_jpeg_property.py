@@ -2,12 +2,18 @@
 spectrum the encode->decode round trip must agree with an independent
 direct-formula IDCT — the shrinking search covers corner spectra (all
 zeros, max-category DCs, dense AC, long zero runs) that hand-picked
-fixtures miss. Pure driver-side (no Spark session)."""
+fixtures miss. Pure driver-side (no Spark session).
+
+Agreement is ``jpeg_ref.assert_idct_agrees``: bit-exact except at exact
+.5 rounding ties of the true value, where either neighbour is accepted —
+round 6's hypothesis run proved bit-identity between two independent
+float accumulation orders is not a satisfiable contract (the discovered
+counterexample is committed below as a regression ``@example``)."""
 
 from __future__ import annotations
 
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from tdei_extract_load_service_spark.multimodal.jpeg import (
@@ -16,7 +22,13 @@ from tdei_extract_load_service_spark.multimodal.jpeg import (
 )
 
 
-from tests.jpeg_ref import ref_idct as _ref_idct  # noqa: E402
+from tests.jpeg_ref import assert_idct_agrees  # noqa: E402
+
+#: hypothesis-discovered r6 counterexample (2026-08-14--1fe61a54.patch):
+#: DC=41 with a single AC=3 at natural index 36, q0=9 puts 21 of 64
+#: pixels at exactly 177.5 — the direct-sum reference and the separable
+#: decoder land on opposite sides of the tie.
+_R6_TIE_BLOCK = [41] + [0] * 35 + [3] + [0] * 27
 
 
 @st.composite
@@ -34,6 +46,7 @@ def _block(draw):
 
 @settings(max_examples=40, deadline=None)
 @given(blocks=st.lists(_block(), min_size=1, max_size=4), q0=st.integers(1, 32))
+@example(blocks=[_R6_TIE_BLOCK], q0=9).via("discovered failure (r6)")
 def test_roundtrip_matches_reference_idct(blocks, q0):
     q = [q0] + [q0] * 63
     width = 8 * len(blocks)
@@ -41,9 +54,10 @@ def test_roundtrip_matches_reference_idct(blocks, q0):
     d = decode_jpeg_pixels(blob)
     assert (d["width"], d["height"], d["n_channels"]) == (width, 8, 1)
     for b, nat in enumerate(blocks):
-        exp = _ref_idct([nat[i] * q[i] for i in range(64)])
         got = [d["pixels"][yy * width + b * 8 + xx] for yy in range(8) for xx in range(8)]
-        assert got == exp
+        assert_idct_agrees(
+            got, [nat[i] * q[i] for i in range(64)], where=f"block {b} "
+        )
 
 
 @settings(max_examples=20, deadline=None)
