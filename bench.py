@@ -18,9 +18,11 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-#: Headline set: one representative per operator family (keep it stable
-#: across rounds so BENCH_r{N}.json values are comparable).
-HEADLINE = (
+#: The round-1 comparable set, as its OWN named constant (ADVICE r6: the
+#: matched_r1_subtotal used to be recovered by a positional HEADLINE[:25]
+#: slice, so any insertion or reorder silently changed the trendline).
+#: NEVER append here — later rounds' additions go to HEADLINE_EXTENSIONS.
+R1_HEADLINE = (
     "agg_group",
     "filter",
     "join_inner",
@@ -49,6 +51,12 @@ HEADLINE = (
     "dedup_lsh_verified",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_volume",
+)
+
+#: Later-round additions: one steady-state trendline entry per operator
+#: family landed after round 1 (appended per round; prior names stay
+#: comparable round-over-round).
+HEADLINE_EXTENSIONS = (
     # round-5 additions (VERDICT r4 #3): the round-4 operators get a
     # steady-state trendline so driver certification can't hide a silent
     # perf regression. Appended so prior names stay comparable.
@@ -74,10 +82,13 @@ HEADLINE = (
     # synthetic documents corpus draws from a ~25-word vocabulary, so
     # every 8-char substring shingle is corpus-hot and the inverted
     # index measures the frequency cap, not the plan — a corpus
-    # pathology real text does not have. Correctness runs at sf0.01
+    # pathology real text does not have (SCALE.md records the
+    # realistic-entropy ladder instead). Correctness runs at sf0.01
     # (oracle mirrors the cap); the plan shape is audited like the
     # other dedup joins.
 )
+
+HEADLINE = R1_HEADLINE + HEADLINE_EXTENSIONS
 
 
 #: ETL bench corpus: archives x features-per-archive (deterministic,
@@ -241,11 +252,11 @@ def main() -> None:
     timings["etl_load"] = etl_best
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    # the r1-comparable matched set (25 original headline queries +
+    # the r1-comparable matched set (the named R1_HEADLINE constant +
     # etl_load): reported as its own subtotal so the cross-round trendline
     # reads straight off the JSON — the total alone stopped being
     # comparable when round 5 widened the headline set (VERDICT r5 wrong #4)
-    matched = [*HEADLINE[:25], "etl_load"]
+    matched = [*R1_HEADLINE, "etl_load"]
     print(
         json.dumps(
             {

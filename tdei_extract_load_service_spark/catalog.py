@@ -1872,48 +1872,13 @@ def q_etl_load_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     (extract-load-service.ts:629) drops the 34 rows with i % 3 == 0, so 66
     carry elevation; the 50 LineString edges are strip-Z-only (no elevation
     for edges, :644-647), so 0. One file per kind."""
-    import io
-    import json
     import tempfile
-    import zipfile
 
+    from tdei_extract_load_service_spark.fixtures import write_osw_archive
     from tdei_extract_load_service_spark.plans.load_dataset import load_dataset
 
     root = tempfile.mkdtemp(prefix="etl_catalog_")
-    doc = {
-        "type": "FeatureCollection",
-        "name": "synthetic",
-        "features": [
-            {
-                "type": "Feature",
-                "geometry": {"type": "Point", "coordinates": [i * 0.5, -i * 0.25, float(i % 3)]},
-                "properties": {"_id": f"n{i}"},
-            }
-            for i in range(100)
-        ],
-    }
-    edges = {
-        "type": "FeatureCollection",
-        "name": "synthetic-edges",
-        "features": [
-            {
-                "type": "Feature",
-                "geometry": {
-                    "type": "LineString",
-                    "coordinates": [[i, i, 1.0], [i + 1, i + 1, 2.0]],
-                },
-                "properties": {"_id": f"e{i}"},
-            }
-            for i in range(50)
-        ],
-    }
-    buf = io.BytesIO()
-    with zipfile.ZipFile(buf, "w") as zf:
-        zf.writestr("nodes.geojson", json.dumps(doc))
-        zf.writestr("edges.geojson", json.dumps(edges))
-    archive = f"{root}/synthetic.zip"
-    with open(archive, "wb") as fh:
-        fh.write(buf.getvalue())
+    archive = write_osw_archive(f"{root}/synthetic.zip", n_nodes=100, n_edges=50)
     # manifest mode: the whole multi-sink load publishes through ONE
     # atomic pointer swap (sinks/manifest.py) — the driver's hash gate
     # therefore certifies the production single-commit-point path
@@ -2430,32 +2395,14 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: selective dim filter -> fact join -> agg -> top-k.
-    customer (filtered) broadcasts; lineitem never shuffles for the join;
-    the orderdate/shipdate predicates push into both fact scans."""
-    customer = _read(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
-    orders = _read(spark, sf_dir, "orders").where(
-        F.col("o_orderdate") < TS.utc_literal("1995-03-15 00:00:00")
-    )
-    li = _read(spark, sf_dir, "lineitem").where(
-        F.col("l_shipdate") > TS.utc_literal("1995-03-15 00:00:00")
-    )
-    joined = (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
-        .join(li, li.l_orderkey == orders.o_orderkey)
-    )
-    return (
-        joined.groupBy("l_orderkey", "o_orderdate")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
-        )
-        .select(
-            "l_orderkey",
-            "revenue",
-            TS.normalize_ts(F.col("o_orderdate"), "yyyy-MM-dd").alias("o_orderdate"),
-        )
-        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
-        .limit(10)
+    """TPC-H Q3 shape: selective dim filter -> fact join -> agg -> top-k
+    (plans/tpch.py q3_shipping_priority)."""
+    from tdei_extract_load_service_spark.plans.tpch import q3_shipping_priority
+
+    return q3_shipping_priority(
+        _read(spark, sf_dir, "customer"),
+        _read(spark, sf_dir, "orders"),
+        _read(spark, sf_dir, "lineitem"),
     )
 
 
@@ -2474,27 +2421,17 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: six-way join with a region filter that prunes
-    through nation -> supplier/customer before touching the facts. All
-    dimension sides broadcast; only the orders-lineitem join shuffles."""
-    customer = _read(spark, sf_dir, "customer")
-    orders = _read(spark, sf_dir, "orders")
-    li = _read(spark, sf_dir, "lineitem")
-    supplier = _read(spark, sf_dir, "supplier")
-    nation = _read(spark, sf_dir, "nation")
-    region = _read(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
-    nr = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-    sup = supplier.join(F.broadcast(nr), supplier.s_nationkey == nr.n_nationkey)
-    joined = (
-        orders.join(customer, orders.o_custkey == customer.c_custkey)
-        .join(li, li.l_orderkey == orders.o_orderkey)
-        .join(
-            F.broadcast(sup),
-            (li.l_suppkey == sup.s_suppkey) & (customer.c_nationkey == sup.s_nationkey),
-        )
-    )
-    return joined.groupBy("n_name").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    """TPC-H Q5 shape: six-way join, every dimension side broadcast
+    (plans/tpch.py q5_local_volume)."""
+    from tdei_extract_load_service_spark.plans.tpch import q5_local_volume
+
+    return q5_local_volume(
+        _read(spark, sf_dir, "customer"),
+        _read(spark, sf_dir, "orders"),
+        _read(spark, sf_dir, "lineitem"),
+        _read(spark, sf_dir, "supplier"),
+        _read(spark, sf_dir, "nation"),
+        _read(spark, sf_dir, "region"),
     )
 
 
@@ -2516,44 +2453,11 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 shape: the wide scan-agg — one pass over the biggest
-    table computing eight aggregates per (returnflag, linestatus), the
-    classic map-side-combine showcase (the shuffle carries <10 group rows
-    per task regardless of fact size). Cross-engine exactness discipline:
-    per-row products stay IEEE double (deterministic), the SUMs go
-    through DECIMAL(18,6) (order-independent, exact — the column_profile
-    trick), and each avg is ONE explicit double division — never the
-    engine's avg(). The shipdate predicate reaches PushedFilters."""
-    li = _read(spark, sf_dir, "lineitem").where(
-        F.col("l_shipdate") <= TS.utc_literal("1998-09-02 00:00:00")
-    )
-    # eight DECIMAL partial aggregates are real per-row compute: spread a
-    # single-row-group fixture scan so the partial phase uses every core
-    # (no-op on multi-row-group input; filter already pushed to the scan;
-    # the round-robin exchange carries only the six aggregate operands).
-    # Measured 1.42s -> 0.85s steady-state at sf0.1.
-    li = spread(
-        li.select(
-            "l_returnflag", "l_linestatus", "l_quantity",
-            "l_extendedprice", "l_discount", "l_tax",
-        )
-    )
+    """TPC-H Q1 shape: the wide scan-agg, DECIMAL-exact sums and
+    explicit-division averages (plans/tpch.py q1_pricing_summary)."""
+    from tdei_extract_load_service_spark.plans.tpch import q1_pricing_summary
 
-    def dsum(c: Column) -> Column:
-        return F.sum(c.cast("decimal(18,6)"))
-
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc * (1 + F.col("l_tax"))
-    return li.groupBy("l_returnflag", "l_linestatus").agg(
-        dsum(F.col("l_quantity")).cast("double").alias("sum_qty"),
-        dsum(F.col("l_extendedprice")).cast("double").alias("sum_base_price"),
-        dsum(disc).cast("double").alias("sum_disc_price"),
-        dsum(charge).cast("double").alias("sum_charge"),
-        F.round(dsum(F.col("l_quantity")).cast("double") / F.count("*"), 6).alias("avg_qty"),
-        F.round(dsum(F.col("l_extendedprice")).cast("double") / F.count("*"), 6).alias("avg_price"),
-        F.round(dsum(F.col("l_discount")).cast("double") / F.count("*"), 6).alias("avg_disc"),
-        F.count("*").alias("count_order"),
-    )
+    return q1_pricing_summary(_read(spark, sf_dir, "lineitem"))
 
 
 @register(
@@ -2568,24 +2472,11 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q6 shape: pure predicate-pushdown showcase — four conjunctive
-    filters (two range families) that must ALL reach the parquet scan,
-    then a single global sum. At 100 TB this is the query where pushdown
-    + row-group statistics skipping decide everything; the plan audit
-    asserts every predicate lands in PushedFilters and there is no join
-    and no second pass."""
-    li = _read(spark, sf_dir, "lineitem").where(
-        (F.col("l_shipdate") >= TS.utc_literal("1994-01-01 00:00:00"))
-        & (F.col("l_shipdate") < TS.utc_literal("1995-01-01 00:00:00"))
-        & (F.col("l_discount") >= 0.05)
-        & (F.col("l_discount") <= 0.07)
-        & (F.col("l_quantity") < 24)
-    )
-    return li.agg(
-        F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)"))
-        .cast("double")
-        .alias("revenue")
-    )
+    """TPC-H Q6 shape: pure predicate pushdown — all four conjuncts
+    reach PushedFilters (plans/tpch.py q6_forecast_revenue; audited)."""
+    from tdei_extract_load_service_spark.plans.tpch import q6_forecast_revenue
+
+    return q6_forecast_revenue(_read(spark, sf_dir, "lineitem"))
 
 
 @register(
@@ -2917,12 +2808,22 @@ def q_similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tools/oracle_check.py, which the judge runs — a demotion is a move to
 # the soft signal, not to zero signal.
 #
-# ROUND-7 PROMOTION QUEUE (policy rule (a)): the round-6 entries —
+# Round-7 rotation (VERDICT r6 #3, executing the queue written last
+# round): promoted the eight oracle-able round-6 entries —
 # column_profile_categorical, histogram_auto, text_repetition_stats,
 # corpus_prep, tpch_q1_pricing_summary, tpch_q6_forecast_revenue,
-# text_winnow_fingerprint, dedup_winnow (column_distinct_sketch may stay
-# tail: rows-only signal either way) — must enter the window at the
-# start of round 7.
+# text_winnow_fingerprint (post-O(len^2)-fix), dedup_winnow (post-fix);
+# column_distinct_sketch stays tail (rows-only signal either way).
+# Demoted eight long-stable shape-subsumed entries, none changed this
+# round: histogram (histogram_auto runs the same map-side-combined
+# binning agg plus the bounds pass), unpivot + grouping_sets (the
+# Expand machinery is certified by in-window column_profile_categorical;
+# agg_group covers the grouped agg), interval_join (join_range keeps the
+# bucketized non-equi family in-window), window_range_frame (Window
+# frame machinery rides in-window text_pack_sequences/grouped_normalize),
+# text_fingerprint (corpus_prep's dedup stage IS fingerprint()),
+# text_ngram_topk (text_tfidf_topk certifies the n-gram agg + ranking),
+# multimodal_audio (four sibling mapInPandas codecs stay in-window).
 #
 # Round-6 rotation (VERDICT r5 #1): promoted the six round-5 operators
 # that had never had a driver CORRECTNESS row — dedup_embedding_lsh,
@@ -2960,11 +2861,8 @@ DRIVER_WINDOW: list[str] = [
     "topk_similarity",
     "similarity_ivf",
     "text_quality",
-    "text_fingerprint",
     "etl_load_dataset",
-    "grouping_sets",
     "join_range",
-    "text_ngram_topk",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_volume",
     "grouped_normalize",
@@ -2977,17 +2875,20 @@ DRIVER_WINDOW: list[str] = [
     "text_tfidf_topk",
     "text_pack_sequences",
     "embedding_quantize",
-    "multimodal_audio",
-    "interval_join",
-    "unpivot",
-    "window_range_frame",
-    "histogram",
     "dedup_embedding_lsh",
     "column_profile",
     "column_correlations",
     "multimodal_decode_jpeg",
     "multimodal_resize",
     "multimodal_video_frames",
+    "column_profile_categorical",
+    "histogram_auto",
+    "text_repetition_stats",
+    "corpus_prep",
+    "tpch_q1_pricing_summary",
+    "tpch_q6_forecast_revenue",
+    "text_winnow_fingerprint",
+    "dedup_winnow",
 ]
 
 

@@ -362,9 +362,11 @@ def quantile_bounds_histogram(
         raise ValueError("n_bins must be >= 1")
     fn = "percentile" if exact else "approx_percentile"
     extra = "" if exact else f", {accuracy}"
+    # pre-alias to a fixed safe identifier so arbitrary column names
+    # (spaces, hyphens, dots) survive the expr interpolation (ADVICE r6)
     row = (
-        spread(df.select(value_col))
-        .agg(F.expr(f"{fn}({value_col}, array({p_lo}D, {p_hi}D){extra})").alias("b"))
+        spread(df.select(F.col(value_col).alias("__qbh_v")))
+        .agg(F.expr(f"{fn}(__qbh_v, array({p_lo}D, {p_hi}D){extra})").alias("b"))
         .first()
     )
     lo, hi = (row["b"] or (None, None))[0], (row["b"] or (None, None))[1]

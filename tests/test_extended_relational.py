@@ -270,3 +270,11 @@ def test_quantile_bounds_histogram_covers_every_row(spark):
     const = spark.createDataFrame([(7.0,)] * 10, "v: double")
     with pytest.raises(ValueError, match="degenerate range"):
         quantile_bounds_histogram(const, "v", n_bins=5)
+
+    # non-identifier column names must survive the percentile expr
+    # (ADVICE r6: the raw name used to be interpolated into F.expr)
+    odd = spark.createDataFrame(
+        [(float(i),) for i in range(100)], ["my odd-column name"]
+    )
+    hist = quantile_bounds_histogram(odd, "my odd-column name", n_bins=4).collect()
+    assert sum(r["n"] for r in hist) == 100
