@@ -78,7 +78,8 @@ HEADLINE_EXTENSIONS = (
     "tpch_q1_pricing_summary",
     "tpch_q6_forecast_revenue",
     "text_winnow_fingerprint",
-    # dedup_winnow is EXCLUDED from the sf0.1 headline deliberately: the
+    # dedup_winnow (and its r7 composition dedup_winnow_cluster) is
+    # EXCLUDED from the sf0.1 headline deliberately: the
     # synthetic documents corpus draws from a ~25-word vocabulary, so
     # every 8-char substring shingle is corpus-hot and the inverted
     # index measures the frequency cap, not the plan — a corpus

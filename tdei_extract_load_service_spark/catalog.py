@@ -1746,6 +1746,79 @@ def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_winnow_cluster",
+    r"""
+    WITH RECURSIVE
+    t AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
+    h AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(length(s) - 7, 0)),
+                            i -> substr(md5(substr(s, i, 8)), 1, 16)) AS hs
+      FROM t
+    ),
+    m AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(len(hs) - 3, 0)),
+                            j -> list_min(hs[j:j+3])) AS mins
+      FROM h
+    ),
+    sel AS (
+      SELECT doc_id, list_distinct(mins) AS ws, len(list_distinct(mins)) AS sz
+      FROM m WHERE len(mins) >= 1
+    ),
+    e AS (SELECT doc_id, sz, unnest(ws) AS hh FROM sel),
+    keep AS (SELECT hh FROM e GROUP BY hh HAVING COUNT(*) <= 256),
+    ef AS (SELECT e.doc_id, e.sz, e.hh FROM e JOIN keep USING (hh)),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.sz AS sa, b.sz AS sb, COUNT(*) AS n
+      FROM ef a JOIN ef b ON a.hh = b.hh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ),
+    pr AS (
+      SELECT doc_a, doc_b FROM p
+      WHERE ROUND(n::DOUBLE / (sa + sb - n), 6) >= 0.5
+    ),
+    edges(a, b) AS (
+      SELECT doc_a, doc_b FROM pr
+      UNION SELECT doc_b, doc_a FROM pr
+      UNION SELECT doc_id, doc_id FROM documents
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a
+    )
+    SELECT a AS doc_id, MIN(b) AS cluster_id, (a = MIN(b)) AS is_survivor
+    FROM reach GROUP BY a
+    """,
+)
+def q_dedup_winnow_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end SUBSTRING-level dedup (VERDICT r6 #8): winnow pairs ->
+    connected components -> survivor election, completing the family the
+    word-level path already has (dedup_cluster). Pair generation is the
+    production winnow_pairs configuration (max_hash_df=256, threshold
+    0.5); min-label propagation (operators/dedup.py dedup_clusters) then
+    shuffles only (id, label) longs per round; the survivor is the min
+    doc id of each component. The oracle is the transitive-closure
+    recursive CTE over the identically-capped winnow edge set — the
+    whole ladder, fingerprints through survivors, is value-checked."""
+    from tdei_extract_load_service_spark.operators.dedup import (
+        dedup_clusters,
+        winnow_pairs,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = winnow_pairs(docs, "doc_id", "text", threshold=0.5, max_hash_df=256)
+    labels = dedup_clusters(docs.select("doc_id"), pairs, "doc_id")
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_survivor"),
+    )
+
+
+@register(
     "corpus_prep",
     r"""
     WITH w AS (

@@ -400,3 +400,34 @@ def test_winnow_pairs_exact_and_capped(spark):
     assert set(capped) <= set(full), "cap must never CREATE pairs"
     for key, j in capped.items():
         assert j <= full[key] + 1e-9, f"cap raised jaccard at {key}"
+
+
+def test_winnow_cluster_composition(spark):
+    """Winnow pairs -> connected components -> survivor election (the
+    r7 composed entry): every doc gets a label, the label is the min id
+    of its component (so labels are <= their doc ids and are themselves
+    survivors), transitive chains collapse into ONE cluster even when
+    the endpoints never pair directly, and non-duplicates stay
+    singletons."""
+    from tdei_extract_load_service_spark.operators.dedup import (
+        dedup_clusters,
+        winnow_pairs,
+    )
+
+    passage = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (1, passage),
+        (2, passage + " extra tail"),
+        (3, "INTRO " + passage),        # chains to 1 via 2 or directly
+        (4, "completely unrelated content with different words entirely"),
+        (5, "short"),                    # below winnow threshold: NULL set
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    pairs = winnow_pairs(df, "doc_id", "text", threshold=0.3)
+    labels = {r["doc_id"]: r["cluster_id"] for r in
+              dedup_clusters(df.select("doc_id"), pairs, "doc_id").collect()}
+    assert set(labels) == {1, 2, 3, 4, 5}
+    assert labels[1] == labels[2] == labels[3] == 1
+    assert labels[4] == 4 and labels[5] == 5
+    survivors = {d for d, c in labels.items() if d == c}
+    assert survivors == {1, 4, 5}
