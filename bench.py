@@ -78,6 +78,11 @@ HEADLINE_EXTENSIONS = (
     "tpch_q1_pricing_summary",
     "tpch_q6_forecast_revenue",
     "text_winnow_fingerprint",
+    # round-7 additions: the two new TPC-H shapes (semi-join rollup,
+    # broadcast-dim conditional ratio) get their steady-state trendline
+    # the round they land
+    "tpch_q4_order_priority",
+    "tpch_q14_promo_effect",
     # dedup_winnow (and its r7 composition dedup_winnow_cluster) is
     # EXCLUDED from the sf0.1 headline deliberately: the
     # synthetic documents corpus draws from a ~25-word vocabulary, so

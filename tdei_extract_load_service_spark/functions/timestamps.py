@@ -36,11 +36,23 @@ def utc_literal(ts_string: str) -> Column:
     """Instant for a UTC wall-clock literal, independent of session tz.
 
     ``lit(s).cast("timestamp")`` interprets the string in the *session*
-    timezone; shifting by ``current_timezone()`` pins it to UTC so
-    predicates like ``ts <= utc_literal('1998-09-02')`` select the same
-    rows under any driver session configuration.
-    """
-    return F.to_utc_timestamp(F.lit(ts_string).cast("timestamp"), F.current_timezone())
+    timezone (wall clock s at offset tz -> instant s - offset);
+    ``from_utc_timestamp(c, current_timezone())`` applies the offset once
+    more in the opposite direction (instant + offset), cancelling the
+    cast's shift exactly — the result is the instant whose UTC wall
+    clock is ``s`` under ANY session timezone, matching both ``_read``'s
+    NTZ normalization and the DuckDB oracle's naive comparison.
+
+    Direction matters (round-7 regression find): the original
+    implementation used ``to_utc_timestamp``, which shifts the SAME way
+    as the cast — under America/Los_Angeles the literal landed at
+    s + 16h UTC, silently moving date-window boundaries by a day. Every
+    prior entry happened to hide it (strict-bound windows with no
+    boundary-midnight rows, top-k cutoffs); the round-7 Q4/Q14
+    whole-window counts exposed it in the vanilla/LA sweep. Both
+    operands are foldable, so the comparison still constant-folds and
+    reaches PushedFilters."""
+    return F.from_utc_timestamp(F.lit(ts_string).cast("timestamp"), F.current_timezone())
 
 
 def is_valid_ts(ts: str | Column) -> Column:

@@ -120,6 +120,65 @@ def q5_local_volume(
     )
 
 
+def q4_order_priority(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4 shape (adapted to the fixture columns: the stock EXISTS
+    predicate compares l_commitdate/l_receiptdate, which the fixtures
+    lack; ours keeps the identical plan skeleton — date-windowed orders,
+    an EXISTS-decorrelated semi join against lineitem with an extra
+    non-equi conjunct, priority rollup): orders placed in Q1-1996 where
+    some line shipped more than 90 days after the order date. The
+    optimizer must produce a LeftSemi join (one probe per order, no
+    fan-out duplication) with the date window pushed to the orders scan.
+
+    Cross-engine note: day arithmetic uses datediff (Spark) vs
+    date_diff('day', ...) (DuckDB) — both count calendar-day boundaries,
+    and on UTC-midnight fixture timestamps the session-timezone date
+    casts shift BOTH operands identically, so the difference is
+    tz-stable (probed under America/Los_Angeles)."""
+    o = orders.where(
+        (F.col("o_orderdate") >= TS.utc_literal("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < TS.utc_literal("1996-04-01 00:00:00"))
+    )
+    li = lineitem.select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (li.l_orderkey == o.o_orderkey)
+        & (F.datediff(li.l_shipdate, o.o_orderdate) > 90),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def q14_promo_effect(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q14 shape: fact-dimension broadcast join + conditional
+    revenue ratio in ONE aggregation — the part side broadcasts (no fact
+    shuffle), both CASE branches ride the same map-side-combined pass,
+    and the single-row ratio is one double division over DECIMAL-exact
+    sums (never a second query)."""
+    li = lineitem.where(
+        (F.col("l_shipdate") >= TS.utc_literal("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < TS.utc_literal("1996-07-01 00:00:00"))
+    )
+    joined = li.join(
+        F.broadcast(part.select("p_partkey", "p_type")),
+        li.l_partkey == part.p_partkey,
+    )
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(zero))
+    total = F.sum(disc)
+    return joined.agg(
+        F.round(
+            F.lit(100.0) * promo.cast("double") / total.cast("double"), 6
+        ).alias("promo_revenue")
+    )
+
+
 def q6_forecast_revenue(lineitem: DataFrame) -> DataFrame:
     """TPC-H Q6: four conjunctive predicates, all reaching PushedFilters,
     then one global DECIMAL-exact sum — no join, no second pass."""

@@ -14,18 +14,23 @@ import os
 from tdei_extract_load_service_spark.catalog import DRIVER_WINDOW, REGISTRY, ordered_registry
 
 # Entries the north star cares most about — must always be driver-checked.
-# r6 rotation (VERDICT r5 #1): similarity_lsh_bucketed hands flagship
-# status to dedup_embedding_lsh, which certifies the same seeded-plane
-# machinery end-to-end plus verify; the round-5 profiling/multimodal
-# operators join for their first driver certification.
+# r7 rotation (VERDICT r6 #3): the promoted round-6 entries take
+# flagship status; the demoted shape-subsumed entries (text_ngram_topk,
+# multimodal_audio, interval_join, unpivot, window_range_frame,
+# histogram) hand it to their in-window siblings — histogram_auto runs
+# the same binning agg plus the bounds pass, column_profile_categorical
+# certifies the Expand/melt machinery, corpus_prep exercises
+# fingerprint(), and the winnow pair (post-O(len^2)-fix) anchors the
+# substring-dedup family.
 FLAGSHIPS = [
     "dedup_lsh_verified",
     "quantiles",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_volume",
+    "tpch_q1_pricing_summary",
+    "tpch_q6_forecast_revenue",
     "join_asof",
     "session_window",
-    "text_ngram_topk",
     "grouped_normalize",
     "dedup_cluster",
     "etl_load_dataset",
@@ -35,12 +40,13 @@ FLAGSHIPS = [
     "text_tfidf_topk",
     "text_pack_sequences",
     "embedding_quantize",
-    "multimodal_audio",
-    "interval_join",
-    "unpivot",
-    "window_range_frame",
-    "histogram",
+    "text_repetition_stats",
+    "text_winnow_fingerprint",
+    "dedup_winnow",
+    "corpus_prep",
+    "histogram_auto",
     "column_profile",
+    "column_profile_categorical",
     "column_correlations",
     "multimodal_decode_jpeg",
     "multimodal_resize",

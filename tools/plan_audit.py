@@ -107,6 +107,13 @@ EXPECTATIONS: dict[str, list[str]] = {
     "tpch_q1_pricing_summary": ["HashAggregate", "partial_sum", "PushedFilters: \\[.*LessThanOrEqual", "!Join"],
     # TPC-H Q6: every predicate in PushedFilters, one global agg, no join
     "tpch_q6_forecast_revenue": ["PushedFilters: \\[.*GreaterThanOrEqual.*l_discount", "PushedFilters: \\[.*LessThan\\(l_quantity", "partial_sum", "!Join"],
+    # TPC-H Q4 (adapted): EXISTS must decorrelate to a LeftSemi join
+    # (one probe per order, no fan-out duplication); the orders date
+    # window reaches the scan
+    "tpch_q4_order_priority": ["LeftSemi", "PushedFilters: \\[.*GreaterThanOrEqual\\(o_orderdate", "HashAggregate", "partial_count"],
+    # TPC-H Q14: the part dimension broadcasts (no fact shuffle); both
+    # CASE branches ride one map-side-combined aggregation
+    "tpch_q14_promo_effect": ["BroadcastHashJoin", "partial_sum", "!SortMergeJoin", "!ShuffledHashJoin"],
     # winnowing fingerprint: one Arrow-batched O(len) fan-out — no
     # shuffle beyond the deliberate input spread, no join, no
     # aggregation, and NO array_min anywhere: array_min in this plan
