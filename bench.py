@@ -83,6 +83,9 @@ HEADLINE_EXTENSIONS = (
     # the round they land
     "tpch_q4_order_priority",
     "tpch_q14_promo_effect",
+    "tpch_q13_customer_distribution",
+    "tpch_q18_large_volume_customer",
+    "tpch_q22_global_sales_opportunity",
     # dedup_winnow (and its r7 composition dedup_winnow_cluster) is
     # EXCLUDED from the sf0.1 headline deliberately: the
     # synthetic documents corpus draws from a ~25-word vocabulary, so

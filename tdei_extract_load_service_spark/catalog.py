@@ -2539,6 +2539,101 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q13_customer_distribution",
+    """
+    WITH o AS (
+      SELECT o_custkey FROM orders WHERE o_orderpriority <> '1-URGENT'
+    ),
+    per_cust AS (
+      SELECT c_custkey, COUNT(o_custkey) AS c_count
+      FROM customer LEFT JOIN o ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: zero-inclusive orders-per-customer distribution,
+    aggregated BEFORE the outer join so no fact row rides the shuffle
+    (plans/tpch.py q13_customer_distribution — the oracle keeps the
+    textbook outer-join formulation, proving the rewrite value-equal)."""
+    from tdei_extract_load_service_spark.plans.tpch import q13_customer_distribution
+
+    return q13_customer_distribution(
+        _read(spark, sf_dir, "customer"), _read(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "tpch_q18_large_volume_customer",
+    """
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 300.0
+    )
+    SELECT c_name, c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           ROUND(o_totalprice, 2) AS o_totalprice, sum_qty
+    FROM big JOIN orders ON o_orderkey = l_orderkey
+             JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: map-side-combined GROUP-HAVING on the fact, tiny
+    survivor set broadcasts back through orders and customer
+    (plans/tpch.py q18_large_volume_customer)."""
+    from tdei_extract_load_service_spark.plans.tpch import q18_large_volume_customer
+
+    return q18_large_volume_customer(
+        _read(spark, sf_dir, "customer"),
+        _read(spark, sf_dir, "orders"),
+        _read(spark, sf_dir, "lineitem"),
+    )
+
+
+@register(
+    "tpch_q22_global_sales_opportunity",
+    """
+    WITH cust AS (
+      SELECT c_custkey, c_nationkey, c_acctbal
+      FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9)
+    ),
+    ab AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_bal
+      FROM cust WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey, COUNT(*) AS numcust,
+           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 2) AS totacctbal
+    FROM cust, ab
+    WHERE c_acctbal > avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey ASC
+    """,
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: one-row scalar-aggregate broadcast feeding a
+    per-row predicate, then an anti join and rollup (plans/tpch.py
+    q22_global_sales_opportunity — adaptation note there)."""
+    from tdei_extract_load_service_spark.plans.tpch import (
+        q22_global_sales_opportunity,
+    )
+
+    return q22_global_sales_opportunity(
+        _read(spark, sf_dir, "customer"), _read(spark, sf_dir, "orders")
+    )
+
+
+@register(
     "grouped_normalize",
     """
     WITH e AS (
@@ -2801,7 +2896,10 @@ def q_similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the soft signal, not to zero signal.
 #
 # ROUND-8 PROMOTION QUEUE (policy rule (a)): the round-7 entries —
-# dedup_winnow_cluster, tpch_q4_order_priority, tpch_q14_promo_effect —
+# dedup_winnow_cluster, tpch_q4_order_priority, tpch_q14_promo_effect,
+# tpch_q13_customer_distribution, tpch_q18_large_volume_customer,
+# tpch_q22_global_sales_opportunity, text_contamination,
+# text_token_budget_sample, events_funnel, events_retention —
 # must enter the window at the start of round 8.
 #
 # Round-7 rotation (VERDICT r6 #3, executing the queue written last

@@ -179,6 +179,119 @@ def q14_promo_effect(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     )
 
 
+def q13_customer_distribution(
+    customer: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """TPC-H Q13 shape (adapted to the fixture columns: the stock
+    anti-predicate is on o_comment, which the fixtures lack; ours filters
+    ``o_orderpriority <> '1-URGENT'`` — the plan skeleton is identical):
+    orders-per-customer distribution including zero-order customers.
+
+    The textbook formulation is a LEFT OUTER join customer->orders
+    followed by two aggregations; at 100 TB that outer join fans every
+    order row through a shuffle keyed on custkey.  The engine instead
+    AGGREGATES BEFORE JOINING: orders collapse to (o_custkey, c_count)
+    with map-side partial counts first — the join input shrinks from
+    |orders| rows to |customers-with-orders| rows — then a left join
+    fills the zero-count customers via coalesce.  Both shapes are
+    value-identical (COUNT(o_orderkey) over the outer join counts only
+    matched rows, exactly the pre-aggregated count); the second
+    aggregation groups on c_count (tiny domain) and is all map-side."""
+    o = orders.where(F.col("o_orderpriority") != "1-URGENT").select("o_custkey")
+    ocnt = o.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+    per_cust = customer.select("c_custkey").join(
+        ocnt, customer.c_custkey == ocnt.o_custkey, "left_outer"
+    ).select(F.coalesce(F.col("n_orders"), F.lit(0)).alias("c_count"))
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q18_large_volume_customer(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    threshold: float = 300.0,
+) -> DataFrame:
+    """TPC-H Q18 shape: GROUP-HAVING over the biggest table, then rejoin
+    the survivors to the dimension tables.  The quantity rollup is
+    map-side combined and DECIMAL-exact; the HAVING filter collapses it
+    to a handful of hot orders, and THAT tiny relation broadcasts
+    through orders and customer — the two joins never shuffle a fact
+    row.  Top-100 is TakeOrderedAndProject (no global sort)."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_qty")
+        )
+        .where(F.col("sum_qty") > threshold)
+    )
+    big_orders = orders.join(
+        F.broadcast(big), orders.o_orderkey == big.l_orderkey
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "sum_qty")
+    out = customer.join(
+        F.broadcast(big_orders), customer.c_custkey == big_orders.o_custkey
+    )
+    return (
+        out.select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            TS.normalize_ts(F.col("o_orderdate"), "yyyy-MM-dd").alias("o_orderdate"),
+            F.round(F.col("o_totalprice"), 2).alias("o_totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+def q22_global_sales_opportunity(
+    customer: DataFrame, orders: DataFrame, nations: tuple[int, ...] = (1, 3, 5, 7, 9)
+) -> DataFrame:
+    """TPC-H Q22 shape (adapted to the fixture columns: the stock query
+    selects on phone country codes and anti-joins customers with NO
+    orders — the fixtures have no c_phone and every customer has orders,
+    so ours selects on a nation set and anti-joins customers with no
+    URGENT order; skeleton identical): a global scalar aggregate feeds a
+    per-row predicate, then an anti join, then a rollup.
+
+    Scale shape: the scalar average is ONE map-side-combined pass
+    collapsed to a single row that cross-join-broadcasts into the
+    filter (BroadcastNestedLoopJoin over exactly one row — no shuffle);
+    the anti join shuffles only (custkey) pairs and AQE may broadcast
+    the filtered side.  The average is a DECIMAL-exact sum with one
+    explicit double division, per the cross-engine parity recipes."""
+    cust = customer.where(F.col("c_nationkey").isin(*nations)).select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+        ).alias("avg_bal")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).where(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    lost = rich.join(urgent, rich.c_custkey == urgent.o_custkey, "left_anti")
+    return (
+        lost.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double"), 2
+            ).alias("totacctbal"),
+        )
+        .orderBy(F.col("c_nationkey").asc())
+    )
+
+
 def q6_forecast_revenue(lineitem: DataFrame) -> DataFrame:
     """TPC-H Q6: four conjunctive predicates, all reaching PushedFilters,
     then one global DECIMAL-exact sum — no join, no second pass."""

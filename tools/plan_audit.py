@@ -114,6 +114,18 @@ EXPECTATIONS: dict[str, list[str]] = {
     # TPC-H Q14: the part dimension broadcasts (no fact shuffle); both
     # CASE branches ride one map-side-combined aggregation
     "tpch_q14_promo_effect": ["BroadcastHashJoin", "partial_sum", "!SortMergeJoin", "!ShuffledHashJoin"],
+    # TPC-H Q13 (adapted): aggregate-before-join — the plan must show
+    # the orders count aggregating map-side BEFORE any join (no fact
+    # row rides the outer-join shuffle), and the outer join itself
+    "tpch_q13_customer_distribution": ["partial_count", "LeftOuter|BuildRight", "HashAggregate", "!CartesianProduct"],
+    # TPC-H Q18: GROUP-HAVING collapses the fact map-side, the survivor
+    # set broadcasts through both rejoins (no fact-side shuffle join),
+    # top-100 is TakeOrdered (no global sort)
+    "tpch_q18_large_volume_customer": ["partial_sum", "BroadcastHashJoin", "TakeOrderedAndProject", "!SortMergeJoin", "!ShuffledHashJoin"],
+    # TPC-H Q22: the scalar average broadcasts as a one-row nested loop
+    # (the ONLY acceptable BNLJ in the audit), the urgent-orders anti
+    # join stays an equi anti join, the rollup is map-side combined
+    "tpch_q22_global_sales_opportunity": ["BroadcastNestedLoopJoin", "LeftAnti", "partial_sum", "!CartesianProduct"],
     # winnowing fingerprint: one Arrow-batched O(len) fan-out — no
     # shuffle beyond the deliberate input spread, no join, no
     # aggregation, and NO array_min anywhere: array_min in this plan
