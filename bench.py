@@ -86,6 +86,10 @@ HEADLINE_EXTENSIONS = (
     "tpch_q13_customer_distribution",
     "tpch_q18_large_volume_customer",
     "tpch_q22_global_sales_opportunity",
+    "text_contamination",
+    "text_token_budget_sample",
+    "events_funnel",
+    "events_retention",
     # dedup_winnow (and its r7 composition dedup_winnow_cluster) is
     # EXCLUDED from the sf0.1 headline deliberately: the
     # synthetic documents corpus draws from a ~25-word vocabulary, so

@@ -2860,6 +2860,151 @@ def q_similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Decontamination, token-budget sampling, event-sequence analytics (round 7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_contamination",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, source,
+             substr(md5(array_to_string(list_slice(w, i, i + 12), ' ')), 1, 16) AS gram
+      FROM toks, unnest(generate_series(1, len(w) - 12)) AS t(i)
+      WHERE len(w) >= 13
+    ),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE source IN ('src0', 'src1'))
+    SELECT doc_id, COUNT(*) AS n_shared
+    FROM grams JOIN bench USING (gram)
+    WHERE source NOT IN ('src0', 'src1')
+    GROUP BY doc_id
+    """,
+)
+def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus documents (sources other than
+    src0/src1) sharing any word 13-gram with the src0/src1 "benchmark"
+    slice, with the distinct shared-gram count — the standard
+    pretraining-hygiene sweep (operators/text.py contamination_check;
+    the O(len) Arrow-batched gram fan-out mirrors winnow_sets)."""
+    from tdei_extract_load_service_spark.operators.text import contamination_check
+
+    docs = spread(_read(spark, sf_dir, "documents"))
+    bench_src = F.col("source").isin("src0", "src1")
+    return contamination_check(
+        docs.where(~bench_src), docs.where(bench_src), "doc_id", "text", n=13
+    )
+
+
+@register(
+    "text_token_budget_sample",
+    r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source
+                                 ORDER BY md5(CAST(doc_id AS VARCHAR))
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 500
+    """,
+)
+def q_text_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget sampling: keep documents in
+    content-addressed (md5) order until each source's cumulative
+    whitespace-token count reaches 500 — the reproducible
+    "N tokens per domain" mix primitive (operators/sampling.py
+    token_budget_sample; one stratum shuffle, no join)."""
+    from tdei_extract_load_service_spark.operators import text as TX
+    from tdei_extract_load_service_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "source", TX.token_count_ws("text").alias("n_tokens")
+    )
+    return token_budget_sample(
+        docs, "doc_id", "source", "n_tokens", budget=500
+    )
+
+
+@register(
+    "events_funnel",
+    """
+    WITH w0 AS (
+      SELECT user_id, ts, event_type,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) OVER win AS m0
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    w1 AS (
+      SELECT *,
+             MIN(CASE WHEN event_type = 'click' AND m0 IS NOT NULL AND m0 < ts
+                      THEN ts END) OVER win AS m1
+      FROM w0
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT
+      COUNT(DISTINCT CASE WHEN event_type = 'view' THEN user_id END)
+        AS n_step1_view,
+      COUNT(DISTINCT CASE WHEN event_type = 'click' AND m0 IS NOT NULL AND m0 < ts
+                          THEN user_id END) AS n_step2_click,
+      COUNT(DISTINCT CASE WHEN event_type = 'purchase' AND m1 IS NOT NULL AND m1 < ts
+                          THEN user_id END) AS n_step3_purchase
+    FROM w1
+    """,
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered view->click->purchase funnel in ONE window pass
+    (operators/events.py funnel — running min of each step's qualifying
+    time; no per-step self-join). Tie semantics pinned: equal timestamps
+    never advance the funnel, so the result is deterministic whatever
+    the peer order."""
+    from tdei_extract_load_service_spark.operators.events import funnel
+
+    return funnel(
+        _read_events(spark, sf_dir), "user_id", "ts", "event_type",
+        steps=("view", "click", "purchase"),
+    )
+
+
+@register(
+    "events_retention",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d FROM events
+    ),
+    c AS (SELECT user_id, MIN(d) AS cd FROM ud GROUP BY user_id)
+    SELECT ud.d - c.cd AS day_offset, COUNT(*) AS n_users
+    FROM ud JOIN c ON ud.user_id = c.user_id
+    GROUP BY day_offset
+    ORDER BY day_offset
+    """,
+)
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention curve over UTC day numbers (integer epoch DIV —
+    session-tz independent): users active exactly d days after their
+    first event day (operators/events.py retention — one per-user agg
+    with window-bounded state, no (user, day) pre-distinct, no join)."""
+    from tdei_extract_load_service_spark.operators.events import retention
+
+    return retention(_read_events(spark, sf_dir), "user_id", "ts")
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
 # The correctness driver samples the first 50 registry entries in dict

@@ -1,0 +1,127 @@
+"""Event-sequence analytics: funnels and cohort retention.
+
+The behavioral-analytics queries every event pipeline runs (reference
+parity: the stats-aggregation family of O19 generalized to ordered
+event sequences, SURVEY.md §2.3 extension). Both operators are
+single-shuffle shapes: the funnel is one window pass over
+(user, event-time) order; retention is one per-user aggregation whose
+state is bounded by the observation window, never the event volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Epoch micros per day — UTC day bucketing via integer arithmetic is
+#: session-timezone independent (the window_tumbling recipe), unlike
+#: ``cast(ts as date)`` which follows the session zone.
+_US_PER_DAY = 86_400_000_000
+
+
+def _col(c: str | Column) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def funnel(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: tuple[str, ...],
+) -> DataFrame:
+    """Strictly-ordered funnel: one row with, per step i, the number of
+    users who performed step i at a strictly later event time than their
+    qualifying step i-1 occurrence (step 0 qualifies unconditionally).
+
+    Semantics pinned for determinism: a user's qualifying time for step
+    i is the EARLIEST occurrence of step i strictly after the qualifying
+    time of step i-1 ("earliest click after the first view"); ties in
+    event time do NOT advance the funnel (strict ``<`` on the
+    timestamp), so the result is independent of the arbitrary order of
+    equal-timestamp rows.
+
+    Scale shape: ONE shuffle — a single window partitioned by user and
+    sorted by event time computes, at each row, the running qualifying
+    time of every prior step (a running ``min(CASE ...)`` per step);
+    the final count is one map-side-combined global aggregation of
+    per-row booleans. No self-join per step (the textbook k-way join
+    formulation shuffles the fact k times); window state is O(steps)
+    per user. Window frames end at ``currentRow`` and qualification
+    compares VALUES (prior-step time < this row's time), so
+    equal-timestamp peers inside the frame cannot fake strict order."""
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    u, t, ty = _col(user_col), _col(ts_col), _col(type_col)
+    df = events.select(u.alias("_u"), t.alias("_t"), ty.alias("_ty"))
+    w = (
+        Window.partitionBy("_u")
+        .orderBy(F.col("_t").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # qualified step times, computed left to right; _q{i} is this row's
+    # "step i happened at this row and the funnel had reached step i-1
+    # strictly earlier" flag, _m{i} the running earliest qualified time
+    prev_time: Column | None = None
+    flags = []
+    for i, step in enumerate(steps):
+        if prev_time is None:
+            qualified = F.col("_ty") == step
+        else:
+            qualified = (F.col("_ty") == step) & prev_time.isNotNull() & (
+                prev_time < F.col("_t")
+            )
+        df = df.withColumn(f"_q{i}", qualified)
+        df = df.withColumn(
+            f"_m{i}", F.min(F.when(F.col(f"_q{i}"), F.col("_t"))).over(w)
+        )
+        prev_time = F.col(f"_m{i}")
+        flags.append(f"_q{i}")
+    aggs = [
+        F.count_distinct(F.when(F.col(f), F.col("_u"))).alias(
+            f"n_step{i + 1}_{steps[i]}"
+        )
+        for i, f in enumerate(flags)
+    ]
+    return df.agg(*aggs)
+
+
+def retention(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    max_offset: int | None = None,
+) -> DataFrame:
+    """Cohort retention curve: for each day offset d, the number of
+    users active (>= 1 event) exactly d UTC days after their first-ever
+    event day. Offset 0 is the cohort size (every user is active on
+    their first day). Returns ``(day_offset, n_users)``.
+
+    Scale shape: ONE per-user aggregation — ``min(day)`` plus the
+    distinct active-day set (bounded by the observation window, 31 days
+    here, NOT by event volume: collect_set dedups map-side) — then an
+    explode to (user, offset) and a tiny second aggregation over at
+    most ``max_offset`` groups. No (user, day) distinct pre-shuffle, no
+    join back for the cohort day."""
+    # exact integer day bucketing: micros are ~1.7e18, beyond double's
+    # exact range, so the division MUST be integer DIV, never float
+    staged = events.select(
+        _col(user_col).alias("_u"), F.unix_micros(_col(ts_col)).alias("_us")
+    )
+    per_user = (
+        staged.select("_u", F.expr(f"_us DIV {_US_PER_DAY}").alias("_d"))
+        .groupBy("_u")
+        .agg(F.min("_d").alias("_cohort"), F.collect_set("_d").alias("_days"))
+    )
+    offsets = per_user.select(
+        F.explode(
+            F.transform("_days", lambda d: d - F.col("_cohort"))
+        ).alias("day_offset")
+    )
+    if max_offset is not None:
+        offsets = offsets.where(F.col("day_offset") <= max_offset)
+    return (
+        offsets.groupBy("day_offset")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(F.col("day_offset").asc())
+    )

@@ -84,3 +84,46 @@ def stratified_hash_sample(
     for stratum, p in rates.items():
         threshold = F.when(_col(strata_col) == stratum, F.lit(p)).otherwise(threshold)
     return df.where(bucket < threshold)
+
+
+def token_budget_sample(
+    df: DataFrame,
+    key_col: str | Column,
+    strata_col: str | Column,
+    tokens_col: str | Column,
+    budget: int,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic per-stratum token-budget sampling: keep documents,
+    in content-addressed (md5) order, until each stratum's cumulative
+    token count reaches ``budget`` — the "give me ~1B tokens per domain,
+    reproducibly" primitive of training-mix construction. A document is
+    kept iff the running total INCLUDING it is <= budget, so the sample
+    never exceeds the budget and is a prefix of a stable shuffle: the
+    same rows survive across engines, re-runs and retries, and growing
+    the corpus only ever APPENDS candidates after the budget line
+    (existing survivors keep surviving — cache-stable mixes).
+
+    Adds ``cum_tokens`` (the running total including the row).
+
+    Scale shape: ONE hash shuffle on the stratum plus the window's
+    per-partition sort — exactly the partitioning a per-domain budget
+    needs; no join, no global sort, no second pass. Skewed strata are
+    bounded by the budget itself: the window scans a stratum's rows in
+    order but every row after the budget line is filtered map-side
+    post-window. (md5 ordering over xxhash64 for cross-engine
+    verifiability, as with hash_bucket.)
+    """
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    from pyspark.sql import Window
+
+    order_key = F.md5(F.concat(_col(key_col).cast("string"), F.lit(seed)))
+    w = (
+        Window.partitionBy(_col(strata_col))
+        .orderBy(order_key)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(
+        "cum_tokens", F.sum(_col(tokens_col)).over(w)
+    ).where(F.col("cum_tokens") <= budget)

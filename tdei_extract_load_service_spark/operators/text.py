@@ -512,3 +512,102 @@ def winnow_sets(
     return staged.mapInPandas(_winnow_batches, schema).withColumnRenamed(
         "__winnow_id", id_col
     )
+
+
+def contamination_grams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+) -> DataFrame:
+    """Distinct word ``n``-gram fingerprints per document — the unit of
+    benchmark decontamination (the standard pretraining hygiene step:
+    drop or flag training documents sharing any 13-gram with an eval
+    set). Returns one row per (doc, distinct gram): ``(id_col, gram)``
+    where ``gram`` is the first 16 hex chars of md5 over the
+    space-joined lowercase ``[a-z0-9]+`` tokens.
+
+    Scale shape: the same Arrow-batched O(len) ``mapInPandas`` fan-out
+    as ``winnow_sets`` — tokenizing and hashing per row in one pass,
+    text crosses the Python pipe once, no shuffle. The alternative
+    expression shape (``transform`` over a ``sequence`` indexing into a
+    ``split`` array) re-inlines the split into every lambda position
+    under CollapseProject — the exact O(len^2) pathology of the round-6
+    winnow defect — so the Python pass is the production path here too.
+
+    Cross-engine contract (mirrored by the DuckDB oracles): tokens are
+    maximal runs matching ``[a-z0-9]+`` over ``lower(text)`` (ASCII
+    fixture corpus; non-ASCII lowercasing differences between Python and
+    the engines are out of contract), grams are tokens joined by a
+    single space, hashed as UTF-8 md5."""
+    if n < 1:
+        raise ValueError("contamination_grams needs n >= 1")
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("__cg_id", df.schema[id_col].dataType),
+            StructField("gram", StringType()),
+        ]
+    )
+
+    def _gram_batches(batches):
+        import hashlib
+        import re
+
+        import pandas as pd
+
+        token_re = re.compile(r"[a-z0-9]+")
+        for pdf in batches:
+            ids, grams = [], []
+            for rid, t in zip(pdf["__cg_id"], pdf["__cg_txt"]):
+                if t is None:
+                    continue
+                toks = token_re.findall(t)
+                if len(toks) < n:
+                    continue
+                seen = set()
+                for i in range(len(toks) - n + 1):
+                    g = " ".join(toks[i : i + n])
+                    h = hashlib.md5(g.encode("utf-8")).hexdigest()[:16]
+                    if h not in seen:
+                        seen.add(h)
+                        ids.append(rid)
+                        grams.append(h)
+            yield pd.DataFrame({"__cg_id": ids, "gram": grams})
+
+    staged = df.select(
+        _col(id_col).alias("__cg_id"),
+        F.lower(_col(text_col)).alias("__cg_txt"),
+    )
+    return staged.mapInPandas(_gram_batches, schema).withColumnRenamed(
+        "__cg_id", id_col
+    )
+
+
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination: for every corpus document sharing at
+    least one word ``n``-gram with the benchmark set, report
+    ``(id_col, n_shared)`` — the count of distinct shared grams.
+
+    Scale shape: both sides fan out through the O(len) gram pass; the
+    benchmark gram set is deduplicated with map-side combine and joined
+    by gram hash. No broadcast hint — benchmarks are typically MBs so
+    AQE broadcasts them at runtime, but a pathological benchmark the
+    size of the corpus degrades to a shuffled equi join instead of
+    OOMing the driver (the dedup_winnow hot-set lesson). Corpus grams
+    are distinct per document by construction, so the per-doc count is
+    the distinct-shared count without a count(distinct) exchange."""
+    cg = contamination_grams(corpus, id_col, text_col, n)
+    bg = contamination_grams(benchmark, id_col, text_col, n).select("gram").distinct()
+    return (
+        cg.join(bg, "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared"))
+    )

@@ -1,0 +1,191 @@
+"""Semantic tests for funnel/retention/token-budget/contamination on
+hand-built frames (the catalog oracle-parity test covers the fixtures;
+these pin the edge semantics the fixtures may not hit)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from tdei_extract_load_service_spark.operators.events import funnel, retention
+from tdei_extract_load_service_spark.operators.sampling import token_budget_sample
+from tdei_extract_load_service_spark.operators.text import (
+    contamination_check,
+    contamination_grams,
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _t(seconds):
+    return T0 + dt.timedelta(seconds=seconds)
+
+
+class TestFunnel:
+    def test_strict_order_required(self, spark):
+        ev = _events(
+            spark,
+            [
+                # user 1: full ordered funnel
+                (1, _t(0), "view"), (1, _t(10), "click"), (1, _t(20), "purchase"),
+                # user 2: click BEFORE view -> stops at view
+                (2, _t(0), "click"), (2, _t(10), "view"),
+                # user 3: purchase before click -> reaches click only
+                (3, _t(0), "view"), (3, _t(5), "purchase"), (3, _t(10), "click"),
+                # user 4: never views
+                (4, _t(0), "click"), (4, _t(5), "purchase"),
+            ],
+        )
+        row = funnel(ev, "user_id", "ts", "event_type", ("view", "click", "purchase")).collect()[0]
+        assert row["n_step1_view"] == 3  # users 1, 2, 3
+        assert row["n_step2_click"] == 2  # users 1, 3
+        assert row["n_step3_purchase"] == 1  # user 1
+
+    def test_equal_timestamps_do_not_advance(self, spark):
+        ev = _events(
+            spark,
+            [
+                (1, _t(0), "view"), (1, _t(0), "click"),  # tie: no advance
+                (2, _t(0), "view"), (2, _t(1), "click"),
+            ],
+        )
+        row = funnel(ev, "user_id", "ts", "event_type", ("view", "click")).collect()[0]
+        assert row["n_step1_view"] == 2
+        assert row["n_step2_click"] == 1  # only user 2
+
+    def test_later_view_can_still_start_funnel(self, spark):
+        # click, then view, then click again: the SECOND click qualifies
+        ev = _events(
+            spark,
+            [(1, _t(0), "click"), (1, _t(5), "view"), (1, _t(9), "click")],
+        )
+        row = funnel(ev, "user_id", "ts", "event_type", ("view", "click")).collect()[0]
+        assert row["n_step2_click"] == 1
+
+    def test_needs_two_steps(self, spark):
+        with pytest.raises(ValueError):
+            funnel(_events(spark, []), "user_id", "ts", "event_type", ("view",))
+
+
+class TestRetention:
+    def test_offsets_from_first_day(self, spark):
+        d0 = dt.datetime(2024, 1, 1, 23, 50)  # late-night: UTC day must hold
+        ev = _events(
+            spark,
+            [
+                # user 1 active day 0 and day 2 (crossing midnight: 23:50
+                # and +20min are DIFFERENT UTC days -> day 1 too)
+                (1, d0, "view"),
+                (1, d0 + dt.timedelta(minutes=20), "view"),
+                (1, d0 + dt.timedelta(days=2), "click"),
+                # user 2 active a single day
+                (2, d0, "view"),
+            ],
+        )
+        got = {r["day_offset"]: r["n_users"] for r in retention(ev, "user_id", "ts").collect()}
+        assert got == {0: 2, 1: 1, 2: 1}
+
+    def test_max_offset_caps(self, spark):
+        ev = _events(
+            spark,
+            [(1, T0, "view"), (1, T0 + dt.timedelta(days=40), "view")],
+        )
+        got = {r["day_offset"] for r in retention(ev, "user_id", "ts", max_offset=7).collect()}
+        assert got == {0}
+
+
+class TestTokenBudget:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, source string, n_tokens int")
+
+    def test_budget_is_inclusive_prefix(self, spark):
+        docs = self._docs(
+            spark, [(i, "a", 40) for i in range(10)] + [(100 + i, "b", 40) for i in range(2)]
+        )
+        out = token_budget_sample(docs, "doc_id", "source", "n_tokens", budget=100).collect()
+        by_src = {}
+        for r in out:
+            by_src.setdefault(r["source"], []).append(r)
+        # 40+40=80 <= 100 but 120 > 100: exactly 2 docs per source
+        assert len(by_src["a"]) == 2 and len(by_src["b"]) == 2
+        assert all(r["cum_tokens"] <= 100 for r in out)
+
+    def test_survivors_stable_under_corpus_growth(self, spark):
+        small = self._docs(spark, [(i, "a", 30) for i in range(5)])
+        big = self._docs(spark, [(i, "a", 30) for i in range(50)])
+        keep_small = {r["doc_id"] for r in token_budget_sample(small, "doc_id", "source", "n_tokens", 90).collect()}
+        keep_big = {r["doc_id"] for r in token_budget_sample(big, "doc_id", "source", "n_tokens", 90).collect()}
+        # md5 order is content-addressed: docs 0-4 keep/lose membership
+        # only because new hashes land BEFORE them in order — the kept
+        # set restricted to the old ids must be a subset of the old kept
+        # set is NOT guaranteed; what IS guaranteed: same corpus -> same
+        # sample, and the budget bound.
+        assert len(keep_small) == 3 and len(keep_big) == 3
+        rerun = {r["doc_id"] for r in token_budget_sample(big, "doc_id", "source", "n_tokens", 90).collect()}
+        assert rerun == keep_big
+
+    def test_rejects_negative_budget(self, spark):
+        with pytest.raises(ValueError):
+            token_budget_sample(self._docs(spark, []), "doc_id", "source", "n_tokens", -1)
+
+
+class TestContamination:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_matches_python_reference(self, spark):
+        import hashlib
+        import re
+
+        def ref_grams(text, n):
+            toks = re.findall(r"[a-z0-9]+", text.lower())
+            return {
+                hashlib.md5(" ".join(toks[i : i + n]).encode()).hexdigest()[:16]
+                for i in range(len(toks) - n + 1)
+            }
+
+        texts = [
+            (1, "The quick brown fox jumps over the lazy dog today"),
+            (2, "A quick brown fox jumps over the lazy dog today!"),
+            (3, "completely different words here nothing shared at all ok"),
+            (4, "short text"),
+            (5, None),
+        ]
+        docs = self._docs(spark, texts)
+        got = {
+            (r["doc_id"], r["gram"])
+            for r in contamination_grams(docs, "doc_id", "text", n=5).collect()
+        }
+        want = {
+            (i, g) for i, t in texts if t is not None for g in ref_grams(t, 5)
+        }
+        assert got == want
+
+    def test_check_counts_distinct_shared(self, spark):
+        corpus = self._docs(
+            spark,
+            [
+                (1, "alpha beta gamma delta epsilon zeta"),  # shares 5-grams
+                (2, "nothing in common with the benchmark set"),
+            ],
+        )
+        bench = self._docs(spark, [(99, "alpha beta gamma delta epsilon zeta eta")])
+        rows = {r["doc_id"]: r["n_shared"] for r in contamination_check(corpus, bench, "doc_id", "text", n=5).collect()}
+        # doc 1 has two 5-grams, both in the benchmark doc
+        assert rows == {1: 2}
+
+    def test_repeated_gram_counted_once(self, spark):
+        corpus = self._docs(spark, [(1, "a b a b a b a b")])  # "a b a" appears 3x
+        bench = self._docs(spark, [(9, "a b a")])
+        rows = {r["doc_id"]: r["n_shared"] for r in contamination_check(corpus, bench, "doc_id", "text", n=3).collect()}
+        # corpus doc's distinct 3-grams: "a b a", "b a b" -> only one shared
+        assert rows == {1: 1}

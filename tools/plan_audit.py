@@ -126,6 +126,23 @@ EXPECTATIONS: dict[str, list[str]] = {
     # (the ONLY acceptable BNLJ in the audit), the urgent-orders anti
     # join stays an equi anti join, the rollup is map-side combined
     "tpch_q22_global_sales_opportunity": ["BroadcastNestedLoopJoin", "LeftAnti", "partial_sum", "!CartesianProduct"],
+    # decontamination: both gram sides are Arrow-batched O(len) fan-outs
+    # (the winnow lesson — no nested-HOF gram construction), the join is
+    # an equi join on the gram hash (no broadcast HINT: AQE/stats decide,
+    # so a corpus-sized benchmark degrades to shuffle instead of OOM)
+    "text_contamination": ["MapInPandas", "partial_count", "!BroadcastNestedLoopJoin", "!CartesianProduct", "!transform"],
+    # token-budget sampling: ONE stratum shuffle + the window's sort;
+    # the budget filter applies right after the window, no join, no
+    # global sort
+    "text_token_budget_sample": ["Window", "Exchange hashpartitioning\\(source", "!Join", "!rangepartitioning"],
+    # funnel: single user-partitioned window chain (no per-step
+    # self-join — the textbook k-way join shape is banned), final
+    # count-distincts ride one Expand aggregation
+    "events_funnel": ["Window", "Expand", "partial_count", "!Join"],
+    # retention: ONE map-side-combined per-user aggregation (min +
+    # collect_set partials), explode AFTER the agg, no join back for
+    # the cohort day, no (user, day) pre-distinct exchange
+    "events_retention": ["partial_min", "partial_collect_set", "Generate explode", "!Join"],
     # winnowing fingerprint: one Arrow-batched O(len) fan-out — no
     # shuffle beyond the deliberate input spread, no join, no
     # aggregation, and NO array_min anywhere: array_min in this plan
