@@ -90,6 +90,8 @@ HEADLINE_EXTENSIONS = (
     "text_token_budget_sample",
     "events_funnel",
     "events_retention",
+    "embedding_pq_code",
+    "similarity_pq",
     # dedup_winnow (and its r7 composition dedup_winnow_cluster) is
     # EXCLUDED from the sf0.1 headline deliberately: the
     # synthetic documents corpus draws from a ~25-word vocabulary, so

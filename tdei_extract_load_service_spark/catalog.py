@@ -2860,6 +2860,51 @@ def q_similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Product quantization (round 7) — compressed ANN
+# ---------------------------------------------------------------------------
+
+
+@register("embedding_pq_code", ORACLES.pq_code_oracle_sql())
+def q_embedding_pq_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encoding of the embedding corpus (m=8 subspaces, k=16 seeded
+    codebook centroids): 256-byte float32 vectors become 8 small ints —
+    the 32-64x footprint cut that makes a 100 TB embedding corpus
+    memory-scannable (operators/similarity.py pq_encode; pure
+    projection, no shuffle/join/UDF). Oracle: identical codebook
+    literals + norm-expansion distances + first-index-of-min argmin."""
+    from tdei_extract_load_service_spark.operators.similarity import (
+        make_codebooks,
+        pq_encode,
+    )
+
+    return pq_encode(
+        spread(_read(spark, sf_dir, "embeddings")),
+        "vec_id",
+        "embedding",
+        make_codebooks(),
+    )
+
+
+@register("similarity_pq", ORACLES.pq_topk_oracle_sql())
+def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-10 nearest (squared L2) by PQ codes: the query's m*k
+    lookup table is computed driver-side and scored as literal lookups —
+    the scan reads codes only, ranking is TakeOrderedAndProject
+    (operators/similarity.py pq_topk). The oracle computes the same LUT
+    in-SQL from vec_id=0; float->double widening and left-fold dot
+    products make both sides bit-identical."""
+    from tdei_extract_load_service_spark.operators.similarity import pq_topk
+
+    return pq_topk(
+        spread(_read(spark, sf_dir, "embeddings")),
+        "vec_id",
+        "embedding",
+        _query_vec(spark, sf_dir),
+        k=10,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Decontamination, token-budget sampling, event-sequence analytics (round 7)
 # ---------------------------------------------------------------------------
 
@@ -3044,8 +3089,14 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup_winnow_cluster, tpch_q4_order_priority, tpch_q14_promo_effect,
 # tpch_q13_customer_distribution, tpch_q18_large_volume_customer,
 # tpch_q22_global_sales_opportunity, text_contamination,
-# text_token_budget_sample, events_funnel, events_retention —
-# must enter the window at the start of round 8.
+# text_token_budget_sample, events_funnel, events_retention,
+# embedding_pq_code, similarity_pq —
+# must enter the window at the start of round 8. (13 candidates for a
+# 50-slot window: if demotion pressure is too high, rule (b)'s
+# two-round cadence lets tpch_q4/q14/q13 wait one round — they are
+# shape-cousins of in-window tpch entries — but every OPERATOR-bearing
+# entry (winnow_cluster, contamination, token_budget, funnel,
+# retention, pq_code, similarity_pq) must go in.
 #
 # Round-7 rotation (VERDICT r6 #3, executing the queue written last
 # round): promoted the eight oracle-able round-6 entries —

@@ -402,3 +402,173 @@ def lsh_bucket_topk(
         .orderBy(F.col("cosine").desc(), F.col("id").asc())
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed ANN for the 100 TB memory story
+# ---------------------------------------------------------------------------
+#
+# A 64-dim float32 embedding is 256 bytes; its PQ code (m=8 subspaces,
+# k=16 centroids) is 8 small ints — a 32-64x footprint cut that makes a
+# 100 TB embedding corpus scannable from memory/page cache. Search runs
+# against CODES via an asymmetric-distance (ADC) lookup table computed
+# once per query, never touching the original vectors.
+#
+# Determinism/parity design (the plane-literal recipe): codebooks are
+# driver-side seeded PRNG literals, every distance is the norm expansion
+# ||a-c||^2 = ||a||^2 - 2*(a.c) + ||c||^2 with left-associated folds on
+# both engines, argmin is first-index-of-min (stable under float ties) —
+# so the DuckDB oracle reproduces codes and distances bit-identically.
+# A quality-tuned variant would train the codebooks per subspace with
+# kmeans_centroids_exact over slices; the encode/search machinery here is
+# unchanged by where the codebooks come from.
+
+
+def make_codebooks(
+    m: int = 8, k: int = 16, dim: int = 64, seed: int = 20260814
+) -> list[list[list[float]]]:
+    """Deterministic per-subspace codebooks: ``m`` lists of ``k``
+    centroids of ``dim // m`` components each, seeded-PRNG uniform in
+    (-0.6, 0.6) (the fixture embedding component range). Plain double
+    literals — injectable verbatim into an external SQL engine."""
+    import random
+
+    if dim % m:
+        raise ValueError("dim must divide evenly into m subspaces")
+    rng = random.Random(seed)
+    sub = dim // m
+    return [
+        [[rng.uniform(-0.6, 0.6) for _ in range(sub)] for _ in range(k)]
+        for _ in range(m)
+    ]
+
+
+def _norm2_py(vec: list[float]) -> float:
+    acc = 0.0
+    for v in vec:
+        acc = acc + float(v) * float(v)
+    return acc
+
+
+def _dlit(v: float) -> str:
+    """Exact double literal for a Spark SQL string: string-parse cast is
+    IEEE correctly-rounded and round-trips repr() exactly."""
+    return f"CAST('{float(v)!r}' AS DOUBLE)"
+
+
+def _spark_pq_dist_sql(sub: str, centroid: list[float]) -> str:
+    """Norm-expansion squared L2 between an array expression and a
+    centroid literal, textually parallel to oracles._pq_dist_sql:
+    (||sub||^2 - 2.0*dot) + ||c||^2, every sum a left fold."""
+    lit = "array(" + ", ".join(_dlit(c) for c in centroid) + ")"
+    dot = (
+        f"aggregate(zip_with({sub}, {lit}, (x, c) -> CAST(x AS DOUBLE) * c),"
+        f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    subn2 = (
+        f"aggregate(zip_with({sub}, {sub},"
+        f" (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    return f"(({subn2} - CAST('2.0' AS DOUBLE) * {dot}) + {_dlit(_norm2_py(centroid))})"
+
+
+def pq_code_expr_sql(vec_col: str, codebooks: list[list[list[float]]]) -> str:
+    """The whole PQ ``codes`` array as ONE Spark SQL expression string.
+
+    Why a string: the equivalent Column-API tree (8 subspaces x 16
+    centroids of zip_with/aggregate folds) costs ~4-5s of py4j
+    round-trips to BUILD per call (the load_dataset._transform_exprs
+    lesson at 100x the node count); one ``F.expr`` ships the text in a
+    single call and parses JVM-side in milliseconds. The arithmetic is
+    textually parallel to the DuckDB oracle builder
+    (oracles.pq_code_oracle_sql), which is what makes the two engines
+    bit-identical."""
+    sub_dim = len(codebooks[0][0])
+    codes = []
+    for s, cb in enumerate(codebooks):
+        sub = f"slice(`{vec_col}`, {s * sub_dim + 1}, {sub_dim})"
+        dists = "array(" + ", ".join(_spark_pq_dist_sql(sub, c) for c in cb) + ")"
+        codes.append(
+            f"CAST(array_position({dists}, array_min({dists})) - 1 AS INT)"
+        )
+    return "array(" + ", ".join(codes) + ")"
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+) -> DataFrame:
+    """Encode vectors to PQ codes: ``(id_col, codes array<int>)`` where
+    ``codes[s]`` is the index of subspace ``s``'s nearest centroid
+    (squared L2 via the norm expansion; ties -> lowest index via
+    first-position-of-min).
+
+    Scale shape: a pure projection — no shuffle, no join, no UDF;
+    embarrassingly parallel and write-once per corpus. ``||c||^2`` is a
+    precomputed Python double literal, so each code costs ~2k dot
+    products of dim/m terms (the dists array is referenced by both
+    array_min and array_position — a few thousand codegen'd multiplies
+    per row, irrelevant next to the scan)."""
+    return df.select(
+        _col(id_col).alias(id_col),
+        F.expr(pq_code_expr_sql(vec_col, codebooks)).alias("codes"),
+    )
+
+
+def pq_adc_lut(
+    query_vec: list[float], codebooks: list[list[list[float]]]
+) -> list[list[float]]:
+    """Per-subspace ADC lookup table: ``lut[s][j]`` = squared L2 between
+    the query's subvector ``s`` and centroid ``j`` — computed driver-side
+    with the SAME left-associated norm expansion as ``pq_encode``, m*k
+    doubles total."""
+    sub_dim = len(codebooks[0][0])
+    lut = []
+    for s, cb in enumerate(codebooks):
+        q = [float(v) for v in query_vec[s * sub_dim : (s + 1) * sub_dim]]
+        qn2 = _norm2_py(q)
+        row = []
+        for c in cb:
+            dot = 0.0
+            for x, y in zip(q, c):
+                dot = dot + x * float(y)
+            row.append((qn2 - 2.0 * dot) + _norm2_py(c))
+        lut.append(row)
+    return lut
+
+
+def pq_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]] | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """Approximate top-k nearest (squared L2) via PQ codes + ADC: encode
+    (or reuse pre-encoded codes), then score every code against the
+    query's m*k lookup table — ``sum_s lut[s][codes[s]]`` — and take the
+    k smallest with TakeOrderedAndProject.
+
+    Scale shape: the scan reads CODES (8 ints/row), the LUT is a literal
+    (no join, no broadcast variable), ranking ships k rows per
+    partition. At 100 TB the codes table is the only thing read —
+    re-encoding here is fixture convenience; production materializes
+    ``pq_encode`` once (write-once, append-friendly)."""
+    codebooks = codebooks or make_codebooks()
+    lut = pq_adc_lut(query_vec, codebooks)
+    coded = pq_encode(df, id_col, vec_col, codebooks)
+    dist: Column | None = None
+    for s, row in enumerate(lut):
+        term = F.element_at(_vec_lit(row), F.col("codes")[s] + 1)
+        dist = term if dist is None else dist + term
+    return (
+        coded.select(
+            _col(id_col).alias("id"), F.round(dist, 6).alias("approx_dist")
+        )
+        .orderBy(F.col("approx_dist").asc(), F.col("id").asc())
+        .limit(k)
+    )

@@ -143,3 +143,91 @@ def ivf_kmeans_oracle_sql(k: int = 8, dim: int = 64, iters: int = 2, n_probe: in
     FROM af a, q WHERE a.centroid_id IN (SELECT centroid_id FROM probe)
     ORDER BY cosine DESC, a.id ASC LIMIT {topk}"""
     )
+
+
+def _pq_dist_sql(sub_expr: str, centroid: list[float]) -> str:
+    """Norm-expansion squared-L2 between a DuckDB DOUBLE[] expression and
+    a centroid literal — textually parallel to pq_encode's fold:
+    (||sub||^2 - 2.0*dot) + ||c||^2 with list_dot_product's left fold."""
+    from tdei_extract_load_service_spark.operators.similarity import _norm2_py
+
+    lit = "[" + ",".join(repr(float(v)) for v in centroid) + "]::DOUBLE[]"
+    return (
+        f"((list_dot_product({sub_expr}, {sub_expr})"
+        f" - 2.0 * list_dot_product({sub_expr}, {lit}))"
+        f" + {_norm2_py(centroid)!r})"
+    )
+
+
+def pq_code_oracle_sql() -> str:
+    """DuckDB twin of the embedding_pq_code entry: identical codebook
+    literals, identical norm-expansion distances, identical
+    first-index-of-min argmin (list_position finds the FIRST equal
+    element, matching Spark's array_position)."""
+    from tdei_extract_load_service_spark.operators.similarity import make_codebooks
+
+    cbs = make_codebooks()
+    sub_dim = len(cbs[0][0])
+    sub_cols, code_cols = [], []
+    for s, cb in enumerate(cbs):
+        lo = s * sub_dim + 1
+        sub_cols.append(
+            f"(embedding::DOUBLE[])[{lo}:{lo + sub_dim - 1}] AS s{s}"
+        )
+        dists = ", ".join(_pq_dist_sql(f"s{s}", c) for c in cb)
+        code_cols.append(
+            f"(list_position([{dists}], list_aggregate([{dists}], 'min')) - 1) AS c{s}"
+        )
+    codes = ", ".join(f"c{s}" for s in range(len(cbs)))
+    return f"""
+    WITH subs AS (
+      SELECT vec_id, {', '.join(sub_cols)} FROM embeddings
+    ),
+    coded AS (
+      SELECT vec_id, {', '.join(code_cols)} FROM subs
+    )
+    SELECT vec_id, [{codes}] AS codes FROM coded
+    """
+
+
+def pq_topk_oracle_sql(k: int = 10) -> str:
+    """DuckDB twin of similarity_pq — fully static: the query vector is
+    vec_id=0 read INSIDE the SQL (the lsh_bucketed recipe), the ADC
+    lookup lists are computed in-SQL with the same norm expansion and
+    fold order as the Spark side's Python-computed LUT literals (float
+    -> double widening is exact; dot products fold left in both), then
+    each row's distance is the same left-associated sum of per-subspace
+    lookups."""
+    from tdei_extract_load_service_spark.operators.similarity import make_codebooks
+
+    cbs = make_codebooks()
+    sub_dim = len(cbs[0][0])
+    sub_cols, code_cols, lut_cols = [], [], []
+    for s_i, cb in enumerate(cbs):
+        lo = s_i * sub_dim + 1
+        sub_cols.append(f"(embedding::DOUBLE[])[{lo}:{lo + sub_dim - 1}] AS s{s_i}")
+        dists = ", ".join(_pq_dist_sql(f"s{s_i}", c) for c in cb)
+        code_cols.append(
+            f"(list_position([{dists}], list_aggregate([{dists}], 'min')) - 1) AS c{s_i}"
+        )
+        qdists = ", ".join(_pq_dist_sql(f"qs{s_i}", c) for c in cb)
+        lut_cols.append(f"[{qdists}] AS l{s_i}")
+    qsub_cols = ", ".join(
+        f"(embedding::DOUBLE[])[{s_i * sub_dim + 1}:{(s_i + 1) * sub_dim}] AS qs{s_i}"
+        for s_i in range(len(cbs))
+    )
+    dist = " + ".join(f"l{s_i}[c{s_i} + 1]" for s_i in range(len(cbs)))
+    return f"""
+    WITH subs AS (
+      SELECT vec_id, {', '.join(sub_cols)} FROM embeddings
+    ),
+    coded AS (
+      SELECT vec_id, {', '.join(code_cols)} FROM subs
+    ),
+    q AS (SELECT {qsub_cols} FROM embeddings WHERE vec_id = 0),
+    luts AS (SELECT {', '.join(lut_cols)} FROM q)
+    SELECT vec_id AS id, ROUND({dist}, 6) AS approx_dist
+    FROM coded, luts
+    ORDER BY approx_dist ASC, id ASC
+    LIMIT {k}
+    """

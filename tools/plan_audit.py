@@ -126,6 +126,12 @@ EXPECTATIONS: dict[str, list[str]] = {
     # (the ONLY acceptable BNLJ in the audit), the urgent-orders anti
     # join stays an equi anti join, the rollup is map-side combined
     "tpch_q22_global_sales_opportunity": ["BroadcastNestedLoopJoin", "LeftAnti", "partial_sum", "!CartesianProduct"],
+    # PQ encode: a pure projection — no shuffle beyond the input spread,
+    # no join, no Python; codegen carries the whole distance arithmetic
+    "embedding_pq_code": ["Project", "!hashpartitioning", "!Join", "!ArrowEvalPython", "!MapInPandas"],
+    # PQ ADC search: codes projection + literal-LUT scoring + top-k as
+    # TakeOrderedAndProject — no join against the corpus, no global sort
+    "similarity_pq": ["TakeOrderedAndProject", "!Join", "!hashpartitioning"],
     # decontamination: both gram sides are Arrow-batched O(len) fan-outs
     # (the winnow lesson — no nested-HOF gram construction), the join is
     # an equi join on the gram hash (no broadcast HINT: AQE/stats decide,

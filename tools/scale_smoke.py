@@ -56,6 +56,19 @@ QUERIES = (
     "tpch_q1_pricing_summary",
     "tpch_q6_forecast_revenue",
     "text_winnow_fingerprint",
+    # round-7 additions: the five new TPC-H plan families and the
+    # decontamination / budget-sampling / event-sequence operators
+    "tpch_q4_order_priority",
+    "tpch_q14_promo_effect",
+    "tpch_q13_customer_distribution",
+    "tpch_q18_large_volume_customer",
+    "tpch_q22_global_sales_opportunity",
+    "text_contamination",
+    "text_token_budget_sample",
+    "events_funnel",
+    "events_retention",
+    "embedding_pq_code",
+    "similarity_pq",
     # dedup_winnow: excluded — replicated word-soup makes every substring
     # shingle corpus-hot (df ~ corpus size), so the smoke would measure
     # the max_hash_df cap dropping everything, not the join plan
