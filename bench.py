@@ -78,9 +78,10 @@ HEADLINE_EXTENSIONS = (
     "tpch_q1_pricing_summary",
     "tpch_q6_forecast_revenue",
     "text_winnow_fingerprint",
-    # round-7 additions: the two new TPC-H shapes (semi-join rollup,
-    # broadcast-dim conditional ratio) get their steady-state trendline
-    # the round they land
+    # round-7 additions: seven new TPC-H plan families, the
+    # decontamination / budget-sampling / event-sequence operators and
+    # the PQ pair — each gets its steady-state trendline the round it
+    # lands
     "tpch_q4_order_priority",
     "tpch_q14_promo_effect",
     "tpch_q13_customer_distribution",
@@ -92,6 +93,11 @@ HEADLINE_EXTENSIONS = (
     "events_retention",
     "embedding_pq_code",
     "similarity_pq",
+    "tpch_q7_volume_shipping",
+    "tpch_q12_priority_class",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_discounted_revenue",
     # dedup_winnow (and its r7 composition dedup_winnow_cluster) is
     # EXCLUDED from the sf0.1 headline deliberately: the
     # synthetic documents corpus draws from a ~25-word vocabulary, so

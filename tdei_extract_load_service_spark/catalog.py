@@ -2859,6 +2859,144 @@ def q_similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tpch_q7_volume_shipping",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           strftime(l_shipdate, '%Y') AS l_year,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+    FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+      AND n2.n_name IN ('NATION_1', 'NATION_2')
+      AND n1.n_name <> n2.n_name
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: one dimension in two roles (nation via supplier
+    AND via customer), cross pairs only, tz-stable year extraction
+    (plans/tpch.py q7_volume_shipping)."""
+    from tdei_extract_load_service_spark.plans.tpch import q7_volume_shipping
+
+    return q7_volume_shipping(
+        _read(spark, sf_dir, "lineitem"),
+        _read(spark, sf_dir, "orders"),
+        _read(spark, sf_dir, "customer"),
+        _read(spark, sf_dir, "supplier"),
+        _read(spark, sf_dir, "nation"),
+    )
+
+
+@register(
+    "tpch_q12_priority_class",
+    """
+    SELECT l_returnflag,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: grouped by l_returnflag, fixtures have
+    no l_shipmode): date-windowed fact-fact join, both priority-class
+    counts in ONE aggregation (plans/tpch.py q12_priority_class_by_flag)."""
+    from tdei_extract_load_service_spark.plans.tpch import (
+        q12_priority_class_by_flag,
+    )
+
+    return q12_priority_class_by_flag(
+        _read(spark, sf_dir, "orders"), _read(spark, sf_dir, "lineitem")
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    ORDER BY s_suppkey ASC
+    """,
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: scalar MAX over an aggregated view + argmax
+    selection by equality join, ties preserved (plans/tpch.py
+    q15_top_supplier)."""
+    from tdei_extract_load_service_spark.plans.tpch import q15_top_supplier
+
+    return q15_top_supplier(
+        _read(spark, sf_dir, "lineitem"), _read(spark, sf_dir, "supplier")
+    )
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    """
+    WITH li AS (
+      SELECT l_partkey, l_quantity, l_extendedprice
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_brand = 'Brand#1'
+    ),
+    th AS (
+      SELECT l_partkey,
+             0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)) AS t
+      FROM li GROUP BY l_partkey
+    )
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0, 2) AS avg_yearly
+    FROM li JOIN th USING (l_partkey)
+    WHERE l_quantity < t
+    """,
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-part scalar AVG decorrelated to a
+    pre-aggregation joined back — the aggregate-join-back dual of Q18's
+    HAVING (plans/tpch.py q17_small_quantity_revenue)."""
+    from tdei_extract_load_service_spark.plans.tpch import (
+        q17_small_quantity_revenue,
+    )
+
+    return q17_small_quantity_revenue(
+        _read(spark, sf_dir, "lineitem"), _read(spark, sf_dir, "part")
+    )
+
+
+@register(
+    "tpch_q19_discounted_revenue",
+    """
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive mixed fact/dim predicate over one
+    broadcast join — never a union of scans (plans/tpch.py
+    q19_discounted_revenue)."""
+    from tdei_extract_load_service_spark.plans.tpch import q19_discounted_revenue
+
+    return q19_discounted_revenue(
+        _read(spark, sf_dir, "lineitem"), _read(spark, sf_dir, "part")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (round 7) — compressed ANN
 # ---------------------------------------------------------------------------
@@ -3090,7 +3228,9 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tpch_q13_customer_distribution, tpch_q18_large_volume_customer,
 # tpch_q22_global_sales_opportunity, text_contamination,
 # text_token_budget_sample, events_funnel, events_retention,
-# embedding_pq_code, similarity_pq —
+# embedding_pq_code, similarity_pq, and the second TPC-H wave
+# tpch_q7_volume_shipping / q12_priority_class / q15_top_supplier /
+# q17_small_quantity_revenue / q19_discounted_revenue —
 # must enter the window at the start of round 8. (13 candidates for a
 # 50-slot window: if demotion pressure is too high, rule (b)'s
 # two-round cadence lets tpch_q4/q14/q13 wait one round — they are

@@ -307,3 +307,176 @@ def q6_forecast_revenue(lineitem: DataFrame) -> DataFrame:
         .cast("double")
         .alias("revenue")
     )
+
+
+def _dsum(c: Column) -> Column:
+    """DECIMAL-exact sum rendered back to double (order-independent,
+    the cross-engine parity recipe for float fact columns)."""
+    return F.sum(c.cast("decimal(18,6)")).cast("double")
+
+
+def q7_volume_shipping(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+) -> DataFrame:
+    """TPC-H Q7 shape: the SAME dimension table in TWO roles — nation
+    joined once through supplier (supp_nation) and once through
+    customer (cust_nation), keeping only cross pairs — grouped by the
+    two roles and the shipment year.
+
+    Scale shape: both nation-filtered dimension chains broadcast
+    (supplier x 2 nations is tiny; customer stays un-hinted so a
+    large customer side can fall back to a shuffle); the only
+    fact-fact shuffle is lineitem-orders. The year is extracted from
+    the UTC-normalized rendering (normalize_ts) so the grouping is
+    session-timezone independent — ``year(ts)`` would follow the
+    session zone."""
+    nat = nation.where(F.col("n_name").isin(nation_a, nation_b))
+    sup = supplier.join(
+        F.broadcast(
+            nat.select(
+                F.col("n_nationkey").alias("s_nk"),
+                F.col("n_name").alias("supp_nation"),
+            )
+        ),
+        F.col("s_nationkey") == F.col("s_nk"),
+    ).select("s_suppkey", "supp_nation")
+    cust = customer.join(
+        F.broadcast(
+            nat.select(
+                F.col("n_nationkey").alias("c_nk"),
+                F.col("n_name").alias("cust_nation"),
+            )
+        ),
+        F.col("c_nationkey") == F.col("c_nk"),
+    ).select("c_custkey", "cust_nation")
+    j = (
+        lineitem.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    l_year = F.substring(TS.normalize_ts(F.col("l_shipdate"), "yyyy-MM-dd"), 1, 4)
+    return (
+        j.select(
+            "supp_nation",
+            "cust_nation",
+            l_year.alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_v"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(_dsum(F.col("_v")), 2).alias("revenue"))
+    )
+
+
+def q12_priority_class_by_flag(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q12 shape (adapted: the fixtures have no l_shipmode, so the
+    grouping key is l_returnflag; skeleton identical): date-windowed
+    fact-fact equi join, then BOTH priority-class counts as conditional
+    sums in ONE map-side-combined aggregation — never two passes."""
+    li = lineitem.where(
+        (F.col("l_shipdate") >= TS.utc_literal("1995-01-01 00:00:00"))
+        & (F.col("l_shipdate") < TS.utc_literal("1996-01-01 00:00:00"))
+    ).select("l_orderkey", "l_returnflag")
+    j = li.join(
+        orders.select("o_orderkey", "o_orderpriority"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy("l_returnflag").agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+    )
+
+
+def q15_top_supplier(lineitem: DataFrame, supplier: DataFrame) -> DataFrame:
+    """TPC-H Q15 shape: an aggregated revenue view, a scalar MAX over
+    it, and the argmax row(s) selected by equality against the
+    broadcast scalar — the ties-preserved argmax-by-join pattern (no
+    window, no global sort). Equality compares ROUND(.,2) values that
+    both engines compute identically from DECIMAL-exact sums.
+
+    Scale shape: the per-supplier rollup is map-side combined; the MAX
+    collapses to one row that cross-join-broadcasts; the supplier
+    dimension joins against the (tiny) argmax set, so no fact row
+    touches the second join."""
+    rev = (
+        lineitem.where(
+            (F.col("l_shipdate") >= TS.utc_literal("1996-01-01 00:00:00"))
+            & (F.col("l_shipdate") < TS.utc_literal("1996-04-01 00:00:00"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_max_rev"))
+    top = rev.crossJoin(F.broadcast(mx)).where(
+        F.col("total_revenue") == F.col("_max_rev")
+    )
+    return (
+        supplier.join(F.broadcast(top), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy(F.col("s_suppkey").asc())
+    )
+
+
+def q17_small_quantity_revenue(
+    lineitem: DataFrame, part: DataFrame, brand: str = "Brand#1"
+) -> DataFrame:
+    """TPC-H Q17 shape: a correlated scalar AVG subquery ("lines below
+    20% of this part's average quantity") decorrelated into a per-part
+    pre-aggregation joined back to the fact — the aggregate-join-back
+    dual of Q18's HAVING.
+
+    Scale shape: the brand filter broadcasts into the fact FIRST, so
+    both the average pass and the probe pass read only the brand's
+    lineitems; the per-part thresholds are tiny and broadcast back.
+    The threshold is one explicit double division off a DECIMAL-exact
+    sum (both engines bit-identical), compared strictly."""
+    pk = part.where(F.col("p_brand") == brand).select("p_partkey")
+    li = lineitem.join(
+        F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey")
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    thresholds = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * (_dsum(F.col("l_quantity")) / F.count("*"))).alias("_t")
+    ).withColumnRenamed("l_partkey", "_tk")
+    small = li.join(
+        F.broadcast(thresholds), F.col("l_partkey") == F.col("_tk")
+    ).where(F.col("l_quantity") < F.col("_t"))
+    return small.agg(
+        F.round(_dsum(F.col("l_extendedprice")) / 7.0, 2).alias("avg_yearly")
+    )
+
+
+def q19_discounted_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape: a DISJUNCTION of brand/size/quantity conjunction
+    branches mixing fact and dimension columns — the OR cannot push
+    whole, so the plan must stay one broadcast dim join with the
+    disjunctive residual filter evaluated inline (never a union of
+    three scans, never a cartesian)."""
+    j = lineitem.select("l_partkey", "l_quantity", "l_extendedprice", "l_discount").join(
+        F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    q = F.col("l_quantity")
+    branch = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 5)) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(1, 10)) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(1, 15)) & q.between(20, 30))
+    )
+    return j.where(branch).agg(
+        F.round(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )

@@ -119,3 +119,110 @@ def test_q22_scalar_threshold_and_anti_join(spark):
         for r in q22_global_sales_opportunity(cust, orders, nations=(1,)).collect()
     }
     assert rows1 == {1: (1, 300.0)}
+
+
+def _lineitem(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double, "
+        "l_extendedprice double, l_discount double, l_shipdate timestamp",
+    )
+
+
+def test_q15_preserves_argmax_ties(spark):
+    import datetime as dt
+
+    from tdei_extract_load_service_spark.plans.tpch import q15_top_supplier
+
+    d = dt.datetime(1996, 2, 1)
+    li = _lineitem(
+        spark,
+        [
+            # suppliers 1 and 2 tie at 200.0 revenue; supplier 3 lower
+            (1, 1, 1, 1.0, 200.0, 0.0, d),
+            (2, 1, 2, 1.0, 100.0, 0.0, d),
+            (3, 1, 2, 1.0, 100.0, 0.0, d),
+            (4, 1, 3, 1.0, 50.0, 0.0, d),
+            # outside the date window: must not count
+            (5, 1, 3, 1.0, 999.0, 0.0, dt.datetime(1995, 1, 1)),
+        ],
+    )
+    sup = spark.createDataFrame(
+        [(1, "s1", 0, 0.0), (2, "s2", 0, 0.0), (3, "s3", 0, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    )
+    out = q15_top_supplier(li, sup).collect()
+    assert [(r["s_suppkey"], r["total_revenue"]) for r in out] == [
+        (1, 200.0),
+        (2, 200.0),
+    ]
+
+
+def test_q17_threshold_is_per_part(spark):
+    import datetime as dt
+
+    from tdei_extract_load_service_spark.plans.tpch import (
+        q17_small_quantity_revenue,
+    )
+
+    d = dt.datetime(1996, 1, 1)
+    # part 1: quantities 10, 10, 100 -> avg 40, threshold 8 -> none below
+    # part 2: quantities 1, 99 -> avg 50, threshold 10 -> the qty-1 line counts
+    li = _lineitem(
+        spark,
+        [
+            (1, 1, 1, 10.0, 70.0, 0.0, d),
+            (2, 1, 1, 10.0, 70.0, 0.0, d),
+            (3, 1, 1, 100.0, 70.0, 0.0, d),
+            (4, 2, 1, 1.0, 700.0, 0.0, d),
+            (5, 2, 1, 99.0, 70.0, 0.0, d),
+        ],
+    )
+    part = spark.createDataFrame(
+        [(1, "p1", "Brand#1", "STANDARD", 1, 1.0), (2, "p2", "Brand#1", "STANDARD", 1, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string, p_size int, p_retailprice double",
+    )
+    row = q17_small_quantity_revenue(li, part, brand="Brand#1").collect()[0]
+    assert row["avg_yearly"] == round(700.0 / 7.0, 2)
+
+
+def test_q7_cross_pairs_only_and_year_split(spark):
+    import datetime as dt
+
+    from tdei_extract_load_service_spark.plans.tpch import q7_volume_shipping
+
+    li = _lineitem(
+        spark,
+        [
+            # order 1: supplier in NATION_1, customer in NATION_2 (kept),
+            # lines in two different years
+            (1, 1, 1, 1.0, 100.0, 0.0, dt.datetime(1995, 6, 1)),
+            (1, 1, 1, 1.0, 50.0, 0.0, dt.datetime(1996, 6, 1)),
+            # order 2: supplier and customer both NATION_1 (dropped)
+            (2, 1, 2, 1.0, 999.0, 0.0, dt.datetime(1995, 6, 1)),
+        ],
+    )
+    orders = spark.createDataFrame(
+        [(1, 10, 1.0, dt.datetime(1995, 1, 1), "5-LOW"), (2, 11, 1.0, dt.datetime(1995, 1, 1), "5-LOW")],
+        "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    cust = spark.createDataFrame(
+        [(10, "c10", 2, 0.0), (11, "c11", 1, 0.0)],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double",
+    )
+    sup = spark.createDataFrame(
+        [(1, "s1", 1, 0.0), (2, "s2", 1, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    )
+    nation = spark.createDataFrame(
+        [(1, "NATION_1", 0), (2, "NATION_2", 0)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    got = {
+        (r["supp_nation"], r["cust_nation"], r["l_year"]): r["revenue"]
+        for r in q7_volume_shipping(li, orders, cust, sup, nation).collect()
+    }
+    assert got == {
+        ("NATION_1", "NATION_2", "1995"): 100.0,
+        ("NATION_1", "NATION_2", "1996"): 50.0,
+    }

@@ -126,6 +126,25 @@ EXPECTATIONS: dict[str, list[str]] = {
     # (the ONLY acceptable BNLJ in the audit), the urgent-orders anti
     # join stays an equi anti join, the rollup is map-side combined
     "tpch_q22_global_sales_opportunity": ["BroadcastNestedLoopJoin", "LeftAnti", "partial_sum", "!CartesianProduct"],
+    # TPC-H Q7: nation consumed in TWO roles via broadcast chains; only
+    # fact-fact edges may shuffle; the cross-pair filter is a residual,
+    # never a cartesian
+    "tpch_q7_volume_shipping": ["BroadcastHashJoin", "HashAggregate", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
+    # TPC-H Q12: both priority-class counts in ONE map-side-combined
+    # aggregation — no union of per-class passes
+    "tpch_q12_priority_class": ["HashAggregate", "partial_sum", "!Union"],
+    # TPC-H Q15: Catalyst rewrites the scalar-MAX equality against the
+    # one-row broadcast into a HASH join on the NaN/zero-normalized
+    # float key (knownfloatingpointnormalized) — even the argmax probe
+    # is a hash lookup, no nested loop anywhere; rollup map-side
+    "tpch_q15_top_supplier": ["knownfloatingpointnormalized", "partial_sum", "!BroadcastNestedLoopJoin", "!CartesianProduct"],
+    # TPC-H Q17: decorrelated per-part AVG joined back — BOTH joins
+    # broadcast (brand filter, then the tiny threshold set); the fact
+    # never shuffles
+    "tpch_q17_small_quantity_revenue": ["BroadcastHashJoin", "partial_sum", "!SortMergeJoin", "!ShuffledHashJoin"],
+    # TPC-H Q19: disjunctive mixed predicate stays a residual over ONE
+    # broadcast join — no union-of-scans rewrite
+    "tpch_q19_discounted_revenue": ["BroadcastHashJoin", "partial_sum", "!Union", "!SortMergeJoin"],
     # PQ encode: a pure projection — no shuffle beyond the input spread,
     # no join, no Python; codegen carries the whole distance arithmetic
     "embedding_pq_code": ["Project", "!hashpartitioning", "!Join", "!ArrowEvalPython", "!MapInPandas"],

@@ -69,6 +69,11 @@ QUERIES = (
     "events_retention",
     "embedding_pq_code",
     "similarity_pq",
+    "tpch_q7_volume_shipping",
+    "tpch_q12_priority_class",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_discounted_revenue",
     # dedup_winnow: excluded — replicated word-soup makes every substring
     # shingle corpus-hot (df ~ corpus size), so the smoke would measure
     # the max_hash_df cap dropping everything, not the join plan
