@@ -3123,6 +3123,31 @@ def q_text_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_normalize",
+    r"""
+    SELECT doc_id,
+           trim(regexp_replace(
+                  regexp_replace(nfc_normalize(text),
+                                 '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+                  '[ \t\n\r\f\v]+', ' ', 'g'),
+                ' ') AS text_norm
+    FROM documents
+    """,
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-tokenization cleanup: NFC + control strip + ASCII-whitespace
+    collapse + trim (operators/text.py normalize_text — explicit
+    character classes because \\s differs across regex dialects; the
+    unicode path is pinned against DuckDB in pytest on composed/
+    decomposed/Hangul samples)."""
+    from tdei_extract_load_service_spark.operators.text import normalize_text
+
+    return normalize_text(
+        spread(_read(spark, sf_dir, "documents")), "doc_id", "text"
+    )
+
+
+@register(
     "events_funnel",
     """
     WITH w0 AS (
@@ -3227,7 +3252,7 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup_winnow_cluster, tpch_q4_order_priority, tpch_q14_promo_effect,
 # tpch_q13_customer_distribution, tpch_q18_large_volume_customer,
 # tpch_q22_global_sales_opportunity, text_contamination,
-# text_token_budget_sample, events_funnel, events_retention,
+# text_normalize, text_token_budget_sample, events_funnel, events_retention,
 # embedding_pq_code, similarity_pq, and the second TPC-H wave
 # tpch_q7_volume_shipping / q12_priority_class / q15_top_supplier /
 # q17_small_quantity_revenue / q19_discounted_revenue —

@@ -611,3 +611,64 @@ def contamination_check(
         .groupBy(id_col)
         .agg(F.count("*").alias("n_shared"))
     )
+
+
+#: ASCII whitespace class shared verbatim across Python re, Java regex
+#: and RE2 (DuckDB) — deliberately NOT \s, whose meaning differs between
+#: dialects (Python \s matches Unicode spaces, RE2 \s is ASCII-only).
+_WS_CLASS = r"[ \t\n\r\f\v]+"
+#: C0 controls (minus \t\n\r, handled as whitespace) + DEL — same
+#: explicit ranges in every dialect.
+_CTRL_CLASS = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+
+
+def normalize_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Pre-tokenization text cleanup, the first stage of every training
+    corpus pipeline: Unicode NFC normalization, C0/DEL control-character
+    strip, ASCII-whitespace-run collapse to single spaces, edge trim.
+    Returns ``(id_col, text_norm)``.
+
+    Contract pinned for cross-engine verifiability (DuckDB oracle:
+    ``nfc_normalize`` + the same explicit character classes): NFC (not
+    NFKC — compatibility folding is lossy and model-specific), controls
+    removed AFTER normalization, whitespace classes are the explicit
+    ASCII set because ``\\s`` means different things in Python/RE2/Java.
+
+    Scale shape: Arrow-batched ``mapInPandas`` (Python owns unicodedata;
+    Spark has no built-in NFC expression) — O(len) per row, no shuffle,
+    text crosses the pipe once, the winnow_sets shape."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("__tn_id", df.schema[id_col].dataType),
+            StructField("text_norm", StringType()),
+        ]
+    )
+
+    def _norm_batches(batches):
+        import re
+        import unicodedata
+
+        import pandas as pd
+
+        ctrl = re.compile(_CTRL_CLASS)
+        ws = re.compile(_WS_CLASS)
+        for pdf in batches:
+            out = []
+            for t in pdf["__tn_txt"]:
+                if t is None:
+                    out.append(None)
+                    continue
+                t = unicodedata.normalize("NFC", t)
+                t = ctrl.sub("", t)
+                t = ws.sub(" ", t)
+                out.append(t.strip(" "))
+            yield pd.DataFrame({"__tn_id": pdf["__tn_id"], "text_norm": out})
+
+    staged = df.select(
+        _col(id_col).alias("__tn_id"), _col(text_col).alias("__tn_txt")
+    )
+    return staged.mapInPandas(_norm_batches, schema).withColumnRenamed(
+        "__tn_id", id_col
+    )

@@ -189,3 +189,51 @@ class TestContamination:
         rows = {r["doc_id"]: r["n_shared"] for r in contamination_check(corpus, bench, "doc_id", "text", n=3).collect()}
         # corpus doc's distinct 3-grams: "a b a", "b a b" -> only one shared
         assert rows == {1: 1}
+
+
+class TestNormalizeText:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_matches_duckdb_on_unicode(self, spark):
+        import duckdb
+
+        samples = [
+            (1, "café composed"),            # é composed
+            (2, "café decomposed"),          # e + combining acute -> NFC composes
+            (3, "각 hangul jamo"),  # conjoining jamo -> syllable
+            (4, "tabs\tand\nnewlines\r\n  runs"),
+            (5, "ctrl\x00\x07chars\x7fhere"),
+            (6, "  edge  spaces  "),
+            (7, None),
+            (8, ""),
+        ]
+        from tdei_extract_load_service_spark.operators.text import normalize_text
+
+        got = {
+            r["doc_id"]: r["text_norm"]
+            for r in normalize_text(self._docs(spark, samples), "doc_id", "text").collect()
+        }
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", samples)
+        want = dict(
+            con.execute(
+                r"""
+                SELECT doc_id,
+                       trim(regexp_replace(
+                              regexp_replace(nfc_normalize(text),
+                                             '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+                              '[ \t\n\r\f\v]+', ' ', 'g'),
+                            ' ')
+                FROM t
+                """
+            ).fetchall()
+        )
+        assert got == want
+        # and the semantic expectations, independent of either engine
+        assert got[1] == got[2].replace(" decomposed", " composed")
+        assert got[4] == "tabs and newlines runs"
+        assert got[5] == "ctrlchars" + "here"
+        assert got[6] == "edge spaces"
+        assert got[8] == ""

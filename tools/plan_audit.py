@@ -151,6 +151,8 @@ EXPECTATIONS: dict[str, list[str]] = {
     # PQ ADC search: codes projection + literal-LUT scoring + top-k as
     # TakeOrderedAndProject — no join against the corpus, no global sort
     "similarity_pq": ["TakeOrderedAndProject", "!Join", "!hashpartitioning"],
+    # NFC normalization: one Arrow-batched O(len) fan-out, no shuffle
+    "text_normalize": ["MapInPandas", "!Join", "!hashpartitioning"],
     # decontamination: both gram sides are Arrow-batched O(len) fan-outs
     # (the winnow lesson — no nested-HOF gram construction), the join is
     # an equi join on the gram hash (no broadcast HINT: AQE/stats decide,

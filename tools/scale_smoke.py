@@ -64,6 +64,7 @@ QUERIES = (
     "tpch_q18_large_volume_customer",
     "tpch_q22_global_sales_opportunity",
     "text_contamination",
+    "text_normalize",
     "text_token_budget_sample",
     "events_funnel",
     "events_retention",
