@@ -176,3 +176,75 @@ def stream_interval_join(
         & (F.col(f"r.{rts}") <= F.expr(f"l.{left_ts} + INTERVAL {within}"))
     )
     return lw.join(rw, cond, "inner").drop(F.col(f"r.{key_col}"))
+
+
+FUNNEL_OUTPUT_SCHEMA = "user_id bigint, steps_completed int, step_times array<bigint>"
+FUNNEL_STATE_SCHEMA = "t0 bigint, t1 bigint, t2 bigint"
+
+
+def stream_funnel(
+    events: DataFrame, steps: tuple[str, str, str] = ("view", "click", "purchase")
+) -> DataFrame:
+    """Streaming twin of ``operators.events.funnel`` (3 steps): per-user
+    GroupState carries the earliest qualifying event time of each step
+    across micro-batches; each batch emits the user's current funnel
+    depth and the qualifying times (epoch micros; NULL-free longs, -1 =
+    not reached).
+
+    Semantics: within a batch rows are processed in event-time order
+    with the SAME strict-< recurrence as the batch funnel (equal
+    timestamps never advance), so for per-user in-event-time-order
+    arrival — or any prefix split across batches — the result equals
+    the batch funnel exactly (pytest proves the cross-batch case). A
+    step event arriving EARLIER in event time than an already-consumed
+    batch can improve its own step's time but cannot retroactively
+    qualify prior-batch events of later steps — the documented
+    approximation bound of one-pass stateful funnels; bound late
+    arrival with a watermark upstream exactly as for windowed aggs.
+
+    Scale shape: shuffle once on user_id, then O(steps) state per user
+    — no event buffering, state size independent of stream length."""
+    if len(steps) != 3:
+        raise ValueError("stream_funnel is specialized to 3 steps")
+
+    def _update(key, pdfs, state):
+        (user_id,) = key
+        t = list(state.get) if state.exists else [-1, -1, -1]
+        rows = []
+        for pdf in pdfs:
+            for ts, ty in zip(pdf["ts"], pdf["event_type"]):
+                rows.append((ts.value // 1000, ty))  # pandas ns -> micros
+        rows.sort()
+        for us, ty in rows:
+            for i, step in enumerate(steps):
+                if ty != step:
+                    continue
+                prev_ok = i == 0 or (t[i - 1] != -1 and t[i - 1] < us)
+                if prev_ok and (t[i] == -1 or us < t[i]):
+                    t[i] = us
+        # re-run the strict-order constraint after improvements: a step
+        # time is only valid if it is strictly after its predecessor
+        # (an improved t0 cannot invalidate t1, but a t1 recorded in
+        # this pass must still satisfy t0 < t1 — enforced above because
+        # rows are processed in event-time order)
+        state.update(tuple(t))
+        depth = 0
+        for v in t:
+            if v == -1:
+                break
+            depth += 1
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "steps_completed": [depth],
+                "step_times": [t],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -315,3 +315,120 @@ def test_stream_interval_join_correlates_within_bound(spark, tmp_path):
     progresses = [p for p in q.recentProgress if p.get("stateOperators")]
     final_state = progresses[-1]["stateOperators"][0]["numRowsTotal"]
     assert final_state <= 6, f"join state not evicted: {final_state}"
+
+
+def test_stream_funnel_across_batches(spark, tmp_path):
+    from tdei_extract_load_service_spark.streaming.windows import stream_funnel
+
+    rows = [
+        [
+            # user 1 views in batch 0
+            {"ts": "2024-01-01 10:00:00", "event_type": "view", "user_id": 1, "value": 0.0},
+            # user 2: click BEFORE any view — must not advance
+            {"ts": "2024-01-01 10:00:00", "event_type": "click", "user_id": 2, "value": 0.0},
+            # user 3: view+click same timestamp — tie must not advance
+            {"ts": "2024-01-01 10:00:00", "event_type": "view", "user_id": 3, "value": 0.0},
+            {"ts": "2024-01-01 10:00:00", "event_type": "click", "user_id": 3, "value": 0.0},
+        ],
+        [
+            # user 1 clicks then purchases in batch 1: cross-batch state
+            {"ts": "2024-01-01 10:05:00", "event_type": "click", "user_id": 1, "value": 0.0},
+            {"ts": "2024-01-01 10:06:00", "event_type": "purchase", "user_id": 1, "value": 0.0},
+            # user 2 finally views (after its click) — still stuck at step 1
+            {"ts": "2024-01-01 10:05:00", "event_type": "view", "user_id": 2, "value": 0.0},
+        ],
+    ]
+    src = tmp_path / "funnel_stream"
+    _write_events(src, rows)
+    # FileStreamSource orders files by modification time; same-ms writes
+    # tie and may process batch1 first — pin the intended batch order
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    for i in range(len(rows)):
+        _os.utime(src / f"batch{i}.json", (now + 10 * i, now + 10 * i))
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = (
+        stream_funnel(stream)
+        .writeStream.format("memory")
+        .queryName("funnel_stream_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("funnel_stream_test").collect()
+    final = {}
+    for r in out:
+        final[r.user_id] = max(final.get(r.user_id, 0), r.steps_completed)
+    # user 1 completed the whole funnel across two batches
+    assert final[1] == 3
+    # user 2's click pre-dated its view: depth 1 (view only)
+    assert final[2] == 1
+    # user 3's tie did not advance
+    assert final[3] == 1
+
+
+def test_stream_funnel_matches_batch_on_inorder_stream(spark, tmp_path):
+    """In-event-time-order arrival: the streaming funnel's final depths
+    must equal the batch funnel's step counts."""
+    from tdei_extract_load_service_spark.operators.events import funnel
+    from tdei_extract_load_service_spark.streaming.windows import stream_funnel
+
+    import random
+
+    rng = random.Random(11)
+    base = 0
+    batches, flat = [], []
+    for b in range(3):
+        batch = []
+        for _ in range(20):
+            base += 60
+            user = rng.randint(1, 6)
+            ty = rng.choice(["view", "click", "purchase", "error"])
+            ts = f"2024-01-01 {10 + base // 3600:02d}:{(base % 3600) // 60:02d}:{base % 60:02d}"
+            row = {"ts": ts, "event_type": ty, "user_id": user, "value": 0.0}
+            batch.append(row)
+            flat.append(row)
+        batches.append(batch)
+    src = tmp_path / "funnel_equiv"
+    _write_events(src, batches)
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    for i in range(len(batches)):
+        _os.utime(src / f"batch{i}.json", (now + 10 * i, now + 10 * i))
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = (
+        stream_funnel(stream)
+        .writeStream.format("memory")
+        .queryName("funnel_equiv_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = {}
+    for r in spark.table("funnel_equiv_test").collect():
+        final[r.user_id] = max(final.get(r.user_id, 0), r.steps_completed)
+    batch_df = spark.createDataFrame(
+        [(r["user_id"], r["ts"], r["event_type"]) for r in flat],
+        "user_id long, ts string, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    row = funnel(batch_df, "user_id", "ts", "event_type", ("view", "click", "purchase")).collect()[0]
+    stream_counts = [
+        sum(1 for d in final.values() if d >= k) for k in (1, 2, 3)
+    ]
+    assert stream_counts == [
+        row["n_step1_view"], row["n_step2_click"], row["n_step3_purchase"]
+    ]
