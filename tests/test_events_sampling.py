@@ -237,3 +237,76 @@ class TestNormalizeText:
         assert got[5] == "ctrlchars" + "here"
         assert got[6] == "edge spaces"
         assert got[8] == ""
+
+
+class TestEventsRandomizedCrossValidation:
+    """One Spark pass over ~60 random users vs brute-force Python
+    references — the property-test pattern without per-example Spark
+    round-trips."""
+
+    def _random_events(self, rng, n_users=60, max_events=30):
+        rows = []
+        for u in range(1, n_users + 1):
+            for _ in range(rng.randint(1, max_events)):
+                ts = T0 + dt.timedelta(seconds=rng.randint(0, 86_400 * 3))
+                ty = rng.choice(["view", "click", "purchase", "error"])
+                rows.append((u, ts, ty))
+        return rows
+
+    def test_funnel_matches_bruteforce(self, spark):
+        import random
+
+        rng = random.Random(20260814)
+        rows = self._random_events(rng)
+
+        def brute(user_rows, steps):
+            # earliest qualifying time per step, strict < between steps
+            times = sorted(user_rows)
+            prev = None
+            reached = 0
+            for step in steps:
+                best = None
+                for ts, ty in times:
+                    if ty == step and (prev is None or prev < ts):
+                        best = ts
+                        break
+                if best is None:
+                    break
+                prev = best
+                reached += 1
+            return reached
+
+        by_user = {}
+        for u, ts, ty in rows:
+            by_user.setdefault(u, []).append((ts, ty))
+        steps = ("view", "click", "purchase")
+        want = [0, 0, 0]
+        for u, urs in by_user.items():
+            d = brute(urs, steps)
+            for k in range(d):
+                want[k] += 1
+
+        ev = _events(spark, rows)
+        row = funnel(ev, "user_id", "ts", "event_type", steps).collect()[0]
+        got = [row["n_step1_view"], row["n_step2_click"], row["n_step3_purchase"]]
+        assert got == want
+
+    def test_retention_matches_bruteforce(self, spark):
+        import random
+
+        rng = random.Random(77)
+        rows = self._random_events(rng)
+        EPOCH = dt.datetime(1970, 1, 1)
+        by_user = {}
+        for u, ts, ty in rows:
+            day = (ts - EPOCH).days
+            by_user.setdefault(u, set()).add(day)
+        want = {}
+        for days in by_user.values():
+            c = min(days)
+            for d in days:
+                want[d - c] = want.get(d - c, 0) + 1
+
+        ev = _events(spark, rows)
+        got = {r["day_offset"]: r["n_users"] for r in retention(ev, "user_id", "ts").collect()}
+        assert got == want
