@@ -94,6 +94,7 @@ HEADLINE_EXTENSIONS = (
     "events_retention",
     "embedding_pq_code",
     "similarity_pq",
+    "similarity_pq_recall",
     "tpch_q7_volume_shipping",
     "tpch_q12_priority_class",
     "tpch_q15_top_supplier",

@@ -3042,6 +3042,25 @@ def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("similarity_pq_recall", ORACLES.pq_recall_oracle_sql())
+def q_similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the PQ/ADC search vs exact squared-L2 — ANN
+    evaluation as a first-class relational query (operators/similarity.py
+    pq_recall_at_k; exact side uses the identical norm-expansion
+    arithmetic, so both engines agree to the last ulp)."""
+    from tdei_extract_load_service_spark.operators.similarity import (
+        pq_recall_at_k,
+    )
+
+    return pq_recall_at_k(
+        spread(_read(spark, sf_dir, "embeddings")),
+        "vec_id",
+        "embedding",
+        _query_vec(spark, sf_dir),
+        k=10,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Decontamination, token-budget sampling, event-sequence analytics (round 7)
 # ---------------------------------------------------------------------------
@@ -3253,7 +3272,7 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tpch_q13_customer_distribution, tpch_q18_large_volume_customer,
 # tpch_q22_global_sales_opportunity, text_contamination,
 # text_normalize, text_token_budget_sample, events_funnel, events_retention,
-# embedding_pq_code, similarity_pq, and the second TPC-H wave
+# embedding_pq_code, similarity_pq, similarity_pq_recall, and the second TPC-H wave
 # tpch_q7_volume_shipping / q12_priority_class / q15_top_supplier /
 # q17_small_quantity_revenue / q19_discounted_revenue —
 # must enter the window at the start of round 8. (13 candidates for a

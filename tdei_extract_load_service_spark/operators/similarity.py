@@ -572,3 +572,96 @@ def pq_topk(
         .orderBy(F.col("approx_dist").asc(), F.col("id").asc())
         .limit(k)
     )
+
+
+def exact_l2_topk(
+    df: DataFrame, id_col: str, vec_col: str, query_vec: list[float], k: int = 10
+) -> DataFrame:
+    """Exact squared-L2 top-k via the same norm-expansion arithmetic as
+    the PQ family — ``(||v||^2 - 2 v.q) + ||q||^2`` with pinned fold
+    order — so its distances (and the DuckDB twin's) are bit-identical
+    and PQ recall can be measured against it. Scan + TakeOrdered; k
+    rows per partition shuffle."""
+    dist = F.expr(_spark_pq_dist_sql(f"`{vec_col}`", [float(v) for v in query_vec]))
+    return (
+        df.select(_col(id_col).alias("id"), F.round(dist, 6).alias("dist"))
+        .orderBy(F.col("dist").asc(), F.col("id").asc())
+        .limit(k)
+    )
+
+
+def pq_recall_at_k(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]] | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """Recall@k of the PQ/ADC search against exact squared-L2 — the
+    metric every ANN deployment tracks, as a first-class relational
+    query: one row ``(recall_at_k)`` = |exact top-k ∩ ADC top-k| / k.
+
+    Scale shape: two TakeOrdered scans (codes for the ADC side, vectors
+    for the exact side) and a k-row join — evaluation costs two passes,
+    never a cartesian. Exact-side distances use the identical norm
+    expansion as the encode path, so the comparison is apples to
+    apples down to the last ulp."""
+    codebooks = codebooks or make_codebooks()
+    exact = exact_l2_topk(df, id_col, vec_col, query_vec, k).select("id")
+    approx = pq_topk(df, id_col, vec_col, query_vec, codebooks, k).select("id")
+    return exact.join(approx, "id").agg(
+        F.round(F.count("*") / F.lit(float(k)), 6).alias(f"recall_at_{k}")
+    )
+
+
+def train_codebooks(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 8,
+    k: int = 16,
+    sample: int = 2048,
+    iters: int = 10,
+    seed: str = "pq",
+) -> list[list[list[float]]]:
+    """Train PQ codebooks with per-subspace Lloyd iterations on a
+    bounded, content-addressed sample — the standard PQ training recipe
+    (codebooks are a model, trained on a sample, never the corpus): the
+    ``sample`` lowest-md5(id) vectors are collected driver-side (one
+    bounded collect, like the IVF centroid model), split into ``m``
+    subvectors, and each subspace runs k-means seeded from its first
+    ``k`` sample points. Returns plain Python float literals — drop-in
+    for ``make_codebooks`` everywhere (encode, ADC, recall).
+
+    Determinism: the sample is a pure function of ids + ``seed``
+    (re-runs, engines and partitionings agree), and numpy float64 Lloyd
+    is deterministic. Trained codebooks are data-dependent, so entries
+    using them are not static-oracle-able — pytest certifies them by
+    measuring recall UPLIFT over the seeded-random codebooks instead."""
+    import numpy as np
+
+    rows = (
+        df.select(_col(id_col).alias("id"), _col(vec_col).alias("vec"))
+        .orderBy(F.md5(F.concat(F.col("id").cast("string"), F.lit(seed))).asc())
+        .limit(sample)
+        .collect()
+    )
+    X = np.asarray([[float(x) for x in r["vec"]] for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError("dim must divide evenly into m subspaces")
+    sub = dim // m
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        S = X[:, s * sub : (s + 1) * sub]
+        C = S[:k].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(k):
+                members = S[assign == j]
+                if len(members):
+                    C[j] = members.mean(axis=0)
+        books.append([[float(v) for v in c] for c in C])
+    return books

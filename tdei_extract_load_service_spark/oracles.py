@@ -231,3 +231,50 @@ def pq_topk_oracle_sql(k: int = 10) -> str:
     ORDER BY approx_dist ASC, id ASC
     LIMIT {k}
     """
+
+
+def pq_recall_oracle_sql(k: int = 10) -> str:
+    """DuckDB twin of similarity_pq_recall: exact squared-L2 top-k (same
+    norm expansion, q read in-SQL from vec_id=0) joined against the ADC
+    top-k (pq_topk_oracle_sql's internals), one recall ratio."""
+    from tdei_extract_load_service_spark.operators.similarity import make_codebooks
+
+    cbs = make_codebooks()
+    sub_dim = len(cbs[0][0])
+    sub_cols, code_cols, lut_cols = [], [], []
+    for s_i, cb in enumerate(cbs):
+        lo = s_i * sub_dim + 1
+        sub_cols.append(f"(embedding::DOUBLE[])[{lo}:{lo + sub_dim - 1}] AS s{s_i}")
+        dists = ", ".join(_pq_dist_sql(f"s{s_i}", c) for c in cb)
+        code_cols.append(
+            f"(list_position([{dists}], list_aggregate([{dists}], 'min')) - 1) AS c{s_i}"
+        )
+        qdists = ", ".join(_pq_dist_sql(f"qs{s_i}", c) for c in cb)
+        lut_cols.append(f"[{qdists}] AS l{s_i}")
+    qsub_cols = ", ".join(
+        f"(embedding::DOUBLE[])[{s_i * sub_dim + 1}:{(s_i + 1) * sub_dim}] AS qs{s_i}"
+        for s_i in range(len(cbs))
+    )
+    adc = " + ".join(f"l{s_i}[c{s_i} + 1]" for s_i in range(len(cbs)))
+    return f"""
+    WITH qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0),
+    exact AS (
+      SELECT vec_id AS id,
+             ROUND((list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])
+                    - 2.0 * list_dot_product(embedding::DOUBLE[], q))
+                   + list_dot_product(q, q), 6) AS dist
+      FROM embeddings, qv
+      ORDER BY dist ASC, id ASC LIMIT {k}
+    ),
+    subs AS (SELECT vec_id, {', '.join(sub_cols)} FROM embeddings),
+    coded AS (SELECT vec_id, {', '.join(code_cols)} FROM subs),
+    q AS (SELECT {qsub_cols} FROM embeddings WHERE vec_id = 0),
+    luts AS (SELECT {', '.join(lut_cols)} FROM q),
+    approx AS (
+      SELECT vec_id AS id, ROUND({adc}, 6) AS approx_dist
+      FROM coded, luts
+      ORDER BY approx_dist ASC, id ASC LIMIT {k}
+    )
+    SELECT ROUND(COUNT(*) / {float(k)!r}, 6) AS recall_at_{k}
+    FROM exact JOIN approx USING (id)
+    """

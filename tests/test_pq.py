@@ -110,3 +110,36 @@ def test_adc_recall_against_exact(spark, frame):
 def test_bad_dims_rejected():
     with pytest.raises(ValueError):
         make_codebooks(m=7, k=8, dim=64)
+
+
+def test_trained_codebooks_improve_recall(spark):
+    """PQ quality check: sample-trained codebooks must beat the seeded
+    random ones on recall@10 against exact L2 (the reason train_codebooks
+    exists). Fixture embeddings at sf0.001."""
+    from tdei_extract_load_service_spark.operators.similarity import (
+        pq_recall_at_k,
+        train_codebooks,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    query = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    # same m/k for both sides — the uplift must come from training, not
+    # from a finer code. m=16 (4-dim subspaces): the fixture embeddings
+    # are near-isotropic so L2 distances concentrate (the hard case for
+    # PQ); coarser m=8 caps trained recall at 0.3 here, measured.
+    random_cbs = make_codebooks(m=16, k=16)
+    trained_cbs = train_codebooks(emb, "vec_id", "embedding", m=16, k=16, sample=256, iters=5)
+    r_random = pq_recall_at_k(emb, "vec_id", "embedding", query, random_cbs).collect()[0][0]
+    r_trained = pq_recall_at_k(emb, "vec_id", "embedding", query, trained_cbs).collect()[0][0]
+    assert r_trained > r_random, (r_trained, r_random)
+    assert r_trained >= 0.5  # trained PQ finds at least half the true top-10
+    assert r_random <= 0.3  # pinned: the gap IS the training value (0.3 vs 0.5)
+
+
+def test_train_codebooks_deterministic(spark):
+    from tdei_extract_load_service_spark.operators.similarity import train_codebooks
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = train_codebooks(emb, "vec_id", "embedding", sample=128, iters=3)
+    b = train_codebooks(emb, "vec_id", "embedding", sample=128, iters=3)
+    assert a == b

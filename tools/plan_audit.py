@@ -151,6 +151,9 @@ EXPECTATIONS: dict[str, list[str]] = {
     # PQ ADC search: codes projection + literal-LUT scoring + top-k as
     # TakeOrderedAndProject — no join against the corpus, no global sort
     "similarity_pq": ["TakeOrderedAndProject", "!Join", "!hashpartitioning"],
+    # PQ recall metric: two TakeOrdered scans + a k-row join — never a
+    # corpus-sized join, never a cartesian
+    "similarity_pq_recall": ["TakeOrderedAndProject", "!CartesianProduct", "!SortMergeJoin"],
     # NFC normalization: one Arrow-batched O(len) fan-out, no shuffle
     "text_normalize": ["MapInPandas", "!Join", "!hashpartitioning"],
     # decontamination: both gram sides are Arrow-batched O(len) fan-outs

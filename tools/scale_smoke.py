@@ -70,6 +70,7 @@ QUERIES = (
     "events_retention",
     "embedding_pq_code",
     "similarity_pq",
+    "similarity_pq_recall",
     "tpch_q7_volume_shipping",
     "tpch_q12_priority_class",
     "tpch_q15_top_supplier",
