@@ -3167,6 +3167,101 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_prep_full",
+    r"""
+    WITH norm AS (
+      SELECT doc_id, source,
+             trim(regexp_replace(
+                    regexp_replace(nfc_normalize(text),
+                                   '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+                    '[ \t\n\r\f\v]+', ' ', 'g'),
+                  ' ') AS t
+      FROM documents WHERE source NOT IN ('src0', 'src1')
+    ),
+    staged AS (
+      SELECT doc_id, source, t,
+             CASE WHEN t = '' THEN [] ELSE string_split(t, ' ') END AS w
+      FROM norm
+    ),
+    kept AS (
+      SELECT doc_id, source, t, w, len(w) AS n_words
+      FROM staged
+      WHERE len(w) >= 10
+        AND ROUND(len(list_distinct(w))::DOUBLE / len(w), 6) >= 0.3
+    ),
+    surv AS (
+      SELECT doc_id, source, t, n_words
+      FROM kept
+      QUALIFY doc_id = MIN(doc_id) OVER (
+        PARTITION BY md5(array_to_string(list_sort(list_distinct(w)), ' '))
+      )
+    ),
+    bench_norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+                    regexp_replace(nfc_normalize(text),
+                                   '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+                    '[ \t\n\r\f\v]+', ' ', 'g'),
+                  ' ') AS t
+      FROM documents WHERE source IN ('src0', 'src1')
+    ),
+    bench_grams AS (
+      SELECT DISTINCT substr(md5(array_to_string(list_slice(w, i, i + 12), ' ')), 1, 16) AS gram
+      FROM (SELECT list_filter(string_split_regex(lower(t), '[^a-z0-9]+'), x -> x <> '') AS w
+            FROM bench_norm),
+           unnest(generate_series(1, len(w) - 12)) AS g(i)
+      WHERE len(w) >= 13
+    ),
+    surv_grams AS (
+      SELECT DISTINCT doc_id,
+             substr(md5(array_to_string(list_slice(w, i, i + 12), ' ')), 1, 16) AS gram
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(lower(t), '[^a-z0-9]+'), x -> x <> '') AS w
+            FROM surv),
+           unnest(generate_series(1, len(w) - 12)) AS g(i)
+      WHERE len(w) >= 13
+    ),
+    contaminated AS (
+      SELECT DISTINCT doc_id FROM surv_grams JOIN bench_grams USING (gram)
+    ),
+    clean AS (
+      SELECT s.doc_id, s.source, s.n_words AS n_tokens
+      FROM surv s ANTI JOIN contaminated c ON s.doc_id = c.doc_id
+    ),
+    budgeted AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source
+                                 ORDER BY md5(CAST(doc_id AS VARCHAR))
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_tokens
+      FROM clean
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens FROM budgeted WHERE cum_tokens <= 400
+    """,
+)
+def q_corpus_prep_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical training-corpus pipeline end to end — normalize ->
+    quality filter -> exact content dedup -> benchmark decontamination
+    (src0/src1 as the eval slice) -> per-source token-budget sampling —
+    as ONE declarative plan (operators/text.py corpus_prep_full). The
+    oracle chains the same five stages in SQL, proving every stage AND
+    their composition value-equal across engines."""
+    from tdei_extract_load_service_spark.operators.text import corpus_prep_full
+
+    return corpus_prep_full(
+        spread(_read(spark, sf_dir, "documents")),
+        "doc_id",
+        "text",
+        "source",
+        bench_sources=("src0", "src1"),
+        min_words=10,
+        min_distinct_ratio=0.3,
+        n=13,
+        budget=400,
+    )
+
+
+@register(
     "events_funnel",
     """
     WITH w0 AS (
@@ -3271,7 +3366,7 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup_winnow_cluster, tpch_q4_order_priority, tpch_q14_promo_effect,
 # tpch_q13_customer_distribution, tpch_q18_large_volume_customer,
 # tpch_q22_global_sales_opportunity, text_contamination,
-# text_normalize, text_token_budget_sample, events_funnel, events_retention,
+# text_normalize, corpus_prep_full, text_token_budget_sample, events_funnel, events_retention,
 # embedding_pq_code, similarity_pq, similarity_pq_recall, and the second TPC-H wave
 # tpch_q7_volume_shipping / q12_priority_class / q15_top_supplier /
 # q17_small_quantity_revenue / q19_discounted_revenue —

@@ -622,11 +622,16 @@ _WS_CLASS = r"[ \t\n\r\f\v]+"
 _CTRL_CLASS = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
 
 
-def normalize_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def normalize_text(
+    df: DataFrame, id_col: str, text_col: str, keep: tuple[str, ...] = ()
+) -> DataFrame:
     """Pre-tokenization text cleanup, the first stage of every training
     corpus pipeline: Unicode NFC normalization, C0/DEL control-character
     strip, ASCII-whitespace-run collapse to single spaces, edge trim.
     Returns ``(id_col, text_norm)``.
+
+    ``keep`` lists extra columns to carry through the fan-out (echoed
+    per row, so composed pipelines need no join to recover them).
 
     Contract pinned for cross-engine verifiability (DuckDB oracle:
     ``nfc_normalize`` + the same explicit character classes): NFC (not
@@ -643,6 +648,7 @@ def normalize_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         [
             StructField("__tn_id", df.schema[id_col].dataType),
             StructField("text_norm", StringType()),
+            *[df.schema[c] for c in keep],
         ]
     )
 
@@ -664,11 +670,103 @@ def normalize_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 t = ctrl.sub("", t)
                 t = ws.sub(" ", t)
                 out.append(t.strip(" "))
-            yield pd.DataFrame({"__tn_id": pdf["__tn_id"], "text_norm": out})
+            cols = {"__tn_id": pdf["__tn_id"], "text_norm": out}
+            for c in keep:
+                cols[c] = pdf[c]
+            yield pd.DataFrame(cols)
 
     staged = df.select(
-        _col(id_col).alias("__tn_id"), _col(text_col).alias("__tn_txt")
+        _col(id_col).alias("__tn_id"),
+        _col(text_col).alias("__tn_txt"),
+        *[_col(c) for c in keep],
     )
     return staged.mapInPandas(_norm_batches, schema).withColumnRenamed(
         "__tn_id", id_col
+    )
+
+
+def corpus_prep_full(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    bench_sources: tuple[str, ...],
+    min_words: int = 10,
+    min_distinct_ratio: float = 0.3,
+    n: int = 13,
+    budget: int = 400,
+) -> DataFrame:
+    """The canonical training-corpus pipeline, end to end, as ONE
+    declarative plan: normalize -> quality filter -> exact content dedup
+    -> benchmark decontamination -> per-source token-budget sampling.
+    Returns ``(id_col, source_col, n_tokens, cum_tokens)`` — the
+    documents that made the mix, with their budget positions.
+
+    Stage shapes (each individually certified by its own entry; this
+    composition proves they CHAIN without driver round-trips):
+
+    - normalize: O(len) Arrow fan-out, ``source`` carried through (no
+      join to recover it);
+    - quality: pure column expressions over the normalized words;
+    - dedup: first-id survivor per content fingerprint via a window min
+      (one fingerprint shuffle);
+    - decontamination: O(len) gram fan-outs both sides + an equi join
+      and an anti join keyed on doc id;
+    - budget: one stratum shuffle + window cumsum.
+
+    Benchmark docs (``bench_sources``) are excluded from the corpus and
+    define the contamination gram set — both sides gram over NORMALIZED
+    text, as a real decontamination pass would."""
+    from pyspark.sql import Window
+
+    from tdei_extract_load_service_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    bench_pred = _col(source_col).isin(*bench_sources)
+    norm = normalize_text(
+        docs.where(~bench_pred), id_col, text_col, keep=(source_col,)
+    )
+    words = F.when(
+        F.col("text_norm") == "", F.array().cast("array<string>")
+    ).otherwise(F.split("text_norm", " "))
+    staged = norm.select(
+        id_col, source_col, "text_norm", words.alias("_w")
+    ).select(
+        id_col,
+        source_col,
+        "text_norm",
+        "_w",
+        F.size("_w").alias("n_words"),
+    )
+    dwr = F.when(
+        F.col("n_words") > 0,
+        F.round(F.size(F.array_distinct("_w")) / F.col("n_words"), 6),
+    )
+    kept = staged.withColumn("_dwr", dwr).where(
+        (F.col("n_words") >= min_words) & (F.col("_dwr") >= min_distinct_ratio)
+    )
+    fp = F.md5(F.array_join(F.array_sort(F.array_distinct("_w")), " "))
+    surv = (
+        kept.withColumn("_fp", fp)
+        .withColumn("_keep", F.min(id_col).over(Window.partitionBy("_fp")))
+        .where(F.col(id_col) == F.col("_keep"))
+    )
+    bench_norm = normalize_text(docs.where(bench_pred), id_col, text_col)
+    bench_grams = (
+        contamination_grams(bench_norm, id_col, "text_norm", n)
+        .select("gram")
+        .distinct()
+    )
+    contaminated = (
+        contamination_grams(surv.select(id_col, "text_norm"), id_col, "text_norm", n)
+        .join(bench_grams, "gram")
+        .select(id_col)
+        .distinct()
+    )
+    clean = surv.join(contaminated, id_col, "left_anti").select(
+        id_col, source_col, F.col("n_words").alias("n_tokens")
+    )
+    return token_budget_sample(
+        clean, id_col, source_col, "n_tokens", budget
     )

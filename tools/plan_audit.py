@@ -156,6 +156,10 @@ EXPECTATIONS: dict[str, list[str]] = {
     "similarity_pq_recall": ["TakeOrderedAndProject", "!CartesianProduct", "!SortMergeJoin"],
     # NFC normalization: one Arrow-batched O(len) fan-out, no shuffle
     "text_normalize": ["MapInPandas", "!Join", "!hashpartitioning"],
+    # full pipeline composition: the five stages chain without a
+    # cartesian or nested loop; dedup rides a window, decontamination
+    # an equi+anti join pair, the budget one stratum window
+    "corpus_prep_full": ["MapInPandas", "Window", "LeftAnti", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
     # decontamination: both gram sides are Arrow-batched O(len) fan-outs
     # (the winnow lesson — no nested-HOF gram construction), the join is
     # an equi join on the gram hash (no broadcast HINT: AQE/stats decide,
