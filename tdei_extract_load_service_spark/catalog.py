@@ -3326,6 +3326,35 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention(_read_events(spark, sf_dir), "user_id", "ts")
 
 
+@register(
+    "events_retention_cohorts",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d FROM events
+    ),
+    c AS (SELECT user_id, MIN(d) AS cd FROM ud GROUP BY user_id),
+    counts AS (
+      SELECT c.cd AS cohort_day, ud.d - c.cd AS day_offset, COUNT(*) AS n_users
+      FROM ud JOIN c ON ud.user_id = c.user_id
+      GROUP BY cohort_day, day_offset
+    )
+    SELECT cohort_day, day_offset, n_users,
+           ROUND(n_users::DOUBLE / MAX(CASE WHEN day_offset = 0 THEN n_users END)
+                                     OVER (PARTITION BY cohort_day), 6) AS rate
+    FROM counts
+    ORDER BY cohort_day ASC, day_offset ASC
+    """,
+)
+def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cohort retention heatmap table: (cohort day, offset, active
+    users, rate vs cohort size) — cohort sizes recovered from the same
+    aggregation's offset-0 rows via one window, no second scan
+    (operators/events.py retention_cohorts)."""
+    from tdei_extract_load_service_spark.operators.events import retention_cohorts
+
+    return retention_cohorts(_read_events(spark, sf_dir), "user_id", "ts")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
@@ -3366,7 +3395,8 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup_winnow_cluster, tpch_q4_order_priority, tpch_q14_promo_effect,
 # tpch_q13_customer_distribution, tpch_q18_large_volume_customer,
 # tpch_q22_global_sales_opportunity, text_contamination,
-# text_normalize, corpus_prep_full, text_token_budget_sample, events_funnel, events_retention,
+# text_normalize, corpus_prep_full, text_token_budget_sample, events_funnel,
+# events_retention, events_retention_cohorts,
 # embedding_pq_code, similarity_pq, similarity_pq_recall, and the second TPC-H wave
 # tpch_q7_volume_shipping / q12_priority_class / q15_top_supplier /
 # q17_small_quantity_revenue / q19_discounted_revenue —

@@ -125,3 +125,57 @@ def retention(
         .agg(F.count("*").alias("n_users"))
         .orderBy(F.col("day_offset").asc())
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    max_offset: int | None = None,
+) -> DataFrame:
+    """Per-cohort retention curve: for each (cohort first-activity day,
+    day offset), the active-user count and the retention RATE against
+    that cohort's size — the table behind every retention heatmap.
+    Returns ``(cohort_day, day_offset, n_users, rate)`` with
+    ``cohort_day`` as the UTC day number (exact integer arithmetic).
+
+    Scale shape: the same single per-user aggregation as ``retention``
+    (min day + bounded distinct-day set), exploded to (cohort, offset)
+    pairs; cohort sizes fall out of the SAME aggregation (offset 0 rows
+    ARE the cohort sizes), recovered with one window over the cohort —
+    no second scan, no join."""
+    from pyspark.sql import Window
+
+    staged = events.select(
+        _col(user_col).alias("_u"), F.unix_micros(_col(ts_col)).alias("_us")
+    )
+    per_user = (
+        staged.select("_u", F.expr(f"_us DIV {_US_PER_DAY}").alias("_d"))
+        .groupBy("_u")
+        .agg(F.min("_d").alias("_cohort"), F.collect_set("_d").alias("_days"))
+    )
+    offsets = per_user.select(
+        "_cohort",
+        F.explode(F.transform("_days", lambda d: d - F.col("_cohort"))).alias(
+            "day_offset"
+        ),
+    )
+    if max_offset is not None:
+        offsets = offsets.where(F.col("day_offset") <= max_offset)
+    counts = offsets.groupBy("_cohort", "day_offset").agg(
+        F.count("*").alias("n_users")
+    )
+    # offset-0 count IS the cohort size (every user is active on day 0)
+    size = F.max(F.when(F.col("day_offset") == 0, F.col("n_users"))).over(
+        Window.partitionBy("_cohort")
+    )
+    return (
+        counts.withColumn("rate", F.round(F.col("n_users") / size, 6))
+        .select(
+            F.col("_cohort").alias("cohort_day"),
+            "day_offset",
+            "n_users",
+            "rate",
+        )
+        .orderBy(F.col("cohort_day").asc(), F.col("day_offset").asc())
+    )

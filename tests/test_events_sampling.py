@@ -310,3 +310,34 @@ class TestEventsRandomizedCrossValidation:
         ev = _events(spark, rows)
         got = {r["day_offset"]: r["n_users"] for r in retention(ev, "user_id", "ts").collect()}
         assert got == want
+
+
+class TestRetentionCohorts:
+    def test_rates_per_cohort(self, spark):
+        from tdei_extract_load_service_spark.operators.events import (
+            retention_cohorts,
+        )
+
+        d0 = dt.datetime(2024, 1, 1, 12, 0)
+        d1 = dt.datetime(2024, 1, 2, 12, 0)
+        ev = _events(
+            spark,
+            [
+                # cohort A (day of d0): users 1, 2; user 1 returns next day
+                (1, d0, "view"), (2, d0, "view"),
+                (1, d1, "view"),
+                # cohort B (day of d1): user 3 only
+                (3, d1, "view"),
+            ],
+        )
+        rows = {
+            (r["cohort_day"], r["day_offset"]): (r["n_users"], r["rate"])
+            for r in retention_cohorts(ev, "user_id", "ts").collect()
+        }
+        epoch = dt.datetime(1970, 1, 1)
+        a, b = (d0 - epoch).days, (d1 - epoch).days
+        assert rows == {
+            (a, 0): (2, 1.0),
+            (a, 1): (1, 0.5),
+            (b, 0): (1, 1.0),
+        }

@@ -173,6 +173,9 @@ EXPECTATIONS: dict[str, list[str]] = {
     # self-join — the textbook k-way join shape is banned), final
     # count-distincts ride one Expand aggregation
     "events_funnel": ["Window", "Expand", "partial_count", "!Join"],
+    # per-cohort retention: same single per-user agg; cohort sizes via
+    # a window over the counts — no join, no second scan of events
+    "events_retention_cohorts": ["partial_min", "partial_collect_set", "Window", "!Join"],
     # retention: ONE map-side-combined per-user aggregation (min +
     # collect_set partials), explode AFTER the agg, no join back for
     # the cohort day, no (user, day) pre-distinct exchange

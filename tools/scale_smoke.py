@@ -69,6 +69,7 @@ QUERIES = (
     "text_token_budget_sample",
     "events_funnel",
     "events_retention",
+    "events_retention_cohorts",
     "embedding_pq_code",
     "similarity_pq",
     "similarity_pq_recall",
