@@ -509,9 +509,16 @@ def pq_encode(
     Scale shape: a pure projection — no shuffle, no join, no UDF;
     embarrassingly parallel and write-once per corpus. ``||c||^2`` is a
     precomputed Python double literal, so each code costs ~2k dot
-    products of dim/m terms (the dists array is referenced by both
-    array_min and array_position — a few thousand codegen'd multiplies
-    per row, irrelevant next to the scan)."""
+    products of dim/m terms. Measured cost 155 us/row at 200k rows
+    (allocation-bound: each zip_with materializes a small array) — a
+    one-time encode a 1000-core cluster clears at ~6.5k rows/s/core.
+    Negative result, measured: the ivf_assign wide-accumulator rewrite
+    (one fold, k-wide acc) came out 1.5x SLOWER here because the
+    re-inlined ||sub||^2 allocates a ``sequence`` per centroid, and the
+    algebraic fix (dropping the per-row constant from the argmin)
+    would break bit-parity with the oracle on knife-edge ties — this
+    form is the fastest one that keeps the distances textually
+    parallel to the DuckDB twin."""
     return df.select(
         _col(id_col).alias(id_col),
         F.expr(pq_code_expr_sql(vec_col, codebooks)).alias("codes"),
