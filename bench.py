@@ -89,6 +89,8 @@ HEADLINE_EXTENSIONS = (
     "tpch_q22_global_sales_opportunity",
     "text_contamination",
     "text_normalize",
+    "text_chunk",
+    "embedding_normalize",
     "corpus_prep_full",
     "text_token_budget_sample",
     "events_funnel",

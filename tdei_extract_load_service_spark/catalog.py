@@ -3327,6 +3327,64 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_chunk",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '[ \t\n\r\f\v]+'), x -> x <> '') AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    nn AS (SELECT doc_id, w, len(w) AS n FROM toks WHERE len(w) > 0)
+    SELECT doc_id, (s // 48)::INT AS chunk_idx,
+           len(list_slice(w, s + 1, s + 64))::INT AS n_tokens,
+           array_to_string(list_slice(w, s + 1, s + 64), ' ') AS chunk
+    FROM nn, unnest(generate_series(0, n - 1, 48)) AS t(s)
+    WHERE s = 0 OR s - 48 + 64 < n
+    """,
+)
+def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping word-window chunking (64-word chunks, 16-word
+    overlap) — the RAG/pretraining split primitive, as the same O(len)
+    Arrow fan-out as winnow_sets (the expression shape re-inlines the
+    split per chunk; operators/text.py chunk_text). The oracle emits
+    chunk starts from generate_series with the same
+    last-chunk-covers-the-end rule."""
+    from tdei_extract_load_service_spark.operators.text import chunk_text
+
+    return chunk_text(
+        spread(_read(spark, sf_dir, "documents")), "doc_id", "text",
+        chunk_words=64, overlap_words=16,
+    )
+
+
+@register(
+    "embedding_normalize",
+    """
+    SELECT vec_id,
+           CASE WHEN sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) = 0
+                THEN list_transform(embedding::DOUBLE[], x -> x)
+                ELSE list_transform(embedding::DOUBLE[],
+                       x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))
+           END AS unit,
+           ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS norm
+    FROM embeddings
+    """,
+)
+def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-L2 normalization of the embedding column (after it, dot IS
+    cosine) — pure projection, shared fold order so the element-wise
+    doubles match DuckDB bit-identically; zero vectors pass through
+    (operators/packing.py embedding_normalize)."""
+    from tdei_extract_load_service_spark.operators.packing import (
+        embedding_normalize,
+    )
+
+    return embedding_normalize(
+        spread(_read(spark, sf_dir, "embeddings")), "vec_id", "embedding"
+    )
+
+
+@register(
     "events_retention_cohorts",
     """
     WITH ud AS (
@@ -3395,7 +3453,8 @@ def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup_winnow_cluster, tpch_q4_order_priority, tpch_q14_promo_effect,
 # tpch_q13_customer_distribution, tpch_q18_large_volume_customer,
 # tpch_q22_global_sales_opportunity, text_contamination,
-# text_normalize, corpus_prep_full, text_token_budget_sample, events_funnel,
+# text_normalize, text_chunk, embedding_normalize, corpus_prep_full,
+# text_token_budget_sample, events_funnel,
 # events_retention, events_retention_cohorts,
 # embedding_pq_code, similarity_pq, similarity_pq_recall, and the second TPC-H wave
 # tpch_q7_volume_shipping / q12_priority_class / q15_top_supplier /

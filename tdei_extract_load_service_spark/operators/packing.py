@@ -118,3 +118,32 @@ def quantize_embeddings(
         F.round(scale, 6).alias("scale"),
         checksum.alias("q_checksum"),
     )
+
+
+def embedding_normalize(
+    df: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Unit-L2-normalize an embedding column — the prep step cosine
+    pipelines assume (after it, dot product IS cosine). Returns
+    ``(id_col, unit array<double>, norm)``; zero vectors pass through
+    unscaled with norm 0 (dividing by zero would poison downstream
+    aggregates with NaN/Inf).
+
+    Scale shape: a pure projection; the norm is ONE left fold (the
+    engines' shared dot-product order, so the DuckDB oracle matches
+    bit-identically) and the scaling one ``transform``. No shuffle."""
+    v = _col(vec_col)
+    norm = F.sqrt(
+        F.aggregate(
+            v, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+        )
+    )
+    staged = df.select(_col(id_col).alias(id_col), v.alias("_v"), norm.alias("_n"))
+    unit = F.when(
+        F.col("_n") == 0.0, F.transform("_v", lambda x: x.cast("double"))
+    ).otherwise(F.transform("_v", lambda x: x.cast("double") / F.col("_n")))
+    return staged.select(
+        id_col,
+        unit.alias("unit"),
+        F.round(F.col("_n"), 6).alias("norm"),
+    )

@@ -770,3 +770,88 @@ def corpus_prep_full(
     return token_budget_sample(
         clean, id_col, source_col, "n_tokens", budget
     )
+
+
+def chunk_text(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_words: int = 64,
+    overlap_words: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping word-window chunks — the
+    RAG/pretraining primitive ``text_pack_sequences`` deliberately does
+    not cover (packing concatenates whole short docs; chunking SPLITS
+    long ones). One row per chunk: ``(id_col, chunk_idx, n_tokens,
+    chunk)`` where chunk ``i`` covers words ``[i*stride, i*stride +
+    chunk_words)`` of the whitespace tokenization, stride =
+    chunk_words - overlap_words; the last chunk may be short; documents
+    shorter than one stride yield exactly one chunk; empty/null docs
+    yield none.
+
+    Scale shape: the same Arrow-batched O(len) ``mapInPandas`` fan-out
+    as winnow_sets/contamination_grams — the expression shape
+    (``transform`` over chunk starts slicing into a ``split`` array)
+    re-inlines the split per chunk under CollapseProject, going
+    O(len^2/stride) per row (the round-6 winnow pathology); the Python
+    pass tokenizes once and emits chunk rows directly. No shuffle.
+
+    Cross-engine contract (DuckDB twin: string_split_regex +
+    generate_series + list_slice in a CTE, where the materialization
+    hazard does not exist): tokens are ``[^ \\t\\n\\r\\f\\v]+`` runs,
+    chunks are tokens rejoined with single spaces."""
+    if chunk_words < 1 or not 0 <= overlap_words < chunk_words:
+        raise ValueError("need chunk_words >= 1 and 0 <= overlap_words < chunk_words")
+    stride = chunk_words - overlap_words
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("__ck_id", df.schema[id_col].dataType),
+            StructField("chunk_idx", IntegerType()),
+            StructField("n_tokens", IntegerType()),
+            StructField("chunk", StringType()),
+        ]
+    )
+
+    def _chunk_batches(batches):
+        import re
+
+        import pandas as pd
+
+        ws = re.compile(r"[ \t\n\r\f\v]+")
+        for pdf in batches:
+            ids, idxs, ntoks, chunks = [], [], [], []
+            for rid, t in zip(pdf["__ck_id"], pdf["__ck_txt"]):
+                if t is None:
+                    continue
+                toks = [w for w in ws.split(t) if w]
+                if not toks:
+                    continue
+                i = 0
+                start = 0
+                while start < len(toks):
+                    piece = toks[start : start + chunk_words]
+                    ids.append(rid)
+                    idxs.append(i)
+                    ntoks.append(len(piece))
+                    chunks.append(" ".join(piece))
+                    if start + chunk_words >= len(toks):
+                        break
+                    i += 1
+                    start += stride
+            yield pd.DataFrame(
+                {"__ck_id": ids, "chunk_idx": idxs, "n_tokens": ntoks, "chunk": chunks}
+            )
+
+    staged = df.select(
+        _col(id_col).alias("__ck_id"), _col(text_col).alias("__ck_txt")
+    )
+    return staged.mapInPandas(_chunk_batches, schema).withColumnRenamed(
+        "__ck_id", id_col
+    )

@@ -341,3 +341,50 @@ class TestRetentionCohorts:
             (a, 1): (1, 0.5),
             (b, 0): (1, 1.0),
         }
+
+
+class TestChunkText:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_chunk_boundaries(self, spark):
+        from tdei_extract_load_service_spark.operators.text import chunk_text
+
+        words130 = " ".join(f"w{i}" for i in range(130))
+        docs = self._docs(
+            spark,
+            [
+                (1, words130),
+                (2, "a b c"),               # shorter than one chunk -> 1 chunk
+                (3, ""),                    # empty -> no chunks
+                (4, None),                  # null -> no chunks
+                (5, " ".join(f"x{i}" for i in range(20))),  # exactly chunk_words
+            ],
+        )
+        out = chunk_text(docs, "doc_id", "text", chunk_words=20, overlap_words=5).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        # doc 1: stride 15, 130 words -> starts 0..120, last chunk short (10)
+        rows1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+        assert [r["chunk_idx"] for r in rows1] == list(range(9))
+        assert [r["n_tokens"] for r in rows1] == [20] * 8 + [10]
+        assert rows1[0]["chunk"].startswith("w0 w1 ")
+        assert rows1[1]["chunk"].startswith("w15 ")   # overlap of 5
+        assert rows1[-1]["chunk"] == " ".join(f"w{i}" for i in range(120, 130))
+        # every word appears in at least one chunk
+        covered = set()
+        for r in rows1:
+            covered.update(r["chunk"].split(" "))
+        assert covered == {f"w{i}" for i in range(130)}
+        assert [r["n_tokens"] for r in by_doc[2]] == [3]
+        assert 3 not in by_doc and 4 not in by_doc
+        assert [r["n_tokens"] for r in by_doc[5]] == [20]
+
+    def test_chunk_rejects_bad_params(self, spark):
+        import pytest as _pytest
+
+        from tdei_extract_load_service_spark.operators.text import chunk_text
+
+        with _pytest.raises(ValueError):
+            chunk_text(self._docs(spark, []), "doc_id", "text", chunk_words=8, overlap_words=8)

@@ -156,6 +156,11 @@ EXPECTATIONS: dict[str, list[str]] = {
     "similarity_pq_recall": ["TakeOrderedAndProject", "!CartesianProduct", "!SortMergeJoin"],
     # NFC normalization: one Arrow-batched O(len) fan-out, no shuffle
     "text_normalize": ["MapInPandas", "!Join", "!hashpartitioning"],
+    # chunking: same O(len) fan-out shape (the transform-over-slices
+    # expression re-inlines the split per chunk — banned)
+    "text_chunk": ["MapInPandas", "!Join", "!hashpartitioning", "!slice"],
+    # unit normalization: pure projection, one fold + one transform
+    "embedding_normalize": ["Project", "!Join", "!hashpartitioning", "!MapInPandas"],
     # full pipeline composition: the five stages chain without a
     # cartesian or nested loop; dedup rides a window, decontamination
     # an equi+anti join pair, the budget one stratum window
