@@ -104,6 +104,7 @@ HEADLINE_EXTENSIONS = (
     "tpch_q15_top_supplier",
     "tpch_q17_small_quantity_revenue",
     "tpch_q19_discounted_revenue",
+    "tpch_q10_returned_items",
     # dedup_winnow (and its r7 composition dedup_winnow_cluster) is
     # EXCLUDED from the sf0.1 headline deliberately: the
     # synthetic documents corpus draws from a ~25-word vocabulary, so

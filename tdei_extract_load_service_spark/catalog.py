@@ -2997,6 +2997,41 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tpch_q10_returned_items",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey,
+             ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
+      GROUP BY o_custkey
+    )
+    SELECT c_custkey, c_name, n_name, revenue, ROUND(c_acctbal, 2) AS c_acctbal
+    FROM per_cust
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item reporting — flag+date pushdown,
+    per-customer rollup BEFORE the dimension joins (no fan-out rides
+    the customer shuffle), broadcast nation, top-20 TakeOrdered
+    (plans/tpch.py q10_returned_items)."""
+    from tdei_extract_load_service_spark.plans.tpch import q10_returned_items
+
+    return q10_returned_items(
+        _read(spark, sf_dir, "customer"),
+        _read(spark, sf_dir, "orders"),
+        _read(spark, sf_dir, "lineitem"),
+        _read(spark, sf_dir, "nation"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (round 7) — compressed ANN
 # ---------------------------------------------------------------------------
@@ -3458,8 +3493,9 @@ def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # events_retention, events_retention_cohorts,
 # embedding_pq_code, similarity_pq, similarity_pq_recall, and the second TPC-H wave
 # tpch_q7_volume_shipping / q12_priority_class / q15_top_supplier /
-# q17_small_quantity_revenue / q19_discounted_revenue —
-# must enter the window at the start of round 8. (13 candidates for a
+# q17_small_quantity_revenue / q19_discounted_revenue /
+# q10_returned_items —
+# must enter the window at the start of round 8. (23 candidates for a
 # 50-slot window: if demotion pressure is too high, rule (b)'s
 # two-round cadence lets tpch_q4/q14/q13 wait one round — they are
 # shape-cousins of in-window tpch entries — but every OPERATOR-bearing

@@ -480,3 +480,41 @@ def q19_discounted_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
             _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue")
     )
+
+
+def q10_returned_items(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """TPC-H Q10 shape: returned-item reporting — flag + date-window
+    filtered fact, rolled up per customer, dimension-joined and
+    top-20'd. The plan discipline: the RETURN flag and the date window
+    both reach the fact scans, the per-customer rollup is map-side
+    combined BEFORE the customer join (aggregate-before-join again —
+    the textbook formulation joins first and aggregates the fan-out),
+    nation broadcasts, and the top-20 is TakeOrderedAndProject."""
+    li = lineitem.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_v"),
+    )
+    o = orders.where(
+        (F.col("o_orderdate") >= TS.utc_literal("1995-01-01 00:00:00"))
+        & (F.col("o_orderdate") < TS.utc_literal("1995-04-01 00:00:00"))
+    ).select("o_orderkey", "o_custkey")
+    per_cust = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.round(_dsum(F.col("_v")), 2).alias("revenue"))
+    )
+    out = customer.join(
+        per_cust, customer.c_custkey == per_cust.o_custkey
+    ).join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        out.select("c_custkey", "c_name", "n_name", "revenue", F.round("c_acctbal", 2).alias("c_acctbal"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )

@@ -145,6 +145,9 @@ EXPECTATIONS: dict[str, list[str]] = {
     # TPC-H Q19: disjunctive mixed predicate stays a residual over ONE
     # broadcast join — no union-of-scans rewrite
     "tpch_q19_discounted_revenue": ["BroadcastHashJoin", "partial_sum", "!Union", "!SortMergeJoin"],
+    # TPC-H Q10: flag+date in PushedFilters, per-customer rollup BEFORE
+    # the dimension joins, top-20 TakeOrdered — no fan-out aggregation
+    "tpch_q10_returned_items": ["PushedFilters: \\[.*EqualTo\\(l_returnflag,R", "partial_sum", "TakeOrderedAndProject", "!CartesianProduct"],
     # PQ encode: a pure projection — no shuffle beyond the input spread,
     # no join, no Python; codegen carries the whole distance arithmetic
     "embedding_pq_code": ["Project", "!hashpartitioning", "!Join", "!ArrowEvalPython", "!MapInPandas"],

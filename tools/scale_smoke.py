@@ -80,6 +80,7 @@ QUERIES = (
     "tpch_q15_top_supplier",
     "tpch_q17_small_quantity_revenue",
     "tpch_q19_discounted_revenue",
+    "tpch_q10_returned_items",
     # dedup_winnow: excluded — replicated word-soup makes every substring
     # shingle corpus-hot (df ~ corpus size), so the smoke would measure
     # the max_hash_df cap dropping everything, not the join plan
