@@ -3096,6 +3096,25 @@ def q_similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("similarity_ivf_pq", ORACLES.ivf_pq_oracle_sql())
+def q_similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ/ADC — the canonical production ANN composition (FAISS
+    IVFPQ shape): coarse probe restricts to ~n_probe/C of the corpus,
+    ADC ranks candidates over 8-int codes (operators/similarity.py
+    ivf_pq_topk; assignment and ADC reuse the machinery of
+    similarity_ivf and similarity_pq, so the composed oracle agrees
+    bit-identically)."""
+    from tdei_extract_load_service_spark.operators.similarity import ivf_pq_topk
+
+    return ivf_pq_topk(
+        spread(_read(spark, sf_dir, "embeddings")),
+        "vec_id",
+        "embedding",
+        _query_vec(spark, sf_dir),
+        k=10,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Decontamination, token-budget sampling, event-sequence analytics (round 7)
 # ---------------------------------------------------------------------------
@@ -3491,7 +3510,8 @@ def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # text_normalize, text_chunk, embedding_normalize, corpus_prep_full,
 # text_token_budget_sample, events_funnel,
 # events_retention, events_retention_cohorts,
-# embedding_pq_code, similarity_pq, similarity_pq_recall, and the second TPC-H wave
+# embedding_pq_code, similarity_pq, similarity_pq_recall, similarity_ivf_pq,
+# and the second TPC-H wave
 # tpch_q7_volume_shipping / q12_priority_class / q15_top_supplier /
 # q17_small_quantity_revenue / q19_discounted_revenue /
 # q10_returned_items —

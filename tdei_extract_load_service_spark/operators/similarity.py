@@ -672,3 +672,68 @@ def train_codebooks(
                     C[j] = members.mean(axis=0)
         books.append([[float(v) for v in c] for c in C])
     return books
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]] | None = None,
+    k: int = 10,
+    num_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF + PQ/ADC — the canonical production ANN architecture (the
+    FAISS IVFPQ shape): a coarse inverted-file probe restricts the
+    search to the query's ``n_probe`` centroid cells (~n_probe/C of the
+    corpus), then asymmetric-distance scoring over PQ CODES ranks the
+    candidates — the scan reads 8 small ints per candidate, never the
+    vectors.
+
+    One distributed pass: scan -> assignment argmax projection
+    (ivf_assign_model — no join, centroid model driver-side) ->
+    IN-filter on the probed cells (partition-prunable when the coded
+    corpus is stored ``partitionBy(centroid_id)``) -> PQ encode ->
+    literal-LUT ADC -> TakeOrderedAndProject. At 100 TB the encode is
+    pre-materialized next to the assignment and this query touches
+    ~(n_probe/C) x 8 bytes per vector.
+
+    Determinism/parity: the probe set and the LUT are driver-side
+    Python floats with engine-identical fold order; assignment and ADC
+    reuse the exact machinery of similarity_ivf and similarity_pq, so
+    the composed DuckDB oracle (oracles.ivf_pq_oracle_sql) agrees
+    bit-identically."""
+    import math
+
+    codebooks = codebooks or make_codebooks()
+    model_rows = ivf_centroids(df, id_col, vec_col, num_centroids).collect()
+    assigned = ivf_assign_model(df, model_rows, id_col, vec_col)
+
+    def _dot(a: list[float], b: list[float]) -> float:
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    qv = [float(v) for v in query_vec]
+    qn = math.sqrt(_dot(qv, qv))
+    scored = []
+    for r in model_rows:
+        cv = [float(x) for x in r["centroid_vec"]]
+        qsim = round(_dot(cv, qv) / (math.sqrt(_dot(cv, cv)) * qn), 6)
+        scored.append((-qsim, int(r["centroid_id"])))
+    probe_ids = [cid for _, cid in sorted(scored)[:n_probe]]
+
+    candidates = assigned.where(F.col("centroid_id").isin(probe_ids))
+    coded = pq_encode(candidates, "id", "vec", codebooks)
+    lut = pq_adc_lut(qv, codebooks)
+    dist: Column | None = None
+    for s, row in enumerate(lut):
+        term = F.element_at(_vec_lit(row), F.col("codes")[s] + 1)
+        dist = term if dist is None else dist + term
+    return (
+        coded.select("id", F.round(dist, 6).alias("approx_dist"))
+        .orderBy(F.col("approx_dist").asc(), F.col("id").asc())
+        .limit(k)
+    )

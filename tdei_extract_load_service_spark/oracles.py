@@ -278,3 +278,65 @@ def pq_recall_oracle_sql(k: int = 10) -> str:
     SELECT ROUND(COUNT(*) / {float(k)!r}, 6) AS recall_at_{k}
     FROM exact JOIN approx USING (id)
     """
+
+
+def ivf_pq_oracle_sql(
+    num_centroids: int = 16, n_probe: int = 4, k: int = 10
+) -> str:
+    """DuckDB twin of similarity_ivf_pq: the IVF assignment/probe CTEs
+    from the similarity_ivf oracle composed with the PQ code/LUT CTEs
+    from pq_topk_oracle_sql, restricted to the probed cells."""
+    from tdei_extract_load_service_spark.operators.similarity import make_codebooks
+
+    cbs = make_codebooks()
+    sub_dim = len(cbs[0][0])
+    sub_cols, code_cols, lut_cols = [], [], []
+    for s_i, cb in enumerate(cbs):
+        lo = s_i * sub_dim + 1
+        sub_cols.append(f"(vec)[{lo}:{lo + sub_dim - 1}] AS s{s_i}")
+        dists = ", ".join(_pq_dist_sql(f"s{s_i}", c) for c in cb)
+        code_cols.append(
+            f"(list_position([{dists}], list_aggregate([{dists}], 'min')) - 1) AS c{s_i}"
+        )
+        qdists = ", ".join(_pq_dist_sql(f"qs{s_i}", c) for c in cb)
+        lut_cols.append(f"[{qdists}] AS l{s_i}")
+    qsub_cols = ", ".join(
+        f"(embedding::DOUBLE[])[{s_i * sub_dim + 1}:{(s_i + 1) * sub_dim}] AS qs{s_i}"
+        for s_i in range(len(cbs))
+    )
+    adc = " + ".join(f"l{s_i}[c{s_i} + 1]" for s_i in range(len(cbs)))
+    return f"""
+    WITH c AS (
+      SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+      FROM embeddings ORDER BY vec_id LIMIT {num_centroids}
+    ),
+    assigned AS (
+      SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS vec, c.centroid_id
+      FROM embeddings e, c
+      QUALIFY row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY ROUND(list_dot_product(e.embedding::DOUBLE[], c.cv)
+                 / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC, c.centroid_id ASC) = 1
+    ),
+    qfull AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    probe AS (
+      SELECT c.centroid_id FROM c, qfull
+      ORDER BY ROUND(list_dot_product(c.cv, qv)
+               / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(qv, qv))), 6) DESC,
+               c.centroid_id ASC
+      LIMIT {n_probe}
+    ),
+    cands AS (
+      SELECT id, vec FROM assigned
+      WHERE centroid_id IN (SELECT centroid_id FROM probe)
+    ),
+    subs AS (SELECT id, {', '.join(sub_cols)} FROM cands),
+    coded AS (SELECT id, {', '.join(code_cols)} FROM subs),
+    q AS (SELECT {qsub_cols} FROM embeddings WHERE vec_id = 0),
+    luts AS (SELECT {', '.join(lut_cols)} FROM q)
+    SELECT id, ROUND({adc}, 6) AS approx_dist
+    FROM coded, luts
+    ORDER BY approx_dist ASC, id ASC
+    LIMIT {k}
+    """

@@ -143,3 +143,24 @@ def test_train_codebooks_deterministic(spark):
     a = train_codebooks(emb, "vec_id", "embedding", sample=128, iters=3)
     b = train_codebooks(emb, "vec_id", "embedding", sample=128, iters=3)
     assert a == b
+
+
+def test_ivf_pq_candidates_come_from_probed_cells(spark):
+    """IVFPQ = PQ ADC restricted to the probe: its results must be a
+    prefix of the full ADC ranking filtered to the probed cells, and
+    distances must equal the unrestricted ADC distances for those ids."""
+    from tdei_extract_load_service_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    query = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    cbs = make_codebooks()
+    full = {r["id"]: r["approx_dist"] for r in pq_topk(emb, "vec_id", "embedding", query, cbs, k=500).collect()}
+    got = ivf_pq_topk(emb, "vec_id", "embedding", query, cbs, k=10).collect()
+    assert len(got) == 10
+    dists = [r["approx_dist"] for r in got]
+    assert dists == sorted(dists)
+    for r in got:
+        assert full[r["id"]] == r["approx_dist"]

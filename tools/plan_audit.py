@@ -157,6 +157,10 @@ EXPECTATIONS: dict[str, list[str]] = {
     # PQ recall metric: two TakeOrdered scans + a k-row join — never a
     # corpus-sized join, never a cartesian
     "similarity_pq_recall": ["TakeOrderedAndProject", "!CartesianProduct", "!SortMergeJoin"],
+    # IVFPQ: assignment is a projection (no join), the probe an
+    # IN-filter, ADC a projection, ranking TakeOrdered — the whole
+    # query is ONE distributed pass
+    "similarity_ivf_pq": ["TakeOrderedAndProject", "!Join", "!hashpartitioning"],
     # NFC normalization: one Arrow-batched O(len) fan-out, no shuffle
     "text_normalize": ["MapInPandas", "!Join", "!hashpartitioning"],
     # chunking: same O(len) fan-out shape (the transform-over-slices

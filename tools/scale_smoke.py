@@ -75,6 +75,7 @@ QUERIES = (
     "embedding_pq_code",
     "similarity_pq",
     "similarity_pq_recall",
+    "similarity_ivf_pq",
     "tpch_q7_volume_shipping",
     "tpch_q12_priority_class",
     "tpch_q15_top_supplier",
