@@ -78,7 +78,8 @@ HEADLINE_EXTENSIONS = (
     "tpch_q1_pricing_summary",
     "tpch_q6_forecast_revenue",
     "text_winnow_fingerprint",
-    # round-7 additions: seven new TPC-H plan families, the
+    # round-7 additions: the eleven round-7 TPC-H plan families (q4 q7
+    # q10 q12 q13 q14 q15 q17 q18 q19 q22 — matching the entries below), the
     # decontamination / budget-sampling / event-sequence operators and
     # the PQ pair — each gets its steady-state trendline the round it
     # lands

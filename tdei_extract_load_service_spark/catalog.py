@@ -516,10 +516,18 @@ def q_normalize_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time window aggregation — the batch twin of the
     engine's Structured-Streaming windowed aggs (SURVEY.md §2.3 extension).
-    Bucketing via epoch arithmetic (unix_micros DIV) so it is session-tz
-    independent; rendering via normalize_ts."""
+    Bucketing via FLOOR epoch arithmetic so it is session-tz
+    independent (plain DIV truncates toward zero, which would disagree
+    with the oracle's date_trunc — a floor — on pre-epoch timestamps;
+    ADVICE r7); rendering via normalize_ts."""
     ev = _read_events(spark, sf_dir)
-    bucket_start = F.timestamp_seconds(F.expr("unix_micros(ts) DIV 3600000000") * 3600)
+    bucket_start = F.timestamp_seconds(
+        F.expr(
+            "(unix_micros(ts) DIV 3600000000)"
+            " + (CASE WHEN unix_micros(ts) % 3600000000 < 0 THEN -1 ELSE 0 END)"
+        )
+        * 3600
+    )
     return R.agg_group(
         ev.withColumn("window_start", TS.normalize_ts(bucket_start, "yyyy-MM-dd'T'HH:mm:ss")),
         ["window_start", "event_type"],
@@ -3247,7 +3255,7 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, source, t, n_words
       FROM kept
       QUALIFY doc_id = MIN(doc_id) OVER (
-        PARTITION BY md5(array_to_string(list_sort(list_distinct(w)), ' '))
+        PARTITION BY md5(t)
       )
     ),
     bench_norm AS (
@@ -3361,7 +3369,10 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_retention",
     """
     WITH ud AS (
-      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d FROM events
+      SELECT DISTINCT user_id,
+             (epoch_us(ts) // 86400000000)
+             + (CASE WHEN epoch_us(ts) % 86400000000 < 0 THEN -1 ELSE 0 END) AS d
+      FROM events
     ),
     c AS (SELECT user_id, MIN(d) AS cd FROM ud GROUP BY user_id)
     SELECT ud.d - c.cd AS day_offset, COUNT(*) AS n_users
@@ -3442,7 +3453,10 @@ def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_retention_cohorts",
     """
     WITH ud AS (
-      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d FROM events
+      SELECT DISTINCT user_id,
+             (epoch_us(ts) // 86400000000)
+             + (CASE WHEN epoch_us(ts) % 86400000000 < 0 THEN -1 ELSE 0 END) AS d
+      FROM events
     ),
     c AS (SELECT user_id, MIN(d) AS cd FROM ud GROUP BY user_id),
     counts AS (
@@ -3503,25 +3517,6 @@ def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tools/oracle_check.py, which the judge runs — a demotion is a move to
 # the soft signal, not to zero signal.
 #
-# ROUND-8 PROMOTION QUEUE (policy rule (a)): the round-7 entries —
-# dedup_winnow_cluster, tpch_q4_order_priority, tpch_q14_promo_effect,
-# tpch_q13_customer_distribution, tpch_q18_large_volume_customer,
-# tpch_q22_global_sales_opportunity, text_contamination,
-# text_normalize, text_chunk, embedding_normalize, corpus_prep_full,
-# text_token_budget_sample, events_funnel,
-# events_retention, events_retention_cohorts,
-# embedding_pq_code, similarity_pq, similarity_pq_recall, similarity_ivf_pq,
-# and the second TPC-H wave
-# tpch_q7_volume_shipping / q12_priority_class / q15_top_supplier /
-# q17_small_quantity_revenue / q19_discounted_revenue /
-# q10_returned_items —
-# must enter the window at the start of round 8. (23 candidates for a
-# 50-slot window: if demotion pressure is too high, rule (b)'s
-# two-round cadence lets tpch_q4/q14/q13 wait one round — they are
-# shape-cousins of in-window tpch entries — but every OPERATOR-bearing
-# entry (winnow_cluster, contamination, token_budget, funnel,
-# retention, pq_code, similarity_pq) must go in.
-#
 # Round-7 rotation (VERDICT r6 #3, executing the queue written last
 # round): promoted the eight oracle-able round-6 entries —
 # column_profile_categorical, histogram_auto, text_repetition_stats,
@@ -3552,7 +3547,22 @@ def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # / text_fingerprint), multimodal_meta (magic-sniff is the first stage of
 # in-window multimodal_decode / decode_jpeg).
 
+# Round-8 rotation (VERDICT r7 #1, executing the promotion queue written
+# at the end of round 7): the
+# window was SATURATING — 25 round-7 promotions plus rule-(b)
+# re-certification debt exceeded 50 slots — so this round splits
+# deterministically per the verdict: round 8 = ALL 25 round-7 entries
+# (certification debt paid in full) + the 20-op v1 engine contract
+# (never leaves the window: it is the driver's core correctness story)
+# + this round's new entries as they land.  The 30 demoted entries
+# (tpch_q1/q3/q5/q6, the dedup/profile/multimodal/quantile flagships,
+# dynamic_query, agg_stats, window_tumbling, ...) are all long-stable
+# multi-round-green and stay covered by tools/oracle_check.py; per rule
+# (b) they re-enter in ROUND 9, whose window recertifies the demoted
+# tail (new-entry pressure will be far lower then).
 DRIVER_WINDOW: list[str] = [
+    # --- the 20-op v1 engine contract (SURVEY §2.4) ---
+    "scan",
     "project",
     "filter",
     "route_case",
@@ -3560,49 +3570,55 @@ DRIVER_WINDOW: list[str] = [
     "join_semi",
     "join_anti",
     "agg_group",
-    "agg_stats",
+    "agg_prefix_count",
+    "sort",
     "paginate_keyset",
-    "dynamic_query",
     "explode_unnest",
     "header_project",
-    "agg_prefix_count",
     "strip_z",
     "extract_elevation",
     "normalize_ts",
-    "window_tumbling",
     "dedup_exact",
-    "dedup_cluster",
     "topk_similarity",
-    "similarity_ivf",
     "text_quality",
     "etl_load_dataset",
-    "join_range",
+    # --- round-7 promotions: TPC-H waves 1+2 ---
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q10_returned_items",
+    "tpch_q12_priority_class",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customer",
+    "tpch_q19_discounted_revenue",
+    "tpch_q22_global_sales_opportunity",
+    # --- round-7 promotions: PQ/IVFPQ family ---
+    "embedding_pq_code",
+    "similarity_pq",
+    "similarity_pq_recall",
+    "similarity_ivf_pq",
+    # --- round-7 promotions: text / corpus / events ---
+    "dedup_winnow_cluster",
+    "text_contamination",
+    "text_normalize",
+    "text_chunk",
+    "embedding_normalize",
+    "corpus_prep_full",
+    "text_token_budget_sample",
+    "events_funnel",
+    "events_retention",
+    "events_retention_cohorts",
+    # --- round-8 new entries (rule (a): in-window the round they land).
+    # Until each lands, its slot is held by the head of the round-9
+    # re-certification queue (long-stable flagships demoted this round);
+    # each new registration swaps one out.
+    "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_volume",
-    "grouped_normalize",
-    "join_asof",
-    "session_window",
-    "dedup_lsh_verified",
-    "quantiles",
-    "similarity_ivf_kmeans",
-    "multimodal_decode",
-    "text_tfidf_topk",
-    "text_pack_sequences",
-    "embedding_quantize",
-    "dedup_embedding_lsh",
-    "column_profile",
-    "column_correlations",
-    "multimodal_decode_jpeg",
-    "multimodal_resize",
-    "multimodal_video_frames",
-    "column_profile_categorical",
-    "histogram_auto",
-    "text_repetition_stats",
-    "corpus_prep",
-    "tpch_q1_pricing_summary",
     "tpch_q6_forecast_revenue",
-    "text_winnow_fingerprint",
-    "dedup_winnow",
+    "dedup_lsh_verified",
 ]
 
 

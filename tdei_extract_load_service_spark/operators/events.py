@@ -18,6 +18,19 @@ from pyspark.sql import functions as F
 #: ``cast(ts as date)`` which follows the session zone.
 _US_PER_DAY = 86_400_000_000
 
+#: FLOOR-division day bucket over epoch micros.  Plain ``DIV`` truncates
+#: toward zero, which puts 1969-12-31 23:00 in day 0 together with
+#: 1970-01-01 01:00 — broken day-offset semantics for pre-epoch events
+#: (ADVICE r7).  Spark ``%`` carries the dividend's sign, so the CASE
+#: subtracts one exactly when truncation rounded the wrong way; the
+#: arithmetic stays pure integer (micros ~1.7e18 are beyond double's
+#: exact range — float division is banned here).  The DuckDB oracles use
+#: the textually parallel ``//``/``%`` form (DuckDB integer ``//`` also
+#: truncates — probed, v1.0.0), so both engines floor identically.
+_FLOOR_DAY = (
+    f"(_us DIV {_US_PER_DAY}) + (CASE WHEN _us % {_US_PER_DAY} < 0 THEN -1 ELSE 0 END)"
+)
+
 
 def _col(c: str | Column) -> Column:
     return F.col(c) if isinstance(c, str) else c
@@ -103,13 +116,11 @@ def retention(
     explode to (user, offset) and a tiny second aggregation over at
     most ``max_offset`` groups. No (user, day) distinct pre-shuffle, no
     join back for the cohort day."""
-    # exact integer day bucketing: micros are ~1.7e18, beyond double's
-    # exact range, so the division MUST be integer DIV, never float
     staged = events.select(
         _col(user_col).alias("_u"), F.unix_micros(_col(ts_col)).alias("_us")
     )
     per_user = (
-        staged.select("_u", F.expr(f"_us DIV {_US_PER_DAY}").alias("_d"))
+        staged.select("_u", F.expr(_FLOOR_DAY).alias("_d"))
         .groupBy("_u")
         .agg(F.min("_d").alias("_cohort"), F.collect_set("_d").alias("_days"))
     )
@@ -150,7 +161,7 @@ def retention_cohorts(
         _col(user_col).alias("_u"), F.unix_micros(_col(ts_col)).alias("_us")
     )
     per_user = (
-        staged.select("_u", F.expr(f"_us DIV {_US_PER_DAY}").alias("_d"))
+        staged.select("_u", F.expr(_FLOOR_DAY).alias("_d"))
         .groupBy("_u")
         .agg(F.min("_d").alias("_cohort"), F.collect_set("_d").alias("_days"))
     )

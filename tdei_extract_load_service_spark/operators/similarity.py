@@ -260,6 +260,50 @@ def kmeans_centroids_exact(
     return rows
 
 
+def _dot_py(a: list[float], b: list[float]) -> float:
+    """Left-associated driver-side dot product — the same fold order as
+    the engines', so the quotient stays bit-identical."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s += x * y
+    return s
+
+
+def _round6_half_up(x: float) -> float:
+    """ROUND(x, 6) with HALF_UP over the shortest decimal repr — exactly
+    what Spark's F.round (BigDecimal.valueOf -> setScale HALF_UP) and
+    DuckDB's ROUND compute.  Python's builtin round() is banker's
+    (HALF_EVEN) and disagrees at .xxxxxx5 knife edges (ADVICE r7)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(float(x))).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+
+def probe_centroids(
+    model_rows: list, query_vec: list[float], n_probe: int
+) -> list[int]:
+    """Driver-side probe selection shared by ``ivf_topk_model`` and
+    ``ivf_pq_topk`` (previously duplicated at both call sites — ADVICE
+    r7): the query's ``n_probe`` nearest centroids by cosine rounded to
+    6 HALF_UP, centroid_id-asc tiebreak — matching the DuckDB oracle's
+    ``ORDER BY ROUND(...) DESC, centroid_id ASC LIMIT n_probe`` exactly,
+    ties included.  An all-zero query vector has no direction, so probe
+    selection (and the cosine downstream) is undefined: raise instead of
+    silently dividing by zero."""
+    import math
+
+    qv = [float(v) for v in query_vec]
+    qn = math.sqrt(_dot_py(qv, qv))
+    if qn == 0.0:
+        raise ValueError("probe_centroids: all-zero query vector (undefined cosine)")
+    scored = []
+    for r in model_rows:
+        cv = [float(x) for x in r["centroid_vec"]]
+        qsim = _round6_half_up(_dot_py(cv, qv) / (math.sqrt(_dot_py(cv, cv)) * qn))
+        scored.append((-qsim, int(r["centroid_id"])))
+    return [cid for _, cid in sorted(scored)[:n_probe]]
+
+
 def ivf_topk_model(
     df: DataFrame,
     model_rows: list,
@@ -272,25 +316,8 @@ def ivf_topk_model(
     """IVF probe + exact re-rank against an already-built centroid model
     (see ``ivf_topk`` for the plan shape: one distributed pass, no joins,
     no shuffles)."""
-    import math
-
     assigned = ivf_assign_model(df, model_rows, id_col, vec_col)
-
-    def _dot(a: list[float], b: list[float]) -> float:
-        s = 0.0
-        for x, y in zip(a, b):
-            s += x * y
-        return s
-
-    qv = [float(v) for v in query_vec]
-    qn = math.sqrt(_dot(qv, qv))
-    scored = []
-    for r in model_rows:
-        cv = [float(x) for x in r["centroid_vec"]]
-        qsim = round(_dot(cv, qv) / (math.sqrt(_dot(cv, cv)) * qn), 6)
-        scored.append((-qsim, int(r["centroid_id"])))
-    probe_ids = [cid for _, cid in sorted(scored)[:n_probe]]
-
+    probe_ids = probe_centroids(model_rows, query_vec, n_probe)
     candidates = assigned.where(F.col("centroid_id").isin(probe_ids))
     sim = F.round(cosine_similarity(F.col("vec"), _vec_lit(query_vec)), 6)
     return (
@@ -704,30 +731,13 @@ def ivf_pq_topk(
     reuse the exact machinery of similarity_ivf and similarity_pq, so
     the composed DuckDB oracle (oracles.ivf_pq_oracle_sql) agrees
     bit-identically."""
-    import math
-
     codebooks = codebooks or make_codebooks()
     model_rows = ivf_centroids(df, id_col, vec_col, num_centroids).collect()
     assigned = ivf_assign_model(df, model_rows, id_col, vec_col)
-
-    def _dot(a: list[float], b: list[float]) -> float:
-        s = 0.0
-        for x, y in zip(a, b):
-            s += x * y
-        return s
-
-    qv = [float(v) for v in query_vec]
-    qn = math.sqrt(_dot(qv, qv))
-    scored = []
-    for r in model_rows:
-        cv = [float(x) for x in r["centroid_vec"]]
-        qsim = round(_dot(cv, qv) / (math.sqrt(_dot(cv, cv)) * qn), 6)
-        scored.append((-qsim, int(r["centroid_id"])))
-    probe_ids = [cid for _, cid in sorted(scored)[:n_probe]]
-
+    probe_ids = probe_centroids(model_rows, query_vec, n_probe)
     candidates = assigned.where(F.col("centroid_id").isin(probe_ids))
     coded = pq_encode(candidates, "id", "vec", codebooks)
-    lut = pq_adc_lut(qv, codebooks)
+    lut = pq_adc_lut([float(v) for v in query_vec], codebooks)
     dist: Column | None = None
     for s, row in enumerate(lut):
         term = F.element_at(_vec_lit(row), F.col("codes")[s] + 1)

@@ -746,7 +746,11 @@ def corpus_prep_full(
     kept = staged.withColumn("_dwr", dwr).where(
         (F.col("n_words") >= min_words) & (F.col("_dwr") >= min_distinct_ratio)
     )
-    fp = F.md5(F.array_join(F.array_sort(F.array_distinct("_w")), " "))
+    # genuinely EXACT content dedup: fingerprint the full normalized
+    # text — an md5 over the sorted DISTINCT word set (the r7 form)
+    # collided 'dog bites man' with 'man bites dog' and silently
+    # dropped one (ADVICE r7)
+    fp = F.md5(F.col("text_norm"))
     surv = (
         kept.withColumn("_fp", fp)
         .withColumn("_keep", F.min(id_col).over(Window.partitionBy("_fp")))

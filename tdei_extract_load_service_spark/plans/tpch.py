@@ -218,9 +218,13 @@ def q18_large_volume_customer(
     """TPC-H Q18 shape: GROUP-HAVING over the biggest table, then rejoin
     the survivors to the dimension tables.  The quantity rollup is
     map-side combined and DECIMAL-exact; the HAVING filter collapses it
-    to a handful of hot orders, and THAT tiny relation broadcasts
-    through orders and customer — the two joins never shuffle a fact
-    row.  Top-100 is TakeOrderedAndProject (no global sort)."""
+    to a handful of hot orders.  The survivor set's cardinality is
+    data-dependent (how many orders clear the HAVING bar scales with
+    fact volume), so neither rejoin carries an explicit broadcast hint
+    — per the repo rule ("no unconditional F.broadcast of
+    data-dependent aggregates") AQE broadcasts when the runtime size is
+    small and degrades to a spillable shuffle join when it is not
+    (ADVICE r7).  Top-100 is TakeOrderedAndProject (no global sort)."""
     big = (
         lineitem.groupBy("l_orderkey")
         .agg(
@@ -231,10 +235,10 @@ def q18_large_volume_customer(
         .where(F.col("sum_qty") > threshold)
     )
     big_orders = orders.join(
-        F.broadcast(big), orders.o_orderkey == big.l_orderkey
+        big, orders.o_orderkey == big.l_orderkey
     ).select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "sum_qty")
     out = customer.join(
-        F.broadcast(big_orders), customer.c_custkey == big_orders.o_custkey
+        big_orders, customer.c_custkey == big_orders.o_custkey
     )
     return (
         out.select(
@@ -441,9 +445,14 @@ def q17_small_quantity_revenue(
 
     Scale shape: the brand filter broadcasts into the fact FIRST, so
     both the average pass and the probe pass read only the brand's
-    lineitems; the per-part thresholds are tiny and broadcast back.
-    The threshold is one explicit double division off a DECIMAL-exact
-    sum (both engines bit-identical), compared strictly."""
+    lineitems; the per-part threshold set is left UN-hinted — its
+    cardinality is data-dependent (grows with the brand's part count,
+    ~|part|/25 in stock TPC-H, far past broadcast limits at 100 TB), so
+    per the repo rule ("no unconditional F.broadcast of data-dependent
+    aggregates") AQE picks the strategy: broadcast when the runtime
+    stats are small, spillable shuffle join when they are not (ADVICE
+    r7).  The threshold is one explicit double division off a
+    DECIMAL-exact sum (both engines bit-identical), compared strictly."""
     pk = part.where(F.col("p_brand") == brand).select("p_partkey")
     li = lineitem.join(
         F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey")
@@ -452,7 +461,7 @@ def q17_small_quantity_revenue(
         (F.lit(0.2) * (_dsum(F.col("l_quantity")) / F.count("*"))).alias("_t")
     ).withColumnRenamed("l_partkey", "_tk")
     small = li.join(
-        F.broadcast(thresholds), F.col("l_partkey") == F.col("_tk")
+        thresholds, F.col("l_partkey") == F.col("_tk")
     ).where(F.col("l_quantity") < F.col("_t"))
     return small.agg(
         F.round(_dsum(F.col("l_extendedprice")) / 7.0, 2).alias("avg_yearly")

@@ -13,44 +13,63 @@ import os
 
 from tdei_extract_load_service_spark.catalog import DRIVER_WINDOW, REGISTRY, ordered_registry
 
-# Entries the north star cares most about — must always be driver-checked.
-# r7 rotation (VERDICT r6 #3): the promoted round-6 entries take
-# flagship status; the demoted shape-subsumed entries (text_ngram_topk,
-# multimodal_audio, interval_join, unpivot, window_range_frame,
-# histogram) hand it to their in-window siblings — histogram_auto runs
-# the same binning agg plus the bounds pass, column_profile_categorical
-# certifies the Expand/melt machinery, corpus_prep exercises
-# fingerprint(), and the winnow pair (post-O(len^2)-fix) anchors the
-# substring-dedup family.
+# Entries that must always be driver-checked.  r8 rotation (VERDICT r7
+# #1): the window saturated — 25 round-7 promotions plus rule-(b)
+# re-certification debt exceeded 50 slots — so this round the permanent
+# core is the 20-op v1 engine contract (the driver's correctness story,
+# never rotated out) and every round-7 entry (certification debt paid in
+# full).  The long-stable r6-era flagships (tpch_q1/q3/q5/q6, dedup
+# family, profile/multimodal/quantiles) moved to the round-9
+# re-certification queue: multi-round driver-green, still swept by
+# tools/oracle_check.py every round, back in-window round 9.
 FLAGSHIPS = [
-    "dedup_lsh_verified",
-    "quantiles",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_volume",
-    "tpch_q1_pricing_summary",
-    "tpch_q6_forecast_revenue",
-    "join_asof",
-    "session_window",
-    "grouped_normalize",
-    "dedup_cluster",
+    # the 20-op v1 contract
+    "scan",
+    "project",
+    "filter",
+    "route_case",
+    "join_inner",
+    "join_semi",
+    "join_anti",
+    "agg_group",
+    "agg_prefix_count",
+    "sort",
+    "paginate_keyset",
+    "explode_unnest",
+    "header_project",
+    "strip_z",
+    "extract_elevation",
+    "normalize_ts",
+    "dedup_exact",
+    "topk_similarity",
+    "text_quality",
     "etl_load_dataset",
-    "similarity_ivf",
-    "dedup_embedding_lsh",
-    "join_range",
-    "text_tfidf_topk",
-    "text_pack_sequences",
-    "embedding_quantize",
-    "text_repetition_stats",
-    "text_winnow_fingerprint",
-    "dedup_winnow",
-    "corpus_prep",
-    "histogram_auto",
-    "column_profile",
-    "column_profile_categorical",
-    "column_correlations",
-    "multimodal_decode_jpeg",
-    "multimodal_resize",
-    "multimodal_video_frames",
+    # round-7 certification debt (VERDICT r7 "What's missing" #5)
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q10_returned_items",
+    "tpch_q12_priority_class",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customer",
+    "tpch_q19_discounted_revenue",
+    "tpch_q22_global_sales_opportunity",
+    "embedding_pq_code",
+    "similarity_pq",
+    "similarity_pq_recall",
+    "similarity_ivf_pq",
+    "dedup_winnow_cluster",
+    "text_contamination",
+    "text_normalize",
+    "text_chunk",
+    "embedding_normalize",
+    "corpus_prep_full",
+    "text_token_budget_sample",
+    "events_funnel",
+    "events_retention",
+    "events_retention_cohorts",
 ]
 
 

@@ -102,6 +102,24 @@ class TestRetention:
         got = {r["day_offset"] for r in retention(ev, "user_id", "ts", max_offset=7).collect()}
         assert got == {0}
 
+    def test_pre_epoch_days_floor(self, spark):
+        # ADVICE r7: DIV truncates toward zero, putting 1969-12-31 23:00
+        # in day 0 next to 1970-01-01 01:00 — floor semantics must keep
+        # them one day apart (and agree with Python's // floor).
+        before = dt.datetime(1969, 12, 31, 23, 0)   # UTC day -1
+        after = dt.datetime(1970, 1, 1, 1, 0)       # UTC day 0
+        ev = _events(spark, [(1, before, "view"), (1, after, "view")])
+        got = {r["day_offset"]: r["n_users"] for r in retention(ev, "user_id", "ts").collect()}
+        assert got == {0: 1, 1: 1}
+        # cohort day itself floors: a lone pre-epoch user still anchors
+        # at its own (negative) day with offset 0
+        from tdei_extract_load_service_spark.operators.events import (
+            retention_cohorts,
+        )
+
+        rows = retention_cohorts(ev, "user_id", "ts").collect()
+        assert [(r["cohort_day"], r["day_offset"]) for r in rows] == [(-1, 0), (-1, 1)]
+
 
 class TestTokenBudget:
     def _docs(self, spark, rows):

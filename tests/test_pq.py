@@ -164,3 +164,24 @@ def test_ivf_pq_candidates_come_from_probed_cells(spark):
     assert dists == sorted(dists)
     for r in got:
         assert full[r["id"]] == r["approx_dist"]
+
+
+def test_probe_centroids_zero_query_raises():
+    from tdei_extract_load_service_spark.operators.similarity import probe_centroids
+
+    rows = [{"centroid_id": 1, "centroid_vec": [1.0, 0.0]}]
+    with pytest.raises(ValueError, match="all-zero query"):
+        probe_centroids(rows, [0.0, 0.0], 1)
+
+
+def test_probe_round_is_half_up():
+    """ADVICE r7: the probe score must round HALF_UP like F.round/DuckDB
+    ROUND, not banker's — .xxxxxx5 knife edges decide probe-set ties."""
+    from tdei_extract_load_service_spark.operators.similarity import (
+        _round6_half_up,
+    )
+
+    assert _round6_half_up(5e-07) == 1e-06       # round() gives 0.0
+    assert _round6_half_up(2.5e-06) == 3e-06     # round() gives 2e-06
+    assert _round6_half_up(-2.5e-06) == -3e-06   # HALF_UP = away from zero
+    assert _round6_half_up(0.1234565) == 0.123457

@@ -119,8 +119,9 @@ EXPECTATIONS: dict[str, list[str]] = {
     # row rides the outer-join shuffle), and the outer join itself
     "tpch_q13_customer_distribution": ["partial_count", "LeftOuter|BuildRight", "HashAggregate", "!CartesianProduct"],
     # TPC-H Q18: GROUP-HAVING collapses the fact map-side, the survivor
-    # set broadcasts through both rejoins (no fact-side shuffle join),
-    # top-100 is TakeOrdered (no global sort)
+    # set broadcasts through both rejoins WITHOUT a hint (ADVICE r7 —
+    # the planner's own size estimates pick broadcast at audit scale;
+    # at 100 TB AQE decides), top-100 is TakeOrdered (no global sort)
     "tpch_q18_large_volume_customer": ["partial_sum", "BroadcastHashJoin", "TakeOrderedAndProject", "!SortMergeJoin", "!ShuffledHashJoin"],
     # TPC-H Q22: the scalar average broadcasts as a one-row nested loop
     # (the ONLY acceptable BNLJ in the audit), the urgent-orders anti
@@ -138,10 +139,12 @@ EXPECTATIONS: dict[str, list[str]] = {
     # float key (knownfloatingpointnormalized) — even the argmax probe
     # is a hash lookup, no nested loop anywhere; rollup map-side
     "tpch_q15_top_supplier": ["knownfloatingpointnormalized", "partial_sum", "!BroadcastNestedLoopJoin", "!CartesianProduct"],
-    # TPC-H Q17: decorrelated per-part AVG joined back — BOTH joins
-    # broadcast (brand filter, then the tiny threshold set); the fact
-    # never shuffles
-    "tpch_q17_small_quantity_revenue": ["BroadcastHashJoin", "partial_sum", "!SortMergeJoin", "!ShuffledHashJoin"],
+    # TPC-H Q17: decorrelated per-part AVG joined back — the brand
+    # dimension broadcasts, but the per-part threshold AGGREGATE is
+    # data-dependent so it carries no hint (ADVICE r7): the pre-AQE plan
+    # may show a spillable sort-merge join there and AQE broadcasts at
+    # runtime when the stats come back small
+    "tpch_q17_small_quantity_revenue": ["BroadcastHashJoin", "partial_sum", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
     # TPC-H Q19: disjunctive mixed predicate stays a residual over ONE
     # broadcast join — no union-of-scans rewrite
     "tpch_q19_discounted_revenue": ["BroadcastHashJoin", "partial_sum", "!Union", "!SortMergeJoin"],

@@ -56,7 +56,7 @@ QUERIES = (
     "tpch_q1_pricing_summary",
     "tpch_q6_forecast_revenue",
     "text_winnow_fingerprint",
-    # round-7 additions: the five new TPC-H plan families and the
+    # round-7 additions: the eleven round-7 TPC-H plan families and the
     # decontamination / budget-sampling / event-sequence operators
     "tpch_q4_order_priority",
     "tpch_q14_promo_effect",
