@@ -185,3 +185,41 @@ def test_probe_round_is_half_up():
     assert _round6_half_up(2.5e-06) == 3e-06     # round() gives 2e-06
     assert _round6_half_up(-2.5e-06) == -3e-06   # HALF_UP = away from zero
     assert _round6_half_up(0.1234565) == 0.123457
+
+
+def test_stored_index_serving_matches_inline(spark, tmp_path):
+    """The stored-index serving path (r8 production shape) must be
+    value-identical to the inline encode path on both PQ and IVFPQ."""
+    from tdei_extract_load_service_spark.operators.similarity import (
+        build_pq_index,
+        ivf_pq_topk,
+        ivf_pq_topk_stored,
+        pq_topk,
+        pq_topk_stored,
+        probe_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    query = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    cbs = make_codebooks()
+    path, model_rows = build_pq_index(
+        emb, "vec_id", "embedding", cbs, num_centroids=8,
+        corpus_key=f"test:{tmp_path}",
+    )
+    inline = pq_topk(emb, "vec_id", "embedding", query, cbs, k=10).collect()
+    stored = pq_topk_stored(spark, path, query, cbs, k=10).collect()
+    assert [tuple(r) for r in inline] == [tuple(r) for r in stored]
+    inline_ivf = ivf_pq_topk(
+        emb, "vec_id", "embedding", query, cbs, k=10, num_centroids=8, n_probe=3
+    ).collect()
+    stored_ivf = ivf_pq_topk_stored(
+        spark, path, model_rows, query, cbs, k=10, n_probe=3
+    ).collect()
+    assert [tuple(r) for r in inline_ivf] == [tuple(r) for r in stored_ivf]
+    # second build with the same key is a pure cache hit (same path)
+    path2, _ = build_pq_index(
+        emb, "vec_id", "embedding", cbs, num_centroids=8,
+        corpus_key=f"test:{tmp_path}",
+    )
+    assert path2 == path
+    assert probe_centroids(model_rows, query, 3)  # model rows round-trip

@@ -160,10 +160,11 @@ EXPECTATIONS: dict[str, list[str]] = {
     # PQ recall metric: two TakeOrdered scans + a k-row join — never a
     # corpus-sized join, never a cartesian
     "similarity_pq_recall": ["TakeOrderedAndProject", "!CartesianProduct", "!SortMergeJoin"],
-    # IVFPQ: assignment is a projection (no join), the probe an
-    # IN-filter, ADC a projection, ranking TakeOrdered — the whole
-    # query is ONE distributed pass
-    "similarity_ivf_pq": ["TakeOrderedAndProject", "!Join", "!hashpartitioning"],
+    # IVFPQ on the stored-index serving path (r8): the probe IN-filter
+    # must appear as a PARTITION filter over the partitionBy(centroid_id)
+    # layout — directory pruning, not a row filter — then literal-LUT
+    # ADC projection + TakeOrdered; no join, no shuffle
+    "similarity_ivf_pq": ["TakeOrderedAndProject", "PartitionFilters: \\[.*centroid_id", "!Join", "!hashpartitioning"],
     # NFC normalization: one Arrow-batched O(len) fan-out, no shuffle
     "text_normalize": ["MapInPandas", "!Join", "!hashpartitioning"],
     # chunking: same O(len) fan-out shape (the transform-over-slices
