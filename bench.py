@@ -107,6 +107,10 @@ HEADLINE_EXTENSIONS = (
     "tpch_q17_small_quantity_revenue",
     "tpch_q19_discounted_revenue",
     "tpch_q10_returned_items",
+    # round-8 additions: TPC-H wave 3 (the decorrelation shapes)
+    "tpch_q21_suppliers_kept_waiting",
+    "tpch_q20_potential_part_promotion",
+    "tpch_q2_minimum_cost_supplier",
     # dedup_winnow (and its r7 composition dedup_winnow_cluster) is
     # EXCLUDED from the sf0.1 headline deliberately: the
     # synthetic documents corpus draws from a ~25-word vocabulary, so

@@ -3041,6 +3041,153 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H wave 3 (round 8): q21 / q20 / q2 — the decorrelation shapes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q21_suppliers_kept_waiting",
+    """
+    WITH l1 AS (
+      SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM l1
+    JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_1'
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT 100
+    """,
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted flag: l_returnflag = 'R' for the
+    fixture's missing commit/receipt dates): EXISTS + NOT EXISTS
+    correlated self-joins of the biggest table, decorrelated to
+    LeftSemi/LeftAnti with a non-equi suppkey residual — the hardest
+    plan family in the suite (plans/tpch.py q21_suppliers_kept_waiting).
+    The oracle keeps the textbook EXISTS form so BOTH decorrelations
+    are independently derived."""
+    from tdei_extract_load_service_spark.plans.tpch import (
+        q21_suppliers_kept_waiting,
+    )
+
+    return q21_suppliers_kept_waiting(
+        _read(spark, sf_dir, "lineitem"),
+        _read(spark, sf_dir, "orders"),
+        _read(spark, sf_dir, "supplier"),
+        _read(spark, sf_dir, "nation"),
+    )
+
+
+@register(
+    "tpch_q20_potential_part_promotion",
+    """
+    WITH li AS (
+      SELECT l_partkey, l_suppkey, l_quantity
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE 'small%'
+        AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+    ),
+    pair AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS pair_qty
+      FROM li GROUP BY l_partkey, l_suppkey
+    ),
+    tot AS (
+      SELECT l_partkey,
+             ROUND(CAST(SUM(CAST(pair_qty AS DECIMAL(18,6))) AS DOUBLE), 6) AS part_qty
+      FROM pair GROUP BY l_partkey
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_1'
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM pair JOIN tot USING (l_partkey)
+      WHERE pair_qty > 0.3 * part_qty
+    )
+    ORDER BY s_name ASC
+    """,
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted threshold: dominant shipped share in
+    place of the fixture-less partsupp availqty): nested-aggregate
+    threshold -> decorrelated join -> semi-join chain into the
+    supplier dimension (plans/tpch.py q20_potential_part_promotion)."""
+    from tdei_extract_load_service_spark.plans.tpch import (
+        q20_potential_part_promotion,
+    )
+
+    return q20_potential_part_promotion(
+        _read(spark, sf_dir, "lineitem"),
+        _read(spark, sf_dir, "part"),
+        _read(spark, sf_dir, "supplier"),
+        _read(spark, sf_dir, "nation"),
+    )
+
+
+@register(
+    "tpch_q2_minimum_cost_supplier",
+    """
+    WITH sup AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+    ),
+    pk AS (SELECT p_partkey, p_type FROM part WHERE p_size <= 25),
+    cost AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(ROUND(l_extendedprice / l_quantity, 6)) AS supply_cost
+      FROM lineitem
+      JOIN pk ON l_partkey = p_partkey
+      WHERE l_suppkey IN (SELECT s_suppkey FROM sup)
+      GROUP BY l_partkey, l_suppkey
+    ),
+    mc AS (
+      SELECT l_partkey, MIN(supply_cost) AS min_cost FROM cost GROUP BY l_partkey
+    )
+    SELECT ROUND(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+           cost.l_partkey AS p_partkey, p_type, supply_cost
+    FROM cost
+    JOIN mc ON cost.l_partkey = mc.l_partkey AND supply_cost = min_cost
+    JOIN sup ON l_suppkey = s_suppkey
+    JOIN pk ON cost.l_partkey = p_partkey
+    ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+    LIMIT 100
+    """,
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted cost relation: min observed unit price
+    from lineitem in place of the fixture-less partsupp): correlated
+    scalar-min subquery decorrelated to a per-part MIN joined back on
+    (partkey, cost) equality, ties preserved — the grouped dual of
+    Q15's global argmax (plans/tpch.py q2_minimum_cost_supplier)."""
+    from tdei_extract_load_service_spark.plans.tpch import (
+        q2_minimum_cost_supplier,
+    )
+
+    return q2_minimum_cost_supplier(
+        _read(spark, sf_dir, "lineitem"),
+        _read(spark, sf_dir, "part"),
+        _read(spark, sf_dir, "supplier"),
+        _read(spark, sf_dir, "nation"),
+        _read(spark, sf_dir, "region"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Product quantization (round 7) — compressed ANN
 # ---------------------------------------------------------------------------
 
@@ -3647,9 +3794,9 @@ DRIVER_WINDOW: list[str] = [
     # Until each lands, its slot is held by the head of the round-9
     # re-certification queue (long-stable flagships demoted this round);
     # each new registration swaps one out.
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_volume",
+    "tpch_q21_suppliers_kept_waiting",
+    "tpch_q20_potential_part_promotion",
+    "tpch_q2_minimum_cost_supplier",
     "tpch_q6_forecast_revenue",
     "dedup_lsh_verified",
 ]

@@ -226,3 +226,141 @@ def test_q7_cross_pairs_only_and_year_split(spark):
         ("NATION_1", "NATION_2", "1995"): 100.0,
         ("NATION_1", "NATION_2", "1996"): 50.0,
     }
+
+
+def _lineitem21(spark, rows):
+    return spark.createDataFrame(
+        rows, "l_orderkey long, l_suppkey long, l_returnflag string"
+    )
+
+
+def test_q21_only_sole_flagged_supplier_waits(spark):
+    """Pin the EXISTS/NOT-EXISTS semantics: a supplier counts only when
+    it is flagged, the order has ANOTHER supplier, and NO other supplier
+    on that order is flagged."""
+    import datetime as dt
+
+    from tdei_extract_load_service_spark.plans.tpch import (
+        q21_suppliers_kept_waiting,
+    )
+
+    d = dt.datetime(1996, 1, 1)
+    li = _lineitem21(
+        spark,
+        [
+            # order 1: supp 1 flagged, supp 2 clean -> supp 1 counts
+            (1, 1, "R"), (1, 2, "N"),
+            # order 2: both flagged -> NOT EXISTS kills both
+            (2, 1, "R"), (2, 2, "R"),
+            # order 3: single-supplier order -> EXISTS kills it
+            (3, 1, "R"),
+            # order 4: open status (not 'F') -> excluded downstream
+            (4, 1, "R"), (4, 2, "N"),
+            # order 5: supp 2 flagged alone among three -> supp 2 counts
+            (5, 2, "R"), (5, 1, "N"), (5, 3, "N"),
+        ],
+    )
+    orders = spark.createDataFrame(
+        [(1, "F"), (2, "F"), (3, "F"), (4, "O"), (5, "F")],
+        "o_orderkey long, o_orderstatus string",
+    )
+    supplier = spark.createDataFrame(
+        [(1, "supp1", 0), (2, "supp2", 0), (3, "supp3", 1)],
+        "s_suppkey long, s_name string, s_nationkey int",
+    )
+    nation = spark.createDataFrame(
+        [(0, "NATION_1"), (1, "NATION_2")], "n_nationkey int, n_name string"
+    )
+    got = {
+        r["s_name"]: r["numwait"]
+        for r in q21_suppliers_kept_waiting(li, orders, supplier, nation).collect()
+    }
+    assert got == {"supp1": 1, "supp2": 1}
+
+
+def test_q20_dominant_share_threshold_strict(spark):
+    """Pin the nested-aggregate threshold: strictly-greater on the
+    share, window totals per part, prefix name filter, nation filter."""
+    import datetime as dt
+
+    from tdei_extract_load_service_spark.plans.tpch import (
+        q20_potential_part_promotion,
+    )
+
+    d = dt.datetime(1995, 6, 1)
+    li = spark.createDataFrame(
+        [
+            # part 1: supp1 ships 70, supp2 ships 30 -> supp1 dominant (>30%)
+            (1, 1, 1, 70.0, d), (2, 1, 2, 30.0, d),
+            # part 2: 50/50 -> both dominant at share=0.3
+            (3, 2, 3, 50.0, d), (4, 2, 4, 50.0, d),
+            # part 3 (name excluded): supp5 alone -> filtered by prefix
+            (5, 3, 5, 100.0, d),
+            # part 1 shipment outside the window -> ignored
+            (6, 1, 6, 500.0, dt.datetime(1994, 1, 1)),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double, "
+        "l_shipdate timestamp",
+    )
+    part = spark.createDataFrame(
+        [(1, "small ring"), (2, "small bolt"), (3, "red widget")],
+        "p_partkey long, p_name string",
+    )
+    supplier = spark.createDataFrame(
+        [(i, f"supp{i}", 0 if i < 5 else 1) for i in range(1, 7)],
+        "s_suppkey long, s_name string, s_nationkey int",
+    )
+    nation = spark.createDataFrame(
+        [(0, "NATION_1"), (1, "NATION_2")], "n_nationkey int, n_name string"
+    )
+    got = [
+        r["s_name"]
+        for r in q20_potential_part_promotion(li, part, supplier, nation).collect()
+    ]
+    # supp2's 30% is NOT > 30%; supp5 is out-of-prefix, supp6 out-of-window
+    assert got == ["supp1", "supp3", "supp4"]
+
+
+def test_q2_min_cost_ties_preserved_and_region_scoped(spark):
+    """Pin the decorrelated scalar-min semantics: per-part minimum over
+    REGION-scoped suppliers only, ties keep every argmin supplier."""
+    import datetime as dt
+
+    from tdei_extract_load_service_spark.plans.tpch import (
+        q2_minimum_cost_supplier,
+    )
+
+    li = spark.createDataFrame(
+        [
+            # part 1: supp1 unit 2.0, supp2 unit 2.0 (tie), supp3 unit 1.0
+            # but supp3 is OUT of region -> min over {supp1, supp2} = 2.0
+            (1, 1, 1, 10.0, 20.0), (2, 1, 2, 5.0, 10.0), (3, 1, 3, 10.0, 10.0),
+            # part 2: supp1 cheapest in region
+            (4, 2, 1, 10.0, 30.0), (5, 2, 2, 10.0, 40.0),
+            # part 3: size-filtered out
+            (6, 3, 1, 1.0, 1.0),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double, "
+        "l_extendedprice double",
+    )
+    part = spark.createDataFrame(
+        [(1, "t1", 10), (2, "t2", 20), (3, "t3", 99)],
+        "p_partkey long, p_type string, p_size int",
+    )
+    supplier = spark.createDataFrame(
+        [(1, "supp1", 0, 100.0), (2, "supp2", 0, 200.0), (3, "supp3", 1, 300.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    )
+    nation = spark.createDataFrame(
+        [(0, "NATION_1", 0), (1, "NATION_2", 1)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    region = spark.createDataFrame(
+        [(0, "EUROPE"), (1, "ASIA")], "r_regionkey int, r_name string"
+    )
+    rows = q2_minimum_cost_supplier(
+        li, part, supplier, nation, region, size_max=25
+    ).collect()
+    got = [(r["p_partkey"], r["s_name"], r["supply_cost"]) for r in rows]
+    # ordering: s_acctbal DESC -> supp2 (200) before supp1 (100)
+    assert got == [(1, "supp2", 2.0), (1, "supp1", 2.0), (2, "supp1", 3.0)]

@@ -151,6 +151,20 @@ EXPECTATIONS: dict[str, list[str]] = {
     # TPC-H Q10: flag+date in PushedFilters, per-customer rollup BEFORE
     # the dimension joins, top-20 TakeOrdered — no fan-out aggregation
     "tpch_q10_returned_items": ["PushedFilters: \\[.*EqualTo\\(l_returnflag,R", "partial_sum", "TakeOrderedAndProject", "!CartesianProduct"],
+    # TPC-H Q21 (the hardest suite shape): EXISTS -> LeftSemi and NOT
+    # EXISTS -> LeftAnti self-joins of the fact with the suppkey
+    # inequality as a join residual — never a fan-out join, never a
+    # cartesian; rollup map-side, top-100 TakeOrdered
+    "tpch_q21_suppliers_kept_waiting": ["LeftSemi", "LeftAnti", "partial_count", "TakeOrderedAndProject", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
+    # TPC-H Q20: nested-aggregate threshold decorrelated as a WINDOW
+    # over the per-pair rollup — exactly ONE fact scan (the
+    # aggregate-join-back form planned two), then a LeftSemi probe into
+    # the supplier dimension
+    "tpch_q20_potential_part_promotion": ["LeftSemi", "Window", "partial_sum", "=1:FileScan parquet \\[l_", "!CartesianProduct"],
+    # TPC-H Q2: correlated scalar-min decorrelated as a per-part MIN
+    # window over the aggregated cost relation — ONE fact scan, ties
+    # preserved by the in-place equality, top-100 TakeOrdered
+    "tpch_q2_minimum_cost_supplier": ["Window", "partial_min", "TakeOrderedAndProject", "=1:FileScan parquet \\[l_", "!CartesianProduct"],
     # PQ encode: a pure projection — no shuffle beyond the input spread,
     # no join, no Python; codegen carries the whole distance arithmetic
     "embedding_pq_code": ["Project", "!hashpartitioning", "!Join", "!ArrowEvalPython", "!MapInPandas"],

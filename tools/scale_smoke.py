@@ -82,6 +82,9 @@ QUERIES = (
     "tpch_q17_small_quantity_revenue",
     "tpch_q19_discounted_revenue",
     "tpch_q10_returned_items",
+    "tpch_q21_suppliers_kept_waiting",
+    "tpch_q20_potential_part_promotion",
+    "tpch_q2_minimum_cost_supplier",
     # dedup_winnow: excluded — replicated word-soup makes every substring
     # shingle corpus-hot (df ~ corpus size), so the smoke would measure
     # the max_hash_df cap dropping everything, not the join plan
