@@ -3661,6 +3661,52 @@ def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(_read_events(spark, sf_dir), "user_id", "ts")
 
 
+@register(
+    "stream_funnel_shadow",
+    """
+    WITH t0 AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS t0 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t1 AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t1
+      FROM events e JOIN t0 ON e.user_id = t0.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > t0.t0
+      GROUP BY e.user_id
+    ),
+    t2 AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+      FROM events e JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t1.t1
+      GROUP BY e.user_id
+    )
+    SELECT u.user_id,
+           CASE WHEN t2.t2 IS NOT NULL THEN 3
+                WHEN t1.t1 IS NOT NULL THEN 2
+                WHEN t0.t0 IS NOT NULL THEN 1
+                ELSE 0 END AS steps_completed,
+           t0.t0 AS t0, t1.t1 AS t1, t2.t2 AS t2
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN t0 ON u.user_id = t0.user_id
+    LEFT JOIN t1 ON u.user_id = t1.user_id
+    LEFT JOIN t2 ON u.user_id = t2.user_id
+    ORDER BY u.user_id ASC
+    """,
+)
+def q_stream_funnel_shadow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING surface, driver-certified (VERDICT r7 #8): replay
+    the events fixture as four micro-batches through a real Structured
+    Streaming query (stream_funnel's applyInPandasWithState — GroupState
+    crossing batch boundaries), reduce the update-mode emissions to the
+    final per-user funnel state, and compare against the relational
+    chained min-after-predecessor recurrence in SQL
+    (streaming/shadow.py funnel_shadow; times are epoch micros over a
+    TIMESTAMP_NTZ pipeline, session-tz independent)."""
+    from tdei_extract_load_service_spark.streaming.shadow import funnel_shadow
+
+    return funnel_shadow(spark, sf_dir, n_batches=4)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
@@ -3797,7 +3843,7 @@ DRIVER_WINDOW: list[str] = [
     "tpch_q21_suppliers_kept_waiting",
     "tpch_q20_potential_part_promotion",
     "tpch_q2_minimum_cost_supplier",
-    "tpch_q6_forecast_revenue",
+    "stream_funnel_shadow",
     "dedup_lsh_verified",
 ]
 

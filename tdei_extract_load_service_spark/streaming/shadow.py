@@ -1,0 +1,179 @@
+"""Batch-shadow certification of the streaming surface.
+
+The streaming operators (windows.py) carry batch-equivalence pytest
+proofs, but until round 8 nothing in the CATALOG executed a real
+Structured Streaming query — the driver never certified the streaming
+path itself (VERDICT r7 #8). This module runs a streaming query over a
+BOUNDED multi-file source (so state genuinely crosses micro-batches)
+and exposes the final result as a plain DataFrame an SQL oracle can
+check: the streaming twin must equal the relational recurrence.
+
+Timezone discipline: the staged stream carries ``ts`` as
+TIMESTAMP_NTZ end-to-end. The GroupState path converts timestamps to
+pandas, and an instant-typed TIMESTAMP renders as session-local naive
+there — under a non-UTC driver session its epoch value would shift by
+the UTC offset. NTZ is timezone-free in Arrow, so
+``Timestamp.value // 1000`` is exactly DuckDB's ``epoch_us(ts)`` in
+every session timezone (probed under America/Los_Angeles).
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_QUERY_COUNTER = itertools.count()
+
+#: session-lifetime staging cache: corpus fingerprint -> staged dir
+_STAGE_CACHE: dict[str, str] = {}
+
+
+def stage_event_stream(
+    spark: SparkSession, sf_dir: str, n_batches: int = 4
+) -> str:
+    """Stage the bounded events fixture as ``n_batches`` parquet files
+    ordered by event time, with strictly increasing mtimes — so a file
+    source with ``maxFilesPerTrigger=1`` replays them as a deterministic
+    sequence of micro-batches. Per-user arrival is in event-time order
+    across batches (a global ts-range split IS a per-user prefix split),
+    which is the regime where the one-pass stateful funnel equals the
+    batch recurrence exactly (windows.stream_funnel docstring).
+
+    Content-addressed under /tmp and reused across sessions; this
+    staging is harness plumbing — production streams arrive from a real
+    source (O1's queue contract, streaming/consumer.py)."""
+    import hashlib
+    import shutil
+
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    key = f"{src}:{st.st_size}:{st.st_mtime_ns}:{n_batches}"
+    hit = _STAGE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    digest = hashlib.md5(key.encode()).hexdigest()[:24]
+    root = "/tmp/spark_graft_stream_stage"
+    stage = os.path.join(root, digest)
+    if not os.path.isdir(stage) or len(os.listdir(stage)) != n_batches:
+        ev = spark.read.parquet(src)
+        if dict(ev.dtypes).get("ts") == "bigint":
+            # legacy TIMESTAMP(NANOS) vintage read as int64 ns: rebuild
+            # NTZ via an exact DECIMAL-seconds interval (micros ~1.7e18
+            # are beyond double's exact range — float seconds banned)
+            ev = ev.withColumn(
+                "ts",
+                F.expr(
+                    "make_timestamp_ntz(1970, 1, 1, 0, 0, 0)"
+                    " + make_dt_interval(0, 0, 0,"
+                    " CAST(ts DIV 1000 AS DECIMAL(20, 0)) / 1000000)"
+                ),
+            )
+        from pyspark.sql import Window
+
+        n = ev.count()
+        per = -(-n // n_batches)
+        ranked = ev.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.orderBy(F.col("ts").asc(), F.col("event_id").asc())
+            ),
+        )
+        build = f"{stage}.build.{os.getpid()}"
+        shutil.rmtree(build, ignore_errors=True)
+        os.makedirs(build)
+        for i in range(n_batches):
+            chunk_dir = os.path.join(build, f"_chunk{i}")
+            (
+                ranked.where(
+                    (F.col("_rn") > i * per) & (F.col("_rn") <= (i + 1) * per)
+                )
+                .drop("_rn")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(chunk_dir)
+            )
+            part = next(
+                p for p in os.listdir(chunk_dir) if p.endswith(".parquet")
+            )
+            dst = os.path.join(build, f"{i:03d}.parquet")
+            os.replace(os.path.join(chunk_dir, part), dst)
+            shutil.rmtree(chunk_dir)
+            os.utime(dst, (st.st_mtime + i, st.st_mtime + i))
+        os.makedirs(root, exist_ok=True)
+        shutil.rmtree(stage, ignore_errors=True)
+        try:
+            os.rename(build, stage)
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)
+    _STAGE_CACHE[key] = stage
+    return stage
+
+
+def run_bounded_stream(
+    spark: SparkSession,
+    stage_dir: str,
+    transform,
+    output_mode: str = "update",
+) -> DataFrame:
+    """Run ``transform(stream_df)`` as a real Structured Streaming query
+    over the staged bounded source — one micro-batch per staged file
+    (``maxFilesPerTrigger=1`` + ``Trigger.AvailableNow``) — and return
+    the memory-sink table of every emitted row."""
+    schema = spark.read.parquet(stage_dir).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage_dir)
+    )
+    name = f"shadow_{os.getpid()}_{next(_QUERY_COUNTER)}"
+    ckpt = f"/tmp/spark_graft_stream_ckpt/{name}"
+    q = (
+        transform(src)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def funnel_shadow(spark: SparkSession, sf_dir: str, n_batches: int = 4) -> DataFrame:
+    """The streaming funnel, certified end to end: replay the events
+    fixture as ``n_batches`` micro-batches through
+    ``windows.stream_funnel`` (GroupState crossing batch boundaries),
+    then reduce the update-mode emissions to the final per-user state.
+
+    The reduction is exact, not heuristic: funnel state only ever
+    improves (a step time fills from -1 or moves earlier), so the final
+    value of step i is the minimum reached value across emissions, and
+    the final depth is the leading run of reached steps — both plain
+    aggregates. Returns ``(user_id, steps_completed, t0, t1, t2)`` with
+    times as epoch micros (NULL = step never reached), exactly the
+    chained min-after-predecessor recurrence the SQL oracle computes."""
+    from tdei_extract_load_service_spark.streaming.windows import stream_funnel
+
+    stage = stage_event_stream(spark, sf_dir, n_batches)
+    emits = run_bounded_stream(spark, stage, stream_funnel)
+
+    def reached_min(i: int):
+        t = F.col("step_times")[i]
+        return F.min(F.when(t != -1, t))
+
+    agg = emits.groupBy("user_id").agg(
+        *[reached_min(i).alias(f"t{i}") for i in range(3)]
+    )
+    depth = (
+        F.when(F.col("t2").isNotNull(), 3)
+        .when(F.col("t1").isNotNull(), 2)
+        .when(F.col("t0").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return agg.select(
+        "user_id", depth.alias("steps_completed"), "t0", "t1", "t2"
+    ).orderBy(F.col("user_id").asc())

@@ -432,3 +432,70 @@ def test_stream_funnel_matches_batch_on_inorder_stream(spark, tmp_path):
     assert stream_counts == [
         row["n_step1_view"], row["n_step2_click"], row["n_step3_purchase"]
     ]
+
+
+class TestFunnelShadow:
+    def test_staging_is_ordered_and_cached(self, spark):
+        from tdei_extract_load_service_spark.streaming.shadow import (
+            stage_event_stream,
+        )
+
+        stage = stage_event_stream(spark, "/root/testdata/sf0.001", n_batches=4)
+        import os
+
+        files = sorted(os.listdir(stage))
+        assert files == ["000.parquet", "001.parquet", "002.parquet", "003.parquet"]
+        # mtimes strictly increase -> deterministic micro-batch order
+        mtimes = [os.stat(os.path.join(stage, f)).st_mtime for f in files]
+        assert mtimes == sorted(mtimes) and len(set(mtimes)) == 4
+        # ts ranges are a global prefix split: max(ts of file i) <= min(file i+1)
+        bounds = []
+        for f in files:
+            df = spark.read.parquet(os.path.join(stage, f))
+            row = df.agg({"ts": "min"}).collect()[0][0], df.agg({"ts": "max"}).collect()[0][0]
+            bounds.append(row)
+        for (___, hi), (lo, ___) in zip(bounds, bounds[1:]):
+            assert hi <= lo
+        # cache hit returns the same path
+        assert stage_event_stream(spark, "/root/testdata/sf0.001", n_batches=4) == stage
+
+    def test_shadow_matches_batch_recurrence(self, spark):
+        """The streaming result (state crossing 4 micro-batches) must
+        equal the batch chained recurrence computed relationally."""
+        from tdei_extract_load_service_spark.streaming.shadow import funnel_shadow
+
+        got = {
+            r["user_id"]: (r["steps_completed"], r["t0"], r["t1"], r["t2"])
+            for r in funnel_shadow(spark, "/root/testdata/sf0.001", n_batches=4).collect()
+        }
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        rows = ev.select("user_id", "ts", "event_type").collect()
+        import collections
+
+        per_user = collections.defaultdict(list)
+        for r in rows:
+            us = int(r["ts"].timestamp() * 1_000_000) if r["ts"].tzinfo else None
+            # NTZ naive: epoch micros of the naive value
+            import calendar
+
+            t = r["ts"]
+            us = calendar.timegm(t.timetuple()) * 1_000_000 + t.microsecond
+            per_user[r["user_id"]].append((us, r["event_type"]))
+        want = {}
+        for u, evs in per_user.items():
+            evs.sort()
+            t = [None, None, None]
+            for us, ty in evs:
+                for i, step in enumerate(("view", "click", "purchase")):
+                    if ty != step:
+                        continue
+                    prev_ok = i == 0 or (t[i - 1] is not None and t[i - 1] < us)
+                    if prev_ok and (t[i] is None or us < t[i]):
+                        t[i] = us
+            depth = 0
+            for v in t:
+                if v is None:
+                    break
+                depth += 1
+            want[u] = (depth, t[0], t[1], t[2])
+        assert got == want
