@@ -3303,6 +3303,34 @@ def q_similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("similarity_pq_trained", None)
+def q_similarity_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-PQ production path (VERDICT r7 #4): per-subspace Lloyd
+    codebooks fit on a bounded content-addressed sample, measured
+    against the seeded-random books in one query — returns
+    ``(recall_trained, recall_seeded, uplift)``. Rows-only driver
+    signal BY DESIGN (the trained model is data-dependent, so no static
+    SQL twin exists); pytest pins the uplift bound and the x10 ladder
+    records the trend (operators/similarity.py
+    pq_trained_vs_seeded_recall; m=16 subspaces — the measured regime
+    where training lifts recall 0.3 -> >=0.5 on the fixture corpus)."""
+    from tdei_extract_load_service_spark.operators.similarity import (
+        pq_trained_vs_seeded_recall,
+    )
+
+    return pq_trained_vs_seeded_recall(
+        spread(_read(spark, sf_dir, "embeddings")),
+        "vec_id",
+        "embedding",
+        _query_vec(spark, sf_dir),
+        m=16,
+        k_centroids=16,
+        sample=1024,
+        iters=5,
+        k=10,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Decontamination, token-budget sampling, event-sequence analytics (round 7)
 # ---------------------------------------------------------------------------

@@ -829,6 +829,57 @@ def ivf_pq_topk_stored(
     )
 
 
+def pq_trained_vs_seeded_recall(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    m: int = 16,
+    k_centroids: int = 16,
+    sample: int = 512,
+    iters: int = 5,
+    k: int = 10,
+) -> DataFrame:
+    """Trained PQ on the production path, with its value measured in the
+    same query: one row ``(recall_trained, recall_seeded, uplift)`` —
+    recall@k of ADC search under Lloyd-trained codebooks vs the
+    seeded-random ones, against the shared exact top-k.
+
+    Why one query: the trained books are a data-dependent model, so the
+    entry is not static-oracle-able (rows-only driver signal); putting
+    BOTH arms in the result makes the uplift itself the observable that
+    pytest pins (trained must beat seeded by the measured margin).
+
+    Scale shape: training collects a bounded content-addressed sample
+    (``sample`` rows — a model fit, like the IVF centroid collect); the
+    exact arm is one vector scan + TakeOrdered; each ADC arm reads the
+    corpus codes (both books flow through ``pq_encode``'s projection);
+    the three k-row heads meet in two k-row joins and a 1-row
+    cross-join (bounded by construction)."""
+    trained = train_codebooks(
+        df, id_col, vec_col, m=m, k=k_centroids, sample=sample, iters=iters
+    )
+    seeded = make_codebooks(m=m, k=k_centroids)
+    exact = exact_l2_topk(df, id_col, vec_col, query_vec, k).select("id")
+    hits_t = (
+        exact.join(
+            pq_topk(df, id_col, vec_col, query_vec, trained, k).select("id"), "id"
+        )
+        .agg(F.round(F.count("*") / F.lit(float(k)), 6).alias("recall_trained"))
+    )
+    hits_s = (
+        exact.join(
+            pq_topk(df, id_col, vec_col, query_vec, seeded, k).select("id"), "id"
+        )
+        .agg(F.round(F.count("*") / F.lit(float(k)), 6).alias("recall_seeded"))
+    )
+    return hits_t.crossJoin(hits_s).select(
+        "recall_trained",
+        "recall_seeded",
+        F.round(F.col("recall_trained") - F.col("recall_seeded"), 6).alias("uplift"),
+    )
+
+
 def ivf_pq_topk(
     df: DataFrame,
     id_col: str,

@@ -223,3 +223,21 @@ def test_stored_index_serving_matches_inline(spark, tmp_path):
     )
     assert path2 == path
     assert probe_centroids(model_rows, query, 3)  # model rows round-trip
+
+
+def test_trained_entry_uplift_pinned_at_sf001(spark):
+    """The similarity_pq_trained catalog entry's exact config (m=16,
+    sample=1024, iters=5) must keep its measured uplift at the driver's
+    correctness scale — deterministic end to end (content-addressed
+    sample, seeded numpy Lloyd, no RNG), so an exact bound is safe."""
+    from tdei_extract_load_service_spark.catalog import REGISTRY
+
+    row = (
+        REGISTRY["similarity_pq_trained"]
+        .query(spark, "/root/testdata/sf0.01")
+        .collect()[0]
+    )
+    assert row["recall_trained"] >= row["recall_seeded"] + 0.2, dict(row.asDict())
+    assert row["uplift"] == pytest.approx(
+        row["recall_trained"] - row["recall_seeded"], abs=1e-9
+    )
