@@ -93,635 +93,6 @@ def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev
 
 
-# ---------------------------------------------------------------------------
-# Relational surface (SURVEY.md §2.2 — DynamicQueryObject parity)
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "scan",
-    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
-)
-def q_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Parquet scan (O3/O6 analogue): the source operator every plan starts
-    from; column pruning reaches ReadSchema."""
-    return _read(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
-
-
-@register(
-    "project",
-    "SELECT p_partkey, p_name, p_retailprice FROM part",
-)
-def q_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """buildSelect parity (dynamic-query-object.ts:30-32)."""
-    return R.project(_read(spark, sf_dir, "part"), ["p_partkey", "p_name", "p_retailprice"])
-
-
-@register(
-    "filter",
-    """
-    SELECT l_orderkey, l_linenumber, l_quantity, l_discount
-    FROM lineitem
-    WHERE l_quantity > 30 AND l_discount < 0.05 AND l_returnflag = 'R'
-    """,
-)
-def q_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Conjunctive WHERE parity (dynamic-query-object.ts:18-28,38-41); all
-    three conjuncts reach PushedFilters on the parquet scan."""
-    li = _read(spark, sf_dir, "lineitem")
-    return R.project(
-        R.filter_conjunctive(
-            li,
-            [F.col("l_quantity") > 30, F.col("l_discount") < 0.05, F.col("l_returnflag") == "R"],
-        ),
-        ["l_orderkey", "l_linenumber", "l_quantity", "l_discount"],
-    )
-
-
-@register(
-    "route_case",
-    """
-    SELECT kind, COUNT(*) AS n_parts
-    FROM (
-      SELECT CASE
-        WHEN p_type LIKE '%ECONOMY%' THEN 'economy'
-        WHEN p_type LIKE '%STANDARD%' THEN 'standard'
-        WHEN p_type LIKE '%LARGE%' THEN 'large'
-        WHEN p_type LIKE '%MEDIUM%' THEN 'medium'
-        WHEN p_type LIKE '%SMALL%' THEN 'small'
-        ELSE 'extension' END AS kind
-      FROM part
-    ) GROUP BY kind
-    """,
-)
-def q_route_case(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-match-wins substring router (extract-load-service.ts:74-82)
-    over p_type, then a per-kind count (the shape of the per-kind fan-out)."""
-    routed = R.route_case(
-        _read(spark, sf_dir, "part"),
-        "p_type",
-        routes=[
-            ("ECONOMY", "economy"),
-            ("STANDARD", "standard"),
-            ("LARGE", "large"),
-            ("MEDIUM", "medium"),
-            ("SMALL", "small"),
-        ],
-        default="extension",
-        output_col="kind",
-    )
-    return R.agg_group(routed, ["kind"], [F.count("*").alias("n_parts")])
-
-
-@register(
-    "join_inner",
-    """
-    SELECT c_custkey, c_name, n_name, r_name
-    FROM customer
-    JOIN nation ON c_nationkey = n_nationkey
-    JOIN region ON n_regionkey = r_regionkey
-    """,
-)
-def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """buildInnerJoin parity (dynamic-query-object.ts:34-36); both dimension
-    sides broadcast so the fact side never shuffles."""
-    customer = _read(spark, sf_dir, "customer")
-    nation = _read(spark, sf_dir, "nation")
-    region = _read(spark, sf_dir, "region")
-    joined = R.join_inner(
-        customer, nation, on=customer.c_nationkey == nation.n_nationkey, broadcast_right=True
-    )
-    joined = R.join_inner(joined, region, on=joined.n_regionkey == region.r_regionkey, broadcast_right=True)
-    return joined.select("c_custkey", "c_name", "n_name", "r_name")
-
-
-@register(
-    "join_semi",
-    """
-    SELECT o_orderkey, o_totalprice
-    FROM orders
-    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 49)
-    """,
-)
-def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXISTS semantics (left_semi) — the reload membership shape of
-    delete-by-key (extract-load-service.ts:290-295)."""
-    orders = _read(spark, sf_dir, "orders")
-    li = _read(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 49)
-    out = R.join_semi(orders, li, on=orders.o_orderkey == li.l_orderkey)
-    return out.select("o_orderkey", "o_totalprice")
-
-
-@register(
-    "join_anti",
-    """
-    SELECT c_custkey, c_name
-    FROM customer
-    WHERE NOT EXISTS (
-      SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 150000
-    )
-    """,
-)
-def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NOT EXISTS semantics (left_anti): customers with no high-value order
-    (threshold keeps the result set non-trivial at every SF)."""
-    customer = _read(spark, sf_dir, "customer")
-    orders = _read(spark, sf_dir, "orders").where(F.col("o_totalprice") > 150000)
-    out = R.join_anti(customer, orders, on=customer.c_custkey == orders.o_custkey)
-    return out.select("c_custkey", "c_name")
-
-
-@register(
-    "agg_group",
-    """
-    SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2)                                          AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2)                                     AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                  AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)    AS sum_charge,
-           ROUND(AVG(l_quantity), 2)                                          AS avg_qty,
-           COUNT(*)                                                           AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-    GROUP BY l_returnflag, l_linestatus
-    """,
-)
-def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The flagship: TPC-H-Q1-shaped grouped aggregation — the engine-internal
-    form of the stats stored procedure (extract-load-service.ts:329-336).
-    Partial aggregation map-side; the shuffle carries 4 groups x partials."""
-    li = _read(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return R.agg_group(
-        li.where(F.col("l_shipdate") <= TS.utc_literal("1998-09-02 00:00:00")),
-        ["l_returnflag", "l_linestatus"],
-        [
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.count("*").alias("count_order"),
-        ],
-    )
-
-
-@register(
-    "agg_stats",
-    """
-    SELECT event_type,
-           COUNT(*)                                   AS n_events,
-           ROUND(SUM(value), 2)                       AS total_value,
-           COUNT(DISTINCT user_id)                    AS n_users,
-           strftime(MIN(ts), '%Y-%m-%dT%H:%M:%S')     AS first_ts,
-           strftime(MAX(ts), '%Y-%m-%dT%H:%M:%S')     AS last_ts
-    FROM events GROUP BY event_type
-    """,
-)
-def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dataset-statistics recompute (O19, the tdei_update_osw_stats
-    analogue): per-kind counts/sums/distincts/extents."""
-    ev = _read_events(spark, sf_dir)
-    return R.agg_group(
-        ev,
-        ["event_type"],
-        [
-            F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
-            F.countDistinct("user_id").alias("n_users"),
-            TS.normalize_ts(F.min("ts"), "yyyy-MM-dd'T'HH:mm:ss").alias("first_ts"),
-            TS.normalize_ts(F.max("ts"), "yyyy-MM-dd'T'HH:mm:ss").alias("last_ts"),
-        ],
-    )
-
-
-@register(
-    "sort",
-    "SELECT s_suppkey, s_name, s_acctbal FROM supplier ORDER BY s_acctbal DESC, s_suppkey",
-)
-def q_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """buildOrder parity (dynamic-query-object.ts:42-44); range-partitioned
-    distributed sort, unique tiebreak for determinism."""
-    sup = _read(spark, sf_dir, "supplier")
-    return R.sort(
-        sup.select("s_suppkey", "s_name", "s_acctbal"),
-        [F.col("s_acctbal").desc(), F.col("s_suppkey").asc()],
-    )
-
-
-@register(
-    "paginate",
-    """
-    SELECT o_orderkey, o_custkey, o_totalprice
-    FROM orders ORDER BY o_orderkey LIMIT 10 OFFSET 20
-    """,
-)
-def q_paginate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """buildPagination parity (dynamic-query-object.ts:45-58): page 3,
-    size 10, over a unique total order."""
-    orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
-    return R.paginate(orders, [F.col("o_orderkey").asc()], page_no=3, page_size=10)
-
-
-@register(
-    "paginate_keyset",
-    """
-    SELECT o_orderkey, o_custkey, o_totalprice
-    FROM orders WHERE o_orderkey > 100 ORDER BY o_orderkey LIMIT 10
-    """,
-)
-def q_paginate_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Keyset pagination (the deep-paging scale path): the predicate
-    reaches PushedFilters, so page cost is O(page) at any depth — vs
-    OFFSET's produce-and-discard prefix scan."""
-    orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
-    return R.paginate_keyset(orders, F.col("o_orderkey"), after=100, page_size=10)
-
-
-@register(
-    "top_k",
-    """
-    SELECT o_orderkey, o_totalprice
-    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
-    """,
-)
-def q_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ORDER BY + LIMIT k -> TakeOrderedAndProject (per-partition heaps)."""
-    orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    return R.top_k(orders, [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()], k=10)
-
-
-@register(
-    "dynamic_query",
-    """
-    SELECT c_custkey, c_name, c_acctbal
-    FROM customer WHERE c_acctbal > 1000 AND c_mktsegment = 'BUILDING'
-    ORDER BY c_custkey LIMIT 20 OFFSET 20
-    """,
-)
-def q_dynamic_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end DynamicQueryObject program (dynamic-query-object.ts:60-62):
-    select ⊕ where ⊕ order ⊕ pagination composed through the builder."""
-    customer = _read(spark, sf_dir, "customer")
-    return (
-        DynamicQueryBuilder(spark)
-        .build_select(customer, ["c_custkey", "c_name", "c_acctbal"])
-        .condition(F.col("c_acctbal") > 1000)
-        .condition(F.col("c_mktsegment") == "BUILDING")
-        .build_order("c_custkey", "ASC")
-        .build_pagination(page_no=2, page_size=20)
-        .get_query()
-    )
-
-
-# ---------------------------------------------------------------------------
-# Document / ETL operators (SURVEY.md §2.4, reference O7-O11, O24)
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "explode_unnest",
-    """
-    SELECT word, COUNT(*) AS n
-    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-    WHERE word <> ''
-    GROUP BY word
-    """,
-)
-def q_explode_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """features-array explode (O8, extract-load-service.ts:219-224) in its
-    general form: unnest + count. Narrow transform; only the count shuffles."""
-    docs = _read(spark, sf_dir, "documents")
-    words = docs.select(F.explode(F.split(F.col("text"), " ")).alias("word")).where(F.col("word") != "")
-    return R.agg_group(words, ["word"], [F.count("*").alias("n")])
-
-
-@register(
-    "header_project",
-    """
-    SELECT event_id, COALESCE(json_extract_string(props, '$.k'), '') AS k
-    FROM events
-    """,
-)
-def q_header_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Root-key header capture minus excluded keys with null->'' coercion
-    (O7/O15, extract-load-service.ts:139-178,496-502) over the events.props
-    JSON column."""
-    ev = _read_events(spark, sf_dir)
-    header = M.header_map_from_json("props", exclude=("features", "type"))
-    return ev.select(
-        "event_id", F.coalesce(F.element_at(header, "k"), F.lit("")).alias("k")
-    )
-
-
-@register(
-    "agg_prefix_count",
-    """
-    SELECT event_type,
-           CAST(SUM(len(list_filter(json_keys(props), x -> x LIKE 'k%'))) AS BIGINT) AS n_prefixed
-    FROM events GROUP BY event_type
-    """,
-)
-def q_agg_prefix_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map-key prefix count (countExistingElevationProperties,
-    extract-load-service.ts:543-549) summed per group."""
-    ev = _read_events(spark, sf_dir)
-    n = M.count_keys_with_prefix("props", "k", is_json=True)
-    return R.agg_group(
-        ev.select("event_type", n.alias("n")),
-        ["event_type"],
-        [F.sum("n").cast("bigint").alias("n_prefixed")],
-    )
-
-
-@register(
-    "strip_z",
-    """
-    SELECT vec_id,
-           array_to_string(list_transform(embedding[1:2],
-                           x -> printf('%.6f', CAST(x AS DOUBLE))), ',') AS xy
-    FROM embeddings
-    """,
-)
-def q_strip_z(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Leaf truncation to [x, y] (O10, stripZCoordinate
-    extract-load-service.ts:556-569) — array-semantics twin over the
-    embeddings fixture; GeoJSON-shaped coverage lives in tests/ (A4 matrix).
-
-    The array is rendered as fixed-format text ("x,y", 6 decimals) on BOTH
-    sides: the driver's hash canonicalizer sorts cell values in pandas,
-    which cannot hash list cells — a STRING column hashes everywhere, and
-    %.6f is correctly-rounded from the identical binary double in both
-    engines (a decimal tie at the 7th digit is not representable in binary,
-    so Java's HALF_UP and C's round-to-nearest agree)."""
-    from tdei_extract_load_service_spark.functions.geometry import strip_z
-
-    emb = _read(spark, sf_dir, "embeddings")
-    xy = F.concat_ws(
-        ",",
-        F.transform(
-            strip_z("embedding", depth=1),
-            lambda x: F.format_string("%.6f", x.cast("double")),
-        ),
-    )
-    return emb.select("vec_id", xy.alias("xy"))
-
-
-@register(
-    "extract_elevation",
-    """
-    SELECT vec_id,
-           CASE WHEN embedding[3] IS NOT NULL AND embedding[3] <> 0
-                THEN round(CAST(embedding[3] AS DOUBLE), 6) END AS elevation
-    FROM embeddings
-    """,
-)
-def q_extract_elevation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-Z extraction with the zero-means-missing rule (O11,
-    extract-load-service.ts:629) — array-semantics twin over embeddings."""
-    emb = _read(spark, sf_dir, "embeddings")
-    z = F.element_at(F.col("embedding"), 3).cast("double")
-    elevation = F.when(z.isNotNull() & (z != 0), F.round(z, 6))
-    return emb.select("vec_id", elevation.alias("elevation"))
-
-
-@register(
-    "normalize_ts",
-    """
-    SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS iso_utc
-    FROM events
-    """,
-)
-def q_normalize_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ISO-8601 UTC normalization (O24, tdei-date.ts:3-6)."""
-    ev = _read_events(spark, sf_dir)
-    return ev.select("event_id", TS.normalize_ts("ts").alias("iso_utc"))
-
-
-# ---------------------------------------------------------------------------
-# Streaming-shaped batch query (event-time tumbling window)
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "window_tumbling",
-    """
-    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%dT%H:%M:%S') AS window_start,
-           event_type,
-           COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS total_value
-    FROM events GROUP BY 1, 2
-    """,
-)
-def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 1-hour event-time window aggregation — the batch twin of the
-    engine's Structured-Streaming windowed aggs (SURVEY.md §2.3 extension).
-    Bucketing via FLOOR epoch arithmetic so it is session-tz
-    independent (plain DIV truncates toward zero, which would disagree
-    with the oracle's date_trunc — a floor — on pre-epoch timestamps;
-    ADVICE r7); rendering via normalize_ts."""
-    ev = _read_events(spark, sf_dir)
-    bucket_start = F.timestamp_seconds(
-        F.expr(
-            "(unix_micros(ts) DIV 3600000000)"
-            " + (CASE WHEN unix_micros(ts) % 3600000000 < 0 THEN -1 ELSE 0 END)"
-        )
-        * 3600
-    )
-    return R.agg_group(
-        ev.withColumn("window_start", TS.normalize_ts(bucket_start, "yyyy-MM-dd'T'HH:mm:ss")),
-        ["window_start", "event_type"],
-        [
-            F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
-        ],
-    )
-
-
-# ---------------------------------------------------------------------------
-# Dedup family (north-star; operators/dedup.py)
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "dedup_exact",
-    """
-    SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
-    FROM documents GROUP BY 1
-    """,
-)
-def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup groups: hash-groupBy with surviving-id selection; the
-    shuffle carries (hash, id), never the documents."""
-    from tdei_extract_load_service_spark.operators.dedup import dedup_exact_groups
-
-    return dedup_exact_groups(_read(spark, sf_dir, "documents"), "doc_id", ["text"])
-
-
-# Exact 3-gram Jaccard pairs at >= 0.8 — shared by the exact inverted-index
-# operator AND the LSH-verified operator: lsh_verified_pairs emits *exact*
-# Jaccard on its surviving candidates, and with 16x4 bands the miss
-# probability of a 0.8-pair is (1-0.8^4)^16 ~= 2e-4, so on the fixture both
-# operators produce the identical pair set and one SQL oracle serves both.
-_NGRAM_JACCARD_ORACLE = """
-    WITH d AS (
-      SELECT doc_id,
-             list_distinct(list_transform(
-               generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
-               i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
-      FROM documents
-    )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           ROUND(len(list_intersect(a.sh, b.sh))
-                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
-    FROM d a, d b
-    WHERE a.doc_id < b.doc_id
-      AND ROUND(len(list_intersect(a.sh, b.sh))
-                / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.8
-    """
-
-
-@register("dedup_ngram_jaccard", _NGRAM_JACCARD_ORACLE)
-def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs at >= 0.8 via inverted-index
-    blocking (no cross join; the oracle cross-joins because DuckDB can,
-    the Spark plan must not — semantics identical)."""
-    from tdei_extract_load_service_spark.operators.dedup import ngram_jaccard_pairs
-
-    return ngram_jaccard_pairs(
-        _read(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.8
-    )
-
-
-@register("dedup_minhash_lsh", None)
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(64) + LSH(16 bands) candidate pairs with estimated
-    Jaccard >= 0.5. xxhash64-seeded — deterministic but not
-    SQL-mirrorable in DuckDB (no xxhash64), so rows-only check; exactness
-    is cross-validated against dedup_ngram_jaccard in tests.
-
-    No global sort: the rows-only check counts rows, and a final orderBy
-    costs a full extra execution of the join pipeline for range-partition
-    sampling (measured ~3s of the cold run at sf0.1)."""
-    from tdei_extract_load_service_spark.operators.dedup import minhash_lsh_pairs
-
-    return minhash_lsh_pairs(
-        _read(spark, sf_dir, "documents"), "doc_id", "text",
-        num_hashes=64, bands=16, n=3, threshold=0.5,
-    )
-
-
-@register("dedup_simhash", None)
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(64-bit) near-dup pairs with Hamming <= 6 via 16-bit chunk
-    blocking. xxhash64-based -> rows-only check (validated in tests).
-    No global sort — rows-only check, see dedup_minhash_lsh."""
-    from tdei_extract_load_service_spark.operators.dedup import simhash_pairs
-
-    return simhash_pairs(
-        _read(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=6
-    )
-
-
-@register(
-    "dedup_embedding_cosine",
-    """
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-                 / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                    * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cosine
-    FROM embeddings a, embeddings b
-    WHERE a.vec_id < b.vec_id
-      AND ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-                / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                   * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.45
-    """,
-)
-def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact all-pairs form — the oracle
-    twin; scale path is ``dedup_embedding_lsh``)."""
-    from tdei_extract_load_service_spark.operators.dedup import embedding_cosine_pairs
-
-    return embedding_cosine_pairs(
-        _read(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.45
-    )
-
-
-@register("dedup_embedding_lsh", ORACLES.embedding_lsh_oracle_sql(n_bands=4, planes_per_band=4, threshold=0.45))
-def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs THE SCALE WAY: banded random-hyperplane
-    LSH candidates + exact cosine verify (operators/dedup.py
-    embedding_lsh_pairs) — closes the documented gap where
-    dedup_embedding_cosine was the only (all-pairs) embedding dedup.
-    Seeded plane literals are shared verbatim with the oracle, so the
-    approximate operator is fully value-oracle-checked: same candidates,
-    same cosines. Every emitted pair is exact-verified TRUE; recall is
-    the bands x planes knob."""
-    from tdei_extract_load_service_spark.operators.dedup import embedding_lsh_pairs
-    from tdei_extract_load_service_spark.operators.similarity import make_planes
-
-    return embedding_lsh_pairs(
-        _read(spark, sf_dir, "embeddings"), "vec_id", "embedding",
-        threshold=0.45, dim=64, n_bands=4, planes_per_band=4,
-        planes=make_planes(16, 64),
-    )
-
-
-@register(
-    "dedup_cluster",
-    """
-    WITH RECURSIVE
-    d AS (
-      SELECT doc_id,
-             list_distinct(list_transform(
-               generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
-               i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
-      FROM documents
-    ),
-    pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM d a, d b
-      WHERE a.doc_id < b.doc_id
-        AND ROUND(len(list_intersect(a.sh, b.sh))
-                  / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.8
-    ),
-    edges(a, b) AS (
-      SELECT doc_a, doc_b FROM pairs
-      UNION SELECT doc_b, doc_a FROM pairs
-      UNION SELECT doc_id, doc_id FROM documents
-    ),
-    reach(a, b) AS (
-      SELECT a, b FROM edges
-      UNION
-      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-    )
-    SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
-    """,
-)
-def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs resolved into duplicate clusters (connected
-    components; cluster_id = min doc id = the canonical survivor) — the
-    step between pair generation and actually dropping duplicates in a
-    training pipeline. Pair generation uses the production LSH+verify path
-    (sub-quadratic; emits the exact-Jaccard pair set); min-label
-    propagation then runs O(diameter) rounds of (id, label)-only shuffles.
-    The oracle is the transitive-closure recursive CTE over the same
-    exact-Jaccard edges."""
-    from tdei_extract_load_service_spark.operators.dedup import (
-        dedup_clusters,
-        lsh_verified_pairs,
-    )
-
-    docs = _read(spark, sf_dir, "documents")
-    pairs = lsh_verified_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
-    return dedup_clusters(docs.select("doc_id"), pairs, "doc_id")
-
-
-# ---------------------------------------------------------------------------
-# Similarity search (north-star; operators/similarity.py)
-# ---------------------------------------------------------------------------
-
-
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     """The benchmark query vector: embedding of vec_id=0 (a query
     parameter, fetched once driver-side)."""
@@ -729,3011 +100,29 @@ def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     return [float(x) for x in row["embedding"]]
 
 
-@register(
-    "topk_similarity",
-    """
-    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
-    SELECT e.vec_id AS id,
-           ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv)
-                 / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
-                    * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
-    FROM embeddings e, q
-    ORDER BY cosine DESC, id ASC LIMIT 10
-    """,
-)
-def q_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k (the ANN baseline): narrow scan +
-    TakeOrderedAndProject — k rows per partition reach the driver."""
-    from tdei_extract_load_service_spark.operators.similarity import topk_cosine
-
-    return topk_cosine(
-        _read(spark, sf_dir, "embeddings"), "vec_id", "embedding",
-        _query_vec(spark, sf_dir), k=10,
-    )
-
-
-@register(
-    "similarity_ivf",
-    """
-    WITH c AS (
-      SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
-      FROM embeddings ORDER BY vec_id LIMIT 16
-    ),
-    assigned AS (
-      SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS vec, c.centroid_id
-      FROM embeddings e, c
-      QUALIFY row_number() OVER (
-        PARTITION BY e.vec_id
-        ORDER BY ROUND(list_dot_product(e.embedding::DOUBLE[], c.cv)
-                 / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
-                    * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC, c.centroid_id ASC) = 1
-    ),
-    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
-    probe AS (
-      SELECT c.centroid_id FROM c, q
-      ORDER BY ROUND(list_dot_product(c.cv, q.qv)
-               / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
-               c.centroid_id ASC
-      LIMIT 4
-    )
-    SELECT a.id,
-           ROUND(list_dot_product(a.vec, q.qv)
-                 / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
-    FROM assigned a, q
-    WHERE a.centroid_id IN (SELECT centroid_id FROM probe)
-    ORDER BY cosine DESC, a.id ASC LIMIT 10
-    """,
-)
-def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k: 16 deterministic centroids, probe the 4
-    nearest lists, exact rank among candidates — scans ~1/4 of the data at
-    equal recall on clustered corpora."""
-    from tdei_extract_load_service_spark.operators.similarity import ivf_topk
-
-    return ivf_topk(
-        _read(spark, sf_dir, "embeddings"), "vec_id", "embedding",
-        _query_vec(spark, sf_dir), k=10, num_centroids=16, n_probe=4,
-    )
-
-
-@register("similarity_lsh_bucketed", ORACLES.lsh_bucketed_oracle_sql())
-def q_similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH bucketed top-k. The planes are seeded-PRNG
-    double literals shared verbatim with the oracle SQL, making the bucket
-    assignment — and so the whole approximate query — oracle-checkable."""
-    from tdei_extract_load_service_spark.operators.similarity import (
-        lsh_bucket_topk,
-        make_planes,
-    )
-
-    return lsh_bucket_topk(
-        _read(spark, sf_dir, "embeddings"), "vec_id", "embedding",
-        _query_vec(spark, sf_dir), k=10, n_planes=4, planes=make_planes(4, 64),
-    )
-
-
 # ---------------------------------------------------------------------------
-# Text analysis (north-star; operators/text.py)
+# Entry registrations (round-8 catalog diet, VERDICT r7 #6)
 # ---------------------------------------------------------------------------
-
-
-@register(
-    "text_token_count",
-    r"""
-    SELECT doc_id,
-           CASE WHEN trim(text) = '' THEN 0
-                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws_tokens,
-           len(regexp_extract_all(text, '\p{L}+|\p{N}|[^\p{L}\p{N}\s]')) AS n_bpe_ish_tokens
-    FROM documents
-    """,
+# The entries themselves live in per-family modules; importing them runs
+# their @register decorators against THIS module's REGISTRY.  The block
+# sits below the helper definitions (register/_read/_read_events/
+# _query_vec) the modules import back from here — a deliberate one-turn
+# cycle that resolves because registration happens at the END of this
+# module body.  Registration order across modules only affects the
+# post-window tail (the driver checks DRIVER_WINDOW, pinned below;
+# oracle_check sweeps every entry regardless of order).
+from tdei_extract_load_service_spark.catalog_entries import (  # noqa: E402,F401
+    relational,
+    documents,
+    dedup,
+    ann,
+    text,
+    multimodal,
+    etl,
+    relational_ext,
+    warehouse,
+    corpus_events,
 )
-def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: whitespace tokens + BPE-ish regex tokens."""
-    from tdei_extract_load_service_spark.operators import text as TX
-
-    docs = _read(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        TX.token_count_ws("text").alias("n_ws_tokens"),
-        TX.token_count_bpe_ish("text").alias("n_bpe_ish_tokens"),
-    )
-
-
-@register(
-    "text_quality",
-    r"""
-    WITH m AS (
-      SELECT doc_id,
-             string_split(text, ' ') AS words,
-             CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
-             CASE WHEN len(text) > 0
-                  THEN len(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) / len(text)
-                  ELSE 0.0 END AS punct_ratio
-      FROM documents
-    ),
-    r AS (
-      SELECT doc_id, n_words, punct_ratio,
-             CASE WHEN len(words) > 0
-                  THEN list_sum(list_transform(words, w -> len(w))) / len(words)
-                  ELSE 0.0 END AS avg_word_len,
-             CASE WHEN len(words) > 0
-                  THEN len(list_filter(words, w -> lower(w) IN ('the','a','and','of','to','is','in'))) / len(words)
-                  ELSE 0.0 END AS stop_ratio
-      FROM m
-    )
-    SELECT doc_id, n_words,
-           ROUND(avg_word_len, 6) AS avg_word_len,
-           ROUND(punct_ratio, 6) AS punct_ratio,
-           ROUND(stop_ratio, 6) AS stopword_ratio,
-           ROUND(0.3 * least(n_words / 100.0, 1.0)
-                 + 0.2 * (CASE WHEN avg_word_len >= 3 AND avg_word_len <= 10 THEN 1.0 ELSE 0.5 END)
-                 + 0.2 * (1.0 - least(punct_ratio * 5, 1.0))
-                 + 0.3 * least(stop_ratio * 4, 1.0), 6) AS quality
-    FROM r
-    """,
-)
-def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring: length/punctuation/stopword heuristics composed
-    into one [0,1] score (the C4/Gopher-rule shape)."""
-    from tdei_extract_load_service_spark.operators import text as TX
-    from tdei_extract_load_service_spark.session import spread
-
-    # single-row-group input: spread so the per-doc scoring uses all cores
-    docs = spread(_read(spark, sf_dir, "documents"))
-    return docs.select(
-        "doc_id",
-        TX.token_count_ws("text").alias("n_words"),
-        F.round(TX.avg_word_length("text"), 6).alias("avg_word_len"),
-        F.round(TX.punct_ratio("text"), 6).alias("punct_ratio"),
-        F.round(TX.stopword_ratio("text"), 6).alias("stopword_ratio"),
-        TX.quality_score("text").alias("quality"),
-    )
-
-
-@register(
-    "text_langid",
-    """
-    WITH s AS (
-      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
-    ),
-    sc AS (
-      SELECT doc_id,
-        CASE WHEN len(w)>0 THEN len(list_filter(w, x -> x IN ('der','die','das','und','nicht','ist','ein')))/len(w) ELSE 0.0 END AS s_de,
-        CASE WHEN len(w)>0 THEN len(list_filter(w, x -> x IN ('the','a','and','of','to','is','in')))/len(w) ELSE 0.0 END AS s_en,
-        CASE WHEN len(w)>0 THEN len(list_filter(w, x -> x IN ('el','la','los','las','y','es','un')))/len(w) ELSE 0.0 END AS s_es,
-        CASE WHEN len(w)>0 THEN len(list_filter(w, x -> x IN ('le','la','les','et','est','un','une')))/len(w) ELSE 0.0 END AS s_fr,
-        CASE WHEN len(w)>0 THEN len(list_filter(w, x -> x IN ('的','是','了','在','我','有')))/len(w) ELSE 0.0 END AS s_zh
-      FROM s
-    )
-    SELECT doc_id,
-           CASE WHEN greatest(s_de,s_en,s_es,s_fr,s_zh) = 0 THEN 'und'
-                WHEN s_de = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'de'
-                WHEN s_en = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'en'
-                WHEN s_es = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'es'
-                WHEN s_fr = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'fr'
-                ELSE 'zh' END AS lang_pred
-    FROM sc
-    """,
-)
-def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-overlap language ID (argmax over per-language stopword hit
-    ratios, alphabetical tiebreak, 'und' when nothing matches)."""
-    from tdei_extract_load_service_spark.operators import text as TX
-
-    docs = _read(spark, sf_dir, "documents")
-    return docs.select("doc_id", TX.lang_id("text").alias("lang_pred"))
-
-
-@register(
-    "text_fingerprint",
-    r"""
-    SELECT doc_id,
-           md5(array_to_string(list_sort(list_distinct(
-               regexp_split_to_array(lower(trim(text)), '\s+'))), ' ')) AS fp
-    FROM documents
-    """,
-)
-def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-insensitive document fingerprint (md5 of the sorted distinct
-    word set)."""
-    from tdei_extract_load_service_spark.operators import text as TX
-
-    docs = _read(spark, sf_dir, "documents")
-    return docs.select("doc_id", TX.fingerprint("text").alias("fp"))
-
-
-# ---------------------------------------------------------------------------
-# Multimodal (north-star; multimodal/binary_ops.py)
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "multimodal_meta",
-    """
-    SELECT doc_id,
-           octet_length(encode(text)) AS n_bytes,
-           sha256(text) AS sha256,
-           'unknown' AS format
-    FROM documents
-    """,
-)
-def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Opaque-binary metadata extraction (byte length, content hash,
-    magic-number format sniff) over text bytes — the documents fixture has
-    no real media, so format legitimately sniffs 'unknown'; decode/frame
-    plumbing is exercised in tests with synthetic media bytes."""
-    from tdei_extract_load_service_spark.multimodal.binary_ops import binary_meta
-
-    docs = _read(spark, sf_dir, "documents")
-    meta = binary_meta(F.encode("text", "UTF-8"))
-    return docs.select(
-        "doc_id",
-        meta["n_bytes"].cast("bigint").alias("n_bytes"),
-        meta["sha256"].alias("sha256"),
-        meta["format"].alias("format"),
-    )
-
-
-@register(
-    "multimodal_decode",
-    """
-    WITH dims AS (
-      SELECT doc_id,
-             CAST(8 + doc_id % 8 AS INT) AS width,
-             CAST(8 + doc_id % 5 AS INT) AS height,
-             CAST(3 + doc_id % 2 AS INT) AS n_channels
-      FROM documents
-    )
-    SELECT d.doc_id, d.width, d.height, d.n_channels,
-           CAST(SUM(CASE WHEN t.i < d.width * d.height * d.n_channels
-                         THEN ((d.doc_id * 7 + t.i) % 256) * (t.i + 1)
-                         ELSE 0 END) AS BIGINT) AS pixel_checksum
-    FROM dims d CROSS JOIN range(0, 720) t(i)
-    GROUP BY d.doc_id, d.width, d.height, d.n_channels
-    """,
-)
-def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real PNG pixel decode (stdlib zlib inflate + all five scanline
-    unfilters — no codec library) over deterministic PNG fixtures.
-
-    The fixture generator (multimodal/binary_ops.py synth_png) encodes
-    pixel byte i of image ``doc_id`` as ``(doc_id*7 + i) % 256`` behind a
-    rotating per-scanline filter (None/Sub/Up/Average/Paeth), so the
-    position-weighted checksum only matches the oracle's closed form if
-    the inflate + unfilter round-trip is pixel-exact. Both generator and
-    decoder run as Arrow-batched mapInPandas — the real plumbing a media
-    pipeline needs; only lossy-codec formats (JPEG pixels, video frames)
-    remain behind the declared stub boundary."""
-    from tdei_extract_load_service_spark.multimodal.binary_ops import (
-        decode_image_pixels,
-        synth_png,
-    )
-
-    # spread BEFORE the python fan-out: the single-row-group fixture scan
-    # is one partition, which would pin the whole per-image decode chain
-    # to one core (measured: 2.8s -> sub-second on local[32])
-    docs = spread(_read(spark, sf_dir, "documents").select("doc_id"))
-    decoded = decode_image_pixels(synth_png(docs, "doc_id"))
-    return decoded.select(
-        F.col("media_id").alias("doc_id"), "width", "height", "n_channels", "pixel_checksum"
-    )
-
-
-@register(
-    "multimodal_decode_jpeg",
-    """
-    SELECT doc_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
-           CAST(1 AS INT) AS n_channels,
-           CAST(SUM((2 * ((doc_id * 7 + b.i * 13) % 128))
-                    * (8192 * (b.i // 2) + 512 * (b.i % 2) + 3872)) AS BIGINT)
-             AS pixel_checksum
-    FROM documents CROSS JOIN range(0, 4) b(i)
-    GROUP BY doc_id
-    """,
-)
-def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real baseline-JPEG pixel decode — pure stdlib Huffman decode, DC
-    prediction, dequantization and full float IDCT (multimodal/jpeg.py),
-    no codec library — over deterministic DC-only fixtures.
-
-    JPEG is lossy, so a general pixel oracle is impossible; the fixtures
-    make it exact: a block whose only coefficient is DC decodes to a flat
-    tile of ``round(dc*q0/8) + 128`` under ANY correct IDCT, giving the
-    position-weighted checksum the closed form above (block b of image
-    doc_id carries dc = ((doc_id*7 + b*13) % 128) - 64, q0 = 16, so the
-    tile value is 2*((doc_id*7 + b*13) % 128); the inner weight is
-    sum of (y*16+x+1) over the 8x8 tile at (b//2, b%2)). The decoder still
-    runs the entire real path — the full-AC spectrum is cross-checked in
-    pytest against an independent direct-formula IDCT. Progressive /
-    subsampled JPEG and video frames remain the declared codec boundary."""
-    from tdei_extract_load_service_spark.multimodal.binary_ops import (
-        decode_image_pixels,
-        synth_jpeg,
-    )
-
-    docs = spread(_read(spark, sf_dir, "documents").select("doc_id"))
-    decoded = decode_image_pixels(synth_jpeg(docs, "doc_id"))
-    return decoded.select(
-        F.col("media_id").alias("doc_id"), "width", "height", "n_channels", "pixel_checksum"
-    )
-
-
-@register(
-    "multimodal_resize",
-    """
-    SELECT doc_id,
-           CAST(16 AS INT) AS src_width, CAST(16 AS INT) AS src_height,
-           CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
-           CAST(1 AS INT) AS n_channels,
-           CAST(SUM((2 * ((doc_id * 7 + b.i * 13) % 128))
-                    * (512 * (b.i // 2) + 64 * (b.i % 2) + 232)) AS BIGINT)
-             AS pixel_checksum
-    FROM documents CROSS JOIN range(0, 4) b(i)
-    GROUP BY doc_id
-    """,
-)
-def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode -> nearest-neighbor resize chain (16x16 baseline JPEG ->
-    8x8 thumbnail), value-verified end to end: the DC-only fixture's flat
-    8x8 tiles survive any correct decode+NN-sample, so the resized
-    position-weighted checksum has the closed form above (source pixel of
-    output (x,y) is (2y,2x); tile weight = sum of (y*8+x+1) over the 4x4
-    output region each source block covers = 512*by + 64*bx + 232).
-    Completes the multimodal op family: meta, decode (PNG+JPEG pixels),
-    feature-extract (audio), RESIZE, frame-sample."""
-    from tdei_extract_load_service_spark.multimodal.binary_ops import (
-        resize_image_pixels,
-        synth_jpeg,
-    )
-
-    docs = spread(_read(spark, sf_dir, "documents").select("doc_id"))
-    resized = resize_image_pixels(synth_jpeg(docs, "doc_id"), out_w=8, out_h=8)
-    return resized.select(
-        F.col("media_id").alias("doc_id"), "src_width", "src_height",
-        "width", "height", "n_channels", "pixel_checksum",
-    )
-
-
-@register(
-    "multimodal_video_frames",
-    """
-    WITH s AS (SELECT i AS k, i * 2 AS frame_idx FROM range(0, 3) t(i))
-    SELECT doc_id, CAST(s.frame_idx AS INT) AS frame_idx,
-           CAST(6 AS INT) AS n_total_frames,
-           CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
-           CAST(1 AS INT) AS n_channels,
-           CAST(SUM((2 * ((doc_id * 7 + s.frame_idx * 29 + b.i * 13) % 128))
-                    * (8192 * (b.i // 2) + 512 * (b.i % 2) + 3872)) AS BIGINT)
-             AS pixel_checksum
-    FROM documents CROSS JOIN s CROSS JOIN range(0, 4) b(i)
-    GROUP BY doc_id, s.frame_idx
-    """,
-)
-def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL video frame sampling: stdlib AVI (RIFF) container parse ->
-    3-of-6 evenly spaced frames -> stdlib baseline-JPEG decode of each
-    sampled frame (multimodal/avi.py + jpeg.py). Motion-JPEG's frames are
-    complete JPEGs, so this tier needs no codec library; DC-only fixture
-    frames give each (doc, frame) checksum the closed form above
-    (sample indices floor(k*6/3) = 0,2,4; frame f block b carries
-    dc = ((doc*7 + f*29 + b*13) % 128) - 64). Inter-frame codecs
-    (H.264/VP9, MP4/MKV) remain the declared boundary."""
-    from tdei_extract_load_service_spark.multimodal.binary_ops import (
-        frame_sample_decoded,
-        synth_avi,
-    )
-
-    docs = spread(_read(spark, sf_dir, "documents").select("doc_id"))
-    sampled = frame_sample_decoded(synth_avi(docs, "doc_id", n_frames=6), n_frames=3)
-    return sampled.select(
-        F.col("media_id").alias("doc_id"), "frame_idx", "n_total_frames",
-        "width", "height", "n_channels", "pixel_checksum",
-    )
-
-
-@register(
-    "multimodal_audio",
-    """
-    WITH dims AS (
-      SELECT doc_id,
-             CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
-             800 + (doc_id % 5) * 100 AS n_samples
-      FROM documents
-    ),
-    s AS (
-      SELECT d.doc_id, d.sample_rate, d.n_samples, t.i,
-             ((d.doc_id * 31 + t.i * 17 + 977) % 4001) - 2000 AS v,
-             CASE WHEN t.i >= 1
-                  THEN ((d.doc_id * 31 + (t.i - 1) * 17 + 977) % 4001) - 2000
-             END AS v_prev
-      FROM dims d CROSS JOIN range(0, 1200) t(i)
-      WHERE t.i < d.n_samples
-    )
-    SELECT doc_id, sample_rate, CAST(1 AS INT) AS n_channels,
-           CAST(n_samples AS BIGINT) AS n_samples,
-           ROUND(n_samples * 1000.0 / sample_rate, 3) AS duration_ms,
-           ROUND(sqrt(SUM(CAST(v AS DOUBLE) * v) / n_samples), 6) AS rms,
-           CAST(SUM(CASE WHEN v_prev * v < 0 THEN 1 ELSE 0 END) AS BIGINT)
-             AS zero_crossings
-    FROM s
-    GROUP BY doc_id, sample_rate, n_samples
-    """,
-)
-def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real WAV audio decode (stdlib RIFF/fmt/data chunk walk, PCM16 —
-    no codec library) + per-clip features over deterministic WAV fixtures.
-
-    The fixture generator (multimodal/binary_ops.py synth_wav) writes
-    sample i of clip ``doc_id`` as ``((doc_id*31 + i*17 + 977) % 4001) -
-    2000``, so sample rate, duration, RMS amplitude and zero-crossing
-    count only match the oracle's closed form if the RIFF walk and int16
-    little-endian unpack are byte-exact. The integer sum of squares stays
-    below 2^53, so the rounded RMS is bit-identical across engines.
-    Compressed audio (mp3/flac/ADPCM) stays behind the declared codec
-    stub boundary (decode_wav_audio raises into the error column)."""
-    from tdei_extract_load_service_spark.multimodal.binary_ops import (
-        decode_audio,
-        synth_wav,
-    )
-
-    docs = spread(_read(spark, sf_dir, "documents").select("doc_id"))
-    decoded = decode_audio(synth_wav(docs, "doc_id"))
-    return decoded.select(
-        F.col("media_id").alias("doc_id"),
-        "sample_rate",
-        "n_channels",
-        "n_samples",
-        "duration_ms",
-        "rms",
-        "zero_crossings",
-    )
-
-
-# ---------------------------------------------------------------------------
-# Full ETL pipeline as a registered query (rows-only)
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "text_pack_sequences",
-    r"""
-    WITH t AS (
-      SELECT doc_id,
-             CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
-      FROM documents
-    ),
-    c AS (
-      SELECT doc_id, n_tokens,
-             SUM(n_tokens) OVER (ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS pre
-      FROM t
-    )
-    SELECT doc_id AS id, CAST(n_tokens AS BIGINT) AS n_tokens,
-           CAST(FLOOR(pre / 2048.0) AS BIGINT) AS bin_id,
-           CAST(pre % 2048 AS BIGINT) AS bin_offset
-    FROM c
-    """,
-)
-def q_text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing for training shards: documents laid end-to-end in
-    doc_id order, cut every 2048 tokens (contiguous fill — one window
-    cumsum, the streaming-order packing real pipelines use). Oracle is
-    the identical cumulative-sum window in SQL."""
-    from tdei_extract_load_service_spark.operators.packing import pack_sequences
-    from tdei_extract_load_service_spark.operators.text import token_count_ws
-
-    docs = _read(spark, sf_dir, "documents")
-    return pack_sequences(
-        docs.select("doc_id", token_count_ws("text").alias("n_tokens")),
-        "doc_id",
-        "n_tokens",
-        budget=2048,
-        allow_global_sort=True,  # bounded SF fixture; shard at scale
-    )
-
-
-@register(
-    "interval_join",
-    """
-    SELECT c.user_id,
-           strftime(c.ts, '%Y-%m-%dT%H:%M:%S') AS click_ts,
-           strftime(v.ts, '%Y-%m-%dT%H:%M:%S') AS view_ts,
-           CAST(ROUND(v.value, 2) AS DOUBLE) AS view_value
-    FROM events c JOIN events v
-      ON c.user_id = v.user_id
-     AND v.ts >= c.ts - INTERVAL 30 MINUTE
-     AND v.ts <= c.ts + INTERVAL 30 MINUTE
-    WHERE c.event_type = 'click' AND v.event_type = 'view'
-    """,
-)
-def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch twin of ``streaming.windows.stream_interval_join`` (same
-    function — ``withWatermark`` is a no-op on bounded input): click->view
-    correlation within +-30 minutes per user. Value-oracle-checked here;
-    the streaming form with state eviction is pytest-proven."""
-    from tdei_extract_load_service_spark.streaming.windows import stream_interval_join
-
-    ev = _read_events(spark, sf_dir)
-    joined = stream_interval_join(
-        ev.where(F.col("event_type") == "click"),
-        ev.where(F.col("event_type") == "view"),
-        "user_id",
-        within="30 minutes",
-    )
-    return joined.select(
-        "user_id",
-        TS.normalize_ts(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss").alias("click_ts"),
-        TS.normalize_ts(F.col("ts_r"), "yyyy-MM-dd'T'HH:mm:ss").alias("view_ts"),
-        F.round("value_r", 2).alias("view_value"),
-    )
-
-
-@register(
-    "unpivot",
-    """
-    SELECT l_orderkey, l_linenumber, metric,
-           CAST(ROUND(value, 2) AS DOUBLE) AS value
-    FROM (
-      SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS value
-      FROM lineitem WHERE l_orderkey <= 100
-      UNION ALL
-      SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
-      FROM lineitem WHERE l_orderkey <= 100
-      UNION ALL
-      SELECT l_orderkey, l_linenumber, 'discount', l_discount
-      FROM lineitem WHERE l_orderkey <= 100
-    )
-    """,
-)
-def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wide -> long unpivot (melt) of three lineitem measures — the
-    DataFrame ``unpivot`` API (SQL ``stack``); the oracle is the UNION ALL
-    expansion it is defined as. Narrow projection: no shuffle, the
-    key filter reaches the scan."""
-    from tdei_extract_load_service_spark.operators.relational import unpivot_measures
-
-    li = _read(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 100)
-    out = unpivot_measures(
-        li,
-        ["l_orderkey", "l_linenumber"],
-        {"quantity": "l_quantity",
-         "extendedprice": "l_extendedprice",
-         "discount": "l_discount"},
-    )
-    return out.select(
-        "l_orderkey", "l_linenumber", "metric", F.round("value", 2).alias("value")
-    )
-
-
-@register(
-    "window_range_frame",
-    """
-    SELECT o_custkey, o_orderkey,
-           CAST(ROUND(SUM(o_totalprice) OVER (
-             PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
-             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
-             AS spend_30d
-    FROM orders
-    WHERE o_custkey <= 200
-    """,
-)
-def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE-frame analytic window: per customer, rolling 30-day spend at
-    each order — a VALUE-based frame (rangeBetween over epoch seconds),
-    distinct from the ROWS frames of window_running_sum/window_lag_delta.
-    Frame membership is time-arithmetic on the same epoch values in both
-    engines, so the windowed sums agree exactly."""
-    from tdei_extract_load_service_spark.operators.relational import rolling_range_sum
-
-    orders = _read(spark, sf_dir, "orders").where(F.col("o_custkey") <= 200)
-    rolled = rolling_range_sum(
-        orders, "o_custkey", "o_orderdate", "o_totalprice", 30 * 86400, "_spend"
-    )
-    return rolled.select(
-        "o_custkey",
-        "o_orderkey",
-        F.round(F.col("_spend"), 2).alias("spend_30d"),
-    )
-
-
-@register(
-    "histogram",
-    """
-    SELECT CAST(LEAST(FLOOR(l_extendedprice / 5000.0), 19) AS BIGINT) AS bin,
-           CAST(LEAST(FLOOR(l_extendedprice / 5000.0), 19) * 5000 AS DOUBLE) AS bin_lo,
-           COUNT(*) AS n,
-           CAST(ROUND(SUM(l_extendedprice), 2) AS DOUBLE) AS total
-    FROM lineitem
-    GROUP BY 1, 2
-    """,
-)
-def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-width histogram (20 bins of 5000 over l_extendedprice, last
-    bin open-ended) — one map-side-combined aggregation, the profiling
-    primitive behind every column-stats pass. Bin assignment is pure
-    arithmetic (floor + least), so there is no two-pass min/max and no
-    driver model; data-dependent ranges compose by bolting the quantiles
-    entry's collected bounds onto the same shape (operator:
-    operators/profiling.py)."""
-    from tdei_extract_load_service_spark.operators.profiling import (
-        fixed_width_histogram,
-    )
-
-    li = _read(spark, sf_dir, "lineitem")
-    return fixed_width_histogram(li, "l_extendedprice", bin_width=5000.0, n_bins=20)
-
-
-@register(
-    "column_profile",
-    """
-    WITH a AS (
-      SELECT COUNT(l_quantity) AS n_q, SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS nn_q,
-             SUM(CAST(l_quantity AS DECIMAL(30,6))) AS s_q,
-             SUM(CAST(CAST(l_quantity AS DECIMAL(30,6)) * CAST(l_quantity AS DECIMAL(30,6)) AS DECIMAL(38,12))) AS ss_q,
-             MIN(CAST(l_quantity AS DOUBLE)) AS mn_q, MAX(CAST(l_quantity AS DOUBLE)) AS mx_q,
-             COUNT(l_extendedprice) AS n_e, SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS nn_e,
-             SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS s_e,
-             SUM(CAST(CAST(l_extendedprice AS DECIMAL(30,6)) * CAST(l_extendedprice AS DECIMAL(30,6)) AS DECIMAL(38,12))) AS ss_e,
-             MIN(CAST(l_extendedprice AS DOUBLE)) AS mn_e, MAX(CAST(l_extendedprice AS DOUBLE)) AS mx_e,
-             COUNT(l_discount) AS n_d, SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS nn_d,
-             SUM(CAST(l_discount AS DECIMAL(30,6))) AS s_d,
-             SUM(CAST(CAST(l_discount AS DECIMAL(30,6)) * CAST(l_discount AS DECIMAL(30,6)) AS DECIMAL(38,12))) AS ss_d,
-             MIN(CAST(l_discount AS DOUBLE)) AS mn_d, MAX(CAST(l_discount AS DOUBLE)) AS mx_d
-      FROM lineitem
-    )
-    SELECT t.col AS "column", t.n, t.n_null,
-           ROUND(CASE WHEN t.n >= 1 THEN t.s / t.n END, 6) AS mean,
-           ROUND(CASE WHEN t.n >= 2
-                 THEN sqrt(GREATEST((t.ss - t.s * t.s / t.n) / (t.n - 1.0), 0.0)) END, 6) AS stddev,
-           ROUND(t.mn, 6) AS "min", ROUND(t.mx, 6) AS "max"
-    FROM a, LATERAL (VALUES
-      ('l_quantity', a.n_q, CAST(a.nn_q AS BIGINT), CAST(a.s_q AS DOUBLE), CAST(a.ss_q AS DOUBLE), a.mn_q, a.mx_q),
-      ('l_extendedprice', a.n_e, CAST(a.nn_e AS BIGINT), CAST(a.s_e AS DOUBLE), CAST(a.ss_e AS DOUBLE), a.mn_e, a.mx_e),
-      ('l_discount', a.n_d, CAST(a.nn_d AS BIGINT), CAST(a.s_d AS DOUBLE), CAST(a.ss_d AS DOUBLE), a.mn_d, a.mx_d)
-    ) t(col, n, n_null, s, ss, mn, mx)
-    """,
-)
-def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """describe()/summary()-shape column statistics in ONE scan
-    (operators/profiling.py column_profile): counts, null counts,
-    DECIMAL-exact sums and sums-of-squares shuffled (order-independent),
-    mean/stddev derived in one explicit IEEE-double formula evaluated
-    identically by both engines — built-in avg()/stddev() would diverge
-    at the last ulp from engine-specific summation order."""
-    from tdei_extract_load_service_spark.operators.profiling import column_profile
-
-    li = _read(spark, sf_dir, "lineitem")
-    return column_profile(li, ("l_quantity", "l_extendedprice", "l_discount"))
-
-
-@register(
-    "column_correlations",
-    """
-    WITH a AS (
-      SELECT COUNT(*) AS n,
-             SUM(CAST(l_quantity AS DECIMAL(30,6))) AS s_q,
-             SUM(CAST(CAST(l_quantity AS DECIMAL(30,6)) * CAST(l_quantity AS DECIMAL(30,6)) AS DECIMAL(38,12))) AS ss_q,
-             SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS s_e,
-             SUM(CAST(CAST(l_extendedprice AS DECIMAL(30,6)) * CAST(l_extendedprice AS DECIMAL(30,6)) AS DECIMAL(38,12))) AS ss_e,
-             SUM(CAST(l_discount AS DECIMAL(30,6))) AS s_d,
-             SUM(CAST(CAST(l_discount AS DECIMAL(30,6)) * CAST(l_discount AS DECIMAL(30,6)) AS DECIMAL(38,12))) AS ss_d,
-             SUM(CAST(CAST(l_quantity AS DECIMAL(30,6)) * CAST(l_extendedprice AS DECIMAL(30,6)) AS DECIMAL(38,12))) AS sp_qe,
-             SUM(CAST(CAST(l_quantity AS DECIMAL(30,6)) * CAST(l_discount AS DECIMAL(30,6)) AS DECIMAL(38,12))) AS sp_qd,
-             SUM(CAST(CAST(l_extendedprice AS DECIMAL(30,6)) * CAST(l_discount AS DECIMAL(30,6)) AS DECIMAL(38,12))) AS sp_ed
-      FROM lineitem
-      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
-    )
-    SELECT t.col_a, t.col_b,
-           ROUND(CASE WHEN (t.ssx - t.sx * t.sx / t.n) > 0 AND (t.ssy - t.sy * t.sy / t.n) > 0
-                 THEN (t.sp - t.sx * t.sy / t.n)
-                      / sqrt((t.ssx - t.sx * t.sx / t.n) * (t.ssy - t.sy * t.sy / t.n))
-                 END, 6) AS corr
-    FROM a, LATERAL (VALUES
-      ('l_quantity', 'l_extendedprice', CAST(a.n AS DOUBLE), CAST(a.s_q AS DOUBLE), CAST(a.ss_q AS DOUBLE), CAST(a.s_e AS DOUBLE), CAST(a.ss_e AS DOUBLE), CAST(a.sp_qe AS DOUBLE)),
-      ('l_quantity', 'l_discount', CAST(a.n AS DOUBLE), CAST(a.s_q AS DOUBLE), CAST(a.ss_q AS DOUBLE), CAST(a.s_d AS DOUBLE), CAST(a.ss_d AS DOUBLE), CAST(a.sp_qd AS DOUBLE)),
-      ('l_extendedprice', 'l_discount', CAST(a.n AS DOUBLE), CAST(a.s_e AS DOUBLE), CAST(a.ss_e AS DOUBLE), CAST(a.s_d AS DOUBLE), CAST(a.ss_d AS DOUBLE), CAST(a.sp_ed AS DOUBLE))
-    ) t(col_a, col_b, n, sx, ssx, sy, ssy, sp)
-    """,
-)
-def q_column_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairwise Pearson correlations in ONE aggregation (profiling /
-    feature-selection pass): DECIMAL-exact sums + cross-products shuffled,
-    corr derived in one explicit IEEE-double formula identical in both
-    engines — built-in corr() diverges at the last ulp."""
-    from tdei_extract_load_service_spark.operators.profiling import (
-        column_correlations,
-    )
-
-    li = _read(spark, sf_dir, "lineitem")
-    return column_correlations(li, ("l_quantity", "l_extendedprice", "l_discount"))
-
-
-@register(
-    "column_profile_categorical",
-    """
-    WITH long AS (
-      SELECT 'c_mktsegment' AS col_name, c_mktsegment AS value FROM customer
-      UNION ALL
-      SELECT 'c_nationkey', CAST(c_nationkey AS VARCHAR) FROM customer
-    ),
-    grouped AS (
-      SELECT col_name, value, COUNT(*) AS value_n FROM long GROUP BY col_name, value
-    ),
-    stats AS (
-      SELECT col_name,
-             CAST(SUM(CASE WHEN value IS NOT NULL THEN value_n ELSE 0 END) AS BIGINT) AS n,
-             CAST(COALESCE(SUM(CASE WHEN value IS NULL THEN value_n END), 0) AS BIGINT) AS n_null,
-             COUNT(value) AS n_distinct
-      FROM grouped GROUP BY col_name
-    ),
-    ranked AS (
-      SELECT col_name, value, value_n,
-             ROW_NUMBER() OVER (PARTITION BY col_name ORDER BY value_n DESC, value ASC) AS rank
-      FROM grouped WHERE value IS NOT NULL
-    )
-    SELECT r.col_name, s.n, s.n_null, s.n_distinct, r.rank, r.value, r.value_n
-    FROM ranked r JOIN stats s USING (col_name) WHERE r.rank <= 3
-    """,
-)
-def q_column_profile_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String/categorical half of the ingest profile (VERDICT r5 #5):
-    per column, row/null/exact-distinct counts + deterministic top-k
-    values — one data pass (melt -> one grouped count; stats derive from
-    the group rows, so no count-distinct Expand and no second scan);
-    operators/profiling.py column_profile_categorical."""
-    from tdei_extract_load_service_spark.operators.profiling import (
-        column_profile_categorical,
-    )
-
-    cust = _read(spark, sf_dir, "customer")
-    return column_profile_categorical(cust, ("c_mktsegment", "c_nationkey"), top_k=3)
-
-
-@register("column_distinct_sketch", None)
-def q_column_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct-count sketch per column — the
-    arbitrary-cardinality scale path (fixed-size sketch state, ONE
-    aggregation; exact distinct on an id column would shuffle every
-    value). Rows-only by design: sketch internals are engine-specific,
-    so no DuckDB value twin — the 5%-rsd bound against exact counts is
-    pytest-proven (tests/test_extended_relational.py)."""
-    from tdei_extract_load_service_spark.operators.profiling import (
-        column_distinct_counts,
-    )
-
-    ords = _read(spark, sf_dir, "orders")
-    return column_distinct_counts(
-        ords, ("o_custkey", "o_orderstatus", "o_orderpriority")
-    )
-
-
-@register(
-    "histogram_auto",
-    """
-    WITH b AS (
-      SELECT quantile_cont(l_extendedprice, 0.01) AS lo,
-             quantile_cont(l_extendedprice, 0.99) AS hi
-      FROM lineitem
-    ),
-    binned AS (
-      SELECT CAST(GREATEST(LEAST(FLOOR((l_extendedprice - b.lo) / ((b.hi - b.lo) / 20)),
-                                 19), 0) AS BIGINT) AS bin,
-             l_extendedprice AS v, b.lo AS lo, b.hi AS hi
-      FROM lineitem, b
-    )
-    SELECT bin,
-           CAST(bin * ((hi - lo) / 20) + lo AS DOUBLE) AS bin_lo,
-           COUNT(*) AS n,
-           CAST(ROUND(SUM(v), 2) AS DOUBLE) AS total
-    FROM binned GROUP BY bin, lo, hi
-    """,
-)
-def q_histogram_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Histogram with DATA-DEPENDENT bounds (VERDICT r5 #8): the p1/p99
-    quantile pass supplies the range — a two-value driver-side model —
-    and fixed_width_histogram bins over it with outliers clamped into the
-    edge bins. exact=True here so DuckDB's quantile_cont computes
-    bit-identical bounds (the quantiles_exact value-identity result);
-    production calls default to the GK sketch bounds, rank-error-bounded
-    by the quantiles entry's machinery."""
-    from tdei_extract_load_service_spark.operators.profiling import (
-        quantile_bounds_histogram,
-    )
-
-    li = _read(spark, sf_dir, "lineitem")
-    return quantile_bounds_histogram(
-        li, "l_extendedprice", n_bins=20, p_lo=0.01, p_hi=0.99, exact=True
-    )
-
-
-@register(
-    "text_repetition_stats",
-    r"""
-    WITH w AS (
-      SELECT doc_id,
-             CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\s+') END AS words
-      FROM documents
-    ),
-    s AS (
-      SELECT doc_id, len(words) AS n_words,
-             CASE WHEN len(words) > 0
-                  THEN ROUND(len(list_distinct(words))::DOUBLE / len(words), 6) END AS distinct_word_ratio,
-             CASE WHEN len(words) >= 2
-                  THEN list_transform(generate_series(1, len(words) - 1),
-                                      i -> words[i] || ' ' || words[i + 1])
-                  ELSE [] END AS bg
-      FROM w
-    ),
-    bgc AS (
-      SELECT doc_id, b, COUNT(*) AS c
-      FROM (SELECT doc_id, unnest(bg) AS b FROM s) GROUP BY doc_id, b
-    ),
-    agg AS (
-      SELECT doc_id, SUM(c) AS total, COUNT(*) AS n_distinct, MAX(c) AS top
-      FROM bgc GROUP BY doc_id
-    )
-    SELECT s.doc_id, s.n_words, s.distinct_word_ratio,
-           CASE WHEN a.total > 0 THEN ROUND(a.top::DOUBLE / a.total, 6) ELSE 0.0 END AS top_bigram_frac,
-           CASE WHEN a.total > 0 THEN ROUND(1.0 - a.n_distinct::DOUBLE / a.total, 6) ELSE 0.0 END AS dup_bigram_frac
-    FROM s LEFT JOIN agg a USING (doc_id)
-    """,
-)
-def q_text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher/C4-style repetition quality signals (distinct-word ratio,
-    top/dup bigram fractions) — the cheap pre-filter a training pipeline
-    runs before any dedup or scoring; operators/text.py
-    repetition_stats. Word ratios are shuffle-free array expressions; the
-    bigram stats are one map-side-combined (doc, bigram) aggregation."""
-    from tdei_extract_load_service_spark.operators.text import repetition_stats
-
-    docs = _read(spark, sf_dir, "documents")
-    return repetition_stats(docs, "doc_id", "text")
-
-
-@register(
-    "text_winnow_fingerprint",
-    r"""
-    WITH t AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
-    h AS (
-      SELECT doc_id,
-             list_transform(generate_series(1, greatest(length(s) - 7, 0)),
-                            i -> substr(md5(substr(s, i, 8)), 1, 16)) AS hs
-      FROM t
-    ),
-    m AS (
-      SELECT doc_id, len(hs) - 3 AS nw,
-             list_transform(generate_series(1, greatest(len(hs) - 3, 0)),
-                            j -> list_min(hs[j:j+3])) AS mins
-      FROM h
-    )
-    SELECT doc_id,
-           CASE WHEN nw >= 1
-                THEN md5(array_to_string(list_sort(list_distinct(mins)), ',')) END AS winnow_sig,
-           CASE WHEN nw >= 1 THEN len(list_distinct(mins)) END AS n_selected
-    FROM m
-    """,
-)
-def q_text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing (MOSS) rolling-hash fingerprint — the substring-level
-    dedup key: k=8-char shingle md5 prefixes, w=4 window minima, doc
-    sig = md5 of the sorted distinct selected set. Production path is
-    operators/text.py winnow_sets (O(len) Arrow-batched deque, zero
-    shuffle — the round-6 nested-HOF plan re-evaluated the hash array
-    at every window position, O(len^2), 147.9s of the 179.9s bench);
-    the selected-hash array is computed ONCE per row and both output
-    columns derive from it. The lexicographic-min trick keeps even the
-    rolling-hash selection value-oracle-checkable across engines; the
-    pure-expression twin (winnow_hashes) is property-tested equal."""
-    from tdei_extract_load_service_spark.operators.text import winnow_sets
-
-    docs = spread(_read(spark, sf_dir, "documents"))
-    ws = F.col("ws")
-    return winnow_sets(docs, "doc_id", "text").select(
-        "doc_id",
-        F.when(ws.isNotNull(), F.md5(F.concat_ws(",", ws))).alias("winnow_sig"),
-        F.size(ws).cast("bigint").alias("n_selected"),
-    )
-
-
-@register(
-    "dedup_winnow",
-    r"""
-    WITH t AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
-    h AS (
-      SELECT doc_id,
-             list_transform(generate_series(1, greatest(length(s) - 7, 0)),
-                            i -> substr(md5(substr(s, i, 8)), 1, 16)) AS hs
-      FROM t
-    ),
-    m AS (
-      SELECT doc_id,
-             list_transform(generate_series(1, greatest(len(hs) - 3, 0)),
-                            j -> list_min(hs[j:j+3])) AS mins
-      FROM h
-    ),
-    sel AS (
-      SELECT doc_id, list_distinct(mins) AS ws, len(list_distinct(mins)) AS sz
-      FROM m WHERE len(mins) >= 1
-    ),
-    e AS (SELECT doc_id, sz, unnest(ws) AS hh FROM sel),
-    keep AS (SELECT hh FROM e GROUP BY hh HAVING COUNT(*) <= 256),
-    ef AS (SELECT e.doc_id, e.sz, e.hh FROM e JOIN keep USING (hh)),
-    p AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             a.sz AS sa, b.sz AS sb, COUNT(*) AS n
-      FROM ef a JOIN ef b ON a.hh = b.hh AND a.doc_id < b.doc_id
-      GROUP BY 1, 2, 3, 4
-    )
-    SELECT doc_a, doc_b,
-           ROUND(n::DOUBLE / (sa + sb - n), 6) AS jaccard
-    FROM p WHERE ROUND(n::DOUBLE / (sa + sb - n), 6) >= 0.5
-    """,
-)
-def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Substring-level near-dup pairs via winnowing fingerprints
-    (operators/dedup.py winnow_pairs): inverted-index join on the
-    winnow-selected hashes, exact jaccard over the selected sets —
-    catches shared passages that word-level shingles miss. Runs the
-    PRODUCTION configuration (max_hash_df=256, the hot-shingle cap that
-    keeps candidate volume linear-ish in the corpus — an uncapped x10
-    run pinned the host on Σdf² work); the oracle mirrors the cap
-    exactly, so even the recall knob is value-checked. The intersection
-    counts only capped hashes while set sizes stay full — jaccard is an
-    underestimate by design for docs touching ubiquitous shingles."""
-    from tdei_extract_load_service_spark.operators.dedup import winnow_pairs
-
-    docs = _read(spark, sf_dir, "documents")
-    return winnow_pairs(docs, "doc_id", "text", threshold=0.5, max_hash_df=256)
-
-
-@register(
-    "dedup_winnow_cluster",
-    r"""
-    WITH RECURSIVE
-    t AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
-    h AS (
-      SELECT doc_id,
-             list_transform(generate_series(1, greatest(length(s) - 7, 0)),
-                            i -> substr(md5(substr(s, i, 8)), 1, 16)) AS hs
-      FROM t
-    ),
-    m AS (
-      SELECT doc_id,
-             list_transform(generate_series(1, greatest(len(hs) - 3, 0)),
-                            j -> list_min(hs[j:j+3])) AS mins
-      FROM h
-    ),
-    sel AS (
-      SELECT doc_id, list_distinct(mins) AS ws, len(list_distinct(mins)) AS sz
-      FROM m WHERE len(mins) >= 1
-    ),
-    e AS (SELECT doc_id, sz, unnest(ws) AS hh FROM sel),
-    keep AS (SELECT hh FROM e GROUP BY hh HAVING COUNT(*) <= 256),
-    ef AS (SELECT e.doc_id, e.sz, e.hh FROM e JOIN keep USING (hh)),
-    p AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             a.sz AS sa, b.sz AS sb, COUNT(*) AS n
-      FROM ef a JOIN ef b ON a.hh = b.hh AND a.doc_id < b.doc_id
-      GROUP BY 1, 2, 3, 4
-    ),
-    pr AS (
-      SELECT doc_a, doc_b FROM p
-      WHERE ROUND(n::DOUBLE / (sa + sb - n), 6) >= 0.5
-    ),
-    edges(a, b) AS (
-      SELECT doc_a, doc_b FROM pr
-      UNION SELECT doc_b, doc_a FROM pr
-      UNION SELECT doc_id, doc_id FROM documents
-    ),
-    reach(a, b) AS (
-      SELECT a, b FROM edges
-      UNION
-      SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a
-    )
-    SELECT a AS doc_id, MIN(b) AS cluster_id, (a = MIN(b)) AS is_survivor
-    FROM reach GROUP BY a
-    """,
-)
-def q_dedup_winnow_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end SUBSTRING-level dedup (VERDICT r6 #8): winnow pairs ->
-    connected components -> survivor election, completing the family the
-    word-level path already has (dedup_cluster). Pair generation is the
-    production winnow_pairs configuration (max_hash_df=256, threshold
-    0.5); min-label propagation (operators/dedup.py dedup_clusters) then
-    shuffles only (id, label) longs per round; the survivor is the min
-    doc id of each component. The oracle is the transitive-closure
-    recursive CTE over the identically-capped winnow edge set — the
-    whole ladder, fingerprints through survivors, is value-checked."""
-    from tdei_extract_load_service_spark.operators.dedup import (
-        dedup_clusters,
-        winnow_pairs,
-    )
-
-    docs = _read(spark, sf_dir, "documents")
-    pairs = winnow_pairs(docs, "doc_id", "text", threshold=0.5, max_hash_df=256)
-    labels = dedup_clusters(docs.select("doc_id"), pairs, "doc_id")
-    return labels.select(
-        "doc_id",
-        "cluster_id",
-        (F.col("doc_id") == F.col("cluster_id")).alias("is_survivor"),
-    )
-
-
-@register(
-    "corpus_prep",
-    r"""
-    WITH w AS (
-      SELECT doc_id, text,
-             CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\s+') END AS words
-      FROM documents
-    ),
-    s AS (
-      SELECT doc_id, text, len(words) AS n_words,
-             CASE WHEN len(words) > 0
-                  THEN ROUND(len(list_distinct(words))::DOUBLE / len(words), 6) END AS dwr
-      FROM w
-    ),
-    kept AS (
-      SELECT doc_id, n_words,
-             md5(array_to_string(list_sort(list_distinct(
-                 regexp_split_to_array(lower(trim(text)), '\s+'))), ' ')) AS fp
-      FROM s WHERE n_words >= 10 AND dwr >= 0.3
-    )
-    SELECT MIN(doc_id) AS doc_id, arg_min(n_words, doc_id) AS n_words, COUNT(*) AS n_dups
-    FROM kept GROUP BY fp
-    """,
-)
-def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The end-to-end corpus-preparation composition (quality filter ->
-    content dedup -> survivor election) as ONE declarative plan —
-    operators/text.py corpus_prep_survivors. Proves the profiling/dedup
-    operators COMPOSE: Catalyst fuses the repetition filter, the
-    fingerprint projection and the survivor aggregation; only the doc-id
-    join and the (fingerprint, id) groupBy shuffle."""
-    from tdei_extract_load_service_spark.operators.text import corpus_prep_survivors
-
-    docs = _read(spark, sf_dir, "documents")
-    return corpus_prep_survivors(
-        docs, "doc_id", "text", min_words=10, min_distinct_ratio=0.3
-    )
-
-
-@register(
-    "text_tfidf_topk",
-    r"""
-    WITH docs AS (
-      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS words
-      FROM documents
-    ),
-    n AS (SELECT COUNT(*) AS n_docs FROM documents),
-    hits AS (
-      SELECT d.doc_id, len(d.words) AS dl, w.term, COUNT(*) AS tf
-      FROM docs d, UNNEST(d.words) AS w(term)
-      WHERE w.term IN ('hash', 'join', 'vector')
-      GROUP BY d.doc_id, len(d.words), w.term
-    ),
-    dfreq AS (
-      SELECT term, COUNT(DISTINCT doc_id) AS df_t FROM hits GROUP BY term
-    )
-    SELECT h.doc_id AS id,
-           CAST(SUM((1000000000 * h.tf * n.n_docs)
-                    // (f.df_t * h.dl)) AS BIGINT) AS score
-    FROM hits h JOIN dfreq f USING (term) CROSS JOIN n
-    GROUP BY h.doc_id
-    ORDER BY score DESC, id ASC
-    LIMIT 10
-    """,
-)
-def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF top-10 for the query {hash, join, vector} — fixed-point
-    integer scoring ((1e9 * tf * N) DIV (df * dl), summed as BIGINT) so
-    the cross-term sum is order-independent and bit-identical in both
-    engines; true integer division (Spark DIV / DuckDB //) rather than
-    floor-of-double-division, which loses exactness past 2^53."""
-    from tdei_extract_load_service_spark.operators.text import tfidf_topk
-
-    docs = _read(spark, sf_dir, "documents")
-    return tfidf_topk(docs, "doc_id", "text", ("hash", "join", "vector"), k=10)
-
-
-@register(
-    "embedding_quantize",
-    """
-    WITH v AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
-      FROM embeddings
-    ),
-    s AS (
-      SELECT vec_id, vd, list_max(list_transform(vd, x -> abs(x))) AS scale
-      FROM v
-    )
-    SELECT vec_id AS id, len(vd) AS n_dims, ROUND(scale, 6) AS scale,
-           CAST(COALESCE(list_sum(list_transform(range(1, len(vd) + 1),
-                 i -> CAST(TRUNC(vd[i] / scale * 127) AS BIGINT) * i)), 0)
-                AS BIGINT) AS q_checksum
-    FROM s
-    """,
-)
-def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetric int8 embedding quantization (scale = max|v|, truncating
-    cast) verified via a position-weighted checksum of the full quantized
-    vector. Both engines evaluate the same left-to-right double
-    expression (v/scale*127) and the same truncation semantics (Spark
-    int cast truncates; the oracle spells TRUNC explicitly), so the
-    checksum is value-exact."""
-    from tdei_extract_load_service_spark.operators.packing import quantize_embeddings
-
-    emb = _read(spark, sf_dir, "embeddings")
-    return quantize_embeddings(emb, "vec_id", "embedding")
-
-
-@register(
-    "etl_load_dataset",
-    """
-    SELECT * FROM (VALUES
-      ('catalog-ds', 'edges', CAST(50 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
-      ('catalog-ds', 'nodes', CAST(100 AS BIGINT), CAST(1 AS BIGINT), CAST(66 AS BIGINT))
-    ) AS t(tdei_dataset_id, kind, n_features, n_files, n_with_elevation)
-    """,
-)
-def q_etl_load_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The end-to-end dataset-load job on a deterministic synthetic OSW
-    archive: zip fan-out -> route -> explode -> strip-Z/elevation ->
-    per-kind sinks -> stats. Returns the per-kind stats table.
-
-    Golden oracle, derived by hand from reference semantics (not from a
-    run): 100 point features with z = i % 3 — the zero-Z-means-missing rule
-    (extract-load-service.ts:629) drops the 34 rows with i % 3 == 0, so 66
-    carry elevation; the 50 LineString edges are strip-Z-only (no elevation
-    for edges, :644-647), so 0. One file per kind."""
-    import tempfile
-
-    from tdei_extract_load_service_spark.fixtures import write_osw_archive
-    from tdei_extract_load_service_spark.plans.load_dataset import load_dataset
-
-    root = tempfile.mkdtemp(prefix="etl_catalog_")
-    archive = write_osw_archive(f"{root}/synthetic.zip", n_nodes=100, n_edges=50)
-    # manifest mode: the whole multi-sink load publishes through ONE
-    # atomic pointer swap (sinks/manifest.py) — the driver's hash gate
-    # therefore certifies the production single-commit-point path
-    result = load_dataset(
-        spark, archive, "catalog-ds", "catalog-user", f"{root}/warehouse",
-        commit_mode="manifest",
-    )
-    if not result.success:
-        raise RuntimeError(result.message)
-    from tdei_extract_load_service_spark.plans.load_dataset import read_sink
-
-    return (
-        read_sink(spark, f"{root}/warehouse", "dataset_stats")
-        .select("tdei_dataset_id", "kind", "n_features", "n_files", "n_with_elevation")
-        .orderBy("kind")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Extended relational surface (SURVEY.md §2.3 "free built-ins": set ops,
-# distinct, window functions, cube/rollup, pivot, approx aggregates)
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "distinct",
-    "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
-)
-def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DISTINCT (hash-based dedup; map-side partial distinct before the
-    shuffle — the dedup_exact primitive in relational form)."""
-    return _read(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
-
-
-@register(
-    "set_ops",
-    """
-    SELECT o_custkey FROM orders WHERE o_totalprice > 200000
-    INTERSECT
-    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
-    """,
-)
-def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT (set semantics; Spark plans it as a distinct + semi-join).
-    UNION/EXCEPT share the same machinery (exercised in tests)."""
-    orders = _read(spark, sf_dir, "orders")
-    high = orders.where(F.col("o_totalprice") > 200000).select("o_custkey")
-    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
-    return high.intersect(urgent)
-
-
-@register(
-    "window_rank",
-    """
-    SELECT * FROM (
-      SELECT n_name, c_custkey, c_acctbal,
-             RANK() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey) AS bal_rank
-      FROM customer JOIN nation ON c_nationkey = n_nationkey
-    ) WHERE bal_rank <= 3
-    """,
-)
-def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ranking window function: top-3 customers by balance per nation —
-    single shuffle on the partition key, per-partition sort, rank streamed."""
-    from pyspark.sql import Window
-
-    customer = _read(spark, sf_dir, "customer")
-    nation = _read(spark, sf_dir, "nation")
-    joined = R.join_inner(
-        customer, nation, on=customer.c_nationkey == nation.n_nationkey, broadcast_right=True
-    )
-    w = Window.partitionBy("n_name").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
-    return (
-        joined.select("n_name", "c_custkey", "c_acctbal", F.rank().over(w).alias("bal_rank"))
-        .where(F.col("bal_rank") <= 3)
-    )
-
-
-@register(
-    "window_running_sum",
-    """
-    SELECT o_custkey, o_orderkey,
-           ROUND(SUM(o_totalprice) OVER (
-             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
-    FROM orders WHERE o_custkey <= 100
-    """,
-)
-def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Analytic window with an explicit ROWS frame: running per-customer
-    spend in order-date order."""
-    from pyspark.sql import Window
-
-    orders = _read(spark, sf_dir, "orders").where(F.col("o_custkey") <= 100)
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return orders.select(
-        "o_custkey", "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
-    )
-
-
-@register(
-    "rollup",
-    """
-    SELECT COALESCE(l_returnflag, '<all>') AS l_returnflag,
-           COALESCE(l_linestatus, '<all>') AS l_linestatus,
-           COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
-    FROM lineitem
-    GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
-)
-def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP hierarchy totals (grouping-sets machinery; CUBE tested too).
-    NULL group markers are coalesced to '<all>' on both sides so the hash
-    can't confuse subtotal rows with genuine NULL keys."""
-    li = _read(spark, sf_dir, "lineitem")
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
-        .select(
-            F.coalesce("l_returnflag", F.lit("<all>")).alias("l_returnflag"),
-            F.coalesce("l_linestatus", F.lit("<all>")).alias("l_linestatus"),
-            "n",
-            "sum_qty",
-        )
-    )
-
-
-@register(
-    "join_outer",
-    """
-    SELECT n.n_name, COUNT(s.s_suppkey) AS n_suppliers
-    FROM nation n LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey
-    GROUP BY n.n_name
-    """,
-)
-def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT OUTER join preserving unmatched dimension rows (nations with
-    zero suppliers keep count 0 — COUNT(col) skips the NULL probe side).
-    Same broadcast shape as join_inner; outer-ness only changes the
-    unmatched-row emission."""
-    n = _read(spark, sf_dir, "nation")
-    s = _read(spark, sf_dir, "supplier")
-    return (
-        n.join(s, s["s_nationkey"] == n["n_nationkey"], "left_outer")
-        .groupBy("n_name")
-        .agg(F.count("s_suppkey").alias("n_suppliers"))
-    )
-
-
-@register(
-    "grouping_sets",
-    """
-    SELECT COALESCE(l_returnflag, '<all>') AS l_returnflag,
-           COALESCE(l_linestatus, '<all>') AS l_linestatus,
-           COUNT(*) AS n
-    FROM lineitem
-    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
-    """,
-)
-def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS (neither a rollup nor a cube): the two
-    single-dimension marginals in one pass over the fact table."""
-    li = _read(spark, sf_dir, "lineitem")
-    li.createOrReplaceTempView("_gs_lineitem")
-    return spark.sql(
-        """
-        SELECT COALESCE(l_returnflag, '<all>') AS l_returnflag,
-               COALESCE(l_linestatus, '<all>') AS l_linestatus,
-               COUNT(*) AS n
-        FROM _gs_lineitem
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
-        """
-    )
-
-
-@register(
-    "cube",
-    """
-    SELECT COALESCE(o_orderstatus, '<all>') AS o_orderstatus,
-           COALESCE(o_orderpriority, '<all>') AS o_orderpriority,
-           COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS sum_price
-    FROM orders
-    GROUP BY CUBE (o_orderstatus, o_orderpriority)
-    """,
-)
-def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over two dimensions — all 2^k grouping sets in one pass
-    (partial aggregation per set; the shuffle carries one partial row per
-    (task, group, set), same bound as agg_group x 4)."""
-    o = _read(spark, sf_dir, "orders")
-    return (
-        o.cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
-        .select(
-            F.coalesce("o_orderstatus", F.lit("<all>")).alias("o_orderstatus"),
-            F.coalesce("o_orderpriority", F.lit("<all>")).alias("o_orderpriority"),
-            "n",
-            "sum_price",
-        )
-    )
-
-
-@register(
-    "window_lag_delta",
-    """
-    SELECT o_custkey, o_orderkey,
-           CAST(ROUND(o_totalprice - LAG(o_totalprice) OVER (
-                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2)
-                AS DOUBLE) AS delta_price
-    FROM orders
-    WHERE o_custkey < 100
-    """,
-)
-def q_window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LAG with delta — the per-key time-series difference shape (one
-    shuffle on the partition key, sort within partition; Spark's window
-    frame state is one prior row)."""
-    from pyspark.sql import Window
-
-    o = _read(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    delta = F.round(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2)
-    return o.select(
-        "o_custkey", "o_orderkey", delta.cast("double").alias("delta_price")
-    )
-
-
-@register(
-    "window_sliding",
-    """
-    WITH w AS (
-      SELECT event_type, value, epoch_us(ts) AS t,
-             (CAST(floor(epoch_us(ts) / 1800000000) AS BIGINT) - k.k) * 1800000000 AS wstart_us
-      FROM events, (SELECT unnest(generate_series(0, 3)) AS k) k
-    )
-    SELECT strftime(make_timestamp(wstart_us), '%Y-%m-%dT%H:%M:%S') AS window_start,
-           event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
-    FROM w
-    WHERE t >= wstart_us AND t < wstart_us + 7200000000
-    GROUP BY 1, 2
-    """,
-)
-def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding 2-hour window every 30 minutes (each event lands in
-    size/slide = 4 windows) — the batch twin of the streaming sliding agg;
-    Spark's ``window()`` replicates rows window-count times BEFORE the
-    shuffle, so the exchange carries 4x the aggregate rows, not 4x the
-    data columns."""
-    from tdei_extract_load_service_spark.operators.relational import time_window_agg
-
-    ev = _read_events(spark, sf_dir)
-    out = time_window_agg(
-        ev,
-        "ts",
-        "2 hours",
-        {"n_events": F.count("*"), "total_value": F.round(F.sum("value"), 2)},
-        slide="30 minutes",
-        keys=("event_type",),
-    )
-    return out.select(
-        TS.normalize_ts(F.col("window_start"), "yyyy-MM-dd'T'HH:mm:ss").alias("window_start"),
-        "event_type",
-        "n_events",
-        "total_value",
-    )
-
-
-@register(
-    "join_range",
-    """
-    WITH iv AS (
-      SELECT user_id, MIN(epoch_us(ts)) AS lo, MIN(epoch_us(ts)) + 7200000000 AS hi
-      FROM events GROUP BY user_id
-    )
-    SELECT iv.user_id, COUNT(*) AS n_events, ROUND(SUM(e.value), 2) AS total_value
-    FROM iv JOIN events e ON epoch_us(e.ts) >= iv.lo AND epoch_us(e.ts) < iv.hi
-    GROUP BY iv.user_id
-    """,
-)
-def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unkeyed interval-containment join via bucketization: all events
-    falling inside each user's first-activity 2-hour window. Equi-join on
-    1-hour bucket ids + residual range predicate — work proportional to
-    points + interval spans, never the cross product."""
-    from tdei_extract_load_service_spark.operators.range_join import bucketed_range_join
-
-    ev = _read_events(spark, sf_dir)
-    hour_us = 3600 * 1_000_000
-    pts = ev.select(F.unix_micros("ts").alias("p"), "value")
-    iv = (
-        ev.groupBy("user_id")
-        .agg(F.min(F.unix_micros("ts")).alias("lo"))
-        .withColumn("hi", F.col("lo") + 2 * hour_us)
-    )
-    joined = bucketed_range_join(pts, iv, "p", "lo", "hi", bucket_width=hour_us)
-    return joined.groupBy("user_id").agg(
-        F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value")
-    )
-
-
-@register(
-    "sample_hash",
-    """
-    SELECT doc_id, lang
-    FROM documents
-    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'r2'), 1, 8)) AS BIGINT) % 100 < 10
-    """,
-)
-def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic 10% sample by key hash — the reproducible train/eval
-    split primitive (same row lands on the same side across engines,
-    re-runs and partitionings, unlike rand()-based sampling). Narrow
-    filter, no shuffle; the md5 predicate composes with column pruning."""
-    from tdei_extract_load_service_spark.operators.sampling import hash_sample
-
-    docs = _read(spark, sf_dir, "documents")
-    return hash_sample(docs, "doc_id", percent=10, seed="r2").select("doc_id", "lang")
-
-
-@register(
-    "sample_stratified",
-    """
-    SELECT lang, COUNT(*) AS n_kept
-    FROM documents
-    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 's4'), 1, 8)) AS BIGINT) % 100
-          < CASE lang WHEN 'en' THEN 10 WHEN 'zh' THEN 100 ELSE 40 END
-    GROUP BY lang
-    """,
-)
-def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-stratum deterministic sampling — downsample the dominant
-    language (en -> 10%), keep all of a rare one (zh -> 100%), default
-    40%: the class-rebalancing move of a training-mix pipeline, as a pure
-    row-local hash predicate (no shuffle, no RNG, reproducible across
-    engines/re-runs, unlike ``sampleBy``)."""
-    from tdei_extract_load_service_spark.operators.sampling import (
-        stratified_hash_sample,
-    )
-
-    docs = _read(spark, sf_dir, "documents")
-    kept = stratified_hash_sample(
-        docs, "doc_id", "lang", {"en": 10, "zh": 100}, default_percent=40, seed="s4"
-    )
-    return kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
-
-
-@register(
-    "sample_split",
-    """
-    SELECT split, COUNT(*) AS n FROM (
-      SELECT CASE
-        WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'eval' WHEN b < 100 THEN 'test'
-      END AS split FROM (
-        SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'r2'), 1, 8)) AS BIGINT) % 100 AS b
-        FROM documents)
-    ) GROUP BY split ORDER BY split
-    """,
-)
-def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Disjoint named train/eval/test splits by hash bucket with exact
-    per-split counts — verifies both determinism and disjoint coverage."""
-    from tdei_extract_load_service_spark.operators.sampling import hash_split
-
-    docs = _read(spark, sf_dir, "documents")
-    out = hash_split(docs, "doc_id", {"train": 80, "eval": 10, "test": 10}, seed="r2")
-    return out.groupBy("split").agg(F.count("*").alias("n"))
-
-
-@register(
-    "text_char_entropy",
-    """
-    WITH c AS (
-      SELECT doc_id, ch, COUNT(*)::DOUBLE AS cnt
-      FROM (SELECT doc_id, unnest(string_split_regex(text, '')) AS ch FROM documents)
-      WHERE ch <> '' GROUP BY doc_id, ch
-    )
-    SELECT doc_id,
-           ROUND(log2(SUM(cnt)) - SUM(cnt * log2(cnt)) / SUM(cnt), 6) AS char_entropy
-    FROM c GROUP BY doc_id
-    """,
-)
-def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shannon character entropy per document — the gibberish/boilerplate
-    quality signal (low entropy = repeated filler, high = encrypted/binary
-    junk). One-pass identity ``H = log2(n) - Σ cnt·log2(cnt) / n`` avoids
-    a self-join on totals; the (doc, char) pre-aggregation is map-side
-    combined, so the shuffle carries ≤ |alphabet| rows per doc per task."""
-    from tdei_extract_load_service_spark.operators.text import char_entropy
-
-    docs = _read(spark, sf_dir, "documents")
-    return char_entropy(docs, "doc_id", "text")
-
-
-@register(
-    "text_ngram_topk",
-    """
-    WITH words AS (
-      SELECT unnest(string_split(text, ' ')) AS w FROM documents
-    ),
-    grams AS (SELECT w FROM words WHERE w <> '')
-    SELECT w AS token, COUNT(*) AS n
-    FROM grams GROUP BY w
-    ORDER BY n DESC, token ASC LIMIT 25
-    """,
-)
-def q_text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus vocabulary top-k (the training-data 'most frequent tokens'
-    report): explode -> partial-count per task -> one shuffled row per
-    (task, token) -> TakeOrderedAndProject. The full token set never sits
-    on one node."""
-    docs = _read(spark, sf_dir, "documents")
-    words = docs.select(F.explode(F.split("text", " ")).alias("token")).where(
-        F.col("token") != ""
-    )
-    return (
-        words.groupBy("token")
-        .agg(F.count("*").alias("n"))
-        .orderBy(F.col("n").desc(), F.col("token").asc())
-        .limit(25)
-    )
-
-
-@register(
-    "pivot",
-    """
-    SELECT l_returnflag,
-           ROUND(COALESCE(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0), 2) AS qty_open,
-           ROUND(COALESCE(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 0), 2) AS qty_filled
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PIVOT on an explicit value list (explicit values keep the plan a
-    single pass — no distinct-values pre-query)."""
-    li = _read(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .pivot("l_linestatus", ["O", "F"])
-        .agg(F.sum("l_quantity"))
-        .select(
-            "l_returnflag",
-            F.round(F.coalesce("O", F.lit(0.0)), 2).alias("qty_open"),
-            F.round(F.coalesce("F", F.lit(0.0)), 2).alias("qty_filled"),
-        )
-    )
-
-
-@register(
-    "approx_distinct",
-    """
-    SELECT l_returnflag,
-           COUNT(*) AS n_rows,
-           COUNT(DISTINCT l_partkey) AS exact_parts,
-           TRUE AS approx_within_rsd
-    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
-    """,
-)
-def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++): the sketch path for
-    count-distinct at 100 TB (fixed-size sketch vs shuffle of all distinct
-    values).
-
-    Error-bounded oracle: the HLL++ estimate itself is engine-specific, so
-    the entry emits the *verification* — exact distinct count plus a boolean
-    asserting |approx - exact| <= 3*rsd*exact (99.7% envelope at rsd=0.02;
-    deterministic in practice: Spark's HLL++ is seed-free, so the estimate
-    is reproducible run-to-run). The oracle states the exact count and that
-    the bound must hold. At scale the exact column would be dropped; it is
-    part of the verification contract here, not the production shape."""
-    li = _read(spark, sf_dir, "lineitem")
-    agg = R.agg_group(
-        li,
-        ["l_returnflag"],
-        [
-            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-            F.count_distinct("l_partkey").alias("exact_parts"),
-            F.count("*").alias("n_rows"),
-        ],
-    )
-    within = (
-        F.abs(F.col("approx_parts") - F.col("exact_parts"))
-        <= F.lit(3 * 0.02) * F.col("exact_parts")
-    )
-    # no final orderBy — order-insensitive compare; sampling would rerun
-    # the double aggregation over lineitem
-    return agg.select(
-        "l_returnflag", "n_rows", "exact_parts", within.alias("approx_within_rsd")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Multi-join analytical flagships (TPC-H Q3/Q5 shapes) + grouped-map UDF
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "tpch_q3_shipping_priority",
-    """
-    SELECT l_orderkey,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
-    FROM customer JOIN orders ON c_custkey = o_custkey
-                  JOIN lineitem ON l_orderkey = o_orderkey
-    WHERE c_mktsegment = 'BUILDING'
-      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
-      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
-    GROUP BY l_orderkey, o_orderdate
-    ORDER BY revenue DESC, l_orderkey LIMIT 10
-    """,
-)
-def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: selective dim filter -> fact join -> agg -> top-k
-    (plans/tpch.py q3_shipping_priority)."""
-    from tdei_extract_load_service_spark.plans.tpch import q3_shipping_priority
-
-    return q3_shipping_priority(
-        _read(spark, sf_dir, "customer"),
-        _read(spark, sf_dir, "orders"),
-        _read(spark, sf_dir, "lineitem"),
-    )
-
-
-@register(
-    "tpch_q5_local_volume",
-    """
-    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
-    FROM customer
-      JOIN orders   ON c_custkey = o_custkey
-      JOIN lineitem ON l_orderkey = o_orderkey
-      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-      JOIN nation   ON s_nationkey = n_nationkey
-      JOIN region   ON n_regionkey = r_regionkey
-    WHERE r_name = 'ASIA'
-    GROUP BY n_name
-    """,
-)
-def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: six-way join, every dimension side broadcast
-    (plans/tpch.py q5_local_volume)."""
-    from tdei_extract_load_service_spark.plans.tpch import q5_local_volume
-
-    return q5_local_volume(
-        _read(spark, sf_dir, "customer"),
-        _read(spark, sf_dir, "orders"),
-        _read(spark, sf_dir, "lineitem"),
-        _read(spark, sf_dir, "supplier"),
-        _read(spark, sf_dir, "nation"),
-        _read(spark, sf_dir, "region"),
-    )
-
-
-@register(
-    "tpch_q1_pricing_summary",
-    """
-    SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
-           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
-           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
-           COUNT(*) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-    GROUP BY l_returnflag, l_linestatus
-    """,
-)
-def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 shape: the wide scan-agg, DECIMAL-exact sums and
-    explicit-division averages (plans/tpch.py q1_pricing_summary)."""
-    from tdei_extract_load_service_spark.plans.tpch import q1_pricing_summary
-
-    return q1_pricing_summary(_read(spark, sf_dir, "lineitem"))
-
-
-@register(
-    "tpch_q6_forecast_revenue",
-    """
-    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
-      AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
-      AND l_discount BETWEEN 0.05 AND 0.07
-      AND l_quantity < 24
-    """,
-)
-def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q6 shape: pure predicate pushdown — all four conjuncts
-    reach PushedFilters (plans/tpch.py q6_forecast_revenue; audited)."""
-    from tdei_extract_load_service_spark.plans.tpch import q6_forecast_revenue
-
-    return q6_forecast_revenue(_read(spark, sf_dir, "lineitem"))
-
-
-@register(
-    "tpch_q4_order_priority",
-    """
-    SELECT o_orderpriority, COUNT(*) AS order_count
-    FROM orders o
-    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
-      AND EXISTS (SELECT 1 FROM lineitem l
-                  WHERE l.l_orderkey = o.o_orderkey
-                    AND date_diff('day', o.o_orderdate, l.l_shipdate) > 90)
-    GROUP BY o_orderpriority
-    """,
-)
-def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q4 shape: EXISTS-decorrelated LeftSemi join + priority
-    rollup, adapted to the fixture columns (plans/tpch.py
-    q4_order_priority — the adaptation note and the tz-stability
-    argument for the day arithmetic live there)."""
-    from tdei_extract_load_service_spark.plans.tpch import q4_order_priority
-
-    return q4_order_priority(
-        _read(spark, sf_dir, "orders"), _read(spark, sf_dir, "lineitem")
-    )
-
-
-@register(
-    "tpch_q14_promo_effect",
-    """
-    SELECT ROUND(
-             100.0
-             * CAST(SUM(CASE WHEN p_type = 'PROMO'
-                             THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
-                             ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
-             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE),
-             6) AS promo_revenue
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
-    """,
-)
-def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 shape: broadcast dim join + conditional revenue ratio
-    in one map-side-combined aggregation (plans/tpch.py
-    q14_promo_effect)."""
-    from tdei_extract_load_service_spark.plans.tpch import q14_promo_effect
-
-    return q14_promo_effect(
-        _read(spark, sf_dir, "lineitem"), _read(spark, sf_dir, "part")
-    )
-
-
-@register(
-    "tpch_q13_customer_distribution",
-    """
-    WITH o AS (
-      SELECT o_custkey FROM orders WHERE o_orderpriority <> '1-URGENT'
-    ),
-    per_cust AS (
-      SELECT c_custkey, COUNT(o_custkey) AS c_count
-      FROM customer LEFT JOIN o ON c_custkey = o_custkey
-      GROUP BY c_custkey
-    )
-    SELECT c_count, COUNT(*) AS custdist
-    FROM per_cust
-    GROUP BY c_count
-    ORDER BY custdist DESC, c_count DESC
-    """,
-)
-def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q13 shape: zero-inclusive orders-per-customer distribution,
-    aggregated BEFORE the outer join so no fact row rides the shuffle
-    (plans/tpch.py q13_customer_distribution — the oracle keeps the
-    textbook outer-join formulation, proving the rewrite value-equal)."""
-    from tdei_extract_load_service_spark.plans.tpch import q13_customer_distribution
-
-    return q13_customer_distribution(
-        _read(spark, sf_dir, "customer"), _read(spark, sf_dir, "orders")
-    )
-
-
-@register(
-    "tpch_q18_large_volume_customer",
-    """
-    WITH big AS (
-      SELECT l_orderkey,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
-      FROM lineitem GROUP BY l_orderkey
-      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 300.0
-    )
-    SELECT c_name, c_custkey, o_orderkey,
-           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-           ROUND(o_totalprice, 2) AS o_totalprice, sum_qty
-    FROM big JOIN orders ON o_orderkey = l_orderkey
-             JOIN customer ON c_custkey = o_custkey
-    ORDER BY o_totalprice DESC, o_orderkey ASC
-    LIMIT 100
-    """,
-)
-def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 shape: map-side-combined GROUP-HAVING on the fact, tiny
-    survivor set broadcasts back through orders and customer
-    (plans/tpch.py q18_large_volume_customer)."""
-    from tdei_extract_load_service_spark.plans.tpch import q18_large_volume_customer
-
-    return q18_large_volume_customer(
-        _read(spark, sf_dir, "customer"),
-        _read(spark, sf_dir, "orders"),
-        _read(spark, sf_dir, "lineitem"),
-    )
-
-
-@register(
-    "tpch_q22_global_sales_opportunity",
-    """
-    WITH cust AS (
-      SELECT c_custkey, c_nationkey, c_acctbal
-      FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9)
-    ),
-    ab AS (
-      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_bal
-      FROM cust WHERE c_acctbal > 0
-    )
-    SELECT c_nationkey, COUNT(*) AS numcust,
-           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 2) AS totacctbal
-    FROM cust, ab
-    WHERE c_acctbal > avg_bal
-      AND NOT EXISTS (SELECT 1 FROM orders
-                      WHERE o_custkey = c_custkey
-                        AND o_orderpriority = '1-URGENT')
-    GROUP BY c_nationkey
-    ORDER BY c_nationkey ASC
-    """,
-)
-def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 shape: one-row scalar-aggregate broadcast feeding a
-    per-row predicate, then an anti join and rollup (plans/tpch.py
-    q22_global_sales_opportunity — adaptation note there)."""
-    from tdei_extract_load_service_spark.plans.tpch import (
-        q22_global_sales_opportunity,
-    )
-
-    return q22_global_sales_opportunity(
-        _read(spark, sf_dir, "customer"), _read(spark, sf_dir, "orders")
-    )
-
-
-@register(
-    "grouped_normalize",
-    """
-    WITH e AS (
-      SELECT vec_id, label,
-             unnest(generate_series(1, len(embedding))) AS d,
-             unnest(embedding)::DOUBLE AS v
-      FROM embeddings
-    ),
-    m AS (SELECT label, d, AVG(v) AS mu FROM e GROUP BY label, d)
-    SELECT e.vec_id, e.label,
-           ROUND(sqrt(SUM((e.v - m.mu) * (e.v - m.mu))), 4) AS centered_norm
-    FROM e JOIN m USING (label, d)
-    GROUP BY e.vec_id, e.label
-    """,
-)
-def q_grouped_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped-map UDF surface (applyInPandas): per-label mean-centering of
-    embeddings, emitting each vector's centered norm. One shuffle on the
-    group key; Arrow-batched numpy does the per-group math."""
-    from tdei_extract_load_service_spark.operators.grouped import center_by_group
-
-    emb = _read(spark, sf_dir, "embeddings")
-    return center_by_group(emb, "label", "vec_id", "embedding", round_to=4)
-
-
-# ---------------------------------------------------------------------------
-# Point-in-time join, session windows, verified LSH dedup, quantiles
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "join_asof",
-    """
-    WITH L AS (SELECT user_id, ts::TIMESTAMP AS ts, event_id FROM events WHERE event_type = 'click'),
-    R AS (SELECT user_id, ts::TIMESTAMP AS ts, event_id, value FROM events WHERE event_type = 'purchase'),
-    U AS (
-      SELECT user_id, ts, 0 AS is_right, event_id,
-             NULL::BIGINT AS r_event_id, NULL::DOUBLE AS r_value FROM L
-      UNION ALL
-      SELECT user_id, ts, 1, NULL, event_id, value FROM R
-    ),
-    C AS (
-      SELECT *,
-             last_value(r_event_id IGNORE NULLS) OVER w AS a_event_id,
-             last_value(r_value IGNORE NULLS) OVER w AS a_value
-      FROM U
-      WINDOW w AS (
-        PARTITION BY user_id
-        ORDER BY ts, is_right DESC, r_event_id NULLS FIRST, r_value NULLS FIRST
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-    )
-    SELECT user_id, event_id, a_event_id AS asof_event_id, ROUND(a_value, 2) AS asof_value
-    FROM C WHERE is_right = 0
-    """,
-)
-def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Point-in-time (as-of) join: every click joined to the user's most
-    recent prior purchase. Union+window formulation — one shuffle on the
-    key, no per-row subquery (operators/asof.py); the oracle mirrors the
-    same formulation in SQL."""
-    from tdei_extract_load_service_spark.operators.asof import join_asof
-
-    ev = _read_events(spark, sf_dir)
-    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "event_id")
-    purchases = ev.where(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "event_id", "value"
-    )
-    out = join_asof(clicks, purchases, "user_id", "ts", "ts", ["event_id", "value"])
-    return out.select(
-        "user_id",
-        "event_id",
-        F.col("asof_event_id"),
-        F.round("asof_value", 2).alias("asof_value"),
-    )
-
-
-@register(
-    "session_window",
-    """
-    WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, value FROM events),
-    x AS (
-      SELECT user_id, ts, value,
-             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 2 HOURS
-                  THEN 1 ELSE 0 END AS new_session
-      FROM e
-    ),
-    s AS (
-      SELECT user_id, ts, value,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-      FROM x
-    )
-    SELECT user_id,
-           strftime(MIN(ts), '%Y-%m-%dT%H:%M:%S') AS session_start,
-           COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS total_value
-    FROM s GROUP BY user_id, sid
-    """,
-)
-def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session windows (2h inactivity gap) per user — F.session_window's
-    dynamic-width windows; the oracle is the classic gaps-and-islands
-    rewrite (lag + cumulative sum), proving the semantics equivalence."""
-    from tdei_extract_load_service_spark.streaming.windows import sessionized_event_aggs
-
-    ev = _read_events(spark, sf_dir)
-    out = sessionized_event_aggs(ev, gap="2 hours")
-    return out.select(
-        "user_id",
-        TS.normalize_ts(F.col("session_start"), "yyyy-MM-dd'T'HH:mm:ss").alias("session_start"),
-        "n_events",
-        "total_value",
-    )
-
-
-@register("dedup_lsh_verified", _NGRAM_JACCARD_ORACLE)
-def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidates + exact Jaccard verification (the 100 TB near-dup
-    shape: sub-quadratic candidates, zero estimation error on output).
-
-    Oracle = the same exact inverted-index SQL as dedup_ngram_jaccard: the
-    verify stage scores true shingle sets, so every emitted pair is exact;
-    the only divergence channel is an LSH band miss (prob ~2e-4 per
-    0.8-pair with 16x4 bands), absent on the fixtures (pytest asserts
-    set-equality with the exact operator).
-
-    No global sort: the correctness compare is an order-insensitive
-    value multiset (proven every round by unordered entries like
-    ``filter`` passing hash-green), and a final orderBy costs a
-    range-partitioner sampling pass that re-executes the candidate+verify
-    joins (measured 2.52s -> 2.23s at sf0.1 without it)."""
-    from tdei_extract_load_service_spark.operators.dedup import lsh_verified_pairs
-
-    return lsh_verified_pairs(
-        _read(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.8
-    )
-
-
-@register(
-    "quantiles",
-    """
-    SELECT l_returnflag, COUNT(*) AS n_rows,
-           TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
-    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
-    """,
-)
-def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based percentiles — the 100 TB default: ``approx_percentile``
-    (Greenwald-Khanna) keeps O(accuracy * log n) state per group instead of
-    buffering every value the way exact ``percentile`` does.
-
-    Error-bounded oracle: sketch internals are engine-specific, so the
-    entry verifies the GK guarantee instead of the raw value — see
-    ``operators.quantiles.grouped_quantiles_checked`` (second
-    map-side-combined pass checking the exact rank interval of each
-    returned value; CASE-literal thresholds at this bounded key
-    cardinality, broadcast-joined threshold table past 100 groups so the
-    expression tree never grows O(groups)). The exact interpolated form
-    remains available as ``quantiles_exact`` (value-level oracle)."""
-    from tdei_extract_load_service_spark.operators.quantiles import (
-        grouped_quantiles_checked,
-    )
-
-    li = _read(spark, sf_dir, "lineitem")
-    # no final orderBy: the compare is order-insensitive and the range
-    # sampling pass would re-execute the verification agg (1.18s -> 0.97s)
-    return grouped_quantiles_checked(
-        li, "l_returnflag", "l_extendedprice", ps=[0.5, 0.95, 0.99], accuracy=1000
-    )
-
-
-@register(
-    "quantiles_exact",
-    """
-    SELECT l_returnflag,
-           CAST(ROUND(CAST(quantile_cont(l_extendedprice, 0.5) AS DECIMAL(28,6)), 2) AS DOUBLE)  AS p50,
-           CAST(ROUND(CAST(quantile_cont(l_extendedprice, 0.95) AS DECIMAL(28,6)), 2) AS DOUBLE) AS p95,
-           CAST(ROUND(CAST(quantile_cont(l_extendedprice, 0.99) AS DECIMAL(28,6)), 2) AS DOUBLE) AS p99
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def q_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentiles (linear interpolation — value-identical to DuckDB
-    quantile_cont) — the oracle cross-check twin of ``quantiles``; NOT the
-    headline path, since exact ``percentile`` buffers every group value in
-    one aggregation buffer (OOM risk at 100 TB).
-
-    Rounding goes through DECIMAL(28,6) first on BOTH sides: interpolated
-    midpoints regularly land a hair under .xx5 (e.g. 52724.244999999995),
-    where Spark's double-round and DuckDB's diverge; the 6-decimal
-    quantization removes the boundary noise before the 2-decimal round.
-    """
-    li = _read(spark, sf_dir, "lineitem")
-
-    def q(p: float) -> F.Column:
-        raw = F.expr(f"percentile(l_extendedprice, {p})")
-        return F.round(raw.cast("decimal(28,6)"), 2).cast("double")
-
-    return li.groupBy("l_returnflag").agg(
-        q(0.5).alias("p50"), q(0.95).alias("p95"), q(0.99).alias("p99")
-    )
-
-
-@register("similarity_ivf_kmeans", ORACLES.ivf_kmeans_oracle_sql())
-def q_similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF with k-means-trained centroids (the production upgrade over the
-    fixed-subset bootstrap): 2 deterministic Lloyd passes over 8 seeds,
-    probe the query's 2 nearest lists, exact re-rank among candidates.
-
-    Unlike typical k-means this is fully oracle-checkable: the DECIMAL-sum
-    centroid update is order-independent, so the SQL twin (the unrolled
-    CTE chain above) reproduces the trained model bit-for-bit."""
-    from tdei_extract_load_service_spark.operators.similarity import (
-        ivf_topk_model,
-        kmeans_centroids_exact,
-    )
-
-    emb = _read(spark, sf_dir, "embeddings")
-    model = kmeans_centroids_exact(emb, "vec_id", "embedding", k=8, iters=2, dim=64)
-    return ivf_topk_model(
-        emb, model, "vec_id", "embedding", _query_vec(spark, sf_dir), k=10, n_probe=2
-    )
-
-
-@register(
-    "tpch_q7_volume_shipping",
-    """
-    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-           strftime(l_shipdate, '%Y') AS l_year,
-           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
-    FROM lineitem
-      JOIN supplier ON l_suppkey = s_suppkey
-      JOIN orders ON l_orderkey = o_orderkey
-      JOIN customer ON o_custkey = c_custkey
-      JOIN nation n1 ON s_nationkey = n1.n_nationkey
-      JOIN nation n2 ON c_nationkey = n2.n_nationkey
-    WHERE n1.n_name IN ('NATION_1', 'NATION_2')
-      AND n2.n_name IN ('NATION_1', 'NATION_2')
-      AND n1.n_name <> n2.n_name
-    GROUP BY supp_nation, cust_nation, l_year
-    """,
-)
-def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q7 shape: one dimension in two roles (nation via supplier
-    AND via customer), cross pairs only, tz-stable year extraction
-    (plans/tpch.py q7_volume_shipping)."""
-    from tdei_extract_load_service_spark.plans.tpch import q7_volume_shipping
-
-    return q7_volume_shipping(
-        _read(spark, sf_dir, "lineitem"),
-        _read(spark, sf_dir, "orders"),
-        _read(spark, sf_dir, "customer"),
-        _read(spark, sf_dir, "supplier"),
-        _read(spark, sf_dir, "nation"),
-    )
-
-
-@register(
-    "tpch_q12_priority_class",
-    """
-    SELECT l_returnflag,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
-    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
-      AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
-    GROUP BY l_returnflag
-    """,
-)
-def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q12 shape (adapted: grouped by l_returnflag, fixtures have
-    no l_shipmode): date-windowed fact-fact join, both priority-class
-    counts in ONE aggregation (plans/tpch.py q12_priority_class_by_flag)."""
-    from tdei_extract_load_service_spark.plans.tpch import (
-        q12_priority_class_by_flag,
-    )
-
-    return q12_priority_class_by_flag(
-        _read(spark, sf_dir, "orders"), _read(spark, sf_dir, "lineitem")
-    )
-
-
-@register(
-    "tpch_q15_top_supplier",
-    """
-    WITH rev AS (
-      SELECT l_suppkey,
-             ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_revenue
-      FROM lineitem
-      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
-      GROUP BY l_suppkey
-    )
-    SELECT s_suppkey, s_name, total_revenue
-    FROM supplier JOIN rev ON s_suppkey = l_suppkey
-    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
-    ORDER BY s_suppkey ASC
-    """,
-)
-def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15 shape: scalar MAX over an aggregated view + argmax
-    selection by equality join, ties preserved (plans/tpch.py
-    q15_top_supplier)."""
-    from tdei_extract_load_service_spark.plans.tpch import q15_top_supplier
-
-    return q15_top_supplier(
-        _read(spark, sf_dir, "lineitem"), _read(spark, sf_dir, "supplier")
-    )
-
-
-@register(
-    "tpch_q17_small_quantity_revenue",
-    """
-    WITH li AS (
-      SELECT l_partkey, l_quantity, l_extendedprice
-      FROM lineitem JOIN part ON l_partkey = p_partkey
-      WHERE p_brand = 'Brand#1'
-    ),
-    th AS (
-      SELECT l_partkey,
-             0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)) AS t
-      FROM li GROUP BY l_partkey
-    )
-    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0, 2) AS avg_yearly
-    FROM li JOIN th USING (l_partkey)
-    WHERE l_quantity < t
-    """,
-)
-def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q17 shape: correlated per-part scalar AVG decorrelated to a
-    pre-aggregation joined back — the aggregate-join-back dual of Q18's
-    HAVING (plans/tpch.py q17_small_quantity_revenue)."""
-    from tdei_extract_load_service_spark.plans.tpch import (
-        q17_small_quantity_revenue,
-    )
-
-    return q17_small_quantity_revenue(
-        _read(spark, sf_dir, "lineitem"), _read(spark, sf_dir, "part")
-    )
-
-
-@register(
-    "tpch_q19_discounted_revenue",
-    """
-    SELECT ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
-       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
-       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
-    """,
-)
-def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q19 shape: disjunctive mixed fact/dim predicate over one
-    broadcast join — never a union of scans (plans/tpch.py
-    q19_discounted_revenue)."""
-    from tdei_extract_load_service_spark.plans.tpch import q19_discounted_revenue
-
-    return q19_discounted_revenue(
-        _read(spark, sf_dir, "lineitem"), _read(spark, sf_dir, "part")
-    )
-
-
-@register(
-    "tpch_q10_returned_items",
-    """
-    WITH per_cust AS (
-      SELECT o_custkey,
-             ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
-      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-      WHERE l_returnflag = 'R'
-        AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
-        AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
-      GROUP BY o_custkey
-    )
-    SELECT c_custkey, c_name, n_name, revenue, ROUND(c_acctbal, 2) AS c_acctbal
-    FROM per_cust
-      JOIN customer ON c_custkey = o_custkey
-      JOIN nation ON c_nationkey = n_nationkey
-    ORDER BY revenue DESC, c_custkey ASC
-    LIMIT 20
-    """,
-)
-def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10 shape: returned-item reporting — flag+date pushdown,
-    per-customer rollup BEFORE the dimension joins (no fan-out rides
-    the customer shuffle), broadcast nation, top-20 TakeOrdered
-    (plans/tpch.py q10_returned_items)."""
-    from tdei_extract_load_service_spark.plans.tpch import q10_returned_items
-
-    return q10_returned_items(
-        _read(spark, sf_dir, "customer"),
-        _read(spark, sf_dir, "orders"),
-        _read(spark, sf_dir, "lineitem"),
-        _read(spark, sf_dir, "nation"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# TPC-H wave 3 (round 8): q21 / q20 / q2 — the decorrelation shapes
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "tpch_q21_suppliers_kept_waiting",
-    """
-    WITH l1 AS (
-      SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'
-    )
-    SELECT s_name, COUNT(*) AS numwait
-    FROM l1
-    JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
-    JOIN supplier ON s_suppkey = l1.l_suppkey
-    JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_1'
-    WHERE EXISTS (
-        SELECT 1 FROM lineitem l2
-        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
-      )
-      AND NOT EXISTS (
-        SELECT 1 FROM lineitem l3
-        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
-          AND l3.l_returnflag = 'R'
-      )
-    GROUP BY s_name
-    ORDER BY numwait DESC, s_name ASC
-    LIMIT 100
-    """,
-)
-def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q21 shape (adapted flag: l_returnflag = 'R' for the
-    fixture's missing commit/receipt dates): EXISTS + NOT EXISTS
-    correlated self-joins of the biggest table, decorrelated to
-    LeftSemi/LeftAnti with a non-equi suppkey residual — the hardest
-    plan family in the suite (plans/tpch.py q21_suppliers_kept_waiting).
-    The oracle keeps the textbook EXISTS form so BOTH decorrelations
-    are independently derived."""
-    from tdei_extract_load_service_spark.plans.tpch import (
-        q21_suppliers_kept_waiting,
-    )
-
-    return q21_suppliers_kept_waiting(
-        _read(spark, sf_dir, "lineitem"),
-        _read(spark, sf_dir, "orders"),
-        _read(spark, sf_dir, "supplier"),
-        _read(spark, sf_dir, "nation"),
-    )
-
-
-@register(
-    "tpch_q20_potential_part_promotion",
-    """
-    WITH li AS (
-      SELECT l_partkey, l_suppkey, l_quantity
-      FROM lineitem JOIN part ON l_partkey = p_partkey
-      WHERE p_name LIKE 'small%'
-        AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
-        AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
-    ),
-    pair AS (
-      SELECT l_partkey, l_suppkey,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS pair_qty
-      FROM li GROUP BY l_partkey, l_suppkey
-    ),
-    tot AS (
-      SELECT l_partkey,
-             ROUND(CAST(SUM(CAST(pair_qty AS DECIMAL(18,6))) AS DOUBLE), 6) AS part_qty
-      FROM pair GROUP BY l_partkey
-    )
-    SELECT s_suppkey, s_name
-    FROM supplier
-    JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_1'
-    WHERE s_suppkey IN (
-      SELECT l_suppkey FROM pair JOIN tot USING (l_partkey)
-      WHERE pair_qty > 0.3 * part_qty
-    )
-    ORDER BY s_name ASC
-    """,
-)
-def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q20 shape (adapted threshold: dominant shipped share in
-    place of the fixture-less partsupp availqty): nested-aggregate
-    threshold -> decorrelated join -> semi-join chain into the
-    supplier dimension (plans/tpch.py q20_potential_part_promotion)."""
-    from tdei_extract_load_service_spark.plans.tpch import (
-        q20_potential_part_promotion,
-    )
-
-    return q20_potential_part_promotion(
-        _read(spark, sf_dir, "lineitem"),
-        _read(spark, sf_dir, "part"),
-        _read(spark, sf_dir, "supplier"),
-        _read(spark, sf_dir, "nation"),
-    )
-
-
-@register(
-    "tpch_q2_minimum_cost_supplier",
-    """
-    WITH sup AS (
-      SELECT s_suppkey, s_name, s_acctbal, n_name
-      FROM supplier
-      JOIN nation ON s_nationkey = n_nationkey
-      JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
-    ),
-    pk AS (SELECT p_partkey, p_type FROM part WHERE p_size <= 25),
-    cost AS (
-      SELECT l_partkey, l_suppkey,
-             MIN(ROUND(l_extendedprice / l_quantity, 6)) AS supply_cost
-      FROM lineitem
-      JOIN pk ON l_partkey = p_partkey
-      WHERE l_suppkey IN (SELECT s_suppkey FROM sup)
-      GROUP BY l_partkey, l_suppkey
-    ),
-    mc AS (
-      SELECT l_partkey, MIN(supply_cost) AS min_cost FROM cost GROUP BY l_partkey
-    )
-    SELECT ROUND(s_acctbal, 2) AS s_acctbal, s_name, n_name,
-           cost.l_partkey AS p_partkey, p_type, supply_cost
-    FROM cost
-    JOIN mc ON cost.l_partkey = mc.l_partkey AND supply_cost = min_cost
-    JOIN sup ON l_suppkey = s_suppkey
-    JOIN pk ON cost.l_partkey = p_partkey
-    ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
-    LIMIT 100
-    """,
-)
-def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q2 shape (adapted cost relation: min observed unit price
-    from lineitem in place of the fixture-less partsupp): correlated
-    scalar-min subquery decorrelated to a per-part MIN joined back on
-    (partkey, cost) equality, ties preserved — the grouped dual of
-    Q15's global argmax (plans/tpch.py q2_minimum_cost_supplier)."""
-    from tdei_extract_load_service_spark.plans.tpch import (
-        q2_minimum_cost_supplier,
-    )
-
-    return q2_minimum_cost_supplier(
-        _read(spark, sf_dir, "lineitem"),
-        _read(spark, sf_dir, "part"),
-        _read(spark, sf_dir, "supplier"),
-        _read(spark, sf_dir, "nation"),
-        _read(spark, sf_dir, "region"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Product quantization (round 7) — compressed ANN
-# ---------------------------------------------------------------------------
-
-
-def _pq_index(spark: SparkSession, sf_dir: str):
-    """The materialized IVFPQ index for this corpus (codes + assignment,
-    ``partitionBy(centroid_id)``), built once per corpus and served to
-    every PQ entry — the production write-once/query-many architecture
-    (VERDICT r7 #2: the per-query re-encode was a measured ~1.5-2.5s
-    constant at sf0.1).  corpus_key folds in the parquet file's path,
-    size and mtime so a regenerated fixture invalidates the index."""
-    import os
-
-    from tdei_extract_load_service_spark.operators.similarity import (
-        build_pq_index,
-        make_codebooks,
-    )
-
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(src)
-    corpus_key = f"{src}:{st.st_size}:{st.st_mtime_ns}"
-    cbs = make_codebooks()
-    path, model_rows = build_pq_index(
-        spread(_read(spark, sf_dir, "embeddings")),
-        "vec_id",
-        "embedding",
-        cbs,
-        num_centroids=16,
-        corpus_key=corpus_key,
-    )
-    return path, model_rows, cbs
-
-
-@register("embedding_pq_code", ORACLES.pq_code_oracle_sql())
-def q_embedding_pq_code(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ encoding of the embedding corpus (m=8 subspaces, k=16 seeded
-    codebook centroids): 256-byte float32 vectors become 8 small ints —
-    the 32-64x footprint cut that makes a 100 TB embedding corpus
-    memory-scannable (operators/similarity.py pq_encode; pure
-    projection, no shuffle/join/UDF). Oracle: identical codebook
-    literals + norm-expansion distances + first-index-of-min argmin."""
-    from tdei_extract_load_service_spark.operators.similarity import (
-        make_codebooks,
-        pq_encode,
-    )
-
-    return pq_encode(
-        spread(_read(spark, sf_dir, "embeddings")),
-        "vec_id",
-        "embedding",
-        make_codebooks(),
-    )
-
-
-@register("similarity_pq", ORACLES.pq_topk_oracle_sql())
-def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ADC top-10 nearest (squared L2) by PQ codes: the query's m*k
-    lookup table is computed driver-side and scored as literal lookups —
-    the scan reads codes only, ranking is TakeOrderedAndProject
-    (operators/similarity.py pq_topk_stored, served from the
-    materialized per-corpus index — codes are encoded ONCE per corpus,
-    r8). The oracle computes the same LUT in-SQL from vec_id=0;
-    float->double widening and left-fold dot products make both sides
-    bit-identical."""
-    from tdei_extract_load_service_spark.operators.similarity import (
-        pq_topk_stored,
-    )
-
-    path, _, cbs = _pq_index(spark, sf_dir)
-    return pq_topk_stored(spark, path, _query_vec(spark, sf_dir), cbs, k=10)
-
-
-@register("similarity_pq_recall", ORACLES.pq_recall_oracle_sql())
-def q_similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@10 of the PQ/ADC search vs exact squared-L2 — ANN
-    evaluation as a first-class relational query (operators/similarity.py
-    pq_recall_at_k_stored: the ADC arm reads the materialized codes
-    index, the exact side scans vectors with the identical
-    norm-expansion arithmetic, so both engines agree to the last ulp)."""
-    from tdei_extract_load_service_spark.operators.similarity import (
-        pq_recall_at_k_stored,
-    )
-
-    path, _, cbs = _pq_index(spark, sf_dir)
-    return pq_recall_at_k_stored(
-        spread(_read(spark, sf_dir, "embeddings")),
-        "vec_id",
-        "embedding",
-        path,
-        _query_vec(spark, sf_dir),
-        cbs,
-        k=10,
-    )
-
-
-@register("similarity_ivf_pq", ORACLES.ivf_pq_oracle_sql())
-def q_similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF + PQ/ADC — the canonical production ANN composition (FAISS
-    IVFPQ shape) on its PRODUCTION serving path (r8): the per-corpus
-    index stores codes ``partitionBy(centroid_id)``, the driver-side
-    probe turns into directory-level partition PRUNING, and the query
-    reads ~n_probe/C of an 8-int-per-row index
-    (operators/similarity.py ivf_pq_topk_stored; codes and probe reuse
-    the machinery of similarity_ivf and similarity_pq, so the composed
-    oracle agrees bit-identically)."""
-    from tdei_extract_load_service_spark.operators.similarity import (
-        ivf_pq_topk_stored,
-    )
-
-    path, model_rows, cbs = _pq_index(spark, sf_dir)
-    return ivf_pq_topk_stored(
-        spark, path, model_rows, _query_vec(spark, sf_dir), cbs, k=10, n_probe=4
-    )
-
-
-@register("similarity_pq_trained", None)
-def q_similarity_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trained-PQ production path (VERDICT r7 #4): per-subspace Lloyd
-    codebooks fit on a bounded content-addressed sample, measured
-    against the seeded-random books in one query — returns
-    ``(recall_trained, recall_seeded, uplift)``. Rows-only driver
-    signal BY DESIGN (the trained model is data-dependent, so no static
-    SQL twin exists); pytest pins the uplift bound and the x10 ladder
-    records the trend (operators/similarity.py
-    pq_trained_vs_seeded_recall; m=16 subspaces — the measured regime
-    where training lifts recall 0.3 -> >=0.5 on the fixture corpus)."""
-    from tdei_extract_load_service_spark.operators.similarity import (
-        pq_trained_vs_seeded_recall,
-    )
-
-    return pq_trained_vs_seeded_recall(
-        spread(_read(spark, sf_dir, "embeddings")),
-        "vec_id",
-        "embedding",
-        _query_vec(spark, sf_dir),
-        m=16,
-        k_centroids=16,
-        sample=1024,
-        iters=5,
-        k=10,
-    )
-
-
-# ---------------------------------------------------------------------------
-# Decontamination, token-budget sampling, event-sequence analytics (round 7)
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "text_contamination",
-    r"""
-    WITH toks AS (
-      SELECT doc_id, source,
-             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
-      FROM documents
-    ),
-    grams AS (
-      SELECT DISTINCT doc_id, source,
-             substr(md5(array_to_string(list_slice(w, i, i + 12), ' ')), 1, 16) AS gram
-      FROM toks, unnest(generate_series(1, len(w) - 12)) AS t(i)
-      WHERE len(w) >= 13
-    ),
-    bench AS (SELECT DISTINCT gram FROM grams WHERE source IN ('src0', 'src1'))
-    SELECT doc_id, COUNT(*) AS n_shared
-    FROM grams JOIN bench USING (gram)
-    WHERE source NOT IN ('src0', 'src1')
-    GROUP BY doc_id
-    """,
-)
-def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination: corpus documents (sources other than
-    src0/src1) sharing any word 13-gram with the src0/src1 "benchmark"
-    slice, with the distinct shared-gram count — the standard
-    pretraining-hygiene sweep (operators/text.py contamination_check;
-    the O(len) Arrow-batched gram fan-out mirrors winnow_sets)."""
-    from tdei_extract_load_service_spark.operators.text import contamination_check
-
-    docs = spread(_read(spark, sf_dir, "documents"))
-    bench_src = F.col("source").isin("src0", "src1")
-    return contamination_check(
-        docs.where(~bench_src), docs.where(bench_src), "doc_id", "text", n=13
-    )
-
-
-@register(
-    "text_token_budget_sample",
-    r"""
-    WITH t AS (
-      SELECT doc_id, source,
-             CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
-      FROM documents
-    ),
-    c AS (
-      SELECT doc_id, source, n_tokens,
-             SUM(n_tokens) OVER (PARTITION BY source
-                                 ORDER BY md5(CAST(doc_id AS VARCHAR))
-                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS cum_tokens
-      FROM t
-    )
-    SELECT doc_id, source, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 500
-    """,
-)
-def q_text_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source token-budget sampling: keep documents in
-    content-addressed (md5) order until each source's cumulative
-    whitespace-token count reaches 500 — the reproducible
-    "N tokens per domain" mix primitive (operators/sampling.py
-    token_budget_sample; one stratum shuffle, no join)."""
-    from tdei_extract_load_service_spark.operators import text as TX
-    from tdei_extract_load_service_spark.operators.sampling import (
-        token_budget_sample,
-    )
-
-    docs = _read(spark, sf_dir, "documents").select(
-        "doc_id", "source", TX.token_count_ws("text").alias("n_tokens")
-    )
-    return token_budget_sample(
-        docs, "doc_id", "source", "n_tokens", budget=500
-    )
-
-
-@register(
-    "text_normalize",
-    r"""
-    SELECT doc_id,
-           trim(regexp_replace(
-                  regexp_replace(nfc_normalize(text),
-                                 '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
-                  '[ \t\n\r\f\v]+', ' ', 'g'),
-                ' ') AS text_norm
-    FROM documents
-    """,
-)
-def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pre-tokenization cleanup: NFC + control strip + ASCII-whitespace
-    collapse + trim (operators/text.py normalize_text — explicit
-    character classes because \\s differs across regex dialects; the
-    unicode path is pinned against DuckDB in pytest on composed/
-    decomposed/Hangul samples)."""
-    from tdei_extract_load_service_spark.operators.text import normalize_text
-
-    return normalize_text(
-        spread(_read(spark, sf_dir, "documents")), "doc_id", "text"
-    )
-
-
-@register(
-    "corpus_prep_full",
-    r"""
-    WITH norm AS (
-      SELECT doc_id, source,
-             trim(regexp_replace(
-                    regexp_replace(nfc_normalize(text),
-                                   '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
-                    '[ \t\n\r\f\v]+', ' ', 'g'),
-                  ' ') AS t
-      FROM documents WHERE source NOT IN ('src0', 'src1')
-    ),
-    staged AS (
-      SELECT doc_id, source, t,
-             CASE WHEN t = '' THEN [] ELSE string_split(t, ' ') END AS w
-      FROM norm
-    ),
-    kept AS (
-      SELECT doc_id, source, t, w, len(w) AS n_words
-      FROM staged
-      WHERE len(w) >= 10
-        AND ROUND(len(list_distinct(w))::DOUBLE / len(w), 6) >= 0.3
-    ),
-    surv AS (
-      SELECT doc_id, source, t, n_words
-      FROM kept
-      QUALIFY doc_id = MIN(doc_id) OVER (
-        PARTITION BY md5(t)
-      )
-    ),
-    bench_norm AS (
-      SELECT doc_id,
-             trim(regexp_replace(
-                    regexp_replace(nfc_normalize(text),
-                                   '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
-                    '[ \t\n\r\f\v]+', ' ', 'g'),
-                  ' ') AS t
-      FROM documents WHERE source IN ('src0', 'src1')
-    ),
-    bench_grams AS (
-      SELECT DISTINCT substr(md5(array_to_string(list_slice(w, i, i + 12), ' ')), 1, 16) AS gram
-      FROM (SELECT list_filter(string_split_regex(lower(t), '[^a-z0-9]+'), x -> x <> '') AS w
-            FROM bench_norm),
-           unnest(generate_series(1, len(w) - 12)) AS g(i)
-      WHERE len(w) >= 13
-    ),
-    surv_grams AS (
-      SELECT DISTINCT doc_id,
-             substr(md5(array_to_string(list_slice(w, i, i + 12), ' ')), 1, 16) AS gram
-      FROM (SELECT doc_id,
-                   list_filter(string_split_regex(lower(t), '[^a-z0-9]+'), x -> x <> '') AS w
-            FROM surv),
-           unnest(generate_series(1, len(w) - 12)) AS g(i)
-      WHERE len(w) >= 13
-    ),
-    contaminated AS (
-      SELECT DISTINCT doc_id FROM surv_grams JOIN bench_grams USING (gram)
-    ),
-    clean AS (
-      SELECT s.doc_id, s.source, s.n_words AS n_tokens
-      FROM surv s ANTI JOIN contaminated c ON s.doc_id = c.doc_id
-    ),
-    budgeted AS (
-      SELECT doc_id, source, n_tokens,
-             SUM(n_tokens) OVER (PARTITION BY source
-                                 ORDER BY md5(CAST(doc_id AS VARCHAR))
-                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS cum_tokens
-      FROM clean
-    )
-    SELECT doc_id, source, n_tokens, cum_tokens FROM budgeted WHERE cum_tokens <= 400
-    """,
-)
-def q_corpus_prep_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The canonical training-corpus pipeline end to end — normalize ->
-    quality filter -> exact content dedup -> benchmark decontamination
-    (src0/src1 as the eval slice) -> per-source token-budget sampling —
-    as ONE declarative plan (operators/text.py corpus_prep_full). The
-    oracle chains the same five stages in SQL, proving every stage AND
-    their composition value-equal across engines."""
-    from tdei_extract_load_service_spark.operators.text import corpus_prep_full
-
-    return corpus_prep_full(
-        spread(_read(spark, sf_dir, "documents")),
-        "doc_id",
-        "text",
-        "source",
-        bench_sources=("src0", "src1"),
-        min_words=10,
-        min_distinct_ratio=0.3,
-        n=13,
-        budget=400,
-    )
-
-
-@register(
-    "events_funnel",
-    """
-    WITH w0 AS (
-      SELECT user_id, ts, event_type,
-             MIN(CASE WHEN event_type = 'view' THEN ts END) OVER win AS m0
-      FROM events
-      WINDOW win AS (PARTITION BY user_id ORDER BY ts
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-    ),
-    w1 AS (
-      SELECT *,
-             MIN(CASE WHEN event_type = 'click' AND m0 IS NOT NULL AND m0 < ts
-                      THEN ts END) OVER win AS m1
-      FROM w0
-      WINDOW win AS (PARTITION BY user_id ORDER BY ts
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-    )
-    SELECT
-      COUNT(DISTINCT CASE WHEN event_type = 'view' THEN user_id END)
-        AS n_step1_view,
-      COUNT(DISTINCT CASE WHEN event_type = 'click' AND m0 IS NOT NULL AND m0 < ts
-                          THEN user_id END) AS n_step2_click,
-      COUNT(DISTINCT CASE WHEN event_type = 'purchase' AND m1 IS NOT NULL AND m1 < ts
-                          THEN user_id END) AS n_step3_purchase
-    FROM w1
-    """,
-)
-def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Strictly-ordered view->click->purchase funnel in ONE window pass
-    (operators/events.py funnel — running min of each step's qualifying
-    time; no per-step self-join). Tie semantics pinned: equal timestamps
-    never advance the funnel, so the result is deterministic whatever
-    the peer order."""
-    from tdei_extract_load_service_spark.operators.events import funnel
-
-    return funnel(
-        _read_events(spark, sf_dir), "user_id", "ts", "event_type",
-        steps=("view", "click", "purchase"),
-    )
-
-
-@register(
-    "events_retention",
-    """
-    WITH ud AS (
-      SELECT DISTINCT user_id,
-             (epoch_us(ts) // 86400000000)
-             + (CASE WHEN epoch_us(ts) % 86400000000 < 0 THEN -1 ELSE 0 END) AS d
-      FROM events
-    ),
-    c AS (SELECT user_id, MIN(d) AS cd FROM ud GROUP BY user_id)
-    SELECT ud.d - c.cd AS day_offset, COUNT(*) AS n_users
-    FROM ud JOIN c ON ud.user_id = c.user_id
-    GROUP BY day_offset
-    ORDER BY day_offset
-    """,
-)
-def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohort retention curve over UTC day numbers (integer epoch DIV —
-    session-tz independent): users active exactly d days after their
-    first event day (operators/events.py retention — one per-user agg
-    with window-bounded state, no (user, day) pre-distinct, no join)."""
-    from tdei_extract_load_service_spark.operators.events import retention
-
-    return retention(_read_events(spark, sf_dir), "user_id", "ts")
-
-
-@register(
-    "text_chunk",
-    r"""
-    WITH toks AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(text, '[ \t\n\r\f\v]+'), x -> x <> '') AS w
-      FROM documents WHERE text IS NOT NULL
-    ),
-    nn AS (SELECT doc_id, w, len(w) AS n FROM toks WHERE len(w) > 0)
-    SELECT doc_id, (s // 48)::INT AS chunk_idx,
-           len(list_slice(w, s + 1, s + 64))::INT AS n_tokens,
-           array_to_string(list_slice(w, s + 1, s + 64), ' ') AS chunk
-    FROM nn, unnest(generate_series(0, n - 1, 48)) AS t(s)
-    WHERE s = 0 OR s - 48 + 64 < n
-    """,
-)
-def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Overlapping word-window chunking (64-word chunks, 16-word
-    overlap) — the RAG/pretraining split primitive, as the same O(len)
-    Arrow fan-out as winnow_sets (the expression shape re-inlines the
-    split per chunk; operators/text.py chunk_text). The oracle emits
-    chunk starts from generate_series with the same
-    last-chunk-covers-the-end rule."""
-    from tdei_extract_load_service_spark.operators.text import chunk_text
-
-    return chunk_text(
-        spread(_read(spark, sf_dir, "documents")), "doc_id", "text",
-        chunk_words=64, overlap_words=16,
-    )
-
-
-@register(
-    "embedding_normalize",
-    """
-    SELECT vec_id,
-           CASE WHEN sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) = 0
-                THEN list_transform(embedding::DOUBLE[], x -> x)
-                ELSE list_transform(embedding::DOUBLE[],
-                       x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))
-           END AS unit,
-           ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS norm
-    FROM embeddings
-    """,
-)
-def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unit-L2 normalization of the embedding column (after it, dot IS
-    cosine) — pure projection, shared fold order so the element-wise
-    doubles match DuckDB bit-identically; zero vectors pass through
-    (operators/packing.py embedding_normalize)."""
-    from tdei_extract_load_service_spark.operators.packing import (
-        embedding_normalize,
-    )
-
-    return embedding_normalize(
-        spread(_read(spark, sf_dir, "embeddings")), "vec_id", "embedding"
-    )
-
-
-@register(
-    "events_retention_cohorts",
-    """
-    WITH ud AS (
-      SELECT DISTINCT user_id,
-             (epoch_us(ts) // 86400000000)
-             + (CASE WHEN epoch_us(ts) % 86400000000 < 0 THEN -1 ELSE 0 END) AS d
-      FROM events
-    ),
-    c AS (SELECT user_id, MIN(d) AS cd FROM ud GROUP BY user_id),
-    counts AS (
-      SELECT c.cd AS cohort_day, ud.d - c.cd AS day_offset, COUNT(*) AS n_users
-      FROM ud JOIN c ON ud.user_id = c.user_id
-      GROUP BY cohort_day, day_offset
-    )
-    SELECT cohort_day, day_offset, n_users,
-           ROUND(n_users::DOUBLE / MAX(CASE WHEN day_offset = 0 THEN n_users END)
-                                     OVER (PARTITION BY cohort_day), 6) AS rate
-    FROM counts
-    ORDER BY cohort_day ASC, day_offset ASC
-    """,
-)
-def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-cohort retention heatmap table: (cohort day, offset, active
-    users, rate vs cohort size) — cohort sizes recovered from the same
-    aggregation's offset-0 rows via one window, no second scan
-    (operators/events.py retention_cohorts)."""
-    from tdei_extract_load_service_spark.operators.events import retention_cohorts
-
-    return retention_cohorts(_read_events(spark, sf_dir), "user_id", "ts")
-
-
-@register(
-    "stream_funnel_shadow",
-    """
-    WITH t0 AS (
-      SELECT user_id, MIN(epoch_us(ts)) AS t0 FROM events
-      WHERE event_type = 'view' GROUP BY user_id
-    ),
-    t1 AS (
-      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t1
-      FROM events e JOIN t0 ON e.user_id = t0.user_id
-      WHERE e.event_type = 'click' AND epoch_us(e.ts) > t0.t0
-      GROUP BY e.user_id
-    ),
-    t2 AS (
-      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
-      FROM events e JOIN t1 ON e.user_id = t1.user_id
-      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t1.t1
-      GROUP BY e.user_id
-    )
-    SELECT u.user_id,
-           CASE WHEN t2.t2 IS NOT NULL THEN 3
-                WHEN t1.t1 IS NOT NULL THEN 2
-                WHEN t0.t0 IS NOT NULL THEN 1
-                ELSE 0 END AS steps_completed,
-           t0.t0 AS t0, t1.t1 AS t1, t2.t2 AS t2
-    FROM (SELECT DISTINCT user_id FROM events) u
-    LEFT JOIN t0 ON u.user_id = t0.user_id
-    LEFT JOIN t1 ON u.user_id = t1.user_id
-    LEFT JOIN t2 ON u.user_id = t2.user_id
-    ORDER BY u.user_id ASC
-    """,
-)
-def q_stream_funnel_shadow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The STREAMING surface, driver-certified (VERDICT r7 #8): replay
-    the events fixture as four micro-batches through a real Structured
-    Streaming query (stream_funnel's applyInPandasWithState — GroupState
-    crossing batch boundaries), reduce the update-mode emissions to the
-    final per-user funnel state, and compare against the relational
-    chained min-after-predecessor recurrence in SQL
-    (streaming/shadow.py funnel_shadow; times are epoch micros over a
-    TIMESTAMP_NTZ pipeline, session-tz independent)."""
-    from tdei_extract_load_service_spark.streaming.shadow import funnel_shadow
-
-    return funnel_shadow(spark, sf_dir, n_batches=4)
-
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering

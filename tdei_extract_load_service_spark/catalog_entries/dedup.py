@@ -1,0 +1,208 @@
+"""Dedup-family entries (north-star; operators/dedup.py).
+
+Split out of the monolithic catalog.py (round-8 catalog diet, VERDICT
+r7 #6). Importing this module registers its entries in
+``catalog.REGISTRY``; the hub imports every family module at the end of
+catalog.py, so ``from ...catalog import REGISTRY`` keeps working
+unchanged. See catalog.py's module docstring for the determinism rules
+every entry follows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tdei_extract_load_service_spark import oracles as ORACLES
+from tdei_extract_load_service_spark.catalog import (
+    _query_vec,
+    _read,
+    _read_events,
+    register,
+)
+from tdei_extract_load_service_spark.functions import maps as M
+from tdei_extract_load_service_spark.functions import timestamps as TS
+from tdei_extract_load_service_spark.operators import relational as R
+from tdei_extract_load_service_spark.operators.query_builder import (
+    DynamicQueryBuilder,
+)
+from tdei_extract_load_service_spark.session import spread
+
+
+# ---------------------------------------------------------------------------
+# Dedup family (north-star; operators/dedup.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: hash-groupBy with surviving-id selection; the
+    shuffle carries (hash, id), never the documents."""
+    from tdei_extract_load_service_spark.operators.dedup import dedup_exact_groups
+
+    return dedup_exact_groups(_read(spark, sf_dir, "documents"), "doc_id", ["text"])
+
+
+# Exact 3-gram Jaccard pairs at >= 0.8 — shared by the exact inverted-index
+# operator AND the LSH-verified operator: lsh_verified_pairs emits *exact*
+# Jaccard on its surviving candidates, and with 16x4 bands the miss
+# probability of a 0.8-pair is (1-0.8^4)^16 ~= 2e-4, so on the fixture both
+# operators produce the identical pair set and one SQL oracle serves both.
+_NGRAM_JACCARD_ORACLE = """
+    WITH d AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+               i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(len(list_intersect(a.sh, b.sh))
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+    FROM d a, d b
+    WHERE a.doc_id < b.doc_id
+      AND ROUND(len(list_intersect(a.sh, b.sh))
+                / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.8
+    """
+
+
+@register("dedup_ngram_jaccard", _NGRAM_JACCARD_ORACLE)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs at >= 0.8 via inverted-index
+    blocking (no cross join; the oracle cross-joins because DuckDB can,
+    the Spark plan must not — semantics identical)."""
+    from tdei_extract_load_service_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _read(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.8
+    )
+
+
+@register("dedup_minhash_lsh", None)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + LSH(16 bands) candidate pairs with estimated
+    Jaccard >= 0.5. xxhash64-seeded — deterministic but not
+    SQL-mirrorable in DuckDB (no xxhash64), so rows-only check; exactness
+    is cross-validated against dedup_ngram_jaccard in tests.
+
+    No global sort: the rows-only check counts rows, and a final orderBy
+    costs a full extra execution of the join pipeline for range-partition
+    sampling (measured ~3s of the cold run at sf0.1)."""
+    from tdei_extract_load_service_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _read(spark, sf_dir, "documents"), "doc_id", "text",
+        num_hashes=64, bands=16, n=3, threshold=0.5,
+    )
+
+
+@register("dedup_simhash", None)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64-bit) near-dup pairs with Hamming <= 6 via 16-bit chunk
+    blocking. xxhash64-based -> rows-only check (validated in tests).
+    No global sort — rows-only check, see dedup_minhash_lsh."""
+    from tdei_extract_load_service_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(
+        _read(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=6
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cosine
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+      AND ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                   * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.45
+    """,
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact all-pairs form — the oracle
+    twin; scale path is ``dedup_embedding_lsh``)."""
+    from tdei_extract_load_service_spark.operators.dedup import embedding_cosine_pairs
+
+    return embedding_cosine_pairs(
+        _read(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.45
+    )
+
+
+@register("dedup_embedding_lsh", ORACLES.embedding_lsh_oracle_sql(n_bands=4, planes_per_band=4, threshold=0.45))
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs THE SCALE WAY: banded random-hyperplane
+    LSH candidates + exact cosine verify (operators/dedup.py
+    embedding_lsh_pairs) — closes the documented gap where
+    dedup_embedding_cosine was the only (all-pairs) embedding dedup.
+    Seeded plane literals are shared verbatim with the oracle, so the
+    approximate operator is fully value-oracle-checked: same candidates,
+    same cosines. Every emitted pair is exact-verified TRUE; recall is
+    the bands x planes knob."""
+    from tdei_extract_load_service_spark.operators.dedup import embedding_lsh_pairs
+    from tdei_extract_load_service_spark.operators.similarity import make_planes
+
+    return embedding_lsh_pairs(
+        _read(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        threshold=0.45, dim=64, n_bands=4, planes_per_band=4,
+        planes=make_planes(16, 64),
+    )
+
+
+@register(
+    "dedup_cluster",
+    """
+    WITH RECURSIVE
+    d AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+               i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM d a, d b
+      WHERE a.doc_id < b.doc_id
+        AND ROUND(len(list_intersect(a.sh, b.sh))
+                  / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.8
+    ),
+    edges(a, b) AS (
+      SELECT doc_a, doc_b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+      UNION SELECT doc_id, doc_id FROM documents
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+    """,
+)
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs resolved into duplicate clusters (connected
+    components; cluster_id = min doc id = the canonical survivor) — the
+    step between pair generation and actually dropping duplicates in a
+    training pipeline. Pair generation uses the production LSH+verify path
+    (sub-quadratic; emits the exact-Jaccard pair set); min-label
+    propagation then runs O(diameter) rounds of (id, label)-only shuffles.
+    The oracle is the transitive-closure recursive CTE over the same
+    exact-Jaccard edges."""
+    from tdei_extract_load_service_spark.operators.dedup import (
+        dedup_clusters,
+        lsh_verified_pairs,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = lsh_verified_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    return dedup_clusters(docs.select("doc_id"), pairs, "doc_id")

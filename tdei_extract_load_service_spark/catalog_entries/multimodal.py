@@ -1,0 +1,276 @@
+"""Multimodal entries (north-star; multimodal/binary_ops.py).
+
+Split out of the monolithic catalog.py (round-8 catalog diet, VERDICT
+r7 #6). Importing this module registers its entries in
+``catalog.REGISTRY``; the hub imports every family module at the end of
+catalog.py, so ``from ...catalog import REGISTRY`` keeps working
+unchanged. See catalog.py's module docstring for the determinism rules
+every entry follows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tdei_extract_load_service_spark import oracles as ORACLES
+from tdei_extract_load_service_spark.catalog import (
+    _query_vec,
+    _read,
+    _read_events,
+    register,
+)
+from tdei_extract_load_service_spark.functions import maps as M
+from tdei_extract_load_service_spark.functions import timestamps as TS
+from tdei_extract_load_service_spark.operators import relational as R
+from tdei_extract_load_service_spark.operators.query_builder import (
+    DynamicQueryBuilder,
+)
+from tdei_extract_load_service_spark.session import spread
+
+
+# ---------------------------------------------------------------------------
+# Multimodal (north-star; multimodal/binary_ops.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_meta",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS sha256,
+           'unknown' AS format
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary metadata extraction (byte length, content hash,
+    magic-number format sniff) over text bytes — the documents fixture has
+    no real media, so format legitimately sniffs 'unknown'; decode/frame
+    plumbing is exercised in tests with synthetic media bytes."""
+    from tdei_extract_load_service_spark.multimodal.binary_ops import binary_meta
+
+    docs = _read(spark, sf_dir, "documents")
+    meta = binary_meta(F.encode("text", "UTF-8"))
+    return docs.select(
+        "doc_id",
+        meta["n_bytes"].cast("bigint").alias("n_bytes"),
+        meta["sha256"].alias("sha256"),
+        meta["format"].alias("format"),
+    )
+
+
+@register(
+    "multimodal_decode",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(8 + doc_id % 8 AS INT) AS width,
+             CAST(8 + doc_id % 5 AS INT) AS height,
+             CAST(3 + doc_id % 2 AS INT) AS n_channels
+      FROM documents
+    )
+    SELECT d.doc_id, d.width, d.height, d.n_channels,
+           CAST(SUM(CASE WHEN t.i < d.width * d.height * d.n_channels
+                         THEN ((d.doc_id * 7 + t.i) % 256) * (t.i + 1)
+                         ELSE 0 END) AS BIGINT) AS pixel_checksum
+    FROM dims d CROSS JOIN range(0, 720) t(i)
+    GROUP BY d.doc_id, d.width, d.height, d.n_channels
+    """,
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PNG pixel decode (stdlib zlib inflate + all five scanline
+    unfilters — no codec library) over deterministic PNG fixtures.
+
+    The fixture generator (multimodal/binary_ops.py synth_png) encodes
+    pixel byte i of image ``doc_id`` as ``(doc_id*7 + i) % 256`` behind a
+    rotating per-scanline filter (None/Sub/Up/Average/Paeth), so the
+    position-weighted checksum only matches the oracle's closed form if
+    the inflate + unfilter round-trip is pixel-exact. Both generator and
+    decoder run as Arrow-batched mapInPandas — the real plumbing a media
+    pipeline needs; only lossy-codec formats (JPEG pixels, video frames)
+    remain behind the declared stub boundary."""
+    from tdei_extract_load_service_spark.multimodal.binary_ops import (
+        decode_image_pixels,
+        synth_png,
+    )
+
+    # spread BEFORE the python fan-out: the single-row-group fixture scan
+    # is one partition, which would pin the whole per-image decode chain
+    # to one core (measured: 2.8s -> sub-second on local[32])
+    docs = spread(_read(spark, sf_dir, "documents").select("doc_id"))
+    decoded = decode_image_pixels(synth_png(docs, "doc_id"))
+    return decoded.select(
+        F.col("media_id").alias("doc_id"), "width", "height", "n_channels", "pixel_checksum"
+    )
+
+
+@register(
+    "multimodal_decode_jpeg",
+    """
+    SELECT doc_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+           CAST(1 AS INT) AS n_channels,
+           CAST(SUM((2 * ((doc_id * 7 + b.i * 13) % 128))
+                    * (8192 * (b.i // 2) + 512 * (b.i % 2) + 3872)) AS BIGINT)
+             AS pixel_checksum
+    FROM documents CROSS JOIN range(0, 4) b(i)
+    GROUP BY doc_id
+    """,
+)
+def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real baseline-JPEG pixel decode — pure stdlib Huffman decode, DC
+    prediction, dequantization and full float IDCT (multimodal/jpeg.py),
+    no codec library — over deterministic DC-only fixtures.
+
+    JPEG is lossy, so a general pixel oracle is impossible; the fixtures
+    make it exact: a block whose only coefficient is DC decodes to a flat
+    tile of ``round(dc*q0/8) + 128`` under ANY correct IDCT, giving the
+    position-weighted checksum the closed form above (block b of image
+    doc_id carries dc = ((doc_id*7 + b*13) % 128) - 64, q0 = 16, so the
+    tile value is 2*((doc_id*7 + b*13) % 128); the inner weight is
+    sum of (y*16+x+1) over the 8x8 tile at (b//2, b%2)). The decoder still
+    runs the entire real path — the full-AC spectrum is cross-checked in
+    pytest against an independent direct-formula IDCT. Progressive /
+    subsampled JPEG and video frames remain the declared codec boundary."""
+    from tdei_extract_load_service_spark.multimodal.binary_ops import (
+        decode_image_pixels,
+        synth_jpeg,
+    )
+
+    docs = spread(_read(spark, sf_dir, "documents").select("doc_id"))
+    decoded = decode_image_pixels(synth_jpeg(docs, "doc_id"))
+    return decoded.select(
+        F.col("media_id").alias("doc_id"), "width", "height", "n_channels", "pixel_checksum"
+    )
+
+
+@register(
+    "multimodal_resize",
+    """
+    SELECT doc_id,
+           CAST(16 AS INT) AS src_width, CAST(16 AS INT) AS src_height,
+           CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+           CAST(1 AS INT) AS n_channels,
+           CAST(SUM((2 * ((doc_id * 7 + b.i * 13) % 128))
+                    * (512 * (b.i // 2) + 64 * (b.i % 2) + 232)) AS BIGINT)
+             AS pixel_checksum
+    FROM documents CROSS JOIN range(0, 4) b(i)
+    GROUP BY doc_id
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode -> nearest-neighbor resize chain (16x16 baseline JPEG ->
+    8x8 thumbnail), value-verified end to end: the DC-only fixture's flat
+    8x8 tiles survive any correct decode+NN-sample, so the resized
+    position-weighted checksum has the closed form above (source pixel of
+    output (x,y) is (2y,2x); tile weight = sum of (y*8+x+1) over the 4x4
+    output region each source block covers = 512*by + 64*bx + 232).
+    Completes the multimodal op family: meta, decode (PNG+JPEG pixels),
+    feature-extract (audio), RESIZE, frame-sample."""
+    from tdei_extract_load_service_spark.multimodal.binary_ops import (
+        resize_image_pixels,
+        synth_jpeg,
+    )
+
+    docs = spread(_read(spark, sf_dir, "documents").select("doc_id"))
+    resized = resize_image_pixels(synth_jpeg(docs, "doc_id"), out_w=8, out_h=8)
+    return resized.select(
+        F.col("media_id").alias("doc_id"), "src_width", "src_height",
+        "width", "height", "n_channels", "pixel_checksum",
+    )
+
+
+@register(
+    "multimodal_video_frames",
+    """
+    WITH s AS (SELECT i AS k, i * 2 AS frame_idx FROM range(0, 3) t(i))
+    SELECT doc_id, CAST(s.frame_idx AS INT) AS frame_idx,
+           CAST(6 AS INT) AS n_total_frames,
+           CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+           CAST(1 AS INT) AS n_channels,
+           CAST(SUM((2 * ((doc_id * 7 + s.frame_idx * 29 + b.i * 13) % 128))
+                    * (8192 * (b.i // 2) + 512 * (b.i % 2) + 3872)) AS BIGINT)
+             AS pixel_checksum
+    FROM documents CROSS JOIN s CROSS JOIN range(0, 4) b(i)
+    GROUP BY doc_id, s.frame_idx
+    """,
+)
+def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling: stdlib AVI (RIFF) container parse ->
+    3-of-6 evenly spaced frames -> stdlib baseline-JPEG decode of each
+    sampled frame (multimodal/avi.py + jpeg.py). Motion-JPEG's frames are
+    complete JPEGs, so this tier needs no codec library; DC-only fixture
+    frames give each (doc, frame) checksum the closed form above
+    (sample indices floor(k*6/3) = 0,2,4; frame f block b carries
+    dc = ((doc*7 + f*29 + b*13) % 128) - 64). Inter-frame codecs
+    (H.264/VP9, MP4/MKV) remain the declared boundary."""
+    from tdei_extract_load_service_spark.multimodal.binary_ops import (
+        frame_sample_decoded,
+        synth_avi,
+    )
+
+    docs = spread(_read(spark, sf_dir, "documents").select("doc_id"))
+    sampled = frame_sample_decoded(synth_avi(docs, "doc_id", n_frames=6), n_frames=3)
+    return sampled.select(
+        F.col("media_id").alias("doc_id"), "frame_idx", "n_total_frames",
+        "width", "height", "n_channels", "pixel_checksum",
+    )
+
+
+@register(
+    "multimodal_audio",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+             800 + (doc_id % 5) * 100 AS n_samples
+      FROM documents
+    ),
+    s AS (
+      SELECT d.doc_id, d.sample_rate, d.n_samples, t.i,
+             ((d.doc_id * 31 + t.i * 17 + 977) % 4001) - 2000 AS v,
+             CASE WHEN t.i >= 1
+                  THEN ((d.doc_id * 31 + (t.i - 1) * 17 + 977) % 4001) - 2000
+             END AS v_prev
+      FROM dims d CROSS JOIN range(0, 1200) t(i)
+      WHERE t.i < d.n_samples
+    )
+    SELECT doc_id, sample_rate, CAST(1 AS INT) AS n_channels,
+           CAST(n_samples AS BIGINT) AS n_samples,
+           ROUND(n_samples * 1000.0 / sample_rate, 3) AS duration_ms,
+           ROUND(sqrt(SUM(CAST(v AS DOUBLE) * v) / n_samples), 6) AS rms,
+           CAST(SUM(CASE WHEN v_prev * v < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS zero_crossings
+    FROM s
+    GROUP BY doc_id, sample_rate, n_samples
+    """,
+)
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real WAV audio decode (stdlib RIFF/fmt/data chunk walk, PCM16 —
+    no codec library) + per-clip features over deterministic WAV fixtures.
+
+    The fixture generator (multimodal/binary_ops.py synth_wav) writes
+    sample i of clip ``doc_id`` as ``((doc_id*31 + i*17 + 977) % 4001) -
+    2000``, so sample rate, duration, RMS amplitude and zero-crossing
+    count only match the oracle's closed form if the RIFF walk and int16
+    little-endian unpack are byte-exact. The integer sum of squares stays
+    below 2^53, so the rounded RMS is bit-identical across engines.
+    Compressed audio (mp3/flac/ADPCM) stays behind the declared codec
+    stub boundary (decode_wav_audio raises into the error column)."""
+    from tdei_extract_load_service_spark.multimodal.binary_ops import (
+        decode_audio,
+        synth_wav,
+    )
+
+    docs = spread(_read(spark, sf_dir, "documents").select("doc_id"))
+    decoded = decode_audio(synth_wav(docs, "doc_id"))
+    return decoded.select(
+        F.col("media_id").alias("doc_id"),
+        "sample_rate",
+        "n_channels",
+        "n_samples",
+        "duration_ms",
+        "rms",
+        "zero_crossings",
+    )

@@ -1,0 +1,160 @@
+"""Text-analysis entries (north-star; operators/text.py).
+
+Split out of the monolithic catalog.py (round-8 catalog diet, VERDICT
+r7 #6). Importing this module registers its entries in
+``catalog.REGISTRY``; the hub imports every family module at the end of
+catalog.py, so ``from ...catalog import REGISTRY`` keeps working
+unchanged. See catalog.py's module docstring for the determinism rules
+every entry follows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tdei_extract_load_service_spark import oracles as ORACLES
+from tdei_extract_load_service_spark.catalog import (
+    _query_vec,
+    _read,
+    _read_events,
+    register,
+)
+from tdei_extract_load_service_spark.functions import maps as M
+from tdei_extract_load_service_spark.functions import timestamps as TS
+from tdei_extract_load_service_spark.operators import relational as R
+from tdei_extract_load_service_spark.operators.query_builder import (
+    DynamicQueryBuilder,
+)
+from tdei_extract_load_service_spark.session import spread
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (north-star; operators/text.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_count",
+    r"""
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws_tokens,
+           len(regexp_extract_all(text, '\p{L}+|\p{N}|[^\p{L}\p{N}\s]')) AS n_bpe_ish_tokens
+    FROM documents
+    """,
+)
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens."""
+    from tdei_extract_load_service_spark.operators import text as TX
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count_ws("text").alias("n_ws_tokens"),
+        TX.token_count_bpe_ish("text").alias("n_bpe_ish_tokens"),
+    )
+
+
+@register(
+    "text_quality",
+    r"""
+    WITH m AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS words,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
+             CASE WHEN len(text) > 0
+                  THEN len(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) / len(text)
+                  ELSE 0.0 END AS punct_ratio
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, n_words, punct_ratio,
+             CASE WHEN len(words) > 0
+                  THEN list_sum(list_transform(words, w -> len(w))) / len(words)
+                  ELSE 0.0 END AS avg_word_len,
+             CASE WHEN len(words) > 0
+                  THEN len(list_filter(words, w -> lower(w) IN ('the','a','and','of','to','is','in'))) / len(words)
+                  ELSE 0.0 END AS stop_ratio
+      FROM m
+    )
+    SELECT doc_id, n_words,
+           ROUND(avg_word_len, 6) AS avg_word_len,
+           ROUND(punct_ratio, 6) AS punct_ratio,
+           ROUND(stop_ratio, 6) AS stopword_ratio,
+           ROUND(0.3 * least(n_words / 100.0, 1.0)
+                 + 0.2 * (CASE WHEN avg_word_len >= 3 AND avg_word_len <= 10 THEN 1.0 ELSE 0.5 END)
+                 + 0.2 * (1.0 - least(punct_ratio * 5, 1.0))
+                 + 0.3 * least(stop_ratio * 4, 1.0), 6) AS quality
+    FROM r
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/punctuation/stopword heuristics composed
+    into one [0,1] score (the C4/Gopher-rule shape)."""
+    from tdei_extract_load_service_spark.operators import text as TX
+    from tdei_extract_load_service_spark.session import spread
+
+    # single-row-group input: spread so the per-doc scoring uses all cores
+    docs = spread(_read(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        TX.token_count_ws("text").alias("n_words"),
+        F.round(TX.avg_word_length("text"), 6).alias("avg_word_len"),
+        F.round(TX.punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(TX.stopword_ratio("text"), 6).alias("stopword_ratio"),
+        TX.quality_score("text").alias("quality"),
+    )
+
+
+@register(
+    "text_langid",
+    """
+    WITH s AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    sc AS (
+      SELECT doc_id,
+        CASE WHEN len(w)>0 THEN len(list_filter(w, x -> x IN ('der','die','das','und','nicht','ist','ein')))/len(w) ELSE 0.0 END AS s_de,
+        CASE WHEN len(w)>0 THEN len(list_filter(w, x -> x IN ('the','a','and','of','to','is','in')))/len(w) ELSE 0.0 END AS s_en,
+        CASE WHEN len(w)>0 THEN len(list_filter(w, x -> x IN ('el','la','los','las','y','es','un')))/len(w) ELSE 0.0 END AS s_es,
+        CASE WHEN len(w)>0 THEN len(list_filter(w, x -> x IN ('le','la','les','et','est','un','une')))/len(w) ELSE 0.0 END AS s_fr,
+        CASE WHEN len(w)>0 THEN len(list_filter(w, x -> x IN ('的','是','了','在','我','有')))/len(w) ELSE 0.0 END AS s_zh
+      FROM s
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(s_de,s_en,s_es,s_fr,s_zh) = 0 THEN 'und'
+                WHEN s_de = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'de'
+                WHEN s_en = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'en'
+                WHEN s_es = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'es'
+                WHEN s_fr = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'fr'
+                ELSE 'zh' END AS lang_pred
+    FROM sc
+    """,
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-overlap language ID (argmax over per-language stopword hit
+    ratios, alphabetical tiebreak, 'und' when nothing matches)."""
+    from tdei_extract_load_service_spark.operators import text as TX
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.lang_id("text").alias("lang_pred"))
+
+
+@register(
+    "text_fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+               regexp_split_to_array(lower(trim(text)), '\s+'))), ' ')) AS fp
+    FROM documents
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive document fingerprint (md5 of the sorted distinct
+    word set)."""
+    from tdei_extract_load_service_spark.operators import text as TX
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.fingerprint("text").alias("fp"))
