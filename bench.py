@@ -111,6 +111,11 @@ HEADLINE_EXTENSIONS = (
     "tpch_q21_suppliers_kept_waiting",
     "tpch_q20_potential_part_promotion",
     "tpch_q2_minimum_cost_supplier",
+    # round-8 wave 4 completes all 22 TPC-H plan families
+    "tpch_q8_national_market_share",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_stock",
+    "tpch_q16_parts_supplier_relationship",
     # dedup_winnow (and its r7 composition dedup_winnow_cluster) is
     # EXCLUDED from the sf0.1 headline deliberately: the
     # synthetic documents corpus draws from a ~25-word vocabulary, so

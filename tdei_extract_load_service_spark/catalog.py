@@ -190,6 +190,24 @@ from tdei_extract_load_service_spark.catalog_entries import (  # noqa: E402,F401
 # / text_fingerprint), multimodal_meta (magic-sniff is the first stage of
 # in-window multimodal_decode / decode_jpeg).
 
+# ROUND-9 PROMOTION QUEUE (policy rule (a)): the round-8 entries that
+# did NOT fit the saturated round-8 window — tpch_q8_national_market_share,
+# tpch_q9_product_type_profit, tpch_q11_important_stock,
+# tpch_q16_parts_supplier_relationship (completing all 22 TPC-H plan
+# families), and similarity_pq_trained (rows-only signal either way; may
+# stay tail per the estimator precedent) — must enter the window at the
+# start of round 9, alongside the round-8 demotions owed under rule (b):
+# tpch_q1/q3/q5/q6, dynamic_query, agg_stats, window_tumbling,
+# dedup_cluster, similarity_ivf, join_range, grouped_normalize,
+# join_asof, session_window, quantiles, similarity_ivf_kmeans,
+# multimodal_decode/decode_jpeg/resize/video_frames, text_tfidf_topk,
+# text_pack_sequences, embedding_quantize, dedup_embedding_lsh,
+# column_profile/_categorical, column_correlations, histogram_auto,
+# text_repetition_stats, corpus_prep, text_winnow_fingerprint,
+# dedup_winnow.  That is ~33 candidates for ~30 free slots once the
+# 20-op contract keeps its pins — round 9 should demote the r7 text /
+# events promotions (they will be two-rounds-green by then) to fit.
+#
 # Round-8 rotation (VERDICT r7 #1, executing the promotion queue written
 # at the end of round 7): the
 # window was SATURATING — 25 round-7 promotions plus rule-(b)

@@ -827,3 +827,160 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         _read(spark, sf_dir, "nation"),
         _read(spark, sf_dir, "region"),
     )
+
+
+@register(
+    "tpch_q8_national_market_share",
+    """
+    WITH sup AS (
+      SELECT s_suppkey, n_name AS supp_nation
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    ),
+    cust AS (
+      SELECT c_custkey
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey AND r_name = 'AMERICA'
+    )
+    SELECT strftime(o_orderdate, '%Y') AS o_year,
+           ROUND(
+             CAST(SUM(CASE WHEN supp_nation = 'NATION_1'
+                           THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                           ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE),
+             6) AS mkt_share
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN sup ON l_suppkey = s_suppkey
+    WHERE o_custkey IN (SELECT c_custkey FROM cust)
+    GROUP BY o_year
+    ORDER BY o_year ASC
+    """,
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — nation in two roles
+    (customer's region membership, supplier's nationality), numerator
+    and denominator as conditional DECIMAL sums in ONE aggregation,
+    tz-stable year extraction (plans/tpch.py q8_national_market_share)."""
+    from tdei_extract_load_service_spark.plans.tpch import (
+        q8_national_market_share,
+    )
+
+    return q8_national_market_share(
+        _read(spark, sf_dir, "lineitem"),
+        _read(spark, sf_dir, "orders"),
+        _read(spark, sf_dir, "customer"),
+        _read(spark, sf_dir, "supplier"),
+        _read(spark, sf_dir, "part"),
+        _read(spark, sf_dir, "nation"),
+        _read(spark, sf_dir, "region"),
+    )
+
+
+@register(
+    "tpch_q9_product_type_profit",
+    """
+    SELECT n_name AS nation,
+           strftime(o_orderdate, '%Y') AS o_year,
+           ROUND(CAST(SUM(CAST(
+             l_extendedprice * (1 - l_discount) - 0.8 * p_retailprice * l_quantity
+           AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY n_name, o_year
+    ORDER BY n_name ASC, o_year DESC
+    """,
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted cost model: 0.8 * p_retailprice unit cost
+    in place of the fixture-less ps_supplycost): per-(supplier nation,
+    order year) profit over name-filtered parts — the five-way join
+    with one fact-fact edge (plans/tpch.py q9_product_type_profit)."""
+    from tdei_extract_load_service_spark.plans.tpch import (
+        q9_product_type_profit,
+    )
+
+    return q9_product_type_profit(
+        _read(spark, sf_dir, "lineitem"),
+        _read(spark, sf_dir, "orders"),
+        _read(spark, sf_dir, "supplier"),
+        _read(spark, sf_dir, "part"),
+        _read(spark, sf_dir, "nation"),
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    """
+    WITH sup AS (
+      SELECT s_suppkey FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_1'
+    ),
+    per_part AS (
+      SELECT l_partkey,
+             ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS part_value
+      FROM lineitem
+      WHERE l_suppkey IN (SELECT s_suppkey FROM sup)
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey AS p_partkey, part_value
+    FROM per_part,
+         (SELECT CAST(SUM(CAST(part_value AS DECIMAL(18,6))) AS DOUBLE) AS tot,
+                 COUNT(*) AS cnt
+          FROM per_part)
+    WHERE part_value > 2.5 * tot / cnt
+    ORDER BY part_value DESC, p_partkey ASC
+    """,
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted value relation: nation-supplied revenue
+    per part in place of partsupp cost*availqty): grouped rollup
+    HAVING-compared against a global scalar of the same rollup — the
+    one-row broadcast scalar recipe (plans/tpch.py q11_important_stock)."""
+    from tdei_extract_load_service_spark.plans.tpch import q11_important_stock
+
+    return q11_important_stock(
+        _read(spark, sf_dir, "lineitem"),
+        _read(spark, sf_dir, "supplier"),
+        _read(spark, sf_dir, "nation"),
+    )
+
+
+@register(
+    "tpch_q16_parts_supplier_relationship",
+    """
+    WITH bad AS (
+      SELECT DISTINCT l_suppkey FROM lineitem
+      WHERE l_returnflag = 'R'
+        AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1995-01-08 00:00:00'
+    )
+    SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l_suppkey NOT IN (SELECT l_suppkey FROM bad)
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand ASC, p_size ASC
+    """,
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted exclusion: suppliers with any returned
+    line in place of the comment-flagged complaint suppliers): NOT IN
+    -> anti join BEFORE the rollup, distinct-supplier counts per
+    (brand, size) via Spark's two-phase count-distinct
+    (plans/tpch.py q16_parts_supplier_relationship)."""
+    from tdei_extract_load_service_spark.plans.tpch import (
+        q16_parts_supplier_relationship,
+    )
+
+    return q16_parts_supplier_relationship(
+        _read(spark, sf_dir, "lineitem"),
+        _read(spark, sf_dir, "part"),
+        _read(spark, sf_dir, "supplier"),
+    )

@@ -736,3 +736,225 @@ def q2_minimum_cost_supplier(
         )
         .limit(100)
     )
+
+
+def q8_national_market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    part_type: str = "PROMO",
+    supp_nation: str = "NATION_1",
+    market_region: str = "AMERICA",
+) -> DataFrame:
+    """TPC-H Q8 shape: national market share — within one region's
+    market for one part type, the yearly revenue fraction supplied by
+    one nation.  A six-way join where nation plays TWO roles (the
+    customer's region membership and the supplier's nationality) and
+    the share is a conditional ratio per group.
+
+    Scale shape: the part-type filter broadcasts into the fact FIRST
+    (the most selective edge); the customer->nation->region chain
+    broadcasts as one pruned dimension; the supplier dimension carries
+    its nation name for the CASE; the only fact-fact shuffle is
+    lineitem-orders.  BOTH the numerator and denominator ride ONE
+    map-side-combined aggregation (conditional DECIMAL sums, one
+    double division at the end — the Q14 recipe per group)."""
+    pk = part.where(F.col("p_type") == part_type).select("p_partkey")
+    reg = region.where(F.col("r_name") == market_region)
+    cnat = nation.join(F.broadcast(reg), nation.n_regionkey == reg.r_regionkey)
+    cust = customer.join(
+        F.broadcast(cnat.select("n_nationkey")),
+        customer.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey")
+    sup = supplier.join(
+        F.broadcast(
+            nation.select(
+                F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("supp_nation")
+            )
+        ),
+        supplier.s_nationkey == F.col("_snk"),
+    ).select("s_suppkey", "supp_nation")
+    j = (
+        lineitem.join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    o_year = F.substring(TS.normalize_ts(F.col("o_orderdate"), "yyyy-MM-dd"), 1, 4)
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    zero = F.lit(0).cast("decimal(18,6)")
+    nat_vol = F.sum(
+        F.when(F.col("supp_nation") == supp_nation, F.col("_v")).otherwise(zero)
+    )
+    tot_vol = F.sum(F.col("_v"))
+    return (
+        j.select(o_year.alias("o_year"), vol.alias("_v"), "supp_nation")
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                nat_vol.cast("double") / tot_vol.cast("double"), 6
+            ).alias("mkt_share")
+        )
+        .orderBy(F.col("o_year").asc())
+    )
+
+
+def q9_product_type_profit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    nation: DataFrame,
+    name_token: str = "widget",
+    cost_factor: float = 0.8,
+) -> DataFrame:
+    """TPC-H Q9 shape (adapted cost model: the stock profit subtracts
+    ps_supplycost * l_quantity; with no partsupp table the unit cost is
+    ``cost_factor * p_retailprice`` — a dimension attribute, preserving
+    the join skeleton exactly): profit per (supplier nation, order
+    year) over parts whose name contains a token.
+
+    Scale shape: the name filter broadcasts into the fact first and
+    carries p_retailprice along for the profit arithmetic; supplier ->
+    nation broadcasts; lineitem-orders is the one fact-fact shuffle;
+    the (nation, year) rollup is map-side combined over DECIMAL-exact
+    amounts.  The LIKE filter cannot push to parquet as a range, but
+    it DOES evaluate in the dimension scan — never against the fact."""
+    pk = part.where(F.col("p_name").contains(name_token)).select(
+        "p_partkey", "p_retailprice"
+    )
+    sup = supplier.join(
+        F.broadcast(
+            nation.select(
+                F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("nation")
+            )
+        ),
+        supplier.s_nationkey == F.col("_snk"),
+    ).select("s_suppkey", "nation")
+    j = (
+        lineitem.join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    )
+    o_year = F.substring(TS.normalize_ts(F.col("o_orderdate"), "yyyy-MM-dd"), 1, 4)
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(cost_factor) * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,6)")
+    return (
+        j.select("nation", o_year.alias("o_year"), amount.alias("_a"))
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("_a").cast("double"), 2).alias("sum_profit"))
+        .orderBy(F.col("nation").asc(), F.col("o_year").desc())
+    )
+
+
+def q11_important_stock(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_name: str = "NATION_1",
+    avg_multiple: float = 2.5,
+) -> DataFrame:
+    """TPC-H Q11 shape (adapted value relation: revenue supplied by the
+    nation's suppliers per part, in place of the fixture-less
+    partsupp's cost*availqty): parts whose value exceeds
+    ``avg_multiple`` times the nation's AVERAGE per-part value — a
+    grouped aggregate compared against a global scalar of the same
+    aggregate.  (Stock Q11 hard-codes fraction = 0.0001/SF to keep the
+    threshold scale-invariant; dividing by the part count does the
+    same normalization without a scale-factor parameter.)
+
+    Scale note: like Q15's argmax, the rollup subtree feeds both the
+    scalar and the filter, so the fixture plan computes it twice (two
+    map-side-combined fact passes); the production path persists the
+    per-part rollup (|parts| rows) and derives both from the cache.
+
+    Scale shape: ONE map-side-combined per-part rollup off the
+    nation-restricted fact; the global total is a second aggregation
+    of the rollup's output (never a rescan), collapsed to one row that
+    cross-join-broadcasts into the HAVING filter (the Q22 scalar
+    recipe).  Ordered by value desc with partkey tiebreak."""
+    nat = nation.where(F.col("n_name") == nation_name).select("n_nationkey")
+    sup = supplier.join(
+        F.broadcast(nat), supplier.s_nationkey == nat.n_nationkey
+    ).select("s_suppkey")
+    li = lineitem.join(
+        F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.round(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("part_value")
+    )
+    total = per_part.agg(
+        (F.sum(F.col("part_value").cast("decimal(18,6)")).cast("double")).alias("_tot"),
+        F.count("*").alias("_cnt"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(
+            F.col("part_value")
+            > F.lit(avg_multiple) * F.col("_tot") / F.col("_cnt")
+        )
+        .select(F.col("l_partkey").alias("p_partkey"), "part_value")
+        .orderBy(F.col("part_value").desc(), F.col("p_partkey").asc())
+    )
+
+
+def q16_parts_supplier_relationship(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    brand_not: str = "Brand#1",
+    sizes: tuple[int, ...] = (1, 4, 7, 10, 13, 16, 19, 22),
+) -> DataFrame:
+    """TPC-H Q16 shape (adapted exclusion: the stock query drops
+    suppliers whose comment marks complaints; ours drops suppliers with
+    a returned ('R') line shipped in the first week of 1995 — a ~40%
+    exclusion on the fixtures, so the anti join is exercised without
+    emptying the result; the NOT-IN-subquery -> anti-join skeleton is
+    identical): how many distinct suppliers can supply each (brand,
+    size) bucket, excluding the flagged suppliers and one brand.
+
+    Scale shape: the supplier exclusion list is a DISTINCT projection
+    of the fact (bounded by |supplier|) anti-joined BEFORE the rollup;
+    the part filters broadcast; the count-distinct rides one grouped
+    aggregation with partial_count over (brand, size, suppkey) —
+    Spark's two-phase distinct — never a row explosion."""
+    bad = (
+        lineitem.where(
+            (F.col("l_returnflag") == "R")
+            & (F.col("l_shipdate") >= TS.utc_literal("1995-01-01 00:00:00"))
+            & (F.col("l_shipdate") < TS.utc_literal("1995-01-08 00:00:00"))
+        )
+        .select(F.col("l_suppkey").alias("_bad_sk"))
+        .distinct()
+    )
+    pk = part.where(
+        (F.col("p_brand") != brand_not) & (F.col("p_size").isin(*sizes))
+    ).select("p_partkey", "p_brand", "p_size")
+    j = (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(bad, F.col("l_suppkey") == F.col("_bad_sk"), "left_anti")
+        .join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return (
+        j.groupBy("p_brand", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(),
+            F.col("p_size").asc(),
+        )
+    )

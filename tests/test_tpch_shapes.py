@@ -364,3 +364,122 @@ def test_q2_min_cost_ties_preserved_and_region_scoped(spark):
     got = [(r["p_partkey"], r["s_name"], r["supply_cost"]) for r in rows]
     # ordering: s_acctbal DESC -> supp2 (200) before supp1 (100)
     assert got == [(1, "supp2", 2.0), (1, "supp1", 2.0), (2, "supp1", 3.0)]
+
+
+def test_q8_share_is_conditional_ratio_per_year(spark):
+    """Pin Q8: share = nation's volume / region-market volume per year;
+    out-of-region customers and out-of-type parts never count."""
+    import datetime as dt
+
+    from tdei_extract_load_service_spark.plans.tpch import (
+        q8_national_market_share,
+    )
+
+    li = spark.createDataFrame(
+        [
+            # 1995: order 1 (in-region) supp1(N1) 100, supp2(N2) 300
+            (1, 1, 1, 100.0, 0.0), (1, 1, 2, 300.0, 0.0),
+            # 1996: order 2 (in-region) supp1 50; order 3 OUT-of-region supp1 999
+            (2, 1, 1, 50.0, 0.0), (3, 1, 1, 999.0, 0.0),
+            # wrong part type on an in-region order -> excluded
+            (2, 2, 2, 777.0, 0.0),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_extendedprice double, l_discount double",
+    )
+    orders = spark.createDataFrame(
+        [
+            (1, 10, dt.datetime(1995, 6, 1)),
+            (2, 10, dt.datetime(1996, 6, 1)),
+            (3, 20, dt.datetime(1996, 6, 1)),
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    )
+    customer = spark.createDataFrame(
+        [(10, 0), (20, 1)], "c_custkey long, c_nationkey int"
+    )
+    supplier = spark.createDataFrame(
+        [(1, 0), (2, 1)], "s_suppkey long, s_nationkey int"
+    )
+    part = spark.createDataFrame(
+        [(1, "PROMO"), (2, "OTHER")], "p_partkey long, p_type string"
+    )
+    nation = spark.createDataFrame(
+        [(0, "NATION_1", 0), (1, "NATION_2", 1)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    region = spark.createDataFrame(
+        [(0, "AMERICA"), (1, "ASIA")], "r_regionkey int, r_name string"
+    )
+    got = {
+        r["o_year"]: r["mkt_share"]
+        for r in q8_national_market_share(
+            li, orders, customer, supplier, part, nation, region
+        ).collect()
+    }
+    assert got == {"1995": 0.25, "1996": 1.0}
+
+
+def test_q11_threshold_is_avg_multiple_and_nation_scoped(spark):
+    """Pin Q11: the cutoff is avg_multiple x the nation's AVERAGE
+    per-part value; other nations' lines never contribute."""
+    from tdei_extract_load_service_spark.plans.tpch import q11_important_stock
+
+    li = spark.createDataFrame(
+        [
+            # nation-1 supplier 1: part 1 -> 900, parts 2..4 -> 100 each
+            (1, 1, 1, 900.0, 0.0),
+            (2, 2, 1, 100.0, 0.0), (3, 3, 1, 100.0, 0.0), (4, 4, 1, 100.0, 0.0),
+            # out-of-nation supplier 2 pumps part 2 -> must be ignored
+            (5, 2, 2, 5000.0, 0.0),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_extendedprice double, l_discount double",
+    )
+    supplier = spark.createDataFrame(
+        [(1, 0), (2, 1)], "s_suppkey long, s_nationkey int"
+    )
+    nation = spark.createDataFrame(
+        [(0, "NATION_1"), (1, "NATION_2")], "n_nationkey int, n_name string"
+    )
+    rows = q11_important_stock(li, supplier, nation, avg_multiple=2.5).collect()
+    # avg = 1200/4 = 300; cutoff 750 -> only part 1 (900)
+    assert [(r["p_partkey"], r["part_value"]) for r in rows] == [(1, 900.0)]
+
+
+def test_q16_anti_join_excludes_flagged_suppliers(spark):
+    """Pin Q16: a supplier with an R line in the exclusion window is
+    dropped from EVERY bucket; counts are distinct suppliers."""
+    import datetime as dt
+
+    from tdei_extract_load_service_spark.plans.tpch import (
+        q16_parts_supplier_relationship,
+    )
+
+    in_w = dt.datetime(1995, 1, 3)
+    out_w = dt.datetime(1995, 3, 1)
+    li = spark.createDataFrame(
+        [
+            # supp 1 flagged in-window -> excluded everywhere
+            (1, 1, 1, "R", in_w),
+            (2, 1, 1, "N", out_w),
+            # supp 2 R but OUT of window -> kept
+            (3, 1, 2, "R", out_w),
+            (4, 2, 2, "N", out_w),
+            # supp 3 clean; ships part 1 twice -> still counted once
+            (5, 1, 3, "N", out_w), (6, 1, 3, "N", out_w),
+            # part 3 has the excluded brand
+            (7, 3, 2, "N", out_w),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_returnflag string, l_shipdate timestamp",
+    )
+    part = spark.createDataFrame(
+        [(1, "Brand#2", 4), (2, "Brand#3", 7), (3, "Brand#1", 4)],
+        "p_partkey long, p_brand string, p_size int",
+    )
+    supplier = spark.createDataFrame(
+        [(1,), (2,), (3,)], "s_suppkey long"
+    )
+    got = {
+        (r["p_brand"], r["p_size"]): r["supplier_cnt"]
+        for r in q16_parts_supplier_relationship(li, part, supplier).collect()
+    }
+    assert got == {("Brand#2", 4): 2, ("Brand#3", 7): 1}

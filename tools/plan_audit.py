@@ -165,6 +165,21 @@ EXPECTATIONS: dict[str, list[str]] = {
     # window over the aggregated cost relation — ONE fact scan, ties
     # preserved by the in-place equality, top-100 TakeOrdered
     "tpch_q2_minimum_cost_supplier": ["Window", "partial_min", "TakeOrderedAndProject", "=1:FileScan parquet \\[l_", "!CartesianProduct"],
+    # TPC-H Q8: nation in two roles, numerator+denominator in ONE
+    # map-side-combined aggregation, ONE fact scan; the region-filtered
+    # customer set probes as a LeftSemi
+    "tpch_q8_national_market_share": ["BroadcastHashJoin", "LeftSemi", "partial_sum", "=1:FileScan parquet \\[l_", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
+    # TPC-H Q9: five-way join, dimension sides broadcast with the cost
+    # attribute carried along, ONE fact scan, (nation, year) rollup
+    # map-side combined
+    "tpch_q9_product_type_profit": ["BroadcastHashJoin", "partial_sum", "=1:FileScan parquet \\[l_", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
+    # TPC-H Q11: grouped rollup HAVING-compared against the one-row
+    # global scalar — the scalar broadcast is the only acceptable BNLJ
+    # (the Q22 precedent); the nation restriction is a LeftSemi
+    "tpch_q11_important_stock": ["partial_sum", "BroadcastNestedLoopJoin", "LeftSemi", "!CartesianProduct"],
+    # TPC-H Q16: NOT IN -> LeftAnti BEFORE the rollup; distinct
+    # supplier counts ride Spark's two-phase aggregation
+    "tpch_q16_parts_supplier_relationship": ["LeftAnti", "partial_count", "HashAggregate", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
     # PQ encode: a pure projection — no shuffle beyond the input spread,
     # no join, no Python; codegen carries the whole distance arithmetic
     "embedding_pq_code": ["Project", "!hashpartitioning", "!Join", "!ArrowEvalPython", "!MapInPandas"],

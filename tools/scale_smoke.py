@@ -85,6 +85,10 @@ QUERIES = (
     "tpch_q21_suppliers_kept_waiting",
     "tpch_q20_potential_part_promotion",
     "tpch_q2_minimum_cost_supplier",
+    "tpch_q8_national_market_share",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_stock",
+    "tpch_q16_parts_supplier_relationship",
     # dedup_winnow: excluded — replicated word-soup makes every substring
     # shingle corpus-hot (df ~ corpus size), so the smoke would measure
     # the max_hash_df cap dropping everything, not the join plan
