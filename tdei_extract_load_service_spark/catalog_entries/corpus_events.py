@@ -388,6 +388,31 @@ def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_window_shadow",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%dT%H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    ORDER BY window_start ASC, event_type ASC
+    """,
+)
+def q_stream_window_shadow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermarked windowed-aggregation streaming path,
+    driver-certified: four staged micro-batches through
+    windows.windowed_event_aggs (withWatermark + F.window state), final
+    complete-mode snapshot compared against the same GROUP BY the batch
+    twin window_tumbling oracles (streaming/shadow.py
+    windowed_aggs_shadow; TIMESTAMP_NTZ end-to-end)."""
+    from tdei_extract_load_service_spark.streaming.shadow import (
+        windowed_aggs_shadow,
+    )
+
+    return windowed_aggs_shadow(spark, sf_dir, n_batches=4)
+
+
+@register(
     "stream_funnel_shadow",
     """
     WITH t0 AS (

@@ -143,6 +143,55 @@ def run_bounded_stream(
     return spark.table(name)
 
 
+def windowed_aggs_shadow(
+    spark: SparkSession, sf_dir: str, n_batches: int = 4
+) -> DataFrame:
+    """The watermarked tumbling-window aggregation
+    (windows.windowed_event_aggs), certified end to end: replay the
+    events fixture as ``n_batches`` micro-batches and read the final
+    COMPLETE-mode snapshot — in complete mode the memory sink holds
+    exactly the last batch's full result, so no emission-reduction step
+    is needed (state is never evicted on bounded input, which is also
+    why complete mode is shadow-only: production uses update/append
+    with the watermark bounding state).
+
+    Returns ``(window_start ISO-string, event_type, n_events,
+    total_value)`` — the same contract as the batch twin
+    ``window_tumbling``, whose oracle shape this entry shares.
+    Timezone discipline differs from the funnel shadow because
+    ``withWatermark`` REJECTS TIMESTAMP_NTZ: the staged NTZ column is
+    mapped to the instant with the same UTC wall clock via the
+    catalog._read recipe (``from_utc_timestamp(cast(ts),
+    current_timezone())`` — exact under any session zone, probed under
+    America/Los_Angeles), F.window buckets those epoch-aligned
+    instants, and normalize_ts renders UTC — so the buckets equal
+    DuckDB's ``date_trunc('hour', naive)`` everywhere."""
+    from tdei_extract_load_service_spark.functions import timestamps as TS
+    from tdei_extract_load_service_spark.streaming.windows import (
+        windowed_event_aggs,
+    )
+
+    def transform(src: DataFrame) -> DataFrame:
+        ev = src.withColumn(
+            "ts",
+            F.from_utc_timestamp(
+                F.col("ts").cast("timestamp"), F.current_timezone()
+            ),
+        )
+        return windowed_event_aggs(ev)
+
+    stage = stage_event_stream(spark, sf_dir, n_batches)
+    snap = run_bounded_stream(spark, stage, transform, output_mode="complete")
+    return snap.select(
+        TS.normalize_ts(F.col("window_start"), "yyyy-MM-dd'T'HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+        "n_events",
+        "total_value",
+    ).orderBy(F.col("window_start").asc(), F.col("event_type").asc())
+
+
 def funnel_shadow(spark: SparkSession, sf_dir: str, n_batches: int = 4) -> DataFrame:
     """The streaming funnel, certified end to end: replay the events
     fixture as ``n_batches`` micro-batches through
