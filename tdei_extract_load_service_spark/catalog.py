@@ -194,7 +194,8 @@ from tdei_extract_load_service_spark.catalog_entries import (  # noqa: E402,F401
 # did NOT fit the saturated round-8 window — tpch_q8_national_market_share,
 # tpch_q9_product_type_profit, tpch_q11_important_stock,
 # tpch_q16_parts_supplier_relationship (completing all 22 TPC-H plan
-# families), stream_window_shadow (the second streaming certification:
+# families), text_source_overlap (cross-source containment matrix),
+# stream_window_shadow (the second streaming certification:
 # watermarked windowed aggs, complete-mode snapshot), and
 # similarity_pq_trained (rows-only signal either way; may
 # stay tail per the estimator precedent) — must enter the window at the

@@ -388,6 +388,47 @@ def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_source_overlap",
+    r"""
+    WITH toks AS (
+      SELECT source,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    g AS (
+      SELECT DISTINCT source,
+             substr(md5(array_to_string(list_slice(w, i, i + 12), ' ')), 1, 16) AS gram
+      FROM toks, unnest(generate_series(1, len(w) - 12)) AS t(i)
+      WHERE len(w) >= 13
+    ),
+    ns AS (SELECT source, COUNT(*) AS n_grams FROM g GROUP BY source),
+    sh AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS shared_grams
+      FROM g a JOIN g b ON a.gram = b.gram AND a.source <> b.source
+      GROUP BY src_a, src_b
+    )
+    SELECT src_a, src_b, shared_grams, n_grams AS n_grams_a,
+           ROUND(shared_grams::DOUBLE / n_grams, 6) AS containment
+    FROM sh JOIN ns ON ns.source = sh.src_a
+    ORDER BY src_a ASC, src_b ASC
+    """,
+)
+def q_text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source 13-gram containment matrix — the inter-source
+    duplication diagnostic behind corpus dedup/mixing decisions
+    (operators/text.py source_overlap). The Spark side builds pairs
+    from per-gram source SETS (bounded by the source domain — never a
+    gram-table self-join); the oracle derives the same matrix through
+    the textbook self-join, so the counts are independently
+    constructed."""
+    from tdei_extract_load_service_spark.operators.text import source_overlap
+
+    return source_overlap(
+        spread(_read(spark, sf_dir, "documents")), "source", "text", n=13
+    )
+
+
+@register(
     "stream_window_shadow",
     """
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%dT%H:%M:%S') AS window_start,

@@ -859,3 +859,86 @@ def chunk_text(
     return staged.mapInPandas(_chunk_batches, schema).withColumnRenamed(
         "__ck_id", id_col
     )
+
+
+def source_overlap(
+    docs: DataFrame,
+    source_col: str,
+    text_col: str,
+    n: int = 13,
+) -> DataFrame:
+    """Cross-source n-gram containment matrix — the corpus-curation
+    diagnostic behind dedup and mixing decisions: for every ordered
+    source pair (a, b) sharing at least one distinct word ``n``-gram,
+    how much of a's gram set also appears in b. Returns
+    ``(src_a, src_b, shared_grams, n_grams_a, containment)`` with
+    ``containment = shared / |grams(a)|`` (asymmetric by design — a
+    small source quoted by a big one is near-1.0 in one direction and
+    near-0 in the other).
+
+    Scale shape: grams come from the same Arrow-batched O(len)
+    ``mapInPandas`` fan-out as decontamination; text crosses the
+    Python pipe ONCE — the per-gram source-set table (ONE gram
+    shuffle, with ``collect_set`` bounded by the SOURCE DOMAIN — tens,
+    not corpus-sized) is persisted and BOTH derivations (per-source
+    gram counts, shared-pair counts) read the cache, because the
+    un-persisted form planned the whole text fan-out twice (measured:
+    2 MapInPandas — the q20/q2 shared-subtree lesson again). The pair
+    construction never self-joins the gram table: pairs explode from
+    the bounded set (<= |sources|^2 rows per shared gram) and the
+    matrix aggregation is map-side combined over a tiny key space.
+    The final counts join is un-hinted (source-domain bounded; AQE
+    decides).
+
+    Cross-engine contract: the gram recipe is ``contamination_grams``'s
+    exactly (lowercase [a-z0-9]+ tokens, space-joined, md5-16); the
+    DuckDB oracle derives the same matrix through a textbook gram
+    self-join — independent construction, identical counts."""
+    grams = contamination_grams(
+        docs.select(_col(source_col).alias("_src"), _col(text_col).alias("_t")),
+        "_src",
+        "_t",
+        n,
+    )
+    # one text pass + one gram shuffle; distinct-per-source falls out of
+    # the set semantics (contamination_grams dedups per doc, collect_set
+    # dedups across docs). Persisted: gram-set rows are hashes + a tiny
+    # source set — orders of magnitude below the text volume — and both
+    # branches below would otherwise recompute the Python fan-out.
+    sets = (
+        grams.groupBy("gram").agg(F.collect_set("_src").alias("_ss")).persist()
+    )
+    per_source = sets.select(F.explode("_ss").alias("_src")).groupBy("_src").agg(
+        F.count("*").alias("n_grams_a")
+    )
+    pair = F.filter(
+        F.flatten(
+            F.transform(
+                "_ss",
+                lambda a: F.transform(
+                    "_ss", lambda b: F.struct(a.alias("src_a"), b.alias("src_b"))
+                ),
+            )
+        ),
+        lambda p: p["src_a"] != p["src_b"],
+    )
+    shared = (
+        sets.where(F.size("_ss") >= 2)
+        .select(F.explode(pair).alias("_p"))
+        .select(F.col("_p.src_a").alias("src_a"), F.col("_p.src_b").alias("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("shared_grams"))
+    )
+    return (
+        shared.join(per_source, shared.src_a == per_source._src)
+        .select(
+            "src_a",
+            "src_b",
+            "shared_grams",
+            "n_grams_a",
+            F.round(F.col("shared_grams") / F.col("n_grams_a"), 6).alias(
+                "containment"
+            ),
+        )
+        .orderBy(F.col("src_a").asc(), F.col("src_b").asc())
+    )

@@ -222,3 +222,28 @@ def test_winnow_plans_never_reinline_the_hash_array(spark):
     assert "MapInPandas" in prod_plan
     # md5 appears once: the post-fan-out sig over the materialized ws
     assert prod_plan.count("md5") == 1
+
+
+def test_source_overlap_containment_is_asymmetric(spark):
+    """source_overlap semantics on a hand-built corpus: a small source
+    fully quoted by a big one is containment 1.0 one way and partial
+    the other; disjoint sources never appear."""
+    from tdei_extract_load_service_spark.operators.text import source_overlap
+
+    quote = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu"
+    big = quote + " " + "xi omicron pi rho sigma tau upsilon phi chi psi omega one two"
+    docs = spark.createDataFrame(
+        [
+            (1, "tiny", quote),
+            (2, "big", big),
+            (3, "other", "unrelated words only " * 10),
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = source_overlap(docs, "source", "text", n=13).collect()
+    got = {(r["src_a"], r["src_b"]): (r["shared_grams"], r["n_grams_a"], r["containment"]) for r in rows}
+    # tiny = exactly one 13-gram, fully inside big
+    assert got[("tiny", "big")] == (1, 1, 1.0)
+    shared, n_big, cont = got[("big", "tiny")]
+    assert shared == 1 and n_big == 14 and cont == round(1 / 14, 6)
+    assert not any("other" in k for k in got)

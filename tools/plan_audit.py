@@ -225,6 +225,11 @@ EXPECTATIONS: dict[str, list[str]] = {
     # collect_set partials), explode AFTER the agg, no join back for
     # the cohort day, no (user, day) pre-distinct exchange
     "events_retention": ["partial_min", "partial_collect_set", "Generate explode", "!Join"],
+    # cross-source overlap matrix: the gram fan-out runs ONCE into a
+    # persisted source-set table and BOTH derivations read the cache
+    # (=2 InMemoryTableScan); pairs come from bounded per-gram source
+    # sets — never a gram-table self-join, never a cartesian
+    "text_source_overlap": ["MapInPandas", "=2:InMemoryTableScan", "!CartesianProduct", "!SortMergeJoin"],
     # winnowing fingerprint: one Arrow-batched O(len) fan-out — no
     # shuffle beyond the deliberate input spread, no join, no
     # aggregation, and NO array_min anywhere: array_min in this plan
@@ -279,12 +284,11 @@ def main() -> int:
     for name, expects in EXPECTATIONS.items():
         df = LAZY_OVERRIDES.get(name, REGISTRY[name].query)(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
-        if name in LAZY_OVERRIDES:
-            # the lazy (eager=False) forms leave their banded/sets frames
-            # persisted by contract (the CALLER owns the lifetime) — drop
-            # them so the audit session doesn't accumulate cached blocks
-            # across entries (ADVICE r6)
-            spark.catalog.clearCache()
+        # entries that persist intermediates (lazy dedup overrides,
+        # text_source_overlap's gram-set cache) must not leak cached
+        # blocks into later entries' plans/memory (ADVICE r6) — clearing
+        # unconditionally is cheap and audit-exact
+        spark.catalog.clearCache()
 
         # "pattern" must appear; "!pattern" must NOT appear;
         # "=N:pattern" must appear exactly N times (e.g. "=1:FileScan"
