@@ -497,3 +497,58 @@ def q_stream_funnel_shadow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tdei_extract_load_service_spark.streaming.shadow import funnel_shadow
 
     return funnel_shadow(spark, sf_dir, n_batches=4)
+
+
+@register(
+    "corpus_mix_sample",
+    r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, source, n_tokens,
+             CASE source WHEN 'src0' THEN 1600 WHEN 'src1' THEN 1200
+                         WHEN 'src2' THEN 800  WHEN 'src3' THEN 400 END AS budget
+      FROM t
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens, budget,
+             SUM(n_tokens) OVER (PARTITION BY source
+                                 ORDER BY md5(CAST(doc_id AS VARCHAR))
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_tokens
+      FROM b WHERE budget IS NOT NULL
+    )
+    SELECT doc_id, source, n_tokens, budget, cum_tokens
+    FROM c WHERE cum_tokens <= budget
+    """,
+)
+def q_corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted training-mix construction (operators/sampling.py
+    mix_budget_sample): a 40/30/20/10 target over four sources with a
+    4000-token total budget — the driver-side exact-integer allocation
+    yields per-source budgets 1600/1200/800/400, which the oracle
+    hard-codes as the CASE map (auditable: floor(w/sum_w * total) in
+    micro-weight units). Sources outside the mix are dropped by the
+    allowlist semantics; survivors are the same content-addressed
+    prefixes as text_token_budget_sample."""
+    from tdei_extract_load_service_spark.operators import text as TX
+    from tdei_extract_load_service_spark.operators.sampling import (
+        mix_budget_sample,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "source", TX.token_count_ws("text").alias("n_tokens")
+    )
+    out = mix_budget_sample(
+        docs,
+        "doc_id",
+        "source",
+        "n_tokens",
+        weights={"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+        total_budget=4000,
+    )
+    return out.select("doc_id", "source", "n_tokens", "budget", "cum_tokens")

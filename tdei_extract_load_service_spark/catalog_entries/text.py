@@ -158,3 +158,113 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents")
     return docs.select("doc_id", TX.fingerprint("text").alias("fp"))
+
+
+@register(
+    "text_bm25_topk",
+    r"""
+    WITH dl AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS dl
+      FROM documents),
+    scal AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(CAST(dl AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl),
+    tf AS (
+      SELECT doc_id, t.term, COUNT(*) AS tf
+      FROM documents, unnest(regexp_split_to_array(trim(text), '\s+')) AS t(term)
+      WHERE t.term IN ('spark', 'join', 'window', 'scan')
+      GROUP BY doc_id, t.term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+    SELECT tf.doc_id,
+           ROUND(CAST(SUM(CAST(
+              ln(1.0 + (scal.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (tf.tf * 2.2)
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / scal.avgdl))
+           AS DECIMAL(28,12))) AS DOUBLE), 6) AS bm25,
+           COUNT(*) AS n_terms_hit
+    FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN scal
+    GROUP BY tf.doc_id
+    ORDER BY bm25 DESC, tf.doc_id ASC
+    LIMIT 10
+    """,
+)
+def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 for a fixed 4-term query (operators/text.py
+    bm25_topk): filtered-postings tf, broadcast df + one-row corpus
+    scalar, DECIMAL-summed per-term scores, TakeOrderedAndProject. The
+    oracle recomputes the identical operation tree relationally (the
+    query literals 2.2 / 0.25 are the Python-folded k1+1 / 1-b —
+    bit-equal, asserted at operator build)."""
+    from tdei_extract_load_service_spark.operators import text as TX
+
+    # the oracle above hard-codes the folded literals; these folds are
+    # exact in IEEE double, so both engines evaluate the same tree
+    assert 1.2 + 1.0 == 2.2 and 1.0 - 0.75 == 0.25
+    docs = spread(_read(spark, sf_dir, "documents"))
+    return TX.bm25_topk(
+        docs, "doc_id", "text", ["spark", "join", "window", "scan"], k=10
+    )
+
+
+@register(
+    "text_pii_scrub",
+    r"""
+    WITH a AS (
+      SELECT doc_id,
+             text || ' reach u' || doc_id || '@mail.example.org call +1 (415) 555-01'
+                  || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                  || ' card 4111111111111' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') AS aug
+      FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+           len(regexp_extract_all(aug, '\b[0-9]{13,19}\b')) AS n_card,
+           len(regexp_extract_all(aug, '\+?[0-9][0-9()\-\s]{7,}[0-9]')) AS n_phone,
+           md5(regexp_replace(regexp_replace(regexp_replace(aug,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b[0-9]{13,19}\b', '<CARD>', 'g'),
+               '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g')) AS redacted_md5
+    FROM a
+    ORDER BY doc_id
+    """,
+)
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction certified end to end (operators/text.py redact_pii /
+    pii_match_counts — implemented since r6, never entry-certified
+    before): the fixture text is word-soup with no real PII, so each doc
+    is AUGMENTED with deterministic doc_id-derived email/phone/card
+    strings — built by the identical concat on both engines — then both
+    engines count matches per pattern and hash the redacted text. That
+    makes the oracle exercise the actual cross-dialect regex semantics
+    (Java regex vs RE2: the PII_PATTERNS subset avoids lookaround /
+    backrefs precisely so leftmost-first greedy matching agrees — this
+    entry is the proof). Chained replacement order is PII_PATTERNS dict
+    order on both sides (email, card, phone — card before phone because
+    a card run also matches the looser phone shape).
+
+    Scale shape: pure chained regexp_replace/regexp_count column
+    expressions — JVM codegen, zero Python, embarrassingly parallel; at
+    100 TB this is a map-only pass fused into whatever scan precedes
+    it."""
+    from tdei_extract_load_service_spark.operators import text as TX
+
+    docs = spread(_read(spark, sf_dir, "documents"))
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.org call +1 (415) 555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit(" card 4111111111111"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        ).alias("aug"),
+    )
+    return aug.select(
+        "doc_id",
+        *TX.pii_match_counts("aug"),
+        F.md5(TX.redact_pii("aug")).alias("redacted_md5"),
+    ).orderBy(F.col("doc_id").asc())

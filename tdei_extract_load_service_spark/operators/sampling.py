@@ -127,3 +127,64 @@ def token_budget_sample(
     return df.withColumn(
         "cum_tokens", F.sum(_col(tokens_col)).over(w)
     ).where(F.col("cum_tokens") <= budget)
+
+
+def mix_budget_sample(
+    df: DataFrame,
+    key_col: str | Column,
+    strata_col: str | Column,
+    tokens_col: str | Column,
+    weights: dict[str, float],
+    total_budget: int,
+    seed: str = "",
+) -> DataFrame:
+    """Training-mix construction: allocate ``total_budget`` tokens across
+    strata by target ``weights`` (the "40% web, 30% code, 20% books, 10%
+    wiki" recipe every pretraining run starts from), then keep each
+    stratum's documents in content-addressed order until its allocation
+    is filled. Strata absent from ``weights`` are dropped — the mix IS
+    the allowlist. Per-stratum budgets are ``floor(weight / sum(weights)
+    * total_budget)`` computed driver-side in exact integer arithmetic
+    (micro-weight units), so the allocation is reproducible and
+    auditable; the same cum <= budget prefix rule as
+    ``token_budget_sample`` means a stratum whose corpus is smaller than
+    its allocation keeps everything (under-filled, reported, never
+    silently rebalanced — rebalancing belongs to the caller's policy
+    loop, not the sampler).
+
+    Adds ``cum_tokens`` and ``budget`` columns.
+
+    Scale shape: identical to ``token_budget_sample`` — ONE hash shuffle
+    on the stratum + per-partition sort, with the budget lookup a
+    broadcast-free literal CASE map (bounded by |weights|, a query
+    constant). At 100 TB the dominant-stratum window is the only heavy
+    partition and it is bounded by its own budget line.
+    """
+    if total_budget < 0:
+        raise ValueError("total_budget must be >= 0")
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(w < 0 for w in weights.values()) or sum(weights.values()) <= 0:
+        raise ValueError("weights must be >= 0 with a positive sum")
+    from pyspark.sql import Window
+
+    # exact integer allocation: scale weights to micro-units so the
+    # per-stratum floor() is engine- and float-order-independent
+    micro = {s: int(round(w * 1_000_000)) for s, w in weights.items()}
+    denom = sum(micro.values())
+    budgets = {s: (m * total_budget) // denom for s, m in micro.items()}
+    budget = F.lit(None).cast("bigint")
+    for s, b in budgets.items():
+        budget = F.when(_col(strata_col) == s, F.lit(b)).otherwise(budget)
+    order_key = F.md5(F.concat(_col(key_col).cast("string"), F.lit(seed)))
+    w = (
+        Window.partitionBy(_col(strata_col))
+        .orderBy(order_key)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("budget", budget)
+        .where(F.col("budget").isNotNull())
+        .withColumn("cum_tokens", F.sum(_col(tokens_col)).over(w))
+        .where(F.col("cum_tokens") <= F.col("budget"))
+    )

@@ -942,3 +942,101 @@ def source_overlap(
         )
         .orderBy(F.col("src_a").asc(), F.col("src_b").asc())
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 top-``k`` retrieval over whitespace tokens — the
+    lexical ranking primitive behind corpus search, quality-by-query
+    probes and retrieval-based decontamination triage (pairs with
+    ``contamination_check``: BM25 surfaces *candidate* overlaps cheaply,
+    the gram containment verdict is exact). No reference twin — the
+    reference has no search surface; this extends the engine's
+    training-data program.
+
+    Returns ``(doc_id, bm25, n_terms_hit)``, the k highest-scoring
+    documents (ROUND 6, unique ``id_col`` tiebreak — rank computed on
+    the rounded value on both engines).
+
+    Scale shape: the explode is filtered to the query vocabulary BEFORE
+    the tf aggregation, so the shuffled volume is |matching postings|,
+    never the token stream; ``df`` (<= |terms| rows) and the one-row
+    corpus scalar (N, avgdl) are broadcast — provably bounded by the
+    query, never data-dependent; the final ranking is a
+    TakeOrderedAndProject, no global sort. One fact-table pass computes
+    dl; a second computes postings — at 100 TB the dl pass rides the
+    same scan via a persisted token-count column (corpus_prep already
+    materializes one), which keeps this a single-scan query.
+
+    Cross-engine exactness: per-term scores are IEEE doubles with an
+    identical operation tree in Spark and the DuckDB oracle (literals
+    pre-folded to ``k1+1``, ``k1*(1-b)``, ``k1*b`` so neither engine's
+    constant folding changes the tree); the per-document sum is over
+    DECIMAL(28,12)-cast term scores — order-independent, so shuffle
+    nondeterminism can't flip ties (see memory: parity recipes)."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    ws = r"\s+"
+    dl = docs.select(
+        _col(id_col).alias("doc_id"),
+        F.when(F.trim(_col(text_col)) == "", 0)
+        .otherwise(F.size(F.split(F.trim(_col(text_col)), ws)))
+        .alias("dl"),
+    )
+    scal = dl.agg(
+        F.count("*").alias("n_docs"),
+        (
+            F.sum(F.col("dl").cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+        ).alias("avgdl"),
+    )
+    tf = (
+        docs.select(
+            _col(id_col).alias("doc_id"),
+            F.explode(F.split(F.trim(_col(text_col)), ws)).alias("term"),
+        )
+        .where(F.col("term").isin(list(terms)))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    per = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(scal))
+        .withColumn(
+            "_tscore",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl") / F.col("avgdl")
+                    )
+                )
+            ).cast("decimal(28,12)"),
+        )
+    )
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.round(F.sum("_tscore").cast("double"), 6).alias("bm25"),
+            F.count("*").alias("n_terms_hit"),
+        )
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

@@ -1,0 +1,205 @@
+"""Semantic tests for the round-8 wave-2 corpus operators: BM25 ranking,
+weighted mix sampling, and the PII scrub's cross-dialect regex contract."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestBM25:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_hand_computed_score(self, spark):
+        # 3 docs; query = ["cat"]; df(cat)=2, N=3, dl = 2/4/3, avgdl = 3.0
+        from tdei_extract_load_service_spark.operators.text import bm25_topk
+
+        docs = self._docs(
+            spark,
+            [(1, "cat dog"), (2, "cat cat cat fish"), (3, "bird fish worm")],
+        )
+        out = {
+            r["doc_id"]: r["bm25"]
+            for r in bm25_topk(docs, "doc_id", "text", ["cat"], k=10).collect()
+        }
+        idf = math.log(1.0 + (3 - 2 + 0.5) / (2 + 0.5))
+
+        def score(tf, dl):
+            return round(
+                idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / 3.0)), 6
+            )
+
+        assert out == {1: score(1, 2), 2: score(3, 4)}
+
+    def test_rare_term_outranks_common(self, spark):
+        # same tf and dl: the rarer term must score higher
+        from tdei_extract_load_service_spark.operators.text import bm25_topk
+
+        docs = self._docs(
+            spark,
+            [(1, "rare pad"), (2, "common pad"), (3, "common pad"), (4, "common pad")],
+        )
+        out = {
+            r["doc_id"]: r["bm25"]
+            for r in bm25_topk(
+                docs, "doc_id", "text", ["rare", "common"], k=10
+            ).collect()
+        }
+        assert out[1] > out[2] == out[3] == out[4]
+
+    def test_length_normalization_penalizes_long_docs(self, spark):
+        from tdei_extract_load_service_spark.operators.text import bm25_topk
+
+        docs = self._docs(
+            spark, [(1, "cat"), (2, "cat " + " ".join(["pad"] * 40))]
+        )
+        out = {
+            r["doc_id"]: r["bm25"]
+            for r in bm25_topk(docs, "doc_id", "text", ["cat"], k=10).collect()
+        }
+        assert out[1] > out[2]
+
+    def test_k_and_tiebreak(self, spark):
+        from tdei_extract_load_service_spark.operators.text import bm25_topk
+
+        docs = self._docs(spark, [(i, "cat pad") for i in range(5)])
+        got = bm25_topk(docs, "doc_id", "text", ["cat"], k=3).collect()
+        assert [r["doc_id"] for r in got] == [0, 1, 2]  # equal scores -> id asc
+
+    def test_empty_terms_rejected(self, spark):
+        from tdei_extract_load_service_spark.operators.text import bm25_topk
+
+        with pytest.raises(ValueError):
+            bm25_topk(self._docs(spark, [(1, "x")]), "doc_id", "text", [])
+
+
+class TestMixBudgetSample:
+    def _docs(self, spark):
+        rows = [(i, f"s{i % 3}", 10) for i in range(60)]
+        return spark.createDataFrame(rows, "doc_id long, src string, n long")
+
+    def test_allocation_is_exact_integer_floor(self, spark):
+        from tdei_extract_load_service_spark.operators.sampling import (
+            mix_budget_sample,
+        )
+
+        out = mix_budget_sample(
+            self._docs(spark),
+            "doc_id",
+            "src",
+            "n",
+            weights={"s0": 0.5, "s1": 0.3, "s2": 0.2},
+            total_budget=100,
+        )
+        budgets = {
+            r["src"]: r["budget"]
+            for r in out.select("src", "budget").distinct().collect()
+        }
+        assert budgets == {"s0": 50, "s1": 30, "s2": 20}
+        kept = {
+            r["src"]: r["cnt"]
+            for r in out.groupBy("src").agg(F.count("*").alias("cnt")).collect()
+        }
+        assert kept == {"s0": 5, "s1": 3, "s2": 2}  # 10 tokens per doc
+
+    def test_strata_outside_mix_dropped(self, spark):
+        from tdei_extract_load_service_spark.operators.sampling import (
+            mix_budget_sample,
+        )
+
+        out = mix_budget_sample(
+            self._docs(spark), "doc_id", "src", "n",
+            weights={"s0": 1.0}, total_budget=1000,
+        )
+        assert set(r["src"] for r in out.select("src").distinct().collect()) == {"s0"}
+
+    def test_underfilled_stratum_keeps_everything(self, spark):
+        from tdei_extract_load_service_spark.operators.sampling import (
+            mix_budget_sample,
+        )
+
+        out = mix_budget_sample(
+            self._docs(spark), "doc_id", "src", "n",
+            weights={"s0": 1.0}, total_budget=10_000,
+        )
+        assert out.count() == 20  # all of s0 (20 docs * 10 < 10000)
+
+    def test_weights_normalized_not_required_to_sum_to_one(self, spark):
+        from tdei_extract_load_service_spark.operators.sampling import (
+            mix_budget_sample,
+        )
+
+        a = mix_budget_sample(
+            self._docs(spark), "doc_id", "src", "n",
+            weights={"s0": 5.0, "s1": 3.0, "s2": 2.0}, total_budget=100,
+        )
+        budgets = {
+            r["src"]: r["budget"]
+            for r in a.select("src", "budget").distinct().collect()
+        }
+        assert budgets == {"s0": 50, "s1": 30, "s2": 20}
+
+    def test_invalid_inputs_rejected(self, spark):
+        from tdei_extract_load_service_spark.operators.sampling import (
+            mix_budget_sample,
+        )
+
+        docs = self._docs(spark)
+        with pytest.raises(ValueError):
+            mix_budget_sample(docs, "doc_id", "src", "n", {}, 10)
+        with pytest.raises(ValueError):
+            mix_budget_sample(docs, "doc_id", "src", "n", {"s0": -1.0}, 10)
+        with pytest.raises(ValueError):
+            mix_budget_sample(docs, "doc_id", "src", "n", {"s0": 1.0}, -1)
+
+
+class TestPIIScrub:
+    def test_patterns_and_chained_order(self, spark):
+        from tdei_extract_load_service_spark.operators.text import (
+            pii_match_counts,
+            redact_pii,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (
+                    "mail a.b+c@x.co.uk and 4111111111111111 then "
+                    "+44 (0) 7911 123456 done",
+                )
+            ],
+            "t string",
+        )
+        row = df.select(
+            *pii_match_counts("t"), redact_pii("t").alias("red")
+        ).first()
+        # counts run per-pattern on the RAW text: the 16-digit card run
+        # also matches the looser phone shape, so n_phone counts both —
+        # which is exactly why redaction replaces card BEFORE phone
+        assert (row["n_email"], row["n_card"], row["n_phone"]) == (1, 1, 2)
+        # card redacted BEFORE phone: the 16-digit run must not become <PHONE>
+        assert row["red"] == "mail <EMAIL> and <CARD> then <PHONE> done"
+
+    def test_clean_text_untouched(self, spark):
+        from tdei_extract_load_service_spark.operators.text import redact_pii
+
+        df = spark.createDataFrame([("just words here",)], "t string")
+        assert df.select(redact_pii("t").alias("r")).first()["r"] == "just words here"
+
+    def test_post_scrub_counts_are_zero(self, spark):
+        from tdei_extract_load_service_spark.operators.text import (
+            pii_match_counts,
+            redact_pii,
+        )
+
+        df = spark.createDataFrame(
+            [("a@b.io 4111111111111111 +1 415 555 0100",)], "t string"
+        )
+        row = (
+            df.select(redact_pii("t").alias("red"))
+            .select(*pii_match_counts("red"))
+            .first()
+        )
+        assert tuple(row) == (0, 0, 0)
