@@ -552,3 +552,22 @@ def q_corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         total_budget=4000,
     )
     return out.select("doc_id", "source", "n_tokens", "budget", "cum_tokens")
+
+
+@register(
+    "stream_dedup_shadow",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    ORDER BY user_id ASC, event_type ASC
+    """,
+)
+def q_stream_dedup_shadow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The THIRD streaming certification: watermarked streaming dedup
+    (withWatermark + dropDuplicatesWithinWatermark — the bounded-state
+    production API) over four staged micro-batches, append-mode
+    emissions vs batch DISTINCT (streaming/shadow.py dedup_shadow; the
+    90-day delay exceeds the fixture's event-time span so the
+    at-least-once guarantee is exact here)."""
+    from tdei_extract_load_service_spark.streaming.shadow import dedup_shadow
+
+    return dedup_shadow(spark, sf_dir, n_batches=4)

@@ -226,3 +226,48 @@ def funnel_shadow(spark: SparkSession, sf_dir: str, n_batches: int = 4) -> DataF
     return agg.select(
         "user_id", depth.alias("steps_completed"), "t0", "t1", "t2"
     ).orderBy(F.col("user_id").asc())
+
+
+def dedup_shadow(
+    spark: SparkSession, sf_dir: str, n_batches: int = 4
+) -> DataFrame:
+    """Streaming deduplication, certified end to end: replay the events
+    fixture as micro-batches through the PRODUCTION dedup API —
+    ``withWatermark`` + ``dropDuplicatesWithinWatermark`` — and compare
+    the accumulated append-mode emissions against batch DISTINCT.
+
+    ``dropDuplicatesWithinWatermark`` is the API a 100 TB stream needs
+    (state for a key is dropped once the watermark passes it; plain
+    ``dropDuplicates`` pins every key forever), but its guarantee is
+    only *at-least-once dedup within the delay*: a key recurring after
+    eviction re-emits. The shadow makes that exact by choosing a delay
+    (90 days) longer than the bounded fixture's whole event-time span,
+    so zero evictions occur and the emission set IS the distinct key
+    set — the equivalence a finite oracle can check, with the state
+    lifecycle still exercised for real across four batches.
+
+    Within a micro-batch, WHICH duplicate row survives is
+    task-order-nondeterministic, so the streaming frame is projected to
+    the dedup key columns BEFORE the dedup — emissions then carry no
+    arrival-dependent payload. Timezone discipline: the watermark
+    rejects TIMESTAMP_NTZ, so the staged NTZ ``ts`` maps to same-UTC-
+    wall instants via the catalog._read recipe (as stream_window_shadow
+    does); ``ts`` itself is dropped after the watermark is planted."""
+
+    def transform(src: DataFrame) -> DataFrame:
+        ev = src.withColumn(
+            "ts",
+            F.from_utc_timestamp(
+                F.col("ts").cast("timestamp"), F.current_timezone()
+            ),
+        )
+        return (
+            ev.select("ts", "user_id", "event_type")
+            .withWatermark("ts", "90 days")
+            .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+            .select("user_id", "event_type")
+        )
+
+    stage = stage_event_stream(spark, sf_dir, n_batches)
+    emits = run_bounded_stream(spark, stage, transform, output_mode="append")
+    return emits.orderBy(F.col("user_id").asc(), F.col("event_type").asc())

@@ -499,3 +499,43 @@ class TestFunnelShadow:
                 depth += 1
             want[u] = (depth, t[0], t[1], t[2])
         assert got == want
+
+
+class TestDedupShadow:
+    def test_shadow_equals_batch_distinct(self, spark):
+        """Append-mode emissions over 4 micro-batches must equal batch
+        DISTINCT — zero evictions at a 90-day delay, so the at-least-once
+        contract is exact on the bounded fixture (no duplicate emissions
+        for keys recurring across batches)."""
+        from tdei_extract_load_service_spark.streaming.shadow import dedup_shadow
+
+        got = [
+            (r["user_id"], r["event_type"])
+            for r in dedup_shadow(spark, "/root/testdata/sf0.001", n_batches=4).collect()
+        ]
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        want = sorted(
+            {(r["user_id"], r["event_type"]) for r in ev.select("user_id", "event_type").collect()}
+        )
+        # list-vs-set compare: ANY cross-batch re-emission would duplicate
+        assert got == want
+
+    def test_keys_recur_across_batches(self, spark):
+        """The certification is vacuous unless keys genuinely recur in
+        later micro-batches — assert the fixture exercises cross-batch
+        state (most user/event pairs appear in more than one staged file)."""
+        import os
+
+        from tdei_extract_load_service_spark.streaming.shadow import (
+            stage_event_stream,
+        )
+
+        stage = stage_event_stream(spark, "/root/testdata/sf0.001", n_batches=4)
+        seen: dict[tuple, set] = {}
+        for i, f in enumerate(sorted(os.listdir(stage))):
+            for r in spark.read.parquet(os.path.join(stage, f)).select(
+                "user_id", "event_type"
+            ).collect():
+                seen.setdefault((r["user_id"], r["event_type"]), set()).add(i)
+        multi = sum(1 for files in seen.values() if len(files) > 1)
+        assert multi > len(seen) // 2
