@@ -504,3 +504,52 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "l_returnflag", "n_rows", "exact_parts", within.alias("approx_within_rsd")
     )
+
+
+@register(
+    "join_skew_salted",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2)
+             AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment ASC
+    """,
+)
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key salting certified as semantics-preserving
+    (operators/skew.py salted_join): orders scattered over 8 salts of
+    its primary key joins the 8x-replicated customer dim on
+    (custkey, salt); the oracle is the PLAIN join — the rewrite must be
+    invisible in the result. Companion to salted_agg (r4) and
+    tests/test_skew.py: this is the join half of the engine's
+    hot-key playbook, for mid-size dims AQE's SMJ-only skew split
+    can't rescue."""
+    from tdei_extract_load_service_spark.operators.skew import salted_join
+
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = salted_join(
+        orders.withColumnRenamed("o_custkey", "c_custkey"),
+        customer,
+        on=["c_custkey"],
+        salt_by=["o_orderkey"],
+        n_salts=8,
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("total_price"),
+        )
+        .orderBy(F.col("c_mktsegment").asc())
+    )

@@ -63,3 +63,58 @@ def salted_agg(
         for name, (kind, _) in aggregates.items()
     ]
     return partials.groupBy(*keys).agg(*merge_exprs)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    salt_by: Sequence[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Hot-key join salting: replicate the small side ``n_salts`` times
+    and scatter each big-side row to one replica, so a single hot join
+    key spreads over ``n_salts`` reducers instead of funneling through
+    one.
+
+    When to reach for it: AQE's skew-join split (on in session.py)
+    already rescues *sort-merge* joins by splitting oversized partitions
+    at runtime, and tiny dims should simply broadcast. The gap this
+    fills is the mid-size dimension — too big to broadcast, hot enough
+    that a single key dominates — on plan shapes AQE won't split
+    (shuffled-hash builds, streaming joins, or any stage where the skew
+    only materializes after a UDF fan-out). The rewrite is
+    semantics-preserving for ``inner`` and ``left`` regardless of how
+    rows scatter: every big row still meets exactly one replica of each
+    matching small row.
+
+    The salt is ``pmod(xxhash64(salt_by), n_salts)`` — a deterministic
+    row-local function of caller-named columns (the fact table's primary
+    key), never ``rand()``: task retries and speculative duplicates
+    must salt a row identically or a retried partition joins against a
+    different replica than its speculative twin (harmless for inner
+    joins but a divergence bomb for anything stateful downstream).
+    ``salt_by`` must NOT be the join key itself — a hot key would hash
+    to one salt and nothing spreads (asserted).
+
+    Scale shape: small side shuffles ``n_salts`` copies (bounded:
+    |small| * n_salts rows); big side shuffles once on (key, salt) —
+    same volume as the plain join, one extra narrow column. The join
+    output is identical to the unsalted join, so any downstream
+    aggregation re-shuffles as it would have anyway."""
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join preserves semantics for inner/left only")
+    if set(salt_by) & set(on):
+        raise ValueError("salt_by must be disjoint from the join key")
+    replicas = small.withColumn(
+        "_salt",
+        F.explode(F.array([F.lit(i) for i in range(n_salts)])),
+    )
+    scattered = big.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in salt_by]), F.lit(n_salts)).cast(
+            "int"
+        ),
+    )
+    return scattered.join(replicas, [*on, "_salt"], how).drop("_salt")

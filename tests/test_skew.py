@@ -49,3 +49,64 @@ def test_salted_agg_rejects_non_algebraic(spark):
     df = spark.range(5).select(F.col("id").alias("k"), F.col("id").alias("v"))
     with pytest.raises(ValueError):
         salted_agg(df, ["k"], {"bad": ("avg", F.col("v"))})
+
+
+class TestSaltedJoin:
+    def _frames(self, spark):
+        import pandas as pd
+
+        big = spark.createDataFrame(
+            pd.DataFrame(
+                {"k": [1] * 50 + [2] * 3 + [3] * 2, "rid": range(55), "v": range(55)}
+            )
+        )
+        small = spark.createDataFrame(
+            pd.DataFrame({"k": [1, 2, 4], "name": ["a", "b", "d"]})
+        )
+        return big, small
+
+    def test_inner_equals_plain_join(self, spark):
+        from tdei_extract_load_service_spark.operators.skew import salted_join
+
+        big, small = self._frames(spark)
+        got = sorted(
+            tuple(r)
+            for r in salted_join(big, small, ["k"], ["rid"], n_salts=4)
+            .select("k", "rid", "v", "name")
+            .collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in big.join(small, "k").select("k", "rid", "v", "name").collect()
+        )
+        assert got == want and len(got) == 53
+
+    def test_left_keeps_unmatched(self, spark):
+        from tdei_extract_load_service_spark.operators.skew import salted_join
+
+        big, small = self._frames(spark)
+        got = salted_join(big, small, ["k"], ["rid"], n_salts=4, how="left")
+        assert got.count() == 55
+        assert got.where(F.col("name").isNull()).count() == 2  # k=3 rows
+
+    def test_hot_key_spreads_over_salts(self, spark):
+        from tdei_extract_load_service_spark.operators.skew import salted_join
+
+        big, small = self._frames(spark)
+        # peek at the pre-drop salt distribution for the hot key
+        scattered = big.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("rid")), F.lit(4)).cast("int")
+        )
+        n = scattered.where(F.col("k") == 1).select("_salt").distinct().count()
+        assert n > 1  # the hot key genuinely lands on multiple reducers
+
+    def test_salt_by_join_key_rejected(self, spark):
+        import pytest as _pytest
+
+        from tdei_extract_load_service_spark.operators.skew import salted_join
+
+        big, small = self._frames(spark)
+        with _pytest.raises(ValueError):
+            salted_join(big, small, ["k"], ["k"], n_salts=4)
+        with _pytest.raises(ValueError):
+            salted_join(big, small, ["k"], ["rid"], how="full")
