@@ -553,3 +553,65 @@ def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("c_mktsegment").asc())
     )
+
+
+@register(
+    "scd2_history",
+    """
+    WITH s AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             CASE WHEN lag(o_orderstatus) OVER w IS NOT DISTINCT FROM o_orderstatus
+                  THEN 0 ELSE 1 END AS chg
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+    ),
+    r AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate ASC, o_orderkey ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS island
+      FROM s
+    ),
+    c AS (
+      SELECT o_custkey, island,
+             min(o_orderstatus) AS o_orderstatus,
+             min(o_orderdate) AS vf,
+             count(*) AS n_obs
+      FROM r GROUP BY o_custkey, island
+    )
+    SELECT o_custkey, o_orderstatus,
+           strftime(vf, '%Y-%m-%d') AS valid_from,
+           strftime(lead(vf) OVER (PARTITION BY o_custkey
+                                    ORDER BY vf ASC, island ASC),
+                    '%Y-%m-%d') AS valid_to,
+           n_obs
+    FROM c
+    ORDER BY o_custkey ASC, valid_from ASC
+    """,
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 reconstruction (operators/scd.py scd2_intervals): the
+    historical dual of the reference's latest-only overwrite_by_key sink
+    (sinks/writers.py; extract-load-service.ts delete-then-reload keeps
+    no history) — per-customer order-status runs collapsed to validity
+    intervals via the gaps-and-islands recurrence (lag change flags ->
+    running-sum island ids -> lead interval close). o_orderkey breaks
+    same-day ties so runs are a total order; NULL valid_to = current
+    row."""
+    from tdei_extract_load_service_spark.operators.scd import scd2_intervals
+
+    orders = _read(spark, sf_dir, "orders")
+    out = scd2_intervals(
+        orders,
+        ["o_custkey"],
+        "o_orderdate",
+        "o_orderstatus",
+        tiebreak_cols=["o_orderkey"],
+    )
+    return out.select(
+        "o_custkey",
+        "o_orderstatus",
+        TS.normalize_ts("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        TS.normalize_ts("valid_to", "yyyy-MM-dd").alias("valid_to"),
+        "n_obs",
+    ).orderBy(F.col("o_custkey").asc(), F.col("valid_from").asc())

@@ -278,3 +278,63 @@ def test_quantile_bounds_histogram_covers_every_row(spark):
     )
     hist = quantile_bounds_histogram(odd, "my odd-column name", n_bins=4).collect()
     assert sum(r["n"] for r in hist) == 100
+
+
+class TestSCD2Intervals:
+    def _stream(self, spark, rows):
+        import pandas as pd
+
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["k", "ts", "rid", "attr"])
+        )
+
+    def test_runs_collapse_and_chain(self, spark):
+        from tdei_extract_load_service_spark.operators.scd import scd2_intervals
+
+        df = self._stream(
+            spark,
+            [(1, 10, 0, "A"), (1, 20, 1, "A"), (1, 30, 2, "B"), (1, 40, 3, "A")],
+        )
+        got = [
+            (r["attr"], r["valid_from"], r["valid_to"], r["n_obs"])
+            for r in scd2_intervals(df, ["k"], "ts", "attr", ["rid"])
+            .orderBy("valid_from")
+            .collect()
+        ]
+        assert got == [("A", 10, 30, 2), ("B", 30, 40, 1), ("A", 40, None, 1)]
+
+    def test_same_ts_flip_uses_tiebreak(self, spark):
+        from tdei_extract_load_service_spark.operators.scd import scd2_intervals
+
+        df = self._stream(spark, [(1, 10, 1, "B"), (1, 10, 0, "A")])
+        got = [
+            (r["attr"], r["valid_to"])
+            for r in scd2_intervals(df, ["k"], "ts", "attr", ["rid"])
+            .orderBy("attr")
+            .collect()
+        ]
+        # rid orders A before B; A's interval closes at B's (same-ts) start
+        assert got == [("A", 10), ("B", None)]
+
+    def test_null_attr_is_a_value(self, spark):
+        from tdei_extract_load_service_spark.operators.scd import scd2_intervals
+
+        df = self._stream(
+            spark, [(1, 10, 0, None), (1, 20, 1, None), (1, 30, 2, "A")]
+        )
+        got = [
+            (r["attr"], r["n_obs"])
+            for r in scd2_intervals(df, ["k"], "ts", "attr", ["rid"])
+            .orderBy("valid_from")
+            .collect()
+        ]
+        # eqNullSafe: consecutive NULLs are ONE run, not one run each
+        assert got == [(None, 2), ("A", 1)]
+
+    def test_keys_are_independent(self, spark):
+        from tdei_extract_load_service_spark.operators.scd import scd2_intervals
+
+        df = self._stream(spark, [(1, 10, 0, "A"), (2, 20, 1, "A")])
+        out = scd2_intervals(df, ["k"], "ts", "attr", ["rid"])
+        assert out.count() == 2
+        assert all(r["valid_to"] is None for r in out.collect())
