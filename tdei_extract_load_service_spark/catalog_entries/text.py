@@ -268,3 +268,35 @@ def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         *TX.pii_match_counts("aug"),
         F.md5(TX.redact_pii("aug")).alias("redacted_md5"),
     ).orderBy(F.col("doc_id").asc())
+
+
+@register(
+    "text_lm_score",
+    r"""
+    WITH inst AS (
+      SELECT doc_id, substr(text, CAST(i AS INT), 2) AS bg
+      FROM documents, unnest(range(1, len(text))) AS t(i)
+    ),
+    tf AS (SELECT doc_id, bg, COUNT(*) AS tf FROM inst GROUP BY doc_id, bg),
+    c2 AS (SELECT bg, SUM(tf) AS c2 FROM tf GROUP BY bg),
+    c1 AS (SELECT substr(bg,1,1) AS a, SUM(c2) AS c1 FROM c2 GROUP BY 1),
+    model AS (SELECT bg, c2, c1 FROM c2 JOIN c1 ON substr(bg,1,1) = c1.a)
+    SELECT doc_id,
+           ROUND(CAST(SUM(CAST(tf * ln(c2 / c1) AS DECIMAL(28,12))) AS DOUBLE)
+                 / SUM(tf), 6) AS avg_logprob,
+           SUM(tf) AS n_bigrams
+    FROM tf JOIN model USING (bg)
+    GROUP BY doc_id
+    """,
+)
+def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-bigram LM quality scoring (operators/text.py
+    lm_bigram_score): self-trained corpus model, mean per-position
+    log-probability per document — the perplexity-proxy quality-filter
+    primitive. The oracle recomputes the same model and score
+    relationally; integer/integer division is true (double) division on
+    both engines, and the per-position log terms are DECIMAL-summed."""
+    from tdei_extract_load_service_spark.operators import text as TX
+
+    docs = spread(_read(spark, sf_dir, "documents"))
+    return TX.lm_bigram_score(docs, "doc_id", "text")

@@ -1040,3 +1040,67 @@ def bm25_topk(
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def lm_bigram_score(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Character-bigram language-model scoring — the perplexity-proxy
+    quality filter (the CCNet/KenLM move: score text against a corpus
+    LM, drop the tail). The model here is self-trained on the scored
+    corpus itself, so every observed bigram has count >= 1 and the
+    score is finite without smoothing; a production pipeline trains the
+    model on a clean reference corpus once and broadcasts it — the
+    serving plan is identical.
+
+    Returns ``(doc_id, avg_logprob, n_bigrams)`` where ``avg_logprob``
+    is the mean of ``ln(C(ab)/C(a·))`` over the document's bigram
+    positions (ROUND 6). Lower = less corpus-typical character
+    structure (mojibake, binary spills, boilerplate soup). Documents
+    shorter than 2 chars have no bigrams and drop out.
+
+    Scale shape: the text crosses the bigram explode ONCE — per-doc
+    term frequencies are aggregated immediately (map-side combinable)
+    and PERSISTED, and the model (bigram + prefix marginals, bounded by
+    |alphabet|^2 rows — hundreds, not corpus-sized) is derived FROM the
+    tf frame, then broadcast back onto it; the un-persisted form plans
+    the corpus-sized explode twice (the q20/q2/source_overlap
+    shared-subtree lesson). Per-term log terms are DECIMAL-summed so
+    shuffle order can't flip ties (parity recipes)."""
+    # the length guard is load-bearing, not an optimization: Spark's
+    # sequence(1, stop) REVERSES into [1, 0, ...] when stop < 1, so an
+    # empty/1-char doc would fabricate phantom bigrams (DuckDB's
+    # range(1, stop) is empty there — the oracle caught this)
+    inst = docs.where(F.length(_col(text_col)) >= 2).select(
+        _col(id_col).alias("doc_id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length(_col(text_col)) - 1),
+                lambda i: _col(text_col).substr(i, F.lit(2)),
+            )
+        ).alias("bg"),
+    )
+    tf = inst.groupBy("doc_id", "bg").agg(F.count("*").alias("tf")).persist()
+    c2 = tf.groupBy("bg").agg(F.sum("tf").alias("c2"))
+    c1 = c2.groupBy(F.substring("bg", 1, 1).alias("a")).agg(
+        F.sum("c2").alias("c1")
+    )
+    model = (
+        c2.withColumn("a", F.substring("bg", 1, 1))
+        .join(F.broadcast(c1), "a")
+        .select("bg", "c2", "c1")
+    )
+    return tf.join(F.broadcast(model), "bg").groupBy("doc_id").agg(
+        F.round(
+            F.sum(
+                (F.col("tf") * F.log(F.col("c2") / F.col("c1"))).cast(
+                    "decimal(28,12)"
+                )
+            ).cast("double")
+            / F.sum("tf"),
+            6,
+        ).alias("avg_logprob"),
+        F.sum("tf").alias("n_bigrams"),
+    )

@@ -203,3 +203,46 @@ class TestPIIScrub:
             .first()
         )
         assert tuple(row) == (0, 0, 0)
+
+
+class TestLMScore:
+    def test_corpus_typical_text_scores_higher(self, spark):
+        from tdei_extract_load_service_spark.operators.text import lm_bigram_score
+
+        # 'a' is followed by 'b' 9 times and by 'c' once: p(b|a) >> p(c|a),
+        # so the majority-pattern doc must outscore the rare-pattern one
+        rows = [(i, "ababab") for i in range(9)] + [(9, "acacac")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["doc_id"]: r["avg_logprob"]
+            for r in lm_bigram_score(docs, "doc_id", "text").collect()
+        }
+        assert out[0] > out[9]
+
+    def test_bigram_counts_and_finiteness(self, spark):
+        import math
+
+        from tdei_extract_load_service_spark.operators.text import lm_bigram_score
+
+        docs = spark.createDataFrame(
+            [(1, "abc"), (2, "a"), (3, "")], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+            for r in lm_bigram_score(docs, "doc_id", "text").collect()
+        }
+        # docs shorter than 2 chars have no bigrams and drop out
+        assert set(got) == {1}
+        assert got[1][0] == 2 and math.isfinite(got[1][1])
+
+    def test_uniform_corpus_scores_equal(self, spark):
+        from tdei_extract_load_service_spark.operators.text import lm_bigram_score
+
+        docs = spark.createDataFrame(
+            [(i, "xyxy") for i in range(4)], "doc_id long, text string"
+        )
+        vals = {
+            r["avg_logprob"]
+            for r in lm_bigram_score(docs, "doc_id", "text").collect()
+        }
+        assert len(vals) == 1
