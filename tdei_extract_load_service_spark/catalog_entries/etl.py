@@ -750,3 +750,54 @@ def q_etl_load_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("tdei_dataset_id", "kind", "n_features", "n_files", "n_with_elevation")
         .orderBy("kind")
     )
+
+
+@register(
+    "cdc_apply",
+    """
+    WITH latest AS (
+      SELECT user_id AS k, event_type, value FROM (
+        SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) t WHERE rn = 1
+    ),
+    up AS (SELECT k, ROUND(value, 2) AS newbal FROM latest WHERE event_type <> 'error'),
+    del AS (SELECT k FROM latest WHERE event_type = 'error')
+    SELECT COALESCE(c.c_custkey, u.k) AS c_custkey,
+           c.c_name,
+           ROUND(COALESCE(u.newbal, c.c_acctbal), 2) AS acctbal
+    FROM customer c FULL JOIN up u ON c.c_custkey = u.k
+    WHERE COALESCE(c.c_custkey, u.k) NOT IN (SELECT k FROM del)
+    """,
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level MERGE (operators/cdc.py cdc_apply) — the incremental
+    dual of overwrite_by_key's table-level delete-then-reload (O17): the
+    events feed folds into the customer snapshot with (ts, event_id) as
+    the total per-key sequence; a latest 'error' event deletes the
+    customer, any other latest event upserts the balance, unseen
+    customers pass through, and feed keys new to the snapshot insert
+    (user 0 exercises the insert arm — custkeys start at 1). The oracle
+    derives the same merge through textbook row_number + full join +
+    NOT IN."""
+    from tdei_extract_load_service_spark.operators.cdc import cdc_apply
+
+    customer = _read(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    changes = _read_events(spark, sf_dir).select(
+        F.col("user_id").alias("c_custkey"),
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.round(F.col("value"), 2).alias("c_acctbal"),
+    )
+    applied = cdc_apply(
+        customer, changes, "c_custkey", ("ts", "event_id"), "op"
+    )
+    return applied.select(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal"), 2).alias("acctbal"),
+    )
