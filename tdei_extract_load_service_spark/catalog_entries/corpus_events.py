@@ -571,3 +571,47 @@ def q_stream_dedup_shadow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tdei_extract_load_service_spark.streaming.shadow import dedup_shadow
 
     return dedup_shadow(spark, sf_dir, n_batches=4)
+
+
+@register(
+    "stream_session_shadow",
+    """
+    WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, value FROM events),
+    x AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 2 HOURS
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM x
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%dT%H:%M:%S') AS session_start,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_stream_session_shadow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FOURTH streaming certification — MERGING session-window state
+    (streaming/shadow.py session_shadow): F.session_window state
+    extends/merges across four staged micro-batches, final complete-mode
+    snapshot vs the batch gaps-and-islands recurrence (the same oracle
+    the batch session_window entry carries, so stream == batch ==
+    relational recurrence, three-way)."""
+    from tdei_extract_load_service_spark.streaming.shadow import session_shadow
+
+    out = session_shadow(spark, sf_dir, n_batches=4)
+    return out.select(
+        "user_id",
+        TS.normalize_ts(F.col("session_start"), "yyyy-MM-dd'T'HH:mm:ss").alias(
+            "session_start"
+        ),
+        "n_events",
+        "total_value",
+    )

@@ -271,3 +271,35 @@ def dedup_shadow(
     stage = stage_event_stream(spark, sf_dir, n_batches)
     emits = run_bounded_stream(spark, stage, transform, output_mode="append")
     return emits.orderBy(F.col("user_id").asc(), F.col("event_type").asc())
+
+
+def session_shadow(
+    spark: SparkSession, sf_dir: str, n_batches: int = 4
+) -> DataFrame:
+    """Session windows streamed for real: replay the events fixture as
+    micro-batches through ``F.session_window`` — the MERGING state type
+    (dynamic-width windows that extend/coalesce as events arrive), which
+    none of the other shadows exercise — and read the final
+    complete-mode snapshot. The oracle is the classic gaps-and-islands
+    rewrite (lag + running sum), the same one the batch
+    ``session_window`` entry proves, so the streaming path must land on
+    identical sessions after its state crossed four batch boundaries.
+
+    Timezone discipline: as stream_window_shadow — the watermark
+    rejects TIMESTAMP_NTZ, so staged NTZ maps to same-UTC-wall instants
+    (catalog._read recipe) and session_start renders via normalize_ts."""
+    from tdei_extract_load_service_spark.streaming.windows import (
+        sessionized_event_aggs,
+    )
+
+    def transform(src: DataFrame) -> DataFrame:
+        ev = src.withColumn(
+            "ts",
+            F.from_utc_timestamp(
+                F.col("ts").cast("timestamp"), F.current_timezone()
+            ),
+        )
+        return sessionized_event_aggs(ev.withWatermark("ts", "90 days"))
+
+    stage = stage_event_stream(spark, sf_dir, n_batches)
+    return run_bounded_stream(spark, stage, transform, output_mode="complete")
