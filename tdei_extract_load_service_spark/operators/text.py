@@ -997,6 +997,11 @@ def bm25_topk(
             / F.count("*")
         ).alias("avgdl"),
     )
+    # persisted: both the df derivation and the score join read tf, and
+    # the un-persisted form plans the corpus-sized token explode twice
+    # (measured via plan probe — the q20/q2/lm_score shared-subtree
+    # lesson); the cached frame is postings-sized (query-term matches
+    # only), orders of magnitude below the token stream
     tf = (
         docs.select(
             _col(id_col).alias("doc_id"),
@@ -1005,6 +1010,7 @@ def bm25_topk(
         .where(F.col("term").isin(list(terms)))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
+        .persist()
     )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     per = (

@@ -240,6 +240,31 @@ EXPECTATIONS: dict[str, list[str]] = {
     # the other corpus-sized self-joins (audited on the lazy form);
     # fingerprints come from the same O(len) fan-out (no array_min)
     "dedup_winnow": ["SortMergeJoin", "!BroadcastNestedLoopJoin", "!ShuffledHashJoin", "!CartesianProduct", "!array_min"],
+    # BM25: postings tf persisted (one token explode feeds both the df
+    # derivation and the score join — the shared-subtree rule), df and
+    # the one-row corpus scalar broadcast, final ranking a top-k; the
+    # only nested-loop is the 1-row scalar crossJoin (Q22/Q15 pattern)
+    "text_bm25_topk": ["TakeOrderedAndProject", "BroadcastHashJoin", "InMemoryTableScan", "!CartesianProduct", "!SortMergeJoin"],
+    # PII scrub: chained regexp map-only pass — no join, no aggregate,
+    # no hash exchange (the only exchange is the output presentation sort)
+    "text_pii_scrub": ["regexp_replace", "!Join", "!HashAggregate", "!hashpartitioning"],
+    # char-bigram LM: the bigram explode materializes ONCE into the
+    # persisted tf frame (model + score join both read the cache); the
+    # alphabet-bounded model broadcasts back — never a shuffle join
+    "text_lm_score": ["InMemoryTableScan", "BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"],
+    # weighted mix: identical shape to token_budget_sample — one stratum
+    # window, budget CASE map is a literal projection, no join
+    "corpus_mix_sample": ["Window", "Exchange hashpartitioning\\(source", "!Join", "!rangepartitioning"],
+    # salted join: the replica explode and the deterministic row-local
+    # salt must both be present; the join stays equi (never a nested
+    # loop) — strategy itself is AQE's call (broadcast at audit scale)
+    "join_skew_salted": ["Generate explode", "xxhash64", "!BroadcastNestedLoopJoin", "!CartesianProduct"],
+    # SCD2 gaps-and-islands: lag/sum/lead windows share ONE key
+    # partitioning (single hashpartitioning exchange on the key), no join
+    "scd2_history": ["Window", "Exchange hashpartitioning\\(o_custkey", "!Join"],
+    # CDC merge: one change-feed window + ONE full-outer snapshot join;
+    # deletes ride the joined frame (no second anti-join pass)
+    "cdc_apply": ["Window", "FullOuter", "!LeftAnti", "!CartesianProduct"],
 }
 
 
