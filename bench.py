@@ -116,6 +116,17 @@ HEADLINE_EXTENSIONS = (
     "tpch_q9_product_type_profit",
     "tpch_q11_important_stock",
     "tpch_q16_parts_supplier_relationship",
+    # round-8 wave-2 additions: retrieval/quality/mixing/merge operators
+    # and the skew-salting certification, each on the steady-state
+    # trendline from the round it lands (streaming *_shadow entries stay
+    # out: their cost is fixed micro-batch harness overhead, not plan)
+    "text_bm25_topk",
+    "text_pii_scrub",
+    "text_lm_score",
+    "corpus_mix_sample",
+    "join_skew_salted",
+    "scd2_history",
+    "cdc_apply",
     # dedup_winnow (and its r7 composition dedup_winnow_cluster) is
     # EXCLUDED from the sf0.1 headline deliberately: the
     # synthetic documents corpus draws from a ~25-word vocabulary, so

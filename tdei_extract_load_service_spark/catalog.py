@@ -196,9 +196,15 @@ from tdei_extract_load_service_spark.catalog_entries import (  # noqa: E402,F401
 # tpch_q16_parts_supplier_relationship (completing all 22 TPC-H plan
 # families), text_source_overlap (cross-source containment matrix),
 # stream_window_shadow (the second streaming certification:
-# watermarked windowed aggs, complete-mode snapshot), and
+# watermarked windowed aggs, complete-mode snapshot),
 # similarity_pq_trained (rows-only signal either way; may
-# stay tail per the estimator precedent) — must enter the window at the
+# stay tail per the estimator precedent), and the round-8 wave-2
+# entries: text_bm25_topk, text_pii_scrub, text_lm_score,
+# corpus_mix_sample, join_skew_salted, scd2_history, cdc_apply,
+# stream_dedup_shadow, stream_session_shadow and stream_join_shadow
+# (the third, fourth and fifth streaming certifications: watermarked
+# dedup state, merging session-window state, stream-stream join
+# state — all five state stores covered) — must enter the window at the
 # start of round 9, alongside the round-8 demotions owed under rule (b):
 # tpch_q1/q3/q5/q6, dynamic_query, agg_stats, window_tumbling,
 # dedup_cluster, similarity_ivf, join_range, grouped_normalize,

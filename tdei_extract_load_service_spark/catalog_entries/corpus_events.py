@@ -615,3 +615,34 @@ def q_stream_session_shadow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+@register(
+    "stream_join_shadow",
+    """
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           c.event_id AS click_id
+    FROM events v
+    JOIN events c
+      ON v.user_id = c.user_id
+     AND v.event_type = 'view'
+     AND c.event_type = 'click'
+     AND c.ts >= v.ts - INTERVAL 1 HOUR
+     AND c.ts <= v.ts + INTERVAL 1 HOUR
+    ORDER BY v.user_id ASC, view_id ASC, click_id ASC
+    """,
+)
+def q_stream_join_shadow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FIFTH streaming certification — the stream-stream JOIN state
+    store (streaming/shadow.py interval_join_shadow): view and click
+    streams replay from the same staged micro-batches, per-user ±1 hour
+    interval join, append emissions vs the batch self-join; with this
+    entry all five Structured Streaming state types are
+    driver-certified (agg / dedup / flatMapGroupsWithState / session /
+    join)."""
+    from tdei_extract_load_service_spark.streaming.shadow import (
+        interval_join_shadow,
+    )
+
+    return interval_join_shadow(spark, sf_dir, n_batches=4)

@@ -303,3 +303,70 @@ def session_shadow(
 
     stage = stage_event_stream(spark, sf_dir, n_batches)
     return run_bounded_stream(spark, stage, transform, output_mode="complete")
+
+
+def interval_join_shadow(
+    spark: SparkSession, sf_dir: str, n_batches: int = 4
+) -> DataFrame:
+    """Stream-STREAM interval join, certified end to end — the JOIN
+    state store, the one state type the other four shadows don't touch
+    (with it, all five Structured Streaming state stores are
+    driver-certified: aggregation, dedup, flatMapGroupsWithState,
+    session, join). The view stream joins the click stream per user
+    within ±1 hour (windows.stream_interval_join); both sides replay
+    from the same staged micro-batch sequence, each with its own
+    buffer, and every within-bound pair must emit exactly once in
+    append mode — exact against the batch self-join oracle because the
+    90-day watermark delay means no buffered row is ever evicted before
+    its last possible match (the state lifecycle still runs; production
+    uses a tight delay and accepts bounded lateness).
+
+    Returns ``(user_id, view_id, click_id)`` — payload-free so
+    within-batch arrival order can't leak into the result."""
+    from tdei_extract_load_service_spark.streaming.windows import (
+        stream_interval_join,
+    )
+
+    stage = stage_event_stream(spark, sf_dir, n_batches)
+    schema = spark.read.parquet(stage).schema
+
+    def _src() -> DataFrame:
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage)
+        )
+        return raw.withColumn(
+            "ts",
+            F.from_utc_timestamp(
+                F.col("ts").cast("timestamp"), F.current_timezone()
+            ),
+        ).select("user_id", "event_type", "event_id", "ts")
+
+    views = _src().where(F.col("event_type") == "view").drop("event_type")
+    clicks = _src().where(F.col("event_type") == "click").drop("event_type")
+    joined = stream_interval_join(
+        views,
+        clicks,
+        "user_id",
+        within="1 hour",
+        watermark_delay="90 days",
+    ).select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("event_id_r").alias("click_id"),
+    )
+    name = f"shadow_{os.getpid()}_{next(_QUERY_COUNTER)}"
+    ckpt = f"/tmp/spark_graft_stream_ckpt/{name}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy(
+        F.col("user_id").asc(), F.col("view_id").asc(), F.col("click_id").asc()
+    )

@@ -596,3 +596,31 @@ class TestSessionShadow:
                     boundary_spans += 1
             prev_last.update(last)
         assert boundary_spans > 0
+
+
+class TestIntervalJoinShadow:
+    def test_stream_join_equals_batch_join(self, spark):
+        """Every within-bound (view, click) pair must emit exactly once
+        across the four micro-batches — list equality against the batch
+        join catches both misses AND duplicate emissions."""
+        from tdei_extract_load_service_spark.streaming.shadow import (
+            interval_join_shadow,
+        )
+
+        got = [
+            (r["user_id"], r["view_id"], r["click_id"])
+            for r in interval_join_shadow(
+                spark, "/root/testdata/sf0.001", n_batches=4
+            ).collect()
+        ]
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        rows = ev.select("user_id", "event_id", "event_type", "ts").collect()
+        views = [(r["user_id"], r["event_id"], r["ts"]) for r in rows if r["event_type"] == "view"]
+        clicks = [(r["user_id"], r["event_id"], r["ts"]) for r in rows if r["event_type"] == "click"]
+        want = sorted(
+            (vu, vid, cid)
+            for (vu, vid, vts) in views
+            for (cu, cid, cts) in clicks
+            if vu == cu and abs((cts - vts).total_seconds()) <= 3600
+        )
+        assert got == want and len(got) > 0

@@ -89,6 +89,16 @@ QUERIES = (
     "tpch_q9_product_type_profit",
     "tpch_q11_important_stock",
     "tpch_q16_parts_supplier_relationship",
+    # round-8 wave-2 additions: retrieval/quality/mixing/merge operators
+    # and the skew-salting certification (streaming shadows excluded:
+    # fixed micro-batch harness overhead dominates, not the plan)
+    "text_bm25_topk",
+    "text_pii_scrub",
+    "text_lm_score",
+    "corpus_mix_sample",
+    "join_skew_salted",
+    "scd2_history",
+    "cdc_apply",
     # dedup_winnow: excluded — replicated word-soup makes every substring
     # shingle corpus-hot (df ~ corpus size), so the smoke would measure
     # the max_hash_df cap dropping everything, not the join plan
