@@ -121,6 +121,7 @@ HEADLINE_EXTENSIONS = (
     # trendline from the round it lands (streaming *_shadow entries stay
     # out: their cost is fixed micro-batch harness overhead, not plan)
     "text_bm25_topk",
+    "text_bm25_topk_stored",
     "text_pii_scrub",
     "text_lm_score",
     "corpus_mix_sample",

@@ -199,7 +199,7 @@ from tdei_extract_load_service_spark.catalog_entries import (  # noqa: E402,F401
 # watermarked windowed aggs, complete-mode snapshot),
 # similarity_pq_trained (rows-only signal either way; may
 # stay tail per the estimator precedent), and the round-8 wave-2
-# entries: text_bm25_topk, text_pii_scrub, text_lm_score,
+# entries: text_bm25_topk, text_bm25_topk_stored, text_pii_scrub, text_lm_score,
 # corpus_mix_sample, join_skew_salted, scd2_history, cdc_apply,
 # stream_dedup_shadow, stream_session_shadow and stream_join_shadow
 # (the third, fourth and fifth streaming certifications: watermarked

@@ -300,3 +300,59 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(_read(spark, sf_dir, "documents"))
     return TX.lm_bigram_score(docs, "doc_id", "text")
+
+
+@register(
+    "text_bm25_topk_stored",
+    r"""
+    WITH dl AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS dl
+      FROM documents),
+    scal AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(CAST(dl AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl),
+    tf AS (
+      SELECT doc_id, t.term, COUNT(*) AS tf
+      FROM documents, unnest(regexp_split_to_array(trim(text), '\s+')) AS t(term)
+      WHERE t.term IN ('spark', 'join', 'window', 'scan')
+      GROUP BY doc_id, t.term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+    SELECT tf.doc_id,
+           ROUND(CAST(SUM(CAST(
+              ln(1.0 + (scal.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (tf.tf * 2.2)
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / scal.avgdl))
+           AS DECIMAL(28,12))) AS DOUBLE), 6) AS bm25,
+           COUNT(*) AS n_terms_hit
+    FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN scal
+    GROUP BY tf.doc_id
+    ORDER BY bm25 DESC, tf.doc_id ASC
+    LIMIT 10
+    """,
+)
+def q_text_bm25_topk_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served from the stored inverted index (operators/text.py
+    build_bm25_index / bm25_topk_stored) — the write-once serving
+    architecture, text-retrieval twin of the stored PQ index: postings
+    partitionBy(term_bucket), a query reads ONLY its terms' buckets
+    (directory pruning, plan-audited), stored per-term df broadcast,
+    identical score tree. Shares the INLINE entry's oracle — stored and
+    inline must be bit-equal (also pinned in pytest)."""
+    import os as _os
+
+    from tdei_extract_load_service_spark.operators import text as TX
+
+    src = _os.path.join(sf_dir, "documents.parquet")
+    st = _os.stat(src)
+    docs = spread(_read(spark, sf_dir, "documents"))
+    path, n_docs, avgdl = TX.build_bm25_index(
+        docs, "doc_id", "text",
+        corpus_key=f"{src}:{st.st_size}:{st.st_mtime_ns}",
+    )
+    return TX.bm25_topk_stored(
+        spark, path, n_docs, avgdl,
+        ["spark", "join", "window", "scan"], k=10,
+    )

@@ -1110,3 +1110,176 @@ def lm_bigram_score(
         ).alias("avg_logprob"),
         F.sum("tf").alias("n_bigrams"),
     )
+
+
+#: session-lifetime BM25 index cache: (corpus_key, n_buckets) -> meta
+_BM25_INDEX_CACHE: dict = {}
+
+
+def build_bm25_index(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 64,
+    corpus_key: str | None = None,
+) -> tuple[str, int, float]:
+    """Materialize the BM25 inverted index for a corpus — the
+    text-retrieval twin of ``similarity.build_pq_index``'s write-once
+    architecture: postings ``(term, doc_id, tf, dl)`` written
+    ``partitionBy(term_bucket)`` (``pmod(xxhash64(term), n_buckets)``),
+    per-term document frequencies beside them, and the corpus scalars
+    (N, avgdl) in the directory meta. Returns ``(path, n_docs, avgdl)``.
+
+    ``dl`` is denormalized into every posting (classic inverted-index
+    practice) so the serving query needs NO document-length join — a
+    query touches only its terms' bucket directories.
+
+    Scale shape: the build is one token explode + one (doc, term)
+    aggregation — the same work the inline query does once per query,
+    paid once per corpus; serving becomes a partition-PRUNED scan of
+    |terms| buckets out of ``n_buckets`` (asserted in plan_audit). At
+    100 TB the inline form re-tokenizes the corpus per query and is not
+    a query at all; the stored form is — the PQ lesson again.
+
+    Caching: content-addressed under /tmp, reused across processes
+    (postings are a pure function of the corpus), concurrent builders
+    atomically rename; ``corpus_key`` must change when the corpus does
+    (callers pass source path + mtime)."""
+    import hashlib
+    import json
+    import os
+
+    key = (corpus_key or "anon", n_buckets)
+    hit = _BM25_INDEX_CACHE.get(key)
+    if hit is not None:
+        return hit
+    digest = hashlib.md5(repr(key).encode()).hexdigest()[:24]
+    root = "/tmp/spark_graft_bm25_index"
+    path = os.path.join(root, digest)
+    meta_path = os.path.join(path, "_meta.json")
+    if not os.path.exists(meta_path):
+        ws = r"\s+"
+        dl = docs.select(
+            _col(id_col).alias("doc_id"),
+            F.when(F.trim(_col(text_col)) == "", 0)
+            .otherwise(F.size(F.split(F.trim(_col(text_col)), ws)))
+            .alias("dl"),
+        )
+        n_docs, avgdl = dl.agg(
+            F.count("*"),
+            (
+                F.sum(F.col("dl").cast("decimal(18,6)")).cast("double")
+                / F.count("*")
+            ),
+        ).first()
+        tf = (
+            docs.select(
+                _col(id_col).alias("doc_id"),
+                F.explode(F.split(F.trim(_col(text_col)), ws)).alias("term"),
+            )
+            .groupBy("doc_id", "term")
+            .agg(F.count("*").alias("tf"))
+            .join(dl, "doc_id")
+            .withColumn(
+                "term_bucket",
+                F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
+            )
+        ).persist()
+        dfreq = tf.groupBy("term", "term_bucket").agg(
+            F.count("*").alias("df")
+        )
+        tmp = f"{path}.build.{os.getpid()}"
+        tf.write.mode("overwrite").partitionBy("term_bucket").parquet(
+            os.path.join(tmp, "postings")
+        )
+        dfreq.write.mode("overwrite").partitionBy("term_bucket").parquet(
+            os.path.join(tmp, "df")
+        )
+        tf.unpersist()
+        with open(os.path.join(tmp, "_meta.json"), "w") as fh:
+            json.dump({"n_docs": int(n_docs), "avgdl": float(avgdl)}, fh)
+        os.makedirs(root, exist_ok=True)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    out = (path, meta["n_docs"], meta["avgdl"])
+    _BM25_INDEX_CACHE[key] = out
+    return out
+
+
+def bm25_topk_stored(
+    spark,
+    index_path: str,
+    n_docs: int,
+    avgdl: float,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """BM25 top-``k`` served from a stored inverted index
+    (``build_bm25_index``): the query reads ONLY its terms' bucket
+    partitions (directory-level pruning via the ``term_bucket`` filter —
+    never the corpus), joins the (broadcast, <= |terms|-row) stored df,
+    and ranks with the IDENTICAL operation tree as the inline
+    ``bm25_topk`` — stored-vs-inline equality is pinned in pytest and
+    the entry shares the inline oracle."""
+    import os
+
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    buckets = sorted(
+        {
+            int(r["b"])
+            for r in spark.createDataFrame(
+                [(t,) for t in terms], "term string"
+            )
+            .select(F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("b"))
+            .collect()
+        }
+    )
+    postings = (
+        spark.read.parquet(os.path.join(index_path, "postings"))
+        .where(F.col("term_bucket").isin(buckets))
+        .where(F.col("term").isin(list(terms)))
+    )
+    dfreq = (
+        spark.read.parquet(os.path.join(index_path, "df"))
+        .where(F.col("term_bucket").isin(buckets))
+        .where(F.col("term").isin(list(terms)))
+        .select("term", "df")
+    )
+    per = (
+        postings.join(F.broadcast(dfreq), "term")
+        .withColumn(
+            "_tscore",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.lit(n_docs) - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+                )
+            ).cast("decimal(28,12)"),
+        )
+    )
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.round(F.sum("_tscore").cast("double"), 6).alias("bm25"),
+            F.count("*").alias("n_terms_hit"),
+        )
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

@@ -246,3 +246,72 @@ class TestLMScore:
             for r in lm_bigram_score(docs, "doc_id", "text").collect()
         }
         assert len(vals) == 1
+
+
+class TestBM25Stored:
+    def test_stored_equals_inline(self, spark):
+        """The stored-index serve must be bit-identical to the inline
+        query — same guarantee as the PQ stored/inline equivalence."""
+        import os
+
+        from tdei_extract_load_service_spark.operators.text import (
+            bm25_topk,
+            bm25_topk_stored,
+            build_bm25_index,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+        terms = ["spark", "join", "window", "scan"]
+        src = os.path.join(sf, "documents.parquet")
+        st = os.stat(src)
+        path, n_docs, avgdl = build_bm25_index(
+            docs, "doc_id", "text",
+            corpus_key=f"{src}:{st.st_size}:{st.st_mtime_ns}",
+        )
+        inline = [tuple(r) for r in bm25_topk(docs, "doc_id", "text", terms).collect()]
+        stored = [
+            tuple(r)
+            for r in bm25_topk_stored(
+                spark, path, n_docs, avgdl, terms
+            ).collect()
+        ]
+        assert stored == inline and len(stored) == 10
+
+    def test_query_scans_only_term_buckets(self, spark):
+        """Directory pruning: the postings scan's partition filter must
+        restrict term_bucket — the point of the stored layout."""
+        import os
+
+        from tdei_extract_load_service_spark.operators.text import (
+            bm25_topk_stored,
+            build_bm25_index,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+        src = os.path.join(sf, "documents.parquet")
+        st = os.stat(src)
+        path, n_docs, avgdl = build_bm25_index(
+            docs, "doc_id", "text",
+            corpus_key=f"{src}:{st.st_size}:{st.st_mtime_ns}",
+        )
+        df = bm25_topk_stored(spark, path, n_docs, avgdl, ["spark"])
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "term_bucket" in plan
+
+    def test_index_is_cached_across_calls(self, spark):
+        import os
+
+        from tdei_extract_load_service_spark.operators.text import (
+            build_bm25_index,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+        src = os.path.join(sf, "documents.parquet")
+        st = os.stat(src)
+        key = f"{src}:{st.st_size}:{st.st_mtime_ns}"
+        a = build_bm25_index(docs, "doc_id", "text", corpus_key=key)
+        b = build_bm25_index(docs, "doc_id", "text", corpus_key=key)
+        assert a == b and os.path.exists(os.path.join(a[0], "_meta.json"))

@@ -265,6 +265,11 @@ EXPECTATIONS: dict[str, list[str]] = {
     # CDC merge: one change-feed window + ONE full-outer snapshot join;
     # deletes ride the joined frame (no second anti-join pass)
     "cdc_apply": ["Window", "FullOuter", "!LeftAnti", "!CartesianProduct"],
+    # stored-index BM25 serve: the postings scan must show directory
+    # pruning on term_bucket (the write-once layout's whole point), the
+    # stored df broadcasts, ranking is a top-k — and NO token explode
+    # anywhere: the corpus is never re-tokenized at query time
+    "text_bm25_topk_stored": ["PartitionFilters: \[.*term_bucket", "TakeOrderedAndProject", "BroadcastHashJoin", "!Generate explode"],
 }
 
 

@@ -93,6 +93,7 @@ QUERIES = (
     # and the skew-salting certification (streaming shadows excluded:
     # fixed micro-batch harness overhead dominates, not the plan)
     "text_bm25_topk",
+    "text_bm25_topk_stored",
     "text_pii_scrub",
     "text_lm_score",
     "corpus_mix_sample",
