@@ -128,6 +128,7 @@ HEADLINE_EXTENSIONS = (
     "join_skew_salted",
     "scd2_history",
     "cdc_apply",
+    "events_anomaly",
     # dedup_winnow (and its r7 composition dedup_winnow_cluster) is
     # EXCLUDED from the sf0.1 headline deliberately: the
     # synthetic documents corpus draws from a ~25-word vocabulary, so

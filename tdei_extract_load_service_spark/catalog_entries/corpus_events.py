@@ -646,3 +646,41 @@ def q_stream_join_shadow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return interval_join_shadow(spark, sf_dir, n_batches=4)
+
+
+@register(
+    "events_anomaly",
+    """
+    WITH s AS (
+      SELECT event_type AS g, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value*value AS DECIMAL(28,12))) AS DOUBLE) AS s2
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, e.value,
+           ROUND((e.value - s.s1/s.n)
+                 / sqrt((s.s2 - s.s1*s.s1/s.n)/(s.n-1)), 4) AS z
+    FROM events e JOIN s ON e.event_type = s.g
+    WHERE s.n >= 2 AND s.s2 - s.s1*s.s1/s.n > 0
+      AND abs(ROUND((e.value - s.s1/s.n)
+                    / sqrt((s.s2 - s.s1*s.s1/s.n)/(s.n-1)), 4)) > 1.6
+    ORDER BY e.event_id ASC
+    """,
+)
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score anomaly flagging (operators/profiling.py
+    zscore_outliers): events whose value is anomalous FOR ITS TYPE —
+    two scans, zero fact shuffles (per-type moments broadcast back).
+    Threshold 1.6 because the fixture's values are ~uniform (|z| is
+    bounded by sqrt(3) ≈ 1.73 for a uniform distribution — a 2.5-sigma
+    gate would be vacuously empty; real long-tailed metrics use 2.5-3).
+    Moments via the DECIMAL-sum recipe so both engines' variance is
+    bit-identical."""
+    from tdei_extract_load_service_spark.operators.profiling import (
+        zscore_outliers,
+    )
+
+    ev = _read_events(spark, sf_dir).select("event_id", "event_type", "value")
+    out = zscore_outliers(ev, "event_type", "value", threshold=1.6)
+    return out.select("event_id", "event_type", "value", "z").orderBy(
+        F.col("event_id").asc()
+    )

@@ -380,3 +380,50 @@ def quantile_bounds_histogram(
     return fixed_width_histogram(
         df, value_col, bin_width=(hi - lo) / n_bins, n_bins=n_bins, lo=lo
     )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    threshold: float = 2.5,
+) -> DataFrame:
+    """Per-group z-score outlier flagging — the monitoring/data-quality
+    primitive (alert on events whose value is anomalous FOR ITS TYPE,
+    not globally): two passes, (1) per-group moments, (2) join back and
+    flag |z| > threshold.
+
+    Cross-engine exactness: moments use the DECIMAL-sum recipe (s1 =
+    SUM(DECIMAL(value)), s2 = SUM(DECIMAL(value*value)) — the square is
+    one double multiply, identical both engines, and the sums are
+    order-independent); the sample variance ((s2 - s1*s1/n)/(n-1)),
+    mean and z are then identical double trees. Returns
+    ``(id-cols..., group, value, z)`` for flagged rows, z ROUND 4.
+
+    Scale shape: pass 1 is a map-side-combined aggregation to
+    |groups| rows; pass 2 broadcasts that tiny frame back onto the
+    scan — the fact table shuffles ZERO times (both passes are scans +
+    a broadcast join). Degenerate groups (n < 2 or zero variance) emit
+    nothing rather than NaN/div-by-zero z-scores.
+    """
+    g = _col(group_col)
+    v = _col(value_col)
+    stats = df.groupBy(g.alias("_g")).agg(
+        F.count("*").alias("_n"),
+        F.sum(v.cast("decimal(18,6)")).cast("double").alias("_s1"),
+        F.sum((v * v).cast("decimal(28,12)")).cast("double").alias("_s2"),
+    )
+    joined = df.join(
+        F.broadcast(stats), on=g == F.col("_g"), how="inner"
+    ).where(F.col("_n") >= 2)
+    mean = F.col("_s1") / F.col("_n")
+    var = (F.col("_s2") - F.col("_s1") * F.col("_s1") / F.col("_n")) / (
+        F.col("_n") - 1
+    )
+    z = (v - mean) / F.sqrt(var)
+    return (
+        joined.where(F.col("_s2") - F.col("_s1") * F.col("_s1") / F.col("_n") > 0)
+        .withColumn("z", F.round(z, 4))
+        .where(F.abs(F.col("z")) > threshold)
+        .drop("_g", "_n", "_s1", "_s2")
+    )

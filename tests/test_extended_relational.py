@@ -338,3 +338,53 @@ class TestSCD2Intervals:
         out = scd2_intervals(df, ["k"], "ts", "attr", ["rid"])
         assert out.count() == 2
         assert all(r["valid_to"] is None for r in out.collect())
+
+
+class TestZScoreOutliers:
+    def test_flags_only_cross_threshold_rows(self, spark):
+        import pandas as pd
+
+        from tdei_extract_load_service_spark.operators.profiling import (
+            zscore_outliers,
+        )
+
+        rows = [("a", float(v)) for v in [10, 10, 10, 10, 100]] + [
+            ("b", 5.0),
+            ("b", 5.0),
+        ]
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=["g", "v"]))
+        got = zscore_outliers(df, "g", "v", threshold=1.5).collect()
+        # only the 100 in group a crosses 1.5 sigma; group b has zero
+        # variance and must emit nothing (not NaN)
+        assert [(r["g"], r["v"]) for r in got] == [("a", 100.0)]
+        assert got[0]["z"] > 1.5
+
+    def test_per_group_not_global(self, spark):
+        import pandas as pd
+
+        from tdei_extract_load_service_spark.operators.profiling import (
+            zscore_outliers,
+        )
+
+        # 1000 is normal for group big but a huge global outlier; the
+        # per-group contract must NOT flag it
+        rows = [("small", float(v)) for v in [1, 2, 1, 2, 1, 2]] + [
+            ("big", 1000.0),
+            ("big", 1001.0),
+            ("big", 1000.0),
+            ("big", 1001.0),
+        ]
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=["g", "v"]))
+        assert zscore_outliers(df, "g", "v", threshold=3.0).count() == 0
+
+    def test_singleton_group_emits_nothing(self, spark):
+        import pandas as pd
+
+        from tdei_extract_load_service_spark.operators.profiling import (
+            zscore_outliers,
+        )
+
+        df = spark.createDataFrame(
+            pd.DataFrame([("a", 7.0)], columns=["g", "v"])
+        )
+        assert zscore_outliers(df, "g", "v").count() == 0

@@ -270,6 +270,11 @@ EXPECTATIONS: dict[str, list[str]] = {
     # stored df broadcasts, ranking is a top-k — and NO token explode
     # anywhere: the corpus is never re-tokenized at query time
     "text_bm25_topk_stored": ["PartitionFilters: \[.*term_bucket", "TakeOrderedAndProject", "BroadcastHashJoin", "!Generate explode"],
+    # per-type z-score outliers: per-group moments collapse to |types|
+    # rows then broadcast back onto the scan — the fact table must
+    # shuffle ZERO times (partial+final agg, broadcast join, no exchange
+    # of event rows beyond the tiny stats frame)
+    "events_anomaly": ["BroadcastHashJoin", "partial_count", "!SortMergeJoin", "!Exchange rangepartitioning.*value"],
 }
 
 
