@@ -801,3 +801,103 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_name",
         F.round(F.col("c_acctbal"), 2).alias("acctbal"),
     )
+
+
+@register(
+    "incremental_agg",
+    """
+    WITH latest AS (
+      SELECT CASE WHEN user_id % 7 = 3 THEN user_id + 10000000
+                  ELSE user_id END AS k,
+             event_type, value FROM (
+        SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) t WHERE rn = 1
+    ),
+    merged AS (
+      SELECT CASE WHEN l.k IS NOT NULL AND l.event_type = 'purchase'
+                  THEN 'BUILDING' ELSE c.c_mktsegment END AS g,
+             CASE WHEN l.k IS NOT NULL THEN ROUND(l.value, 2)
+                  ELSE c.c_acctbal END AS bal
+      FROM customer c LEFT JOIN latest l ON c.c_custkey = l.k
+      WHERE l.k IS NULL OR l.event_type <> 'error'
+      UNION ALL
+      SELECT CASE WHEN l.event_type = 'purchase' THEN 'BUILDING'
+                  ELSE 'FEEDNEW' END AS g,
+             ROUND(l.value, 2) AS bal
+      FROM latest l LEFT JOIN customer c ON c.c_custkey = l.k
+      WHERE c.c_custkey IS NULL AND l.event_type <> 'error'
+    )
+    SELECT g AS c_mktsegment, COUNT(*) AS n_customers,
+           ROUND(CAST(SUM(CAST(bal AS DECIMAL(18,6))) AS DOUBLE), 2)
+             AS total_bal
+    FROM merged GROUP BY g ORDER BY c_mktsegment ASC
+    """,
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance (operators/cdc.py
+    incremental_agg_maintain): per-segment (count, sum acctbal) is kept
+    as a stored aggregate and UPDATED from the events change feed's
+    before/after images — the base table is never rescanned. The feed
+    folds latest-wins per key (like cdc_apply); an 'error' latest event
+    deletes the customer, a 'purchase' moves it to segment BUILDING
+    (exercising the cross-group delta), any other event updates the
+    balance in place; keys new to the snapshot insert into their feed
+    segment (FEEDNEW/BUILDING) — every 7th feed key is shifted past the
+    custkey range so the insert arm is exercised at every SF (the raw
+    fixture's user_ids all land on existing customers). The ORACLE
+    recomputes the aggregate
+    from the fully merged snapshot — base + delta must equal the
+    recompute bit-exactly, which the DECIMAL(18,6) delta algebra
+    guarantees (decimal addition is associative). Here the entry
+    constructs before-images by a feed-sized lookup join; a production
+    feed (Debezium) carries them for free."""
+    from tdei_extract_load_service_spark.operators.cdc import (
+        incremental_agg_maintain,
+    )
+    from pyspark.sql import Window
+
+    customer = _read(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    base = customer.groupBy(F.col("c_mktsegment").alias("g")).agg(
+        F.count("*").alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,6)")).alias("total_bal"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = (
+        _read_events(spark, sf_dir)
+        .select("user_id", "event_type", "value", "ts", "event_id")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .withColumn(
+            "k",
+            F.when(
+                F.col("user_id") % 7 == 3, F.col("user_id") + 10_000_000
+            ).otherwise(F.col("user_id")),
+        )
+    )
+    feed = latest.join(customer, latest["k"] == customer["c_custkey"], "left")
+    is_delete = F.col("event_type") == "error"
+    feed = feed.select(
+        F.col("c_mktsegment").alias("bg"),
+        F.col("c_acctbal").alias("bv"),
+        F.when(is_delete, F.lit(None).cast("string"))
+        .when(F.col("event_type") == "purchase", F.lit("BUILDING"))
+        .otherwise(F.coalesce(F.col("c_mktsegment"), F.lit("FEEDNEW")))
+        .alias("ag"),
+        F.when(is_delete, F.lit(None).cast("double"))
+        .otherwise(F.round(F.col("value"), 2))
+        .alias("av"),
+    )
+    out = incremental_agg_maintain(
+        base, feed, "g", "n_customers", "total_bal", "bg", "bv", "ag", "av"
+    )
+    return out.select(
+        F.col("g").alias("c_mktsegment"),
+        "n_customers",
+        F.round(F.col("total_bal").cast("double"), 2).alias("total_bal"),
+    ).orderBy(F.col("c_mktsegment").asc())

@@ -81,3 +81,87 @@ def cdc_apply(
         else:
             out_cols.append(F.col(f"s.{c}").alias(c))
     return joined.where(is_delete.isNull() | ~is_delete).select(*out_cols)
+
+
+def incremental_agg_maintain(
+    base_aggs: DataFrame,
+    changes: DataFrame,
+    group_col: str,
+    n_col: str,
+    sum_col: str,
+    before_group: str,
+    before_value: str,
+    after_group: str,
+    after_value: str,
+) -> DataFrame:
+    """Incremental maintenance of per-group (COUNT, SUM) aggregates —
+    the materialized-view dual of :func:`cdc_apply`: fold a change feed
+    carrying before/after images (the Debezium envelope shape) into a
+    stored aggregate table WITHOUT rescanning the base relation. At
+    100 TB this is the whole point of keeping the aggregate: the feed
+    is a day's changes and the stored aggregate is |groups| rows; the
+    base table is never touched.
+
+    ``changes`` carries at most one row per key (fold the feed with a
+    latest-wins window first) with four image columns:
+
+    - ``before_group`` / ``before_value``: the row's old state, NULL
+      for inserts (key absent from the base);
+    - ``after_group`` / ``after_value``: the new state, NULL for
+      deletes.
+
+    Each change contributes the textbook IVM delta: ``(-1,
+    -before_value)`` to its old group and ``(+1, +after_value)`` to its
+    new group — an update that moves groups decrements one and
+    increments the other; an in-place update nets to a pure value
+    delta. Groups whose maintained count reaches zero are dropped
+    (matching a recompute, which would simply not emit them).
+
+    Cross-engine exactness: value deltas are summed as DECIMAL(18,6)
+    (order-independent), and DECIMAL addition is associative, so
+    ``base + delta`` is bit-identical to the full recompute the oracle
+    runs.
+
+    Scale shape: ONE scan of the feed (both contributions materialize
+    from an exploded 2-element struct array, not a self-union), a
+    map-side-combined aggregation down to |touched groups| rows, then
+    one full-outer join against the |groups|-row aggregate table. No
+    base-relation scan, no window, nothing proportional to the corpus.
+    """
+    contrib = changes.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(before_group).alias("_g"),
+                    F.lit(-1).cast("long").alias("_dn"),
+                    (-F.col(before_value)).cast("decimal(18,6)").alias("_dv"),
+                ),
+                F.struct(
+                    F.col(after_group).alias("_g"),
+                    F.lit(1).cast("long").alias("_dn"),
+                    F.col(after_value).cast("decimal(18,6)").alias("_dv"),
+                ),
+            )
+        ).alias("c")
+    ).select("c.*").where(F.col("_g").isNotNull())
+    delta = contrib.groupBy("_g").agg(
+        F.sum("_dn").alias("_delta_n"), F.sum("_dv").alias("_delta_v")
+    )
+    merged = base_aggs.join(
+        delta, base_aggs[group_col] == delta["_g"], "full_outer"
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    out_n = F.coalesce(F.col(n_col), F.lit(0)) + F.coalesce(
+        F.col("_delta_n"), F.lit(0)
+    )
+    out_v = F.coalesce(F.col(sum_col).cast("decimal(18,6)"), zero) + F.coalesce(
+        F.col("_delta_v"), zero
+    )
+    return (
+        merged.select(
+            F.coalesce(base_aggs[group_col], F.col("_g")).alias(group_col),
+            out_n.alias(n_col),
+            out_v.alias(sum_col),
+        )
+        .where(F.col(n_col) > 0)
+    )

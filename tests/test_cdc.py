@@ -65,3 +65,105 @@ def test_unknown_payload_column_rejected(spark):
     )
     with pytest.raises(ValueError):
         cdc_apply(snap, chg, "k", ("seq",), "op")
+
+
+class TestIncrementalAggMaintain:
+    @staticmethod
+    def _maintain(spark, base_rows, feed_rows):
+        from tdei_extract_load_service_spark.operators.cdc import (
+            incremental_agg_maintain,
+        )
+
+        base = spark.createDataFrame(
+            pd.DataFrame(base_rows, columns=["g", "n", "s"])
+        )
+        feed = spark.createDataFrame(
+            pd.DataFrame(feed_rows, columns=["bg", "bv", "ag", "av"])
+        )
+        out = incremental_agg_maintain(
+            base, feed, "g", "n", "s", "bg", "bv", "ag", "av"
+        )
+        return {r["g"]: (r["n"], float(r["s"])) for r in out.collect()}
+
+    def test_in_place_update_is_pure_value_delta(self, spark):
+        got = self._maintain(
+            spark, [("a", 2, 30.0)], [("a", 10.0, "a", 15.0)]
+        )
+        assert got == {"a": (2, 35.0)}
+
+    def test_group_move_decrements_old_increments_new(self, spark):
+        got = self._maintain(
+            spark,
+            [("a", 2, 30.0), ("b", 1, 5.0)],
+            [("a", 10.0, "b", 10.0)],
+        )
+        assert got == {"a": (1, 20.0), "b": (2, 15.0)}
+
+    def test_delete_drains_group_to_zero_and_drops_it(self, spark):
+        got = self._maintain(
+            spark, [("a", 1, 10.0), ("b", 1, 5.0)], [("a", 10.0, None, None)]
+        )
+        assert got == {"b": (1, 5.0)}
+
+    def test_insert_creates_brand_new_group(self, spark):
+        got = self._maintain(
+            spark, [("a", 1, 10.0)], [(None, None, "z", 7.0)]
+        )
+        assert got == {"a": (1, 10.0), "z": (1, 7.0)}
+
+    def test_matches_full_recompute(self, spark):
+        # base relation -> aggregate; apply a mixed feed both ways:
+        # incrementally (operator) and by recomputing over the merged
+        # relation — the two must agree exactly
+        import pyspark.sql.functions as F
+
+        rows = [(i, "g%d" % (i % 3), float(i)) for i in range(1, 31)]
+        rel = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["k", "g", "v"])
+        )
+        base = rel.groupBy("g").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("v").cast("decimal(18,6)")).alias("s"),
+        )
+        # feed: delete k=3, move k=4 to g-new with v=100, update k=5
+        # in place to 50, insert k=99 into g1
+        feed_rows = [
+            ("g0", 3.0, None, None),          # delete k=3 (g0)
+            ("g1", 4.0, "gnew", 100.0),       # move k=4
+            ("g2", 5.0, "g2", 50.0),          # in-place update k=5
+            (None, None, "g1", 99.0),         # insert k=99
+        ]
+        feed = spark.createDataFrame(
+            pd.DataFrame(feed_rows, columns=["bg", "bv", "ag", "av"])
+        )
+        from tdei_extract_load_service_spark.operators.cdc import (
+            incremental_agg_maintain,
+        )
+
+        inc = {
+            r["g"]: (r["n"], float(r["s"]))
+            for r in incremental_agg_maintain(
+                base, feed, "g", "n", "s", "bg", "bv", "ag", "av"
+            ).collect()
+        }
+        merged_rows = [
+            (k, g, v)
+            for (k, g, v) in rows
+            if k != 3
+        ]
+        merged_rows = [
+            (k, "gnew", 100.0) if k == 4 else (k, g, 50.0) if k == 5 else (k, g, v)
+            for (k, g, v) in merged_rows
+        ] + [(99, "g1", 99.0)]
+        rec = (
+            spark.createDataFrame(
+                pd.DataFrame(merged_rows, columns=["k", "g", "v"])
+            )
+            .groupBy("g")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("v").cast("decimal(18,6)")).alias("s"),
+            )
+        )
+        full = {r["g"]: (r["n"], float(r["s"])) for r in rec.collect()}
+        assert inc == full

@@ -275,6 +275,11 @@ EXPECTATIONS: dict[str, list[str]] = {
     # shuffle ZERO times (partial+final agg, broadcast join, no exchange
     # of event rows beyond the tiny stats frame)
     "events_anomaly": ["BroadcastHashJoin", "partial_count", "!SortMergeJoin", "!Exchange rangepartitioning.*value"],
+    # incremental view maintenance: BOTH IVM contributions come from one
+    # exploded struct array over the feed (never a feed self-union), the
+    # delta merges into the stored aggregate with a full-outer join, and
+    # the maintenance arm never windows/scans anything corpus-sized
+    "incremental_agg": ["Generate explode", "FullOuter", "!Union", "!CartesianProduct"],
 }
 
 

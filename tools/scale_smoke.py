@@ -101,6 +101,7 @@ QUERIES = (
     "scd2_history",
     "cdc_apply",
     "events_anomaly",
+    "incremental_agg",
     # dedup_winnow: excluded — replicated word-soup makes every substring
     # shingle corpus-hot (df ~ corpus size), so the smoke would measure
     # the max_hash_df cap dropping everything, not the join plan
