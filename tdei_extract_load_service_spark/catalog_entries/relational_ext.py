@@ -615,3 +615,81 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         TS.normalize_ts("valid_to", "yyyy-MM-dd").alias("valid_to"),
         "n_obs",
     ).orderBy(F.col("o_custkey").asc(), F.col("valid_from").asc())
+
+
+@register(
+    "temporal_join",
+    """
+    WITH s AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS NOT DISTINCT FROM event_type
+                  THEN 0 ELSE 1 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    r AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY user_id
+                               ORDER BY ts ASC, event_id ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS island
+      FROM s
+    ),
+    c AS (
+      SELECT user_id, island, min(event_type) AS status,
+             min(ts) AS vf, count(*) AS n_obs
+      FROM r GROUP BY user_id, island
+    ),
+    d AS (
+      SELECT user_id, status, vf AS valid_from,
+             lead(vf) OVER (PARTITION BY user_id ORDER BY vf ASC, island ASC)
+               AS valid_to
+      FROM c
+    )
+    SELECT e.event_id, e.user_id, e.event_type,
+           d.status AS status_1h_ago,
+           strftime(d.valid_from, '%Y-%m-%dT%H:%M:%S') AS version_from
+    FROM events e JOIN d ON e.user_id = d.user_id
+      AND e.ts - INTERVAL 1 HOUR >= d.valid_from
+      AND (d.valid_to IS NULL OR e.ts - INTERVAL 1 HOUR < d.valid_to)
+    ORDER BY e.event_id ASC
+    """,
+)
+def q_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup (operators/scd.py temporal_join over
+    scd2_intervals): for every event, the event_type REGIME its user
+    was in one hour earlier — the fact-to-SCD2-version join the
+    latest-only reference sinks cannot answer (overwrite_by_key keeps
+    no history). Dimension = per-user event_type runs (gaps-and-islands
+    on (ts, event_id)); fact timestamp = ts - 1h; facts predating the
+    user's first observation drop (inner). The oracle derives the same
+    intervals through the textbook recurrence and joins with the raw
+    BETWEEN predicate — the equi-key + residual decomposition is
+    Spark-side only. Timestamps stay NTZ end-to-end; rendering via
+    normalize_ts."""
+    from tdei_extract_load_service_spark.operators.scd import (
+        scd2_intervals,
+        temporal_join,
+    )
+
+    ev = _read_events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    dim = scd2_intervals(
+        ev, ["user_id"], "ts", "event_type", tiebreak_cols=["event_id"]
+    ).select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        "valid_from",
+        "valid_to",
+    )
+    facts = ev.withColumn("lookup_ts", F.expr("ts - INTERVAL 1 HOUR"))
+    joined = temporal_join(facts, dim, ["user_id"], "lookup_ts")
+    return joined.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("status").alias("status_1h_ago"),
+        TS.normalize_ts("valid_from", "yyyy-MM-dd'T'HH:mm:ss").alias(
+            "version_from"
+        ),
+    ).orderBy(F.col("event_id").asc())

@@ -78,3 +78,49 @@ def scd2_intervals(
         F.lead(F.col("valid_from")).over(w2).alias("valid_to"),
         "n_obs",
     )
+
+
+def temporal_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_cols: Sequence[str],
+    fact_ts: Column | str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-time join: each fact row joins the dimension VERSION
+    whose ``[valid_from, valid_to)`` interval contains the fact's
+    timestamp (``valid_to`` NULL = the open current version) — the
+    companion consumer of :func:`scd2_intervals`, answering "what was
+    the dimension's value WHEN the fact happened" instead of the
+    latest-only answer the reference's overwrite_by_key sinks can give.
+
+    The intervals produced by scd2_intervals partition each key's
+    timeline from its first observation onward, so at most ONE version
+    matches per fact; facts predating the key's first interval (or with
+    no dimension key at all) drop under ``how='inner'`` and survive
+    with NULL version columns under ``'left'``.
+
+    Scale shape: an EQUI join on the key with the interval containment
+    as a join residual — one hash exchange per side (or none, with both
+    sides bucketed by key), never a range-only/cartesian plan. Version
+    rows per key are few (runs, not observations), so the residual
+    evaluates on a short per-key candidate list; skew follows the fact
+    key distribution exactly like any fact-dim join (salt upstream if a
+    key is pathological).
+    """
+    ts = F.col(fact_ts) if isinstance(fact_ts, str) else fact_ts
+    f, d = facts.alias("f"), dim.alias("d")
+    keys_eq = [f[k] == d[k] for k in key_cols]
+    in_interval = (ts >= d[valid_from]) & (
+        d[valid_to].isNull() | (ts < d[valid_to])
+    )
+    cond = keys_eq[0]
+    for k in keys_eq[1:]:
+        cond = cond & k
+    dim_payload = [c for c in dim.columns if c not in key_cols]
+    return f.join(d, cond & in_interval, how).select(
+        *[f[c] for c in facts.columns],
+        *[d[c] for c in dim_payload],
+    )

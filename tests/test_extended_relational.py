@@ -388,3 +388,64 @@ class TestZScoreOutliers:
             pd.DataFrame([("a", 7.0)], columns=["g", "v"])
         )
         assert zscore_outliers(df, "g", "v").count() == 0
+
+
+class TestTemporalJoin:
+    @staticmethod
+    def _frames(spark):
+        import pandas as pd
+
+        dim_rows = [
+            # key, status, valid_from, valid_to (None = current)
+            (1, "new", 10.0, 20.0),
+            (1, "active", 20.0, 50.0),
+            (1, "churned", 50.0, None),
+            (2, "active", 5.0, None),
+        ]
+        dim = spark.createDataFrame(
+            pd.DataFrame(
+                dim_rows, columns=["k", "status", "valid_from", "valid_to"]
+            )
+        )
+        fact_rows = [
+            (100, 1, 25.0),  # mid interval -> active (NOT the latest)
+            (101, 1, 5.0),   # before first interval
+            (102, 1, 99.0),  # open current interval -> churned
+            (103, 1, 20.0),  # exactly a boundary -> the NEW version
+            (104, 3, 30.0),  # key absent from dim
+        ]
+        facts = spark.createDataFrame(
+            pd.DataFrame(fact_rows, columns=["fid", "k", "ts"])
+        )
+        return facts, dim
+
+    def test_picks_version_valid_at_fact_time(self, spark):
+        from tdei_extract_load_service_spark.operators.scd import temporal_join
+
+        facts, dim = self._frames(spark)
+        got = {
+            r["fid"]: r["status"]
+            for r in temporal_join(facts, dim, ["k"], "ts").collect()
+        }
+        # 101 (pre-history) and 104 (no dim key) drop under inner
+        assert got == {100: "active", 102: "churned", 103: "active"}
+
+    def test_left_keeps_unmatched_facts_with_null_version(self, spark):
+        from tdei_extract_load_service_spark.operators.scd import temporal_join
+
+        facts, dim = self._frames(spark)
+        got = {
+            r["fid"]: r["status"]
+            for r in temporal_join(
+                facts, dim, ["k"], "ts", how="left"
+            ).collect()
+        }
+        assert got[101] is None and got[104] is None
+        assert len(got) == 5
+
+    def test_at_most_one_version_per_fact(self, spark):
+        from tdei_extract_load_service_spark.operators.scd import temporal_join
+
+        facts, dim = self._frames(spark)
+        out = temporal_join(facts, dim, ["k"], "ts")
+        assert out.count() == out.select("fid").distinct().count()

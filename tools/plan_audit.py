@@ -280,6 +280,11 @@ EXPECTATIONS: dict[str, list[str]] = {
     # delta merges into the stored aggregate with a full-outer join, and
     # the maintenance arm never windows/scans anything corpus-sized
     "incremental_agg": ["Generate explode", "FullOuter", "!Union", "!CartesianProduct"],
+    # point-in-time join: the interval containment must ride the
+    # user_id EQUI join as a residual (any hash/merge equi strategy —
+    # the planner broadcasts the collapsed dim at audit scale), never
+    # degrade to a nested-loop/cartesian range plan
+    "temporal_join": ["(SortMergeJoin|HashJoin)", "Window", "!BroadcastNestedLoopJoin", "!CartesianProduct"],
 }
 
 

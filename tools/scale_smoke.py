@@ -102,6 +102,7 @@ QUERIES = (
     "cdc_apply",
     "events_anomaly",
     "incremental_agg",
+    "temporal_join",
     # dedup_winnow: excluded — replicated word-soup makes every substring
     # shingle corpus-hot (df ~ corpus size), so the smoke would measure
     # the max_hash_df cap dropping everything, not the join plan
