@@ -131,6 +131,7 @@ HEADLINE_EXTENSIONS = (
     "events_anomaly",
     "incremental_agg",
     "temporal_join",
+    "join_bucketed",
     # dedup_winnow (and its r7 composition dedup_winnow_cluster) is
     # EXCLUDED from the sf0.1 headline deliberately: the
     # synthetic documents corpus draws from a ~25-word vocabulary, so

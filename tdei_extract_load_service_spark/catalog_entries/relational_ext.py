@@ -693,3 +693,66 @@ def q_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "version_from"
         ),
     ).orderBy(F.col("event_id").asc())
+
+
+@register(
+    "join_bucketed",
+    """
+    SELECT c.c_custkey, c.c_name, COUNT(*) AS n_orders,
+           ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE),
+                 2) AS total_price
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY c.c_custkey ASC
+    """,
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join (operators/bucketed.py): customer
+    and orders are materialized ONCE as bucketed tables hash-clustered
+    by custkey into the same bucket count, so the join AND the
+    per-customer aggregation run with ZERO hash exchanges — the scans
+    themselves carry HashPartitioning (plan_audit asserts `Bucketed:
+    true` and no hashpartitioning exchange; the only exchange left is
+    the output ORDER BY's range partitioning). hint("merge") pins the
+    strategy the layout exists for: at 100 TB both sides are fact-sized
+    and broadcast is impossible — at audit scale the planner would
+    otherwise broadcast and hide the layout. The oracle is the PLAIN
+    join: bucketing must not change results, only the plan."""
+    import os
+
+    from tdei_extract_load_service_spark.operators.bucketed import (
+        bucketed_table,
+    )
+
+    key = f"{sf_dir}:{os.path.getmtime(os.path.join(sf_dir, 'orders.parquet'))}"
+    cust = bucketed_table(
+        spark,
+        _read(spark, sf_dir, "customer").select("c_custkey", "c_name"),
+        "customer",
+        ["c_custkey"],
+        8,
+        key,
+    )
+    orders = bucketed_table(
+        spark,
+        _read(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+        "orders",
+        ["o_custkey"],
+        8,
+        key,
+    )
+    return (
+        cust.hint("merge")
+        .join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("total_price"),
+        )
+        .orderBy(F.col("c_custkey").asc())
+    )

@@ -285,6 +285,10 @@ EXPECTATIONS: dict[str, list[str]] = {
     # the planner broadcasts the collapsed dim at audit scale), never
     # degrade to a nested-loop/cartesian range plan
     "temporal_join": ["(SortMergeJoin|HashJoin)", "Window", "!BroadcastNestedLoopJoin", "!CartesianProduct"],
+    # co-located bucketed join: both scans must carry the bucket layout
+    # and the join+agg must run with ZERO hash exchanges — the only
+    # exchange allowed is the output ORDER BY's range partitioning
+    "join_bucketed": ["Bucketed: true", "SortMergeJoin", "!Exchange hashpartitioning", "!CartesianProduct"],
 }
 
 

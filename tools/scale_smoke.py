@@ -103,6 +103,7 @@ QUERIES = (
     "events_anomaly",
     "incremental_agg",
     "temporal_join",
+    "join_bucketed",
     # dedup_winnow: excluded — replicated word-soup makes every substring
     # shingle corpus-hot (df ~ corpus size), so the smoke would measure
     # the max_hash_df cap dropping everything, not the join plan
