@@ -684,3 +684,26 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "event_type", "value", "z").orderBy(
         F.col("event_id").asc()
     )
+
+
+@register(
+    "stream_sink_shadow",
+    """
+    SELECT event_type, COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
+             AS total_value
+    FROM events GROUP BY event_type ORDER BY event_type ASC
+    """,
+)
+def q_stream_sink_shadow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIXTH streaming certification — the exactly-once WRITE path
+    (streaming/sink.py + shadow.sink_shadow): a streaming aggregation
+    replays four staged micro-batches and publishes each complete-mode
+    snapshot through one manifest transaction (batch-id ledger and data
+    in the same atomic pointer swap); the entry reads the final
+    snapshot back through the manifest pointer, closing the loop the
+    batch GROUP BY oracle checks. Replay idempotence pinned in pytest
+    (tests/test_streaming_shadow.py)."""
+    from tdei_extract_load_service_spark.streaming.shadow import sink_shadow
+
+    return sink_shadow(spark, sf_dir, n_batches=4)

@@ -370,3 +370,66 @@ def interval_join_shadow(
     return spark.table(name).orderBy(
         F.col("user_id").asc(), F.col("view_id").asc(), F.col("click_id").asc()
     )
+
+
+def sink_shadow(
+    spark: SparkSession, sf_dir: str, n_batches: int = 4
+) -> DataFrame:
+    """The exactly-once SINK path, certified end to end — the sixth
+    streaming certification, and the only one where the thing under
+    test is the WRITE side: a streaming per-type aggregation replays
+    the staged micro-batches and publishes every complete-mode snapshot
+    through ``streaming/sink.py``'s foreachBatch handler — one manifest
+    transaction per micro-batch, the committed batch id riding the same
+    atomic pointer swap as the data (sinks/manifest.py; the streaming
+    form of O18's single-Postgres-transaction guarantee,
+    src/database/data-source.ts:33-65).
+
+    The returned frame is read BACK from the warehouse through the
+    manifest pointer (read_table), so the oracle checks the full loop:
+    stream -> per-batch transactional publish -> snapshot read. After
+    four batches the last committed snapshot is the aggregate over all
+    events — exactly the batch GROUP BY the oracle runs. Replay
+    idempotence (a re-delivered batch_id must be a no-op) is pinned in
+    pytest, where the handler is invoked directly with a stale id and
+    corrupted payload. No timestamps cross the state path, so the
+    result is trivially session-tz independent."""
+    import tempfile
+
+    from tdei_extract_load_service_spark.sinks.manifest import read_table
+    from tdei_extract_load_service_spark.streaming.sink import (
+        manifest_snapshot_sink,
+    )
+
+    stage = stage_event_stream(spark, sf_dir, n_batches)
+    root = tempfile.mkdtemp(prefix="stream_sink_shadow_")
+    schema = spark.read.parquet(stage).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    agg = src.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("_tv"),
+    )
+    name = f"shadow_{os.getpid()}_{next(_QUERY_COUNTER)}"
+    q = (
+        agg.coalesce(1)
+        .writeStream.foreachBatch(
+            manifest_snapshot_sink(root, "event_type_aggs")
+        )
+        .outputMode("complete")
+        .option(
+            "checkpointLocation", f"/tmp/spark_graft_stream_ckpt/{name}"
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = read_table(spark, root, "event_type_aggs")
+    return final.select(
+        "event_type",
+        "n_events",
+        F.round(F.col("_tv").cast("double"), 2).alias("total_value"),
+    ).orderBy(F.col("event_type").asc())

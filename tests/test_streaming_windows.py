@@ -624,3 +624,69 @@ class TestIntervalJoinShadow:
             if vu == cu and abs((cts - vts).total_seconds()) <= 3600
         )
         assert got == want and len(got) > 0
+
+
+class TestSinkShadow:
+    def test_exactly_once_snapshot_publication(self, spark, tmp_path):
+        """Four batch snapshots published; a REPLAYED batch id (with a
+        corrupted payload, as a crashed-and-recovered executor could
+        deliver) must be a no-op: same manifest txn, same table rows."""
+        import pandas as pd
+
+        from tdei_extract_load_service_spark.sinks.manifest import (
+            read_manifest,
+            read_table,
+        )
+        from tdei_extract_load_service_spark.streaming.sink import (
+            manifest_snapshot_sink,
+        )
+
+        root = str(tmp_path / "wh")
+        handle = manifest_snapshot_sink(root, "aggs")
+        for batch_id, total in enumerate([10.0, 20.0, 30.0]):
+            snap = spark.createDataFrame(
+                pd.DataFrame([("a", total)], columns=["g", "s"])
+            )
+            handle(snap, batch_id)
+        m = read_manifest(root)
+        assert m["txn"] == 3
+        assert list(m["tables"]["aggs"].keys()) == ["b2"]
+        # replay batch 2 with a corrupted payload -> skipped entirely
+        bad = spark.createDataFrame(
+            pd.DataFrame([("a", -999.0)], columns=["g", "s"])
+        )
+        handle(bad, 2)
+        handle(bad, 1)
+        m2 = read_manifest(root)
+        assert m2["txn"] == 3
+        rows = read_table(spark, root, "aggs").collect()
+        assert [(r["g"], r["s"]) for r in rows] == [("a", 30.0)]
+
+    def test_shadow_roundtrip_equals_batch_aggregate(self, spark):
+        import pyspark.sql.functions as F
+
+        from tdei_extract_load_service_spark.streaming.shadow import (
+            sink_shadow,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = {
+            r["event_type"]: (r["n_events"], r["total_value"])
+            for r in sink_shadow(spark, sf, n_batches=4).collect()
+        }
+        want = {
+            r["event_type"]: (r["n"], r["tv"])
+            for r in spark.read.parquet(f"{sf}/events.parquet")
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(
+                    F.sum(F.col("value").cast("decimal(18,6)")).cast(
+                        "double"
+                    ),
+                    2,
+                ).alias("tv"),
+            )
+            .collect()
+        }
+        assert got == want
