@@ -132,6 +132,8 @@ HEADLINE_EXTENSIONS = (
     "incremental_agg",
     "temporal_join",
     "join_bucketed",
+    "ts_fill_gaps",
+    "referential_audit",
     # dedup_winnow (and its r7 composition dedup_winnow_cluster) is
     # EXCLUDED from the sf0.1 headline deliberately: the
     # synthetic documents corpus draws from a ~25-word vocabulary, so

@@ -707,3 +707,63 @@ def q_stream_sink_shadow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tdei_extract_load_service_spark.streaming.shadow import sink_shadow
 
     return sink_shadow(spark, sf_dir, n_batches=4)
+
+
+@register(
+    "ts_fill_gaps",
+    """
+    WITH b AS (
+      SELECT event_type,
+             (epoch_us(ts) // 3600000000)
+               + (CASE WHEN epoch_us(ts) % 3600000000 < 0 THEN -1 ELSE 0 END)
+               AS h,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+               AS mean_v
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (SELECT event_type, MIN(h) AS lo, MAX(h) AS hi FROM b GROUP BY 1),
+    g AS (SELECT event_type, UNNEST(generate_series(lo, hi)) AS h FROM s),
+    f AS (
+      SELECT g.event_type, g.h, b.n, b.mean_v
+      FROM g LEFT JOIN b ON g.event_type = b.event_type AND g.h = b.h
+    )
+    SELECT event_type, h AS hour_bucket,
+           COALESCE(n, 0) AS n_events,
+           ROUND(last_value(mean_v IGNORE NULLS)
+                   OVER (PARTITION BY event_type ORDER BY h
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 4) AS value_locf,
+           (n IS NULL) AS is_gap
+    FROM f
+    ORDER BY event_type ASC, hour_bucket ASC
+    """,
+)
+def q_ts_fill_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: hourly per-type resample with gap
+    rows GENERATED (dense grid per type from its own min..max hour) and
+    the mean value carried forward over gaps (LOCF) — the
+    missing-bucket repair every monitoring/forecasting consumer needs
+    and no plain GROUP BY can produce (absent groups don't exist to
+    aggregate). Scale shape: the fact table aggregates ONCE down to
+    |type x hour| rows; the grid explodes from the |types|-row span
+    frame (sequence+explode — generated, not scanned), the gap join and
+    the LOCF window both run on bucket-sized frames. Hour buckets via
+    the floored integer-micros recipe (session-tz independent, exact on
+    both engines; ADVICE r7 pre-epoch rule); the mean is DECIMAL-sum /
+    count — one double division, identical trees.
+    Core in operators/events.py fill_time_gaps.
+    """
+    from tdei_extract_load_service_spark.operators.events import (
+        fill_time_gaps,
+    )
+
+    ev = _read_events(spark, sf_dir).select("event_type", "ts", "value")
+    out = fill_time_gaps(ev, "event_type", "ts", "value")
+    return out.select(
+        F.col("group").alias("event_type"),
+        F.col("bucket").alias("hour_bucket"),
+        "n_events",
+        F.round(F.col("value_locf"), 4).alias("value_locf"),
+        "is_gap",
+    ).orderBy(F.col("event_type").asc(), F.col("hour_bucket").asc())

@@ -756,3 +756,99 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("c_custkey").asc())
     )
+
+
+@register(
+    "referential_audit",
+    """
+    SELECT * FROM (
+      SELECT 'customer.nationkey->nation' AS relationship,
+             (SELECT COUNT(*) FROM customer) AS n_child,
+             (SELECT COUNT(*) FROM customer c LEFT JOIN nation n
+                ON c.c_nationkey = n.n_nationkey
+              WHERE n.n_nationkey IS NULL) AS n_orphans
+      UNION ALL
+      SELECT 'events.user_id->customer',
+             (SELECT COUNT(*) FROM events),
+             (SELECT COUNT(*) FROM events e LEFT JOIN customer c
+                ON e.user_id = c.c_custkey
+              WHERE c.c_custkey IS NULL)
+      UNION ALL
+      SELECT 'lineitem.orderkey->orders',
+             (SELECT COUNT(*) FROM lineitem),
+             (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
+                ON l.l_orderkey = o.o_orderkey
+              WHERE o.o_orderkey IS NULL)
+      UNION ALL
+      SELECT 'orders.custkey->customer',
+             (SELECT COUNT(*) FROM orders),
+             (SELECT COUNT(*) FROM orders o LEFT JOIN customer c
+                ON o.o_custkey = c.c_custkey
+              WHERE c.c_custkey IS NULL)
+    ) t ORDER BY relationship ASC
+    """,
+)
+def q_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — the warehouse data-quality sweep:
+    for each declared FK relationship, total child rows and the number
+    of ORPHANS (child keys with no parent). The reference enforces FKs
+    transactionally per load (O16/O21: 23503 foreign-key errors,
+    extract-load-service.ts); a lake has no enforcing database, so the
+    audit IS the integrity mechanism. Each relationship is one
+    LEFT ANTI join aggregated to a single row (AQE broadcasts the
+    parent side where it is small); the four one-row frames union —
+    nothing wider than a count ever moves. The oracle derives orphans
+    through LEFT JOIN ... IS NULL, so the anti-join decorrelation is
+    independently checked."""
+    rels = [
+        (
+            "customer.nationkey->nation",
+            _read(spark, sf_dir, "customer").select(
+                F.col("c_nationkey").alias("k")
+            ),
+            _read(spark, sf_dir, "nation").select(
+                F.col("n_nationkey").alias("k")
+            ),
+        ),
+        (
+            "events.user_id->customer",
+            _read_events(spark, sf_dir).select(F.col("user_id").alias("k")),
+            _read(spark, sf_dir, "customer").select(
+                F.col("c_custkey").alias("k")
+            ),
+        ),
+        (
+            "lineitem.orderkey->orders",
+            _read(spark, sf_dir, "lineitem").select(
+                F.col("l_orderkey").alias("k")
+            ),
+            _read(spark, sf_dir, "orders").select(
+                F.col("o_orderkey").alias("k")
+            ),
+        ),
+        (
+            "orders.custkey->customer",
+            _read(spark, sf_dir, "orders").select(
+                F.col("o_custkey").alias("k")
+            ),
+            _read(spark, sf_dir, "customer").select(
+                F.col("c_custkey").alias("k")
+            ),
+        ),
+    ]
+    parts = []
+    for name, child, parent in rels:
+        totals = child.agg(F.count("*").alias("n_child"))
+        orphans = child.join(parent, "k", "left_anti").agg(
+            F.count("*").alias("n_orphans")
+        )
+        # 1-row x 1-row scalar combine (the Q22/Q15 precedent)
+        parts.append(
+            totals.crossJoin(orphans).select(
+                F.lit(name).alias("relationship"), "n_child", "n_orphans"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy(F.col("relationship").asc())

@@ -190,3 +190,70 @@ def retention_cohorts(
         )
         .orderBy(F.col("cohort_day").asc(), F.col("day_offset").asc())
     )
+
+
+def fill_time_gaps(
+    df: DataFrame,
+    group_col: str | Column,
+    ts_col: str | Column,
+    value_col: str | Column,
+    bucket_micros: int = 3_600_000_000,
+) -> DataFrame:
+    """Regularize an event series: bucket to fixed windows, GENERATE the
+    missing buckets per group (dense grid from each group's own
+    min..max bucket), and carry the last observed mean forward over the
+    gaps (LOCF). Returns ``(group, bucket, n_events, value_locf,
+    is_gap)`` with ``bucket`` as the floored epoch-micros division —
+    session-tz independent and exactly DuckDB's ``epoch_us // n`` with
+    the same sign-corrected floor (the ADVICE-r7 pre-epoch rule).
+
+    Scale shape: the fact table aggregates ONCE down to |group x
+    bucket| rows; the grid explodes from the |groups|-row span frame
+    (generated, never scanned), and the gap join plus the LOCF window
+    run on bucket-sized frames — nothing downstream of the first
+    aggregation is proportional to the corpus. A group's grid length is
+    its own time span, so one long-lived group cannot inflate every
+    other group's output (per-group min..max, not global).
+    """
+    g, ts, v = _col(group_col), _col(ts_col), _col(value_col)
+    # integer DIV with the sign-corrected floor — double division would
+    # lose precision on ~1e18 micros, so project the micros first and
+    # bucket with integer arithmetic
+    projected = df.select(
+        g.alias("_g"), F.unix_micros(ts).alias("_us"), v.alias("_v")
+    )
+    bucket = F.expr(
+        f"(_us DIV {bucket_micros})"
+        f" + (CASE WHEN _us % {bucket_micros} < 0 THEN -1 ELSE 0 END)"
+    )
+    b = projected.groupBy("_g", bucket.alias("_h")).agg(
+        F.count("*").alias("_n"),
+        (
+            F.sum(F.col("_v").cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+        ).alias("_mean"),
+    )
+    # the bucket frame feeds BOTH the span and the gap join — without a
+    # persist Catalyst re-plans the shared subtree as two full fact
+    # scans (the q20/text_source_overlap lesson); the frame is
+    # |group x bucket| rows, safe to cache at any corpus size
+    b = b.persist()
+    span = b.groupBy("_g").agg(
+        F.min("_h").alias("_lo"), F.max("_h").alias("_hi")
+    )
+    grid = span.select(
+        "_g", F.explode(F.sequence("_lo", "_hi")).alias("_h")
+    )
+    filled = grid.join(b, ["_g", "_h"], "left")
+    w = (
+        Window.partitionBy("_g")
+        .orderBy(F.col("_h").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        F.col("_g").alias("group"),
+        F.col("_h").alias("bucket"),
+        F.coalesce(F.col("_n"), F.lit(0)).alias("n_events"),
+        F.last("_mean", ignorenulls=True).over(w).alias("value_locf"),
+        F.col("_n").isNull().alias("is_gap"),
+    )

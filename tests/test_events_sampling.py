@@ -406,3 +406,74 @@ class TestChunkText:
 
         with _pytest.raises(ValueError):
             chunk_text(self._docs(spark, []), "doc_id", "text", chunk_words=8, overlap_words=8)
+
+
+class TestFillTimeGaps:
+    @staticmethod
+    def _run(spark, rows, bucket_micros=3_600_000_000):
+        import pandas as pd
+
+        from tdei_extract_load_service_spark.operators.events import (
+            fill_time_gaps,
+        )
+
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["g", "ts", "v"])
+        )
+        out = fill_time_gaps(df, "g", "ts", "v", bucket_micros)
+        return sorted(
+            (
+                r["group"],
+                r["bucket"],
+                r["n_events"],
+                round(r["value_locf"], 6),
+                r["is_gap"],
+            )
+            for r in out.collect()
+        )
+
+    def test_gap_rows_generated_and_locf_carried(self, spark):
+        import pandas as pd
+
+        ts = pd.Timestamp
+        rows = [
+            ("a", ts("2024-01-01 00:10"), 10.0),
+            ("a", ts("2024-01-01 00:50"), 20.0),  # hour 0: mean 15
+            # hours 1-2 silent -> gaps carrying 15
+            ("a", ts("2024-01-01 03:30"), 40.0),  # hour 3: mean 40
+        ]
+        got = self._run(spark, rows)
+        base = got[0][1]
+        assert [(b - base, n, v, gap) for (_, b, n, v, gap) in got] == [
+            (0, 2, 15.0, False),
+            (1, 0, 15.0, True),
+            (2, 0, 15.0, True),
+            (3, 1, 40.0, False),
+        ]
+
+    def test_grid_is_per_group_not_global(self, spark):
+        import pandas as pd
+
+        ts = pd.Timestamp
+        rows = [
+            ("a", ts("2024-01-01 00:00"), 1.0),
+            ("a", ts("2024-01-05 00:00"), 1.0),  # long-lived group
+            ("b", ts("2024-01-02 00:00"), 2.0),  # single observation
+        ]
+        got = self._run(spark, rows)
+        b_rows = [r for r in got if r[0] == "b"]
+        # b's grid is its own span (one bucket), not a's 4-day range
+        assert len(b_rows) == 1 and b_rows[0][2] == 1
+        a_rows = [r for r in got if r[0] == "a"]
+        assert len(a_rows) == 4 * 24 + 1
+
+    def test_no_gaps_means_no_synthetic_rows(self, spark):
+        import pandas as pd
+
+        ts = pd.Timestamp
+        rows = [
+            ("a", ts("2024-01-01 00:00"), 2.0),
+            ("a", ts("2024-01-01 01:00"), 4.0),
+        ]
+        got = self._run(spark, rows)
+        assert [r[4] for r in got] == [False, False]

@@ -289,6 +289,16 @@ EXPECTATIONS: dict[str, list[str]] = {
     # and the join+agg must run with ZERO hash exchanges — the only
     # exchange allowed is the output ORDER BY's range partitioning
     "join_bucketed": ["Bucketed: true", "SortMergeJoin", "!Exchange hashpartitioning", "!CartesianProduct"],
+    # time-series gap fill: the bucket frame is persisted and BOTH its
+    # consumers (span + gap join) read the cache — the fact is scanned
+    # once at runtime (each InMemoryRelation prints its child FileScan,
+    # so a textual =1:FileScan cannot assert this); the dense grid is
+    # GENERATED (sequence explode), the LOCF window runs on the grid
+    "ts_fill_gaps": ["Generate explode", "Window", "partial_count", "=2:InMemoryTableScan", "!CartesianProduct"],
+    # FK audit: each relationship is a LeftAnti collapsed to one row
+    # BEFORE the scalar combine, so the only nested-loop joins are
+    # 1-row x 1-row (Q22/Q15 precedent) and the union moves 4 rows
+    "referential_audit": ["LeftAnti", "partial_count", "Union"],
 }
 
 

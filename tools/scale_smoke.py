@@ -104,6 +104,8 @@ QUERIES = (
     "incremental_agg",
     "temporal_join",
     "join_bucketed",
+    "ts_fill_gaps",
+    "referential_audit",
     # dedup_winnow: excluded — replicated word-soup makes every substring
     # shingle corpus-hot (df ~ corpus size), so the smoke would measure
     # the max_hash_df cap dropping everything, not the join plan
