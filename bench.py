@@ -134,6 +134,8 @@ HEADLINE_EXTENSIONS = (
     "join_bucketed",
     "ts_fill_gaps",
     "referential_audit",
+    "join_fuzzy",
+    "graph_pagerank",
     # dedup_winnow (and its r7 composition dedup_winnow_cluster) is
     # EXCLUDED from the sf0.1 headline deliberately: the
     # synthetic documents corpus draws from a ~25-word vocabulary, so

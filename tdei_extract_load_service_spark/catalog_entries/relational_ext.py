@@ -852,3 +852,130 @@ def q_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy(F.col("relationship").asc())
+
+
+@register(
+    "join_fuzzy",
+    """
+    WITH dirty AS (
+      SELECT c_custkey AS dirty_key,
+             concat(substring(c_name, 1,
+                              CAST(c_custkey % length(c_name) AS INT)),
+                    'x',
+                    substring(c_name,
+                              CAST(c_custkey % length(c_name) AS INT) + 2))
+               AS dirty_name
+      FROM customer WHERE c_custkey % 3 = 0
+    )
+    SELECT d.dirty_key, c.c_custkey AS clean_key,
+           d.dirty_name, c.c_name,
+           levenshtein(d.dirty_name, c.c_name) AS dist
+    FROM dirty d, customer c
+    WHERE levenshtein(d.dirty_name, c.c_name) <= 1
+    ORDER BY dirty_key ASC, clean_key ASC
+    """,
+)
+def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy join (operators/fuzzy.py fuzzy_join_blocked):
+    resolve deterministically-corrupted customer names (one character
+    replaced at a key-derived position, every third customer) back to
+    the clean dimension within levenshtein 1 — WITHOUT the cross
+    product: both sides explode their SymSpell one-deletion
+    signatures, candidates come from an equi join on the signature,
+    and levenshtein verifies only candidates. The ORACLE is the
+    textbook quadratic form (cross join + levenshtein filter), so the
+    blocking's completeness is independently checked — any pair the
+    signatures miss fails the hash compare. Both engines build the
+    corruption with identical substring arithmetic and agree on
+    levenshtein (unit-cost ins/del/sub)."""
+    from tdei_extract_load_service_spark.operators.fuzzy import (
+        fuzzy_join_blocked,
+    )
+
+    cust = _read(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    corrupt = F.expr(
+        "concat(substring(c_name, 1,"
+        " CAST(c_custkey % length(c_name) AS INT)), 'x',"
+        " substring(c_name,"
+        " CAST(c_custkey % length(c_name) AS INT) + 2))"
+    )
+    dirty = cust.where(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("dirty_key"),
+        corrupt.alias("dirty_name"),
+    )
+    out = fuzzy_join_blocked(
+        dirty, cust, "dirty_key", "c_custkey", "dirty_name", "c_name"
+    )
+    return out.select(
+        "dirty_key",
+        F.col("c_custkey").alias("clean_key"),
+        "dirty_name",
+        "c_name",
+        "dist",
+    ).orderBy(F.col("dirty_key").asc(), F.col("clean_key").asc())
+
+
+@register(
+    "graph_pagerank",
+    """
+    WITH e AS (
+      SELECT DISTINCT l_suppkey AS src, 1000000 + l_partkey AS dst
+      FROM lineitem
+      UNION
+      SELECT DISTINCT 1000000 + l_partkey AS src, l_suppkey AS dst
+      FROM lineitem
+    ),
+    d AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+    nn AS (SELECT COUNT(*) AS n FROM d),
+    c AS (SELECT ((15 * 1000000000000) // 100) // (SELECT n FROM nn)
+            AS base_fp,
+          1000000000000 // (SELECT n FROM nn) AS init_fp),
+    r0 AS (SELECT src AS node, (SELECT init_fp FROM c) AS r FROM d),
+    r1 AS (
+      SELECT e.dst AS node,
+             (SELECT base_fp FROM c) + (85 * SUM(r0.r // d.deg)) // 100 AS r
+      FROM e JOIN d ON e.src = d.src JOIN r0 ON r0.node = e.src
+      GROUP BY e.dst
+    ),
+    r2 AS (
+      SELECT e.dst AS node,
+             (SELECT base_fp FROM c) + (85 * SUM(r1.r // d.deg)) // 100 AS r
+      FROM e JOIN d ON e.src = d.src JOIN r1 ON r1.node = e.src
+      GROUP BY e.dst
+    ),
+    r3 AS (
+      SELECT e.dst AS node,
+             (SELECT base_fp FROM c) + (85 * SUM(r2.r // d.deg)) // 100 AS r
+      FROM e JOIN d ON e.src = d.src JOIN r2 ON r2.node = e.src
+      GROUP BY e.dst
+    )
+    SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r3 ORDER BY node ASC
+    """,
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three damped PageRank iterations (operators/graph.py pagerank)
+    over the undirected supplier-part purchase graph (distinct
+    lineitem pairs, both orientations; part ids offset by 1e6 into a
+    shared node space). Ranks are FIXED-POINT BIGINTs (units of 1e-12):
+    the whole recurrence is integer joins/sums/DIVs, so both engines
+    are bit-identical by construction — the double-rounding first cut
+    diverged at ROUND(x,12) knife edges (shortest-repr vs exact-binary
+    rounding), which fixed-point removes along with any run-to-run
+    float-order sensitivity a 1000-executor rerun would add. The
+    ORACLE unrolls the identical three iterations as chained CTEs — an
+    independent derivation of the same recurrence. The Spark side is
+    the production shape the SQL cannot be at depth k: a driver loop
+    whose per-iteration frame is persisted and whose predecessor is
+    released, keeping lineage one iteration deep."""
+    from tdei_extract_load_service_spark.operators.graph import pagerank
+
+    li = _read(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey")
+    fwd = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.lit(1000000) + F.col("l_partkey")).alias("dst"),
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    out = pagerank(edges, "src", "dst", damping=0.85, iterations=3)
+    return out.orderBy(F.col("node").asc())

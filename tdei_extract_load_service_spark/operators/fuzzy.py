@@ -1,0 +1,82 @@
+"""Blocked fuzzy (edit-distance) joins.
+
+Entity resolution against dirty keys — the lookup the reference's exact
+FK model cannot do (its keys arrive clean from Postgres; a lake ingests
+misspelled ones). The naive form is an all-pairs levenshtein cross join
+— quadratic, dead at any scale. The scalable form used here is the
+SymSpell deletion-neighborhood blocking: for edit distance <= 1, two
+strings match only if they share a member of {s} ∪ {s minus one char},
+so each side explodes O(len) signatures, candidates come from an EQUI
+join on the signature, and levenshtein runs only on the candidate
+pairs. Sound AND complete for distance 1 (equal: share s; substitution:
+delete the edited position on both; insert/delete: the shorter string
+IS a deletion signature of the longer).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _deletion_signatures(text_col: str) -> F.Column:
+    """The string plus every single-deletion variant, as an array."""
+    t = F.col(text_col)
+    deletions = F.expr(
+        f"transform(sequence(1, length({text_col})), i ->"
+        f" concat(substring({text_col}, 1, i-1),"
+        f" substring({text_col}, i+1, length({text_col}))))"
+    )
+    return F.concat(F.array(t), deletions)
+
+
+def fuzzy_join_blocked(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_text: str,
+    right_text: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Join rows whose text columns are within levenshtein ``max_dist``
+    (only 1 is supported — the one-deletion neighborhood is complete
+    exactly for distance 1; larger radii need the k-deletion variant),
+    without ever forming the cross product.
+
+    Returns ``(left_key, right_key, left_text, right_text, dist)``.
+
+    Scale shape: each side explodes ``len+1`` signatures (linear), the
+    candidate set comes from one equi shuffle on the signature, and
+    pairs are DISTINCT-ed before the levenshtein verify so a pair
+    sharing many signatures is scored once. Signature frequency follows
+    text-prefix popularity — a pathological hot signature salts like
+    any hot join key (operators/skew.py).
+    """
+    if max_dist != 1:
+        raise ValueError(
+            "fuzzy_join_blocked supports max_dist=1 (one-deletion "
+            "neighborhood); compose k-deletion signatures for larger radii"
+        )
+    lsig = left.select(
+        F.col(left_key).alias("_lk"),
+        F.col(left_text).alias("_lt"),
+        F.explode(_deletion_signatures(left_text)).alias("_sig"),
+    )
+    rsig = right.select(
+        F.col(right_key).alias("_rk"),
+        F.col(right_text).alias("_rt"),
+        F.explode(_deletion_signatures(right_text)).alias("_sig"),
+    )
+    candidates = lsig.join(rsig, "_sig").select(
+        "_lk", "_rk", "_lt", "_rt"
+    ).distinct()
+    return candidates.where(
+        F.levenshtein(F.col("_lt"), F.col("_rt")) <= max_dist
+    ).select(
+        F.col("_lk").alias(left_key),
+        F.col("_rk").alias(right_key),
+        F.col("_lt").alias(left_text),
+        F.col("_rt").alias(right_text),
+        F.levenshtein(F.col("_lt"), F.col("_rt")).alias("dist"),
+    )

@@ -299,6 +299,13 @@ EXPECTATIONS: dict[str, list[str]] = {
     # BEFORE the scalar combine, so the only nested-loop joins are
     # 1-row x 1-row (Q22/Q15 precedent) and the union moves 4 rows
     "referential_audit": ["LeftAnti", "partial_count", "Union"],
+    # blocked fuzzy join: candidates come from the signature EQUI join
+    # (explode visible), never a nested-loop/cartesian over the text
+    "join_fuzzy": ["Generate explode", "HashAggregate", "!BroadcastNestedLoopJoin", "!CartesianProduct"],
+    # fixed-point pagerank: the returned frame is the last iteration's
+    # persisted rank table — the audit sees the cache (lineage is one
+    # iteration deep by design), not a 3x-unrolled join tree
+    "graph_pagerank": ["InMemoryTableScan", "!CartesianProduct"],
 }
 
 

@@ -106,6 +106,8 @@ QUERIES = (
     "join_bucketed",
     "ts_fill_gaps",
     "referential_audit",
+    "join_fuzzy",
+    "graph_pagerank",
     # dedup_winnow: excluded — replicated word-soup makes every substring
     # shingle corpus-hot (df ~ corpus size), so the smoke would measure
     # the max_hash_df cap dropping everything, not the join plan
