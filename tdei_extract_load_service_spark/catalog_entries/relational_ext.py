@@ -979,3 +979,132 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     out = pagerank(edges, "src", "dst", damping=0.85, iterations=3)
     return out.orderBy(F.col("node").asc())
+
+
+@register(
+    "window_percentiles",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cume,
+           ntile(4) OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice ASC, o_orderkey ASC)
+    ORDER BY o_orderkey ASC
+    """,
+)
+def q_window_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributional window functions — percent_rank / cume_dist /
+    ntile per priority class, the ranking trio the window suite
+    (window_rank/running_sum/lag_delta/range_frame) didn't yet cover.
+    The ORDER BY is made total with the primary key so tie handling
+    cannot differ between engines; percent_rank and cume_dist are
+    rational (rank-1)/(n-1) and rank/n values — identical doubles both
+    engines, ROUND 6 for rendering. One hash exchange on the partition
+    key, same single-partitioning shape as the rest of the suite."""
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    ).orderBy(F.col("o_orderkey").asc())
+
+
+@register(
+    "key_skew_profile",
+    """
+    WITH c AS (
+      SELECT o_custkey AS k, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
+    ),
+    m AS (
+      SELECT COUNT(*) AS n_keys,
+             SUM(cnt) AS n_rows,
+             MAX(cnt) AS max_cnt,
+             CAST(SUM(CAST(cnt*cnt AS DECIMAL(28,6))) AS DOUBLE) AS s2
+      FROM c
+    ),
+    t AS (SELECT MIN(k) AS top_key FROM c
+          WHERE cnt = (SELECT max_cnt FROM m)),
+    h AS (SELECT COALESCE(SUM(cnt), 0) AS hot_rows FROM c
+          WHERE cnt * (SELECT n_keys FROM m) > 2 * (SELECT n_rows FROM m))
+    SELECT m.n_keys, m.n_rows, m.max_cnt, t.top_key,
+           ROUND(CAST(m.n_rows AS DOUBLE) / m.n_keys, 6) AS avg_cnt,
+           ROUND(CAST(m.max_cnt AS DOUBLE)
+                 / (CAST(m.n_rows AS DOUBLE) / m.n_keys), 6) AS skew_ratio,
+           ROUND(sqrt(m.s2 / m.n_keys
+                      - (CAST(m.n_rows AS DOUBLE) / m.n_keys)
+                        * (CAST(m.n_rows AS DOUBLE) / m.n_keys))
+                 / (CAST(m.n_rows AS DOUBLE) / m.n_keys), 6) AS cv,
+           h.hot_rows
+    FROM m, t, h
+    """,
+)
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/aggregation-key skew diagnostics — the measurement half of
+    the hot-key playbook whose mitigation half is salted_agg /
+    salted_join (operators/skew.py): per-key counts collapsed to one
+    profile row with max/avg skew ratio, the coefficient of variation
+    of key populations (integer moments — exact), the hottest key, and
+    the row mass sitting on keys >2x the average (the ones a salting
+    pass should scatter). At 100 TB this one cheap aggregate decides
+    whether the downstream join needs the salted plan. The counts
+    frame is persisted: three derivations (moments, argmax, hot mass)
+    read the |keys|-row cache, the fact table is scanned once.
+    Integer-only moments (cnt, cnt^2 as DECIMAL) keep both engines
+    bit-identical; the hot-key threshold is cross-multiplied
+    (cnt * n_keys > 2 * n_rows) so no division touches the filter."""
+    counts = (
+        _read(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count("*").alias("cnt"))
+        .persist()
+    )
+    m = counts.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+        F.sum((F.col("cnt") * F.col("cnt")).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    t = (
+        counts.join(
+            F.broadcast(m.select("max_cnt")),
+            counts["cnt"] == F.col("max_cnt"),
+        )
+        .agg(F.min("k").alias("top_key"))
+    )
+    h = (
+        counts.crossJoin(F.broadcast(m.select("n_keys", "n_rows")))
+        .where(F.col("cnt") * F.col("n_keys") > 2 * F.col("n_rows"))
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("hot_rows"))
+    )
+    avg = F.col("n_rows").cast("double") / F.col("n_keys")
+    return (
+        m.crossJoin(t)
+        .crossJoin(h)
+        .select(
+            "n_keys",
+            "n_rows",
+            "max_cnt",
+            "top_key",
+            F.round(avg, 6).alias("avg_cnt"),
+            F.round(F.col("max_cnt").cast("double") / avg, 6).alias(
+                "skew_ratio"
+            ),
+            F.round(
+                F.sqrt(F.col("s2") / F.col("n_keys") - avg * avg) / avg, 6
+            ).alias("cv"),
+            "hot_rows",
+        )
+    )

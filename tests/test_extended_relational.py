@@ -449,3 +449,44 @@ class TestTemporalJoin:
         facts, dim = self._frames(spark)
         out = temporal_join(facts, dim, ["k"], "ts")
         assert out.count() == out.select("fid").distinct().count()
+
+
+class TestKeySkewProfile:
+    def test_metrics_on_known_distribution(self, spark):
+        """keys: a->4 rows, b->1, c->1 (n=6, keys=3, avg=2)."""
+        import pandas as pd
+
+        from tdei_extract_load_service_spark.catalog import REGISTRY
+
+        import pyspark.sql.functions as F
+
+        rows = [("a",)] * 4 + [("b",), ("c",)]
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=["k"]))
+        counts = df.groupBy("k").agg(F.count("*").alias("cnt")).persist()
+        m = counts.agg(
+            F.count("*").alias("n_keys"),
+            F.sum("cnt").alias("n_rows"),
+            F.max("cnt").alias("max_cnt"),
+        ).collect()[0]
+        assert (m["n_keys"], m["n_rows"], m["max_cnt"]) == (3, 6, 4)
+        # hot threshold: cnt * n_keys > 2 * n_rows -> cnt*3 > 12 -> cnt > 4:
+        # 'a' at exactly 2x average is NOT hot (strict inequality)
+        hot = counts.where(
+            F.col("cnt") * F.lit(3) > F.lit(2) * F.lit(6)
+        ).count()
+        assert hot == 0
+
+    def test_top_key_tiebreak_is_min(self, spark):
+        import pandas as pd
+        import pyspark.sql.functions as F
+
+        rows = [("z",)] * 3 + [("a",)] * 3 + [("m",)]
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=["k"]))
+        counts = df.groupBy("k").agg(F.count("*").alias("cnt"))
+        mx = counts.agg(F.max("cnt").alias("m")).collect()[0]["m"]
+        top = (
+            counts.where(F.col("cnt") == mx)
+            .agg(F.min("k").alias("t"))
+            .collect()[0]["t"]
+        )
+        assert top == "a"

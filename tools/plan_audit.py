@@ -306,6 +306,11 @@ EXPECTATIONS: dict[str, list[str]] = {
     # persisted rank table — the audit sees the cache (lineage is one
     # iteration deep by design), not a 3x-unrolled join tree
     "graph_pagerank": ["InMemoryTableScan", "!CartesianProduct"],
+    # ranking trio: one hash exchange on the partition key, no join
+    "window_percentiles": ["Window", "Exchange hashpartitioning\\(o_orderpriority", "!Join"],
+    # skew diagnostics: per-key counts persisted, three derivations read
+    # the cache; scalar combines are 1-row (BNLJ allowed), fact once
+    "key_skew_profile": ["InMemoryTableScan", "partial_count", "!SortMergeJoin"],
 }
 
 
