@@ -138,6 +138,8 @@ HEADLINE_EXTENSIONS = (
     "graph_pagerank",
     "window_percentiles",
     "key_skew_profile",
+    "dedup_golden_record",
+    "table_compact",
     # dedup_winnow (and its r7 composition dedup_winnow_cluster) is
     # EXCLUDED from the sf0.1 headline deliberately: the
     # synthetic documents corpus draws from a ~25-word vocabulary, so

@@ -206,3 +206,108 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     pairs = lsh_verified_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
     return dedup_clusters(docs.select("doc_id"), pairs, "doc_id")
+
+
+@register(
+    "dedup_golden_record",
+    """
+    WITH RECURSIVE
+    d AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+               i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM d a, d b
+      WHERE a.doc_id < b.doc_id
+        AND ROUND(len(list_intersect(a.sh, b.sh))
+                  / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.8
+    ),
+    edges(a, b) AS (
+      SELECT doc_a, doc_b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+      UNION SELECT doc_id, doc_id FROM documents
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    labels AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+    g AS (
+      SELECT l.cluster_id, doc.doc_id, doc.n_chars, doc.source
+      FROM labels l JOIN documents doc ON l.doc_id = doc.doc_id
+    ),
+    m AS (SELECT cluster_id, MAX(n_chars) AS mx FROM g GROUP BY cluster_id),
+    surv AS (
+      SELECT g.cluster_id, MIN(g.doc_id) AS survivor_id
+      FROM g JOIN m ON g.cluster_id = m.cluster_id AND g.n_chars = m.mx
+      GROUP BY g.cluster_id
+    )
+    SELECT g.cluster_id, surv.survivor_id,
+           COUNT(*) AS n_members,
+           COUNT(DISTINCT g.source) AS n_sources,
+           array_to_string(list_sort(list(DISTINCT g.source)), ',') AS sources,
+           SUM(g.n_chars) AS total_chars
+    FROM g JOIN surv ON g.cluster_id = surv.cluster_id
+    GROUP BY g.cluster_id, surv.survivor_id
+    ORDER BY g.cluster_id ASC
+    """,
+)
+def q_dedup_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship merge — the golden-record step that completes the
+    entity-resolution pipeline (pairs -> clusters -> ONE merged record
+    per entity): per near-dup cluster, the longest-text member wins
+    (n_chars desc, doc_id asc tiebreak — the MDM "most complete
+    attribute" rule), with merged lineage columns (member count,
+    distinct sources as a sorted joined list, total chars). Pair
+    generation and components are the production sub-quadratic path
+    (lsh_verified_pairs + min-label propagation); the survivor is a
+    per-cluster window argmax while the ORACLE derives it through
+    MAX-then-MIN aggregation — independent constructions. Sorted
+    array_join makes the collected source set order-deterministic on
+    both engines."""
+    from pyspark.sql import Window
+
+    from tdei_extract_load_service_spark.operators.dedup import (
+        dedup_clusters,
+        lsh_verified_pairs,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = lsh_verified_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    labels = dedup_clusters(docs.select("doc_id"), pairs, "doc_id")
+    g = labels.join(
+        docs.select("doc_id", "n_chars", "source"), "doc_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    surv = (
+        g.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("cluster_id", F.col("doc_id").alias("survivor_id"))
+    )
+    merged = g.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        F.countDistinct("source").alias("n_sources"),
+        F.array_join(F.array_sort(F.collect_set("source")), ",").alias(
+            "sources"
+        ),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    return (
+        merged.join(surv, "cluster_id")
+        .select(
+            "cluster_id",
+            "survivor_id",
+            "n_members",
+            "n_sources",
+            "sources",
+            "total_chars",
+        )
+        .orderBy(F.col("cluster_id").asc())
+    )

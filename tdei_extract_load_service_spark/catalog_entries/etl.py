@@ -901,3 +901,56 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_customers",
         F.round(F.col("total_bal").cast("double"), 2).alias("total_bal"),
     ).orderBy(F.col("c_mktsegment").asc())
+
+
+@register(
+    "table_compact",
+    """
+    SELECT event_type, COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
+             AS total_value
+    FROM events GROUP BY event_type ORDER BY event_type ASC
+    """,
+)
+def q_table_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction (sinks/compact.py): the events fixture is
+    first committed DELIBERATELY fragmented (repartition(64) -> 64
+    small files through one manifest txn — the shape a per-batch
+    streaming writer leaves behind), then compact_table rewrites it
+    into right-sized files through a SECOND atomic manifest txn; the
+    entry reads the compacted table back through the pointer and
+    aggregates it, so the oracle certifies content preservation across
+    the rewrite end to end. File-count reduction, txn advance and
+    fragmented-equals-compacted row sets are pinned in pytest
+    (tests/test_compact.py)."""
+    import tempfile
+
+    from tdei_extract_load_service_spark.sinks.compact import compact_table
+    from tdei_extract_load_service_spark.sinks.manifest import (
+        ManifestTxn,
+        read_table,
+    )
+
+    ev = _read_events(spark, sf_dir).select("event_type", "value")
+    root = tempfile.mkdtemp(prefix="compact_catalog_")
+    txn = ManifestTxn(root)
+    try:
+        txn.write("events_copy", ev.repartition(64), "ds")
+        txn.commit()
+    except Exception:
+        txn.abort()
+        raise
+    stats = compact_table(spark, root, "events_copy", "ds")
+    if stats["files_after"] >= stats["files_before"]:
+        raise RuntimeError(f"compaction did not reduce files: {stats}")
+    compacted = read_table(spark, root, "events_copy", dataset_id="ds")
+    return (
+        compacted.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+        .orderBy(F.col("event_type").asc())
+    )

@@ -311,6 +311,13 @@ EXPECTATIONS: dict[str, list[str]] = {
     # skew diagnostics: per-key counts persisted, three derivations read
     # the cache; scalar combines are 1-row (BNLJ allowed), fact once
     "key_skew_profile": ["InMemoryTableScan", "partial_count", "!SortMergeJoin"],
+    # golden record: clusters ride the cached label frame (min-label
+    # propagation output); survivor argmax is a window, merge is one
+    # aggregation — no quadratic anything
+    "dedup_golden_record": ["Window", "HashAggregate", "!CartesianProduct"],
+    # compaction: the serve read after the rewrite is a plain pruned
+    # scan of the compacted version dir
+    "table_compact": ["HashAggregate", "partial_count", "!Join"],
 }
 
 

@@ -110,6 +110,8 @@ QUERIES = (
     "graph_pagerank",
     "window_percentiles",
     "key_skew_profile",
+    "dedup_golden_record",
+    "table_compact",
     # dedup_winnow: excluded — replicated word-soup makes every substring
     # shingle corpus-hot (df ~ corpus size), so the smoke would measure
     # the max_hash_df cap dropping everything, not the join plan
