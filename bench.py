@@ -140,6 +140,8 @@ HEADLINE_EXTENSIONS = (
     "key_skew_profile",
     "dedup_golden_record",
     "table_compact",
+    "sample_split_grouped",
+    "events_attribution",
     # dedup_winnow (and its r7 composition dedup_winnow_cluster) is
     # EXCLUDED from the sf0.1 headline deliberately: the
     # synthetic documents corpus draws from a ~25-word vocabulary, so

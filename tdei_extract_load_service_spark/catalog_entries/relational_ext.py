@@ -1108,3 +1108,117 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hot_rows",
         )
     )
+
+
+@register(
+    "sample_split_grouped",
+    """
+    WITH s AS (
+      SELECT source,
+             CASE
+               WHEN CAST(('0x' || substr(md5(source || 'r8'), 1, 8)) AS BIGINT)
+                    % 100 < 80 THEN 'train'
+               WHEN CAST(('0x' || substr(md5(source || 'r8'), 1, 8)) AS BIGINT)
+                    % 100 < 90 THEN 'eval'
+               ELSE 'test'
+             END AS split
+      FROM documents
+    )
+    SELECT split, source, COUNT(*) AS n
+    FROM s GROUP BY split, source
+    ORDER BY split ASC, source ASC
+    """,
+)
+def q_sample_split_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-AWARE train/eval/test split — the leakage-safe form of
+    sample_split: the fold is a hash of the GROUP key (source), not the
+    row key, so every document of a source lands in the same fold and
+    near-duplicate rows within a source can never straddle train/test
+    (the contamination channel row-hash splits leave open; cf. the
+    text_contamination entry for the cross-corpus version). The output
+    itself exhibits the guarantee — grouping by (split, source), each
+    source appears under exactly one split — and pytest pins it. Same
+    md5-bucket determinism as sample_split (operators/sampling.py
+    hash_split applied to the group column); no shuffle beyond the
+    output aggregation."""
+    from tdei_extract_load_service_spark.operators.sampling import hash_split
+
+    docs = _read(spark, sf_dir, "documents")
+    out = hash_split(
+        docs, "source", {"train": 80, "eval": 10, "test": 10}, seed="r8"
+    )
+    return (
+        out.groupBy("split", "source")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("split").asc(), F.col("source").asc())
+    )
+
+
+@register(
+    "events_attribution",
+    """
+    WITH p AS (
+      SELECT user_id, ts AS pts, event_id AS pid, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+      SELECT user_id, ts AS vts, event_id AS vid
+      FROM events WHERE event_type = 'view'
+    ),
+    j AS (
+      SELECT p.pid, p.value, v.vid,
+             COUNT(*) OVER (PARTITION BY p.pid) AS n_touch
+      FROM p JOIN v ON p.user_id = v.user_id
+        AND v.vts <= p.pts AND v.vts > p.pts - INTERVAL 3 DAY
+    )
+    SELECT vid AS view_id,
+           COUNT(*) AS n_purchases,
+           ROUND(CAST(SUM(CAST(ROUND(value / n_touch, 6)
+                                AS DECIMAL(18,6))) AS DOUBLE), 4) AS credit
+    FROM j GROUP BY vid ORDER BY view_id ASC
+    """,
+)
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution — each purchase's value is split
+    equally across the user's views in the 3 days before it, and every
+    view accumulates its credit (the marketing-analytics staple that
+    composes the engine's interval-join and window shapes into a money
+    number). Cross-engine exactness: per-touch credit is ONE double
+    division then ROUND 6 -> DECIMAL sum (order-free); the touch count
+    is a purchase-partitioned window on the joined frame, so no second
+    aggregation pass over the join. Scale: equi join on user_id with
+    the time residual (same shape as temporal_join/interval_join),
+    never a time-only join."""
+    from pyspark.sql import Window
+
+    ev = _read_events(spark, sf_dir)
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+        F.col("event_id").alias("pid"),
+        "value",
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"),
+        F.col("ts").alias("vts"),
+        F.col("event_id").alias("vid"),
+    )
+    j = p.join(
+        v,
+        (F.col("pu") == F.col("vu"))
+        & (F.col("vts") <= F.col("pts"))
+        & (F.col("vts") > F.expr("pts - INTERVAL 3 DAY")),
+    )
+    n_touch = F.count("*").over(Window.partitionBy("pid"))
+    credited = j.withColumn(
+        "credit",
+        F.round(F.col("value") / n_touch, 6).cast("decimal(18,6)"),
+    )
+    return (
+        credited.groupBy(F.col("vid").alias("view_id"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum("credit").cast("double"), 4).alias("credit"),
+        )
+        .orderBy(F.col("view_id").asc())
+    )

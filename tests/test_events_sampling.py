@@ -477,3 +477,68 @@ class TestFillTimeGaps:
         ]
         got = self._run(spark, rows)
         assert [r[4] for r in got] == [False, False]
+
+
+class TestGroupAwareSplit:
+    def test_each_group_lands_in_exactly_one_fold(self, spark):
+        import pyspark.sql.functions as F
+
+        from tdei_extract_load_service_spark.operators.sampling import (
+            hash_split,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = hash_split(
+            docs, "source", {"train": 80, "eval": 10, "test": 10}, seed="r8"
+        )
+        per_source = (
+            out.groupBy("source")
+            .agg(F.countDistinct("split").alias("n_splits"))
+            .collect()
+        )
+        assert per_source and all(r["n_splits"] == 1 for r in per_source)
+
+
+class TestLinearAttribution:
+    def test_credit_splits_equally_and_sums_to_purchase_value(self, spark):
+        import pandas as pd
+        import pyspark.sql.functions as F
+        from pyspark.sql import Window
+
+        ts = pd.Timestamp
+        rows = [
+            # user 1: two views then a 10.0 purchase -> 5.0 credit each
+            (1, "view", ts("2024-01-01 00:00"), 1, 0.0),
+            (1, "view", ts("2024-01-01 01:00"), 2, 0.0),
+            (1, "purchase", ts("2024-01-02 00:00"), 3, 10.0),
+            # user 2: a view OUTSIDE the 3-day window -> no credit
+            (2, "view", ts("2024-01-01 00:00"), 4, 0.0),
+            (2, "purchase", ts("2024-01-10 00:00"), 5, 7.0),
+        ]
+        ev = spark.createDataFrame(
+            pd.DataFrame(
+                rows, columns=["user_id", "event_type", "ts", "event_id", "value"]
+            )
+        )
+        p = ev.where(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("pu"), F.col("ts").alias("pts"),
+            F.col("event_id").alias("pid"), "value",
+        )
+        v = ev.where(F.col("event_type") == "view").select(
+            F.col("user_id").alias("vu"), F.col("ts").alias("vts"),
+            F.col("event_id").alias("vid"),
+        )
+        j = p.join(
+            v,
+            (F.col("pu") == F.col("vu"))
+            & (F.col("vts") <= F.col("pts"))
+            & (F.col("vts") > F.expr("pts - INTERVAL 3 DAY")),
+        )
+        n_touch = F.count("*").over(Window.partitionBy("pid"))
+        credits = {
+            r["vid"]: float(r["c"])
+            for r in j.withColumn("c", F.round(F.col("value") / n_touch, 6))
+            .select("vid", "c")
+            .collect()
+        }
+        assert credits == {1: 5.0, 2: 5.0}

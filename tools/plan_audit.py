@@ -318,6 +318,12 @@ EXPECTATIONS: dict[str, list[str]] = {
     # compaction: the serve read after the rewrite is a plain pruned
     # scan of the compacted version dir
     "table_compact": ["HashAggregate", "partial_count", "!Join"],
+    # group-aware split: fold assignment is a projection (md5 bucket of
+    # the group key) — the only shuffle is the output aggregation
+    "sample_split_grouped": ["HashAggregate", "md5", "!Join", "!Window"],
+    # linear attribution: equi user join with time residual; touch
+    # count is a window on the JOINED frame (no second agg pass)
+    "events_attribution": ["Window", "partial_count", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
 }
 
 

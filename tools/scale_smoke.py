@@ -112,6 +112,8 @@ QUERIES = (
     "key_skew_profile",
     "dedup_golden_record",
     "table_compact",
+    "sample_split_grouped",
+    "events_attribution",
     # dedup_winnow: excluded — replicated word-soup makes every substring
     # shingle corpus-hot (df ~ corpus size), so the smoke would measure
     # the max_hash_df cap dropping everything, not the join plan
