@@ -142,6 +142,7 @@ HEADLINE_EXTENSIONS = (
     "table_compact",
     "sample_split_grouped",
     "events_attribution",
+    "similarity_ivf_pq_incremental",
     # dedup_winnow (and its r7 composition dedup_winnow_cluster) is
     # EXCLUDED from the sf0.1 headline deliberately: the
     # synthetic documents corpus draws from a ~25-word vocabulary, so

@@ -220,8 +220,9 @@ from tdei_extract_load_service_spark.catalog_entries import (  # noqa: E402,F401
 # dedup_golden_record (survivorship merge completing entity
 # resolution), table_compact (transactional small-files rewrite),
 # sample_split_grouped (leakage-safe group-aware folds),
-# events_attribution (linear multi-touch credit) — must enter the
-# window at the
+# events_attribution (linear multi-touch credit),
+# similarity_ivf_pq_incremental (frozen-model delta append ==
+# full rebuild, bit-identical) — must enter the window at the
 # start of round 9, alongside the round-8 demotions owed under rule (b):
 # tpch_q1/q3/q5/q6, dynamic_query, agg_stats, window_tumbling,
 # dedup_cluster, similarity_ivf, join_range, grouped_normalize,

@@ -261,3 +261,62 @@ def q_similarity_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=5,
         k=10,
     )
+
+
+@register("similarity_ivf_pq_incremental", ORACLES.ivf_pq_oracle_sql())
+def q_similarity_ivf_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index FRESHNESS: the corpus is split into a base (all vec_ids
+    below 100, plus 3 of every 4 above) and a delta (every 4th vec_id
+    >= 100); the IVFPQ index is built on the BASE only, then the delta
+    is appended with operators/similarity.py append_pq_index — assign +
+    encode the new rows against the FROZEN model, append into the
+    partitioned layout, never touching the base codes. Because the
+    centroid model is the 16 lowest ids and those all live in the base,
+    the frozen model equals the full-corpus model, so the incrementally
+    grown index must serve results BIT-IDENTICAL to a full rebuild:
+    the entry shares similarity_ivf_pq's oracle verbatim, which is the
+    strongest possible equivalence check for the nightly-delta
+    ingestion pattern. Index-level equality (grown == rebuilt code
+    sets) is additionally pinned in pytest."""
+    import os
+    import shutil
+
+    from tdei_extract_load_service_spark.operators.similarity import (
+        append_pq_index,
+        build_pq_index,
+        make_codebooks,
+    )
+
+    emb = spread(_read(spark, sf_dir, "embeddings"))
+    delta_cond = (F.col("vec_id") % 4 == 0) & (F.col("vec_id") >= 100)
+    base, delta = emb.where(~delta_cond), emb.where(delta_cond)
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    cbs = make_codebooks()
+    base_path, model_rows = build_pq_index(
+        base,
+        "vec_id",
+        "embedding",
+        cbs,
+        corpus_key=f"{src}:{st.st_size}:{st.st_mtime_ns}:incr_base",
+    )
+    merged = f"{base_path}_incr_merged"
+    if not os.path.exists(os.path.join(merged, "_DELTA_APPENDED")):
+        work = f"{merged}.build.{os.getpid()}"
+        shutil.rmtree(work, ignore_errors=True)
+        # copy-then-append keeps the content-addressed base cache
+        # immutable; production appends in place
+        shutil.copytree(base_path, work)
+        append_pq_index(delta, work, model_rows, cbs)
+        open(os.path.join(work, "_DELTA_APPENDED"), "w").close()
+        try:
+            os.rename(work, merged)
+        except OSError:
+            shutil.rmtree(work, ignore_errors=True)
+    from tdei_extract_load_service_spark.operators.similarity import (
+        ivf_pq_topk_stored,
+    )
+
+    return ivf_pq_topk_stored(
+        spark, merged, model_rows, _query_vec(spark, sf_dir), cbs, k=10, n_probe=4
+    )

@@ -922,3 +922,32 @@ def ivf_pq_topk(
         .orderBy(F.col("approx_dist").asc(), F.col("id").asc())
         .limit(k)
     )
+
+
+def append_pq_index(
+    df_delta: DataFrame,
+    index_path: str,
+    model_rows: list,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally extend a stored IVFPQ index with new vectors —
+    the freshness half of the write-once architecture (FAISS
+    ``add``-after-train): assign and encode ONLY the delta against the
+    FROZEN centroid model and codebooks, and append the 8-int rows into
+    the existing ``partitionBy(centroid_id)`` layout. Codes are a pure
+    function of (vector, model, codebooks), so an index grown
+    incrementally is BIT-IDENTICAL to a full rebuild over the union —
+    which is what makes the nightly-delta ingestion pattern safe: no
+    drift, no re-encode of the base corpus, and the serve path
+    (directory-pruned probe + ADC) is unchanged. At 100 TB the delta
+    write touches only the probed-partition directories the new rows
+    land in; the base codes are never read."""
+    assigned = ivf_assign_model(df_delta, model_rows, id_col, vec_col)
+    coded = assigned.select(
+        "id",
+        "centroid_id",
+        F.expr(pq_code_expr_sql("vec", codebooks)).alias("codes"),
+    )
+    coded.write.mode("append").partitionBy("centroid_id").parquet(index_path)

@@ -241,3 +241,56 @@ def test_trained_entry_uplift_pinned_at_sf001(spark):
     assert row["uplift"] == pytest.approx(
         row["recall_trained"] - row["recall_seeded"], abs=1e-9
     )
+
+
+class TestIncrementalIndex:
+    def test_grown_index_equals_full_rebuild(self, spark, tmp_path):
+        """append_pq_index on a frozen model must produce the exact code
+        set a full rebuild over the union produces."""
+        import pyspark.sql.functions as F
+
+        from tdei_extract_load_service_spark.operators.similarity import (
+            append_pq_index,
+            ivf_assign_model,
+            ivf_centroids,
+            make_codebooks,
+            pq_code_expr_sql,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        cbs = make_codebooks()
+        delta_cond = (F.col("vec_id") % 4 == 0) & (F.col("vec_id") >= 100)
+        base, delta = emb.where(~delta_cond), emb.where(delta_cond)
+        assert delta.count() > 0
+        model = ivf_centroids(base, "vec_id", "embedding", 16).collect()
+        # frozen model == full model (the 16 lowest ids are all base)
+        full_model = ivf_centroids(emb, "vec_id", "embedding", 16).collect()
+        assert [r["centroid_id"] for r in model] == [
+            r["centroid_id"] for r in full_model
+        ]
+
+        def encode(df):
+            return (
+                ivf_assign_model(df, model, "vec_id", "embedding")
+                .select(
+                    "id",
+                    "centroid_id",
+                    F.expr(pq_code_expr_sql("vec", cbs)).alias("codes"),
+                )
+            )
+
+        grown_dir = str(tmp_path / "grown")
+        encode(base).write.mode("overwrite").partitionBy(
+            "centroid_id"
+        ).parquet(grown_dir)
+        append_pq_index(delta, grown_dir, model, cbs)
+
+        grown = {
+            (r["id"], r["centroid_id"], tuple(r["codes"]))
+            for r in spark.read.parquet(grown_dir).collect()
+        }
+        rebuilt = {
+            (r["id"], r["centroid_id"], tuple(r["codes"]))
+            for r in encode(emb).collect()
+        }
+        assert grown == rebuilt

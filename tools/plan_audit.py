@@ -324,6 +324,10 @@ EXPECTATIONS: dict[str, list[str]] = {
     # linear attribution: equi user join with time residual; touch
     # count is a window on the JOINED frame (no second agg pass)
     "events_attribution": ["Window", "partial_count", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
+    # incremental IVFPQ serve: identical to similarity_ivf_pq — the
+    # grown index keeps directory pruning on centroid_id and the
+    # 8-int ADC scan (no join, no encode at query time)
+    "similarity_ivf_pq_incremental": ["PartitionFilters: \[.*centroid_id", "TakeOrderedAndProject", "!Join", "!Generate explode"],
 }
 
 

@@ -114,6 +114,7 @@ QUERIES = (
     "table_compact",
     "sample_split_grouped",
     "events_attribution",
+    "similarity_ivf_pq_incremental",
     # dedup_winnow: excluded — replicated word-soup makes every substring
     # shingle corpus-hot (df ~ corpus size), so the smoke would measure
     # the max_hash_df cap dropping everything, not the join plan
