@@ -231,9 +231,16 @@ from tdei_extract_load_service_spark.catalog_entries import (  # noqa: E402,F401
 # text_pack_sequences, embedding_quantize, dedup_embedding_lsh,
 # column_profile/_categorical, column_correlations, histogram_auto,
 # text_repetition_stats, corpus_prep, text_winnow_fingerprint,
-# dedup_winnow.  That is ~33 candidates for ~30 free slots once the
-# 20-op contract keeps its pins — round 9 should demote the r7 text /
-# events promotions (they will be two-rounds-green by then) to fit.
+# dedup_winnow.  Updated queue math at round-8 close: 34 rule-(a)
+# candidates (7 wave-1 leftovers + 11 wave-2 + 16 wave-3) plus ~28
+# rule-(b) re-certification debts — ~62 for the ~30 free slots once
+# the 20-op contract keeps its pins. Deterministic two-round split:
+# ROUND 9 window = contract + ALL 34 never-certified rule-(a) entries
+# minus the 4 that exceed 50 (push the 4 cheapest rows-only/streaming
+# shadows to round 10 — they carry pytest weight anyway); ROUND 10
+# window = contract + the ~28 rule-(b) demotions + the 4 deferred.
+# Every r7 promotion (two-rounds-green by round 9) demotes to the
+# sweep-only tail in round 9 to make room.
 #
 # Round-8 rotation (VERDICT r7 #1, executing the promotion queue written
 # at the end of round 7): the
