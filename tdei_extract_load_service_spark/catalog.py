@@ -255,6 +255,45 @@ from tdei_extract_load_service_spark.catalog_entries import (  # noqa: E402,F401
 # multi-round-green and stay covered by tools/oracle_check.py; per rule
 # (b) they re-enter in ROUND 9, whose window recertifies the demoted
 # tail (new-entry pressure will be far lower then).
+# ROUND-9 WINDOW (executing the queue above, adjusted for the r8 driver
+# failures): 20-op contract (permanent) + the FIVE entries that FAILED
+# the driver hash in round 8 (tpch_q12_priority_class,
+# text_token_budget_sample, corpus_prep_full, embedding_pq_code,
+# embedding_normalize — all five carried the oracle-canon defect fixed
+# this round and MUST re-certify green, VERDICT r8 #1) + 25 of the 34
+# never-certified rule-(a) queue entries.  The queue's original split
+# deferred only 4, but keeping the 5 failed entries in-window displaces
+# 5 more, so NINE defer to round 10 — chosen per the queue's own
+# criterion (cheapest rows-only/streaming-shadow/pytest-subsumed
+# signal): similarity_pq_trained (rows-only estimator, weak driver
+# signal either way), stream_dedup_shadow / stream_session_shadow /
+# stream_join_shadow (3 of 5 shadows; the harness itself is certified
+# by stream_funnel_shadow r8-PASS and the kept stream_window_shadow +
+# stream_sink_shadow cover watermarked-agg state and the exactly-once
+# sink — the two distinct state machines), text_bm25_topk (inline twin
+# of the kept text_bm25_topk_stored, same scoring algebra),
+# sample_split_grouped (md5-bucket sibling of r1-r6-certified
+# sample_split), similarity_ivf_pq_incremental (pytest proves the
+# incremental index bit-identical to the r8-certified similarity_ivf_pq
+# rebuild), table_compact (transactional sink, crash/replay
+# pytest-covered like overwrite_by_key), events_attribution (window
+# credit-split sibling of r8-certified events_funnel).  All 4 latent
+# HUGEINT carriers (corpus_mix_sample, dedup_golden_record,
+# text_lm_score, key_skew_profile), the 4 new TPC-H families
+# (q8/q9/q11/q16) and BM25 stored serving are IN.  Everything demoted
+# stays under tools/oracle_check.py + pytest.
+#
+# ROUND-10 WINDOW (pre-committed, VERDICT r8 #6): contract (20) + the 9
+# deferred above + the ~28 rule-(b) re-certification debts (tpch_q1/q3/
+# q5/q6, dynamic_query, agg_stats, window_tumbling, dedup_cluster,
+# similarity_ivf(_kmeans), join_range, grouped_normalize, join_asof,
+# session_window, quantiles, multimodal x4, text_tfidf_topk,
+# text_pack_sequences, embedding_quantize, dedup_embedding_lsh,
+# column_profile(_categorical), column_correlations, histogram_auto,
+# text_repetition_stats, corpus_prep, text_winnow_fingerprint,
+# dedup_winnow) = 57 candidates for 30 slots; the r9 promotions will
+# all be two-rounds-green by r11, so the r10 window takes the 9
+# deferred + the 21 oldest rule-(b) debts and r11 sweeps the rest.
 DRIVER_WINDOW: list[str] = [
     # --- the 20-op v1 engine contract (SURVEY §2.4) ---
     "scan",
@@ -277,43 +316,40 @@ DRIVER_WINDOW: list[str] = [
     "topk_similarity",
     "text_quality",
     "etl_load_dataset",
-    # --- round-7 promotions: TPC-H waves 1+2 ---
-    "tpch_q4_order_priority",
-    "tpch_q7_volume_shipping",
-    "tpch_q10_returned_items",
+    # --- round-8 driver FAILURES, re-certifying the round-9 canon fix ---
     "tpch_q12_priority_class",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_volume_customer",
-    "tpch_q19_discounted_revenue",
-    "tpch_q22_global_sales_opportunity",
-    # --- round-7 promotions: PQ/IVFPQ family ---
     "embedding_pq_code",
-    "similarity_pq",
-    "similarity_pq_recall",
-    "similarity_ivf_pq",
-    # --- round-7 promotions: text / corpus / events ---
-    "dedup_winnow_cluster",
-    "text_contamination",
-    "text_normalize",
-    "text_chunk",
     "embedding_normalize",
     "corpus_prep_full",
     "text_token_budget_sample",
-    "events_funnel",
-    "events_retention",
-    "events_retention_cohorts",
-    # --- round-8 new entries (rule (a): in-window the round they land).
-    # Until each lands, its slot is held by the head of the round-9
-    # re-certification queue (long-stable flagships demoted this round);
-    # each new registration swaps one out.
-    "tpch_q21_suppliers_kept_waiting",
-    "tpch_q20_potential_part_promotion",
-    "tpch_q2_minimum_cost_supplier",
-    "stream_funnel_shadow",
-    "dedup_lsh_verified",
+    # --- rule (a): wave-1 leftovers (registered r8, never sampled) ---
+    "tpch_q8_national_market_share",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_stock",
+    "tpch_q16_parts_supplier_relationship",
+    "text_source_overlap",
+    "stream_window_shadow",
+    # --- rule (a): round-8 wave-2 (never sampled) ---
+    "text_bm25_topk_stored",
+    "text_pii_scrub",
+    "text_lm_score",
+    "corpus_mix_sample",
+    "join_skew_salted",
+    "scd2_history",
+    "cdc_apply",
+    # --- rule (a): round-8 wave-3 (never sampled) ---
+    "events_anomaly",
+    "incremental_agg",
+    "temporal_join",
+    "join_bucketed",
+    "stream_sink_shadow",
+    "ts_fill_gaps",
+    "referential_audit",
+    "join_fuzzy",
+    "graph_pagerank",
+    "window_percentiles",
+    "key_skew_profile",
+    "dedup_golden_record",
 ]
 
 

@@ -160,17 +160,26 @@ def q_embedding_pq_code(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 32-64x footprint cut that makes a 100 TB embedding corpus
     memory-scannable (operators/similarity.py pq_encode; pure
     projection, no shuffle/join/UDF). Oracle: identical codebook
-    literals + norm-expansion distances + first-index-of-min argmin."""
+    literals + norm-expansion distances + first-index-of-min argmin.
+    The codes array is serialized to a comma-joined string on BOTH
+    engines — the driver's pandas canonicalization cannot hash raw
+    array cells (unhashable list, CORRECTNESS_r08)."""
     from tdei_extract_load_service_spark.operators.similarity import (
         make_codebooks,
         pq_encode,
     )
 
-    return pq_encode(
+    coded = pq_encode(
         spread(_read(spark, sf_dir, "embeddings")),
         "vec_id",
         "embedding",
         make_codebooks(),
+    )
+    return coded.select(
+        "vec_id",
+        F.array_join(
+            F.transform("codes", lambda x: x.cast("string")), ","
+        ).alias("codes"),
     )
 
 

@@ -76,15 +76,15 @@ def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
       SELECT doc_id, source,
              CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+                  ELSE len(regexp_split_to_array(trim(text), '[ \t\n\r\f\v]+')) END AS n_tokens
       FROM documents
     ),
     c AS (
       SELECT doc_id, source, n_tokens,
-             SUM(n_tokens) OVER (PARTITION BY source
+             CAST(SUM(n_tokens) OVER (PARTITION BY source
                                  ORDER BY md5(CAST(doc_id AS VARCHAR))
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS cum_tokens
+               AS BIGINT) AS cum_tokens
       FROM t
     )
     SELECT doc_id, source, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 500
@@ -198,10 +198,10 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     budgeted AS (
       SELECT doc_id, source, n_tokens,
-             SUM(n_tokens) OVER (PARTITION BY source
+             CAST(SUM(n_tokens) OVER (PARTITION BY source
                                  ORDER BY md5(CAST(doc_id AS VARCHAR))
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS cum_tokens
+               AS BIGINT) AS cum_tokens
       FROM clean
     )
     SELECT doc_id, source, n_tokens, cum_tokens FROM budgeted WHERE cum_tokens <= 400
@@ -331,27 +331,51 @@ def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_normalize",
     """
+    WITH n AS (
+      SELECT vec_id,
+             CASE WHEN sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) = 0
+                  THEN list_transform(embedding::DOUBLE[], x -> x)
+                  ELSE list_transform(embedding::DOUBLE[],
+                         x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))
+             END AS unit,
+             ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS norm
+      FROM embeddings
+    )
     SELECT vec_id,
-           CASE WHEN sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) = 0
-                THEN list_transform(embedding::DOUBLE[], x -> x)
-                ELSE list_transform(embedding::DOUBLE[],
-                       x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))
-           END AS unit,
-           ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS norm
-    FROM embeddings
+           array_to_string(list_transform(unit,
+             x -> CAST(ROUND(x * 1000000) AS BIGINT)::VARCHAR), ',') AS unit_fp6,
+           norm
+    FROM n
     """,
 )
 def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unit-L2 normalization of the embedding column (after it, dot IS
     cosine) — pure projection, shared fold order so the element-wise
     doubles match DuckDB bit-identically; zero vectors pass through
-    (operators/packing.py embedding_normalize)."""
+    (operators/packing.py embedding_normalize). For the driver compare
+    the unit array is serialized to comma-joined fixed-point micro-units
+    (round(x*1e6) as BIGINT — the proven 6-dp-safe class) on BOTH
+    engines, because the driver's pandas canonicalization cannot hash
+    raw array cells (unhashable list, CORRECTNESS_r08)."""
     from tdei_extract_load_service_spark.operators.packing import (
         embedding_normalize,
     )
 
-    return embedding_normalize(
+    out = embedding_normalize(
         spread(_read(spark, sf_dir, "embeddings")), "vec_id", "embedding"
+    )
+    return out.select(
+        "vec_id",
+        F.array_join(
+            F.transform(
+                "unit",
+                lambda x: F.round(x * F.lit(1000000.0), 0)
+                .cast("bigint")
+                .cast("string"),
+            ),
+            ",",
+        ).alias("unit_fp6"),
+        "norm",
     )
 
 
@@ -505,7 +529,7 @@ def q_stream_funnel_shadow(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
       SELECT doc_id, source,
              CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+                  ELSE len(regexp_split_to_array(trim(text), '[ \t\n\r\f\v]+')) END AS n_tokens
       FROM documents
     ),
     b AS (
@@ -516,10 +540,10 @@ def q_stream_funnel_shadow(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     c AS (
       SELECT doc_id, source, n_tokens, budget,
-             SUM(n_tokens) OVER (PARTITION BY source
+             CAST(SUM(n_tokens) OVER (PARTITION BY source
                                  ORDER BY md5(CAST(doc_id AS VARCHAR))
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS cum_tokens
+               AS BIGINT) AS cum_tokens
       FROM b WHERE budget IS NOT NULL
     )
     SELECT doc_id, source, n_tokens, budget, cum_tokens

@@ -251,7 +251,7 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_members,
            COUNT(DISTINCT g.source) AS n_sources,
            array_to_string(list_sort(list(DISTINCT g.source)), ',') AS sources,
-           SUM(g.n_chars) AS total_chars
+           CAST(SUM(g.n_chars) AS BIGINT) AS total_chars
     FROM g JOIN surv ON g.cluster_id = surv.cluster_id
     GROUP BY g.cluster_id, surv.survivor_id
     ORDER BY g.cluster_id ASC

@@ -40,7 +40,7 @@ from tdei_extract_load_service_spark.session import spread
     WITH t AS (
       SELECT doc_id,
              CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+                  ELSE len(regexp_split_to_array(trim(text), '[ \t\n\r\f\v]+')) END AS n_tokens
       FROM documents
     ),
     c AS (
@@ -392,7 +392,7 @@ def q_histogram_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH w AS (
       SELECT doc_id,
-             CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\s+') END AS words
+             CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '[ \t\n\r\f\v]+') END AS words
       FROM documents
     ),
     s AS (
@@ -605,7 +605,7 @@ def q_dedup_winnow_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH w AS (
       SELECT doc_id, text,
-             CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\s+') END AS words
+             CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '[ \t\n\r\f\v]+') END AS words
       FROM documents
     ),
     s AS (
@@ -617,7 +617,7 @@ def q_dedup_winnow_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept AS (
       SELECT doc_id, n_words,
              md5(array_to_string(list_sort(list_distinct(
-                 regexp_split_to_array(lower(trim(text)), '\s+'))), ' ')) AS fp
+                 regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f\v]+'))), ' ')) AS fp
       FROM s WHERE n_words >= 10 AND dwr >= 0.3
     )
     SELECT MIN(doc_id) AS doc_id, arg_min(n_words, doc_id) AS n_words, COUNT(*) AS n_dups
@@ -643,7 +643,7 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_tfidf_topk",
     r"""
     WITH docs AS (
-      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS words
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f\v]+') AS words
       FROM documents
     ),
     n AS (SELECT COUNT(*) AS n_docs FROM documents),

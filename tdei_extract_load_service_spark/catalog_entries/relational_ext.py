@@ -1028,14 +1028,14 @@ def q_window_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     m AS (
       SELECT COUNT(*) AS n_keys,
-             SUM(cnt) AS n_rows,
+             CAST(SUM(cnt) AS BIGINT) AS n_rows,
              MAX(cnt) AS max_cnt,
              CAST(SUM(CAST(cnt*cnt AS DECIMAL(28,6))) AS DOUBLE) AS s2
       FROM c
     ),
     t AS (SELECT MIN(k) AS top_key FROM c
           WHERE cnt = (SELECT max_cnt FROM m)),
-    h AS (SELECT COALESCE(SUM(cnt), 0) AS hot_rows FROM c
+    h AS (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS hot_rows FROM c
           WHERE cnt * (SELECT n_keys FROM m) > 2 * (SELECT n_rows FROM m))
     SELECT m.n_keys, m.n_rows, m.max_cnt, t.top_key,
            ROUND(CAST(m.n_rows AS DOUBLE) / m.n_keys, 6) AS avg_cnt,

@@ -39,7 +39,7 @@ from tdei_extract_load_service_spark.session import spread
     r"""
     SELECT doc_id,
            CASE WHEN trim(text) = '' THEN 0
-                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws_tokens,
+                ELSE len(regexp_split_to_array(trim(text), '[ \t\n\r\f\v]+')) END AS n_ws_tokens,
            len(regexp_extract_all(text, '\p{L}+|\p{N}|[^\p{L}\p{N}\s]')) AS n_bpe_ish_tokens
     FROM documents
     """,
@@ -63,7 +63,7 @@ def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              string_split(text, ' ') AS words,
              CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
+                  ELSE len(regexp_split_to_array(trim(text), '[ \t\n\r\f\v]+')) END AS n_words,
              CASE WHEN len(text) > 0
                   THEN len(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) / len(text)
                   ELSE 0.0 END AS punct_ratio
@@ -147,7 +147,7 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     SELECT doc_id,
            md5(array_to_string(list_sort(list_distinct(
-               regexp_split_to_array(lower(trim(text)), '\s+'))), ' ')) AS fp
+               regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f\v]+'))), ' ')) AS fp
     FROM documents
     """,
 )
@@ -166,7 +166,7 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH dl AS (
       SELECT doc_id,
              CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS dl
+                  ELSE len(regexp_split_to_array(trim(text), '[ \t\n\r\f\v]+')) END AS dl
       FROM documents),
     scal AS (
       SELECT COUNT(*) AS n_docs,
@@ -174,7 +174,7 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM dl),
     tf AS (
       SELECT doc_id, t.term, COUNT(*) AS tf
-      FROM documents, unnest(regexp_split_to_array(trim(text), '\s+')) AS t(term)
+      FROM documents, unnest(regexp_split_to_array(trim(text), '[ \t\n\r\f\v]+')) AS t(term)
       WHERE t.term IN ('spark', 'join', 'window', 'scan')
       GROUP BY doc_id, t.term),
     dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
@@ -284,7 +284,7 @@ def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            ROUND(CAST(SUM(CAST(tf * ln(c2 / c1) AS DECIMAL(28,12))) AS DOUBLE)
                  / SUM(tf), 6) AS avg_logprob,
-           SUM(tf) AS n_bigrams
+           CAST(SUM(tf) AS BIGINT) AS n_bigrams
     FROM tf JOIN model USING (bg)
     GROUP BY doc_id
     """,
@@ -308,7 +308,7 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH dl AS (
       SELECT doc_id,
              CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS dl
+                  ELSE len(regexp_split_to_array(trim(text), '[ \t\n\r\f\v]+')) END AS dl
       FROM documents),
     scal AS (
       SELECT COUNT(*) AS n_docs,
@@ -316,7 +316,7 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM dl),
     tf AS (
       SELECT doc_id, t.term, COUNT(*) AS tf
-      FROM documents, unnest(regexp_split_to_array(trim(text), '\s+')) AS t(term)
+      FROM documents, unnest(regexp_split_to_array(trim(text), '[ \t\n\r\f\v]+')) AS t(term)
       WHERE t.term IN ('spark', 'join', 'window', 'scan')
       GROUP BY doc_id, t.term),
     dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)

@@ -236,8 +236,11 @@ def fill_time_gaps(
     # the bucket frame feeds BOTH the span and the gap join — without a
     # persist Catalyst re-plans the shared subtree as two full fact
     # scans (the q20/text_source_overlap lesson); the frame is
-    # |group x bucket| rows, safe to cache at any corpus size
-    b = b.persist()
+    # |group x bucket| rows, safe to cache at any corpus size; scoped so
+    # repeated invocations recycle the previous generation's cache
+    from tdei_extract_load_service_spark.session import persist_scoped
+
+    b = persist_scoped(b, "events.fill_time_gaps.bucket")
     span = b.groupBy("_g").agg(
         F.min("_h").alias("_lo"), F.max("_h").alias("_hi")
     )

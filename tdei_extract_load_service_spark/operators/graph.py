@@ -65,24 +65,36 @@ def pagerank(
         .select("_src", "_dst", "_deg")
         .persist()
     )
-    n = deg.count()
+    # The |nodes|-row frame every iteration rebuilds ranks FROM: rebuilding
+    # from the contribution agg alone drops any node with no in-edges after
+    # iteration 1 (its outgoing mass silently stops spreading), so each
+    # iteration left-joins contributions onto this persisted node set and
+    # coalesces missing mass to 0 — every node keeps base_fp+ and keeps
+    # contributing.
+    nodes = deg.select("_node").persist()
+    n = nodes.count()
     unit = 1_000_000_000_000  # rank 1.0 == 1e12 fixed-point units
     base_fp = (100 - d100) * unit // 100 // n
-    ranks = deg.select(
+    ranks = nodes.select(
         "_node", F.lit(unit // n).cast("long").alias("_r")
     )
     for _ in range(iterations):
         contrib = (
             ed.join(ranks, ed["_src"] == ranks["_node"])
-            .groupBy(F.col("_dst").alias("node"))
+            .groupBy(F.col("_dst").alias("_cnode"))
             .agg(F.sum(F.expr("_r DIV _deg")).alias("_s"))
         )
-        new_ranks = contrib.select(
-            F.col("node").alias("_node"),
-            (
-                F.lit(base_fp) + F.expr(f"({d100} * _s) DIV 100")
-            ).cast("long").alias("_r"),
-        ).persist()
+        new_ranks = (
+            nodes.join(contrib, nodes["_node"] == contrib["_cnode"], "left")
+            .select(
+                "_node",
+                (
+                    F.lit(base_fp)
+                    + F.expr(f"({d100} * coalesce(_s, 0)) DIV 100")
+                ).cast("long").alias("_r"),
+            )
+            .persist()
+        )
         new_ranks.count()  # materialize before releasing the predecessor
         ranks.unpersist()
         ranks = new_ranks
@@ -90,4 +102,5 @@ def pagerank(
         F.col("_node").alias("node"), F.col("_r").alias("rank_fp")
     )
     ed.unpersist()
+    nodes.unpersist()
     return out

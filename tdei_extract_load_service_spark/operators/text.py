@@ -33,7 +33,7 @@ def _col(c: str | Column) -> Column:
 def token_count_ws(text: str | Column) -> Column:
     """Whitespace token count (0 for empty/blank)."""
     t = F.trim(_col(text))
-    return F.when(t == "", 0).otherwise(F.size(F.split(t, r"\s+")))
+    return F.when(t == "", 0).otherwise(F.size(F.split(t, _WS_CLASS)))
 
 
 def token_count_bpe_ish(text: str | Column) -> Column:
@@ -105,7 +105,7 @@ def fingerprint(text: str | Column) -> Column:
     """Order-insensitive content fingerprint: md5 of the sorted distinct
     word set of the lowercased text — the cheap exactish-dup key (rolling
     hash/winnowing upgrades slot in behind the same column contract)."""
-    words = F.array_sort(F.array_distinct(F.split(F.lower(F.trim(_col(text))), r"\s+")))
+    words = F.array_sort(F.array_distinct(F.split(F.lower(F.trim(_col(text))), _WS_CLASS)))
     return F.md5(F.concat_ws(" ", words))
 
 
@@ -142,7 +142,7 @@ def tfidf_topk(
     """
     docs = df.select(
         _col(id_col).alias("id"),
-        F.split(F.lower(F.trim(_col(text_col))), r"\s+").alias("words"),
+        F.split(F.lower(F.trim(_col(text_col))), _WS_CLASS).alias("words"),
     ).withColumn("dl", F.size("words"))
     # N and the EXACT tf bound (tf <= max doc length) in ONE scan — the
     # overflow guard must reject only genuinely unsafe inputs: a
@@ -220,7 +220,7 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     carries one row per distinct bigram per doc per task — bounded by
     document length, never corpus size. Docs with < 2 words report 0
     bigram fractions (no bigrams to repeat)."""
-    words = F.split(F.trim(_col(text_col)), r"\s+")
+    words = F.split(F.trim(_col(text_col)), _WS_CLASS)
     base = df.select(
         _col(id_col).alias(id_col),
         words.alias("_w"),
@@ -905,8 +905,11 @@ def source_overlap(
     # dedups across docs). Persisted: gram-set rows are hashes + a tiny
     # source set — orders of magnitude below the text volume — and both
     # branches below would otherwise recompute the Python fan-out.
-    sets = (
-        grams.groupBy("gram").agg(F.collect_set("_src").alias("_ss")).persist()
+    from tdei_extract_load_service_spark.session import persist_scoped
+
+    sets = persist_scoped(
+        grams.groupBy("gram").agg(F.collect_set("_src").alias("_ss")),
+        "text.source_overlap.sets",
     )
     per_source = sets.select(F.explode("_ss").alias("_src")).groupBy("_src").agg(
         F.count("*").alias("n_grams_a")
@@ -983,7 +986,7 @@ def bm25_topk(
     nondeterminism can't flip ties (see memory: parity recipes)."""
     if not terms:
         raise ValueError("terms must be non-empty")
-    ws = r"\s+"
+    ws = _WS_CLASS
     dl = docs.select(
         _col(id_col).alias("doc_id"),
         F.when(F.trim(_col(text_col)) == "", 0)
@@ -1002,15 +1005,17 @@ def bm25_topk(
     # (measured via plan probe — the q20/q2/lm_score shared-subtree
     # lesson); the cached frame is postings-sized (query-term matches
     # only), orders of magnitude below the token stream
-    tf = (
+    from tdei_extract_load_service_spark.session import persist_scoped
+
+    tf = persist_scoped(
         docs.select(
             _col(id_col).alias("doc_id"),
             F.explode(F.split(F.trim(_col(text_col)), ws)).alias("term"),
         )
         .where(F.col("term").isin(list(terms)))
         .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-        .persist()
+        .agg(F.count("*").alias("tf")),
+        "text.bm25_topk.tf",
     )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     per = (
@@ -1088,7 +1093,12 @@ def lm_bigram_score(
             )
         ).alias("bg"),
     )
-    tf = inst.groupBy("doc_id", "bg").agg(F.count("*").alias("tf")).persist()
+    from tdei_extract_load_service_spark.session import persist_scoped
+
+    tf = persist_scoped(
+        inst.groupBy("doc_id", "bg").agg(F.count("*").alias("tf")),
+        "text.lm_bigram_score.tf",
+    )
     c2 = tf.groupBy("bg").agg(F.sum("tf").alias("c2"))
     c1 = c2.groupBy(F.substring("bg", 1, 1).alias("a")).agg(
         F.sum("c2").alias("c1")
@@ -1158,7 +1168,7 @@ def build_bm25_index(
     path = os.path.join(root, digest)
     meta_path = os.path.join(path, "_meta.json")
     if not os.path.exists(meta_path):
-        ws = r"\s+"
+        ws = _WS_CLASS
         dl = docs.select(
             _col(id_col).alias("doc_id"),
             F.when(F.trim(_col(text_col)) == "", 0)

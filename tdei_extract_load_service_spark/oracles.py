@@ -186,7 +186,10 @@ def pq_code_oracle_sql() -> str:
     coded AS (
       SELECT vec_id, {', '.join(code_cols)} FROM subs
     )
-    SELECT vec_id, [{codes}] AS codes FROM coded
+    SELECT vec_id,
+           array_to_string(list_transform([{codes}], x -> x::VARCHAR), ',')
+             AS codes
+    FROM coded
     """
 
 

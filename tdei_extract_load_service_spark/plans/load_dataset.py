@@ -302,25 +302,34 @@ def load_dataset(
         entries = routed_entries(zip_fanout(read_zip_archives(spark, archive_path)))
         # entries feed features, headers and stats: one fan-out, cached
         entries = entries.persist()
-        # ONE materializing pass returns both the entry count and the
-        # malformed-entry gate (O21, geoJsonPipeError
-        # extract-load-service.ts:41-49) — previously a second full scan
-        # of entry_text
+        # ONE materializing pass returns the malformed-entry gate (O21,
+        # geoJsonPipeError extract-load-service.ts:41-49) AND the per-file
+        # header metadata that the extension-registration (O16) and
+        # metadata (O15) stages consume — previously each of those ran its
+        # own job re-scanning the persisted entries through the header
+        # UDF.  Collected volume is ONE small row per FILE (kind, entry
+        # name, header scalars — never feature data), the same O(files)
+        # bound the metadata stage always collected; header extraction is
+        # null-safe on malformed JSON, so running it before the gate check
+        # costs nothing on the failure path.
         is_bad = F.from_json("entry_text", "map<string,string>").isNull()
-        gate = entries.agg(
-            F.count("*").alias("n"),
-            F.min(F.when(is_bad, F.col("entry"))).alias("bad_entry"),
-            F.count(F.when(F.col("kind") == "extension", 1)).alias("n_ext"),
-        ).collect()[0]
-        n_entries = gate["n"]
+        per_entry = entries.select(
+            "kind",
+            "entry",
+            is_bad.alias("bad"),
+            _meta_json_udf(header_json("entry_text")).alias("meta"),
+        ).collect()
+        n_entries = len(per_entry)
         if n_entries == 0:
             raise NoGeoJsonEntriesError(
                 f"No GeoJSON files found in the archive for dataset {tdei_dataset_id}"
             )
-        if gate["bad_entry"] is not None:
+        bad_entry = min((r["entry"] for r in per_entry if r["bad"]), default=None)
+        if bad_entry is not None:
             raise MalformedGeoJsonError(
-                f"Unable to parse GeoJSON: invalid JSON in entry {gate['bad_entry']}"
+                f"Unable to parse GeoJSON: invalid JSON in entry {bad_entry}"
             )
+        n_ext = sum(1 for r in per_entry if r["kind"] == "extension")
         timings["extract"] = time.perf_counter() - t0
 
         # -- transform: features + per-kind routing ---------------------
@@ -403,46 +412,57 @@ def load_dataset(
 
         # extension-file registration (O16, extract-load-service.ts:515-536):
         # one row per extension entry, created even when it has 0 features
-        # (empty-insert fallback O14, :230). The gate pass already counted
-        # extension entries — zero means this whole job (pandas-UDF header
-        # parse + parquet commit) would write nothing; skip it.
-        if gate["n_ext"] > 0:
-            ext_entries = entries.where(F.col("kind") == "extension")
-            ext_files = ext_entries.select(
+        # (empty-insert fallback O14, :230). The gate pass already collected
+        # each extension entry's header meta, so the write's input is an
+        # Arrow-backed local frame — no re-scan of the archive, no second
+        # pandas-UDF job; only the id keeps Spark's xxhash64 so it matches
+        # the ext_file_id stamped on the feature rows above. Zero extension
+        # entries skip the write job outright.
+        if n_ext > 0:
+            ext_pdf = pd.DataFrame(
+                [[r["entry"], r["meta"]] for r in per_entry if r["kind"] == "extension"],
+                columns=["entry", "file_meta"],
+            )
+            ext_files = spark.createDataFrame(
+                ext_pdf,
+                T.StructType(
+                    [
+                        T.StructField("entry", T.StringType()),
+                        T.StructField("file_meta", T.StringType()),
+                    ]
+                ),
+            ).select(
                 F.xxhash64(F.lit(tdei_dataset_id), F.col("entry")).alias("id"),
                 F.lit(tdei_dataset_id).alias("tdei_dataset_id"),
                 F.regexp_extract(F.element_at(F.split("entry", "/"), -1), r"^(.*?)(\.[^.]*)?$", 1).alias("name"),
-                _meta_json_udf(header_json("entry_text")).alias("file_meta"),
+                F.col("file_meta"),
                 F.lit(user_id).alias("requested_by"),
             )
             # one row per extension entry — bounded; don't scatter it over
             # the full shuffle partitioning as near-empty files
             sink_write(
-                "extension_file", ext_files.coalesce(max(1, gate["n_ext"] // 250_000))
+                "extension_file", ext_files.coalesce(max(1, n_ext // 250_000))
             )
         timings["load"] = time.perf_counter() - t0
 
         # -- metadata: per-kind header -> dataset row (O15) --------------
         # an archive of only extension files updates no metadata column in
-        # the reference's per-kind switch — skip the pivot job outright
+        # the reference's per-kind switch — skip the write job outright
         t0 = time.perf_counter()
-        if n_entries - gate["n_ext"] > 0:
-            # header extraction runs distributed (the pandas UDF sees the
-            # full entry text); only the RESULT — one small header-JSON
-            # string per FILE — comes to the driver. With O(files) rows the
-            # pivot's shuffle stage bought nothing over assembling the
-            # single dataset row here (one job instead of two).
-            header_rows = (
-                entries.where(F.col("kind") != "extension")
-                .select("kind", "entry", _meta_json_udf(header_json("entry_text")).alias("meta"))
-                .collect()
-            )
-            # several files of one kind each overwrite the same column in
+        if n_entries - n_ext > 0:
+            # header extraction already ran distributed in the extract
+            # gate pass (one small header-JSON string per FILE came to the
+            # driver there) — this stage is now pure driver-side assembly
+            # plus the one-row Arrow write, no Spark job over the entries.
+            # Several files of one kind each overwrite the same column in
             # the reference's sequential processing — last write wins;
             # entry-name order is the deterministic distributed equivalent
             # (== the previous max_by(meta, entry) pivot)
             last_meta: dict[str, str] = {}
-            for r in sorted(header_rows, key=lambda r: r["entry"]):
+            for r in sorted(
+                (r for r in per_entry if r["kind"] != "extension"),
+                key=lambda r: r["entry"],
+            ):
                 last_meta[r["kind"]] = r["meta"]
             # Arrow-backed local frame: a plain Python-list createDataFrame
             # scans through a pickled Python RDD — measured 3.5s per 2-row

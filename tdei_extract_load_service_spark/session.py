@@ -34,6 +34,35 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: call-site scope -> the frame that invocation persisted (see
+#: :func:`persist_scoped`)
+_SCOPED_PERSISTS: dict[str, DataFrame] = {}
+
+
+def persist_scoped(df: DataFrame, scope: str) -> DataFrame:
+    """``df.persist()`` with per-call-site recycling.
+
+    Operators whose RETURNED plan reads a persisted intermediate twice
+    (fill_time_gaps' bucket frame, bm25_topk's postings, lm_bigram_score's
+    tf, source_overlap's gram sets) cannot unpersist before returning —
+    the caller's action is the consumer.  But never unpersisting leaks one
+    cached frame per invocation into executor storage memory for the life
+    of the session (ADVICE r8: a bench/catalog loop accumulates hundreds).
+    This helper unpersists the frame the SAME call site persisted on its
+    PREVIOUS invocation, bounding the accumulation at one generation per
+    scope.  If a caller still holds the previous result un-materialized,
+    its plan silently degrades to recomputation — correctness is
+    unaffected (persist is only ever a performance hint)."""
+    prev = _SCOPED_PERSISTS.pop(scope, None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:  # noqa: BLE001 - session may already be gone
+            pass
+    out = df.persist()
+    _SCOPED_PERSISTS[scope] = out
+    return out
+
 
 def get_spark(
     app_name: str = "tdei_extract_load_service_spark",

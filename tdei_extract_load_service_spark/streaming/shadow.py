@@ -21,11 +21,24 @@ from __future__ import annotations
 
 import itertools
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _QUERY_COUNTER = itertools.count()
+
+
+def _query_name() -> str:
+    """Unique memory-sink/checkpoint name per query RUN.  A pid+counter
+    key is NOT unique across interpreter restarts (recycled pid -> the
+    new query resumes from the stale checkpoint, which already marks the
+    staged files processed, and the memory sink comes back empty —
+    ADVICE r8), so every run gets a uuid4 suffix; the counter stays for
+    readable ordering in /tmp listings."""
+    return (
+        f"shadow_{os.getpid()}_{next(_QUERY_COUNTER)}_{uuid.uuid4().hex[:12]}"
+    )
 
 #: session-lifetime staging cache: corpus fingerprint -> staged dir
 _STAGE_CACHE: dict[str, str] = {}
@@ -128,7 +141,7 @@ def run_bounded_stream(
         .option("maxFilesPerTrigger", "1")
         .parquet(stage_dir)
     )
-    name = f"shadow_{os.getpid()}_{next(_QUERY_COUNTER)}"
+    name = _query_name()
     ckpt = f"/tmp/spark_graft_stream_ckpt/{name}"
     q = (
         transform(src)
@@ -356,7 +369,7 @@ def interval_join_shadow(
         F.col("event_id").alias("view_id"),
         F.col("event_id_r").alias("click_id"),
     )
-    name = f"shadow_{os.getpid()}_{next(_QUERY_COUNTER)}"
+    name = _query_name()
     ckpt = f"/tmp/spark_graft_stream_ckpt/{name}"
     q = (
         joined.writeStream.format("memory")
@@ -413,7 +426,7 @@ def sink_shadow(
         F.count("*").alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,6)")).alias("_tv"),
     )
-    name = f"shadow_{os.getpid()}_{next(_QUERY_COUNTER)}"
+    name = _query_name()
     q = (
         agg.coalesce(1)
         .writeStream.foreachBatch(

@@ -155,6 +155,27 @@ class TestMixBudgetSample:
         with pytest.raises(ValueError):
             mix_budget_sample(docs, "doc_id", "src", "n", {"s0": 1.0}, -1)
 
+    def test_micro_weight_underflow_errors_loudly(self, spark):
+        """ADVICE r8: a positive weight below ~5e-7 rounds to 0
+        micro-units — pre-fix its stratum silently got budget 0, and an
+        all-tiny weight vector raised ZeroDivisionError after validation
+        passed.  Both must be a loud ValueError naming the strata."""
+        from tdei_extract_load_service_spark.operators.sampling import (
+            mix_budget_sample,
+        )
+
+        docs = self._docs(spark)
+        with pytest.raises(ValueError, match="s1"):
+            mix_budget_sample(
+                docs, "doc_id", "src", "n",
+                weights={"s0": 1.0, "s1": 1e-9}, total_budget=10,
+            )
+        with pytest.raises(ValueError, match="micro-unit"):
+            mix_budget_sample(
+                docs, "doc_id", "src", "n",
+                weights={"s0": 1e-9, "s1": 2e-9}, total_budget=10,
+            )
+
 
 class TestPIIScrub:
     def test_patterns_and_chained_order(self, spark):

@@ -13,15 +13,15 @@ import os
 
 from tdei_extract_load_service_spark.catalog import DRIVER_WINDOW, REGISTRY, ordered_registry
 
-# Entries that must always be driver-checked.  r8 rotation (VERDICT r7
-# #1): the window saturated — 25 round-7 promotions plus rule-(b)
-# re-certification debt exceeded 50 slots — so this round the permanent
-# core is the 20-op v1 engine contract (the driver's correctness story,
-# never rotated out) and every round-7 entry (certification debt paid in
-# full).  The long-stable r6-era flagships (tpch_q1/q3/q5/q6, dedup
-# family, profile/multimodal/quantiles) moved to the round-9
+# Entries that must always be driver-checked.  r9 rotation (VERDICT r8
+# #3): the permanent core is the 20-op v1 engine contract (the driver's
+# correctness story, never rotated out), plus the FIVE entries that
+# failed the driver hash in round 8 (they carry this round's
+# oracle-canon fix and must re-certify), plus the never-sampled rule-(a)
+# promotion queue.  The long-stable r7-era flagships (tpch wave 1+2,
+# PQ family, text/corpus/events) moved to the round-10
 # re-certification queue: multi-round driver-green, still swept by
-# tools/oracle_check.py every round, back in-window round 9.
+# tools/oracle_check.py every round.
 FLAGSHIPS = [
     # the 20-op v1 contract
     "scan",
@@ -44,32 +44,38 @@ FLAGSHIPS = [
     "topk_similarity",
     "text_quality",
     "etl_load_dataset",
-    # round-7 certification debt (VERDICT r7 "What's missing" #5)
-    "tpch_q4_order_priority",
-    "tpch_q7_volume_shipping",
-    "tpch_q10_returned_items",
+    # round-8 driver failures re-certifying the round-9 canon fix
     "tpch_q12_priority_class",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_volume_customer",
-    "tpch_q19_discounted_revenue",
-    "tpch_q22_global_sales_opportunity",
     "embedding_pq_code",
-    "similarity_pq",
-    "similarity_pq_recall",
-    "similarity_ivf_pq",
-    "dedup_winnow_cluster",
-    "text_contamination",
-    "text_normalize",
-    "text_chunk",
     "embedding_normalize",
     "corpus_prep_full",
     "text_token_budget_sample",
-    "events_funnel",
-    "events_retention",
-    "events_retention_cohorts",
+    # never-driver-sampled rule-(a) promotions (VERDICT r8 #3)
+    "tpch_q8_national_market_share",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_stock",
+    "tpch_q16_parts_supplier_relationship",
+    "text_source_overlap",
+    "stream_window_shadow",
+    "text_bm25_topk_stored",
+    "text_pii_scrub",
+    "text_lm_score",
+    "corpus_mix_sample",
+    "join_skew_salted",
+    "scd2_history",
+    "cdc_apply",
+    "events_anomaly",
+    "incremental_agg",
+    "temporal_join",
+    "join_bucketed",
+    "stream_sink_shadow",
+    "ts_fill_gaps",
+    "referential_audit",
+    "join_fuzzy",
+    "graph_pagerank",
+    "window_percentiles",
+    "key_skew_profile",
+    "dedup_golden_record",
 ]
 
 

@@ -118,3 +118,34 @@ class TestPagerankFixedPoint:
         unit = 1_000_000_000_000
         # each DIV floors away < 1 unit per edge/node per iteration
         assert abs(sum(got.values()) - unit) < 100 * len(got)
+
+    def test_source_only_node_survives_and_keeps_spreading(self, spark):
+        """ADVICE r8: a DIRECTED node with out-edges but NO in-edges must
+        stay in the output at base rank and keep contributing mass every
+        iteration (the pre-fix rebuild-from-contrib dropped node 3 after
+        iteration 1 and starved node 1 of its later contributions)."""
+        directed = [(1, 2), (2, 1), (3, 1)]
+        edges = spark.createDataFrame(
+            pd.DataFrame(directed, columns=["src", "dst"])
+        )
+        from tdei_extract_load_service_spark.operators.graph import pagerank
+
+        got = {
+            r["node"]: r["rank_fp"]
+            for r in pagerank(edges, iterations=3).collect()
+        }
+        # plain-Python twin of the directed recurrence
+        nodes = sorted({a for a, _ in directed})
+        deg = {u: sum(1 for a, _ in directed if a == u) for u in nodes}
+        n = len(nodes)
+        unit = 1_000_000_000_000
+        base = (15 * unit // 100) // n
+        r = {u: unit // n for u in nodes}
+        for _ in range(3):
+            s = {u: 0 for u in nodes}
+            for a, b in directed:
+                s[b] += r[a] // deg[a]
+            r = {u: base + (85 * s[u]) // 100 for u in nodes}
+        assert set(got) == set(nodes)
+        assert got == r
+        assert got[3] == base  # no in-edges: rank is the damping floor

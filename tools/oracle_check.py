@@ -2,9 +2,23 @@
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB at the given scale factor, then compares row count, column names and
-an order-insensitive multiset of stringified row values. Stricter-or-equal
-to any reasonable hash the driver uses: if this passes with exact string
-equality, any order-insensitive value hash matches.
+values THE WAY THE DRIVER DOES: both results are materialized as pandas
+frames (``sdf.toPandas()`` vs ``con.execute(sql).df()``) and compared with
+pandas-dtype-faithful cell rendering.  Round 8 proved the old
+Python-value ``normalize()`` was WEAKER than the driver: it collapsed
+``4.0 -> "4"``, masking DuckDB-HUGEINT -> float64 dtype skew that the
+driver's ``hash_pandas_object``-style canon rejects (5 of 50 sampled
+queries failed r8 while this gate said clean).  The rules now enforced:
+
+- column dtype KINDS must match per column (integer vs float vs bool vs
+  datetime vs object) — an un-cast ``SUM(<int>)`` oracle (HUGEINT ->
+  float64) fails here even though the values are numerically equal;
+- no cell may be a list/dict/ndarray (the driver's pandas
+  canonicalization dies on unhashable cells — serialize arrays on both
+  sides instead);
+- cell values compare bit-faithfully per kind (float via repr, so only
+  genuinely bit-identical doubles pass — same bar as hashing the float64
+  bit pattern).
 
 Usage: python tools/oracle_check.py [sf_dir] [query ...]
 """
@@ -26,31 +40,112 @@ TABLES = (
 )
 
 
-def normalize(value) -> str:
-    """Render a cell the way both engines should agree on."""
+def _kind(dtype) -> str:
+    """Collapse a pandas dtype to the driver-relevant kind bucket."""
+    k = getattr(dtype, "kind", "O")
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "datetime"
+    return "object"
+
+
+def _render(value, kind: str) -> str:
+    """Render one cell dtype-faithfully (int 4 != float 4.0)."""
     import datetime
     import math
 
     if value is None:
         return "NULL"
-    if isinstance(value, float):
-        if math.isnan(value):
+    if kind == "float":
+        v = float(value)
+        if math.isnan(v):
             return "NaN"
-        if value == int(value) and abs(value) < 1e15:
-            return str(int(value))
-        return repr(value)
-    if isinstance(value, (list, tuple)):
-        return "[" + ",".join(normalize(v) for v in value) + "]"
-    if isinstance(value, dict):
-        return "{" + ",".join(f"{k}:{normalize(v)}" for k, v in sorted(value.items())) + "}"
-    if isinstance(value, datetime.datetime):
-        return value.isoformat()
-    return str(value)
+        return "f:" + repr(v)
+    if kind == "int":
+        return "i:" + str(int(value))
+    if kind == "bool":
+        return "b:" + str(bool(value))
+    if kind == "datetime":
+        if value != value:  # NaT
+            return "NaT"
+        return "t:" + value.isoformat()
+    # object column: strings, dates, Decimals, None/NaN
+    if isinstance(value, float) and math.isnan(value):
+        return "NULL"
+    if isinstance(value, (datetime.datetime, datetime.date)):
+        return "t:" + value.isoformat()
+    return "o:" + str(value)
 
 
-def rows_to_multiset(columns, rows) -> Counter:
-    order = sorted(range(len(columns)), key=lambda i: columns[i])
-    return Counter("|".join(normalize(row[i]) for i in order) for row in rows)
+def frame_multiset(pdf) -> Counter:
+    cols = sorted(pdf.columns)
+    kinds = {c: _kind(pdf[c].dtype) for c in cols}
+    return Counter(
+        "|".join(_render(row[c], kinds[c]) for c in cols)
+        for row in pdf.to_dict("records")
+    )
+
+
+def unhashable_cols(pdf) -> list[str]:
+    """Columns holding list/dict/ndarray cells — driver canon crashers."""
+    import numpy as np
+
+    bad = []
+    for c in pdf.columns:
+        if pdf[c].dtype.kind != "O":
+            continue
+        if pdf[c].map(
+            lambda v: isinstance(v, (list, dict, set, np.ndarray))
+        ).any():
+            bad.append(c)
+    return bad
+
+
+def compare_frames(spark_pdf, duck_pdf) -> list[str]:
+    """Driver-faithful compare: returns a list of problems (empty = ok)."""
+    problems: list[str] = []
+    spark_pdf = spark_pdf.rename(columns=str.lower)
+    duck_pdf = duck_pdf.rename(columns=str.lower)
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(
+            f"rowcount spark={len(spark_pdf)} duck={len(duck_pdf)}"
+        )
+    s_cols, d_cols = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    if s_cols != d_cols:
+        problems.append(f"columns spark={s_cols} duck={d_cols}")
+        return problems
+    bad_s, bad_d = unhashable_cols(spark_pdf), unhashable_cols(duck_pdf)
+    if bad_s or bad_d:
+        problems.append(
+            f"unhashable array/map cells spark={bad_s} duck={bad_d} "
+            "(driver canon crashes on these — serialize on both sides)"
+        )
+        return problems
+    skew = [
+        f"{c}: spark={_kind(spark_pdf[c].dtype)} duck={_kind(duck_pdf[c].dtype)}"
+        for c in s_cols
+        if _kind(spark_pdf[c].dtype) != _kind(duck_pdf[c].dtype)
+    ]
+    if skew:
+        problems.append(
+            "dtype skew (driver hashes dtype-sensitively — CAST the oracle): "
+            + "; ".join(skew)
+        )
+        return problems
+    s_ms, d_ms = frame_multiset(spark_pdf), frame_multiset(duck_pdf)
+    if s_ms != d_ms:
+        extra_s = list((s_ms - d_ms).items())[:3]
+        extra_d = list((d_ms - s_ms).items())[:3]
+        problems.append(f"values spark-only={extra_s} duck-only={extra_d}")
+    return problems
+
+
+COMPLEX_SPARK_TYPES = ("ArrayType", "MapType", "StructType")
 
 
 def main() -> int:
@@ -92,42 +187,32 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            spark_cols = [c.lower() for c in sdf.columns]
-            spark_rows = [tuple(r) for r in sdf.collect()]
+            spark_pdf = sdf.toPandas()
         except Exception as exc:  # noqa: BLE001
             failures.append((name, f"spark error: {exc}"))
             print(f"FAIL  {name}: spark error: {exc}")
             continue
         if name not in oracles:
             rows_only.append(name)
-            print(f"rows  {name}: {len(spark_rows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            print(
+                f"rows  {name}: {len(spark_pdf)} rows (no oracle) [{time.time()-t0:.1f}s]"
+            )
             continue
         try:
-            res = con.execute(oracles[name])
-            duck_cols = [d[0].lower() for d in res.description]
-            duck_rows = res.fetchall()
+            duck_pdf = con.execute(oracles[name]).df()
         except Exception as exc:  # noqa: BLE001
             failures.append((name, f"duckdb error: {exc}"))
             print(f"FAIL  {name}: duckdb error: {exc}")
             continue
         checked += 1
-        problems = []
-        if len(spark_rows) != len(duck_rows):
-            problems.append(f"rowcount spark={len(spark_rows)} duck={len(duck_rows)}")
-        if sorted(spark_cols) != sorted(duck_cols):
-            problems.append(f"columns spark={spark_cols} duck={duck_cols}")
-        else:
-            s_ms = rows_to_multiset(spark_cols, spark_rows)
-            d_ms = rows_to_multiset(duck_cols, duck_rows)
-            if s_ms != d_ms:
-                extra_s = list((s_ms - d_ms).items())[:3]
-                extra_d = list((d_ms - s_ms).items())[:3]
-                problems.append(f"values spark-only={extra_s} duck-only={extra_d}")
+        problems = compare_frames(spark_pdf, duck_pdf)
         if problems:
             failures.append((name, "; ".join(problems)))
             print(f"FAIL  {name}: {'; '.join(problems)}")
         else:
-            print(f"ok    {name}: {len(spark_rows)} rows [{time.time()-t0:.1f}s]")
+            print(
+                f"ok    {name}: {len(spark_pdf)} rows [{time.time()-t0:.1f}s]"
+            )
 
     print(
         f"\n{checked} oracle-checked, {len(rows_only)} rows-only, {len(failures)} failures"
