@@ -318,3 +318,94 @@ def test_consumer_arg_validation_before_side_effects(spark, tmp_path):
         run_queue_consumer(spark, request_dir=str(tmp_path / "req"))
     # the failed calls must not have created anything
     assert not (tmp_path / "resp").exists()
+
+
+def test_failure_publish_soak_concurrent_malformed(spark, tmp_path):
+    """Failure-path publish ordering soak (VERDICT r8 #5; reference test
+    'should publish message if any error occurs',
+    extract-load-service.test.ts:159-185): a backlog mixing valid loads,
+    declared-but-unimplemented data_types, a missing archive and a
+    malformed-GeoJSON archive drains through the <=2-concurrency consumer.
+    Every message — failure or success — must publish exactly ONE response
+    carrying the request mutated with {success, message}; a failing message
+    must not poison the message sharing its micro-batch; and intake must
+    respect staging order (message i lands in micro-batch i // 2)."""
+    import time as _time
+
+    good = str(tmp_path / "good.zip")
+    make_zip(good, {"nodes.geojson": json.dumps(NODES)})
+    bad = str(tmp_path / "bad.zip")
+    make_zip(bad, {"broken.geojson": "{this is not json"})
+
+    request_dir = tmp_path / "requests"
+    request_dir.mkdir()
+
+    def msg(i, data_type, path, ds):
+        return {"messageId": f"s{i}", "messageType": "workflow", "data": {
+            "data_type": data_type, "file_upload_path": path,
+            "tdei_dataset_id": ds, "user_id": "u1"}}
+
+    messages = [
+        msg(0, "osw", good, "ds-ok-0"),          # batch 0: success
+        msg(1, "osw", bad, "ds-bad-1"),          # batch 0: malformed JSON
+        msg(2, "flex", good, "ds-flex-2"),       # batch 1: unimplemented
+        msg(3, "osw", good, "ds-ok-3"),          # batch 1: success
+        msg(4, "osw", str(tmp_path / "missing.zip"), "ds-miss-4"),  # batch 2
+        msg(5, "pathways", good, "ds-path-5"),   # batch 2: unimplemented
+        msg(6, "osw", bad, "ds-bad-6"),          # batch 3: malformed JSON
+        msg(7, "osw", good, "ds-ok-7"),          # batch 3: success
+    ]
+    base = _time.time() - 100
+    for i, m in enumerate(messages):
+        p = request_dir / f"msg{i}.json"
+        p.write_text(json.dumps(m))
+        # strictly increasing mtimes pin the file source's intake order
+        os.utime(p, (base + i, base + i))
+
+    response_dir = str(tmp_path / "responses")
+    warehouse = str(tmp_path / "soak_wh")
+    run_queue_consumer(
+        spark,
+        request_dir=str(request_dir),
+        response_dir=response_dir,
+        warehouse=warehouse,
+        checkpoint_dir=str(tmp_path / "soak_ckpt"),
+        available_now=True,
+        max_messages_per_trigger=2,
+    )
+
+    responses = {}
+    batch_of = {}
+    for name in os.listdir(response_dir):
+        with open(os.path.join(response_dir, name)) as fh:
+            r = json.load(fh)
+        assert r["messageId"] not in responses, f"duplicate response {name}"
+        responses[r["messageId"]] = r
+        # filename contract: response-<batch_id>-<uuid>.json
+        batch_of[r["messageId"]] = int(name.split("-")[1])
+
+    assert sorted(responses) == [f"s{i}" for i in range(8)]
+    expected_success = {
+        "s0": True, "s1": False, "s2": False, "s3": True,
+        "s4": False, "s5": False, "s6": False, "s7": True,
+    }
+    for mid, want in expected_success.items():
+        r = responses[mid]["data"]
+        assert r["success"] is want, f"{mid}: {r}"
+        assert isinstance(r["message"], str) and r["message"]
+        # the response is the REQUEST mutated, never a new envelope
+        assert responses[mid]["data"]["tdei_dataset_id"] == messages[int(mid[1:])]["data"]["tdei_dataset_id"]
+    # normalized failure classes (O21)
+    assert "Invalid GeoJSON content" in responses["s1"]["data"]["message"]
+    assert "Invalid GeoJSON content" in responses["s6"]["data"]["message"]
+    assert "Method not implemented" in responses["s2"]["data"]["message"]
+    assert "Method not implemented" in responses["s5"]["data"]["message"]
+    # bounded-concurrency intake order: message i -> micro-batch i // 2
+    assert batch_of == {f"s{i}": i // 2 for i in range(8)}
+    # failures never block their batch-mates: all three valid loads landed
+    nodes = spark.read.parquet(os.path.join(warehouse, "node"))
+    landed = {
+        r["tdei_dataset_id"]
+        for r in nodes.select("tdei_dataset_id").distinct().collect()
+    }
+    assert landed == {"ds-ok-0", "ds-ok-3", "ds-ok-7"}
