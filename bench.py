@@ -143,6 +143,12 @@ HEADLINE_EXTENSIONS = (
     "sample_split_grouped",
     "events_attribution",
     "similarity_ivf_pq_incremental",
+    # round-9 wave-4 additions: frequency/planning diagnostics and
+    # scoring operators, on the trendline from the round they land
+    "heavy_hitters",
+    "join_size_estimate",
+    "text_readability",
+    "events_markov",
     # dedup_winnow (and its r7 composition dedup_winnow_cluster) is
     # EXCLUDED from the sf0.1 headline deliberately: the
     # synthetic documents corpus draws from a ~25-word vocabulary, so

@@ -284,16 +284,20 @@ from tdei_extract_load_service_spark.catalog_entries import (  # noqa: E402,F401
 # stays under tools/oracle_check.py + pytest.
 #
 # ROUND-10 WINDOW (pre-committed, VERDICT r8 #6): contract (20) + the 9
-# deferred above + the ~28 rule-(b) re-certification debts (tpch_q1/q3/
+# deferred above + this round's 4 NEW wave-4 registrations
+# (heavy_hitters, join_size_estimate, text_readability, events_markov —
+# rule (a): in-window the round after they land) + the ~28 rule-(b)
+# re-certification debts (tpch_q1/q3/
 # q5/q6, dynamic_query, agg_stats, window_tumbling, dedup_cluster,
 # similarity_ivf(_kmeans), join_range, grouped_normalize, join_asof,
 # session_window, quantiles, multimodal x4, text_tfidf_topk,
 # text_pack_sequences, embedding_quantize, dedup_embedding_lsh,
 # column_profile(_categorical), column_correlations, histogram_auto,
 # text_repetition_stats, corpus_prep, text_winnow_fingerprint,
-# dedup_winnow) = 57 candidates for 30 slots; the r9 promotions will
-# all be two-rounds-green by r11, so the r10 window takes the 9
-# deferred + the 21 oldest rule-(b) debts and r11 sweeps the rest.
+# dedup_winnow) = 61 candidates for 30 slots; rule (a) entries (the 4
+# wave-4) and the 9 deferred take priority, then the 17 oldest
+# rule-(b) debts fill the window; r11 sweeps the rest (the r9
+# promotions are all two-rounds-green by then, freeing their slots).
 DRIVER_WINDOW: list[str] = [
     # --- the 20-op v1 engine contract (SURVEY §2.4) ---
     "scan",

@@ -791,3 +791,47 @@ def q_ts_fill_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value_locf"), 4).alias("value_locf"),
         "is_gap",
     ).orderBy(F.col("event_type").asc(), F.col("hour_bucket").asc())
+
+
+@register(
+    "events_markov",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    c AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS cnt
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ),
+    t AS (
+      SELECT prev_type, next_type, cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY prev_type) AS BIGINT) AS tot
+      FROM c
+    )
+    SELECT prev_type, next_type, cnt,
+           ROUND(CAST(cnt AS DOUBLE) / tot, 6) AS p
+    FROM t
+    ORDER BY prev_type, next_type
+    """,
+)
+def q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (operators/events.py event_transition_matrix) — the
+    behavioral model behind next-event prediction and sequence anomaly
+    scoring: per ordered (prev, next) type pair, the transition count
+    and row-normalized probability. Sequence order is (ts, event_id) —
+    deterministic under same-timestamp neighbors; ONE user-key shuffle
+    feeds the lag window, then counts collapse to at most |types|^2
+    rows where the row-total window runs. The probability is one
+    exact-integer double division, ROUND 6."""
+    from tdei_extract_load_service_spark.operators.events import (
+        event_transition_matrix,
+    )
+
+    return event_transition_matrix(
+        _read_events(spark, sf_dir), "user_id", "ts", "event_type", "event_id"
+    )

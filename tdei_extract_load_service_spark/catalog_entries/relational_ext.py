@@ -1222,3 +1222,81 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("view_id").asc())
     )
+
+
+@register(
+    "heavy_hitters",
+    """
+    WITH c AS (
+      SELECT event_type AS key, COUNT(*) AS cnt FROM events GROUP BY event_type
+    ),
+    m AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c)
+    SELECT key, cnt, ROUND(CAST(cnt AS DOUBLE) / m.n, 6) AS support
+    FROM c, m
+    WHERE cnt * 5 > m.n
+    ORDER BY cnt DESC, key ASC
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phi-frequent keys (phi = 1/5): the event types claiming
+    strictly more than a fifth of the stream — the exact answer the
+    one-pass SpaceSaving/Misra-Gries sketches approximate, bounded at
+    k-1 rows by the pigeonhole argument (operators/profiling.py
+    heavy_hitters). One map-side-combined count agg is the only fact
+    shuffle; the threshold is cross-multiplied BIGINT (cnt*5 > N), the
+    support share one exact-integer double division. On the fixture the
+    near-uniform five types split non-trivially around the 20% line."""
+    from tdei_extract_load_service_spark.operators.profiling import (
+        heavy_hitters,
+    )
+
+    return heavy_hitters(_read_events(spark, sf_dir), "event_type", k=5)
+
+
+@register(
+    "join_size_estimate",
+    """
+    WITH a AS (
+      SELECT l_orderkey AS k, COUNT(*) AS ca FROM lineitem GROUP BY l_orderkey
+    ),
+    b AS (
+      SELECT o_orderkey AS k, COUNT(*) AS cb FROM orders GROUP BY o_orderkey
+    ),
+    j AS (SELECT a.ca, b.cb FROM a FULL JOIN b USING (k)),
+    agg AS (
+      SELECT COUNT(ca) AS n_keys_left,
+             COUNT(cb) AS n_keys_right,
+             COUNT(CASE WHEN ca IS NOT NULL AND cb IS NOT NULL THEN 1 END)
+               AS n_match_keys,
+             CAST(COALESCE(SUM(CAST(ca * cb AS DECIMAL(38,0))), 0) AS BIGINT)
+               AS est_rows,
+             CAST(COALESCE(MAX(ca * cb), 0) AS BIGINT) AS max_key_pairs
+      FROM j
+    )
+    SELECT n_keys_left, n_keys_right, n_match_keys, est_rows, max_key_pairs,
+           CASE WHEN est_rows > 0
+                THEN ROUND(CAST(max_key_pairs AS DOUBLE) / est_rows, 6)
+                ELSE 0.0 END AS top_share
+    FROM agg
+    """,
+)
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join output-cardinality prediction WITHOUT running the join
+    (operators/skew.py join_size_estimate): |lineitem JOIN orders| =
+    SUM over keys of cntL*cntR — exact, computed from two |keys|-row
+    count aggregations and one full-outer key join; no fact-sized
+    shuffle ever happens. The planning primitive that decides whether a
+    100 TB join explodes (and whether the explosion is one hot key —
+    top_share — or everywhere) before committing a cluster to it.
+    Products are BIGINT summed as DECIMAL(38,0) (order-independent),
+    the only double is the final share division."""
+    from tdei_extract_load_service_spark.operators.skew import (
+        join_size_estimate,
+    )
+
+    return join_size_estimate(
+        _read(spark, sf_dir, "lineitem"),
+        _read(spark, sf_dir, "orders"),
+        "l_orderkey",
+        "o_orderkey",
+    )

@@ -356,3 +356,46 @@ def q_text_bm25_topk_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, path, n_docs, avgdl,
         ["spark", "join", "window", "scan"], k=10,
     )
+
+
+@register(
+    "text_readability",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(length(regexp_replace(text, '[ \t\n\r\f\v]', '', 'g'))
+                  AS BIGINT) AS n_chars_eff,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '[ \t\n\r\f\v]+'))
+                  END AS BIGINT) AS n_words,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                  AS BIGINT) AS n_sentences
+      FROM documents
+    )
+    SELECT doc_id, n_chars_eff, n_words, n_sentences,
+           CASE WHEN n_words > 0
+                THEN 4710000 * n_chars_eff // n_words
+                     + 500000 * n_words // n_sentences - 21430000
+           END AS ari_fp6
+    FROM t
+    """,
+)
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automated Readability Index per document (operators/text.py
+    readability_ari) — the grade-level proxy quality filters use when
+    syllable counting is unavailable: 4.71*(chars/words) +
+    0.5*(words/sentences) - 21.43 over exact integer counts
+    (non-whitespace chars via the explicit ASCII class, whitespace
+    tokens, [.!?]+ sentence runs floored at 1). Pure projection in
+    whole-stage codegen; the score is FIXED-POINT BIGINT micro-units
+    (4710000*c DIV w + 500000*w DIV s - 21430000) because the float form
+    hit a genuine ROUND(x,6) half-point on fixture data (ari =
+    32.2065625 exactly) where the engines' rounding modes diverge; blank
+    docs yield NULL ari_fp6."""
+    from tdei_extract_load_service_spark.operators.text import (
+        readability_ari,
+    )
+
+    return readability_ari(
+        spread(_read(spark, sf_dir, "documents")), "doc_id", "text"
+    )

@@ -260,3 +260,53 @@ def fill_time_gaps(
         F.last("_mean", ignorenulls=True).over(w).alias("value_locf"),
         F.col("_n").isNull().alias("is_gap"),
     )
+
+
+def event_transition_matrix(
+    events: DataFrame,
+    user_col: str | Column,
+    ts_col: str | Column,
+    type_col: str | Column,
+    id_col: str | Column,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for each ordered (prev_type, next_type) pair, the
+    transition count and the row-normalized probability — the behavioral
+    model behind next-event prediction, anomaly scoring ("this sequence
+    is improbable") and funnel design. Returns ``(prev_type, next_type,
+    cnt, p)`` ordered by (prev_type, next_type).
+
+    Cross-engine exactness: sequence order is (ts, id) — the id tiebreak
+    makes same-timestamp neighbors deterministic; row totals are a
+    window SUM over the |types|^2-row count frame cast BIGINT; p is ONE
+    double division of two exact integers, ROUND 6.
+
+    Scale shape: one hash shuffle on the user key feeds the lag window
+    (each user's timeline sorts within its partition), then a map-side-
+    combined count aggregation collapses to at most |types|^2 rows —
+    the row-total window runs on that bounded frame, never on fact
+    data. Hot users are bounded by their own event count, not the
+    corpus."""
+    w = Window.partitionBy(_col(user_col)).orderBy(
+        _col(ts_col).asc(), _col(id_col).asc()
+    )
+    pairs = (
+        events.select(
+            F.lag(_col(type_col)).over(w).alias("prev_type"),
+            _col(type_col).alias("next_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "cnt",
+        F.round(
+            F.col("cnt").cast("double")
+            / F.sum("cnt").over(tot).cast("bigint"),
+            6,
+        ).alias("p"),
+    ).orderBy(F.col("prev_type").asc(), F.col("next_type").asc())

@@ -427,3 +427,46 @@ def zscore_outliers(
         .where(F.abs(F.col("z")) > threshold)
         .drop("_g", "_n", "_s1", "_s2")
     )
+
+
+def heavy_hitters(
+    df: DataFrame, key_col: str | Column, k: int = 20
+) -> DataFrame:
+    """Exact phi-frequent elements (phi = 1/k): every key whose count
+    strictly exceeds N/k — the exact answer the one-pass SpaceSaving /
+    Misra-Gries sketches approximate with k counters, and the guarantee
+    (at most k-1 keys can each exceed N/k) that bounds the output.
+    Returns ``(key, cnt, support)`` — support the exact double cnt/N
+    ROUND 6 — ordered by cnt desc, key asc.
+
+    Cross-engine exactness: the threshold is cross-multiplied
+    (``cnt * k > n_rows`` — pure BIGINT, no division in the filter);
+    support is ONE double division of two exact integers, identical on
+    both engines.
+
+    Scale shape: ONE map-side-combined count aggregation to |keys| rows
+    (the only fact shuffle), persisted because the total-row scalar and
+    the threshold filter both read it; the one-row total is broadcast
+    back. Output is bounded by k-1 rows by the pigeonhole argument, so
+    the final sort is trivially cheap at any corpus size."""
+    if k < 2:
+        raise ValueError("k must be >= 2 (phi = 1/k must be < 1)")
+    from tdei_extract_load_service_spark.session import persist_scoped
+
+    counts = persist_scoped(
+        df.groupBy(_col(key_col).alias("key")).agg(F.count("*").alias("cnt")),
+        "profiling.heavy_hitters.counts",
+    )
+    total = counts.agg(F.sum("cnt").cast("bigint").alias("_n_rows"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("cnt") * k > F.col("_n_rows"))
+        .select(
+            "key",
+            "cnt",
+            F.round(
+                F.col("cnt").cast("double") / F.col("_n_rows"), 6
+            ).alias("support"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("key").asc())
+    )

@@ -118,3 +118,68 @@ def salted_join(
         ),
     )
     return scattered.join(replicas, [*on, "_salt"], how).drop("_salt")
+
+
+def join_size_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str | Column,
+    right_key: str | Column,
+) -> DataFrame:
+    """Equi-join output-cardinality prediction WITHOUT running the join:
+    |A JOIN B on k| = SUM over keys of cntA(k) * cntB(k) — exact, because
+    each matching key contributes the full cross product of its rows.
+    This is the planning primitive that decides (cheaply) whether a
+    100 TB join's output explodes before you commit a cluster to it, and
+    the companion to key_skew_profile / salted_join: ``max_key_pairs``
+    vs ``est_rows`` says whether the explosion is one hot key (salt it)
+    or everywhere (rethink the query).
+
+    Returns ONE row: ``(n_keys_left, n_keys_right, n_match_keys,
+    est_rows, max_key_pairs, top_share)`` — top_share the exact double
+    max/est ROUND 6 (0.0 when est_rows = 0).
+
+    Cross-engine exactness: per-key products are BIGINT*BIGINT summed as
+    DECIMAL(38,0) (order-independent) then cast back; the only double is
+    the final share division of two exact integers.
+
+    Scale shape: each side collapses to |keys| rows via a map-side-
+    combined count aggregation (the only passes over fact data), then
+    ONE full-outer join of the two key frames feeds one global
+    aggregation — no fact-sized shuffle, no data join, output one row."""
+    ca = left.groupBy(
+        (F.col(left_key) if isinstance(left_key, str) else left_key).alias("_k")
+    ).agg(F.count("*").alias("_ca"))
+    cb = right.groupBy(
+        (F.col(right_key) if isinstance(right_key, str) else right_key).alias(
+            "_k"
+        )
+    ).agg(F.count("*").alias("_cb"))
+    pairs = F.col("_ca") * F.col("_cb")
+    return (
+        ca.join(cb, "_k", "full_outer")
+        .agg(
+            F.count("_ca").alias("n_keys_left"),
+            F.count("_cb").alias("n_keys_right"),
+            F.count(F.when(F.col("_ca").isNotNull() & F.col("_cb").isNotNull(), 1)).alias(
+                "n_match_keys"
+            ),
+            F.coalesce(
+                F.sum(pairs.cast("decimal(38,0)")).cast("bigint"), F.lit(0)
+            ).alias("est_rows"),
+            F.coalesce(F.max(pairs), F.lit(0)).cast("bigint").alias(
+                "max_key_pairs"
+            ),
+        )
+        .select(
+            "n_keys_left",
+            "n_keys_right",
+            "n_match_keys",
+            "est_rows",
+            "max_key_pairs",
+            F.when(F.col("est_rows") > 0, F.round(
+                F.col("max_key_pairs").cast("double")
+                / F.col("est_rows"), 6
+            )).otherwise(F.lit(0.0)).alias("top_share"),
+        )
+    )

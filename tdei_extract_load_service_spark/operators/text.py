@@ -1293,3 +1293,47 @@ def bm25_topk_stored(
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def readability_ari(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Automated Readability Index per document — the grade-level proxy
+    quality filters use when syllable counting is off the table (ARI
+    needs only character/word/sentence counts): ``4.71*(chars/words) +
+    0.5*(words/sentences) - 21.43``. Returns ``(id_col, n_chars_eff,
+    n_words, n_sentences, ari)``; blank documents yield NULL ari
+    (0-word division would poison downstream filters with NaN).
+
+    Cross-engine exactness: the three counts are exact integers
+    (non-whitespace chars via the explicit ASCII class, whitespace
+    tokens, ``[.!?]+`` runs with a floor of 1 so unpunctuated docs are
+    one sentence); the score runs in FIXED-POINT micro-units — BIGINT
+    ``4710000*c DIV w + 500000*w DIV s - 21430000`` — because the float
+    form landed EXACTLY on a ROUND(x, 6) half-point on real fixture data
+    (294/64 is dyadic, ari = 32.2065625, and Spark's HALF_UP disagreed
+    with DuckDB there: the graph_pagerank lesson, measured not
+    theoretical). ``ari_fp6 / 1e6`` recovers the float; both divisions
+    are over non-negative ints so DIV == floor on both engines.
+
+    Scale shape: a pure projection — per-row column arithmetic in
+    whole-stage codegen, no shuffle, no UDF, no join."""
+    t = _col(text_col)
+    chars = F.length(F.regexp_replace(t, "[ \t\n\r\f\v]", ""))
+    words = token_count_ws(t)
+    sentences = F.greatest(F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1))
+    # counts as BIGINT: DuckDB length()/len() return int64; equal widths
+    # keep the driver's dtype-sensitive compare trivially safe
+    staged = df.select(
+        _col(id_col).alias(id_col),
+        chars.cast("long").alias("n_chars_eff"),
+        words.cast("long").alias("n_words"),
+        sentences.cast("long").alias("n_sentences"),
+    )
+    ari_fp6 = F.expr(
+        "4710000 * n_chars_eff DIV n_words"
+        " + 500000 * n_words DIV n_sentences - 21430000"
+    )
+    return staged.withColumn(
+        "ari_fp6", F.when(F.col("n_words") > 0, ari_fp6)
+    )

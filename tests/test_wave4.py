@@ -1,0 +1,149 @@
+"""Semantic tests for the round-9 wave-4 operators: exact heavy hitters,
+join-cardinality estimation, ARI readability, Markov transitions."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+
+class TestHeavyHitters:
+    @staticmethod
+    def _hh(spark, keys, k):
+        from tdei_extract_load_service_spark.operators.profiling import (
+            heavy_hitters,
+        )
+
+        df = spark.createDataFrame(pd.DataFrame({"k": keys}))
+        return [
+            (r["key"], r["cnt"], r["support"])
+            for r in heavy_hitters(df, "k", k=k).collect()
+        ]
+
+    def test_strict_threshold_and_ordering(self, spark):
+        keys = ["a"] * 5 + ["b"] * 3 + ["c"] * 2  # N = 10
+        # k=3: threshold N/3 = 3.33 -> a(5) only (b: 3*3=9 not > 10)
+        assert self._hh(spark, keys, 3) == [("a", 5, 0.5)]
+
+    def test_exactly_n_over_k_is_excluded(self, spark):
+        keys = ["a"] * 5 + ["b"] * 3 + ["c"] * 2
+        # k=2: a's 5*2 == 10 is NOT strictly greater -> empty
+        assert self._hh(spark, keys, 2) == []
+
+    def test_pigeonhole_bound_and_tie_order(self, spark):
+        keys = ["x"] * 4 + ["y"] * 4 + ["z"] * 1  # N = 9, k = 4 -> > 2.25
+        got = self._hh(spark, keys, 4)
+        assert got == [("x", 4, 0.444444), ("y", 4, 0.444444)]
+        assert len(got) <= 3  # at most k-1 keys can exceed N/k
+
+    def test_k_below_two_rejected(self, spark):
+        with pytest.raises(ValueError, match="k must be >= 2"):
+            self._hh(spark, ["a"], 1)
+
+
+class TestJoinSizeEstimate:
+    @staticmethod
+    def _est(spark, left_keys, right_keys):
+        from tdei_extract_load_service_spark.operators.skew import (
+            join_size_estimate,
+        )
+
+        left = spark.createDataFrame(pd.DataFrame({"lk": left_keys}))
+        right = spark.createDataFrame(pd.DataFrame({"rk": right_keys}))
+        return join_size_estimate(left, right, "lk", "rk").collect()[0]
+
+    def test_estimate_equals_actual_join_size(self, spark):
+        left, right = [1, 1, 2, 3], [1, 2, 2, 4]
+        r = self._est(spark, left, right)
+        actual = sum(left.count(k) * right.count(k) for k in set(left))
+        assert r["est_rows"] == actual == 4
+        assert r["n_keys_left"] == 3
+        assert r["n_keys_right"] == 3
+        assert r["n_match_keys"] == 2
+        assert r["max_key_pairs"] == 2  # key 1: 2*1; key 2: 1*2
+        assert r["top_share"] == 0.5
+
+    def test_disjoint_keys_estimate_zero(self, spark):
+        r = self._est(spark, [1, 2], [3, 4])
+        assert r["est_rows"] == 0
+        assert r["max_key_pairs"] == 0
+        assert r["top_share"] == 0.0
+        assert r["n_match_keys"] == 0
+
+    def test_hot_key_dominates_share(self, spark):
+        r = self._est(spark, [9] * 10 + [1], [9] * 10 + [1])
+        assert r["est_rows"] == 101
+        assert r["max_key_pairs"] == 100
+        assert r["top_share"] == round(100 / 101, 6)
+
+
+class TestReadabilityARI:
+    @staticmethod
+    def _ari(spark, texts):
+        from tdei_extract_load_service_spark.operators.text import (
+            readability_ari,
+        )
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"id": range(len(texts)), "text": texts})
+        )
+        return {
+            r["id"]: (
+                r["n_chars_eff"], r["n_words"], r["n_sentences"], r["ari_fp6"]
+            )
+            for r in readability_ari(df, "id", "text").collect()
+        }
+
+    def test_hand_computed_fixed_point(self, spark):
+        got = self._ari(spark, ["Hello world. Bye."])
+        # chars("Helloworld.Bye.") = 15, words = 3, sentences = 2
+        want = 4710000 * 15 // 3 + 500000 * 3 // 2 - 21430000
+        assert got[0] == (15, 3, 2, want) and want == 2870000
+
+    def test_blank_doc_yields_null_not_nan(self, spark):
+        got = self._ari(spark, ["", "   "])
+        assert got[0][3] is None and got[1][3] is None
+
+    def test_unpunctuated_doc_is_one_sentence(self, spark):
+        got = self._ari(spark, ["no punctuation here at all"])
+        assert got[0][2] == 1
+
+    def test_sentence_runs_collapse(self, spark):
+        # "?!" and "..." are each ONE terminator run
+        got = self._ari(spark, ["Really?! Yes... ok."])
+        assert got[0][2] == 3
+
+
+class TestEventTransitionMatrix:
+    @staticmethod
+    def _tm(spark, rows):
+        from tdei_extract_load_service_spark.operators.events import (
+            event_transition_matrix,
+        )
+
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["u", "ts", "ty", "eid"])
+        )
+        return [
+            (r["prev_type"], r["next_type"], r["cnt"], r["p"])
+            for r in event_transition_matrix(df, "u", "ts", "ty", "eid").collect()
+        ]
+
+    def test_counts_and_row_normalization(self, spark):
+        rows = [
+            (1, 1, "A", 1), (1, 2, "B", 2), (1, 3, "A", 3),
+            (2, 1, "B", 4), (2, 2, "B", 5),
+        ]
+        assert self._tm(spark, rows) == [
+            ("A", "B", 1, 1.0),
+            ("B", "A", 1, 0.5),
+            ("B", "B", 1, 0.5),
+        ]
+
+    def test_same_timestamp_breaks_ties_on_id(self, spark):
+        rows = [(1, 5, "X", 2), (1, 5, "Y", 1)]  # id order: Y then X
+        assert self._tm(spark, rows) == [("Y", "X", 1, 1.0)]
+
+    def test_users_never_chain_across_each_other(self, spark):
+        rows = [(1, 1, "A", 1), (2, 2, "B", 2)]
+        assert self._tm(spark, rows) == []

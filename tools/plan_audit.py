@@ -328,6 +328,21 @@ EXPECTATIONS: dict[str, list[str]] = {
     # grown index keeps directory pruning on centroid_id and the
     # 8-int ADC scan (no join, no encode at query time)
     "similarity_ivf_pq_incremental": ["PartitionFilters: \[.*centroid_id", "TakeOrderedAndProject", "!Join", "!Generate explode"],
+    # exact phi-frequent keys: ONE map-side-combined count agg (the only
+    # fact shuffle) persisted for the total + threshold derivations; the
+    # one-row total combines via broadcast, never a keyed join
+    "heavy_hitters": ["InMemoryTableScan", "partial_count", "!SortMergeJoin", "!ShuffledHashJoin"],
+    # join cardinality prediction: each fact side collapses to |keys|
+    # rows via a partial-combined count BEFORE the (full-outer, key-frame
+    # sized) merge join — no fact-sized join ever happens
+    "join_size_estimate": ["partial_count", "SortMergeJoin .*FullOuter", "!BroadcastNestedLoopJoin", "!CartesianProduct"],
+    # ARI readability: pure projection in codegen — no keyed shuffle
+    # (the round-robin exchange is session.spread), no join, no UDF
+    "text_readability": ["!hashpartitioning", "!Join", "!ArrowEvalPython", "!BatchEvalPython"],
+    # markov transitions: one user-key shuffle feeds the lag window;
+    # counts collapse map-side to <=|types|^2 rows where the row-total
+    # window runs — no join anywhere
+    "events_markov": ["Window", "partial_count", "!Join"],
 }
 
 
