@@ -1063,11 +1063,13 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Integer-only moments (cnt, cnt^2 as DECIMAL) keep both engines
     bit-identical; the hot-key threshold is cross-multiplied
     (cnt * n_keys > 2 * n_rows) so no division touches the filter."""
-    counts = (
+    from tdei_extract_load_service_spark.session import persist_scoped
+
+    counts = persist_scoped(
         _read(spark, sf_dir, "orders")
         .groupBy(F.col("o_custkey").alias("k"))
-        .agg(F.count("*").alias("cnt"))
-        .persist()
+        .agg(F.count("*").alias("cnt")),
+        "catalog.key_skew_profile.counts",
     )
     m = counts.agg(
         F.count("*").alias("n_keys"),

@@ -108,10 +108,12 @@ def ngram_jaccard_pairs(
     # Join key = xxhash64(shingle): an 8-byte shuffle key instead of the
     # shingle text; collision odds at ~2^-64 per pair are far below any
     # float-rounding tolerance already accepted elsewhere.
-    ex = (
+    from tdei_extract_load_service_spark.session import persist_scoped
+
+    ex = persist_scoped(
         sh.select("id", "n_shingles", F.explode("shingles").alias("shingle_text"))
-        .select("id", "n_shingles", F.xxhash64("shingle_text").alias("shingle"))
-        .persist()
+        .select("id", "n_shingles", F.xxhash64("shingle_text").alias("shingle")),
+        "dedup.ngram_jaccard.ex",
     )
     if max_shingle_df is not None:
         ex = (

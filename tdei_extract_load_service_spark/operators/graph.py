@@ -103,4 +103,11 @@ def pagerank(
     )
     ed.unpersist()
     nodes.unpersist()
+    # the FINAL iteration's rank frame must stay cached for the caller's
+    # action, but a long session invoking pagerank repeatedly would leak
+    # one generation per call — register it for recycling on the next call
+    # (persist() on the already-persisted frame is a no-op)
+    from tdei_extract_load_service_spark.session import persist_scoped
+
+    persist_scoped(ranks, "graph.pagerank.final_ranks")
     return out
