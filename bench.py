@@ -149,6 +149,7 @@ HEADLINE_EXTENSIONS = (
     "join_size_estimate",
     "text_readability",
     "events_markov",
+    "zorder_range_scan",
     # dedup_winnow (and its r7 composition dedup_winnow_cluster) is
     # EXCLUDED from the sf0.1 headline deliberately: the
     # synthetic documents corpus draws from a ~25-word vocabulary, so

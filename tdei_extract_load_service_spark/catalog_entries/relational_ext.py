@@ -1302,3 +1302,59 @@ def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "o_orderkey",
     )
+
+
+@register(
+    "zorder_range_scan",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey BETWEEN 256 AND 1023
+      AND CAST(FLOOR(o_totalprice) AS BIGINT) BETWEEN 50000 AND 150000
+    ORDER BY o_orderkey
+    """,
+)
+def q_zorder_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D range slice served from a z-order (Morton) clustered layout
+    (operators/zorder.py): orders written ONCE partitioned by the
+    interleaved (custkey-bucket, price-bucket) directory id, then the
+    (customer range x price range) rectangle reads ONLY the directories
+    whose Morton cells intersect it — driver-side integer enumeration
+    over the bounded bucket grid becomes an IN filter Spark turns into
+    directory pruning (PartitionFilters, plan-audited), with the exact
+    residual range predicate pushed into the scan. Value-identical to
+    the plain range query the oracle runs on the unclustered table: the
+    layout is an access path, never semantics. Price enters the grid as
+    FLOOR(...) AS BIGINT because double->BIGINT casts truncate on Spark
+    but round on DuckDB. The Delta/Iceberg ZORDER BY idea with nothing
+    but integer arithmetic + partitionBy."""
+    import os as _os
+
+    from tdei_extract_load_service_spark.operators.zorder import (
+        ZorderSpec,
+        build_zorder_layout,
+        zorder_range_scan,
+    )
+
+    spec = ZorderSpec(
+        a_col="o_custkey",
+        b_col="CAST(FLOOR(o_totalprice) AS BIGINT)",
+        a_lo=0,
+        a_hi=16383,
+        b_lo=0,
+        b_hi=524287,
+        bits=5,
+        dir_shift=4,
+    )
+    src = _os.path.join(sf_dir, "orders.parquet")
+    st = _os.stat(src)
+    path = build_zorder_layout(
+        _read(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        ),
+        spec,
+        corpus_key=f"{src}:{st.st_size}:{st.st_mtime_ns}",
+    )
+    return zorder_range_scan(
+        spark, path, spec, 256, 1023, 50000, 150000
+    ).orderBy(F.col("o_orderkey").asc())

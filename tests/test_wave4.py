@@ -147,3 +147,91 @@ class TestEventTransitionMatrix:
     def test_users_never_chain_across_each_other(self, spark):
         rows = [(1, 1, "A", 1), (2, 2, "B", 2)]
         assert self._tm(spark, rows) == []
+
+
+class TestZorderLayout:
+    SPEC = None
+
+    @staticmethod
+    def _spec():
+        from tdei_extract_load_service_spark.operators.zorder import ZorderSpec
+
+        return ZorderSpec(
+            a_col="a", b_col="b",
+            a_lo=0, a_hi=63, b_lo=0, b_hi=63, bits=3, dir_shift=2,
+        )
+
+    @staticmethod
+    def _grid_df(spark):
+        rows = [(a * 100 + b, a, b) for a in range(0, 64, 4) for b in range(0, 64, 4)]
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["rid", "a", "b"])
+        )
+
+    def test_scan_equals_plain_filter_and_prunes(self, spark, tmp_path):
+        from tdei_extract_load_service_spark.operators import zorder as Z
+
+        spec = self._spec()
+        path = Z.build_zorder_layout(
+            self._grid_df(spark), spec, corpus_key=f"grid:{tmp_path}"
+        )
+        got = sorted(
+            r["rid"]
+            for r in Z.zorder_range_scan(spark, path, spec, 8, 23, 16, 39).collect()
+        )
+        want = sorted(
+            a * 100 + b
+            for a in range(0, 64, 4) for b in range(0, 64, 4)
+            if 8 <= a <= 23 and 16 <= b <= 39
+        )
+        assert got == want and len(want) > 0
+        # pruning is real: the rectangle touches a strict subset of dirs
+        import os
+        all_dirs = {
+            d for d in os.listdir(path) if d.startswith("z_dir=")
+        }
+        probed = set(Z.zorder_dirs_for_rect(spec, 8, 23, 16, 39))
+        assert 0 < len(probed) < len(all_dirs)
+
+    def test_out_of_domain_values_clamp_but_stay_queryable(self, spark, tmp_path):
+        from tdei_extract_load_service_spark.operators import zorder as Z
+
+        spec = self._spec()
+        df = spark.createDataFrame(
+            pd.DataFrame([(1, 999, 5), (2, -7, 5)], columns=["rid", "a", "b"])
+        )
+        path = Z.build_zorder_layout(df, spec, corpus_key=f"clamp:{tmp_path}")
+        # a rectangle covering the full declared domain edge cells finds
+        # the clamped rows through the residual predicate
+        got = sorted(
+            r["rid"]
+            for r in Z.zorder_range_scan(spark, path, spec, -100, 1000, 0, 63).collect()
+        )
+        assert got == [1, 2]
+        # but a rectangle away from the edges excludes them exactly
+        assert Z.zorder_range_scan(spark, path, spec, 10, 20, 0, 63).count() == 0
+
+    def test_python_and_sql_z_dirs_agree(self, spark):
+        """The probe's Python interleave and the layout's SQL expression
+        must map every cell to the same directory — else pruning silently
+        drops rows."""
+        from tdei_extract_load_service_spark.operators import zorder as Z
+
+        spec = self._spec()
+        df = self._grid_df(spark)
+        from tdei_extract_load_service_spark.operators.zorder import z_dir_expr
+
+        got = {
+            (r["a"], r["b"]): r["zd"]
+            for r in df.select("a", "b", z_dir_expr(spec).alias("zd")).collect()
+        }
+        for (a, b), zd in got.items():
+            ab = Z._bucket_py(a, spec.a_lo, spec.a_hi, spec.bits)
+            bb = Z._bucket_py(b, spec.b_lo, spec.b_hi, spec.bits)
+            assert zd == Z._interleave_py(ab, bb, spec.bits) >> spec.dir_shift
+
+    def test_invalid_rect_rejected(self, spark):
+        from tdei_extract_load_service_spark.operators import zorder as Z
+
+        with pytest.raises(ValueError, match="a1<=a2"):
+            Z.zorder_dirs_for_rect(self._spec(), 5, 4, 0, 1)

@@ -343,6 +343,11 @@ EXPECTATIONS: dict[str, list[str]] = {
     # counts collapse map-side to <=|types|^2 rows where the row-total
     # window runs — no join anywhere
     "events_markov": ["Window", "partial_count", "!Join"],
+    # z-order range scan: the driver-computed Morton-cell IN set must
+    # become DIRECTORY pruning (PartitionFilters on z_dir), the residual
+    # range predicate must reach the parquet scan, and serving is a pure
+    # pruned scan — no join, no shuffle before the output sort
+    "zorder_range_scan": ["PartitionFilters: \[.*z_dir", "PushedFilters: \[.*GreaterThanOrEqual\(o_custkey", "!Join"],
 }
 
 
