@@ -68,9 +68,11 @@ def pagerank(
     # The |nodes|-row frame every iteration rebuilds ranks FROM: rebuilding
     # from the contribution agg alone drops any node with no in-edges after
     # iteration 1 (its outgoing mass silently stops spreading), so each
-    # iteration left-joins contributions onto this persisted node set and
-    # coalesces missing mass to 0 — every node keeps base_fp+ and keeps
-    # contributing.
+    # iteration unions a zero-contribution row per node INTO the
+    # aggregation — every node keeps rank base_fp+ and keeps contributing.
+    # (The union is a no-shuffle append absorbed by the groupBy that runs
+    # anyway; the first fix — a per-iteration left join AFTER the agg —
+    # measured +51% on the bench for the same semantics.)
     nodes = deg.select("_node").persist()
     n = nodes.count()
     unit = 1_000_000_000_000  # rank 1.0 == 1e12 fixed-point units
@@ -78,23 +80,26 @@ def pagerank(
     ranks = nodes.select(
         "_node", F.lit(unit // n).cast("long").alias("_r")
     )
+    zero_rows = nodes.select(
+        F.col("_node").alias("_cnode"), F.lit(0).cast("long").alias("_c")
+    )
     for _ in range(iterations):
         contrib = (
             ed.join(ranks, ed["_src"] == ranks["_node"])
-            .groupBy(F.col("_dst").alias("_cnode"))
-            .agg(F.sum(F.expr("_r DIV _deg")).alias("_s"))
-        )
-        new_ranks = (
-            nodes.join(contrib, nodes["_node"] == contrib["_cnode"], "left")
             .select(
-                "_node",
-                (
-                    F.lit(base_fp)
-                    + F.expr(f"({d100} * coalesce(_s, 0)) DIV 100")
-                ).cast("long").alias("_r"),
+                F.col("_dst").alias("_cnode"),
+                F.expr("_r DIV _deg").alias("_c"),
             )
-            .persist()
+            .unionByName(zero_rows)
+            .groupBy("_cnode")
+            .agg(F.sum("_c").alias("_s"))
         )
+        new_ranks = contrib.select(
+            F.col("_cnode").alias("_node"),
+            (
+                F.lit(base_fp) + F.expr(f"({d100} * _s) DIV 100")
+            ).cast("long").alias("_r"),
+        ).persist()
         new_ranks.count()  # materialize before releasing the predecessor
         ranks.unpersist()
         ranks = new_ranks
