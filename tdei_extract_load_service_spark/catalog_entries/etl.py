@@ -954,3 +954,72 @@ def q_table_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("event_type").asc())
     )
+
+
+@register(
+    "table_time_travel",
+    """
+    SELECT 1 AS version, o_orderkey, o_custkey, o_orderstatus
+    FROM orders WHERE o_orderkey <= 320
+    UNION ALL
+    SELECT 2 AS version, o_orderkey, o_custkey, o_orderstatus
+    FROM orders WHERE o_orderkey > 320 AND o_orderkey <= 640
+    ORDER BY version, o_orderkey
+    """,
+)
+def q_table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel on the manifest warehouse (sinks/manifest.py
+    read_table_at) — the Delta/Iceberg ``VERSION AS OF`` contract over
+    O18's single-pointer-swap transaction: every commit snapshots its
+    pointer map under ``_history/``, and a version stays readable as
+    long as ``keep_commits`` keeps its displaced directories un-reaped
+    (retention is warehouse policy, not accident; an expired version
+    errors loudly, pytest-pinned). The entry builds a two-commit
+    warehouse ONCE per corpus (write slice 1 -> transactionally REPLACE
+    with slice 2), then reads BOTH versions back — the overwritten
+    slice 1 is only reachable through the txn-1 snapshot. Reads plan
+    O(datasets) directories straight from the snapshot: no log replay,
+    no directory listing. The oracle reconstructs each version
+    relationally from the base table."""
+    import hashlib as _hashlib
+    import os as _os
+
+    from tdei_extract_load_service_spark.sinks.manifest import (
+        ManifestTxn,
+        list_versions,
+        read_table_at,
+    )
+
+    src = _os.path.join(sf_dir, "orders.parquet")
+    st = _os.stat(src)
+    digest = _hashlib.md5(
+        f"ttv1:{src}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:24]
+    root = _os.path.join("/tmp/spark_graft_timetravel", digest)
+    cols = ("o_orderkey", "o_custkey", "o_orderstatus")
+    if set(list_versions(root)) < {1, 2}:
+        orders = _read(spark, sf_dir, "orders").select(*cols)
+        t1 = ManifestTxn(root, keep_commits=10)
+        t1.write("ord_slice", orders.where(F.col("o_orderkey") <= 320).coalesce(1), "ds-tt")
+        t1.commit()
+        t2 = ManifestTxn(root, keep_commits=10)
+        t2.delete("ord_slice", "ds-tt")
+        t2.write(
+            "ord_slice",
+            orders.where(
+                (F.col("o_orderkey") > 320) & (F.col("o_orderkey") <= 640)
+            ).coalesce(1),
+            "ds-tt",
+        )
+        t2.commit()
+    v1 = read_table_at(spark, root, "ord_slice", 1).withColumn(
+        "version", F.lit(1)
+    )
+    v2 = read_table_at(spark, root, "ord_slice", 2).withColumn(
+        "version", F.lit(2)
+    )
+    return (
+        v1.unionByName(v2)
+        .select("version", *cols)
+        .orderBy(F.col("version").asc(), F.col("o_orderkey").asc())
+    )

@@ -253,6 +253,18 @@ class ManifestTxn:
             # THE commit point: one atomic replace publishes all tables
             os.replace(tmp, _manifest_path(self.root))
             self._done = True
+            # history snapshot for time travel (read_table_at): written
+            # AFTER the commit point, so a crash between the two leaves a
+            # valid current pointer and merely no snapshot for this txn
+            # (read_table_at reports it unavailable). Snapshots are tiny
+            # JSON pointers; the data dirs they reference live exactly as
+            # long as keep_commits lets their tombstones live.
+            hist = os.path.join(self.root, "_history")
+            os.makedirs(hist, exist_ok=True)
+            htmp = os.path.join(hist, f".tmp-{self.txn_id}")
+            with open(htmp, "w") as fh:
+                json.dump(new, fh, indent=1, sort_keys=True)
+            os.replace(htmp, os.path.join(hist, f"manifest-{new['txn']:06d}.json"))
             for tomb in ripe:
                 shutil.rmtree(os.path.join(self.root, tomb["dir"]), ignore_errors=True)
             return new
@@ -323,3 +335,76 @@ def gc_orphans(root: str, min_age_seconds: float = 3600.0) -> list[str]:
                     shutil.rmtree(os.path.join(root, rel), ignore_errors=True)
                     removed.append(rel)
     return removed
+
+
+def list_versions(root: str) -> list[int]:
+    """Transaction numbers with a history snapshot (time-travelable,
+    subject to tombstone retention — see ``read_table_at``)."""
+    hist = os.path.join(root, "_history")
+    try:
+        names = os.listdir(hist)
+    except FileNotFoundError:
+        return []
+    out = []
+    for n in names:
+        m = re.fullmatch(r"manifest-(\d{6})\.json", n)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def read_table_at(
+    spark: SparkSession,
+    root: str,
+    table: str,
+    txn: int,
+    schema=None,
+    dataset_id: str | None = None,
+) -> DataFrame:
+    """Time travel: read ``table`` exactly as transaction ``txn``
+    published it — the Delta/Iceberg ``VERSION AS OF`` contract on the
+    manifest warehouse. Every commit snapshots its pointer map under
+    ``_history/``; the data directories a snapshot references survive as
+    long as ``keep_commits`` keeps their tombstones un-reaped, so
+    retention is an explicit warehouse policy, not an accident. A
+    version whose directories have been reaped (or whose snapshot was
+    never written) raises a clear error instead of returning a partial
+    table.
+
+    Scale shape: identical to ``read_table`` — the snapshot maps
+    (table, dataset) straight to O(datasets) directories; no log replay,
+    no file listing beyond the chosen dirs."""
+    snap_path = os.path.join(root, "_history", f"manifest-{txn:06d}.json")
+    try:
+        with open(snap_path) as fh:
+            m = json.load(fh)
+    except FileNotFoundError:
+        raise ValueError(
+            f"no history snapshot for txn {txn} in {root!r} "
+            f"(available: {list_versions(root)})"
+        ) from None
+    table_map = m["tables"].get(table, {})
+    if dataset_id is not None:
+        one = table_map.get(str(dataset_id))
+        reldirs = [one] if one is not None else []
+    else:
+        reldirs = sorted(table_map.values())
+    if not reldirs:
+        if schema is None:
+            raise ValueError(
+                f"table {table!r} had no data at txn {txn} and no schema was given"
+            )
+        return spark.createDataFrame([], schema)
+    missing = [d for d in reldirs if not os.path.isdir(os.path.join(root, d))]
+    if missing:
+        raise ValueError(
+            f"version {txn} of table {table!r} has expired: {len(missing)} "
+            f"directories reaped by tombstone GC (keep_commits retention); "
+            "raise keep_commits on the writing transactions to retain "
+            "deeper history"
+        )
+    paths = [os.path.join(root, d) for d in reldirs]
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(*paths)

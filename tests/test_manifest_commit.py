@@ -529,3 +529,69 @@ def test_racing_commits_overlapping_tables_tombstones_consistent(spark, tmp_path
     # and the loser's non-overlapping table still reads fine
     assert {r["v"] for r in mf.read_table(spark, root, "only1").collect()} == {"o1"}
     assert {r["v"] for r in mf.read_table(spark, root, "only2").collect()} == {"o2"}
+
+
+# --- time travel (round 9: read_table_at / _history snapshots) -----------
+
+
+def test_time_travel_reads_overwritten_version(spark, tmp_path):
+    root = str(tmp_path / "wh_tt")
+    t1 = mf.ManifestTxn(root, keep_commits=10)
+    t1.write("t", _df(spark, [(1, "v1"), (2, "v1")]), "ds")
+    t1.commit()
+    t2 = mf.ManifestTxn(root, keep_commits=10)
+    t2.delete("t", "ds")
+    t2.write("t", _df(spark, [(3, "v2")]), "ds")
+    t2.commit()
+    assert mf.list_versions(root) == [1, 2]
+    # current read sees only v2
+    cur = {r["v"] for r in mf.read_table(spark, root, "t").collect()}
+    assert cur == {"v2"}
+    # txn-1 snapshot still reaches the displaced v1 directory
+    old = {r["v"] for r in mf.read_table_at(spark, root, "t", 1).collect()}
+    assert old == {"v1"}
+    assert {r["v"] for r in mf.read_table_at(spark, root, "t", 2).collect()} == {"v2"}
+
+
+def test_time_travel_expired_version_errors_loudly(spark, tmp_path):
+    root = str(tmp_path / "wh_gc")
+    t1 = mf.ManifestTxn(root, keep_commits=1)
+    t1.write("t", _df(spark, [(1, "v1")]), "ds")
+    t1.commit()
+    t2 = mf.ManifestTxn(root, keep_commits=1)
+    t2.delete("t", "ds")
+    t2.write("t", _df(spark, [(2, "v2")]), "ds")
+    t2.commit()
+    # keep_commits=1: txn 3 reaps txn 2's tombstone (the displaced v1 dir)
+    t3 = mf.ManifestTxn(root, keep_commits=1)
+    t3.write("other", _df(spark, [(9, "x")]), "ds")
+    t3.commit()
+    with pytest.raises(ValueError, match="expired"):
+        mf.read_table_at(spark, root, "t", 1).collect()
+    # the current version and its snapshot stay intact
+    assert {r["v"] for r in mf.read_table_at(spark, root, "t", 2).collect()} == {"v2"}
+
+
+def test_time_travel_unknown_version_lists_available(spark, tmp_path):
+    root = str(tmp_path / "wh_unknown")
+    t1 = mf.ManifestTxn(root)
+    t1.write("t", _df(spark, [(1, "a")]), "ds")
+    t1.commit()
+    with pytest.raises(ValueError, match=r"available: \[1\]"):
+        mf.read_table_at(spark, root, "t", 7)
+
+
+def test_time_travel_table_absent_at_version(spark, tmp_path):
+    root = str(tmp_path / "wh_absent")
+    t1 = mf.ManifestTxn(root)
+    t1.write("a", _df(spark, [(1, "a")]), "ds")
+    t1.commit()
+    t2 = mf.ManifestTxn(root)
+    t2.write("b", _df(spark, [(2, "b")]), "ds")
+    t2.commit()
+    # table b did not exist at txn 1: typed empty frame with schema,
+    # loud error without
+    empty = mf.read_table_at(spark, root, "b", 1, schema="id: long, v: string")
+    assert empty.count() == 0
+    with pytest.raises(ValueError, match="no data at txn 1"):
+        mf.read_table_at(spark, root, "b", 1)

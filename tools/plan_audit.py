@@ -348,6 +348,9 @@ EXPECTATIONS: dict[str, list[str]] = {
     # range predicate must reach the parquet scan, and serving is a pure
     # pruned scan — no join, no shuffle before the output sort
     "zorder_range_scan": ["PartitionFilters: \[.*z_dir", "PushedFilters: \[.*GreaterThanOrEqual\(o_custkey", "!Join"],
+    # time travel: each version resolves to its snapshot's directories —
+    # a plain union of pruned scans, no log replay machinery, no join
+    "table_time_travel": ["Union", "Scan parquet", "!Join"],
 }
 
 
