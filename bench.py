@@ -151,6 +151,7 @@ HEADLINE_EXTENSIONS = (
     "events_markov",
     "zorder_range_scan",
     "table_time_travel",
+    "corpus_temperature_mix",
     # dedup_winnow (and its r7 composition dedup_winnow_cluster) is
     # EXCLUDED from the sf0.1 headline deliberately: the
     # synthetic documents corpus draws from a ~25-word vocabulary, so

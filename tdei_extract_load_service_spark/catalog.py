@@ -284,9 +284,9 @@ from tdei_extract_load_service_spark.catalog_entries import (  # noqa: E402,F401
 # stays under tools/oracle_check.py + pytest.
 #
 # ROUND-10 WINDOW (pre-committed, VERDICT r8 #6): contract (20) + the 9
-# deferred above + this round's 6 NEW wave-4/5 registrations
+# deferred above + this round's 7 NEW wave-4/5 registrations
 # (heavy_hitters, join_size_estimate, text_readability, events_markov,
-# zorder_range_scan, table_time_travel —
+# zorder_range_scan, table_time_travel, corpus_temperature_mix —
 # rule (a): in-window the round after they land) + the ~28 rule-(b)
 # re-certification debts (tpch_q1/q3/
 # q5/q6, dynamic_query, agg_stats, window_tumbling, dedup_cluster,
@@ -295,7 +295,7 @@ from tdei_extract_load_service_spark.catalog_entries import (  # noqa: E402,F401
 # text_pack_sequences, embedding_quantize, dedup_embedding_lsh,
 # column_profile(_categorical), column_correlations, histogram_auto,
 # text_repetition_stats, corpus_prep, text_winnow_fingerprint,
-# dedup_winnow) = 63 candidates for 30 slots; rule (a) entries (the 6
+# dedup_winnow) = 64 candidates for 30 slots; rule (a) entries (the 7
 # wave-4/5) and the 9 deferred take priority, then the 17 oldest
 # rule-(b) debts fill the window; r11 sweeps the rest (the r9
 # promotions are all two-rounds-green by then, freeing their slots).

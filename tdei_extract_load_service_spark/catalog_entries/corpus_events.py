@@ -835,3 +835,62 @@ def q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_transition_matrix(
         _read_events(spark, sf_dir), "user_id", "ts", "event_type", "event_id"
     )
+
+
+@register(
+    "corpus_temperature_mix",
+    r"""
+    WITH t AS (
+      SELECT doc_id, n_chars // 100 AS stratum,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '[ \t\n\r\f\v]+'))
+                  END AS n_tokens
+      FROM documents
+    ),
+    c AS (SELECT stratum, COUNT(*) AS cnt FROM t GROUP BY stratum),
+    w AS (SELECT stratum,
+                 CAST(FLOOR(SQRT(cnt) * 1000000) AS BIGINT) AS s
+          FROM c),
+    tot AS (SELECT CAST(SUM(s) AS BIGINT) AS ts FROM w),
+    b AS (SELECT stratum,
+                 CAST(s * 4000 // (SELECT ts FROM tot) AS BIGINT) AS budget
+          FROM w),
+    q AS (
+      SELECT t.doc_id, t.stratum, t.n_tokens, b.budget,
+             CAST(SUM(t.n_tokens) OVER (
+               PARTITION BY t.stratum
+               ORDER BY md5(CAST(t.doc_id AS VARCHAR))
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM t JOIN b USING (stratum)
+    )
+    SELECT doc_id, stratum, n_tokens, budget, cum_tokens
+    FROM q WHERE cum_tokens <= budget
+    """,
+)
+def q_corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled training mix (operators/sampling.py
+    temperature_mix_sample, alpha=0.5): per-stratum budgets proportional
+    to sqrt(stratum size) — the standard pretraining rebalance that
+    damps dominant strata without dropping rare ones. Strata here are
+    document-length classes (n_chars DIV 100 — a genuinely skewed split
+    on the fixture), so the small classes get a super-proportional
+    share. Cross-engine exactness: sqrt is IEEE correctly-rounded on
+    Spark/DuckDB/Python, so floor(sqrt(cnt)*1e6) is the same BIGINT
+    everywhere and the allocation is pure integer arithmetic
+    (s * total DIV sum(s)); the stratum-count collect is |strata| rows —
+    a model, not data."""
+    from tdei_extract_load_service_spark.operators import text as TX
+    from tdei_extract_load_service_spark.operators.sampling import (
+        temperature_mix_sample,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("n_chars DIV 100").cast("long").alias("stratum"),
+        TX.token_count_ws("text").alias("n_tokens"),
+    )
+    out = temperature_mix_sample(
+        docs, "doc_id", "stratum", "n_tokens", total_budget=4000, alpha=0.5
+    )
+    return out.select("doc_id", "stratum", "n_tokens", "budget", "cum_tokens")

@@ -201,3 +201,58 @@ def mix_budget_sample(
         .withColumn("cum_tokens", F.sum(_col(tokens_col)).over(w))
         .where(F.col("cum_tokens") <= F.col("budget"))
     )
+
+
+def temperature_mix_sample(
+    df: DataFrame,
+    key_col: str | Column,
+    strata_col: str | Column,
+    tokens_col: str | Column,
+    total_budget: int,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled training mix: per-stratum budgets proportional
+    to ``count^alpha`` — the standard pretraining rebalance that damps
+    dominant sources without dropping rare ones (alpha=1 reproduces the
+    corpus proportions, alpha->0 approaches uniform). Composes with
+    ``mix_budget_sample``'s exact-integer allocation and prefix rule.
+
+    ``alpha`` is restricted to {0.5, 1.0}: sqrt is IEEE
+    correctly-rounded (bit-identical on Spark, DuckDB and Python, so the
+    scaled weight ``floor(sqrt(cnt) * 1e6)`` is the same BIGINT
+    everywhere), while a general ``pow`` is NOT correctly-rounded and
+    would put a cross-engine knife edge inside the floor.
+
+    Scale shape: one map-side-combined count aggregation collapses the
+    corpus to |strata| rows collected driver-side (a model, not data);
+    the sample itself is ``mix_budget_sample``'s single stratum-key
+    window pass."""
+    import math
+
+    if alpha not in (0.5, 1.0):
+        raise ValueError(
+            "alpha must be 0.5 or 1.0 (IEEE-exact cross-engine scaling; "
+            "general pow is not correctly rounded)"
+        )
+    counts = {
+        r["_s"]: r["_c"]
+        for r in df.groupBy(_col(strata_col).alias("_s"))
+        .agg(F.count("*").alias("_c"))
+        .collect()
+    }
+    if not counts:
+        raise ValueError("temperature_mix_sample needs a non-empty input")
+    scaled = {
+        s: (
+            int(math.floor(math.sqrt(c) * 1_000_000))
+            if alpha == 0.5
+            else c * 1_000_000
+        )
+        for s, c in counts.items()
+    }
+    # mix_budget_sample re-derives micro-units as round(w * 1e6), which
+    # round-trips these integer-scaled weights exactly (v < 2^52)
+    weights = {s: v / 1_000_000 for s, v in scaled.items()}
+    return mix_budget_sample(
+        df, key_col, strata_col, tokens_col, weights, total_budget
+    )

@@ -235,3 +235,63 @@ class TestZorderLayout:
 
         with pytest.raises(ValueError, match="a1<=a2"):
             Z.zorder_dirs_for_rect(self._spec(), 5, 4, 0, 1)
+
+
+class TestTemperatureMixSample:
+    @staticmethod
+    def _docs(spark):
+        # stratum "big": 16 docs, "small": 4 docs; 10 tokens each
+        rows = [(i, "big" if i < 16 else "small", 10) for i in range(20)]
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "src", "n"])
+        )
+
+    def test_sqrt_temperature_budgets(self, spark):
+        import math
+
+        from tdei_extract_load_service_spark.operators.sampling import (
+            temperature_mix_sample,
+        )
+
+        out = temperature_mix_sample(
+            self._docs(spark), "doc_id", "src", "n",
+            total_budget=600, alpha=0.5,
+        )
+        budgets = {
+            r["src"]: r["budget"]
+            for r in out.select("src", "budget").distinct().collect()
+        }
+        s_big = math.floor(math.sqrt(16) * 1e6)    # 4e6
+        s_small = math.floor(math.sqrt(4) * 1e6)   # 2e6
+        assert budgets == {
+            "big": s_big * 600 // (s_big + s_small),     # 400
+            "small": s_small * 600 // (s_big + s_small), # 200
+        } == {"big": 400, "small": 200}
+        # proportional (alpha=1) would have been 480/120: sqrt damping
+        # moved budget from the dominant stratum to the rare one
+
+    def test_alpha_one_reproduces_proportions(self, spark):
+        from tdei_extract_load_service_spark.operators.sampling import (
+            temperature_mix_sample,
+        )
+
+        out = temperature_mix_sample(
+            self._docs(spark), "doc_id", "src", "n",
+            total_budget=600, alpha=1.0,
+        )
+        budgets = {
+            r["src"]: r["budget"]
+            for r in out.select("src", "budget").distinct().collect()
+        }
+        assert budgets == {"big": 480, "small": 120}
+
+    def test_unsupported_alpha_rejected(self, spark):
+        from tdei_extract_load_service_spark.operators.sampling import (
+            temperature_mix_sample,
+        )
+
+        with pytest.raises(ValueError, match="alpha must be"):
+            temperature_mix_sample(
+                self._docs(spark), "doc_id", "src", "n",
+                total_budget=10, alpha=0.7,
+            )

@@ -351,6 +351,10 @@ EXPECTATIONS: dict[str, list[str]] = {
     # time travel: each version resolves to its snapshot's directories —
     # a plain union of pruned scans, no log replay machinery, no join
     "table_time_travel": ["Union", "Scan parquet", "!Join"],
+    # temperature mix: the stratum-count collect is a bounded model;
+    # the serving query is ONE stratum-key window pass with a literal
+    # CASE budget map — no join on the fact path
+    "corpus_temperature_mix": ["Window", "!Join"],
 }
 
 
