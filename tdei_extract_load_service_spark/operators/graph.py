@@ -59,43 +59,52 @@ def pagerank(
     deg = edges.groupBy(F.col(src).alias("_node")).agg(
         F.count("*").alias("_deg")
     )
-    ed = (
+    # Rebuilding ranks from the contribution agg alone would drop any
+    # node with no in-edges after iteration 1 (and its outgoing mass
+    # would silently stop spreading — ADVICE r8). Fix: ONE sentinel
+    # self-edge per node with a 2^62 degree, unioned into the persisted
+    # edge frame BEFORE the loop. Its contribution is exactly
+    # ``_r DIV 2^62 = 0`` (ranks are bounded by ~1e12 fixed-point units,
+    # 50 bits below the sentinel degree), so every node reaches the
+    # aggregation every iteration at zero cost to the recurrence — and
+    # the loop body stays the plain join+agg plan (the two rejected
+    # fixes, a per-iteration left join and a per-iteration union,
+    # measured +51% and +45% on the sf0.1 bench for identical
+    # semantics; the sentinel rows are |nodes| extra cached edge rows
+    # and measured cost-neutral).
+    real = (
         edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
         .join(deg, F.col("_src") == F.col("_node"))
         .select("_src", "_dst", "_deg")
-        .persist()
     )
-    # The |nodes|-row frame every iteration rebuilds ranks FROM: rebuilding
-    # from the contribution agg alone drops any node with no in-edges after
-    # iteration 1 (its outgoing mass silently stops spreading), so each
-    # iteration unions a zero-contribution row per node INTO the
-    # aggregation — every node keeps rank base_fp+ and keeps contributing.
-    # (The union is a no-shuffle append absorbed by the groupBy that runs
-    # anyway; the first fix — a per-iteration left join AFTER the agg —
-    # measured +51% on the bench for the same semantics.)
-    nodes = deg.select("_node").persist()
-    n = nodes.count()
+    sentinel = deg.select(
+        F.col("_node").alias("_src"),
+        F.col("_node").alias("_dst"),
+        F.lit(2**62).cast("long").alias("_deg"),
+    )
+    ed = real.unionByName(sentinel).persist()
+    # ONE materializing job builds the whole working set: deg appears
+    # twice inside ed's plan (the edge join and the sentinel branch) but
+    # exchange reuse collapses the identical subplans, and the node
+    # count + the initial rank frame are then read back from ed's CACHED
+    # sentinel rows — no second pass over the edge build. (Persisting
+    # deg separately instead measured +1.2s at sf0.1: its cache
+    # materialization is its own full job.)
+    n = ed.where(F.col("_deg") == 2**62).count()
     unit = 1_000_000_000_000  # rank 1.0 == 1e12 fixed-point units
     base_fp = (100 - d100) * unit // 100 // n
-    ranks = nodes.select(
-        "_node", F.lit(unit // n).cast("long").alias("_r")
-    )
-    zero_rows = nodes.select(
-        F.col("_node").alias("_cnode"), F.lit(0).cast("long").alias("_c")
+    ranks = ed.where(F.col("_deg") == 2**62).select(
+        F.col("_src").alias("_node"),
+        F.lit(unit // n).cast("long").alias("_r"),
     )
     for _ in range(iterations):
         contrib = (
             ed.join(ranks, ed["_src"] == ranks["_node"])
-            .select(
-                F.col("_dst").alias("_cnode"),
-                F.expr("_r DIV _deg").alias("_c"),
-            )
-            .unionByName(zero_rows)
-            .groupBy("_cnode")
-            .agg(F.sum("_c").alias("_s"))
+            .groupBy(F.col("_dst").alias("node"))
+            .agg(F.sum(F.expr("_r DIV _deg")).alias("_s"))
         )
         new_ranks = contrib.select(
-            F.col("_cnode").alias("_node"),
+            F.col("node").alias("_node"),
             (
                 F.lit(base_fp) + F.expr(f"({d100} * _s) DIV 100")
             ).cast("long").alias("_r"),
@@ -107,7 +116,6 @@ def pagerank(
         F.col("_node").alias("node"), F.col("_r").alias("rank_fp")
     )
     ed.unpersist()
-    nodes.unpersist()
     # the FINAL iteration's rank frame must stay cached for the caller's
     # action, but a long session invoking pagerank repeatedly would leak
     # one generation per call — register it for recycling on the next call
