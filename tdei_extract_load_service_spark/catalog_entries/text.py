@@ -40,7 +40,7 @@ from tdei_extract_load_service_spark.session import spread
     SELECT doc_id,
            CASE WHEN trim(text) = '' THEN 0
                 ELSE len(regexp_split_to_array(trim(text), '[ \t\n\r\f\v]+')) END AS n_ws_tokens,
-           len(regexp_extract_all(text, '\p{L}+|\p{N}|[^\p{L}\p{N}\s]')) AS n_bpe_ish_tokens
+           len(regexp_extract_all(text, '\p{L}+|\p{N}|[^\p{L}\p{N} \t\n\r\f\x0B]')) AS n_bpe_ish_tokens
     FROM documents
     """,
 )

@@ -11,8 +11,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: BPE-ish token pattern: letter runs, single digits, single punctuation —
-#: the shape (not the vocab) of byte-pair pretokenizers.
-BPE_ISH_PATTERN = r"\p{L}+|\p{N}|[^\p{L}\p{N}\s]"
+#: the shape (not the vocab) of byte-pair pretokenizers.  The whitespace
+#: exclusion is the explicit ASCII set with \x0B spelled as a hex escape:
+#: Java's \s includes vertical tab while RE2's does not, and Java's
+#: in-class \v is a multi-char vertical-whitespace set — \x0B is the one
+#: spelling every dialect reads identically (the token_count_ws lesson).
+BPE_ISH_PATTERN = r"\p{L}+|\p{N}|[^\p{L}\p{N} \t\n\r\f\x0B]"
 
 #: Tiny per-language stopword marker sets for the n-gram/stopword heuristic.
 #: Deterministic and oracle-mirrorable; a production language ID swaps in

@@ -295,3 +295,25 @@ class TestTemperatureMixSample:
                 self._docs(spark), "doc_id", "src", "n",
                 total_budget=10, alpha=0.7,
             )
+
+
+def test_bpe_pattern_vertical_tab_is_whitespace_cross_engine(spark):
+    """The last \\s dialect site (VERDICT r8 #7 class): Java's \\s includes
+    \\x0B, RE2's does not — the BPE pattern now spells the whitespace
+    exclusion with an explicit \\x0B hex escape, so a vertical tab is
+    whitespace (not a punctuation token) in BOTH engines."""
+    import duckdb
+
+    from tdei_extract_load_service_spark.operators.text import (
+        BPE_ISH_PATTERN,
+        token_count_bpe_ish,
+    )
+
+    s = "ab\x0bcd !"
+    df = spark.createDataFrame(pd.DataFrame({"t": [s]}))
+    spark_n = df.select(token_count_bpe_ish("t").alias("n")).collect()[0]["n"]
+    duck_n = duckdb.sql(
+        "SELECT len(regexp_extract_all(?, ?)) AS n",
+        params=[s, BPE_ISH_PATTERN],
+    ).fetchone()[0]
+    assert spark_n == duck_n == 3  # ab, cd, '!' — never the \x0b itself
