@@ -11,6 +11,8 @@ every entry follows.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+from tdei_extract_load_service_spark.operators.staging import staged_build
 from pyspark.sql import functions as F
 
 from tdei_extract_load_service_spark import oracles as ORACLES
@@ -311,17 +313,12 @@ def q_similarity_ivf_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFra
     )
     merged = f"{base_path}_incr_merged"
     if not os.path.exists(os.path.join(merged, "_DELTA_APPENDED")):
-        work = f"{merged}.build.{os.getpid()}"
-        shutil.rmtree(work, ignore_errors=True)
-        # copy-then-append keeps the content-addressed base cache
-        # immutable; production appends in place
-        shutil.copytree(base_path, work)
-        append_pq_index(delta, work, model_rows, cbs)
-        open(os.path.join(work, "_DELTA_APPENDED"), "w").close()
-        try:
-            os.rename(work, merged)
-        except OSError:
-            shutil.rmtree(work, ignore_errors=True)
+        with staged_build(merged, marker="_DELTA_APPENDED") as work:
+            # copy-then-append keeps the content-addressed base cache
+            # immutable; production appends in place
+            shutil.copytree(base_path, work)
+            append_pq_index(delta, work, model_rows, cbs)
+            open(os.path.join(work, "_DELTA_APPENDED"), "w").close()
     from tdei_extract_load_service_spark.operators.similarity import (
         ivf_pq_topk_stored,
     )

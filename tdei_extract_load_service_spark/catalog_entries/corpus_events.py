@@ -343,7 +343,7 @@ def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id,
            array_to_string(list_transform(unit,
-             x -> CAST(ROUND(x * 1000000) AS BIGINT)::VARCHAR), ',') AS unit_fp6,
+             x -> CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)::VARCHAR), ',') AS unit_fp6,
            norm
     FROM n
     """,
@@ -354,7 +354,7 @@ def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles match DuckDB bit-identically; zero vectors pass through
     (operators/packing.py embedding_normalize). For the driver compare
     the unit array is serialized to comma-joined fixed-point micro-units
-    (round(x*1e6) as BIGINT — the proven 6-dp-safe class) on BOTH
+    (floor(x*1e6 + 0.5) as BIGINT — a tie-free exact-IEEE mapping) on BOTH
     engines, because the driver's pandas canonicalization cannot hash
     raw array cells (unhashable list, CORRECTNESS_r08)."""
     from tdei_extract_load_service_spark.operators.packing import (
@@ -369,7 +369,13 @@ def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(
             F.transform(
                 "unit",
-                lambda x: F.round(x * F.lit(1000000.0), 0)
+                # FLOOR(x*1e6 + 0.5) spelled identically on both
+                # engines: *1e6, +0.5 and floor are exact IEEE ops, so
+                # there is no rounding-mode knife edge — unlike
+                # ROUND(x*1e6), where a component printing as an exact
+                # .5 diverges Spark-HALF_UP vs DuckDB-exact-binary
+                # (ADVICE r9; same class as the text_readability fix)
+                lambda x: F.floor(x * F.lit(1000000.0) + F.lit(0.5))
                 .cast("bigint")
                 .cast("string"),
             ),

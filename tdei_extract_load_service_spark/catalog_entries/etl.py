@@ -997,7 +997,18 @@ def q_table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).hexdigest()[:24]
     root = _os.path.join("/tmp/spark_graft_timetravel", digest)
     cols = ("o_orderkey", "o_custkey", "o_orderstatus")
-    if set(list_versions(root)) < {1, 2}:
+    existing = set(list_versions(root))
+    if existing < {1, 2}:
+        if existing:
+            # partial history (a crash between t1.commit() and
+            # t2.commit(), or a concurrent builder): committing more
+            # txns onto it would make txn 2 carry slice-1 rows, so
+            # read_table_at(root, 2) would silently return the wrong
+            # version (ADVICE r9). Drop the root and rebuild from
+            # scratch — the content-addressed digest makes that safe.
+            import shutil as _shutil
+
+            _shutil.rmtree(root, ignore_errors=True)
         orders = _read(spark, sf_dir, "orders").select(*cols)
         t1 = ManifestTxn(root, keep_commits=10)
         t1.write("ord_slice", orders.where(F.col("o_orderkey") <= 320).coalesce(1), "ds-tt")

@@ -1270,9 +1270,10 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
              COUNT(cb) AS n_keys_right,
              COUNT(CASE WHEN ca IS NOT NULL AND cb IS NOT NULL THEN 1 END)
                AS n_match_keys,
-             CAST(COALESCE(SUM(CAST(ca * cb AS DECIMAL(38,0))), 0) AS BIGINT)
+             CAST(COALESCE(SUM(CAST(ca AS DECIMAL(19,0)) * CAST(cb AS DECIMAL(19,0))), 0) AS BIGINT)
                AS est_rows,
-             CAST(COALESCE(MAX(ca * cb), 0) AS BIGINT) AS max_key_pairs
+             CAST(COALESCE(MAX(CAST(ca AS DECIMAL(19,0)) * CAST(cb AS DECIMAL(19,0))), 0) AS BIGINT)
+               AS max_key_pairs
       FROM j
     )
     SELECT n_keys_left, n_keys_right, n_match_keys, est_rows, max_key_pairs,

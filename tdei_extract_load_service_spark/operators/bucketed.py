@@ -20,6 +20,8 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
+from tdei_extract_load_service_spark.operators.staging import staged_build
+
 _ROOT = "/tmp/spark_graft_bucketed"
 
 
@@ -64,24 +66,18 @@ def bucketed_table(
     path = os.path.join(_ROOT, name)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         os.makedirs(_ROOT, exist_ok=True)
-        stage = f"{path}.build.{os.getpid()}"
-        stage_tbl = f"{name}_build_{os.getpid()}"
-        (
-            df.repartition(n_buckets, *cols)
-            .write.bucketBy(n_buckets, *cols)
-            .sortBy(*cols)
-            .option("path", stage)
-            .mode("overwrite")
-            .saveAsTable(stage_tbl)
-        )
-        # external table: DROP removes only the catalog entry
-        spark.sql(f"DROP TABLE IF EXISTS {stage_tbl}")
-        try:
-            os.rename(stage, path)
-        except OSError:
-            # a concurrent builder won the rename — identical layout by
-            # construction; drop ours
-            shutil.rmtree(stage, ignore_errors=True)
+        with staged_build(path) as stage:
+            stage_tbl = f"{name}_build_{os.getpid()}"
+            (
+                df.repartition(n_buckets, *cols)
+                .write.bucketBy(n_buckets, *cols)
+                .sortBy(*cols)
+                .option("path", stage)
+                .mode("overwrite")
+                .saveAsTable(stage_tbl)
+            )
+            # external table: DROP removes only the catalog entry
+            spark.sql(f"DROP TABLE IF EXISTS {stage_tbl}")
     clustered = ", ".join(f"`{c}`" for c in cols)
     spark.sql(
         f"CREATE TABLE IF NOT EXISTS {name} ({_schema_ddl(df)}) "

@@ -173,14 +173,15 @@ def mix_budget_sample(
     micro = {s: int(round(w * 1_000_000)) for s, w in weights.items()}
     underflow = [s for s, w in weights.items() if w > 0 and micro[s] == 0]
     if underflow:
-        # a positive weight below ~5e-7 rounds to 0 micro-units: its
+        # a positive weight at or below ~5e-7 rounds to 0 micro-units
+        # (banker's rounding sends exactly 5e-7 to 0 as well): its
         # stratum would silently get budget 0 (and if ALL weights are
         # that small, denom would be 0) despite passing the
         # positive-weight validation above — error loudly instead
         # (ADVICE r8); callers with genuinely tiny shares should rescale
         # their weight vector (only ratios matter)
         raise ValueError(
-            "weights below 5e-7 of the vector's scale round to a zero "
+            "weights at or below ~5e-7 of the vector's scale round to a zero "
             f"micro-unit allocation: {sorted(underflow)}; rescale the "
             "weight vector (only relative weights matter)"
         )

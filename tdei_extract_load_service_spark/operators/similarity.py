@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from tdei_extract_load_service_spark.operators.dedup import cosine_similarity
+from tdei_extract_load_service_spark.operators.staging import staged_build
 from tdei_extract_load_service_spark.session import spread
 
 
@@ -768,17 +769,10 @@ def build_pq_index(
             "centroid_id",
             F.expr(pq_code_expr_sql("vec", codebooks)).alias("codes"),
         )
-        tmp = f"{path}.build.{os.getpid()}"
-        coded.write.mode("overwrite").partitionBy("centroid_id").parquet(tmp)
-        os.makedirs(root, exist_ok=True)
-        try:
-            os.rename(tmp, path)
-        except OSError:
-            # a concurrent builder won the rename — its index is
-            # identical by construction; drop ours
-            import shutil
-
-            shutil.rmtree(tmp, ignore_errors=True)
+        with staged_build(path) as tmp:
+            coded.write.mode("overwrite").partitionBy(
+                "centroid_id"
+            ).parquet(tmp)
     _PQ_INDEX_CACHE[key] = (path, model_rows)
     return path, model_rows
 

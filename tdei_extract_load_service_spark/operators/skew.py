@@ -48,11 +48,29 @@ def salted_agg(
     Phase 1 shuffles on (key, salt): a key with 10^9 rows lands on
     ``n_salts`` reducers instead of one. Phase 2 shuffles ``n_salts`` tiny
     partial rows per key. Results are identical to a direct groupBy.
+
+    The salt is ``pmod(xxhash64(non-key cols, seed), n_salts)`` — a pure
+    function of row CONTENT, so a partial-stage retry reassigns every
+    row to the same salt and the partials are byte-stable (the
+    ``F.rand(seed)`` it replaced was result-correct under retries — any
+    salt assignment merges identically — but not byte-stable, VERDICT
+    r9). Exact duplicate rows share a salt; that skews phase 1 only in
+    the degenerate all-rows-identical case, where the partial row is
+    tiny anyway.
     """
     for name, (kind, _) in aggregates.items():
         if kind not in _MERGES:
             raise ValueError(f"unsupported aggregate kind {kind!r} for {name!r}")
-    salted = df.withColumn("_salt", (F.rand(seed=7) * n_salts).cast("int"))
+    salt_cols = [c for c in df.columns if c not in set(keys)] or list(
+        df.columns
+    )
+    salted = df.withColumn(
+        "_salt",
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in salt_cols], F.lit(7)),
+            F.lit(n_salts),
+        ).cast("int"),
+    )
     partial_exprs = []
     for name, (kind, expr) in aggregates.items():
         partial = F.count(expr) if kind == "count" else getattr(F, kind)(expr)
@@ -139,9 +157,12 @@ def join_size_estimate(
     est_rows, max_key_pairs, top_share)`` — top_share the exact double
     max/est ROUND 6 (0.0 when est_rows = 0).
 
-    Cross-engine exactness: per-key products are BIGINT*BIGINT summed as
-    DECIMAL(38,0) (order-independent) then cast back; the only double is
-    the final share division of two exact integers.
+    Cross-engine exactness: per-key products are computed ONCE as
+    DECIMAL(38,0) (two bigint counts multiply to at most ~8.5e37, which
+    fits) and reused for BOTH the SUM and the MAX — a BIGINT product
+    would wrap/null at ~2^63 on exactly the hot keys this operator
+    exists to flag (ADVICE r9). Aggregates cast back to BIGINT; the
+    only double is the final share division of two exact integers.
 
     Scale shape: each side collapses to |keys| rows via a map-side-
     combined count aggregation (the only passes over fact data), then
@@ -155,7 +176,11 @@ def join_size_estimate(
             "_k"
         )
     ).agg(F.count("*").alias("_cb"))
-    pairs = F.col("_ca") * F.col("_cb")
+    # overflow-safe product: decimal(19,0) x decimal(19,0) -> decimal(38,0);
+    # a BIGINT product wraps at counts ~2^32 each side (ADVICE r9)
+    pairs = F.col("_ca").cast("decimal(19,0)") * F.col("_cb").cast(
+        "decimal(19,0)"
+    )
     return (
         ca.join(cb, "_k", "full_outer")
         .agg(
@@ -164,9 +189,9 @@ def join_size_estimate(
             F.count(F.when(F.col("_ca").isNotNull() & F.col("_cb").isNotNull(), 1)).alias(
                 "n_match_keys"
             ),
-            F.coalesce(
-                F.sum(pairs.cast("decimal(38,0)")).cast("bigint"), F.lit(0)
-            ).alias("est_rows"),
+            F.coalesce(F.sum(pairs).cast("bigint"), F.lit(0)).alias(
+                "est_rows"
+            ),
             F.coalesce(F.max(pairs), F.lit(0)).cast("bigint").alias(
                 "max_key_pairs"
             ),

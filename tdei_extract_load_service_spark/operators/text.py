@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from tdei_extract_load_service_spark.operators.staging import staged_build
+
 #: BPE-ish token pattern: letter runs, single digits, single punctuation —
 #: the shape (not the vocab) of byte-pair pretokenizers.  The whitespace
 #: exclusion is the explicit ASCII set with \x0B spelled as a hex escape:
@@ -1202,23 +1204,18 @@ def build_bm25_index(
         dfreq = tf.groupBy("term", "term_bucket").agg(
             F.count("*").alias("df")
         )
-        tmp = f"{path}.build.{os.getpid()}"
-        tf.write.mode("overwrite").partitionBy("term_bucket").parquet(
-            os.path.join(tmp, "postings")
-        )
-        dfreq.write.mode("overwrite").partitionBy("term_bucket").parquet(
-            os.path.join(tmp, "df")
-        )
-        tf.unpersist()
-        with open(os.path.join(tmp, "_meta.json"), "w") as fh:
-            json.dump({"n_docs": int(n_docs), "avgdl": float(avgdl)}, fh)
-        os.makedirs(root, exist_ok=True)
-        try:
-            os.rename(tmp, path)
-        except OSError:
-            import shutil
-
-            shutil.rmtree(tmp, ignore_errors=True)
+        with staged_build(path, marker="_meta.json") as tmp:
+            tf.write.mode("overwrite").partitionBy("term_bucket").parquet(
+                os.path.join(tmp, "postings")
+            )
+            dfreq.write.mode("overwrite").partitionBy(
+                "term_bucket"
+            ).parquet(os.path.join(tmp, "df"))
+            tf.unpersist()
+            with open(os.path.join(tmp, "_meta.json"), "w") as fh:
+                json.dump(
+                    {"n_docs": int(n_docs), "avgdl": float(avgdl)}, fh
+                )
     with open(meta_path) as fh:
         meta = json.load(fh)
     out = (path, meta["n_docs"], meta["avgdl"])

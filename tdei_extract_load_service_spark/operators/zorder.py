@@ -33,6 +33,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tdei_extract_load_service_spark.operators.staging import staged_build
+
 #: (spec, corpus_key) -> path, mirroring _PQ_INDEX_CACHE
 _ZORDER_CACHE: dict[tuple, str] = {}
 
@@ -108,14 +110,13 @@ def build_zorder_layout(
     root = "/tmp/spark_graft_zorder"
     path = os.path.join(root, digest)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        staged = df.withColumn("z_dir", z_dir_expr(spec))
-        tmp = f"{path}.build.{os.getpid()}"
-        staged.write.mode("overwrite").partitionBy("z_dir").parquet(tmp)
-        os.makedirs(root, exist_ok=True)
-        try:
-            os.rename(tmp, path)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
+        # staged_build reaps the tmp dir on failure and re-raises a
+        # rename error unless a concurrent winner published (ADVICE r9:
+        # never cache a path the rename did not actually produce)
+        with staged_build(path) as tmp:
+            df.withColumn("z_dir", z_dir_expr(spec)).write.mode(
+                "overwrite"
+            ).partitionBy("z_dir").parquet(tmp)
     _ZORDER_CACHE[key] = path
     return path
 

@@ -24,6 +24,8 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+from tdei_extract_load_service_spark.operators.staging import staged_build
 from pyspark.sql import functions as F
 
 _QUERY_COUNTER = itertools.count()
@@ -94,33 +96,33 @@ def stage_event_stream(
                 Window.orderBy(F.col("ts").asc(), F.col("event_id").asc())
             ),
         )
-        build = f"{stage}.build.{os.getpid()}"
-        shutil.rmtree(build, ignore_errors=True)
-        os.makedirs(build)
-        for i in range(n_batches):
-            chunk_dir = os.path.join(build, f"_chunk{i}")
-            (
-                ranked.where(
-                    (F.col("_rn") > i * per) & (F.col("_rn") <= (i + 1) * per)
-                )
-                .drop("_rn")
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(chunk_dir)
-            )
-            part = next(
-                p for p in os.listdir(chunk_dir) if p.endswith(".parquet")
-            )
-            dst = os.path.join(build, f"{i:03d}.parquet")
-            os.replace(os.path.join(chunk_dir, part), dst)
-            shutil.rmtree(chunk_dir)
-            os.utime(dst, (st.st_mtime + i, st.st_mtime + i))
-        os.makedirs(root, exist_ok=True)
+        # a stale INCOMPLETE stage (listdir != n_batches) must not
+        # survive the rebuild: remove it up front so the publish rename
+        # below cannot be swallowed by its existence
         shutil.rmtree(stage, ignore_errors=True)
-        try:
-            os.rename(build, stage)
-        except OSError:
-            shutil.rmtree(build, ignore_errors=True)
+        with staged_build(stage, marker=None) as build:
+            os.makedirs(build)
+            for i in range(n_batches):
+                chunk_dir = os.path.join(build, f"_chunk{i}")
+                (
+                    ranked.where(
+                        (F.col("_rn") > i * per)
+                        & (F.col("_rn") <= (i + 1) * per)
+                    )
+                    .drop("_rn")
+                    .coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(chunk_dir)
+                )
+                part = next(
+                    p
+                    for p in os.listdir(chunk_dir)
+                    if p.endswith(".parquet")
+                )
+                dst = os.path.join(build, f"{i:03d}.parquet")
+                os.replace(os.path.join(chunk_dir, part), dst)
+                shutil.rmtree(chunk_dir)
+                os.utime(dst, (st.st_mtime + i, st.st_mtime + i))
     _STAGE_CACHE[key] = stage
     return stage
 

@@ -595,3 +595,44 @@ def test_time_travel_table_absent_at_version(spark, tmp_path):
     assert empty.count() == 0
     with pytest.raises(ValueError, match="no data at txn 1"):
         mf.read_table_at(spark, root, "b", 1)
+
+
+def test_time_travel_entry_recovers_from_partial_history(spark):
+    """ADVICE r9 (medium): a crash between t1.commit() and t2.commit()
+    leaves the entry's warehouse with versions={1}; the old rebuild
+    guard then committed MORE txns onto the partial root, so txn 2
+    silently carried slice-1 rows. The fixed guard drops the partial
+    root and rebuilds from scratch."""
+    import hashlib
+    import shutil
+
+    from tdei_extract_load_service_spark.catalog_entries.etl import (
+        q_table_time_travel,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    good = sorted(map(tuple, q_table_time_travel(spark, sf).collect()))
+
+    # the entry's content-addressed root (same derivation it uses)
+    src = os.path.join(sf, "orders.parquet")
+    st = os.stat(src)
+    digest = hashlib.md5(
+        f"ttv1:{src}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:24]
+    root = os.path.join("/tmp/spark_graft_timetravel", digest)
+    assert mf.list_versions(root) == [1, 2]
+
+    # simulate the crash window: txn 2 never published
+    os.remove(os.path.join(root, "_history", "manifest-000002.json"))
+    shutil.copy(
+        os.path.join(root, "_history", "manifest-000001.json"),
+        os.path.join(root, mf.MANIFEST_NAME),
+    )
+    assert mf.list_versions(root) == [1]
+
+    again_rows = q_table_time_travel(spark, sf).collect()
+    assert sorted(map(tuple, again_rows)) == good
+    # version 2 is genuinely slice 2 — the exact corruption the old
+    # guard produced was slice-1 rows labeled version 2
+    v2 = [r for r in again_rows if r.version == 2]
+    assert v2 and all(320 < r.o_orderkey <= 640 for r in v2)
