@@ -299,8 +299,22 @@ from tdei_extract_load_service_spark.catalog_entries import (  # noqa: E402,F401
 # wave-4/5) and the 9 deferred take priority, then the 17 oldest
 # rule-(b) debts fill the window; r11 sweeps the rest (the r9
 # promotions are all two-rounds-green by then, freeing their slots).
+# ROUND-10 WINDOW (executing the pre-commit above, corrected against
+# the ACTUAL certification ledger: replaying CORRECTNESS_r01..r09 shows
+# 21 entries with no green driver row ever — the 9 r9 deferrals + the 7
+# wave-4/5 registrations + 5 early-wave entries the pre-commit
+# undercounted (dedup_minhash_lsh, dedup_simhash, column_distinct_sketch,
+# sample_stratified, quantiles_exact: registered r2-r5, never landed in
+# a sampled window).  Never-certified rule-(a) debt outranks rule-(b)
+# re-certification, so all 21 are IN; the remaining 9 slots go to the
+# oldest rule-(b) debts — the entire r2-certified cohort (cube,
+# dedup_embedding_cosine, dedup_ngram_jaccard, distinct, sample_split,
+# text_char_entropy, top_k, window_running_sum, window_sliding), seven
+# rounds stale.  After this round every entry has a driver-green row
+# and the maximum staleness drops to r4; r11 continues the rule-(b)
+# sweep (r4/r5 cohorts) plus this round's new registrations per rule (a).
 DRIVER_WINDOW: list[str] = [
-    # --- the 20-op v1 engine contract (SURVEY §2.4) ---
+    # --- the 20-op v1 engine contract (SURVEY §2.4, permanent) ---
     "scan",
     "project",
     "filter",
@@ -321,40 +335,41 @@ DRIVER_WINDOW: list[str] = [
     "topk_similarity",
     "text_quality",
     "etl_load_dataset",
-    # --- round-8 driver FAILURES, re-certifying the round-9 canon fix ---
-    "tpch_q12_priority_class",
-    "embedding_pq_code",
-    "embedding_normalize",
-    "corpus_prep_full",
-    "text_token_budget_sample",
-    # --- rule (a): wave-1 leftovers (registered r8, never sampled) ---
-    "tpch_q8_national_market_share",
-    "tpch_q9_product_type_profit",
-    "tpch_q11_important_stock",
-    "tpch_q16_parts_supplier_relationship",
-    "text_source_overlap",
-    "stream_window_shadow",
-    # --- rule (a): round-8 wave-2 (never sampled) ---
-    "text_bm25_topk_stored",
-    "text_pii_scrub",
-    "text_lm_score",
-    "corpus_mix_sample",
-    "join_skew_salted",
-    "scd2_history",
-    "cdc_apply",
-    # --- rule (a): round-8 wave-3 (never sampled) ---
-    "events_anomaly",
-    "incremental_agg",
-    "temporal_join",
-    "join_bucketed",
-    "stream_sink_shadow",
-    "ts_fill_gaps",
-    "referential_audit",
-    "join_fuzzy",
-    "graph_pagerank",
-    "window_percentiles",
-    "key_skew_profile",
-    "dedup_golden_record",
+    # --- rule (a): the 9 round-9 deferrals (never driver-sampled) ---
+    "similarity_pq_trained",
+    "stream_dedup_shadow",
+    "stream_session_shadow",
+    "stream_join_shadow",
+    "text_bm25_topk",
+    "sample_split_grouped",
+    "similarity_ivf_pq_incremental",
+    "table_compact",
+    "events_attribution",
+    # --- rule (a): the 7 round-9 wave-4/5 registrations ---
+    "heavy_hitters",
+    "join_size_estimate",
+    "text_readability",
+    "events_markov",
+    "zorder_range_scan",
+    "table_time_travel",
+    "corpus_temperature_mix",
+    # --- rule (a): early-wave entries the r8 pre-commit undercounted
+    # (no green CORRECTNESS row in any round) ---
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "column_distinct_sketch",
+    "sample_stratified",
+    "quantiles_exact",
+    # --- rule (b): the oldest re-certification debts (r2 cohort) ---
+    "cube",
+    "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
+    "distinct",
+    "sample_split",
+    "text_char_entropy",
+    "top_k",
+    "window_running_sum",
+    "window_sliding",
 ]
 
 

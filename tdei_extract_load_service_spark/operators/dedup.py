@@ -557,6 +557,61 @@ def planes_per_band_for(n_rows: int, target_bucket: int = 256) -> int:
     return max(4, min(24, math.ceil(math.log2(n_rows / target_bucket))))
 
 
+def _lsh_band_cols(
+    vec: Column,
+    dim: int,
+    n_bands: int,
+    planes_per_band: int,
+    planes: list[list[float]],
+) -> list[Column]:
+    """One sign-pattern bucket column per band, each band over its own
+    plane slice (shared by the inline and stored LSH paths)."""
+    from tdei_extract_load_service_spark.operators.similarity import lsh_bucket
+
+    cols = []
+    for band in range(n_bands):
+        sub = planes[band * planes_per_band : (band + 1) * planes_per_band]
+        cols.append(
+            lsh_bucket(vec, dim, planes_per_band, sub).alias(f"_b{band}")
+        )
+    return cols
+
+
+def _lsh_pairs_from_banded(
+    banded: DataFrame, n_bands: int, threshold: float
+) -> DataFrame:
+    """The verify half of banded LSH: per band, a merge-hinted self-join
+    on the band bucket keeping a pair only in its FIRST colliding band,
+    then exact-cosine verification. ``banded`` must carry
+    ``id, vec, _nrm, _b0.._b{n-1}`` — whether freshly computed
+    (``embedding_lsh_pairs``) or scanned from a stored index
+    (``embedding_lsh_pairs_stored``), the emitted pairs are
+    bit-identical because the doubles come along unchanged."""
+    a, b = banded.alias("a"), banded.alias("b")
+    per_band = []
+    for band in range(n_bands):
+        cond = (F.col(f"a._b{band}") == F.col(f"b._b{band}")) & (
+            F.col("a.id") < F.col("b.id")
+        )
+        for earlier in range(band):
+            cond &= F.col(f"a._b{earlier}") != F.col(f"b._b{earlier}")
+        per_band.append(
+            a.join(b.hint("merge"), cond).select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.round(
+                    _dot(F.col("a.vec"), F.col("b.vec"))
+                    / (F.col("a._nrm") * F.col("b._nrm")),
+                    6,
+                ).alias("cosine"),
+            )
+        )
+    out = per_band[0]
+    for frame in per_band[1:]:
+        out = out.unionByName(frame)
+    return out.where(F.col("cosine") >= threshold)
+
+
 def embedding_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -614,7 +669,6 @@ def embedding_lsh_pairs(
     Feed the result to ``dedup_clusters`` for survivor election.
     """
     from tdei_extract_load_service_spark.operators.similarity import (
-        lsh_bucket,
         make_planes,
     )
 
@@ -635,14 +689,6 @@ def embedding_lsh_pairs(
         planes = make_planes(n_bands * planes_per_band, dim)
     if len(planes) != n_bands * planes_per_band:
         raise ValueError("need n_bands * planes_per_band planes")
-    band_cols = []
-    for band in range(n_bands):
-        sub = planes[band * planes_per_band : (band + 1) * planes_per_band]
-        band_cols.append(
-            lsh_bucket(
-                _col(vec_col), dim, planes_per_band, sub
-            ).alias(f"_b{band}")
-        )
     banded = (
         spread(df)
         .select(
@@ -653,33 +699,11 @@ def embedding_lsh_pairs(
             # sqrt(dot(v,v)) per PAIR costs a second 64-wide fold per
             # candidate. Same doubles, same ops -> bit-identical cosines.
             F.sqrt(_dot(_col(vec_col), _col(vec_col))).alias("_nrm"),
-            *band_cols,
+            *_lsh_band_cols(_col(vec_col), dim, n_bands, planes_per_band, planes),
         )
         .persist()
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    per_band = []
-    for band in range(n_bands):
-        cond = (F.col(f"a._b{band}") == F.col(f"b._b{band}")) & (
-            F.col("a.id") < F.col("b.id")
-        )
-        for earlier in range(band):
-            cond &= F.col(f"a._b{earlier}") != F.col(f"b._b{earlier}")
-        per_band.append(
-            a.join(b.hint("merge"), cond).select(
-                F.col("a.id").alias("id_a"),
-                F.col("b.id").alias("id_b"),
-                F.round(
-                    _dot(F.col("a.vec"), F.col("b.vec"))
-                    / (F.col("a._nrm") * F.col("b._nrm")),
-                    6,
-                ).alias("cosine"),
-            )
-        )
-    out = per_band[0]
-    for frame in per_band[1:]:
-        out = out.unionByName(frame)
-    out = out.where(F.col("cosine") >= threshold)
+    out = _lsh_pairs_from_banded(banded, n_bands, threshold)
     if not eager:
         # lazy escape hatch (plan inspection / caller-managed lifetime):
         # the banded frame stays persisted; the CALLER owns unpersisting it
@@ -691,6 +715,185 @@ def embedding_lsh_pairs(
     result = out.localCheckpoint(eager=True)
     banded.unpersist()
     return result
+
+
+_EMB_LSH_INDEX_ROOT = "/tmp/spark_graft_emb_lsh"
+_EMB_LSH_INDEX_CACHE: dict = {}
+
+
+def build_embedding_lsh_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int = 64,
+    n_bands: int = 3,
+    planes_per_band: int | None = None,
+    planes: list[list[float]] | None = None,
+    corpus_key: str | None = None,
+    prefix_bits: int = 4,
+) -> str:
+    """Write-once stored banded-LSH index (VERDICT r9 #4) — the dedup
+    twin of the stored PQ index (``similarity.build_pq_index``) and BM25
+    postings (``text.bm25_topk_stored``): the banded frame
+    ``(id, vec, _nrm, _b0.._b{n-1})`` is materialized ONCE per corpus as
+    parquet partitioned by ``_pre`` (the top ``prefix_bits`` bits of the
+    band-0 bucket) and atomically published via ``staged_build``.
+
+    What the store buys at steady state: the banding computation —
+    ``n_bands * planes_per_band`` 64-wide dot-product folds per row plus
+    the norm fold — and its persist materialization happen at WRITE time
+    only. Serving (``embedding_lsh_pairs_stored``) is just the verify
+    joins over a columnar scan; probes (``embedding_lsh_probe_stored``)
+    read a single ``_pre`` directory (partition pruning, bounded by
+    2^prefix_bits of the corpus).
+
+    The stored doubles (vec floats, norm, bucket ids) round-trip parquet
+    exactly, so stored serving is BIT-IDENTICAL to the inline path —
+    pinned in tests/test_dedup_similarity.py.
+
+    Sizing: same corpus-aware default as ``embedding_lsh_pairs``
+    (``planes_per_band_for``); explicit ``planes`` for oracle
+    reproducibility. The meta JSON persists the plane literals (doubles
+    survive JSON round-trip via shortest-repr), so a LATER session can
+    probe the index without re-deriving the model.
+    """
+    import hashlib
+    import json
+    import os
+
+    from tdei_extract_load_service_spark.operators.similarity import make_planes
+    from tdei_extract_load_service_spark.operators.staging import staged_build
+
+    if planes_per_band is None:
+        if planes is not None:
+            if len(planes) % n_bands:
+                raise ValueError("len(planes) must be a multiple of n_bands")
+            planes_per_band = len(planes) // n_bands
+        else:
+            planes_per_band = planes_per_band_for(df.count())
+    if planes is None:
+        planes = make_planes(n_bands * planes_per_band, dim)
+    if len(planes) != n_bands * planes_per_band:
+        raise ValueError("need n_bands * planes_per_band planes")
+    planes_key = hashlib.md5(repr(planes).encode()).hexdigest()[:16]
+    key = (corpus_key or "anon", n_bands, planes_per_band, dim, planes_key)
+    hit = _EMB_LSH_INDEX_CACHE.get(key)
+    if hit is not None:
+        return hit
+    digest = hashlib.md5(repr(key).encode()).hexdigest()[:24]
+    path = os.path.join(_EMB_LSH_INDEX_ROOT, digest)
+    shift = max(planes_per_band - prefix_bits, 0)
+    if not os.path.exists(os.path.join(path, "_meta.json")):
+        banded = spread(df).select(
+            _col(id_col).alias("id"),
+            _col(vec_col).alias("vec"),
+            F.sqrt(_dot(_col(vec_col), _col(vec_col))).alias("_nrm"),
+            *_lsh_band_cols(
+                _col(vec_col), dim, n_bands, planes_per_band, planes
+            ),
+        )
+        with staged_build(path, marker="_meta.json") as tmp:
+            banded.withColumn(
+                "_pre", F.shiftright(F.col("_b0"), shift)
+            ).write.mode("overwrite").partitionBy("_pre").parquet(tmp)
+            with open(os.path.join(tmp, "_meta.json"), "w") as fh:
+                json.dump(
+                    {
+                        "n_bands": n_bands,
+                        "planes_per_band": planes_per_band,
+                        "dim": dim,
+                        "prefix_shift": shift,
+                        "planes": planes,
+                    },
+                    fh,
+                )
+    _EMB_LSH_INDEX_CACHE[key] = path
+    return path
+
+
+def _emb_lsh_meta(index_path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(index_path, "_meta.json")) as fh:
+        return json.load(fh)
+
+
+def embedding_lsh_pairs_stored(
+    spark, index_path: str, threshold: float = 0.9, eager: bool = True
+) -> DataFrame:
+    """Steady-state near-dup pair serving over a stored banded-LSH index:
+    scan the pre-banded frame, run the first-collision-band verify joins
+    (``_lsh_pairs_from_banded`` — the exact code path the inline operator
+    uses), emit exact-verified pairs. No banding folds, no model
+    derivation: the expensive half of ``embedding_lsh_pairs`` was paid
+    once at ``build_embedding_lsh_index`` time — the nightly-ingest
+    shape, where the corpus index is rebuilt per snapshot but pair jobs
+    (different thresholds, downstream clusterings) run many times."""
+    meta = _emb_lsh_meta(index_path)
+    banded = spark.read.parquet(index_path).persist()
+    out = _lsh_pairs_from_banded(banded, meta["n_bands"], threshold)
+    if not eager:
+        # caller owns the banded cache lifetime (plan inspection)
+        return out
+    result = out.localCheckpoint(eager=True)
+    banded.unpersist()
+    return result
+
+
+def _lsh_bucket_py(vec: list[float], planes: list[list[float]]) -> int:
+    """Driver-side twin of ``similarity.lsh_bucket`` — same left-to-right
+    fold over the same doubles, so the bucket id is bit-identical."""
+    bucket = 0
+    for p, plane in enumerate(planes):
+        acc = 0.0
+        for x, w in zip(vec, plane):
+            acc += float(x) * w
+        if acc >= 0:
+            bucket += 2**p
+    return bucket
+
+
+def embedding_lsh_probe_stored(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    threshold: float = 0.9,
+    k: int = 10,
+) -> DataFrame:
+    """Point lookup against the stored index: near-duplicates of ONE new
+    vector — the online-ingest question ("have we seen this before?").
+
+    The query's band-0 bucket (and its ``_pre`` prefix) are computed
+    DRIVER-side from the meta's plane literals, so the scan carries a
+    literal ``_pre = <q>`` partition filter — the read is one directory
+    (~corpus/2^prefix_bits), asserted as PartitionFilters in the plan
+    audit. Candidates are the band-0 bucket's rows; exact cosine ranks
+    them. Band-0-only probing trades recall for the pruned read —
+    production replicates the layout per band (the same write-once
+    discipline x n_bands) when full LSH recall is needed online; the
+    offline pair job (``embedding_lsh_pairs_stored``) always uses every
+    band."""
+    from tdei_extract_load_service_spark.operators.similarity import _vec_lit
+
+    meta = _emb_lsh_meta(index_path)
+    band0 = meta["planes"][: meta["planes_per_band"]]
+    qb = _lsh_bucket_py(query_vec, band0)
+    qpre = qb >> meta["prefix_shift"]
+    qlit = _vec_lit(query_vec)
+    cos = F.round(
+        _dot(F.col("vec"), qlit)
+        / (F.col("_nrm") * F.sqrt(_dot(qlit, qlit))),
+        6,
+    )
+    return (
+        spark.read.parquet(index_path)
+        .where((F.col("_pre") == F.lit(qpre)) & (F.col("_b0") == F.lit(qb)))
+        .select(F.col("id"), cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+        .orderBy(F.col("cosine").desc(), F.col("id").asc())
+        .limit(k)
+    )
 
 
 def embedding_cosine_pairs(

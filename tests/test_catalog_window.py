@@ -13,14 +13,14 @@ import os
 
 from tdei_extract_load_service_spark.catalog import DRIVER_WINDOW, REGISTRY, ordered_registry
 
-# Entries that must always be driver-checked.  r9 rotation (VERDICT r8
-# #3): the permanent core is the 20-op v1 engine contract (the driver's
-# correctness story, never rotated out), plus the FIVE entries that
-# failed the driver hash in round 8 (they carry this round's
-# oracle-canon fix and must re-certify), plus the never-sampled rule-(a)
-# promotion queue.  The long-stable r7-era flagships (tpch wave 1+2,
-# PQ family, text/corpus/events) moved to the round-10
-# re-certification queue: multi-round driver-green, still swept by
+# Entries that must always be driver-checked.  r10 rotation (VERDICT r9
+# #1): the permanent core is the 20-op v1 engine contract (never
+# rotated out), plus ALL 21 entries with no green driver row in any
+# round's CORRECTNESS ledger (the 9 r9 deferrals, the 7 r9 wave-4/5
+# registrations, and 5 early-wave entries the r8 pre-commit
+# undercounted), plus the oldest rule-(b) re-certification cohort
+# (r2-certified, seven rounds stale).  The r9-certified flagships moved
+# to the rule-(b) queue: driver-green last round, still swept by
 # tools/oracle_check.py every round.
 FLAGSHIPS = [
     # the 20-op v1 contract
@@ -44,38 +44,40 @@ FLAGSHIPS = [
     "topk_similarity",
     "text_quality",
     "etl_load_dataset",
-    # round-8 driver failures re-certifying the round-9 canon fix
-    "tpch_q12_priority_class",
-    "embedding_pq_code",
-    "embedding_normalize",
-    "corpus_prep_full",
-    "text_token_budget_sample",
-    # never-driver-sampled rule-(a) promotions (VERDICT r8 #3)
-    "tpch_q8_national_market_share",
-    "tpch_q9_product_type_profit",
-    "tpch_q11_important_stock",
-    "tpch_q16_parts_supplier_relationship",
-    "text_source_overlap",
-    "stream_window_shadow",
-    "text_bm25_topk_stored",
-    "text_pii_scrub",
-    "text_lm_score",
-    "corpus_mix_sample",
-    "join_skew_salted",
-    "scd2_history",
-    "cdc_apply",
-    "events_anomaly",
-    "incremental_agg",
-    "temporal_join",
-    "join_bucketed",
-    "stream_sink_shadow",
-    "ts_fill_gaps",
-    "referential_audit",
-    "join_fuzzy",
-    "graph_pagerank",
-    "window_percentiles",
-    "key_skew_profile",
-    "dedup_golden_record",
+    # never-driver-certified rule-(a) debt (9 r9 deferrals)
+    "similarity_pq_trained",
+    "stream_dedup_shadow",
+    "stream_session_shadow",
+    "stream_join_shadow",
+    "text_bm25_topk",
+    "sample_split_grouped",
+    "similarity_ivf_pq_incremental",
+    "table_compact",
+    "events_attribution",
+    # never-driver-certified rule-(a) debt (7 r9 wave-4/5)
+    "heavy_hitters",
+    "join_size_estimate",
+    "text_readability",
+    "events_markov",
+    "zorder_range_scan",
+    "table_time_travel",
+    "corpus_temperature_mix",
+    # never-driver-certified rule-(a) debt (early waves, undercounted)
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "column_distinct_sketch",
+    "sample_stratified",
+    "quantiles_exact",
+    # oldest rule-(b) re-certification cohort (r2)
+    "cube",
+    "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
+    "distinct",
+    "sample_split",
+    "text_char_entropy",
+    "top_k",
+    "window_running_sum",
+    "window_sliding",
 ]
 
 
@@ -111,7 +113,12 @@ def test_entrypoint_exports_ordered_registry():
     oracle = mod.oracle_sql()
     # every in-window entry should be hash-checked (oracle) unless it is a
     # deliberate rows-only estimator
-    rows_only_allowed = {"dedup_minhash_lsh", "dedup_simhash"}
+    rows_only_allowed = {
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "similarity_pq_trained",
+        "column_distinct_sketch",
+    }
     missing_oracle = [
         n for n in DRIVER_WINDOW if n in mod.queries() and n not in oracle and n not in rows_only_allowed
     ]
