@@ -152,6 +152,12 @@ HEADLINE_EXTENSIONS = (
     "zorder_range_scan",
     "table_time_travel",
     "corpus_temperature_mix",
+    # round-10 additions: stored-index serving paths and the
+    # cross-run incremental dedup, on the trendline from the round they
+    # land (the stored LSH entry is the steady-state twin of
+    # dedup_embedding_lsh above — the pair shows what the write-once
+    # index buys)
+    "dedup_embedding_lsh_stored",
     # dedup_winnow (and its r7 composition dedup_winnow_cluster) is
     # EXCLUDED from the sf0.1 headline deliberately: the
     # synthetic documents corpus draws from a ~25-word vocabulary, so

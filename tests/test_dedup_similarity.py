@@ -431,3 +431,98 @@ def test_winnow_cluster_composition(spark):
     assert labels[4] == 4 and labels[5] == 5
     survivors = {d for d, c in labels.items() if d == c}
     assert survivors == {1, 4, 5}
+
+
+# --- stored banded-LSH index (round 10, VERDICT r9 #4) --------------------
+
+
+def _emb_lsh_index(spark, tag=""):
+    import os
+
+    src = os.path.join(SF_SMOKE, "embeddings.parquet")
+    st = os.stat(src)
+    emb = spark.read.parquet(src)
+    return D.build_embedding_lsh_index(
+        emb, "vec_id", "embedding", dim=64, n_bands=4, planes_per_band=4,
+        planes=S.make_planes(16, 64),
+        corpus_key=f"{src}:{st.st_size}:{st.st_mtime_ns}:pytest{tag}",
+    )
+
+
+def test_embedding_lsh_stored_bit_identical_to_inline(spark):
+    """The whole point of the store: serving from the parquet-resident
+    banded frame emits EXACTLY the inline operator's pairs (same
+    candidates, same round-6 cosines) — doubles round-trip parquet
+    unchanged."""
+    emb = spark.read.parquet(SF_SMOKE + "/embeddings.parquet")
+    inline = {
+        (r.id_a, r.id_b): r.cosine
+        for r in D.embedding_lsh_pairs(
+            emb, "vec_id", "embedding", threshold=0.45, dim=64,
+            n_bands=4, planes_per_band=4, planes=S.make_planes(16, 64),
+        ).collect()
+    }
+    path = _emb_lsh_index(spark)
+    stored = {
+        (r.id_a, r.id_b): r.cosine
+        for r in D.embedding_lsh_pairs_stored(
+            spark, path, threshold=0.45
+        ).collect()
+    }
+    assert stored == inline and inline
+
+
+def test_embedding_lsh_index_is_write_once(spark):
+    import os
+
+    path = _emb_lsh_index(spark, tag="wo")
+    meta = os.path.join(path, "_meta.json")
+    before = os.stat(meta).st_mtime_ns
+    # second call: cache hit (or at worst the _meta.json existence gate)
+    # — the layout must NOT be rewritten
+    assert _emb_lsh_index(spark, tag="wo") == path
+    assert os.stat(meta).st_mtime_ns == before
+
+
+def test_embedding_lsh_probe_matches_band0_semantics(spark):
+    """Probe = exact cosines over the query's band-0 bucket, served from
+    ONE pruned _pre directory. Expectation computed independently: band
+    the corpus inline, filter to the query's band-0 bucket, rank."""
+    import json
+    import os
+
+    path = _emb_lsh_index(spark)
+    meta = json.load(open(os.path.join(path, "_meta.json")))
+    emb = spark.read.parquet(SF_SMOKE + "/embeddings.parquet")
+    qrow = emb.orderBy("vec_id").first()
+    qvec = [float(x) for x in qrow.embedding]
+
+    got = D.embedding_lsh_probe_stored(
+        spark, path, qvec, threshold=-1.0, k=10
+    ).collect()
+    assert got, "query's own bucket can never be empty"
+
+    band0 = meta["planes"][: meta["planes_per_band"]]
+    qb = D._lsh_bucket_py(qvec, band0)
+    banded = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("vec"),
+        S.lsh_bucket(F.col("embedding"), 64, meta["planes_per_band"], band0).alias("_b0"),
+    ).where(F.col("_b0") == qb)
+    from tdei_extract_load_service_spark.operators.similarity import _vec_lit
+
+    expected = {
+        (r.id, r.cosine)
+        for r in banded.select(
+            "id",
+            F.round(D.cosine_similarity(F.col("vec"), _vec_lit(qvec)), 6).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("id").asc())
+        .limit(10)
+        .collect()
+    }
+    assert {(r.id, r.cosine) for r in got} == expected
+    # the query vector itself lives in its own bucket at cosine 1.0
+    assert any(r.id == qrow.vec_id and r.cosine == 1.0 for r in got)

@@ -74,6 +74,14 @@ EXPECTATIONS: dict[str, list[str]] = {
     # dedup family (the x100 lesson applies to any corpus-sized
     # self-join); first-collision-band union means no dedup Exchange
     "dedup_embedding_lsh": ["SortMergeJoin", "!BroadcastHashJoin", "!ShuffledHashJoin"],
+    # stored banded-LSH serving: the verify joins read the PRE-banded
+    # parquet (no aggregate/banding folds left in the plan — the scan IS
+    # the banding), same spillable merge-join discipline as inline
+    "dedup_embedding_lsh_stored": ["SortMergeJoin", "InMemoryTableScan", "!BroadcastHashJoin", "!ShuffledHashJoin"],
+    # stored banded-LSH probe: driver-computed band-0 bucket becomes a
+    # literal _pre partition filter — the read is ONE directory, and the
+    # candidate set needs no join at all
+    "embedding_lsh_probe_stored": ["PartitionFilters: \[.*_pre", "TakeOrderedAndProject", "!Join"],
     # JPEG decode: Arrow-batched python fan-out over a pruned single
     # column — no shuffle anywhere
     "multimodal_decode_jpeg": ["ArrowEvalPython|MapInPandas", "!hashpartitioning"],
@@ -390,14 +398,63 @@ def main() -> int:
             threshold=0.5, eager=False,
         )
 
+    def _lazy_embedding_lsh_stored(spark, sf_dir):
+        import os
+
+        from tdei_extract_load_service_spark.catalog import _read
+        from tdei_extract_load_service_spark.operators.dedup import (
+            build_embedding_lsh_index,
+            embedding_lsh_pairs_stored,
+        )
+        from tdei_extract_load_service_spark.operators.similarity import make_planes
+
+        src = os.path.join(sf_dir, "embeddings.parquet")
+        st = os.stat(src)
+        path = build_embedding_lsh_index(
+            _read(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+            dim=64, n_bands=4, planes_per_band=4,
+            planes=make_planes(16, 64),
+            corpus_key=f"{src}:{st.st_size}:{st.st_mtime_ns}",
+        )
+        return embedding_lsh_pairs_stored(spark, path, threshold=0.45, eager=False)
+
+    def _probe_lsh_stored(spark, sf_dir):
+        import os
+
+        from tdei_extract_load_service_spark.catalog import _read, _query_vec
+        from tdei_extract_load_service_spark.operators.dedup import (
+            build_embedding_lsh_index,
+            embedding_lsh_probe_stored,
+        )
+        from tdei_extract_load_service_spark.operators.similarity import make_planes
+
+        src = os.path.join(sf_dir, "embeddings.parquet")
+        st = os.stat(src)
+        path = build_embedding_lsh_index(
+            _read(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+            dim=64, n_bands=4, planes_per_band=4,
+            planes=make_planes(16, 64),
+            corpus_key=f"{src}:{st.st_size}:{st.st_mtime_ns}",
+        )
+        return embedding_lsh_probe_stored(
+            spark, path, _query_vec(spark, sf_dir), threshold=-1.0
+        )
+
     LAZY_OVERRIDES = {
         "dedup_embedding_lsh": _lazy_embedding_lsh,
+        "dedup_embedding_lsh_stored": _lazy_embedding_lsh_stored,
+        "embedding_lsh_probe_stored": _probe_lsh_stored,
         "dedup_winnow": _lazy_winnow,
     }
 
     sections, failures = [], []
     for name, expects in EXPECTATIONS.items():
-        df = LAZY_OVERRIDES.get(name, REGISTRY[name].query)(spark, sf_dir)
+        fn = (
+            LAZY_OVERRIDES[name]
+            if name in LAZY_OVERRIDES
+            else REGISTRY[name].query
+        )
+        df = fn(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
         # entries that persist intermediates (lazy dedup overrides,
         # text_source_overlap's gram-set cache) must not leak cached
