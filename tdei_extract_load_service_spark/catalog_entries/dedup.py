@@ -200,6 +200,44 @@ def q_dedup_embedding_lsh_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_incremental",
+    """
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run incremental exact dedup (VERDICT r9 #5): the corpus
+    arrives as yesterday's base (75%) + tonight's delta shard (doc_id %
+    4 == 0); the base's survivor state lives in a stored fingerprint
+    index (operators/dedup.py build_fingerprint_index) and the delta is
+    merged against it WITHOUT re-reading base documents. The oracle is
+    the FULL-table dedup SQL, so every driver round value-certifies the
+    claim that incremental merge == full recompute, bit-identically —
+    same discipline as similarity_ivf_pq_incremental."""
+    import os
+
+    from tdei_extract_load_service_spark.operators.dedup import (
+        build_fingerprint_index,
+        dedup_incremental,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    delta_cond = F.col("doc_id") % 4 == 0
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    path = build_fingerprint_index(
+        docs.where(~delta_cond),
+        "doc_id",
+        ["text"],
+        corpus_key=f"{src}:{st.st_size}:{st.st_mtime_ns}:incr_base",
+    )
+    return dedup_incremental(
+        spark, path, docs.where(delta_cond), "doc_id", ["text"]
+    )
+
+
+@register(
     "dedup_cluster",
     """
     WITH RECURSIVE

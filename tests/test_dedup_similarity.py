@@ -526,3 +526,69 @@ def test_embedding_lsh_probe_matches_band0_semantics(spark):
     assert {(r.id, r.cosine) for r in got} == expected
     # the query vector itself lives in its own bucket at cosine 1.0
     assert any(r.id == qrow.vec_id and r.cosine == 1.0 for r in got)
+
+
+# --- cross-run incremental dedup (round 10, VERDICT r9 #5) -----------------
+
+
+def test_dedup_incremental_equals_full_recompute(spark, tmp_path):
+    """Nightly shape: base indexed yesterday, delta merged tonight. The
+    merged survivor state must be BIT-IDENTICAL to a from-scratch
+    dedup over base+delta — including the adversarial cases: a delta
+    doc with a SMALLER id than the base survivor (survivorship must
+    flip), dups entirely within the delta, and dups entirely in base."""
+    rows = [
+        (10, "alpha"), (11, "beta"), (12, "alpha"),      # base: alpha dup'd
+        (13, "gamma"), (14, "gamma"),                    # base-only dup pair
+        (1, "alpha"),                                    # delta: NEW survivor for alpha
+        (20, "beta"),                                    # delta dup of base beta
+        (30, "delta-only"), (31, "delta-only"),          # delta-internal dup
+        (40, "fresh"),                                   # delta-only unique
+    ]
+    base = spark.createDataFrame(rows[:5], "doc_id long, text string")
+    delta = spark.createDataFrame(rows[5:], "doc_id long, text string")
+    path = D.build_fingerprint_index(
+        base, "doc_id", ["text"], corpus_key=f"pytest:{tmp_path}"
+    )
+    got = {
+        r.content_hash: (r.keep_id, r.n_dups)
+        for r in D.dedup_incremental(
+            spark, path, delta, "doc_id", ["text"]
+        ).collect()
+    }
+    full = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {
+        r.content_hash: (r.keep_id, r.n_dups)
+        for r in D.dedup_exact_groups(full, "doc_id", ["text"]).collect()
+    }
+    assert got == want
+    # survivorship flipped to the smaller delta id
+    alpha_hash = next(
+        r.content_hash
+        for r in D.dedup_exact_groups(
+            spark.createDataFrame([(1, "alpha")], "doc_id long, text string"),
+            "doc_id",
+            ["text"],
+        ).collect()
+    )
+    assert got[alpha_hash] == (1, 3)
+
+
+def test_fingerprint_index_write_once(spark, tmp_path):
+    import os
+
+    base = spark.createDataFrame(
+        [(1, "x"), (2, "y")], "doc_id long, text string"
+    )
+    path = D.build_fingerprint_index(
+        base, "doc_id", ["text"], corpus_key=f"pytest-wo:{tmp_path}"
+    )
+    marker = os.path.join(path, "_SUCCESS")
+    before = os.stat(marker).st_mtime_ns
+    assert (
+        D.build_fingerprint_index(
+            base, "doc_id", ["text"], corpus_key=f"pytest-wo:{tmp_path}"
+        )
+        == path
+    )
+    assert os.stat(marker).st_mtime_ns == before

@@ -78,6 +78,11 @@ EXPECTATIONS: dict[str, list[str]] = {
     # parquet (no aggregate/banding folds left in the plan — the scan IS
     # the banding), same spillable merge-join discipline as inline
     "dedup_embedding_lsh_stored": ["SortMergeJoin", "InMemoryTableScan", "!BroadcastHashJoin", "!ShuffledHashJoin"],
+    # cross-run incremental dedup: ONE map-side-combined aggregation over
+    # the DELTA shard (the only documents.parquet scan), full-outer merge
+    # join against the stored fingerprint index — yesterday's corpus is
+    # never re-read
+    "dedup_incremental": ["SortMergeJoin \[content_hash.*FullOuter", "partial_min", "=2:FileScan parquet", "=1:documents.parquet"],
     # stored banded-LSH probe: driver-computed band-0 bucket becomes a
     # literal _pre partition filter — the read is ONE directory, and the
     # candidate set needs no join at all
