@@ -387,6 +387,105 @@ def interval_join_shadow(
     )
 
 
+def restart_shadow(
+    spark: SparkSession,
+    sf_dir: str,
+    n_batches: int = 4,
+    stop_after: int = 2,
+    metrics: dict | None = None,
+) -> DataFrame:
+    """Checkpoint restart RECOVERY, certified end to end — the seventh
+    streaming certification, and the one that exercises the contract the
+    others assume: a stateful query that dies mid-stream resumes from
+    its checkpoint with (a) processed micro-batches never re-read and
+    (b) aggregation state intact.
+
+    Deterministic crash shape (a hard kill between micro-batches is a
+    race): leg 1 runs the stateful per-type aggregation with
+    ``Trigger.AvailableNow`` over a live source directory holding only
+    the first ``stop_after`` staged batch files, then terminates — the
+    service is down. The remaining files arrive while it is down. Leg 2
+    starts a NEW query (new memory sink) on the SAME checkpoint: the
+    file-source offset log must skip the already-committed files and
+    the state store must restore leg 1's running aggregates, so the
+    final complete-mode snapshot equals the batch GROUP BY over ALL
+    events — which is exactly what the oracle recomputes. ``metrics``
+    (optional) receives per-leg input-row counts and the resumed batch
+    id, pinned in pytest: leg 2 reads ONLY the late files, and its
+    first batch id continues leg 1's sequence.
+
+    The behavioral ancestor is the reference's graceful drain + restart
+    (src/server.ts app-context shutdown, reference app-context.ts:28-67):
+    the queue consumer stops mid-backlog and the broker redelivers from
+    the last ack — here the checkpoint IS the ack ledger. No timestamps
+    cross the state path (plain count/sum), so the result is trivially
+    session-tz independent."""
+    import json
+    import shutil
+    import tempfile
+
+    stage = stage_event_stream(spark, sf_dir, n_batches)
+    files = sorted(
+        f for f in os.listdir(stage) if f.endswith(".parquet")
+    )
+    if not 0 < stop_after < len(files):
+        raise ValueError("stop_after must split the staged batches")
+    name = _query_name()
+    live = tempfile.mkdtemp(prefix="stream_restart_live_")
+    ckpt = f"/tmp/spark_graft_stream_ckpt/{name}"
+    schema = spark.read.parquet(stage).schema
+
+    def _leg(tag: str) -> tuple[str, list]:
+        qname = f"{name}_{tag}"
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(live)
+        )
+        agg = src.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("_tv"),
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progress = [
+            p if isinstance(p, dict) else json.loads(p.json)
+            for p in q.recentProgress
+        ]
+        return qname, progress
+
+    for f in files[:stop_after]:
+        shutil.copy2(os.path.join(stage, f), os.path.join(live, f))
+    _, prog1 = _leg("leg1")
+    # --- the crash window: the query is down; late batches arrive ---
+    for f in files[stop_after:]:
+        shutil.copy2(os.path.join(stage, f), os.path.join(live, f))
+    qname2, prog2 = _leg("leg2")
+    if metrics is not None:
+        metrics["leg1_rows"] = sum(p["numInputRows"] for p in prog1)
+        metrics["leg2_rows"] = sum(p["numInputRows"] for p in prog2)
+        metrics["leg2_batch_ids"] = [
+            p["batchId"] for p in prog2 if p["numInputRows"] > 0
+        ]
+        metrics["staged_total_rows"] = spark.read.parquet(stage).count()
+    # the memory sink holds the materialized snapshot; the live source
+    # dir (a per-call copy of the shared stage) is done
+    shutil.rmtree(live, ignore_errors=True)
+    snap = spark.table(qname2)
+    return snap.select(
+        "event_type",
+        "n_events",
+        F.round(F.col("_tv").cast("double"), 2).alias("total_value"),
+    ).orderBy(F.col("event_type").asc())
+
+
 def sink_shadow(
     spark: SparkSession, sf_dir: str, n_batches: int = 4
 ) -> DataFrame:
