@@ -313,6 +313,19 @@ from tdei_extract_load_service_spark.catalog_entries import (  # noqa: E402,F401
 # rounds stale.  After this round every entry has a driver-green row
 # and the maximum staleness drops to r4; r11 continues the rule-(b)
 # sweep (r4/r5 cohorts) plus this round's new registrations per rule (a).
+#
+# ROUND-11 WINDOW (pre-committed): contract (20) + rule (a) — the THREE
+# round-10 registrations (dedup_embedding_lsh_stored, dedup_incremental,
+# stream_restart_shadow) — + rule (b) oldest-first: the r4 cohort
+# (approx_distinct, join_outer, pivot, rollup, sample_hash, set_ops,
+# window_rank), the r5 cohort (multimodal_meta, paginate,
+# similarity_lsh_bucketed, text_langid, text_token_count,
+# window_lag_delta), the r6 cohort (grouping_sets, histogram,
+# interval_join, multimodal_audio, text_fingerprint, text_ngram_topk,
+# unpivot, window_range_frame), then the oldest r7 entries
+# (alphabetical: agg_stats, column_correlations, column_profile,
+# column_profile_categorical, corpus_prep, dedup_cluster) to fill 50.
+# r12 sweeps the remaining r7 cohort.
 DRIVER_WINDOW: list[str] = [
     # --- the 20-op v1 engine contract (SURVEY §2.4, permanent) ---
     "scan",

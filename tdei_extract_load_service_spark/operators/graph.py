@@ -47,12 +47,15 @@ def pagerank(
     damping multiply runs as integer ``(d100 * s) DIV 100``.
 
     Scale shape: out-degrees and the degree-annotated edge list are
-    computed once and PERSISTED (every iteration joins them); each
-    iteration is one equi join of the rank frame onto the edges plus a
-    map-side-combined aggregation to |nodes| rows, persisted and the
-    predecessor released — lineage stays one iteration deep, so 30
-    iterations over 100 TB of edges never replans round one. |nodes| is
-    the only driver-side scalar (one COUNT)."""
+    computed once and PERSISTED — repartitioned on the join key and
+    sorted within partitions, so every iteration's sort-merge join
+    consumes the cache with no exchange and no re-sort on the edge
+    side; each iteration is one equi join of the rank frame onto the
+    edges plus a map-side-combined aggregation to |nodes| rows,
+    persisted and the predecessor released — lineage stays one
+    iteration deep, so 30 iterations over 100 TB of edges never
+    replans (or re-shuffles) round one. |nodes| is the only
+    driver-side scalar (one COUNT)."""
     d100 = round(damping * 100)
     if abs(d100 / 100.0 - damping) > 1e-12:
         raise ValueError("damping must be a multiple of 0.01")
@@ -70,8 +73,7 @@ def pagerank(
     # the loop body stays the plain join+agg plan (the two rejected
     # fixes, a per-iteration left join and a per-iteration union,
     # measured +51% and +45% on the sf0.1 bench for identical
-    # semantics; the sentinel rows are |nodes| extra cached edge rows
-    # and measured cost-neutral).
+    # semantics).
     real = (
         edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
         .join(deg, F.col("_src") == F.col("_node"))
@@ -82,14 +84,28 @@ def pagerank(
         F.col("_node").alias("_dst"),
         F.lit(2**62).cast("long").alias("_deg"),
     )
-    ed = real.unionByName(sentinel).persist()
-    # ONE materializing job builds the whole working set: deg appears
-    # twice inside ed's plan (the edge join and the sentinel branch) but
-    # exchange reuse collapses the identical subplans, and the node
-    # count + the initial rank frame are then read back from ed's CACHED
-    # sentinel rows — no second pass over the edge build. (Persisting
-    # deg separately instead measured +1.2s at sf0.1: its cache
-    # materialization is its own full job.)
+    # The cache is REPARTITIONED ON THE JOIN KEY and sorted within
+    # partitions before persisting: InMemoryRelation preserves both, so
+    # every iteration's sort-merge join consumes ed with NO exchange and
+    # NO re-sort on the edge side — only the (|nodes|-row) rank frame
+    # moves per iteration, plus the contribution aggregation itself.
+    # That is the shape a 30-iteration 100 TB run needs (the edge
+    # shuffle happens once, not once per iteration), and on the r10
+    # interleaved A/B it also tightened the sf0.1 medians
+    # (3.91s vs 4.58s; the round-9 window-annotated alternative measured
+    # SLOWER, 6.6s+, and was rejected — SCALE.md "pagerank r10 re-pin").
+    n_part = edges.sparkSession.sparkContext.defaultParallelism
+    ed = (
+        real.unionByName(sentinel)
+        .repartition(n_part, F.col("_src"))
+        .sortWithinPartitions("_src")
+        .persist()
+    )
+    # ONE materializing job builds the whole working set; the node
+    # count + the initial rank frame are then read back from ed's
+    # CACHED sentinel rows — no second pass over the edge build.
+    # (Persisting deg separately instead measured +1.2s at sf0.1: its
+    # cache materialization is its own full job.)
     n = ed.where(F.col("_deg") == 2**62).count()
     unit = 1_000_000_000_000  # rank 1.0 == 1e12 fixed-point units
     base_fp = (100 - d100) * unit // 100 // n
