@@ -318,6 +318,7 @@ def load_dataset(
             "entry",
             is_bad.alias("bad"),
             _meta_json_udf(header_json("entry_text")).alias("meta"),
+            F.length("entry_text").alias("entry_bytes"),
         ).collect()
         n_entries = len(per_entry)
         if n_entries == 0:
@@ -330,6 +331,7 @@ def load_dataset(
                 f"Unable to parse GeoJSON: invalid JSON in entry {bad_entry}"
             )
         n_ext = sum(1 for r in per_entry if r["kind"] == "extension")
+        total_entry_bytes = sum(r["entry_bytes"] or 0 for r in per_entry)
         timings["extract"] = time.perf_counter() - t0
 
         # -- transform: features + per-kind routing ---------------------
@@ -341,8 +343,18 @@ def load_dataset(
         # parse/transform. A round-robin shuffle of the raw feature text
         # right after the explode spreads the per-feature work across the
         # cluster; its cost is one pass over bytes we are about to parse,
-        # re-serialize and write anyway.
-        features = features.repartition(spark.sparkContext.defaultParallelism)
+        # re-serialize and write anyway. The shuffle WIDTH is sized to
+        # the archive (one task per ~1 MB of entry text, bounded by 4x
+        # parallelism): a fixed defaultParallelism width put 32
+        # near-empty tasks under a 10k-feature load and their scheduling
+        # overhead dominated the stage (r10 A/B: 0.45s vs 0.80s per
+        # dataset at bench scale), while a 300 MB single-file archive
+        # still fans out to hundreds of tasks.
+        n_repart = min(
+            max(4, -(-total_entry_bytes // (1 << 20))),
+            4 * spark.sparkContext.defaultParallelism,
+        )
+        features = features.repartition(n_repart)
         features = transform_features(features, fidelity=fidelity)
         features = features.withColumns(
             {
@@ -474,14 +486,18 @@ def load_dataset(
                 ),
                 sink_schema("dataset"),
             )
-            # exactly one row per dataset -> one file
-            sink_write("dataset", dataset_row.coalesce(1))
+            # exactly one row per dataset -> one file; the write itself
+            # is submitted below, concurrently with the stats write
+            meta_write = lambda: sink_write("dataset", dataset_row.coalesce(1))  # noqa: E731
+        else:
+            meta_write = None
         timings["metadata"] = time.perf_counter() - t0
 
         # -- stats: the tdei_update_osw_stats analogue (O19) -------------
         # already aggregated in the counts pass — materialize the bounded
         # (dataset, kind) rows without re-scanning the features
         t0 = time.perf_counter()
+        stats_write = None
         if kind_aggs:
             stats_df = spark.createDataFrame(
                 pd.DataFrame(
@@ -495,7 +511,19 @@ def load_dataset(
                 ),
                 sink_schema("dataset_stats"),
             )
-            sink_write("dataset_stats", stats_df.coalesce(1))
+            stats_write = lambda: sink_write("dataset_stats", stats_df.coalesce(1))  # noqa: E731
+        # the two one-file writes touch DISJOINT sink roots and are both
+        # tiny scheduled jobs — submit them together (the same rationale
+        # as the concurrent per-kind loads; writers hold per-path locks
+        # and ManifestTxn.write is thread-safe)
+        pending = [w for w in (meta_write, stats_write) if w is not None]
+        if len(pending) == 2:
+            from concurrent.futures import ThreadPoolExecutor as _TPE
+
+            with _TPE(max_workers=2) as pool:
+                list(pool.map(lambda w: w(), pending))
+        elif pending:
+            pending[0]()
         timings["stats"] = time.perf_counter() - t0
 
         # -- commit: in manifest mode, ONE pointer swap publishes every
