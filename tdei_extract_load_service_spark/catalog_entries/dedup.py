@@ -199,6 +199,42 @@ def q_dedup_embedding_lsh_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_lsh_pairs_stored(spark, path, threshold=0.45)
 
 
+@register("embedding_lsh_probe_stored", ORACLES.lsh_bucketed_oracle_sql())
+def q_embedding_lsh_probe_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online have-we-seen-this probe against the stored banded-LSH
+    index: the query's band-0 bucket is computed DRIVER-side from the
+    index meta's plane literals, so the scan carries a literal partition
+    filter — ONE pruned directory read, no join (plan-audited). The
+    oracle is the same SQL that certifies similarity_lsh_bucketed: the
+    first 4 planes of make_planes(16, 64) ARE make_planes(4, 64) (one
+    seeded PRNG stream), so the stored probe and the fresh bucketed scan
+    are independently certified against one oracle — stored == fresh,
+    value-checked every round."""
+    import os
+
+    from tdei_extract_load_service_spark.operators.dedup import (
+        build_embedding_lsh_index,
+        embedding_lsh_probe_stored,
+    )
+    from tdei_extract_load_service_spark.operators.similarity import make_planes
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    path = build_embedding_lsh_index(
+        _read(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        dim=64,
+        n_bands=4,
+        planes_per_band=4,
+        planes=make_planes(16, 64),
+        corpus_key=f"{src}:{st.st_size}:{st.st_mtime_ns}",
+    )
+    return embedding_lsh_probe_stored(
+        spark, path, _query_vec(spark, sf_dir), threshold=-1.0, k=10
+    )
+
+
 @register(
     "dedup_incremental",
     """

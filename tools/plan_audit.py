@@ -423,32 +423,9 @@ def main() -> int:
         )
         return embedding_lsh_pairs_stored(spark, path, threshold=0.45, eager=False)
 
-    def _probe_lsh_stored(spark, sf_dir):
-        import os
-
-        from tdei_extract_load_service_spark.catalog import _read, _query_vec
-        from tdei_extract_load_service_spark.operators.dedup import (
-            build_embedding_lsh_index,
-            embedding_lsh_probe_stored,
-        )
-        from tdei_extract_load_service_spark.operators.similarity import make_planes
-
-        src = os.path.join(sf_dir, "embeddings.parquet")
-        st = os.stat(src)
-        path = build_embedding_lsh_index(
-            _read(spark, sf_dir, "embeddings"), "vec_id", "embedding",
-            dim=64, n_bands=4, planes_per_band=4,
-            planes=make_planes(16, 64),
-            corpus_key=f"{src}:{st.st_size}:{st.st_mtime_ns}",
-        )
-        return embedding_lsh_probe_stored(
-            spark, path, _query_vec(spark, sf_dir), threshold=-1.0
-        )
-
     LAZY_OVERRIDES = {
         "dedup_embedding_lsh": _lazy_embedding_lsh,
         "dedup_embedding_lsh_stored": _lazy_embedding_lsh_stored,
-        "embedding_lsh_probe_stored": _probe_lsh_stored,
         "dedup_winnow": _lazy_winnow,
     }
 
