@@ -160,6 +160,7 @@ HEADLINE_EXTENSIONS = (
     "dedup_embedding_lsh_stored",
     "embedding_lsh_probe_stored",
     "dedup_incremental",
+    "dedup_embedding_incremental",
     # dedup_winnow (and its r7 composition dedup_winnow_cluster) is
     # EXCLUDED from the sf0.1 headline deliberately: the
     # synthetic documents corpus draws from a ~25-word vocabulary, so

@@ -274,6 +274,51 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_embedding_incremental",
+    "SELECT * FROM (\n"
+    + ORACLES.embedding_lsh_oracle_sql(
+        n_bands=4, planes_per_band=4, threshold=0.45
+    )
+    + "\n) WHERE id_a % 4 = 0 OR id_b % 4 = 0",
+)
+def q_dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run incremental NEAR-dup detection (the banded-LSH twin of
+    dedup_incremental): the base corpus (vec_id % 4 != 0) lives in the
+    stored banded-LSH index; tonight's delta shard is banded with the
+    index's frozen plane model and only pairs touching the delta are
+    emitted — no base bucket recomputed, no base-base pair re-verified.
+    The oracle is the FULL-corpus LSH pair SQL restricted to pairs with
+    a delta endpoint, so incremental == full is value-certified every
+    round (same discipline as dedup_incremental /
+    similarity_ivf_pq_incremental)."""
+    import os
+
+    from tdei_extract_load_service_spark.operators.dedup import (
+        build_embedding_lsh_index,
+        dedup_embedding_incremental,
+    )
+    from tdei_extract_load_service_spark.operators.similarity import make_planes
+
+    emb = _read(spark, sf_dir, "embeddings")
+    delta_cond = F.col("vec_id") % 4 == 0
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    path = build_embedding_lsh_index(
+        emb.where(~delta_cond),
+        "vec_id",
+        "embedding",
+        dim=64,
+        n_bands=4,
+        planes_per_band=4,
+        planes=make_planes(16, 64),
+        corpus_key=f"{src}:{st.st_size}:{st.st_mtime_ns}:incr_base",
+    )
+    return dedup_embedding_incremental(
+        spark, path, emb.where(delta_cond), "vec_id", "embedding", threshold=0.45
+    )
+
+
+@register(
     "dedup_cluster",
     """
     WITH RECURSIVE

@@ -587,7 +587,19 @@ def _lsh_pairs_from_banded(
     (``embedding_lsh_pairs``) or scanned from a stored index
     (``embedding_lsh_pairs_stored``), the emitted pairs are
     bit-identical because the doubles come along unchanged."""
-    a, b = banded.alias("a"), banded.alias("b")
+    return _lsh_pairs_between(banded, banded, n_bands, threshold)
+
+
+def _lsh_pairs_between(
+    a_df: DataFrame, b_df: DataFrame, n_bands: int, threshold: float
+) -> DataFrame:
+    """Two-frame form of the first-collision-band verify join (the
+    self-join is the ``a_df is b_df`` special case). First-collision
+    membership is a property of the PAIR's bucket columns alone, so
+    splitting a corpus across frames and unioning the emitted pair sets
+    reproduces the single-frame output exactly — the property the
+    incremental path relies on."""
+    a, b = a_df.alias("a"), b_df.alias("b")
     per_band = []
     for band in range(n_bands):
         cond = (F.col(f"a._b{band}") == F.col(f"b._b{band}")) & (
@@ -983,6 +995,60 @@ def embedding_lsh_probe_stored(
         .orderBy(F.col("cosine").desc(), F.col("id").asc())
         .limit(k)
     )
+
+
+def dedup_embedding_incremental(
+    spark,
+    index_path: str,
+    delta: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Cross-run incremental NEAR-dup detection — the banded-LSH twin of
+    ``dedup_incremental``: tonight's delta vectors are banded with the
+    stored index's FROZEN plane model (read from its meta, exact to the
+    bit: JSON round-trips the seeded doubles via shortest repr) and only
+    the pairs TOUCHING the delta are emitted — (all x delta) plus
+    (delta x index) under the global id order — without recomputing a
+    single base-corpus bucket or base-base pair.
+
+    Exactness: first-collision-band membership is a pair-local property
+    of the bucket columns, so this union equals the FULL-corpus
+    ``embedding_lsh_pairs`` output restricted to pairs with a delta
+    endpoint — the catalog oracle runs exactly that restricted
+    full-corpus SQL, value-certifying incremental == full every round.
+
+    Scale shape: the delta is banded in one projection; both verify
+    joins put the (small) delta on one side and the stored index scan on
+    the other — work is O(|delta| x bucket-mates), never
+    O(|base|^2)."""
+    meta = _emb_lsh_meta(index_path)
+    n_bands = meta["n_bands"]
+    planes = meta["planes"]
+    cols = ["id", "vec", "_nrm", *[f"_b{i}" for i in range(n_bands)]]
+    idx = spark.read.parquet(index_path).select(*cols)
+    delta_banded = spread(delta).select(
+        _col(id_col).alias("id"),
+        _col(vec_col).alias("vec"),
+        F.sqrt(_dot(_col(vec_col), _col(vec_col))).alias("_nrm"),
+        *_lsh_band_cols(
+            _col(vec_col),
+            meta["dim"],
+            n_bands,
+            meta["planes_per_band"],
+            planes,
+        ),
+    ).persist()
+    # pairs with the NEWER endpoint in the delta (covers delta-delta too)
+    touching_b = _lsh_pairs_between(
+        idx.unionByName(delta_banded), delta_banded, n_bands, threshold
+    )
+    # pairs where the delta id sorts BELOW an index id
+    touching_a = _lsh_pairs_between(delta_banded, idx, n_bands, threshold)
+    result = touching_b.unionByName(touching_a).localCheckpoint(eager=True)
+    delta_banded.unpersist()
+    return result
 
 
 def embedding_cosine_pairs(

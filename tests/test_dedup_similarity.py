@@ -592,3 +592,39 @@ def test_fingerprint_index_write_once(spark, tmp_path):
         == path
     )
     assert os.stat(marker).st_mtime_ns == before
+
+
+def test_dedup_embedding_incremental_equals_full_restricted(spark):
+    """Incremental near-dup (delta vs stored index) must equal the
+    FULL-corpus LSH pair set restricted to pairs touching the delta —
+    bit-identically, including the first-collision-band bookkeeping."""
+    import os
+
+    sf = SF_SMOKE
+    emb = spark.read.parquet(sf + "/embeddings.parquet")
+    delta_cond = F.col("vec_id") % 4 == 0
+    src = os.path.join(sf, "embeddings.parquet")
+    st = os.stat(src)
+    path = D.build_embedding_lsh_index(
+        emb.where(~delta_cond), "vec_id", "embedding", dim=64,
+        n_bands=4, planes_per_band=4, planes=S.make_planes(16, 64),
+        corpus_key=f"{src}:{st.st_size}:{st.st_mtime_ns}:incr_base",
+    )
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in D.dedup_embedding_incremental(
+            spark, path, emb.where(delta_cond), "vec_id", "embedding",
+            threshold=0.3,
+        ).collect()
+    }
+    full = {
+        (r.id_a, r.id_b): r.cosine
+        for r in D.embedding_lsh_pairs(
+            emb, "vec_id", "embedding", threshold=0.3, dim=64,
+            n_bands=4, planes_per_band=4, planes=S.make_planes(16, 64),
+        ).collect()
+        if r.id_a % 4 == 0 or r.id_b % 4 == 0
+    }
+    assert got == full and got
+    # and no base-base pair leaks in
+    assert all(a % 4 == 0 or b % 4 == 0 for a, b in got)
