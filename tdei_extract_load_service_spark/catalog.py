@@ -326,6 +326,30 @@ from tdei_extract_load_service_spark.catalog_entries import (  # noqa: E402,F401
 # (alphabetical: agg_stats, column_correlations, column_profile,
 # column_profile_categorical, corpus_prep, dedup_cluster) to fill 50.
 # r12 sweeps the remaining r7 cohort.
+#
+# ROUND-11 WINDOW (executing the pre-commit above, corrected per
+# VERDICT r10: rule (a) covers ALL FIVE round-10 registrations —
+# embedding_lsh_probe_stored and dedup_embedding_incremental also
+# landed r10 and ride along with the three the pre-commit named. The
+# two extra rule-(a) slots displace the two youngest r7 tail entries
+# (corpus_prep, dedup_cluster → r12). Window = contract (20) + 5
+# rule-(a) + r4 cohort (7) + r5 cohort (6) + r6 cohort (8) + the 4
+# oldest-alphabetical r7 entries (agg_stats, column_correlations,
+# column_profile, column_profile_categorical) = 50.
+#
+# ROUND-12 WINDOW (pre-committed): contract (20) + rule (a) — every
+# round-11 registration — + rule (b) oldest-first: the remaining 27
+# r7-cohort entries (corpus_prep, dedup_cluster, dedup_embedding_lsh,
+# dedup_winnow, dynamic_query, embedding_quantize, grouped_normalize,
+# histogram_auto, join_asof, join_range, multimodal_decode,
+# multimodal_decode_jpeg, multimodal_resize, multimodal_video_frames,
+# quantiles, session_window, similarity_ivf, similarity_ivf_kmeans,
+# text_pack_sequences, text_repetition_stats, text_tfidf_topk,
+# text_winnow_fingerprint, tpch_q1_pricing_summary,
+# tpch_q3_shipping_priority, tpch_q5_local_volume,
+# tpch_q6_forecast_revenue, window_tumbling) to fill 50 — drop from the
+# TAIL of that alphabetical list if rule-(a) needs more slots; r13
+# begins the r8 cohort sweep (25 entries).
 DRIVER_WINDOW: list[str] = [
     # --- the 20-op v1 engine contract (SURVEY §2.4, permanent) ---
     "scan",
@@ -348,41 +372,41 @@ DRIVER_WINDOW: list[str] = [
     "topk_similarity",
     "text_quality",
     "etl_load_dataset",
-    # --- rule (a): the 9 round-9 deferrals (never driver-sampled) ---
-    "similarity_pq_trained",
-    "stream_dedup_shadow",
-    "stream_session_shadow",
-    "stream_join_shadow",
-    "text_bm25_topk",
-    "sample_split_grouped",
-    "similarity_ivf_pq_incremental",
-    "table_compact",
-    "events_attribution",
-    # --- rule (a): the 7 round-9 wave-4/5 registrations ---
-    "heavy_hitters",
-    "join_size_estimate",
-    "text_readability",
-    "events_markov",
-    "zorder_range_scan",
-    "table_time_travel",
-    "corpus_temperature_mix",
-    # --- rule (a): early-wave entries the r8 pre-commit undercounted
-    # (no green CORRECTNESS row in any round) ---
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "column_distinct_sketch",
-    "sample_stratified",
-    "quantiles_exact",
-    # --- rule (b): the oldest re-certification debts (r2 cohort) ---
-    "cube",
-    "dedup_embedding_cosine",
-    "dedup_ngram_jaccard",
-    "distinct",
-    "sample_split",
-    "text_char_entropy",
-    "top_k",
-    "window_running_sum",
-    "window_sliding",
+    # --- rule (a): the 5 round-10 registrations (never driver-sampled) ---
+    "dedup_embedding_lsh_stored",
+    "embedding_lsh_probe_stored",
+    "dedup_incremental",
+    "dedup_embedding_incremental",
+    "stream_restart_shadow",
+    # --- rule (b): the r4 cohort (stalest re-certification debts) ---
+    "approx_distinct",
+    "join_outer",
+    "pivot",
+    "rollup",
+    "sample_hash",
+    "set_ops",
+    "window_rank",
+    # --- rule (b): the r5 cohort ---
+    "multimodal_meta",
+    "paginate",
+    "similarity_lsh_bucketed",
+    "text_langid",
+    "text_token_count",
+    "window_lag_delta",
+    # --- rule (b): the r6 cohort ---
+    "grouping_sets",
+    "histogram",
+    "interval_join",
+    "multimodal_audio",
+    "text_fingerprint",
+    "text_ngram_topk",
+    "unpivot",
+    "window_range_frame",
+    # --- rule (b): the 4 oldest-alphabetical r7-cohort entries ---
+    "agg_stats",
+    "column_correlations",
+    "column_profile",
+    "column_profile_categorical",
 ]
 
 
