@@ -757,7 +757,9 @@ def build_fingerprint_index(
 
     from tdei_extract_load_service_spark.operators.staging import staged_build
 
-    key = (corpus_key or "anon", tuple(content_cols), n_buckets)
+    # id_col is part of the key (ADVICE r10): two builds over the same
+    # corpus differing only in survivor-id column are DIFFERENT indexes.
+    key = (corpus_key or "anon", id_col, tuple(content_cols), n_buckets)
     hit = _FP_INDEX_CACHE.get(key)
     if hit is not None:
         return hit
@@ -877,7 +879,19 @@ def build_embedding_lsh_index(
     if len(planes) != n_bands * planes_per_band:
         raise ValueError("need n_bands * planes_per_band planes")
     planes_key = hashlib.md5(repr(planes).encode()).hexdigest()[:16]
-    key = (corpus_key or "anon", n_bands, planes_per_band, dim, planes_key)
+    # id_col/vec_col/prefix_bits are part of the key (ADVICE r10): a
+    # cache hit on a key omitting them would silently serve an index
+    # built with a different id column or partition-prefix width.
+    key = (
+        corpus_key or "anon",
+        id_col,
+        vec_col,
+        n_bands,
+        planes_per_band,
+        dim,
+        prefix_bits,
+        planes_key,
+    )
     hit = _EMB_LSH_INDEX_CACHE.get(key)
     if hit is not None:
         return hit
@@ -1004,6 +1018,7 @@ def dedup_embedding_incremental(
     id_col: str,
     vec_col: str,
     threshold: float = 0.9,
+    check_disjoint: bool = False,
 ) -> DataFrame:
     """Cross-run incremental NEAR-dup detection — the banded-LSH twin of
     ``dedup_incremental``: tonight's delta vectors are banded with the
@@ -1012,6 +1027,15 @@ def dedup_embedding_incremental(
     the pairs TOUCHING the delta are emitted — (all x delta) plus
     (delta x index) under the global id order — without recomputing a
     single base-corpus bucket or base-base pair.
+
+    PRECONDITION — delta ids must be DISJOINT from the stored index's
+    ids (ADVICE r10): the two verify joins split pairs by which side
+    the delta endpoint sorts on; a re-ingested id present on BOTH sides
+    makes the same pair qualify in both calls and it is emitted twice.
+    The nightly-ingest contract (new snapshot = new ids) satisfies this
+    for free; when re-ingestion is possible, pass
+    ``check_disjoint=True`` to pay one slim anti-join-shaped count that
+    raises ``ValueError`` on overlap instead of silently duplicating.
 
     Exactness: first-collision-band membership is a pair-local property
     of the bucket columns, so this union equals the FULL-corpus
@@ -1040,6 +1064,20 @@ def dedup_embedding_incremental(
             planes,
         ),
     ).persist()
+    if check_disjoint:
+        overlap = (
+            delta_banded.select("id")
+            .join(idx.select("id"), "id", "semi")
+            .limit(1)
+            .count()
+        )
+        if overlap:
+            delta_banded.unpersist()
+            raise ValueError(
+                "dedup_embedding_incremental: delta ids overlap the stored "
+                "index — re-ingested ids would emit duplicate pairs; dedup "
+                "the delta against the index first"
+            )
     # pairs with the NEWER endpoint in the delta (covers delta-delta too)
     touching_b = _lsh_pairs_between(
         idx.unionByName(delta_banded), delta_banded, n_bands, threshold

@@ -33,6 +33,7 @@ def salted_agg(
     keys: Sequence[str],
     aggregates: dict[str, tuple[str, Column]],
     n_salts: int = 16,
+    salt_source: Column | None = None,
 ) -> DataFrame:
     """Two-phase salted aggregation.
 
@@ -54,22 +55,32 @@ def salted_agg(
     row to the same salt and the partials are byte-stable (the
     ``F.rand(seed)`` it replaced was result-correct under retries — any
     salt assignment merges identically — but not byte-stable, VERDICT
-    r9). Exact duplicate rows share a salt; that skews phase 1 only in
-    the degenerate all-rows-identical case, where the partial row is
-    tiny anyway.
+    r9).
+
+    CAVEAT — low-entropy non-key columns (ADVICE r10): because the salt
+    is content-derived, its spread is bounded by the CARDINALITY of the
+    non-key columns within the hot key. A narrow table whose hot key
+    carries, say, a single constant status column collapses to ONE salt
+    value and the mitigation silently vanishes (results stay correct —
+    phase 2 merges whatever spread phase 1 achieved). For such tables
+    pass ``salt_source``: any caller-supplied high-entropy expression
+    (a row id, ``F.monotonically_increasing_id()``, an ingest offset).
+    Note ``monotonically_increasing_id`` is partition-layout-dependent,
+    so with it the salt is retry-stable only within a stage attempt —
+    callers needing byte-stable partials across stage RETRIES must
+    derive ``salt_source`` from row content or a stored id.
     """
     for name, (kind, _) in aggregates.items():
         if kind not in _MERGES:
             raise ValueError(f"unsupported aggregate kind {kind!r} for {name!r}")
-    salt_cols = [c for c in df.columns if c not in set(keys)] or list(
-        df.columns
-    )
+    if salt_source is None:
+        salt_cols = [c for c in df.columns if c not in set(keys)] or list(
+            df.columns
+        )
+        salt_source = F.xxhash64(*[F.col(c) for c in salt_cols], F.lit(7))
     salted = df.withColumn(
         "_salt",
-        F.pmod(
-            F.xxhash64(*[F.col(c) for c in salt_cols], F.lit(7)),
-            F.lit(n_salts),
-        ).cast("int"),
+        F.pmod(salt_source, F.lit(n_salts)).cast("int"),
     )
     partial_exprs = []
     for name, (kind, expr) in aggregates.items():

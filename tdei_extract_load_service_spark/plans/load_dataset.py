@@ -515,8 +515,28 @@ def load_dataset(
         # the two one-file writes touch DISJOINT sink roots and are both
         # tiny scheduled jobs — submit them together (the same rationale
         # as the concurrent per-kind loads; writers hold per-path locks
-        # and ManifestTxn.write is thread-safe)
-        pending = [w for w in (meta_write, stats_write) if w is not None]
+        # and ManifestTxn.write is thread-safe). Each future times ITSELF
+        # into its own stage key (ADVICE r10: the deferred metadata write
+        # must not be billed to "stats") — so "metadata"/"stats" stay
+        # attribution-honest while overlapping in wall-clock; the
+        # concurrent section's sum of stages may exceed elapsed time.
+        timings["stats"] = time.perf_counter() - t0
+
+        def _timed(key: str, fn) -> object:
+            def run() -> None:
+                t = time.perf_counter()
+                fn()
+                timings[key] = timings.get(key, 0.0) + (
+                    time.perf_counter() - t
+                )
+
+            return run
+
+        pending = [
+            _timed(key, w)
+            for key, w in (("metadata", meta_write), ("stats", stats_write))
+            if w is not None
+        ]
         if len(pending) == 2:
             from concurrent.futures import ThreadPoolExecutor as _TPE
 
@@ -524,7 +544,6 @@ def load_dataset(
                 list(pool.map(lambda w: w(), pending))
         elif pending:
             pending[0]()
-        timings["stats"] = time.perf_counter() - t0
 
         # -- commit: in manifest mode, ONE pointer swap publishes every
         # sink written above (the reference's single COMMIT) -------------

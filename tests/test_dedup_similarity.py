@@ -628,3 +628,55 @@ def test_dedup_embedding_incremental_equals_full_restricted(spark):
     assert got == full and got
     # and no base-base pair leaks in
     assert all(a % 4 == 0 or b % 4 == 0 for a, b in got)
+
+
+def test_stored_index_cache_keys_include_column_args(spark, tmp_path):
+    """ADVICE r10: two builds over the same corpus_key differing only in
+    id_col / prefix_bits must be DIFFERENT stored indexes, not a silent
+    cache hit on the first build."""
+    base = spark.createDataFrame(
+        [(1, 10, "x"), (2, 20, "x"), (3, 30, "y")],
+        "doc_id long, alt_id long, text string",
+    )
+    ck = f"pytest-key:{tmp_path}"
+    p1 = D.build_fingerprint_index(base, "doc_id", ["text"], corpus_key=ck)
+    p2 = D.build_fingerprint_index(base, "alt_id", ["text"], corpus_key=ck)
+    assert p1 != p2
+    keep1 = {r.keep_id for r in spark.read.parquet(p1).collect()}
+    keep2 = {r.keep_id for r in spark.read.parquet(p2).collect()}
+    assert keep1 == {1, 3} and keep2 == {10, 30}
+
+    emb = spark.read.parquet(SF_SMOKE + "/embeddings.parquet").limit(32)
+    planes = S.make_planes(8, 64)
+    kw = dict(dim=64, n_bands=2, planes_per_band=4, planes=planes,
+              corpus_key=f"pytest-key-emb:{tmp_path}")
+    e1 = D.build_embedding_lsh_index(emb, "vec_id", "embedding", prefix_bits=2, **kw)
+    e2 = D.build_embedding_lsh_index(emb, "vec_id", "embedding", prefix_bits=3, **kw)
+    assert e1 != e2
+    assert D._emb_lsh_meta(e1)["prefix_shift"] == 2   # 4 planes - 2 bits
+    assert D._emb_lsh_meta(e2)["prefix_shift"] == 1
+
+
+def test_dedup_embedding_incremental_check_disjoint_raises(spark, tmp_path):
+    """Re-ingested ids (present in BOTH the stored index and the delta)
+    violate the disjoint-ids precondition; the opt-in guard raises
+    instead of silently emitting duplicate pairs."""
+    emb = spark.read.parquet(SF_SMOKE + "/embeddings.parquet").limit(16)
+    path = D.build_embedding_lsh_index(
+        emb, "vec_id", "embedding", dim=64, n_bands=2, planes_per_band=4,
+        planes=S.make_planes(8, 64),
+        corpus_key=f"pytest-disjoint:{tmp_path}",
+    )
+    with pytest.raises(ValueError, match="delta ids overlap"):
+        D.dedup_embedding_incremental(
+            spark, path, emb.limit(4), "vec_id", "embedding",
+            threshold=0.0, check_disjoint=True,
+        )
+    # disjoint delta passes the guard
+    disjoint = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    ).limit(2)
+    D.dedup_embedding_incremental(
+        spark, path, disjoint, "vec_id", "embedding",
+        threshold=0.99, check_disjoint=True,
+    ).count()

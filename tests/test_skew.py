@@ -110,3 +110,42 @@ class TestSaltedJoin:
             salted_join(big, small, ["k"], ["k"], n_salts=4)
         with _pytest.raises(ValueError):
             salted_join(big, small, ["k"], ["rid"], how="full")
+
+
+def test_salted_agg_salt_source_spreads_constant_payload(spark):
+    """ADVICE r10: a hot key whose non-key columns are CONSTANT collapses
+    the content-derived salt to one value; the opt-in ``salt_source``
+    restores the spread without changing results."""
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"key": ["hot"] * 2000, "rid": range(2000), "status": ["ok"] * 2000}
+        )
+    ).drop("rid").withColumn("rid", F.monotonically_increasing_id())
+    # drop rid from salt inputs to simulate a truly narrow table: key+status
+    narrow = df.select("key", "status")
+    salted_default = narrow.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.col("status"), F.lit(7)), F.lit(8)).cast("int"),
+    )
+    assert salted_default.select("_salt").distinct().count() == 1
+    got = {
+        r.key: r.n
+        for r in salted_agg(
+            df,
+            ["key"],
+            {"n": ("count", F.lit(1))},
+            n_salts=8,
+            salt_source=F.col("rid"),
+        ).collect()
+    }
+    assert got == {"hot": 2000}
+    # and the caller-supplied source actually spreads the hot key
+    spread = (
+        df.withColumn("_salt", F.pmod(F.col("rid"), F.lit(8)).cast("int"))
+        .select("_salt")
+        .distinct()
+        .count()
+    )
+    assert spread == 8
