@@ -974,10 +974,23 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_suppkey").alias("src"),
         (F.lit(1000000) + F.col("l_partkey")).alias("dst"),
     )
-    edges = fwd.unionByName(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    out = pagerank(edges, "src", "dst", damping=0.85, iterations=3)
+    # dedup INSIDE the src-partitioned layout the operator needs:
+    # HashPartitioning(src) satisfies the (src,dst) distinct's clustered
+    # distribution, so the whole edge build — dedup, out-degrees, degree
+    # join — rides ONE exchange (r11; the distinct-then-repartition form
+    # paid two, and the r10 operator four). src_partitioned=True tells
+    # pagerank not to re-exchange.
+    n_part = spark.sparkContext.defaultParallelism
+    edges = (
+        fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .repartition(n_part, F.col("src"))
+        .dropDuplicates(["src", "dst"])
+    )
+    out = pagerank(
+        edges, "src", "dst", damping=0.85, iterations=3, src_partitioned=True
+    )
     return out.orderBy(F.col("node").asc())
 
 

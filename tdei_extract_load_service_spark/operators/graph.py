@@ -32,6 +32,9 @@ def pagerank(
     dst: str = "dst",
     damping: float = 0.85,
     iterations: int = 3,
+    src_partitioned: bool = False,
+    broadcast_max_nodes: int = 2_000_000,
+    materialize_every: int = 4,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a DIRECTED edge list; for an
     undirected graph pass both orientations. Every node must have at
@@ -46,19 +49,46 @@ def pagerank(
     ``damping`` must be expressible in hundredths (0.85 -> 85/100): the
     damping multiply runs as integer ``(d100 * s) DIV 100``.
 
-    Scale shape: out-degrees and the degree-annotated edge list are
-    computed once and PERSISTED — repartitioned on the join key and
-    sorted within partitions, so every iteration's sort-merge join
-    consumes the cache with no exchange and no re-sort on the edge
-    side; each iteration is one equi join of the rank frame onto the
-    edges plus a map-side-combined aggregation to |nodes| rows,
-    persisted and the predecessor released — lineage stays one
-    iteration deep, so 30 iterations over 100 TB of edges never
-    replans (or re-shuffles) round one. |nodes| is the only
-    driver-side scalar (one COUNT)."""
+    Scale shape (re-measured r11; the r10 form cost 4 edge-wide
+    exchanges and one scheduled job PER iteration, 6.5s at sf0.1):
+
+    - **Build = ONE edge exchange.** The edge list is hash-repartitioned
+      on ``src`` once; ``HashPartitioning(src)`` satisfies the clustered
+      distribution of everything downstream — the out-degree
+      aggregation runs as chained in-partition HashAggregates and the
+      degree join co-locates for free (deg is broadcast when its stats
+      are small; either way, no further edge-wide exchange). Callers
+      whose frame is ALREADY partitioned on ``src`` (they just ran
+      ``repartition(n, src).dropDuplicates(...)``, or read a bucketed
+      edge table) pass ``src_partitioned=True`` to skip even that one
+      exchange — a pure performance hint: if the promise is wrong,
+      Catalyst inserts the needed exchanges and results are unchanged.
+    - **Loop joins are size-gated.** |nodes| is known driver-side (one
+      COUNT, the same job that materializes the edge cache), so the
+      rank-onto-edges join broadcasts the |nodes|-row frame when
+      ``n <= broadcast_max_nodes`` (~50 MB of (long,long) rows at the
+      default) — no exchange and no sort on EITHER side, per iteration
+      just the map-side-combined contribution aggregation's |nodes|-row
+      shuffle. Billion-node graphs exceed the gate and fall back to the
+      r10 shape: the edge cache re-partitioned on the join key and
+      sorted within partitions once, each iteration a sort-merge join
+      that exchanges only the rank frame.
+    - **Materialization is batched.** Iterations chain LAZILY —
+      Catalyst pipelines ``materialize_every`` join+agg rounds into one
+      scheduled job — and the rank frame is persisted (+ predecessor
+      released) only at each batch boundary, so lineage stays bounded
+      for a 30-iteration run without paying one job-scheduling
+      round-trip per iteration. The FINAL rank frame is always
+      persisted and materialized before the edge cache is released.
+    |nodes| is the only driver-side scalar."""
     d100 = round(damping * 100)
     if abs(d100 / 100.0 - damping) > 1e-12:
         raise ValueError("damping must be a multiple of 0.01")
+    if materialize_every < 1:
+        raise ValueError("materialize_every must be >= 1")
+    n_part = edges.sparkSession.sparkContext.defaultParallelism
+    if not src_partitioned:
+        edges = edges.repartition(n_part, F.col(src))
     deg = edges.groupBy(F.col(src).alias("_node")).agg(
         F.count("*").alias("_deg")
     )
@@ -84,54 +114,58 @@ def pagerank(
         F.col("_node").alias("_dst"),
         F.lit(2**62).cast("long").alias("_deg"),
     )
-    # The cache is REPARTITIONED ON THE JOIN KEY and sorted within
-    # partitions before persisting: InMemoryRelation preserves both, so
-    # every iteration's sort-merge join consumes ed with NO exchange and
-    # NO re-sort on the edge side — only the (|nodes|-row) rank frame
-    # moves per iteration, plus the contribution aggregation itself.
-    # That is the shape a 30-iteration 100 TB run needs (the edge
-    # shuffle happens once, not once per iteration), and on the r10
-    # interleaved A/B it also tightened the sf0.1 medians
-    # (3.91s vs 4.58s; the round-9 window-annotated alternative measured
-    # SLOWER, 6.6s+, and was rejected — SCALE.md "pagerank r10 re-pin").
-    n_part = edges.sparkSession.sparkContext.defaultParallelism
-    ed = (
-        real.unionByName(sentinel)
-        .repartition(n_part, F.col("_src"))
-        .sortWithinPartitions("_src")
-        .persist()
-    )
     # ONE materializing job builds the whole working set; the node
     # count + the initial rank frame are then read back from ed's
     # CACHED sentinel rows — no second pass over the edge build.
     # (Persisting deg separately instead measured +1.2s at sf0.1: its
     # cache materialization is its own full job.)
+    ed = real.unionByName(sentinel).persist()
     n = ed.where(F.col("_deg") == 2**62).count()
+    smj = n > broadcast_max_nodes
+    if smj:
+        # billion-node fallback: pay one in-memory reshuffle to give the
+        # per-iteration sort-merge join an exchange-free, pre-sorted
+        # edge side (amortized over every iteration)
+        ed_loop = (
+            ed.repartition(n_part, F.col("_src"))
+            .sortWithinPartitions("_src")
+            .persist()
+        )
+        ed_loop.count()
+        ed.unpersist()
+    else:
+        ed_loop = ed
     unit = 1_000_000_000_000  # rank 1.0 == 1e12 fixed-point units
     base_fp = (100 - d100) * unit // 100 // n
-    ranks = ed.where(F.col("_deg") == 2**62).select(
+    ranks = ed_loop.where(F.col("_deg") == 2**62).select(
         F.col("_src").alias("_node"),
         F.lit(unit // n).cast("long").alias("_r"),
     )
-    for _ in range(iterations):
+    prev = None
+    for i in range(iterations):
+        rank_side = ranks if smj else F.broadcast(ranks)
         contrib = (
-            ed.join(ranks, ed["_src"] == ranks["_node"])
+            ed_loop.join(rank_side, ed_loop["_src"] == rank_side["_node"])
             .groupBy(F.col("_dst").alias("node"))
             .agg(F.sum(F.expr("_r DIV _deg")).alias("_s"))
         )
-        new_ranks = contrib.select(
+        ranks = contrib.select(
             F.col("node").alias("_node"),
             (
                 F.lit(base_fp) + F.expr(f"({d100} * _s) DIV 100")
             ).cast("long").alias("_r"),
-        ).persist()
-        new_ranks.count()  # materialize before releasing the predecessor
-        ranks.unpersist()
-        ranks = new_ranks
+        )
+        last = i == iterations - 1
+        if last or (i + 1) % materialize_every == 0:
+            ranks = ranks.persist()
+            ranks.count()  # materialize before releasing the predecessor
+            if prev is not None:
+                prev.unpersist()
+            prev = ranks
     out = ranks.select(
         F.col("_node").alias("node"), F.col("_r").alias("rank_fp")
     )
-    ed.unpersist()
+    ed_loop.unpersist()
     # the FINAL iteration's rank frame must stay cached for the caller's
     # action, but a long session invoking pagerank repeatedly would leak
     # one generation per call — register it for recycling on the next call

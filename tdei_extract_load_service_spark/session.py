@@ -55,10 +55,23 @@ def persist_scoped(df: DataFrame, scope: str) -> DataFrame:
     unaffected (persist is only ever a performance hint)."""
     prev = _SCOPED_PERSISTS.pop(scope, None)
     if prev is not None:
+        # CacheManager keys entries by ANALYZED PLAN, not by DataFrame
+        # object: a repeated invocation with an identical plan (bench
+        # reps, a re-run catalog query) SHARES the previous generation's
+        # cache entry, and unpersisting "the old frame" would drop the
+        # data the new frame is about to serve from — the next action
+        # silently recomputed the whole lineage (measured 5s/rep on
+        # graph_pagerank, r11). Only unpersist a genuinely different
+        # predecessor plan.
         try:
-            prev.unpersist()
+            same = prev.sameSemantics(df)
         except Exception:  # noqa: BLE001 - session may already be gone
-            pass
+            same = False
+        if not same:
+            try:
+                prev.unpersist()
+            except Exception:  # noqa: BLE001
+                pass
     out = df.persist()
     _SCOPED_PERSISTS[scope] = out
     return out

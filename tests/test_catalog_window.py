@@ -13,15 +13,13 @@ import os
 
 from tdei_extract_load_service_spark.catalog import DRIVER_WINDOW, REGISTRY, ordered_registry
 
-# Entries that must always be driver-checked.  r10 rotation (VERDICT r9
-# #1): the permanent core is the 20-op v1 engine contract (never
-# rotated out), plus ALL 21 entries with no green driver row in any
-# round's CORRECTNESS ledger (the 9 r9 deferrals, the 7 r9 wave-4/5
-# registrations, and 5 early-wave entries the r8 pre-commit
-# undercounted), plus the oldest rule-(b) re-certification cohort
-# (r2-certified, seven rounds stale).  The r9-certified flagships moved
-# to the rule-(b) queue: driver-green last round, still swept by
-# tools/oracle_check.py every round.
+# Entries that must always be driver-checked.  r11 rotation (VERDICT
+# r10 #1): the permanent core is the 20-op v1 engine contract (never
+# rotated out), plus rule (a) — all 5 round-10 registrations, never
+# driver-sampled — plus rule (b) oldest-first: the complete r4/r5/r6
+# re-certification cohorts and the 4 oldest-alphabetical r7 entries.
+# Everything rotated out stays swept by tools/oracle_check.py every
+# round.
 FLAGSHIPS = [
     # the 20-op v1 contract
     "scan",
@@ -44,40 +42,41 @@ FLAGSHIPS = [
     "topk_similarity",
     "text_quality",
     "etl_load_dataset",
-    # never-driver-certified rule-(a) debt (9 r9 deferrals)
-    "similarity_pq_trained",
-    "stream_dedup_shadow",
-    "stream_session_shadow",
-    "stream_join_shadow",
-    "text_bm25_topk",
-    "sample_split_grouped",
-    "similarity_ivf_pq_incremental",
-    "table_compact",
-    "events_attribution",
-    # never-driver-certified rule-(a) debt (7 r9 wave-4/5)
-    "heavy_hitters",
-    "join_size_estimate",
-    "text_readability",
-    "events_markov",
-    "zorder_range_scan",
-    "table_time_travel",
-    "corpus_temperature_mix",
-    # never-driver-certified rule-(a) debt (early waves, undercounted)
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "column_distinct_sketch",
-    "sample_stratified",
-    "quantiles_exact",
-    # oldest rule-(b) re-certification cohort (r2)
-    "cube",
-    "dedup_embedding_cosine",
-    "dedup_ngram_jaccard",
-    "distinct",
-    "sample_split",
-    "text_char_entropy",
-    "top_k",
-    "window_running_sum",
-    "window_sliding",
+    # rule (a): the 5 round-10 registrations (never driver-sampled)
+    "dedup_embedding_lsh_stored",
+    "embedding_lsh_probe_stored",
+    "dedup_incremental",
+    "dedup_embedding_incremental",
+    "stream_restart_shadow",
+    # rule (b): the r4 cohort
+    "approx_distinct",
+    "join_outer",
+    "pivot",
+    "rollup",
+    "sample_hash",
+    "set_ops",
+    "window_rank",
+    # rule (b): the r5 cohort
+    "multimodal_meta",
+    "paginate",
+    "similarity_lsh_bucketed",
+    "text_langid",
+    "text_token_count",
+    "window_lag_delta",
+    # rule (b): the r6 cohort
+    "grouping_sets",
+    "histogram",
+    "interval_join",
+    "multimodal_audio",
+    "text_fingerprint",
+    "text_ngram_topk",
+    "unpivot",
+    "window_range_frame",
+    # rule (b): the 4 oldest-alphabetical r7-cohort entries
+    "agg_stats",
+    "column_correlations",
+    "column_profile",
+    "column_profile_categorical",
 ]
 
 
