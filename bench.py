@@ -347,14 +347,38 @@ def main() -> None:
     control_at = {0, len(names) // 2, len(names) - 1}
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
+    first_runs: dict[str, float] = {}
     for i, name in enumerate(names):
         if i in control_at:
             control_samples.append(
                 round(_run_once(REGISTRY[control_name].query), 4)
             )
-        runs = sorted(_run_once(REGISTRY[name].query) for _ in range(reps))
+        raw = [_run_once(REGISTRY[name].query) for _ in range(reps)]
+        first_runs[name] = round(raw[0], 4)
+        runs = sorted(raw)
         timings[name] = round(runs[0], 4)
         medians[name] = round(runs[len(runs) // 2], 4)
+
+    # Write-once stored-index entries (VERDICT r10 #3, the zorder
+    # precedent): their FIRST rep pays the one-time content-addressed
+    # index/layout build when the store is cold (it is, in the driver's
+    # fresh round container — the sf0.001 warmup builds only sf0.001
+    # keys), while reps 2+ serve from the store. "queries" (the min)
+    # is therefore the steady-state serve trendline; this field carries
+    # the build-inclusive first rep separately so both costs are
+    # visible without mixing the trendline.
+    STORED_BUILD_ENTRIES = (
+        "dedup_embedding_lsh_stored",
+        "embedding_lsh_probe_stored",
+        "dedup_incremental",
+        "dedup_embedding_incremental",
+        "text_bm25_topk_stored",
+        "zorder_range_scan",
+        "similarity_ivf_pq_incremental",
+    )
+    stored_first_run = {
+        n: first_runs[n] for n in STORED_BUILD_ENTRIES if n in first_runs
+    }
 
     etl_best, etl_stages = bench_etl_load(spark)
     etl_2nd, etl_stages_2 = bench_etl_load(spark)
@@ -368,18 +392,20 @@ def main() -> None:
     # reads straight off the JSON — the total alone stopped being
     # comparable when round 5 widened the headline set (VERDICT r5 wrong #4)
     matched = [*R1_HEADLINE, "etl_load"]
+    # FIELD ORDER IS LOAD-BEARING (VERDICT r10 #4): the driver records
+    # only the TAIL of long output lines, and BENCH_r10's headline
+    # fields were truncated away because they led the object. json.dumps
+    # preserves insertion order, so the bulky per-query maps go FIRST
+    # and every compact headline field (metric/value/subtotal/control)
+    # goes LAST — the tail always carries the trendline.
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
                 "matched_r1_set": matched,
-                "matched_r1_subtotal": round(
-                    sum(timings[q] for q in matched if q in timings), 4
-                ),
                 "queries": timings,
                 "queries_median": medians,
+                "stored_first_run": stored_first_run,
+                "etl_stages": etl_stages,
                 "bench_reps": reps,
                 "control_query": control_name,
                 "control_samples_sec": control_samples,
@@ -390,7 +416,12 @@ def main() -> None:
                 )
                 if control_samples
                 else None,
-                "etl_stages": etl_stages,
+                "matched_r1_subtotal": round(
+                    sum(timings[q] for q in matched if q in timings), 4
+                ),
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
