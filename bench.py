@@ -161,6 +161,8 @@ HEADLINE_EXTENSIONS = (
     "embedding_lsh_probe_stored",
     "dedup_incremental",
     "dedup_embedding_incremental",
+    # round-11 additions
+    "embedding_lsh_probe_multiband",
     # dedup_winnow (and its r7 composition dedup_winnow_cluster) is
     # EXCLUDED from the sf0.1 headline deliberately: the
     # synthetic documents corpus draws from a ~25-word vocabulary, so
@@ -370,6 +372,7 @@ def main() -> None:
     STORED_BUILD_ENTRIES = (
         "dedup_embedding_lsh_stored",
         "embedding_lsh_probe_stored",
+        "embedding_lsh_probe_multiband",
         "dedup_incremental",
         "dedup_embedding_incremental",
         "text_bm25_topk_stored",

@@ -236,6 +236,47 @@ def q_embedding_lsh_probe_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_lsh_probe_multiband",
+    ORACLES.lsh_multiband_probe_oracle_sql(n_bands=4, planes_per_band=4, k=10),
+)
+def q_embedding_lsh_probe_multiband(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FULL-RECALL online probe (VERDICT r10 #5): the stored banded-LSH
+    layout replicated per band (build_embedding_lsh_index
+    replicate_bands=True), probed with one pruned-directory read PER
+    BAND and unioned — any row colliding with the query in ANY band is
+    a candidate, closing the single-band probe's recall gap while every
+    scan keeps literal (band, _pre) PartitionFilters (plan-audited).
+    The oracle is embedding_lsh_oracle_sql's OR-join restricted to the
+    query id: candidates AND exact cosines value-certified."""
+    import os
+
+    from tdei_extract_load_service_spark.operators.dedup import (
+        build_embedding_lsh_index,
+        embedding_lsh_probe_multiband,
+    )
+    from tdei_extract_load_service_spark.operators.similarity import make_planes
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    path = build_embedding_lsh_index(
+        _read(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        dim=64,
+        n_bands=4,
+        planes_per_band=4,
+        planes=make_planes(16, 64),
+        corpus_key=f"{src}:{st.st_size}:{st.st_mtime_ns}",
+        replicate_bands=True,
+    )
+    return embedding_lsh_probe_multiband(
+        spark, path, _query_vec(spark, sf_dir), threshold=-1.0, k=10
+    )
+
+
+@register(
     "dedup_incremental",
     """
     SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups

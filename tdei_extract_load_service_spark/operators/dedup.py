@@ -834,6 +834,7 @@ def build_embedding_lsh_index(
     planes: list[list[float]] | None = None,
     corpus_key: str | None = None,
     prefix_bits: int = 4,
+    replicate_bands: bool = False,
 ) -> str:
     """Write-once stored banded-LSH index (VERDICT r9 #4) — the dedup
     twin of the stored PQ index (``similarity.build_pq_index``) and BM25
@@ -859,6 +860,16 @@ def build_embedding_lsh_index(
     reproducibility. The meta JSON persists the plane literals (doubles
     survive JSON round-trip via shortest-repr), so a LATER session can
     probe the index without re-deriving the model.
+
+    ``replicate_bands=True`` writes the FULL-RECALL online layout
+    (VERDICT r10 #5): the banded frame is replicated once per band —
+    partitioned by ``(band, _pre)`` where band b's replica is
+    prefix-partitioned on ``_b{b}`` — so an online probe can run the
+    pruned-directory read against EVERY band and recover complete LSH
+    recall (band-0-only probing misses pairs whose first collision is
+    a later band). Storage cost is x n_bands; the offline pair job
+    should keep using the single-copy layout. The replication is one
+    shuffle-free projection (explode over band ids), not n_bands scans.
     """
     import hashlib
     import json
@@ -891,6 +902,7 @@ def build_embedding_lsh_index(
         dim,
         prefix_bits,
         planes_key,
+        replicate_bands,
     )
     hit = _EMB_LSH_INDEX_CACHE.get(key)
     if hit is not None:
@@ -907,10 +919,29 @@ def build_embedding_lsh_index(
                 _col(vec_col), dim, n_bands, planes_per_band, planes
             ),
         )
-        with staged_build(path, marker="_meta.json") as tmp:
-            banded.withColumn(
+        if replicate_bands:
+            bands_arr = F.array(*[F.col(f"_b{i}") for i in range(n_bands)])
+            banded = banded.select(
+                "*",
+                F.explode(
+                    F.array(*[F.lit(i) for i in range(n_bands)])
+                ).alias("band"),
+            ).withColumn(
+                "_pre",
+                F.shiftright(
+                    F.element_at(bands_arr, F.col("band") + 1), shift
+                ),
+            )
+            part_cols = ["band", "_pre"]
+        else:
+            banded = banded.withColumn(
                 "_pre", F.shiftright(F.col("_b0"), shift)
-            ).write.mode("overwrite").partitionBy("_pre").parquet(tmp)
+            )
+            part_cols = ["_pre"]
+        with staged_build(path, marker="_meta.json") as tmp:
+            banded.write.mode("overwrite").partitionBy(*part_cols).parquet(
+                tmp
+            )
             with open(os.path.join(tmp, "_meta.json"), "w") as fh:
                 json.dump(
                     {
@@ -919,6 +950,7 @@ def build_embedding_lsh_index(
                         "dim": dim,
                         "prefix_shift": shift,
                         "planes": planes,
+                        "replicated": replicate_bands,
                     },
                     fh,
                 )
@@ -1004,6 +1036,71 @@ def embedding_lsh_probe_stored(
     return (
         spark.read.parquet(index_path)
         .where((F.col("_pre") == F.lit(qpre)) & (F.col("_b0") == F.lit(qb)))
+        .select(F.col("id"), cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+        .orderBy(F.col("cosine").desc(), F.col("id").asc())
+        .limit(k)
+    )
+
+
+def embedding_lsh_probe_multiband(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    threshold: float = 0.9,
+    k: int = 10,
+) -> DataFrame:
+    """FULL-RECALL online probe (VERDICT r10 #5): the production form of
+    ``embedding_lsh_probe_stored``'s docstring note — the index layout
+    is replicated per band (``build_embedding_lsh_index(...,
+    replicate_bands=True)``), so the probe unions ONE pruned-directory
+    read per band and recovers the complete LSH candidate set (any row
+    colliding with the query in ANY band), where the band-0-only probe
+    trades recall for a single read.
+
+    Every per-band scan carries literal ``band = b AND _pre = <q_b>``
+    partition filters (driver-side bucket computation from the meta's
+    plane literals, same as the single-band probe) plus the in-bucket
+    ``_b{b} = <qb_b>`` data filter — the union reads n_bands pruned
+    directories (~n_bands * corpus / 2^prefix_bits rows), never the
+    corpus. A row colliding in several bands appears in several
+    replicas; the union dedups by id BEFORE the exact-cosine ranking,
+    so the emitted top-k is identical to what a full-corpus OR-join
+    would rank."""
+    from tdei_extract_load_service_spark.operators.similarity import _vec_lit
+
+    meta = _emb_lsh_meta(index_path)
+    if not meta.get("replicated"):
+        raise ValueError(
+            "embedding_lsh_probe_multiband needs a replicate_bands=True "
+            "layout; this index was built single-copy (band-0 prefix)"
+        )
+    n_bands = meta["n_bands"]
+    ppb = meta["planes_per_band"]
+    qlit = _vec_lit(query_vec)
+    idx = spark.read.parquet(index_path)
+    probes = []
+    for b in range(n_bands):
+        band_planes = meta["planes"][b * ppb : (b + 1) * ppb]
+        qb = _lsh_bucket_py(query_vec, band_planes)
+        qpre = qb >> meta["prefix_shift"]
+        probes.append(
+            idx.where(
+                (F.col("band") == F.lit(b))
+                & (F.col("_pre") == F.lit(qpre))
+                & (F.col(f"_b{b}") == F.lit(qb))
+            ).select("id", "vec", "_nrm")
+        )
+    cands = probes[0]
+    for p in probes[1:]:
+        cands = cands.unionByName(p)
+    cos = F.round(
+        _dot(F.col("vec"), qlit) / (F.col("_nrm") * F.sqrt(_dot(qlit, qlit))),
+        6,
+    )
+    return (
+        # a row can collide in several bands — one candidate per id
+        cands.dropDuplicates(["id"])
         .select(F.col("id"), cos.alias("cosine"))
         .where(F.col("cosine") >= threshold)
         .orderBy(F.col("cosine").desc(), F.col("id").asc())

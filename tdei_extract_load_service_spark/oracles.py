@@ -78,6 +78,48 @@ def lsh_bucketed_oracle_sql() -> str:
     """
 
 
+def lsh_multiband_probe_oracle_sql(
+    n_bands: int = 4, planes_per_band: int = 4, k: int = 10
+) -> str:
+    """DuckDB twin of embedding_lsh_probe_multiband: the query row's
+    (vec_id = 0) candidates are every row colliding in ANY band —
+    exactly the ``embedding_lsh_oracle_sql`` OR-join restricted to the
+    query id (VERDICT r10 #5) — ranked by exact cosine. Same seeded
+    plane literals, same left-to-right dot-product folds, so buckets
+    and cosines are bit-identical across engines."""
+    from tdei_extract_load_service_spark.operators.similarity import make_planes
+
+    planes = make_planes(n_bands * planes_per_band, 64)
+    band_exprs = []
+    for band in range(n_bands):
+        terms = []
+        for p in range(planes_per_band):
+            lit = (
+                "["
+                + ",".join(repr(v) for v in planes[band * planes_per_band + p])
+                + "]::DOUBLE[]"
+            )
+            terms.append(
+                f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {lit}) >= 0"
+                f" THEN {2 ** p} ELSE 0 END)"
+            )
+        band_exprs.append(" + ".join(terms) + f" AS b{band}")
+    on = " OR ".join(f"b.b{j} = q.b{j}" for j in range(n_bands))
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec, {', '.join(band_exprs)}
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM v WHERE vec_id = 0)
+    SELECT b.vec_id AS id,
+           ROUND(list_dot_product(b.vec, q.vec)
+                 / (sqrt(list_dot_product(b.vec, b.vec))
+                    * sqrt(list_dot_product(q.vec, q.vec))), 6) AS cosine
+    FROM v b, q WHERE {on}
+    ORDER BY cosine DESC, id ASC LIMIT {k}
+    """
+
+
 def ivf_kmeans_oracle_sql(k: int = 8, dim: int = 64, iters: int = 2, n_probe: int = 2, topk: int = 10) -> str:
     """DuckDB twin of the deterministic k-means IVF query.
 

@@ -680,3 +680,81 @@ def test_dedup_embedding_incremental_check_disjoint_raises(spark, tmp_path):
         spark, path, disjoint, "vec_id", "embedding",
         threshold=0.99, check_disjoint=True,
     ).count()
+
+
+def _multiband_index(spark, tag=""):
+    import os
+
+    src = os.path.join(SF_SMOKE, "embeddings.parquet")
+    st = os.stat(src)
+    emb = spark.read.parquet(src)
+    return D.build_embedding_lsh_index(
+        emb, "vec_id", "embedding", dim=64, n_bands=4, planes_per_band=4,
+        planes=S.make_planes(16, 64),
+        corpus_key=f"{src}:{st.st_size}:{st.st_mtime_ns}:pytest-mb{tag}",
+        replicate_bands=True,
+    )
+
+
+def test_multiband_probe_full_recall(spark):
+    """The multi-band probe must return EXACTLY the any-band collision
+    set (driver-side reference over the same plane literals), ranked by
+    exact cosine — and strictly more than band-0-only probing for a
+    query whose collisions span bands."""
+    import math
+
+    emb = spark.read.parquet(SF_SMOKE + "/embeddings.parquet")
+    rows = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    planes = S.make_planes(16, 64)
+    path = _multiband_index(spark)
+
+    def buckets(vec):
+        out = []
+        for b in range(4):
+            out.append(D._lsh_bucket_py(vec, planes[b * 4:(b + 1) * 4]))
+        return out
+
+    bk = {i: buckets(v) for i, v in rows.items()}
+
+    def cosine(a, b):
+        dot = 0.0
+        for x, w in zip(a, b):
+            dot += float(x) * float(w)
+        na = 0.0
+        for x in a:
+            na += float(x) * float(x)
+        nb = 0.0
+        for x in b:
+            nb += float(x) * float(x)
+        return round(dot / (math.sqrt(na) * math.sqrt(nb)), 6)
+
+    checked_gain = False
+    for qid in sorted(rows)[:8]:
+        q = rows[qid]
+        want_ids = {i for i, bs in bk.items()
+                    if any(bs[b] == bk[qid][b] for b in range(4))}
+        ranked = sorted(
+            ((cosine(rows[i], q), i) for i in want_ids),
+            key=lambda t: (-t[0], t[1]),
+        )[:50]
+        got = [
+            (r.cosine, r.id)
+            for r in D.embedding_lsh_probe_multiband(
+                spark, path, q, threshold=-1.0, k=50
+            ).collect()
+        ]
+        assert got == ranked, f"qid={qid}"
+        band0_ids = {i for i, bs in bk.items() if bs[0] == bk[qid][0]}
+        if len(want_ids) > len(band0_ids):
+            checked_gain = True
+    assert checked_gain, "fixture never exercised a later-band collision"
+
+
+def test_multiband_probe_rejects_single_copy_layout(spark, tmp_path):
+    emb = spark.read.parquet(SF_SMOKE + "/embeddings.parquet").limit(8)
+    path = D.build_embedding_lsh_index(
+        emb, "vec_id", "embedding", dim=64, n_bands=2, planes_per_band=4,
+        planes=S.make_planes(8, 64), corpus_key=f"pytest-single:{tmp_path}",
+    )
+    with pytest.raises(ValueError, match="replicate_bands"):
+        D.embedding_lsh_probe_multiband(spark, path, [0.0] * 64)

@@ -87,6 +87,17 @@ EXPECTATIONS: dict[str, list[str]] = {
     # literal _pre partition filter — the read is ONE directory, and the
     # candidate set needs no join at all
     "embedding_lsh_probe_stored": ["PartitionFilters: \[.*_pre", "TakeOrderedAndProject", "!Join"],
+    # full-recall multi-band probe (VERDICT r10 #5): EVERY band's scan
+    # of the replicated layout must carry its own literal (band, _pre)
+    # partition filters — four pruned directory reads, no join
+    "embedding_lsh_probe_multiband": [
+        "PartitionFilters: \[.*\(band#\d+ = 0\).*_pre",
+        "PartitionFilters: \[.*\(band#\d+ = 1\).*_pre",
+        "PartitionFilters: \[.*\(band#\d+ = 2\).*_pre",
+        "PartitionFilters: \[.*\(band#\d+ = 3\).*_pre",
+        "TakeOrderedAndProject",
+        "!Join",
+    ],
     # JPEG decode: Arrow-batched python fan-out over a pruned single
     # column — no shuffle anywhere
     "multimodal_decode_jpeg": ["ArrowEvalPython|MapInPandas", "!hashpartitioning"],
