@@ -755,14 +755,18 @@ def build_fingerprint_index(
     import hashlib
     import os
 
-    from tdei_extract_load_service_spark.operators.staging import staged_build
+    from tdei_extract_load_service_spark.operators.staging import (
+        staged_build,
+        sweep_index_root,
+        touch_snapshot,
+    )
 
     # id_col is part of the key (ADVICE r10): two builds over the same
     # corpus differing only in survivor-id column are DIFFERENT indexes.
     key = (corpus_key or "anon", id_col, tuple(content_cols), n_buckets)
     hit = _FP_INDEX_CACHE.get(key)
-    if hit is not None:
-        return hit
+    if hit is not None and os.path.exists(os.path.join(hit, "_SUCCESS")):
+        return touch_snapshot(hit)
     digest = hashlib.md5(repr(key).encode()).hexdigest()[:24]
     path = os.path.join(_FP_INDEX_ROOT, digest)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -774,6 +778,12 @@ def build_fingerprint_index(
                     "int"
                 ),
             ).write.mode("overwrite").partitionBy("fp_bucket").parquet(tmp)
+        # index lifecycle (VERDICT r10 #6): every publish sweeps its
+        # root — tombstone cold snapshots beyond retention, reap ripe
+        # tombstones and dead builders' orphans
+        sweep_index_root(_FP_INDEX_ROOT, keep_latest=8)
+    else:
+        touch_snapshot(path)
     _FP_INDEX_CACHE[key] = path
     return path
 
@@ -893,6 +903,11 @@ def build_embedding_lsh_index(
     # id_col/vec_col/prefix_bits are part of the key (ADVICE r10): a
     # cache hit on a key omitting them would silently serve an index
     # built with a different id column or partition-prefix width.
+    from tdei_extract_load_service_spark.operators.staging import (
+        sweep_index_root,
+        touch_snapshot,
+    )
+
     key = (
         corpus_key or "anon",
         id_col,
@@ -905,12 +920,15 @@ def build_embedding_lsh_index(
         replicate_bands,
     )
     hit = _EMB_LSH_INDEX_CACHE.get(key)
-    if hit is not None:
-        return hit
+    if hit is not None and os.path.exists(os.path.join(hit, "_meta.json")):
+        return touch_snapshot(hit)
     digest = hashlib.md5(repr(key).encode()).hexdigest()[:24]
     path = os.path.join(_EMB_LSH_INDEX_ROOT, digest)
     shift = max(planes_per_band - prefix_bits, 0)
-    if not os.path.exists(os.path.join(path, "_meta.json")):
+    fresh_build = not os.path.exists(os.path.join(path, "_meta.json"))
+    if not fresh_build:
+        touch_snapshot(path)
+    if fresh_build:
         banded = spread(df).select(
             _col(id_col).alias("id"),
             _col(vec_col).alias("vec"),
@@ -954,6 +972,8 @@ def build_embedding_lsh_index(
                     },
                     fh,
                 )
+        # index lifecycle (VERDICT r10 #6): sweep on publish
+        sweep_index_root(_EMB_LSH_INDEX_ROOT, keep_latest=8)
     _EMB_LSH_INDEX_CACHE[key] = path
     return path
 

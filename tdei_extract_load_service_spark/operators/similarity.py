@@ -754,9 +754,15 @@ def build_pq_index(
     import os
 
     cb_key = hashlib.md5(repr(codebooks).encode()).hexdigest()[:16]
+    from tdei_extract_load_service_spark.operators.staging import (
+        sweep_index_root,
+        touch_snapshot,
+    )
+
     key = (corpus_key or "anon", cb_key, num_centroids)
     hit = _PQ_INDEX_CACHE.get(key)
-    if hit is not None:
+    if hit is not None and os.path.exists(os.path.join(hit[0], "_SUCCESS")):
+        touch_snapshot(hit[0])
         return hit
     digest = hashlib.md5(repr(key).encode()).hexdigest()[:24]
     root = "/tmp/spark_graft_pq_index"
@@ -773,6 +779,10 @@ def build_pq_index(
             coded.write.mode("overwrite").partitionBy(
                 "centroid_id"
             ).parquet(tmp)
+        # index lifecycle (VERDICT r10 #6): sweep on publish
+        sweep_index_root(root, keep_latest=8)
+    else:
+        touch_snapshot(path)
     _PQ_INDEX_CACHE[key] = (path, model_rows)
     return path, model_rows
 

@@ -63,3 +63,134 @@ def staged_build(final_path: str, marker: str | None = "_SUCCESS") -> Iterator[s
                 raise
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+#: Markers that prove a snapshot directory is a complete publish.
+_COMPLETE_MARKERS = ("_SUCCESS", "_meta.json")
+
+
+def _is_complete_snapshot(path: str) -> bool:
+    return any(
+        os.path.exists(os.path.join(path, m)) for m in _COMPLETE_MARKERS
+    )
+
+
+_TOMBSTONE = "_TOMBSTONE"
+
+
+def touch_snapshot(path: str) -> str:
+    """Mark a stored snapshot as live: bump its LRU recency and, if a
+    sweep tombstoned it while it sat cold, RESURRECT it (snapshots are
+    content-addressed and immutable, so un-tombstoning is always
+    correct — the bytes a rebuild would produce are the bytes already
+    there). The stored-index builders call this on every cache/exists
+    hit, so retention ranks by last USE, not last build."""
+    tomb = os.path.join(path, _TOMBSTONE)
+    if os.path.exists(tomb):
+        try:
+            os.unlink(tomb)
+        except OSError:
+            pass
+    try:
+        os.utime(path)
+    except OSError:
+        pass
+    return path
+
+
+def sweep_index_root(
+    root: str,
+    keep_latest: int = 3,
+    grace_sec: float = 3600.0,
+    now: float | None = None,
+) -> dict:
+    """Retention sweep for a content-addressed index root (VERDICT r10
+    #6): the stored layouts (fingerprint index, banded LSH, PQ, BM25
+    postings, z-order) accumulate one immutable snapshot per corpus key
+    FOREVER without this — the 100 TB nightly-ingest shape needs the
+    same lifecycle discipline ``sinks/manifest.py`` gives warehouse
+    tables.
+
+    Two-phase, mirroring the manifest's tombstone contract so readers
+    never lose a directory they may still be scanning — and, unlike a
+    rename, never lose the PATH a long-lived plan re-opens:
+
+    1. complete snapshots beyond the ``keep_latest`` most recently
+       USED (``touch_snapshot`` bumps recency on every builder cache
+       hit) get a ``_TOMBSTONE`` file dropped INSIDE them — purely
+       logical, the directory keeps serving; a later touch resurrects
+       it (content-addressed dirs are immutable, so un-tombstoning is
+       free and always correct);
+    2. tombstones older than ``grace_sec`` are physically reaped by a
+       LATER sweep (the next build's wired-in call, or an explicit
+       maintenance invocation — exactly how a displaced manifest dir
+       is reaped by the next commit).
+
+    Crash leftovers ride the same pass: ``*.build.<pid>`` dirs whose
+    builder process is dead are reaped immediately (their bytes were
+    never published — no reader can hold them), and an incomplete
+    snapshot dir (no marker: a torn non-atomic copy, impossible via
+    staged_build but cheap to defend against) is reaped once it is
+    ``grace_sec`` old.
+
+    Returns ``{"kept", "tombstoned", "reaped", "orphans_reaped"}``
+    (lists of directory basenames; ``kept`` is a count). A missing
+    root is a no-op — sweeping is always safe to wire after a build.
+
+    ``now`` is injectable for deterministic tests.
+    """
+    import time
+
+    if now is None:
+        now = time.time()
+    result: dict = {
+        "kept": 0,
+        "tombstoned": [],
+        "reaped": [],
+        "orphans_reaped": [],
+    }
+    if not os.path.isdir(root):
+        return result
+    live: list[tuple[float, str]] = []
+    for name in sorted(os.listdir(root)):
+        path = os.path.join(root, name)
+        if not os.path.isdir(path):
+            continue
+        if ".build." in name:
+            pid_part = name.rsplit(".build.", 1)[1]
+            try:
+                os.kill(int(pid_part), 0)
+                alive = True
+            except (ValueError, ProcessLookupError):
+                alive = False
+            except PermissionError:
+                alive = True  # pid exists, owned by someone else
+            if not alive:
+                shutil.rmtree(path, ignore_errors=True)
+                result["orphans_reaped"].append(name)
+            continue
+        tomb = os.path.join(path, _TOMBSTONE)
+        if os.path.exists(tomb):
+            if now - os.stat(tomb).st_mtime >= grace_sec:
+                shutil.rmtree(path, ignore_errors=True)
+                result["reaped"].append(name)
+            continue
+        if _is_complete_snapshot(path):
+            live.append((os.stat(path).st_mtime, name))
+        elif now - os.stat(path).st_mtime >= grace_sec:
+            shutil.rmtree(path, ignore_errors=True)
+            result["reaped"].append(name)
+    live.sort(reverse=True)
+    result["kept"] = min(len(live), keep_latest)
+    for _, name in live[keep_latest:]:
+        tomb = os.path.join(root, name, _TOMBSTONE)
+        try:
+            with open(tomb, "w") as fh:
+                fh.write(str(int(now)))
+        except OSError:
+            continue  # concurrent reap removed the dir under us
+        # pin the tombstone's age clock to THIS sweep's `now` so tests
+        # (and replays) measure grace from the marked time
+        os.utime(tomb, (now, now))
+        result["tombstoned"].append(name)
+    return result

@@ -1165,9 +1165,17 @@ def build_bm25_index(
     import json
     import os
 
+    from tdei_extract_load_service_spark.operators.staging import (
+        sweep_index_root,
+        touch_snapshot,
+    )
+
     key = (corpus_key or "anon", n_buckets)
     hit = _BM25_INDEX_CACHE.get(key)
-    if hit is not None:
+    if hit is not None and os.path.exists(
+        os.path.join(hit[0], "_meta.json")
+    ):
+        touch_snapshot(hit[0])
         return hit
     digest = hashlib.md5(repr(key).encode()).hexdigest()[:24]
     root = "/tmp/spark_graft_bm25_index"
@@ -1216,6 +1224,10 @@ def build_bm25_index(
                 json.dump(
                     {"n_docs": int(n_docs), "avgdl": float(avgdl)}, fh
                 )
+        # index lifecycle (VERDICT r10 #6): sweep on publish
+        sweep_index_root(root, keep_latest=8)
+    else:
+        touch_snapshot(path)
     with open(meta_path) as fh:
         meta = json.load(fh)
     out = (path, meta["n_docs"], meta["avgdl"])

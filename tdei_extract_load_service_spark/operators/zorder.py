@@ -102,10 +102,15 @@ def build_zorder_layout(
     projection, the write's only movement is the partitioned file
     routing. The directory count is bounded by 2^(2*bits - dir_shift)
     (64 for the defaults), independent of data volume."""
+    from tdei_extract_load_service_spark.operators.staging import (
+        sweep_index_root,
+        touch_snapshot,
+    )
+
     key = (spec, corpus_key)
     hit = _ZORDER_CACHE.get(key)
-    if hit is not None:
-        return hit
+    if hit is not None and os.path.exists(os.path.join(hit, "_SUCCESS")):
+        return touch_snapshot(hit)
     digest = hashlib.md5(repr(key).encode()).hexdigest()[:24]
     root = "/tmp/spark_graft_zorder"
     path = os.path.join(root, digest)
@@ -117,6 +122,10 @@ def build_zorder_layout(
             df.withColumn("z_dir", z_dir_expr(spec)).write.mode(
                 "overwrite"
             ).partitionBy("z_dir").parquet(tmp)
+        # index lifecycle (VERDICT r10 #6): sweep on publish
+        sweep_index_root(root, keep_latest=8)
+    else:
+        touch_snapshot(path)
     _ZORDER_CACHE[key] = path
     return path
 
