@@ -766,6 +766,31 @@ def q_stream_restart_shadow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_enrich_shadow",
+    """
+    SELECT e.event_id, e.user_id, e.event_type,
+           c.c_mktsegment AS segment, 1 AS dim_version
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    ORDER BY e.event_id ASC
+    """,
+)
+def q_stream_enrich_shadow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EIGHTH streaming certification — the stream-STATIC join
+    (shadow.enrich_shadow, VERDICT r10 #7): the staged event stream is
+    enriched per micro-batch against a static customer dimension
+    (user_id -> segment), append mode, no watermark — the stateless
+    enrichment shape the reference runs when extension features join
+    the minted ext_file_id dimension (extract-load-service.ts:456-473).
+    Every fact row joins exactly once, so the final sink equals this
+    batch join oracle. Dimension-republish semantics (drain ->
+    republish -> resume on the same checkpoint picks up v2) pinned in
+    pytest (tests/test_streaming_shadow.py enrich tests)."""
+    from tdei_extract_load_service_spark.streaming.shadow import enrich_shadow
+
+    return enrich_shadow(spark, sf_dir, n_batches=4)
+
+
+@register(
     "ts_fill_gaps",
     """
     WITH b AS (

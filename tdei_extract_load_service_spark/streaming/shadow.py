@@ -547,3 +547,126 @@ def sink_shadow(
         "n_events",
         F.round(F.col("_tv").cast("double"), 2).alias("total_value"),
     ).orderBy(F.col("event_type").asc())
+
+
+def enrich_shadow(
+    spark: SparkSession,
+    sf_dir: str,
+    n_batches: int = 4,
+    stop_after: int | None = None,
+    dim_mutate=None,
+    metrics: dict | None = None,
+) -> DataFrame:
+    """Stream-STATIC join, certified end to end — the EIGHTH streaming
+    certification, and the one state-bearing shape the other seven
+    don't touch: a streaming fact enriched against a static dimension
+    (stateless on the stream side — no watermark, no buffer — but the
+    static sub-plan is re-executed per micro-batch by Structured
+    Streaming's incremental planner). The behavioral ancestor is the
+    reference's extension features joining the minted ``ext_file_id``
+    dimension as they load (extract-load-service.ts:456-473): facts
+    stream in, the dimension is table state maintained by the ETL path.
+
+    The event stream replays the staged micro-batch sequence; the
+    dimension is the customer table projected to
+    ``(user_id, segment, dim_version)`` and written to a private
+    parquet dir the static side scans. Every fact row joins exactly
+    once (append mode, inner equi-join), so the final sink equals the
+    batch join — the catalog oracle.
+
+    Dimension-update semantics (pinned in pytest via ``stop_after`` +
+    ``dim_mutate``): the static side's PLAN is re-executed each
+    micro-batch, but a parquet static side snapshots its file listing
+    at query start — so dimension UPDATES become visible at query
+    (re)start granularity, not mid-run. That is exactly the service
+    shape: leg 1 enriches against dimension v1, the query drains
+    (graceful drain, app-context.ts:28-67), the dimension is
+    republished, and the resumed leg 2 — same checkpoint, offsets
+    intact — enriches the remaining batches against v2. Production
+    points the static read at a manifest-resolved version dir
+    (sinks/manifest.py read_table), making "republish" one atomic
+    pointer swap.
+
+    ``metrics`` receives per-leg input-row counts so the pytest can pin
+    that leg 2 read ONLY the post-crash files (offset continuity), and
+    the ``dim_version`` column pins which dimension generation each
+    fact row actually joined."""
+    import shutil
+    import tempfile
+
+    stage = stage_event_stream(spark, sf_dir, n_batches)
+    files = sorted(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    schema = spark.read.parquet(stage).schema
+    name = _query_name()
+    ckpt = f"/tmp/spark_graft_stream_ckpt/{name}"
+    live = tempfile.mkdtemp(prefix="stream_enrich_live_")
+    dim_dir = tempfile.mkdtemp(prefix="stream_enrich_dim_")
+    # parquet sink, not memory: the memory sink cannot recover an
+    # append-mode query from a checkpoint (leg 2 would refuse to start);
+    # the file sink's commit log is the recovery-capable append sink —
+    # and the production-faithful one
+    out_dir = tempfile.mkdtemp(prefix="stream_enrich_out_")
+
+    def _write_dim(version: int) -> None:
+        cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+        cust.select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+            F.lit(version).alias("dim_version"),
+        ).coalesce(1).write.mode("overwrite").parquet(dim_dir)
+
+    def _leg(tag: str) -> int:
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(live)
+            .select("event_id", "user_id", "event_type", "value")
+        )
+        dim = spark.read.parquet(dim_dir)
+        joined = src.join(dim, "user_id").select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "segment",
+            "dim_version",
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .queryName(f"{name}_{tag}")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sum(p.numInputRows for p in q.recentProgress)
+
+    _write_dim(1)
+    cut = stop_after if stop_after is not None else len(files)
+    for f in files[:cut]:
+        shutil.copy2(os.path.join(stage, f), os.path.join(live, f))
+    rows1 = _leg("leg1")
+    if stop_after is not None:
+        # the drain window: dimension republished, late batches arrive
+        if dim_mutate is not None:
+            dim_mutate()
+        else:
+            _write_dim(2)
+        for f in files[stop_after:]:
+            shutil.copy2(os.path.join(stage, f), os.path.join(live, f))
+        rows2 = _leg("leg2")
+        if metrics is not None:
+            metrics["leg1_rows"] = rows1
+            metrics["leg2_rows"] = rows2
+    elif metrics is not None:
+        metrics["leg1_rows"] = rows1
+    result = (
+        spark.read.parquet(out_dir)
+        .orderBy(F.col("event_id").asc())
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(live, ignore_errors=True)
+    shutil.rmtree(dim_dir, ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return result
