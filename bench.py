@@ -163,6 +163,7 @@ HEADLINE_EXTENSIONS = (
     "dedup_embedding_incremental",
     # round-11 additions
     "embedding_lsh_probe_multiband",
+    "dedup_bloom_prefilter",
     # dedup_winnow (and its r7 composition dedup_winnow_cluster) is
     # EXCLUDED from the sf0.1 headline deliberately: the
     # synthetic documents corpus draws from a ~25-word vocabulary, so

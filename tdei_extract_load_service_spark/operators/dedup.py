@@ -23,6 +23,8 @@ generation only* — exactness is preserved for pairs below the cap).
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves string type hints
+                     # against these globals (PEP 563 is in force here)
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1389,3 +1391,153 @@ def winnow_pairs(
     result = pairs.localCheckpoint(eager=True)
     sets.unpersist()
     return result
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership prefilter (round 11)
+# ---------------------------------------------------------------------------
+
+
+def build_bloom(
+    df: DataFrame,
+    key_col: str,
+    n_keys: int | None = None,
+    bits_per_key: int = 16,
+    n_hashes: int = 5,
+):
+    """Distributed Bloom-filter build over a key column — the classic
+    100 TB membership-prefilter state (RocksDB/LevelDB use ~10-16
+    bits/key; Spark's own runtime row-group filtering builds the same
+    structure JVM-side but does not expose it to SQL in this build, so
+    this is the declarative twin).
+
+    The build is ONE aggregation, entirely JVM-side and
+    order-independent: each key explodes to ``n_hashes`` bit positions
+    (``pmod(xxhash64(key, seed_i), m)`` — whole-stage-codegen
+    expressions), positions group by 64-bit word index, and ``bit_or``
+    folds the set bits — associative+commutative, so a 1000-executor
+    build is bit-identical to a single-threaded one. The word frame
+    (m/64 rows) collects to a driver numpy bitmap.
+
+    Returns ``(words, m, n_hashes)`` with ``words`` an int64 numpy
+    array of ceil(m/64) words. Memory: bits_per_key=16 costs 2 bytes/
+    key — 2 GB broadcast for a billion-key index, the standard trade
+    for pruning a shuffle of mostly-new keys (false-positive rate
+    ~(1-e^(-k*n/m))^k ≈ 0.046% at 16 bits / 5 hashes)."""
+    import numpy as np
+
+    if n_keys is None:
+        n_keys = df.select(key_col).distinct().count()
+    m = max(64, int(n_keys) * bits_per_key)
+    pos = F.explode(
+        F.array(
+            *[
+                F.pmod(F.xxhash64(_col(key_col), F.lit(i)), F.lit(m))
+                for i in range(n_hashes)
+            ]
+        )
+    ).alias("pos")
+    words_rows = (
+        df.select(pos)
+        .select(
+            F.expr("pos DIV 64").alias("widx"),
+            # shiftleft needs a column-shift here (pyspark's wrapper
+            # only takes an int literal) — SQL form keeps it codegen
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("widx")
+        .agg(F.bit_or("bit").alias("word"))
+        .collect()
+    )
+    words = np.zeros((m + 63) // 64, dtype=np.int64)
+    for r in words_rows:
+        words[r.widx] = r.word
+    return words, m, n_hashes
+
+
+def bloom_might_contain(
+    df: DataFrame, key_col: str, bloom, out_col: str = "might_contain"
+) -> DataFrame:
+    """Vectorized membership probe against a ``build_bloom`` bitmap:
+    the ``n_hashes`` candidate positions are computed JVM-side (the
+    same codegen xxhash64 expressions the build used — no Python in
+    the hash path), and ONE Arrow-batched pandas UDF gathers the bits
+    from the broadcast numpy bitmap. No false negatives by
+    construction; false positives at the configured rate — callers
+    exact-verify survivors (``bloom_prefilter_members``)."""
+    import numpy as np
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    words, m, n_hashes = bloom
+    # numpy closure rides the UDF's pickled payload once per executor
+    words_arr = np.asarray(words, dtype=np.int64)
+
+    @pandas_udf(T.BooleanType())
+    def _probe(pos_lists: pd.Series) -> pd.Series:
+        # one (batch, n_hashes) gather per Arrow batch — pandas_udf
+        # forbids variadic signatures, so the k positions arrive as one
+        # array column
+        pv = np.vstack(pos_lists.to_numpy()).astype(np.int64)
+        bits = (words_arr[pv >> 6] >> (pv & 63)) & 1
+        return pd.Series(bits.all(axis=1))
+
+    pos_arr = F.array(
+        *[
+            F.pmod(F.xxhash64(_col(key_col), F.lit(i)), F.lit(m))
+            for i in range(n_hashes)
+        ]
+    )
+    return df.withColumn(out_col, _probe(pos_arr))
+
+
+def bloom_prefilter_members(
+    spark,
+    index_path: str,
+    delta: DataFrame,
+    id_col: str,
+    content_cols: list[str],
+    bits_per_key: int = 16,
+    n_hashes: int = 5,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Membership of tonight's delta in the stored fingerprint index,
+    Bloom-accelerated: the index's content hashes build a bitmap ONCE
+    (driver state alongside the index, rebuilt per snapshot); delta
+    rows that the bloom rejects are DEFINITELY new and never reach the
+    join; the surviving might-be-dup rows are exact-verified with a
+    semi join against the index scan. Output — ``(id, content_hash)``
+    of delta rows whose content exists in the index — is EXACTLY the
+    plain semi join's (no false negatives by construction; false
+    positives die in the verify join), so the catalog oracle is the
+    straight EXISTS SQL.
+
+    Why this is the 100 TB shape: a fresh crawl is mostly-new, so the
+    bloom (a broadcast bitmap, no shuffle) discards the bulk of the
+    delta at scan speed and only the small might-be-dup fraction pays
+    the hash-wide join's shuffle. ``stats`` (optional) receives
+    ``n_delta / n_candidates / n_members`` so callers (and the pytest
+    error-bound) can see the pruning and the false-positive volume."""
+    hashed = delta.select(
+        _col(id_col).alias("id"),
+        F.md5(F.concat_ws("\x1f", *[_col(c) for c in content_cols])).alias(
+            "content_hash"
+        ),
+    )
+    idx = spark.read.parquet(index_path).select("content_hash")
+    bloom = build_bloom(idx, "content_hash", bits_per_key=bits_per_key,
+                        n_hashes=n_hashes)
+    flagged = bloom_might_contain(hashed, "content_hash", bloom)
+    candidates = flagged.where(F.col("might_contain")).drop("might_contain")
+    out = candidates.join(idx, "content_hash", "semi").select(
+        "id", "content_hash"
+    )
+    if stats is not None:
+        stats["n_delta"] = hashed.count()
+        stats["n_candidates"] = candidates.count()
+        result = out.localCheckpoint(eager=True)
+        stats["n_members"] = result.count()
+        return result
+    return out

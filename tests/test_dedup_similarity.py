@@ -758,3 +758,63 @@ def test_multiband_probe_rejects_single_copy_layout(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="replicate_bands"):
         D.embedding_lsh_probe_multiband(spark, path, [0.0] * 64)
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    """Every key IN the built set must probe True (structural
+    guarantee); keys outside flag at ~the configured false-positive
+    rate (16 bits/key, 5 hashes -> ~0.05%; assert a loose 2% bound)."""
+    base = spark.range(0, 4000).select(
+        F.md5(F.col("id").cast("string")).alias("k")
+    )
+    probe_in = base
+    probe_out = spark.range(10_000, 18_000).select(
+        F.md5(F.col("id").cast("string")).alias("k")
+    )
+    bloom = D.build_bloom(base, "k", bits_per_key=16, n_hashes=5)
+    hits_in = (
+        D.bloom_might_contain(probe_in, "k", bloom)
+        .where(F.col("might_contain"))
+        .count()
+    )
+    assert hits_in == 4000  # zero false negatives
+    fp = (
+        D.bloom_might_contain(probe_out, "k", bloom)
+        .where(F.col("might_contain"))
+        .count()
+    )
+    assert fp / 8000 < 0.02, f"false-positive rate too high: {fp}/8000"
+
+
+def test_bloom_prefilter_members_equals_exact_and_prunes(spark, tmp_path):
+    """The bloom-accelerated membership must equal the plain semi join
+    EXACTLY, and on a mostly-new delta the bloom must prune most rows
+    before the join (the stats hook shows the candidate volume)."""
+    base = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc-"), F.col("id").cast("string")).alias("text"),
+    )
+    # delta: 100 re-ingested texts (new ids) + 2900 genuinely new
+    dup = spark.range(0, 100).select(
+        (F.col("id") + 100_000).alias("doc_id"),
+        F.concat(F.lit("doc-"), F.col("id").cast("string")).alias("text"),
+    )
+    new = spark.range(0, 2900).select(
+        (F.col("id") + 200_000).alias("doc_id"),
+        F.concat(F.lit("new-"), F.col("id").cast("string")).alias("text"),
+    )
+    delta = dup.unionByName(new)
+    path = D.build_fingerprint_index(
+        base, "doc_id", ["text"], corpus_key=f"pytest-bloom:{tmp_path}"
+    )
+    stats: dict = {}
+    got = {
+        r.id
+        for r in D.bloom_prefilter_members(
+            spark, path, delta, "doc_id", ["text"], stats=stats
+        ).collect()
+    }
+    assert got == {100_000 + i for i in range(100)}
+    assert stats["n_delta"] == 3000 and stats["n_members"] == 100
+    # the bloom discarded (nearly) all 2900 new rows before the join
+    assert stats["n_candidates"] < 100 + 0.02 * 2900 + 1

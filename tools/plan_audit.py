@@ -98,6 +98,17 @@ EXPECTATIONS: dict[str, list[str]] = {
         "TakeOrderedAndProject",
         "!Join",
     ],
+    # bloom membership prefilter: the Arrow-batched bitmap probe must
+    # gate the delta BEFORE the exact-verify semi join (the join's
+    # probe side only carries bloom survivors); JVM-side xxhash64
+    # positions, no cartesian anything
+    "dedup_bloom_prefilter": [
+        "ArrowEvalPython|BatchEvalPython",
+        "LeftSemi",
+        "xxhash64",
+        "!CartesianProduct",
+        "!BroadcastNestedLoopJoin",
+    ],
     # JPEG decode: Arrow-batched python fan-out over a pruned single
     # column — no shuffle anywhere
     "multimodal_decode_jpeg": ["ArrowEvalPython|MapInPandas", "!hashpartitioning"],
