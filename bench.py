@@ -164,6 +164,7 @@ HEADLINE_EXTENSIONS = (
     # round-11 additions
     "embedding_lsh_probe_multiband",
     "dedup_bloom_prefilter",
+    "distinct_rollup_windows",
     # dedup_winnow (and its r7 composition dedup_winnow_cluster) is
     # EXCLUDED from the sf0.1 headline deliberately: the
     # synthetic documents corpus draws from a ~25-word vocabulary, so
@@ -379,6 +380,7 @@ def main() -> None:
         "text_bm25_topk_stored",
         "zorder_range_scan",
         "similarity_ivf_pq_incremental",
+        "distinct_rollup_windows",
     )
     stored_first_run = {
         n: first_runs[n] for n in STORED_BUILD_ENTRIES if n in first_runs

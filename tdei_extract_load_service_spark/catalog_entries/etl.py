@@ -349,6 +349,79 @@ def q_column_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "distinct_rollup_windows",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS d FROM events
+    ),
+    s AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM e)
+    SELECT 'all' AS wname,
+           CAST(COUNT(DISTINCT d) AS BIGINT) AS n_buckets,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_estimate
+    FROM e
+    UNION ALL
+    SELECT 'first_half',
+           CAST(COUNT(DISTINCT d) AS BIGINT),
+           CAST(COUNT(DISTINCT user_id) AS BIGINT)
+    FROM e, s WHERE e.d <= (s.lo + s.hi) // 2
+    UNION ALL
+    SELECT 'last_7',
+           CAST(COUNT(DISTINCT d) AS BIGINT),
+           CAST(COUNT(DISTINCT user_id) AS BIGINT)
+    FROM e, s WHERE e.d > s.hi - 7
+    ORDER BY wname ASC
+    """,
+)
+def q_distinct_rollup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users over arbitrary day windows answered from STORED
+    HyperLogLog partials (operators/profiling.py
+    build_distinct_sketch_partials + distinct_rollup) — the write-once
+    sketch-rollup pattern every 100 TB "distinct over window" dashboard
+    runs: one fact pass builds a KB-sized sketch per day, window
+    queries merge stored partials and never rescan the facts. HLL
+    union is lossless w.r.t. the sketch (register max), so the rollup
+    equals sketching the raw window bit-for-bit (pytest). The oracle
+    is EXACT COUNT(DISTINCT): Datasketches HLL at lgK=12 is in its
+    exact coupon regime below ~2k uniques, which holds at every
+    fixture SF (150 users at sf0.01, 1500 at sf0.1) — so the driver
+    hash-certifies real values here, and the estimating regime above
+    that cardinality is error-bounded separately in pytest against a
+    100k-unique synthetic. Day buckets via integer unix_micros DIV
+    (the engine's timestamp-bucket recipe; float division corrupts
+    1e18-scale micros)."""
+    import os
+
+    from tdei_extract_load_service_spark.operators.profiling import (
+        build_distinct_sketch_partials,
+        distinct_rollup,
+    )
+
+    ev = _read_events(spark, sf_dir)
+    bucket = F.expr("unix_micros(ts) DIV 86400000000")
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    path = build_distinct_sketch_partials(
+        ev, bucket, "user_id",
+        corpus_key=f"{src}:{st.st_size}:{st.st_mtime_ns}:user_daily",
+    )
+    lo, hi = ev.agg(F.min(bucket), F.max(bucket)).first()
+    out = (
+        distinct_rollup(spark, path, label="all")
+        .unionByName(
+            distinct_rollup(
+                spark, path, hi=(lo + hi) // 2, label="first_half"
+            )
+        )
+        .unionByName(
+            distinct_rollup(spark, path, lo=hi - 7 + 1, label="last_7")
+        )
+    )
+    return out.select(
+        F.col("window").alias("wname"), "n_buckets", "distinct_estimate"
+    ).orderBy(F.col("wname").asc())
+
+
+@register(
     "histogram_auto",
     """
     WITH b AS (

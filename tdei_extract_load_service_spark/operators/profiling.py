@@ -470,3 +470,83 @@ def heavy_hitters(
         )
         .orderBy(F.col("cnt").desc(), F.col("key").asc())
     )
+
+
+_HLL_ROLLUP_ROOT = "/tmp/spark_graft_hll_rollup"
+_HLL_ROLLUP_CACHE: dict = {}
+
+
+def build_distinct_sketch_partials(
+    df: DataFrame,
+    bucket: Column,
+    key_col: str,
+    corpus_key: str | None = None,
+    lg_k: int = 12,
+) -> str:
+    """Write-once per-bucket HyperLogLog sketch partials — the warehouse
+    pattern behind every "distinct users over an arbitrary window"
+    dashboard at 100 TB: ONE pass over the facts aggregates a fixed-size
+    Datasketches HLL per bucket (``hll_sketch_agg`` — register-max
+    merge, associative/commutative, so executor order cannot change a
+    register), and the (bucket, sketch) frame — KBs per bucket — is
+    published via ``staged_build``. Every later window query merges the
+    stored partials instead of re-scanning the facts; HLL union is
+    LOSSLESS w.r.t. the sketch (union of sketches == sketch of the
+    union, register-for-register), so a rollup answer is bit-identical
+    to sketching the raw window — pinned in pytest, alongside the
+    error bound against exact distinct counts."""
+    import hashlib
+    import os
+
+    from tdei_extract_load_service_spark.operators.staging import (
+        staged_build,
+        sweep_index_root,
+        touch_snapshot,
+    )
+
+    key = (corpus_key or "anon", key_col, lg_k)
+    hit = _HLL_ROLLUP_CACHE.get(key)
+    if hit is not None and os.path.exists(os.path.join(hit, "_SUCCESS")):
+        return touch_snapshot(hit)
+    digest = hashlib.md5(repr(key).encode()).hexdigest()[:24]
+    path = os.path.join(_HLL_ROLLUP_ROOT, digest)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        partials = (
+            df.select(bucket.alias("bucket"), F.col(key_col).alias("_k"))
+            .groupBy("bucket")
+            .agg(F.hll_sketch_agg("_k", F.lit(lg_k)).alias("sketch"))
+        )
+        with staged_build(path) as tmp:
+            partials.coalesce(1).write.mode("overwrite").parquet(tmp)
+        sweep_index_root(_HLL_ROLLUP_ROOT, keep_latest=8)
+    else:
+        touch_snapshot(path)
+    _HLL_ROLLUP_CACHE[key] = path
+    return path
+
+
+def distinct_rollup(
+    spark,
+    partials_path: str,
+    lo: int | None = None,
+    hi: int | None = None,
+    label: str | None = None,
+) -> DataFrame:
+    """Approximate distinct count over a bucket window, answered from
+    STORED sketch partials only — no fact scan: filter the (bucket,
+    sketch) frame to [lo, hi], ``hll_union_agg`` the sketches (register
+    max — the same registers a direct sketch of the window's raw rows
+    would hold), estimate. Returns one row
+    ``(window, n_buckets, distinct_estimate)``."""
+    parts = spark.read.parquet(partials_path)
+    if lo is not None:
+        parts = parts.where(F.col("bucket") >= F.lit(lo))
+    if hi is not None:
+        parts = parts.where(F.col("bucket") <= F.lit(hi))
+    return parts.agg(
+        F.lit(label or f"{lo}..{hi}").alias("window"),
+        F.count("*").cast("long").alias("n_buckets"),
+        F.hll_sketch_estimate(
+            F.hll_union_agg("sketch", F.lit(True))
+        ).cast("long").alias("distinct_estimate"),
+    ).select("window", "n_buckets", "distinct_estimate")

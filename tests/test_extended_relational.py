@@ -490,3 +490,78 @@ class TestKeySkewProfile:
             .collect()[0]["t"]
         )
         assert top == "a"
+
+
+class TestDistinctRollup:
+    """Stored HLL sketch partials + window rollup (round 11):
+    merge-losslessness and the estimating-regime error bound."""
+
+    def test_rollup_equals_direct_sketch(self, spark):
+        from pyspark.sql import functions as F
+
+        from tdei_extract_load_service_spark.operators import profiling as P
+
+        df = spark.range(0, 50_000).select(
+            (F.col("id") % 40).alias("bucket"),
+            F.md5(F.col("id").cast("string")).alias("k"),
+        )
+        path = P.build_distinct_sketch_partials(
+            df, F.col("bucket"), "k", corpus_key="pytest-hll-direct"
+        )
+        for lo, hi in ((None, None), (0, 19), (10, 30)):
+            rolled = P.distinct_rollup(spark, path, lo=lo, hi=hi).first()
+            sub = df
+            if lo is not None:
+                sub = sub.where(F.col("bucket") >= lo)
+            if hi is not None:
+                sub = sub.where(F.col("bucket") <= hi)
+            direct = sub.agg(
+                F.hll_sketch_estimate(
+                    F.hll_sketch_agg("k", F.lit(12))
+                ).cast("long")
+            ).first()[0]
+            # HLL union is register-max: merging stored partials is
+            # BIT-identical to sketching the window's raw rows
+            assert rolled.distinct_estimate == direct, (lo, hi)
+
+    def test_estimating_regime_error_bound(self, spark):
+        """100k uniques is far past the lgK=12 coupon-exact regime —
+        the estimate must land within ~3x the theoretical rsd
+        (1.04/sqrt(4096) ≈ 1.6%)."""
+        from pyspark.sql import functions as F
+
+        from tdei_extract_load_service_spark.operators import profiling as P
+
+        n = 100_000
+        df = spark.range(0, n).select(
+            (F.col("id") % 10).alias("bucket"),
+            F.md5(F.col("id").cast("string")).alias("k"),
+        )
+        path = P.build_distinct_sketch_partials(
+            df, F.col("bucket"), "k", corpus_key="pytest-hll-est"
+        )
+        est = P.distinct_rollup(spark, path).first().distinct_estimate
+        assert abs(est - n) / n < 0.05, est
+
+    def test_fixture_cardinality_is_coupon_exact(self, spark):
+        """The oracle contract of distinct_rollup_windows: at every
+        fixture SF the user cardinality sits below the lgK=12 coupon
+        bound, so the estimate EQUALS exact COUNT(DISTINCT)."""
+        from pyspark.sql import functions as F
+
+        from tdei_extract_load_service_spark.catalog import (
+            REGISTRY,
+            _read_events,
+        )
+
+        for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+            got = {
+                r.wname: r.distinct_estimate
+                for r in REGISTRY["distinct_rollup_windows"]
+                .query(spark, sf)
+                .collect()
+            }
+            exact = (
+                _read_events(spark, sf).select("user_id").distinct().count()
+            )
+            assert got["all"] == exact, sf

@@ -109,6 +109,15 @@ EXPECTATIONS: dict[str, list[str]] = {
         "!CartesianProduct",
         "!BroadcastNestedLoopJoin",
     ],
+    # stored-sketch window rollup: the SERVE plan reads only the
+    # (bucket, sketch) partials under the hll_rollup store — never the
+    # fact table — and merges with hll_union_agg; no join anywhere
+    "distinct_rollup_windows": [
+        "hll_union_agg|hll_sketch_estimate",
+        "spark_graft_hll_rollup",
+        "!events.parquet",
+        "!Join",
+    ],
     # JPEG decode: Arrow-batched python fan-out over a pruned single
     # column — no shuffle anywhere
     "multimodal_decode_jpeg": ["ArrowEvalPython|MapInPandas", "!hashpartitioning"],
