@@ -593,15 +593,35 @@ def _lsh_pairs_from_banded(
 
 
 def _lsh_pairs_between(
-    a_df: DataFrame, b_df: DataFrame, n_bands: int, threshold: float
+    a_df: DataFrame,
+    b_df: DataFrame,
+    n_bands: int,
+    threshold: float,
+    broadcast_side: str | None = None,
 ) -> DataFrame:
     """Two-frame form of the first-collision-band verify join (the
     self-join is the ``a_df is b_df`` special case). First-collision
     membership is a property of the PAIR's bucket columns alone, so
     splitting a corpus across frames and unioning the emitted pair sets
     reproduces the single-frame output exactly — the property the
-    incremental path relies on."""
+    incremental path relies on.
+
+    ``broadcast_side`` ('a' | 'b' | None): the corpus SELF-join pins
+    sort-merge (broadcast OOMs at x10, shuffle_hash at x100 —
+    SCALE.md), but the incremental two-frame form is ASYMMETRIC — a
+    small delta against a big index — and broadcasting the delta side
+    removes the per-band shuffle+sort of the index entirely (measured
+    4.4s -> 2.5s at sf0.1, r11). Callers gate it on the delta's actual
+    row count; results are join-strategy-independent."""
+    if broadcast_side == "a":
+        a_df = F.broadcast(a_df)
+    elif broadcast_side == "b":
+        b_df = F.broadcast(b_df)
+    elif broadcast_side is not None:
+        raise ValueError("broadcast_side must be 'a', 'b' or None")
     a, b = a_df.alias("a"), b_df.alias("b")
+    if broadcast_side is None:
+        b = b.hint("merge")
     per_band = []
     for band in range(n_bands):
         cond = (F.col(f"a._b{band}") == F.col(f"b._b{band}")) & (
@@ -610,7 +630,7 @@ def _lsh_pairs_between(
         for earlier in range(band):
             cond &= F.col(f"a._b{earlier}") != F.col(f"b._b{earlier}")
         per_band.append(
-            a.join(b.hint("merge"), cond).select(
+            a.join(b, cond).select(
                 F.col("a.id").alias("id_a"),
                 F.col("b.id").alias("id_b"),
                 F.round(
@@ -1138,6 +1158,7 @@ def dedup_embedding_incremental(
     vec_col: str,
     threshold: float = 0.9,
     check_disjoint: bool = False,
+    broadcast_max_delta: int = 200_000,
 ) -> DataFrame:
     """Cross-run incremental NEAR-dup detection — the banded-LSH twin of
     ``dedup_incremental``: tonight's delta vectors are banded with the
@@ -1197,14 +1218,36 @@ def dedup_embedding_incremental(
                 "index — re-ingested ids would emit duplicate pairs; dedup "
                 "the delta against the index first"
             )
+    # size-gated physical strategy (r11 A/B, SCALE.md): the nightly
+    # delta is small by contract, so BROADCAST it on both verify joins
+    # — the index side then streams through a broadcast-hash probe with
+    # no per-band shuffle or sort (4.4s -> 2.5s at sf0.1); the index
+    # scan is persisted so the 2 x n_bands joins read one
+    # materialization. Over-threshold deltas keep the sort-merge shape
+    # (broadcasting a corpus-sized frame OOMs — the self-join lesson).
+    n_delta = delta_banded.count()  # also materializes the persist
+    bcast = n_delta <= broadcast_max_delta
+    idx_scan = idx.persist() if bcast else idx
     # pairs with the NEWER endpoint in the delta (covers delta-delta too)
     touching_b = _lsh_pairs_between(
-        idx.unionByName(delta_banded), delta_banded, n_bands, threshold
+        idx_scan.unionByName(delta_banded),
+        delta_banded,
+        n_bands,
+        threshold,
+        broadcast_side="b" if bcast else None,
     )
     # pairs where the delta id sorts BELOW an index id
-    touching_a = _lsh_pairs_between(delta_banded, idx, n_bands, threshold)
+    touching_a = _lsh_pairs_between(
+        delta_banded,
+        idx_scan,
+        n_bands,
+        threshold,
+        broadcast_side="a" if bcast else None,
+    )
     result = touching_b.unionByName(touching_a).localCheckpoint(eager=True)
     delta_banded.unpersist()
+    if bcast:
+        idx_scan.unpersist()
     return result
 
 
