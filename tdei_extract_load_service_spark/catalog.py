@@ -340,7 +340,7 @@ from tdei_extract_load_service_spark.catalog_entries import (  # noqa: E402,F401
 # ROUND-12 WINDOW (pre-committed): contract (20) + rule (a) — every
 # round-11 registration (stream_enrich_shadow,
 # embedding_lsh_probe_multiband, dedup_bloom_prefilter,
-# distinct_rollup_windows) — + rule (b)
+# distinct_rollup_windows, stream_late_data_shadow) — + rule (b)
 # oldest-first: the remaining 27
 # r7-cohort entries (corpus_prep, dedup_cluster, dedup_embedding_lsh,
 # dedup_winnow, dynamic_query, embedding_quantize, grouped_normalize,

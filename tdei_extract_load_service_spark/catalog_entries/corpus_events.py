@@ -791,6 +791,49 @@ def q_stream_enrich_shadow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_late_data_shadow",
+    """
+    WITH ranked AS (
+      SELECT ts, event_type,
+             row_number() OVER (ORDER BY ts ASC, event_id ASC) AS rn,
+             COUNT(*) OVER () AS n
+      FROM events
+    ),
+    f AS (SELECT *, (rn - 1) // ((n + 7) // 8) AS fidx FROM ranked),
+    wm AS (SELECT MAX(ts) AS w FROM f WHERE fidx <> 4)
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%dT%H:%M:%S')
+             AS window_start,
+           event_type,
+           COUNT(*) AS n_events
+    FROM f, wm
+    WHERE fidx <> 4
+      AND date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
+    GROUP BY 1, 2
+    ORDER BY window_start ASC, event_type ASC
+    """,
+)
+def q_stream_late_data_shadow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NINTH streaming certification — watermark LATE-DATA DROP
+    (shadow.late_data_shadow, r11): the staged octile micro-batches
+    replay with slice 4 arriving LAST, a week behind the watermark, so
+    the append-mode hourly aggregation must drop its rows entirely and
+    emit exactly the windows the final watermark passed, from on-time
+    rows only — which is what this oracle states relationally (the
+    octile split is the same ROW_NUMBER rule the staging uses; the
+    divisor stays INTEGER — a CEIL(n/8.0) form silently rounds through
+    DuckDB's double CAST and shifts every boundary). The drop is
+    separately pinned in pytest: numRowsDroppedByWatermark positive
+    (a lower bound — the pre-aggregation event-time filter also
+    discards uncounted) plus a full value compare against the
+    on-time-only aggregation."""
+    from tdei_extract_load_service_spark.streaming.shadow import (
+        late_data_shadow,
+    )
+
+    return late_data_shadow(spark, sf_dir, n_batches=8, late_file=4)
+
+
+@register(
     "ts_fill_gaps",
     """
     WITH b AS (

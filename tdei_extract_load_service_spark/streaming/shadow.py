@@ -670,3 +670,116 @@ def enrich_shadow(
     shutil.rmtree(dim_dir, ignore_errors=True)
     shutil.rmtree(out_dir, ignore_errors=True)
     return result
+
+
+def late_data_shadow(
+    spark: SparkSession,
+    sf_dir: str,
+    n_batches: int = 8,
+    late_file: int = 4,
+    metrics: dict | None = None,
+) -> DataFrame:
+    """Watermark LATE-DATA DROP, certified end to end — the NINTH
+    streaming certification, and the one watermark behavior the
+    windowed shadows don't exercise: every prior cert replays batches
+    in event-time order, so nothing is ever late. Here the staged
+    micro-batch sequence is replayed with slice ``late_file`` arriving
+    LAST (arrival order is file mtime — the bounded source's batch
+    order), i.e. its rows show up after the watermark has advanced a
+    full week past them.
+
+    Semantics pinned: an append-mode hourly aggregation with a
+    0-second watermark delay must (a) DROP every row of the late slice
+    — its windows end far below the watermark in force when it
+    arrives — and (b) emit exactly the windows whose end the final
+    watermark passed, built from on-time rows only. The DuckDB oracle
+    states that rule directly: hourly aggs over every slice EXCEPT the
+    late one, restricted to windows with end <= max on-time ts. The
+    drop is also counted: ``metrics`` receives the state operator's
+    ``numRowsDroppedByWatermark`` summed across batches — a LOWER
+    bound on the drop (rows can also die at the pre-aggregation
+    event-time filter, which that counter does not see; measured 104
+    of 125 at sf0.001) — pinned positive in pytest alongside the hard
+    value pin (output == on-time-only aggregation), so a semantics
+    drift fails loudly rather than shifting values.
+
+    Arrival-lag note (measured, r11): the watermark used to FILTER a
+    batch lags the reported watermark by one batch, so a slice only
+    one batch out of order is NOT dropped — the late slice here
+    arrives multiple batches after newer data, which is the regime the
+    drop guarantee covers (and the realistic one: a partition replayed
+    hours late, not a boundary race)."""
+    import json
+    import shutil
+    import tempfile
+    import time
+
+    if not 0 < late_file < n_batches - 1:
+        raise ValueError("late_file must be an interior slice")
+    stage = stage_event_stream(spark, sf_dir, n_batches)
+    files = sorted(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    schema = spark.read.parquet(stage).schema
+    name = _query_name()
+    ckpt = f"/tmp/spark_graft_stream_ckpt/{name}"
+    live = tempfile.mkdtemp(prefix="stream_late_live_")
+    out_dir = tempfile.mkdtemp(prefix="stream_late_out_")
+    order = [f for i, f in enumerate(files) if i != late_file]
+    order.append(files[late_file])
+    base = time.time() - 1000
+    for i, f in enumerate(order):
+        dst = os.path.join(live, f)
+        shutil.copy2(os.path.join(stage, f), dst)
+        os.utime(dst, (base + i * 10, base + i * 10))
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(live)
+    )
+    ev = src.withColumn(
+        "ts",
+        F.from_utc_timestamp(
+            F.col("ts").cast("timestamp"), F.current_timezone()
+        ),
+    )
+    agg = (
+        ev.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    q = (
+        agg.select(F.col("w.start").alias("ws"), "event_type", "n_events")
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if metrics is not None:
+        dropped = 0
+        for p in q.recentProgress:
+            d = p if isinstance(p, dict) else json.loads(p.json)
+            for op in d.get("stateOperators", []):
+                dropped += op.get("numRowsDroppedByWatermark", 0)
+        metrics["rows_dropped_by_watermark"] = dropped
+        metrics["late_file_rows"] = spark.read.parquet(
+            os.path.join(stage, files[late_file])
+        ).count()
+    from tdei_extract_load_service_spark.functions import timestamps as TS
+
+    result = (
+        spark.read.parquet(out_dir)
+        .select(
+            TS.normalize_ts(
+                F.col("ws"), "yyyy-MM-dd'T'HH:mm:ss"
+            ).alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+        .orderBy(F.col("window_start").asc(), F.col("event_type").asc())
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(live, ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return result
