@@ -416,6 +416,44 @@ def q_dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "dedup_span_ngram",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(string_split(text, ' ')) - 7, 0)),
+               i -> array_to_string(string_split(text, ' ')[i:i+7], ' '))) AS span
+      FROM documents
+    )
+    SELECT span,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM s GROUP BY span
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    ORDER BY n_occurrences DESC, span ASC
+    LIMIT 50
+    """,
+)
+def q_dedup_span_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate SPAN detection (operators/dedup.py
+    duplicate_spans): every 8-token window occurring in >= 2 distinct
+    documents, ranked by occurrence count — the span-granular signal of
+    Lee et al. 2022 that whole-document dedup cannot see (boilerplate,
+    license blocks, quoted passages). Spark builds spans with
+    posexplode + lead() over one per-document window (single doc-id
+    exchange, linear in tokens — NOT the shingling HOF, whose closed-over
+    array Catalyst re-inlines per position); the oracle enumerates the
+    same windows with list_transform/generate_series. LIMIT rides the
+    unique span tiebreak."""
+    from tdei_extract_load_service_spark.operators.dedup import duplicate_spans
+
+    return duplicate_spans(
+        _read(spark, sf_dir, "documents"), "doc_id", "text",
+        n=8, min_docs=2, top_k=50,
+    )
+
+
+@register(
     "dedup_cluster",
     """
     WITH RECURSIVE

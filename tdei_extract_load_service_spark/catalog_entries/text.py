@@ -399,3 +399,37 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return readability_ari(
         spread(_read(spark, sf_dir, "documents")), "doc_id", "text"
     )
+
+
+@register(
+    "text_bpe_pairs",
+    """
+    WITH w AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    wc AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
+    p AS (
+      SELECT unnest(list_transform(
+               generate_series(1, greatest(len(word) - 1, 0)),
+               i -> substr(word, i, 2))) AS pair,
+             cnt
+      FROM wc
+    )
+    SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count
+    FROM p GROUP BY pair
+    ORDER BY pair_count DESC, pair ASC
+    LIMIT 30
+    """,
+)
+def q_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training iteration's merge table (operators/text.py
+    bpe_pair_counts): corpus-weighted adjacent character-pair counts —
+    the argmax of this table IS the merge a tokenizer trainer picks
+    each round (Sennrich et al. 2016). The corpus collapses to its
+    word-frequency table first (the standard trick that makes every
+    later iteration corpus-size-independent), then per-distinct-word
+    bigram positions weighted by frequency. Two map-side-combinable
+    aggregations, no UDF; LIMIT rides the unique pair tiebreak."""
+    from tdei_extract_load_service_spark.operators.text import bpe_pair_counts
+
+    return bpe_pair_counts(_read(spark, sf_dir, "documents"), "text", top_k=30)

@@ -1584,3 +1584,66 @@ def bloom_prefilter_members(
         stats["n_members"] = result.count()
         return result
     return out
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_docs: int = 2,
+    top_k: int | None = 50,
+) -> DataFrame:
+    """Cross-document duplicate SPAN detection: every ``n``-token window
+    that occurs in at least ``min_docs`` distinct documents, with its
+    document and occurrence counts — the span-granular dedup signal of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"), which whole-document dedup (``dedup_exact``, LSH) cannot
+    see: boilerplate headers, license blocks and quoted passages
+    duplicate across otherwise-distinct documents.
+
+    Plan shape (deliberately NOT the shingling HOF): ``posexplode`` the
+    token array to ``(id, pos, token)`` rows, then build each span with
+    ``n-1`` ``lead(token)`` calls over one per-document window — a
+    single shuffle on the document id, work linear in total tokens.
+    The ``word_shingles`` HOF would close a lambda over the computed
+    token array, which Catalyst re-inlines per position (the r6 winnow
+    lesson: O(len²) re-evaluation); the window form pays one exchange
+    instead and survives arbitrarily long documents. The span GROUP BY
+    shuffles span strings; at the 100 TB tier group on
+    ``xxhash64(span)`` and join a representative back (the
+    Lee-et-al suffix-array construction is the exact-match limit of
+    this posting approach).
+
+    Output: ``(span, n_docs, n_occurrences)``, most-duplicated first
+    (ties broken by span text), capped at ``top_k`` when given."""
+    toks = df.select(
+        _col(id_col).alias("id"),
+        F.posexplode(F.split(_col(text_col), " ")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("id").orderBy(F.col("pos").asc())
+    parts = [F.col("tok")] + [
+        F.lead("tok", i).over(w) for i in range(1, n)
+    ]
+    spans = (
+        toks.select(
+            "id",
+            F.concat_ws(" ", *parts).alias("span"),
+            F.lead("tok", n - 1).over(w).isNotNull().alias("_full"),
+        )
+        .where(F.col("_full"))
+        .drop("_full")
+    )
+    out = (
+        spans.groupBy("span")
+        .agg(
+            F.countDistinct("id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+        .orderBy(
+            F.col("n_occurrences").desc(),
+            F.col("span").asc(),
+        )
+    )
+    return out.limit(top_k) if top_k is not None else out

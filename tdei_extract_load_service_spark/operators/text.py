@@ -1350,3 +1350,46 @@ def readability_ari(
     return staged.withColumn(
         "ari_fp6", F.when(F.col("n_words") > 0, ari_fp6)
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str,
+    top_k: int | None = 30,
+) -> DataFrame:
+    """Corpus-weighted adjacent-symbol pair counts — ONE iteration of
+    BPE tokenizer training (Sennrich et al. 2016: the merge chosen each
+    round is the argmax of exactly this table). Two aggregations, both
+    map-side-combinable: (1) word frequencies — the corpus collapses to
+    its |vocab|-sized word-count table, the standard BPE trick that
+    makes every later iteration independent of corpus size; (2)
+    character-bigram positions per DISTINCT word, weighted by word
+    frequency. The pair HOF closes over a plain attribute (the word),
+    not a computed array, so Catalyst's lambda inlining re-reads a
+    column reference — none of the r6 O(len²) re-evaluation.
+
+    At 100 TB the word-count table is the only corpus-sized shuffle
+    (keyed on the word, map-side partials absorb Zipf's head) and it is
+    exactly what a real tokenizer trainer persists once and iterates on
+    driver-side or in a |vocab|-row frame. Returns ``(pair,
+    pair_count)``, most frequent first, span ties broken by pair text.
+
+    Guard: ``sequence(1, n)`` on Spark DESCENDS when n < 1 (it would
+    emit positions [1, 0] for 1-char words) — short words take the
+    empty-array branch instead."""
+    words = df.select(F.explode(F.split(_col(text_col), " ")).alias("word"))
+    wc = words.groupBy("word").agg(F.count("*").alias("cnt"))
+    pair_arr = F.when(
+        F.length("word") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length("word") - 1),
+            lambda i: F.col("word").substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = wc.select(F.explode(pair_arr).alias("pair"), "cnt")
+    out = (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+    )
+    return out.limit(top_k) if top_k is not None else out

@@ -1,0 +1,150 @@
+"""Unit proofs for the round-11 third-wave text/dedup operators:
+duplicate_spans (cross-document n-token span detection) and
+bpe_pair_counts (one BPE-training iteration's merge table). Both are
+value-checked against brute-force driver-side references on hand-built
+corpora, so the catalog oracles certify engine parity while these pin
+the SEMANTICS (overlap counting, min_docs gating, short-word guards)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+
+def _ref_spans(docs: dict[int, str], n: int) -> Counter:
+    """(span -> [doc_ids]) brute force, counting every occurrence."""
+    occ: Counter = Counter()
+    docset: dict[str, set] = {}
+    for did, text in docs.items():
+        toks = text.split(" ")
+        for i in range(len(toks) - n + 1):
+            span = " ".join(toks[i : i + n])
+            occ[span] += 1
+            docset.setdefault(span, set()).add(did)
+    return occ, docset
+
+
+def test_duplicate_spans_matches_bruteforce(spark):
+    from tdei_extract_load_service_spark.operators.dedup import (
+        duplicate_spans,
+    )
+
+    docs = {
+        1: "the quick brown fox jumps over a lazy dog tonight",
+        2: "intro text the quick brown fox jumps over a lazy dog tonight",
+        # doc 3 repeats the shared span INSIDE one document (overlap
+        # counting: occurrences, not docs)
+        3: "quick brown fox quick brown fox quick brown fox",
+        4: "completely unrelated words only here once nothing shared",
+    }
+    n = 3
+    df = spark.createDataFrame(
+        [(k, v) for k, v in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        r["span"]: (r["n_docs"], r["n_occurrences"])
+        for r in duplicate_spans(
+            df, "doc_id", "text", n=n, min_docs=2, top_k=None
+        ).collect()
+    }
+    occ, docset = _ref_spans(docs, n)
+    want = {
+        s: (len(docset[s]), occ[s])
+        for s in occ
+        if len(docset[s]) >= 2
+    }
+    assert got == want
+    # the shared 3-gram "quick brown fox" spans docs 1, 2 AND 3 — and
+    # doc 3 contributes 3 occurrences of it
+    assert got["quick brown fox"] == (3, 5)
+
+
+def test_duplicate_spans_min_docs_and_topk(spark):
+    from tdei_extract_load_service_spark.operators.dedup import (
+        duplicate_spans,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "a b c e"),
+            (3, "x y z w"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = duplicate_spans(df, "doc_id", "text", n=3, min_docs=2).collect()
+    # only "a b c" crosses documents; within-doc-only spans are gated out
+    assert [(r["span"], r["n_docs"], r["n_occurrences"]) for r in rows] == [
+        ("a b c", 2, 2)
+    ]
+    # top_k cap respects the (count desc, span asc) order
+    df2 = spark.createDataFrame(
+        [(1, "p q p q"), (2, "p q p q")], "doc_id long, text string"
+    )
+    top1 = duplicate_spans(df2, "doc_id", "text", n=2, min_docs=2, top_k=1)
+    [(span, *_)] = [tuple(r) for r in top1.collect()]
+    assert span == "p q"  # 4 occurrences beats "q p" (2)
+
+
+def test_duplicate_spans_short_docs_emit_nothing(spark):
+    from tdei_extract_load_service_spark.operators.dedup import (
+        duplicate_spans,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "one two"), (3, "")],
+        "doc_id long, text string",
+    )
+    assert duplicate_spans(df, "doc_id", "text", n=3).count() == 0
+
+
+def _ref_pairs(texts: list[str]) -> Counter:
+    wc: Counter = Counter()
+    for t in texts:
+        wc.update(t.split(" "))
+    out: Counter = Counter()
+    for w, c in wc.items():
+        for i in range(len(w) - 1):
+            out[w[i : i + 2]] += c
+    return out
+
+
+def test_bpe_pair_counts_matches_bruteforce(spark):
+    from tdei_extract_load_service_spark.operators.text import (
+        bpe_pair_counts,
+    )
+
+    texts = [
+        "low lower lowest low low",
+        "newer newest new",
+        "a bb a bb ccc",  # 1-char words contribute no pairs
+        "",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = {
+        r["pair"]: r["pair_count"]
+        for r in bpe_pair_counts(df, "text", top_k=None).collect()
+    }
+    assert got == dict(_ref_pairs(texts))
+    # the classic BPE smoke: "lo" rides every low* word occurrence
+    assert got["lo"] == 5
+    # 1-char words ("a") are guarded out of sequence(1, len-1), which
+    # DESCENDS on Spark when len < 2
+    assert "a" not in " ".join(got)  # no 1-char pseudo-pairs at all
+    assert all(len(p) == 2 for p in got)
+
+
+def test_bpe_pair_counts_order_and_cap(spark):
+    from tdei_extract_load_service_spark.operators.text import (
+        bpe_pair_counts,
+    )
+
+    df = spark.createDataFrame(
+        [("zz zz zz ay by",)], "text string"
+    )
+    rows = bpe_pair_counts(df, "text", top_k=2).collect()
+    assert [(r["pair"], r["pair_count"]) for r in rows] == [
+        ("zz", 3),
+        ("ay", 1),  # count tie with "by" broken by pair text
+    ]

@@ -399,6 +399,14 @@ EXPECTATIONS: dict[str, list[str]] = {
     # the serving query is ONE stratum-key window pass with a literal
     # CASE budget map — no join on the fact path
     "corpus_temperature_mix": ["Window", "!Join"],
+    # duplicate spans: posexplode + lead over ONE doc-id window (the
+    # HOF-free span construction), map-side-combined counts, limit as
+    # TakeOrderedAndProject — no join, no Python
+    "dedup_span_ngram": ["Window", "posexplode\\(split", "partial_count", "TakeOrderedAndProject", "!Join", "!ArrowEvalPython"],
+    # BPE pair table: two map-side-combinable aggregations (word counts,
+    # then weighted pair counts over the |vocab|-sized frame) — the only
+    # corpus-sized shuffle is the word-key exchange; no join, no Python
+    "text_bpe_pairs": ["explode\\(split", "partial_count", "partial_sum", "TakeOrderedAndProject", "!Join", "!ArrowEvalPython"],
 }
 
 
