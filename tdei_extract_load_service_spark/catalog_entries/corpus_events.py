@@ -791,6 +791,43 @@ def q_stream_enrich_shadow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_outer_join_shadow",
+    """
+    WITH v AS (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'view'),
+    c AS (SELECT user_id, event_id, ts FROM events
+          WHERE event_type = 'click')
+    SELECT v.user_id AS user_id, v.event_id AS view_id,
+           COALESCE(c.event_id, -1) AS click_id
+    FROM v LEFT JOIN c
+      ON v.user_id = c.user_id
+     AND c.ts >= v.ts - INTERVAL 1 HOUR
+     AND c.ts <= v.ts + INTERVAL 1 HOUR
+    ORDER BY user_id ASC, view_id ASC, click_id ASC
+    """,
+)
+def q_stream_outer_join_shadow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TENTH streaming certification — stream-stream LEFT OUTER join
+    (shadow.outer_join_shadow): null-padded rows for views that never
+    got a click emit only when the watermark passes the view's join
+    horizon and its buffered state EXPIRES, so this certifies the
+    eviction machinery itself (the inner cert's 90-day delay never
+    evicts anything). A far-future sentinel micro-batch on both sides
+    advances the min-of-both global watermark past every real view's
+    expiry, so the trailing no-data batch flushes the complete
+    unmatched set and the batch LEFT JOIN is the exact oracle; click_id
+    is COALESCEd to -1 on both engines (NULL bigints would downcast
+    both pandas frames to float64). Unmatched emission counts and
+    sentinel containment pinned in pytest
+    (tests/test_streaming_shadow.py)."""
+    from tdei_extract_load_service_spark.streaming.shadow import (
+        outer_join_shadow,
+    )
+
+    return outer_join_shadow(spark, sf_dir, n_batches=4)
+
+
+@register(
     "stream_late_data_shadow",
     """
     WITH ranked AS (

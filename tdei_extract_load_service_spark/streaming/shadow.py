@@ -387,6 +387,144 @@ def interval_join_shadow(
     )
 
 
+def outer_join_shadow(
+    spark: SparkSession,
+    sf_dir: str,
+    n_batches: int = 4,
+    metrics: dict | None = None,
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join, certified end to end —
+    the TENTH streaming certification, and the join semantics the inner
+    cert (interval_join_shadow) cannot touch: a null-padded row for an
+    unmatched left event is emitted only when its buffered state
+    EXPIRES — the watermark must pass ``view_ts + within`` before Spark
+    can prove no future click will ever match — so correctness hangs on
+    the eviction machinery itself, not just on pair matching.
+
+    Deterministic final flush: on bounded input a too-long watermark
+    delay would leave every unmatched view buffered forever (nothing
+    evicts, the outer rows never emit — the inner shadows exploit
+    exactly that with their 90-day delay). Here the delay is 0 seconds
+    and the replay appends a SENTINEL micro-batch — one far-future view
+    and one far-future click on impossible user ids (-1/-2), 30 days
+    past the fixture's horizon — so BOTH sides' watermarks (the global
+    watermark is their min) jump past every real view's expiry and the
+    trailing no-data batch flushes the complete unmatched set. The
+    sentinels themselves match nothing and cannot emit: the sentinel
+    view's own expiry sits above the final watermark, and an unmatched
+    RIGHT row never emits from a left join (belt-and-braces: ids < 0
+    are filtered anyway).
+
+    Delay-0 is exact here, not an approximation: the staged replay is
+    globally event-time-ordered, so a click in batch i+1 that could
+    still match a view (``click_ts <= view_ts + within``) implies the
+    view's expiry is >= the watermark in force — it is still buffered.
+    The oracle is therefore the plain batch LEFT JOIN. ``click_id`` is
+    COALESCEd to -1 on both engines (a NULL bigint would downcast both
+    pandas frames to float64 and leave NULLS-ordering divergence in the
+    sort). ``metrics`` receives matched/unmatched emission counts so the
+    pytest can pin that null-padded rows actually flowed."""
+    import shutil
+    import tempfile
+
+    stage = stage_event_stream(spark, sf_dir, n_batches)
+    files = sorted(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    schema = spark.read.parquet(stage).schema
+    live = tempfile.mkdtemp(prefix="stream_outer_live_")
+    last_mtime = 0.0
+    for f in files:
+        src_f = os.path.join(stage, f)
+        shutil.copy2(src_f, os.path.join(live, f))
+        last_mtime = max(last_mtime, os.stat(src_f).st_mtime)
+    # sentinel batch: one view + one click far past the horizon, on user
+    # ids no real event carries — advances both sides' watermarks
+    staged_all = spark.read.parquet(stage)
+    sentinel = (
+        staged_all.orderBy(F.col("ts").desc())
+        .limit(1)
+        .select(
+            F.lit(-1).cast("long").alias("event_id"),
+            F.expr("ts + INTERVAL 30 DAYS").alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("view").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("").alias("props"),
+        )
+    )
+    sentinel = sentinel.unionByName(
+        sentinel.select(
+            F.lit(-2).cast("long").alias("event_id"),
+            "ts",
+            F.lit(-2).cast("long").alias("user_id"),
+            F.lit("click").alias("event_type"),
+            "value",
+            "props",
+        )
+    ).select([f.name for f in schema.fields])
+    chunk = tempfile.mkdtemp(prefix="stream_outer_sentinel_")
+    sentinel.coalesce(1).write.mode("overwrite").parquet(chunk)
+    part = next(p for p in os.listdir(chunk) if p.endswith(".parquet"))
+    dst = os.path.join(live, "999_sentinel.parquet")
+    os.replace(os.path.join(chunk, part), dst)
+    shutil.rmtree(chunk, ignore_errors=True)
+    os.utime(dst, (last_mtime + 1, last_mtime + 1))
+
+    from tdei_extract_load_service_spark.streaming.windows import (
+        stream_interval_join,
+    )
+
+    def _src() -> DataFrame:
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(live)
+        )
+        return raw.withColumn(
+            "ts",
+            F.from_utc_timestamp(
+                F.col("ts").cast("timestamp"), F.current_timezone()
+            ),
+        ).select("user_id", "event_type", "event_id", "ts")
+
+    views = _src().where(F.col("event_type") == "view").drop("event_type")
+    clicks = _src().where(F.col("event_type") == "click").drop("event_type")
+    joined = stream_interval_join(
+        views,
+        clicks,
+        "user_id",
+        within="1 hour",
+        watermark_delay="0 seconds",
+        how="left_outer",
+    ).select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.coalesce(F.col("event_id_r"), F.lit(-1)).alias("click_id"),
+    )
+    name = _query_name()
+    ckpt = f"/tmp/spark_graft_stream_ckpt/{name}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emits = spark.table(name).where(F.col("user_id") >= 0)
+    result = emits.orderBy(
+        F.col("user_id").asc(), F.col("view_id").asc(), F.col("click_id").asc()
+    ).localCheckpoint(eager=True)
+    if metrics is not None:
+        metrics["n_matched"] = result.where(F.col("click_id") >= 0).count()
+        metrics["n_unmatched"] = result.where(F.col("click_id") == -1).count()
+        metrics["sentinel_leaked"] = (
+            spark.table(name).where(F.col("user_id") < 0).count()
+        )
+    shutil.rmtree(live, ignore_errors=True)
+    return result
+
+
 def restart_shadow(
     spark: SparkSession,
     sf_dir: str,

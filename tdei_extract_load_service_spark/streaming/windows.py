@@ -148,8 +148,9 @@ def stream_interval_join(
     right_ts: str = "ts",
     within: str = "1 hour",
     watermark_delay: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join on ``key_col`` where the right event falls
+    """Stream-stream join on ``key_col`` where the right event falls
     within ``[left_ts - within, left_ts + within]`` — the event-correlation
     primitive (click->view attribution, request->response pairing).
 
@@ -159,6 +160,12 @@ def stream_interval_join(
     farthest instant that could still match it (watermark_delay + within).
     Without the time-bound condition a stream-stream join must buffer both
     streams forever.
+
+    ``how``: ``inner`` (default) or ``left_outer`` — the outer form emits
+    a null-padded row for a left event only when its state EXPIRES (the
+    watermark passes ``left_ts + within``, so no future right row can
+    match); until then "unmatched so far" rows are invisible. The
+    conversion-analysis shape: views that never got a click.
 
     Column contract: output carries the key, both timestamps and both
     payloads, with right-side columns suffixed ``_r``.
@@ -175,7 +182,9 @@ def stream_interval_join(
         & (F.col(f"r.{rts}") >= F.expr(f"l.{left_ts} - INTERVAL {within}"))
         & (F.col(f"r.{rts}") <= F.expr(f"l.{left_ts} + INTERVAL {within}"))
     )
-    return lw.join(rw, cond, "inner").drop(F.col(f"r.{key_col}"))
+    if how not in ("inner", "left_outer"):
+        raise ValueError("how must be 'inner' or 'left_outer'")
+    return lw.join(rw, cond, how).drop(F.col(f"r.{key_col}"))
 
 
 FUNNEL_OUTPUT_SCHEMA = "user_id bigint, steps_completed int, step_times array<bigint>"

@@ -626,6 +626,48 @@ class TestIntervalJoinShadow:
         assert got == want and len(got) > 0
 
 
+class TestOuterJoinShadow:
+    def test_outer_join_equals_batch_left_join(self, spark):
+        """The left-outer stream-stream join must emit (a) every matched
+        pair exactly once and (b) a null-padded row for every view with
+        no within-bound click — flushed by the sentinel watermark
+        advance, since with a 0-second delay eviction is what EMITS the
+        outer rows. List equality against the batch left join catches
+        misses, duplicates and premature (pre-expiry) emissions alike;
+        the metrics pin the cert is non-vacuous in both directions and
+        that the sentinel rows never leak into the sink."""
+        from tdei_extract_load_service_spark.streaming.shadow import (
+            outer_join_shadow,
+        )
+
+        m: dict = {}
+        got = [
+            (r["user_id"], r["view_id"], r["click_id"])
+            for r in outer_join_shadow(
+                spark, "/root/testdata/sf0.001", n_batches=4, metrics=m
+            ).collect()
+        ]
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        rows = ev.select("user_id", "event_id", "event_type", "ts").collect()
+        views = [(r["user_id"], r["event_id"], r["ts"]) for r in rows if r["event_type"] == "view"]
+        clicks = [(r["user_id"], r["event_id"], r["ts"]) for r in rows if r["event_type"] == "click"]
+        want = []
+        for (vu, vid, vts) in views:
+            matches = [
+                cid
+                for (cu, cid, cts) in clicks
+                if vu == cu and abs((cts - vts).total_seconds()) <= 3600
+            ]
+            want.extend((vu, vid, cid) for cid in matches)
+            if not matches:
+                want.append((vu, vid, -1))
+        want.sort()
+        assert got == want
+        assert m["n_matched"] > 0 and m["n_unmatched"] > 0
+        assert m["n_matched"] + m["n_unmatched"] == len(got)
+        assert m["sentinel_leaked"] == 0
+
+
 class TestSinkShadow:
     def test_exactly_once_snapshot_publication(self, spark, tmp_path):
         """Four batch snapshots published; a REPLAYED batch id (with a
