@@ -1107,3 +1107,125 @@ def q_table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("version", *cols)
         .orderBy(F.col("version").asc(), F.col("o_orderkey").asc())
     )
+
+
+@register(
+    "table_changes",
+    """
+    WITH v1 AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey <= 640
+    ),
+    v2 AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'X'
+                  ELSE o_orderstatus END AS o_orderstatus,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+      WHERE (o_orderkey <= 640 AND o_orderkey % 5 <> 0)
+         OR (o_orderkey > 640 AND o_orderkey <= 960)
+    ),
+    j AS (
+      SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+             CASE WHEN v1.o_orderkey IS NULL THEN 'insert'
+                  WHEN v2.o_orderkey IS NULL THEN 'delete'
+                  ELSE 'update' END AS change_op,
+             v1.o_custkey AS ck_b, v2.o_custkey AS ck_a,
+             v1.o_orderstatus AS status_before,
+             v2.o_orderstatus AS status_after,
+             v1.o_totalprice AS price_before,
+             v2.o_totalprice AS price_after
+      FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+    )
+    SELECT o_orderkey, change_op,
+           status_before, status_after, price_before, price_after
+    FROM j
+    WHERE change_op <> 'update'
+       OR ck_b IS DISTINCT FROM ck_a
+       OR status_before IS DISTINCT FROM status_after
+       OR price_before IS DISTINCT FROM price_after
+    ORDER BY o_orderkey ASC
+    """,
+)
+def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed between two manifest versions (operators/cdc.py
+    table_changes) — the READ side of CDC that completes the warehouse
+    story: table_time_travel proves old versions stay addressable,
+    cdc_apply folds a feed INTO a snapshot, and this derives the feed
+    FROM two snapshots (Delta/Iceberg's CDF contract): per changed key
+    one (op, before-image, after-image) row from ONE full-outer join —
+    empty for identical versions. The entry commits v1 (keys <= 640)
+    then transactionally replaces it with a deterministic mutation
+    (keys %5==0 deleted, %3==0 updated — status 'X' never occurs in
+    TPC-H so updates are real — keys in (640, 960] inserted), diffs the
+    two read_table_at versions, and the oracle reconstructs both
+    versions relationally. Prices ride un-rounded: the same IEEE
+    ``+ 1.0`` on the same stored double is bit-identical on both
+    engines, and parquet round-trips doubles exactly."""
+    import hashlib as _hashlib
+    import os as _os
+
+    from tdei_extract_load_service_spark.operators.cdc import table_changes
+    from tdei_extract_load_service_spark.sinks.manifest import (
+        ManifestTxn,
+        list_versions,
+        read_table_at,
+    )
+
+    src = _os.path.join(sf_dir, "orders.parquet")
+    st = _os.stat(src)
+    digest = _hashlib.md5(
+        f"tcf1:{src}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:24]
+    root = _os.path.join("/tmp/spark_graft_tablechanges", digest)
+    cols = ("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    existing = set(list_versions(root))
+    if existing < {1, 2}:
+        if existing:
+            # partial history: same hazard as table_time_travel — rebuild
+            import shutil as _shutil
+
+            _shutil.rmtree(root, ignore_errors=True)
+        orders = _read(spark, sf_dir, "orders").select(*cols)
+        upd = F.col("o_orderkey") % 3 == 0
+        v2_frame = (
+            orders.where(
+                ((F.col("o_orderkey") <= 640) & (F.col("o_orderkey") % 5 != 0))
+                | ((F.col("o_orderkey") > 640) & (F.col("o_orderkey") <= 960))
+            )
+            .withColumn(
+                "o_orderstatus",
+                F.when(upd, F.lit("X")).otherwise(F.col("o_orderstatus")),
+            )
+            .withColumn(
+                "o_totalprice",
+                F.when(upd, F.col("o_totalprice") + 1.0).otherwise(
+                    F.col("o_totalprice")
+                ),
+            )
+        )
+        t1 = ManifestTxn(root, keep_commits=10)
+        t1.write(
+            "ord_cdf",
+            orders.where(F.col("o_orderkey") <= 640).coalesce(1),
+            "ds-cdf",
+        )
+        t1.commit()
+        t2 = ManifestTxn(root, keep_commits=10)
+        t2.delete("ord_cdf", "ds-cdf")
+        t2.write("ord_cdf", v2_frame.coalesce(1), "ds-cdf")
+        t2.commit()
+    feed = table_changes(
+        read_table_at(spark, root, "ord_cdf", 1),
+        read_table_at(spark, root, "ord_cdf", 2),
+        ["o_orderkey"],
+    )
+    return feed.select(
+        "o_orderkey",
+        "change_op",
+        F.col("o_orderstatus_before").alias("status_before"),
+        F.col("o_orderstatus_after").alias("status_after"),
+        F.col("o_totalprice_before").alias("price_before"),
+        F.col("o_totalprice_after").alias("price_after"),
+    ).orderBy(F.col("o_orderkey").asc())

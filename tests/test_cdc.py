@@ -167,3 +167,107 @@ class TestIncrementalAggMaintain:
         )
         full = {r["g"]: (r["n"], float(r["s"])) for r in rec.collect()}
         assert inc == full
+
+
+class TestTableChanges:
+    """table_changes — the snapshot-diff dual of cdc_apply."""
+
+    def _frames(self, spark):
+        import pyspark.sql.functions as F  # noqa: F401
+
+        v1 = spark.createDataFrame(
+            pd.DataFrame(
+                [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+                columns=["k", "name", "bal"],
+            )
+        )
+        v2 = spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    (1, "a", 10.0),     # untouched
+                    (2, "b2", 20.0),    # updated (name)
+                    (3, "c", 3.0),      # updated (bal NULL -> 3.0: null-safe)
+                    (5, "e", 50.0),     # inserted
+                ],                       # 4 deleted
+                columns=["k", "name", "bal"],
+            )
+        )
+        return v1, v2
+
+    def test_classification_and_images(self, spark):
+        from tdei_extract_load_service_spark.operators.cdc import (
+            table_changes,
+        )
+
+        v1, v2 = self._frames(spark)
+        got = {
+            r["k"]: (
+                r["change_op"],
+                r["name_before"], r["name_after"],
+                r["bal_before"], r["bal_after"],
+            )
+            for r in table_changes(v1, v2, ["k"]).collect()
+        }
+        assert got == {
+            2: ("update", "b", "b2", 20.0, 20.0),
+            3: ("update", "c", "c", None, 3.0),
+            4: ("delete", "d", None, 40.0, None),
+            5: ("insert", None, "e", None, 50.0),
+        }
+
+    def test_identical_versions_diff_empty(self, spark):
+        from tdei_extract_load_service_spark.operators.cdc import (
+            table_changes,
+        )
+
+        v1, _ = self._frames(spark)
+        assert table_changes(v1, v1, ["k"]).count() == 0
+
+    def test_schema_mismatch_rejected(self, spark):
+        from tdei_extract_load_service_spark.operators.cdc import (
+            table_changes,
+        )
+
+        v1, v2 = self._frames(spark)
+        with pytest.raises(ValueError, match="share a schema"):
+            table_changes(v1, v2.drop("bal"), ["k"])
+
+    def test_feed_folds_back_with_cdc_apply(self, spark):
+        """Closure: applying the derived feed to v1 with cdc_apply must
+        reproduce v2 exactly — the two operators are true inverses (on
+        feeds without sparse-NULL upsert payloads, cdc_apply's partial-
+        update convention)."""
+        import pyspark.sql.functions as F
+
+        from tdei_extract_load_service_spark.operators.cdc import (
+            cdc_apply,
+            table_changes,
+        )
+
+        v1 = spark.createDataFrame(
+            pd.DataFrame(
+                [(1, "a", 10.0), (2, "b", 20.0), (4, "d", 40.0)],
+                columns=["k", "name", "bal"],
+            )
+        )
+        v2 = spark.createDataFrame(
+            pd.DataFrame(
+                [(1, "a", 10.0), (2, "b2", 21.0), (5, "e", 50.0)],
+                columns=["k", "name", "bal"],
+            )
+        )
+        feed = table_changes(v1, v2, ["k"]).select(
+            "k",
+            F.lit(1).alias("seq"),
+            F.when(F.col("change_op") == "delete", "D")
+            .otherwise("U")
+            .alias("op"),
+            F.col("name_after").alias("name"),
+            F.col("bal_after").alias("bal"),
+        )
+        folded = {
+            (r["k"], r["name"], r["bal"])
+            for r in cdc_apply(v1, feed, "k", ("seq",), "op").collect()
+        }
+        want = {(r["k"], r["name"], r["bal"]) for r in v2.collect()}
+        assert folded == want

@@ -399,6 +399,9 @@ EXPECTATIONS: dict[str, list[str]] = {
     # the serving query is ONE stratum-key window pass with a literal
     # CASE budget map — no join on the fact path
     "corpus_temperature_mix": ["Window", "!Join"],
+    # change-data-feed: ONE full-outer join on the key and nothing else
+    # — no window, no second pass, no cross product
+    "table_changes": ["FullOuter", "!Window", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
     # duplicate spans: posexplode + lead over ONE doc-id window (the
     # HOF-free span construction), map-side-combined counts, limit as
     # TakeOrderedAndProject — no join, no Python
