@@ -453,6 +453,7 @@ def dedup_clusters(
     id_col: str = "doc_id",
     max_iter: int = 25,
     metrics: dict | None = None,
+    broadcast_max_nodes: int = 2_000_000,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into duplicate CLUSTERS: every doc gets a
     ``cluster_id`` = the smallest doc id in its connected component (the
@@ -465,10 +466,23 @@ def dedup_clusters(
     components are shallow (stars/cliques around a template), so a handful
     of rounds suffice; ``max_iter`` bounds adversarial chains.
 
-    Scale shape: per round one join keyed on the pair graph + one min-agg
-    — both shuffle only (id, label) longs. The driver sees a single
-    convergence COUNT per round, never the labels. Giant components make
-    hot join keys — AQE skew-split absorbs them.
+    Loop shape (the graph.pagerank r11 recipe, measured on its A/B): a
+    SELF-EDGE per node folds "min(own label, neighbor labels)" into ONE
+    join + min-agg per round — the old two-join form (neighbor-min, then
+    a left-join update) paid a second join and its sorts every round.
+    The label frame is |nodes| rows with a driver-known count, so at
+    ``n <= broadcast_max_nodes`` it broadcasts (no exchange or sort on
+    the cached edge side; the only shuffle is the min-agg); bigger
+    graphs fall back to sort-merge against a pre-partitioned, pre-sorted
+    edge cache — the per-round sort of the edge side is paid ONCE.
+
+    Convergence witness: labels only ever DECREASE, so the fixed point
+    is exactly "sum of labels unchanged" — one DECIMAL(38,0) aggregate
+    per round on the just-checkpointed frame (overflow-proof under ANSI
+    for any realistic id space, order-independent, and it needs no
+    second reference to the previous round's labels the way a per-row
+    changed flag does). The driver sees one scalar per round, never the
+    labels.
 
     ``metrics``: pass a dict to receive ``{"rounds": k, "converged": bool}``
     — the observability hook the x100 long-diameter smoke
@@ -479,54 +493,76 @@ def dedup_clusters(
     pairs_p = pairs.select("doc_a", "doc_b").persist()
     # no distinct(): duplicate edges cannot change a MIN aggregate, and the
     # dedup would cost an extra corpus-wide shuffle per materialization
+    self_edges = ids.select(
+        _col(id_col).alias("src"), _col(id_col).alias("dst")
+    )
     edges = (
         pairs_p.selectExpr("doc_a as src", "doc_b as dst")
         .union(pairs_p.selectExpr("doc_b as src", "doc_a as dst"))
+        .union(self_edges)
         .persist()
     )
-    # localCheckpoint (not persist): each round's plan references the
-    # previous labels TWICE (probe + update join), so lineage doubles per
-    # round — a 12-round chain OOMs the driver on plan bloat alone.
-    # Checkpointing truncates the logical plan to the materialized result;
-    # on a cluster with executor loss concerns use reliable checkpoint().
+    # localCheckpoint truncates the init frame's lineage (ids may be an
+    # expensive upstream plan); loop rounds below use persist — each
+    # round references its predecessor ONCE, so plan depth grows
+    # linearly (the old two-join form doubled references per round,
+    # which is what OOMed the driver on plan bloat and forced a
+    # checkpoint-per-round job).
     labels = ids.select(
         _col(id_col).alias("node"), _col(id_col).alias("label")
     ).localCheckpoint(eager=True)
-    # convergence witness: a per-row changed flag summed each round (zero
-    # changes <=> fixed point). A 0/1 sum is overflow-proof under ANSI for
-    # any corpus size, unlike the earlier sum(label)-delta witness, which
-    # could throw (ANSI) or in principle alias to 0 mod 2^64 (non-ANSI) on
-    # bigint doc ids.
+    # ONE driver action initializes both loop scalars (count gates the
+    # join strategy, sum seeds the witness)
+    wit = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    init = labels.agg(F.count("*").alias("n"), wit).collect()[0]
+    n_nodes, prev_sum = init["n"], init["s"]
+    smj = n_nodes > broadcast_max_nodes
+    if smj:
+        # billion-node fallback: one in-memory reshuffle gives every
+        # round's sort-merge join an exchange-free pre-sorted edge side
+        n_part = edges.sparkSession.sparkContext.defaultParallelism
+        ed_loop = (
+            edges.repartition(n_part, F.col("dst"))
+            .sortWithinPartitions("dst")
+            .persist()
+        )
+        ed_loop.count()
+        edges.unpersist()
+    else:
+        ed_loop = edges
     rounds = 0
     converged = False
+    prev_cache = None
     for _ in range(max_iter):
         rounds += 1
-        neighbor_min = (
-            edges.join(labels.hint("merge"), edges["dst"] == labels["node"])
-            .groupBy("src")
-            .agg(F.min("label").alias("nmin"))
-        )
+        label_side = labels if smj else F.broadcast(labels)
         labels = (
-            labels.join(neighbor_min.hint("merge"), labels["node"] == neighbor_min["src"], "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
-                (F.coalesce(F.col("nmin"), F.col("label")) < F.col("label"))
-                .cast("long")
-                .alias("_changed"),
-            )
-            .localCheckpoint(eager=True)
+            ed_loop.join(label_side, ed_loop["dst"] == label_side["node"])
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("label").alias("label"))
+            .persist()
         )
-        n_changed = labels.agg(F.sum("_changed")).collect()[0][0]
-        labels = labels.drop("_changed")
-        if n_changed == 0:
+        # the witness agg IS the materializing action: one job per round
+        # (cache fill rides the scan), where checkpoint-then-agg paid two
+        cur_sum = labels.agg(wit).collect()[0][0]
+        if prev_cache is not None:
+            prev_cache.unpersist()
+        prev_cache = labels
+        if cur_sum == prev_sum:
             converged = True
             break
+        prev_sum = cur_sum
     if metrics is not None:
         metrics["rounds"] = rounds
         metrics["converged"] = converged
-    edges.unpersist()
+    ed_loop.unpersist()
     pairs_p.unpersist()
+    # the final round's frame must stay cached for the caller's action;
+    # recycle the previous invocation's generation instead of leaking one
+    # per call (and the sameSemantics guard keeps bench reps sharing it)
+    from tdei_extract_load_service_spark.session import persist_scoped
+
+    persist_scoped(labels, "dedup.clusters.final_labels")
     return labels.select(_col("node").alias(id_col), F.col("label").alias("cluster_id"))
 
 
