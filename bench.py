@@ -165,6 +165,10 @@ HEADLINE_EXTENSIONS = (
     "embedding_lsh_probe_multiband",
     "dedup_bloom_prefilter",
     "distinct_rollup_windows",
+    # round-11 third wave (streaming *_shadow entries stay out as above)
+    "dedup_span_ngram",
+    "text_bpe_pairs",
+    "table_changes",
     # dedup_winnow (and its r7 composition dedup_winnow_cluster) is
     # EXCLUDED from the sf0.1 headline deliberately: the
     # synthetic documents corpus draws from a ~25-word vocabulary, so
