@@ -552,6 +552,18 @@ def dedup_clusters(
             converged = True
             break
         prev_sum = cur_sum
+        if rounds % 4 == 0:
+            # lineage truncation: each round's LOGICAL plan nests one
+            # edge-plan copy plus the previous round's broadcast subplan,
+            # so a long-diameter run (the x100 D=20 smoke) OOMs the
+            # driver on plan bloat if left unchecked — the hazard the
+            # old checkpoint-per-round form paid two jobs a round to
+            # avoid. Every 4th round one cache-backed localCheckpoint
+            # (it reads the just-materialized persist, not the lineage)
+            # resets plan depth; shallow fixture runs never reach it.
+            labels = labels.localCheckpoint(eager=True)
+            prev_cache.unpersist()
+            prev_cache = None
     if metrics is not None:
         metrics["rounds"] = rounds
         metrics["converged"] = converged
