@@ -828,6 +828,52 @@ def q_stream_outer_join_shadow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_timeout_shadow",
+    """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+    x AS (
+      SELECT user_id, us,
+             CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                       IS NULL
+                    OR us - lag(us) OVER (PARTITION BY user_id
+                                          ORDER BY us) >= 7200000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e
+    ),
+    s AS (
+      SELECT user_id, us,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS sid
+      FROM x
+    )
+    SELECT user_id, MIN(us) AS session_start, MAX(us) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    ORDER BY user_id ASC, session_start ASC
+    """,
+)
+def q_stream_timeout_shadow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ELEVENTH streaming certification — GroupState EVENT-TIME TIMEOUT
+    (shadow.timeout_session_shadow): per-user sessions close on the data
+    path (next event a full 2h gap later) or on the EXPIRY CALLBACK
+    (state.hasTimedOut — the watermark passes last_event + gap and the
+    quiet group is re-invoked in a no-data batch), the custom-stateful
+    mechanism no other cert executes (the funnel runs NoTimeout, the
+    session cert the built-in merging state). A far-future sentinel
+    flushes every open session through the timeout branch; both closure
+    paths provably emit non-overlapping sessions exactly once, so the
+    final emission set equals this gaps-and-islands recurrence over
+    epoch micros. Timeout-branch counts and sentinel containment pinned
+    in pytest (tests/test_streaming_windows.py)."""
+    from tdei_extract_load_service_spark.streaming.shadow import (
+        timeout_session_shadow,
+    )
+
+    return timeout_session_shadow(spark, sf_dir, n_batches=4)
+
+
+@register(
     "stream_late_data_shadow",
     """
     WITH ranked AS (

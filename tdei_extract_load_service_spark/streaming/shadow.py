@@ -387,6 +387,144 @@ def interval_join_shadow(
     )
 
 
+def _stage_with_sentinel(
+    spark: SparkSession, stage: str, sentinel_rows: list[tuple[int, int, str]]
+) -> str:
+    """Copy the staged micro-batch files into a fresh live dir and append
+    one FINAL micro-batch of far-future sentinel rows (30 days past the
+    fixture horizon), one per ``(event_id, user_id, event_type)`` spec —
+    the watermark-advancer that lets bounded replays flush eviction- and
+    timeout-driven state (outer-join null rows, timed-out sessions).
+    Sentinel ids must be negative so downstream filters can contain
+    them. Caller owns removing the returned dir."""
+    import shutil
+    import tempfile
+
+    files = sorted(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    schema = spark.read.parquet(stage).schema
+    live = tempfile.mkdtemp(prefix="stream_sentinel_live_")
+    last_mtime = 0.0
+    for f in files:
+        src_f = os.path.join(stage, f)
+        shutil.copy2(src_f, os.path.join(live, f))
+        last_mtime = max(last_mtime, os.stat(src_f).st_mtime)
+    base = (
+        spark.read.parquet(stage)
+        .orderBy(F.col("ts").desc())
+        .limit(1)
+        .select(F.expr("ts + INTERVAL 30 DAYS").alias("ts"))
+    )
+    frames = [
+        base.select(
+            F.lit(eid).cast("long").alias("event_id"),
+            "ts",
+            F.lit(uid).cast("long").alias("user_id"),
+            F.lit(etype).alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("").alias("props"),
+        )
+        for (eid, uid, etype) in sentinel_rows
+    ]
+    sentinel = frames[0]
+    for fr in frames[1:]:
+        sentinel = sentinel.unionByName(fr)
+    sentinel = sentinel.select([f.name for f in schema.fields])
+    chunk = tempfile.mkdtemp(prefix="stream_sentinel_chunk_")
+    sentinel.coalesce(1).write.mode("overwrite").parquet(chunk)
+    part = next(p for p in os.listdir(chunk) if p.endswith(".parquet"))
+    dst = os.path.join(live, "999_sentinel.parquet")
+    os.replace(os.path.join(chunk, part), dst)
+    shutil.rmtree(chunk, ignore_errors=True)
+    os.utime(dst, (last_mtime + 1, last_mtime + 1))
+    return live
+
+
+def timeout_session_shadow(
+    spark: SparkSession,
+    sf_dir: str,
+    n_batches: int = 4,
+    metrics: dict | None = None,
+) -> DataFrame:
+    """GroupState EVENT-TIME TIMEOUT, certified end to end — the
+    ELEVENTH streaming certification, and the one custom-stateful-op
+    mechanism no other cert touches: ``windows.stream_session_timeout``
+    closes a per-user session either on the data path (a new event a
+    full gap later) or on the TIMEOUT path (``state.hasTimedOut`` — the
+    watermark passes ``last_event + gap`` and Spark re-invokes the
+    function for the quiet group in a no-data batch). The funnel cert
+    runs GroupState with NoTimeout and the session cert runs the
+    built-in merging state; neither ever executes the expiry callback,
+    which is exactly the code path a production TTL'd stateful operator
+    (abandoned-cart, session finalization) lives or dies on.
+
+    The staged replay appends one far-future sentinel event (user -1)
+    so the final watermark passes every open session's deadline and the
+    trailing no-data batch flushes them all through the timeout branch.
+    Every session emits exactly once (the docstring of the operator
+    carries the non-overlap argument); the oracle is the SAME
+    gaps-and-islands recurrence that certifies session_window /
+    stream_session_shadow, stated over epoch micros. ``metrics``
+    receives per-path closure counts so the pytest can pin that the
+    timeout branch genuinely fired (non-vacuous), plus sentinel
+    containment."""
+    import shutil
+
+    stage = stage_event_stream(spark, sf_dir, n_batches)
+    live = _stage_with_sentinel(spark, stage, [(-1, -1, "view")])
+    schema = spark.read.parquet(stage).schema
+
+    from tdei_extract_load_service_spark.streaming.windows import (
+        stream_session_timeout,
+    )
+
+    def transform(src: DataFrame) -> DataFrame:
+        ev = src.withColumn(
+            "ts",
+            F.from_utc_timestamp(
+                F.col("ts").cast("timestamp"), F.current_timezone()
+            ),
+        )
+        ev = ev.withWatermark("ts", "0 seconds").select(
+            "user_id", "ts", F.unix_micros("ts").alias("ts_us")
+        )
+        return stream_session_timeout(ev)
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(live)
+    )
+    name = _query_name()
+    ckpt = f"/tmp/spark_graft_stream_ckpt/{name}"
+    q = (
+        transform(src)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emits = spark.table(name)
+    if metrics is not None:
+        metrics["closed_by_data"] = emits.where(
+            (F.col("user_id") >= 0) & (F.col("closed_by") == "data")
+        ).count()
+        metrics["closed_by_timeout"] = emits.where(
+            (F.col("user_id") >= 0) & (F.col("closed_by") == "timeout")
+        ).count()
+        metrics["sentinel_leaked"] = emits.where(F.col("user_id") < 0).count()
+    result = (
+        emits.where(F.col("user_id") >= 0)
+        .select("user_id", "session_start", "session_end", "n_events")
+        .orderBy(F.col("user_id").asc(), F.col("session_start").asc())
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(live, ignore_errors=True)
+    return result
+
+
 def outer_join_shadow(
     spark: SparkSession,
     sf_dir: str,
@@ -425,49 +563,16 @@ def outer_join_shadow(
     sort). ``metrics`` receives matched/unmatched emission counts so the
     pytest can pin that null-padded rows actually flowed."""
     import shutil
-    import tempfile
 
     stage = stage_event_stream(spark, sf_dir, n_batches)
-    files = sorted(f for f in os.listdir(stage) if f.endswith(".parquet"))
     schema = spark.read.parquet(stage).schema
-    live = tempfile.mkdtemp(prefix="stream_outer_live_")
-    last_mtime = 0.0
-    for f in files:
-        src_f = os.path.join(stage, f)
-        shutil.copy2(src_f, os.path.join(live, f))
-        last_mtime = max(last_mtime, os.stat(src_f).st_mtime)
     # sentinel batch: one view + one click far past the horizon, on user
-    # ids no real event carries — advances both sides' watermarks
-    staged_all = spark.read.parquet(stage)
-    sentinel = (
-        staged_all.orderBy(F.col("ts").desc())
-        .limit(1)
-        .select(
-            F.lit(-1).cast("long").alias("event_id"),
-            F.expr("ts + INTERVAL 30 DAYS").alias("ts"),
-            F.lit(-1).cast("long").alias("user_id"),
-            F.lit("view").alias("event_type"),
-            F.lit(0.0).alias("value"),
-            F.lit("").alias("props"),
-        )
+    # ids no real event carries — advances BOTH sides' watermarks (the
+    # global watermark is their min, and each side's filter would drop
+    # the other side's sentinel before its watermark node)
+    live = _stage_with_sentinel(
+        spark, stage, [(-1, -1, "view"), (-2, -2, "click")]
     )
-    sentinel = sentinel.unionByName(
-        sentinel.select(
-            F.lit(-2).cast("long").alias("event_id"),
-            "ts",
-            F.lit(-2).cast("long").alias("user_id"),
-            F.lit("click").alias("event_type"),
-            "value",
-            "props",
-        )
-    ).select([f.name for f in schema.fields])
-    chunk = tempfile.mkdtemp(prefix="stream_outer_sentinel_")
-    sentinel.coalesce(1).write.mode("overwrite").parquet(chunk)
-    part = next(p for p in os.listdir(chunk) if p.endswith(".parquet"))
-    dst = os.path.join(live, "999_sentinel.parquet")
-    os.replace(os.path.join(chunk, part), dst)
-    shutil.rmtree(chunk, ignore_errors=True)
-    os.utime(dst, (last_mtime + 1, last_mtime + 1))
 
     from tdei_extract_load_service_spark.streaming.windows import (
         stream_interval_join,

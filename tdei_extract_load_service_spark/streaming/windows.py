@@ -187,6 +187,97 @@ def stream_interval_join(
     return lw.join(rw, cond, how).drop(F.col(f"r.{key_col}"))
 
 
+SESSION_TIMEOUT_OUTPUT_SCHEMA = (
+    "user_id bigint, session_start bigint, session_end bigint,"
+    " n_events bigint, closed_by string"
+)
+SESSION_TIMEOUT_STATE_SCHEMA = "start_us bigint, last_us bigint, n bigint"
+
+
+def stream_session_timeout(
+    events: DataFrame, gap_us: int = 7_200_000_000
+) -> DataFrame:
+    """Per-user sessionization on GroupState with an EVENT-TIME TIMEOUT
+    — the state-expiry callback path (``state.hasTimedOut``) that no
+    built-in operator exercises: a session closes either when a new
+    event arrives ``gap_us`` or more past the last one (the data path),
+    or when the WATERMARK passes ``last_event + gap`` with no new data
+    (the timeout path — Spark re-invokes the function for the expired
+    group in a no-data batch, which is how an open session ever flushes
+    on a quiet key). Each closed session emits EXACTLY ONCE with
+    ``closed_by`` recording which path closed it.
+
+    Input contract: ``events`` carries a watermarked instant ``ts``
+    (EventTimeTimeout refuses to run without one) AND a JVM-computed
+    ``ts_us`` long (``unix_micros(ts)``) — the state math never touches
+    a pandas timestamp, because an instant renders session-local naive
+    in Arrow and its epoch would shift under a non-UTC driver (the
+    shadow-module timezone discipline).
+
+    Exactly-once closure argument (for per-user event-time-ordered
+    arrival, the staged-replay regime): if a timeout fired for a user,
+    the watermark had passed ``last + gap``; any later event e arrives
+    with ``e >= watermark >= last + gap``, so the data path would have
+    opened a NEW session anyway — the two closure paths can never emit
+    overlapping sessions, and boundaries are identical whichever fires
+    first.
+
+    Scale shape: one shuffle on user_id; state is three longs per OPEN
+    session (closed state is removed immediately), bounded by the
+    watermark exactly like the built-in session_window's."""
+    gap_ms = gap_us // 1000
+
+    def _update(key, pdfs, state):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [start],
+                    "session_end": [last],
+                    "n_events": [n],
+                    "closed_by": ["timeout"],
+                }
+            )
+            return
+        rows: list[int] = []
+        for pdf in pdfs:
+            rows.extend(int(v) for v in pdf["ts_us"])
+        rows.sort()
+        start, last, n = state.get if state.exists else (None, None, 0)
+        closed: list[tuple[int, int, int]] = []
+        for us in rows:
+            if start is None:
+                start, last, n = us, us, 1
+            elif us - last >= gap_us:
+                closed.append((start, last, n))
+                start, last, n = us, us, 1
+            else:
+                last, n = us, n + 1
+        state.update((start, last, n))
+        state.setTimeoutTimestamp(last // 1000 + gap_ms)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [c[0] for c in closed],
+                    "session_end": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                    "closed_by": ["data"] * len(closed),
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=SESSION_TIMEOUT_OUTPUT_SCHEMA,
+        stateStructType=SESSION_TIMEOUT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 FUNNEL_OUTPUT_SCHEMA = "user_id bigint, steps_completed int, step_times array<bigint>"
 FUNNEL_STATE_SCHEMA = "t0 bigint, t1 bigint, t2 bigint"
 

@@ -668,6 +668,66 @@ class TestOuterJoinShadow:
         assert m["sentinel_leaked"] == 0
 
 
+class TestTimeoutSessionShadow:
+    def test_timeout_sessions_equal_batch_recurrence(self, spark):
+        """Sessions closed across the data/timeout split must together
+        equal the batch gaps-and-islands recurrence exactly once each;
+        the metrics pin that the TIMEOUT branch (state.hasTimedOut)
+        genuinely executed — the code path this cert exists for — and
+        that the watermark-advancing sentinel never leaks."""
+        from tdei_extract_load_service_spark.streaming.shadow import (
+            timeout_session_shadow,
+        )
+
+        m: dict = {}
+        got = [
+            tuple(r)
+            for r in timeout_session_shadow(
+                spark, "/root/testdata/sf0.001", n_batches=4, metrics=m
+            ).collect()
+        ]
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+
+        def _us(naive):
+            # NTZ wall clock == UTC epoch by the staging recipe; a naive
+            # .timestamp() would shift under a non-UTC local zone
+            from datetime import datetime
+
+            td = naive - datetime(1970, 1, 1)
+            return (
+                td.days * 86_400_000_000
+                + td.seconds * 1_000_000
+                + td.microseconds
+            )
+
+        rows = sorted(
+            (r["user_id"], _us(r["ts"]))
+            for r in ev.select("user_id", "ts").collect()
+        )
+        GAP = 7_200_000_000
+        want = []
+        cur = {}
+        for uid, us in rows:
+            st = cur.get(uid)
+            if st is None:
+                cur[uid] = [us, us, 1]
+            elif us - st[1] >= GAP:
+                want.append((uid, st[0], st[1], st[2]))
+                cur[uid] = [us, us, 1]
+            else:
+                st[1] = us
+                st[2] += 1
+        want.extend((uid, *st) for uid, st in cur.items())
+        want.sort()
+        assert got == want
+        # non-vacuous in both directions, exactly-once overall
+        assert m["closed_by_data"] > 0 and m["closed_by_timeout"] > 0
+        assert m["closed_by_data"] + m["closed_by_timeout"] == len(got)
+        assert m["sentinel_leaked"] == 0
+        # every user's LAST session can only flush via the timeout path
+        assert m["closed_by_timeout"] == len({u for u, *_ in want})
+
+
 class TestSinkShadow:
     def test_exactly_once_snapshot_publication(self, spark, tmp_path):
         """Four batch snapshots published; a REPLAYED batch id (with a
