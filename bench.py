@@ -169,6 +169,7 @@ HEADLINE_EXTENSIONS = (
     "dedup_span_ngram",
     "text_bpe_pairs",
     "table_changes",
+    "multimodal_image_dedup",
     # dedup_winnow (and its r7 composition dedup_winnow_cluster) is
     # EXCLUDED from the sf0.1 headline deliberately: the
     # synthetic documents corpus draws from a ~25-word vocabulary, so

@@ -274,3 +274,80 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rms",
         "zero_crossings",
     )
+
+
+@register(
+    "multimodal_image_dedup",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h, 3 + doc_id % 2 AS c
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, c,
+             list_transform(generate_series(0, 63),
+               i -> ((((i // 8) * h) // 8) * w + (((i % 8) * w) // 8)) * c)
+               AS bases
+      FROM p
+    ),
+    gr AS (
+      SELECT doc_id,
+             list_transform(bases, b -> CASE WHEN c = 3 THEN
+                 ((doc_id * 7 + b) % 256 + (doc_id * 7 + b + 1) % 256
+                  + (doc_id * 7 + b + 2) % 256) // 3
+               ELSE
+                 ((doc_id * 7 + b) % 256 + (doc_id * 7 + b + 1) % 256
+                  + (doc_id * 7 + b + 2) % 256
+                  + (doc_id * 7 + b + 3) % 256) // 4
+               END) AS gl
+      FROM g
+    ),
+    bits AS (
+      SELECT doc_id,
+             list_transform(gl, v -> CASE WHEN 64 * v >
+               list_aggregate(gl, 'sum') THEN 1 ELSE 0 END) AS bl
+      FROM gr
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_filter(generate_series(1, 64),
+                  j -> a.bl[j] <> b.bl[j])) AS INT) AS hamming
+      FROM bits a, bits b
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM pairs
+    WHERE hamming <= 4
+    ORDER BY doc_a ASC, doc_b ASC
+    """,
+)
+def q_multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-dup pairs via perceptual average-hash — the multimodal
+    twin of the text SimHash pipeline, and fully VALUE-oracle-checked
+    where the text one is rows-only: decode (real stdlib PNG path) ->
+    integer grayscale -> 8x8 nearest-neighbor sample -> aHash
+    (binary_ops.image_ahash; the greater-than-mean test runs in exact
+    integers, so the oracle restates the whole chain in closed form
+    over the deterministic fixture pixels) -> Hamming-blocked pairs
+    (operators/dedup.py hamming_hash_pairs: 8 chunks of 8 bits, and
+    max_hamming=4 < 8 chunks makes the blocking PIGEONHOLE-COMPLETE —
+    the blocked join provably finds every pair the oracle's cross join
+    finds, the property the 6/4-probabilistic SimHash blocking cannot
+    offer). Verification is one whole-stage bit_count(xor) per
+    candidate; near-dups exist by construction (ids congruent mod 40
+    share dimensions and differ by a mod-256 brightness shift)."""
+    from tdei_extract_load_service_spark.multimodal.binary_ops import (
+        image_ahash,
+        synth_png,
+    )
+    from tdei_extract_load_service_spark.operators.dedup import (
+        hamming_hash_pairs,
+    )
+
+    docs = spread(_read(spark, sf_dir, "documents").select("doc_id"))
+    hashes = image_ahash(synth_png(docs, "doc_id"))
+    pairs = hamming_hash_pairs(
+        hashes.where("decoded"), "media_id", "ahash",
+        max_hamming=4, chunks=8,
+    )
+    return pairs.orderBy(F.col("doc_a").asc(), F.col("doc_b").asc())

@@ -475,6 +475,69 @@ def resize_image_pixels(
     return df.select(id_col, content_col).mapInPandas(resize, schema=RESIZE_SCHEMA)
 
 
+AHASH_SCHEMA = "media_id bigint, ahash bigint, decoded boolean, error string"
+
+
+def image_ahash(
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    grid: int = 8,
+) -> DataFrame:
+    """Perceptual AVERAGE HASH over the real decode path — the classic
+    image near-dup fingerprint (aHash): decode (PNG inflate+unfilter or
+    baseline JPEG, the stdlib tiers) -> integer grayscale (channel mean
+    with floor division) -> nearest-neighbor sample to ``grid x grid``
+    -> one bit per cell, set iff ``n_cells * pixel > sum(pixels)`` (the
+    strictly-greater-than-mean test done in EXACT integers — no float
+    mean, so the hash is bit-reproducible on any engine, which is what
+    lets the catalog ORACLE restate it in closed form over the
+    deterministic fixtures). Bits pack MSB-first (cell (0,0) is bit 63
+    for the default 8x8 grid) into a two's-complement BIGINT so the
+    downstream Hamming distance is one ``bit_count(a ^ b)``.
+
+    Arrow-batched ``mapInPandas``; per-row codec failures land in
+    ``error`` (ahash NULL), the job never fails. Feed the result to
+    ``operators.dedup.hamming_hash_pairs`` for blocked near-dup pairs
+    — the image-side twin of the text SimHash pipeline."""
+    n_cells = grid * grid
+
+    def ahash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "ahash", "decoded", "error")}
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                rec = dict(
+                    media_id=int(mid), ahash=None, decoded=False, error=None
+                )
+                try:
+                    d = decode_any_image(blob)
+                    sw, sh, c = d["width"], d["height"], d["n_channels"]
+                    px = d["pixels"]
+                    cells = []
+                    for y in range(grid):
+                        sy = (y * sh) // grid
+                        for x in range(grid):
+                            sx = (x * sw) // grid
+                            base = (sy * sw + sx) * c
+                            cells.append(
+                                sum(px[base + ch] for ch in range(c)) // c
+                            )
+                    total = sum(cells)
+                    h = 0
+                    for v in cells:
+                        h = (h << 1) | (1 if n_cells * v > total else 0)
+                    if h >= 1 << 63:  # two's-complement BIGINT
+                        h -= 1 << 64
+                    rec.update(ahash=h, decoded=True)
+                except Exception as exc:  # noqa: BLE001
+                    rec["error"] = f"{type(exc).__name__}: {exc}"
+                for k, v in rec.items():
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, content_col).mapInPandas(ahash, schema=AHASH_SCHEMA)
+
+
 def synth_avi(df: DataFrame, id_col: str = "media_id", n_frames: int = 6) -> DataFrame:
     """Deterministic MJPEG-AVI fixture generator: ``n_frames`` frames of
     16x16 DC-only baseline JPEG per media id — frame f, block b carries

@@ -442,6 +442,84 @@ def simhash_pairs(
     )
 
 
+def hamming_hash_pairs(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 7,
+    chunks: int = 8,
+    eager: bool = True,
+) -> DataFrame:
+    """Near-dup pairs over a 64-bit fingerprint COLUMN (SimHash, image
+    aHash, any packed signature) with ``bit_count(a ^ b) <=
+    max_hamming``, blocked on equal bit-chunks so the join is keyed —
+    never all-pairs.
+
+    COMPLETENESS is pigeonhole-exact, not probabilistic, when
+    ``max_hamming < chunks``: fewer than ``chunks`` flipped bits cannot
+    touch every chunk, so every qualifying pair shares at least one
+    identical chunk and the blocked join finds it — which is what lets
+    an entry built on this carry a plain cross-join SQL oracle (the
+    text SimHash entry predates this and runs 6/4 probabilistic,
+    hence rows-only). The default 8 chunks of 8 bits guarantees
+    Hamming <= 7.
+
+    Shapes shared with ``simhash_pairs``: the narrow (id, hash) frame
+    persists before fan-out (the upstream hash is typically an
+    expensive Python decode — both join sides and every chunk key must
+    not re-run it), chunk keys are small ints (tiny shuffle payload),
+    and a pair colliding in k chunks survives exactly once via the
+    first-agreeing-chunk filter on the carried chunk arrays — no
+    post-join dedup exchange. Verification is one whole-stage
+    ``bit_count(xor)`` per candidate. Result is eagerly materialized
+    (localCheckpoint) so the working cache can be released; pass
+    ``eager=False`` to manage lifetimes yourself."""
+    if 64 % chunks:
+        raise ValueError("chunks must divide 64")
+    chunk_len = 64 // chunks
+    mask = (1 << chunk_len) - 1
+    h = (
+        spread(df)
+        .select(_col(id_col).alias("id"), _col(hash_col).alias("h"))
+        .persist()
+    )
+    # arithmetic >> then & mask is sign-safe: the mask cuts the filled
+    # sign bits, so the top chunk of a negative hash is still its 8 bits
+    chunk_arr = F.expr(
+        f"transform(sequence(0, {chunks - 1}),"
+        f" k -> CAST((h >> (64 - {chunk_len} * (k + 1))) & {mask} AS INT))"
+    )
+    chunked = h.select("id", "h", chunk_arr.alias("ch")).select(
+        "id", "h", "ch", F.posexplode("ch").alias("chunk_idx", "chunk")
+    )
+    a, b = chunked.alias("a"), chunked.hint("merge").alias("b")
+    first_chunk = F.array_position(
+        F.zip_with(F.col("a.ch"), F.col("b.ch"), lambda x, y: x == y),
+        F.lit(True),
+    )
+    hamming = F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h")))
+    out = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .where(first_chunk == F.col("a.chunk_idx") + 1)
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+    if not eager:
+        return out
+    result = out.localCheckpoint(eager=True)
+    h.unpersist()
+    return result
+
+
 # ---------------------------------------------------------------------------
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------

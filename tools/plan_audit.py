@@ -406,6 +406,10 @@ EXPECTATIONS: dict[str, list[str]] = {
     # HOF-free span construction), map-side-combined counts, limit as
     # TakeOrderedAndProject — no join, no Python
     "dedup_span_ngram": ["Window", "posexplode\\(split", "partial_count", "TakeOrderedAndProject", "!Join", "!ArrowEvalPython"],
+    # image aHash near-dup: Arrow-batched decode+hash fan-out, then the
+    # chunk-blocked spillable merge join verified by one whole-stage
+    # bit_count(xor) — never a cross product
+    "multimodal_image_dedup": ["MapInPandas", "bit_count", "SortMergeJoin", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
     # BPE pair table: two map-side-combinable aggregations (word counts,
     # then weighted pair counts over the |vocab|-sized frame) — the only
     # corpus-sized shuffle is the word-key exchange; no join, no Python
@@ -465,10 +469,28 @@ def main() -> int:
         )
         return embedding_lsh_pairs_stored(spark, path, threshold=0.45, eager=False)
 
+    def _lazy_image_dedup(spark, sf_dir):
+        from tdei_extract_load_service_spark.catalog import _read
+        from tdei_extract_load_service_spark.multimodal.binary_ops import (
+            image_ahash,
+            synth_png,
+        )
+        from tdei_extract_load_service_spark.operators.dedup import (
+            hamming_hash_pairs,
+        )
+        from tdei_extract_load_service_spark.session import spread
+
+        docs = spread(_read(spark, sf_dir, "documents").select("doc_id"))
+        return hamming_hash_pairs(
+            image_ahash(synth_png(docs, "doc_id")).where("decoded"),
+            "media_id", "ahash", max_hamming=4, chunks=8, eager=False,
+        )
+
     LAZY_OVERRIDES = {
         "dedup_embedding_lsh": _lazy_embedding_lsh,
         "dedup_embedding_lsh_stored": _lazy_embedding_lsh_stored,
         "dedup_winnow": _lazy_winnow,
+        "multimodal_image_dedup": _lazy_image_dedup,
     }
 
     sections, failures = [], []
