@@ -444,6 +444,7 @@ def timeout_session_shadow(
     sf_dir: str,
     n_batches: int = 4,
     metrics: dict | None = None,
+    impl: str = "group_state",
 ) -> DataFrame:
     """GroupState EVENT-TIME TIMEOUT, certified end to end — the
     ELEVENTH streaming certification, and the one custom-stateful-op
@@ -466,7 +467,15 @@ def timeout_session_shadow(
     stream_session_shadow, stated over epoch micros. ``metrics``
     receives per-path closure counts so the pytest can pin that the
     timeout branch genuinely fired (non-vacuous), plus sentinel
-    containment."""
+    containment.
+
+    ``impl`` selects the stateful API: ``group_state`` (GroupState +
+    implicit timeout, windows.stream_session_timeout) or ``tws`` (the
+    Spark-4 transformWithStateInPandas v2 API with typed ValueState and
+    REGISTERED TIMERS, windows.stream_session_tws — the TWELFTH
+    certification's subject; its timer-closed rows carry
+    ``closed_by='timer'``). Both must land on the identical session
+    set — the cross-API equality is pinned in pytest."""
     import shutil
 
     stage = stage_event_stream(spark, sf_dir, n_batches)
@@ -475,7 +484,12 @@ def timeout_session_shadow(
 
     from tdei_extract_load_service_spark.streaming.windows import (
         stream_session_timeout,
+        stream_session_tws,
     )
+
+    if impl not in ("group_state", "tws"):
+        raise ValueError("impl must be 'group_state' or 'tws'")
+    op = stream_session_timeout if impl == "group_state" else stream_session_tws
 
     def transform(src: DataFrame) -> DataFrame:
         ev = src.withColumn(
@@ -487,7 +501,7 @@ def timeout_session_shadow(
         ev = ev.withWatermark("ts", "0 seconds").select(
             "user_id", "ts", F.unix_micros("ts").alias("ts_us")
         )
-        return stream_session_timeout(ev)
+        return op(ev)
 
     src = (
         spark.readStream.schema(schema)
@@ -512,7 +526,8 @@ def timeout_session_shadow(
             (F.col("user_id") >= 0) & (F.col("closed_by") == "data")
         ).count()
         metrics["closed_by_timeout"] = emits.where(
-            (F.col("user_id") >= 0) & (F.col("closed_by") == "timeout")
+            (F.col("user_id") >= 0)
+            & (F.col("closed_by").isin("timeout", "timer"))
         ).count()
         metrics["sentinel_leaked"] = emits.where(F.col("user_id") < 0).count()
     result = (

@@ -727,6 +727,60 @@ class TestTimeoutSessionShadow:
         # every user's LAST session can only flush via the timeout path
         assert m["closed_by_timeout"] == len({u for u, *_ in want})
 
+    def test_tws_twin_matches_group_state(self, spark):
+        """Spark-4 transformWithStateInPandas twin (typed ValueState +
+        registered timers) must land on the IDENTICAL session set as the
+        GroupState implementation — cross-API equality. Skipped where
+        google.protobuf is absent (the v2 runtime's state-server
+        protocol; the operator itself env-gates with the install
+        recipe)."""
+        import pytest
+
+        pytest.importorskip("google.protobuf")
+        from tdei_extract_load_service_spark.streaming.shadow import (
+            timeout_session_shadow,
+        )
+
+        m1: dict = {}
+        m2: dict = {}
+        a = [
+            tuple(r)
+            for r in timeout_session_shadow(
+                spark, "/root/testdata/sf0.001", metrics=m1,
+                impl="group_state",
+            ).collect()
+        ]
+        b = [
+            tuple(r)
+            for r in timeout_session_shadow(
+                spark, "/root/testdata/sf0.001", metrics=m2, impl="tws"
+            ).collect()
+        ]
+        assert a == b
+        assert m2["closed_by_timeout"] == m1["closed_by_timeout"]
+        assert m2["sentinel_leaked"] == 0
+
+    def test_tws_gate_is_loud_without_protobuf(self, spark):
+        """Where protobuf is missing the v2 operator must refuse with
+        the actionable recipe, not crash the streaming runner."""
+        import importlib.util
+
+        import pytest
+
+        try:
+            present = importlib.util.find_spec("google.protobuf") is not None
+        except ModuleNotFoundError:
+            present = False
+        if present:
+            pytest.skip("protobuf present — gate inactive")
+        from tdei_extract_load_service_spark.streaming.windows import (
+            stream_session_tws,
+        )
+
+        ev = spark.readStream.format("rate").load()
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            stream_session_tws(ev)
+
 
 class TestSinkShadow:
     def test_exactly_once_snapshot_publication(self, spark, tmp_path):
