@@ -500,6 +500,10 @@ def image_ahash(
     ``error`` (ahash NULL), the job never fails. Feed the result to
     ``operators.dedup.hamming_hash_pairs`` for blocked near-dup pairs
     — the image-side twin of the text SimHash pipeline."""
+    if not 1 <= grid * grid <= 64:
+        # the hash packs one bit per cell into ONE bigint; grid > 8
+        # would silently truncate bits off the top
+        raise ValueError("grid*grid must be <= 64 (one bit per cell)")
     n_cells = grid * grid
 
     def ahash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

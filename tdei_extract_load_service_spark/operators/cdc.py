@@ -109,6 +109,9 @@ def table_changes(
     bucketed by key (``sinks/writers`` bucketed layout) the join plans
     zero-exchange, which is the nightly-diff shape for a 100 TB table:
     the diff costs the co-located merge, not a recompute."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty (else the diff "
+                         "degenerates to a cross join)")
     if set(v_from.columns) != set(v_to.columns):
         raise ValueError(
             "snapshots must share a schema: "

@@ -449,6 +449,7 @@ def hamming_hash_pairs(
     max_hamming: int = 7,
     chunks: int = 8,
     eager: bool = True,
+    allow_probabilistic: bool = False,
 ) -> DataFrame:
     """Near-dup pairs over a 64-bit fingerprint COLUMN (SimHash, image
     aHash, any packed signature) with ``bit_count(a ^ b) <=
@@ -476,6 +477,17 @@ def hamming_hash_pairs(
     ``eager=False`` to manage lifetimes yourself."""
     if 64 % chunks:
         raise ValueError("chunks must divide 64")
+    if max_hamming >= chunks and not allow_probabilistic:
+        # max_hamming flips can then cover EVERY chunk and a qualifying
+        # pair can be silently missed — the failure mode is invisible
+        # (fewer pairs, no error), so demand the caller opt in to
+        # Manku-style probabilistic blocking explicitly
+        raise ValueError(
+            f"max_hamming={max_hamming} >= chunks={chunks} makes the "
+            "blocking probabilistic (pigeonhole completeness needs "
+            "max_hamming < chunks); raise chunks or pass "
+            "allow_probabilistic=True"
+        )
     chunk_len = 64 // chunks
     mask = (1 << chunk_len) - 1
     h = (
@@ -1743,6 +1755,8 @@ def duplicate_spans(
 
     Output: ``(span, n_docs, n_occurrences)``, most-duplicated first
     (ties broken by span text), capped at ``top_k`` when given."""
+    if n < 1:
+        raise ValueError("span length n must be >= 1")
     toks = df.select(
         _col(id_col).alias("id"),
         F.posexplode(F.split(_col(text_col), " ")).alias("pos", "tok"),

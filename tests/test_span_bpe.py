@@ -243,3 +243,43 @@ class TestImageAhashDedup:
         )
         [r] = image_ahash(df).collect()
         assert not r["decoded"] and r["ahash"] is None and r["error"]
+
+
+def test_new_operator_guards(spark):
+    """The silent-failure guards: probabilistic blocking, bit overflow,
+    degenerate span length, key-less diff — each must refuse loudly."""
+    import pandas as pd
+    import pytest
+
+    from tdei_extract_load_service_spark.multimodal.binary_ops import (
+        image_ahash,
+    )
+    from tdei_extract_load_service_spark.operators.cdc import table_changes
+    from tdei_extract_load_service_spark.operators.dedup import (
+        duplicate_spans,
+        hamming_hash_pairs,
+    )
+
+    hdf = spark.createDataFrame(
+        pd.DataFrame({"id": [1, 2], "h": [0, 1]}).astype("int64")
+    )
+    with pytest.raises(ValueError, match="probabilistic"):
+        hamming_hash_pairs(hdf, "id", "h", max_hamming=8, chunks=8)
+    # the explicit opt-in works
+    assert (
+        hamming_hash_pairs(
+            hdf, "id", "h", max_hamming=8, chunks=8,
+            allow_probabilistic=True,
+        ).count()
+        == 1
+    )
+    bdf = spark.createDataFrame(
+        pd.DataFrame({"media_id": [1], "content": [b"x"]})
+    )
+    with pytest.raises(ValueError, match="64"):
+        image_ahash(bdf, grid=9)
+    tdf = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["a"]}))
+    with pytest.raises(ValueError, match=">= 1"):
+        duplicate_spans(tdf, "doc_id", "text", n=0)
+    with pytest.raises(ValueError, match="key_cols"):
+        table_changes(tdf, tdf, [])
