@@ -169,6 +169,11 @@ HEADLINE_EXTENSIONS = (
     "dedup_span_ngram",
     "text_bpe_pairs",
     "table_changes",
+    # dedup_simhash_exact is EXCLUDED from the headline as an ORACLE
+    # TWIN: dedup_simhash above carries the SimHash perf trendline with
+    # cheap xxhash64 word hashes; the md5-nibble twin exists for value
+    # certification (2x md5 per word, ~5s at sf0.1 — correctness runs
+    # at sf0.01, plan audited like the other dedup joins).
     # multimodal_image_dedup is EXCLUDED from the sf0.1 headline for the
     # same fixture pathology as dedup_winnow below: the synthetic pixel
     # streams make identical-aHash clusters whose size grows with the

@@ -348,14 +348,23 @@ def lsh_band_candidates(sig_df: DataFrame, num_hashes: int, bands: int) -> DataF
 # ---------------------------------------------------------------------------
 
 
-def simhash_bits(text: str | Column, bits: int = 64) -> Column:
+def simhash_bits(
+    text: str | Column, bits: int = 64, word_hash=None
+) -> Column:
     """SimHash bit vector (array<int> of 0/1, length ``bits``).
 
-    Per word: xxhash64 → two's-complement bit string (``bin`` + ``lpad``);
-    accumulate +1/-1 per position over all words (Charikar '02), then
-    threshold at 0. Entirely fold/zip_with — no shuffle, no UDF.
+    Per word: a 64-bit hash → two's-complement bit string (``bin`` +
+    ``lpad``); accumulate +1/-1 per position over all words (Charikar
+    '02), then threshold at 0. Entirely fold/zip_with — no shuffle, no
+    UDF. ``word_hash`` (Column -> 64-bit long Column) defaults to
+    ``xxhash64``; pass :func:`md5_word_hash` for the engine-mirrorable
+    family the oracle-checked twin uses.
     """
-    word_hashes = F.transform(F.split(_col(text), " "), lambda w: F.xxhash64(w))
+    if word_hash is None:
+        word_hash = F.xxhash64
+    # the explicit lambda matters: xxhash64's *cols signature is
+    # VAR_POSITIONAL, which the HOF lambda-arity validator rejects
+    word_hashes = F.transform(F.split(_col(text), " "), lambda w: word_hash(w))
     def bit_contrib(h: Column) -> Column:
         bstr = F.lpad(F.bin(h), 64, "0")
         return F.transform(
@@ -368,6 +377,51 @@ def simhash_bits(text: str | Column, bits: int = 64) -> Column:
         lambda acc, h: F.zip_with(acc, bit_contrib(h), lambda a, c: a + c),
     )
     return F.transform(acc, lambda v: F.when(v > 0, 1).otherwise(0))
+
+
+def md5_word_hash(w: Column) -> Column:
+    """The 16 leading hex nibbles of ``md5(word)`` as a two's-complement
+    BIGINT — a word-hash family an external SQL engine can restate
+    exactly (DuckDB reads the same bits straight off the md5 hex
+    nibbles), unlike xxhash64. Built from two conv() halves with the
+    sign applied BEFORE the shift so the widening multiply can never
+    overflow under ANSI (hi_signed*2^32 + lo <= 2^63 - 1 exactly)."""
+    hi = F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(F.md5(w), 9, 8), 16, 10).cast("long")
+    hi_signed = F.when(hi >= F.lit(2**31), hi - F.lit(2**32)).otherwise(hi)
+    return hi_signed * F.lit(2**32).cast("long") + lo
+
+
+def simhash_md5_bits(text: str | Column) -> Column:
+    """SimHash(64) bit vector over md5-derived word hashes — the
+    ENGINE-MIRRORABLE twin of the xxhash64 form (whose word hashes have
+    no DuckDB counterpart, which is why ``dedup_simhash`` is a
+    rows-only entry): identical Charikar vote accumulation via
+    :func:`simhash_bits`, word hashes from :func:`md5_word_hash`, so
+    the fingerprints are bit-identical across engines and a SimHash
+    entry can carry a full value oracle. (A first cut decoded each of
+    the 64 bits with its own per-character CASE chain — 64 interpreted
+    CASE evaluations per word, 37s at sf0.1; routing through the
+    ``bin()`` string form the xxhash twin uses is ~20x cheaper.)"""
+    return simhash_bits(text, word_hash=md5_word_hash)
+
+
+def pack_bits64(bits: Column) -> Column:
+    """Pack a 64-element 0/1 int array (MSB first) into a
+    two's-complement BIGINT, ANSI-overflow-safe: the 63 low bits fold
+    as ``acc*2 + b`` (max 2^63 - 1, never overflows) and the sign bit
+    adds ``-2^63`` separately — ``acc*2`` on the full 64 would throw
+    under ANSI exactly when the MSB is set."""
+    low = F.aggregate(
+        F.slice(bits, 2, 63),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc * 2 + b,
+    )
+    return (
+        F.when(F.element_at(bits, 1) == 1, F.lit(-(2**63)).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        + low
+    )
 
 
 def simhash_pairs(
@@ -495,6 +549,12 @@ def hamming_hash_pairs(
         .select(_col(id_col).alias("id"), _col(hash_col).alias("h"))
         .persist()
     )
+    # materialize the cache EAGERLY: the join's two sides (and their
+    # sort stages) otherwise race to fill it and each recomputes the
+    # upstream hash expression — measured 33s -> ~7s at sf0.1 on the
+    # md5-SimHash entry (the hash is ~100 md5s + a 64-wide vote fold
+    # per row; computing it once is the whole point of the persist)
+    h.count()
     # arithmetic >> then & mask is sign-safe: the mask cuts the filled
     # sign bits, so the top chunk of a negative hash is still its 8 bits
     chunk_arr = F.expr(

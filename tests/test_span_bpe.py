@@ -283,3 +283,50 @@ def test_new_operator_guards(spark):
         duplicate_spans(tdf, "doc_id", "text", n=0)
     with pytest.raises(ValueError, match="key_cols"):
         table_changes(tdf, tdf, [])
+
+
+def test_simhash_md5_matches_python_reference(spark):
+    """The md5-nibble word-hash family (the engine-mirrorable SimHash
+    twin) must reproduce the pure-python construction bit-for-bit —
+    packed fingerprint included (ANSI-safe sign-split packing)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from tdei_extract_load_service_spark.operators.dedup import (
+        pack_bits64,
+        simhash_md5_bits,
+    )
+
+    texts = [
+        "alpha beta gamma alpha",
+        "alpha beta gamma delta",
+        "one",
+        "repeated repeated repeated",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i long, text string")
+    got = {
+        r["i"]: r["h"]
+        for r in df.select(
+            "i", pack_bits64(simhash_md5_bits("text")).alias("h")
+        ).collect()
+    }
+
+    def ref(text):
+        votes = [0] * 64
+        for w in text.split(" "):
+            v = int(hashlib.md5(w.encode()).hexdigest()[:16], 16)
+            for j in range(64):
+                votes[j] += 1 if (v >> (63 - j)) & 1 else -1
+        h = 0
+        for j in range(64):
+            h = (h << 1) | (1 if votes[j] > 0 else 0)
+        return h - (1 << 64) if h >= 1 << 63 else h
+
+    assert got == {i: ref(t) for i, t in enumerate(texts)}
+    # identical texts -> identical fingerprints; similar -> closer than
+    # dissimilar (the property SimHash exists for)
+    d01 = bin((got[0] ^ got[1]) & ((1 << 64) - 1)).count("1")
+    d02 = bin((got[0] ^ got[2]) & ((1 << 64) - 1)).count("1")
+    assert d01 < d02

@@ -406,6 +406,9 @@ EXPECTATIONS: dict[str, list[str]] = {
     # HOF-free span construction), map-side-combined counts, limit as
     # TakeOrderedAndProject — no join, no Python
     "dedup_span_ngram": ["Window", "posexplode\\(split", "partial_count", "TakeOrderedAndProject", "!Join", "!ArrowEvalPython"],
+    # oracle-checked SimHash twin: JVM-side hash fold (no Python), the
+    # chunk-blocked spillable merge join, bit_count(xor) verify
+    "dedup_simhash_exact": ["bit_count", "SortMergeJoin", "!ArrowEvalPython", "!BatchEvalPython", "!CartesianProduct"],
     # image aHash near-dup: Arrow-batched decode+hash fan-out, then the
     # chunk-blocked spillable merge join verified by one whole-stage
     # bit_count(xor) — never a cross product
@@ -486,11 +489,31 @@ def main() -> int:
             "media_id", "ahash", max_hamming=4, chunks=8, eager=False,
         )
 
+    def _lazy_simhash_exact(spark, sf_dir):
+        from tdei_extract_load_service_spark.catalog import _read
+        from tdei_extract_load_service_spark.operators.dedup import (
+            hamming_hash_pairs,
+            pack_bits64,
+            simhash_md5_bits,
+        )
+        from tdei_extract_load_service_spark.session import spread
+        from pyspark.sql import functions as F
+
+        docs = spread(_read(spark, sf_dir, "documents").select("doc_id", "text"))
+        sh = docs.select(
+            F.col("doc_id").alias("id"),
+            pack_bits64(simhash_md5_bits("text")).alias("sh64"),
+        )
+        return hamming_hash_pairs(
+            sh, "id", "sh64", max_hamming=7, chunks=8, eager=False
+        )
+
     LAZY_OVERRIDES = {
         "dedup_embedding_lsh": _lazy_embedding_lsh,
         "dedup_embedding_lsh_stored": _lazy_embedding_lsh_stored,
         "dedup_winnow": _lazy_winnow,
         "multimodal_image_dedup": _lazy_image_dedup,
+        "dedup_simhash_exact": _lazy_simhash_exact,
     }
 
     sections, failures = [], []
