@@ -169,6 +169,10 @@ HEADLINE_EXTENSIONS = (
     "dedup_span_ngram",
     "text_bpe_pairs",
     "table_changes",
+    # dedup_minhash_exact is likewise EXCLUDED as the ORACLE TWIN of
+    # dedup_minhash_lsh above (md5 base hashes + seeded linear
+    # permutations for cross-engine value certification; the xxhash64
+    # original carries the MinHash perf trendline).
     # dedup_simhash_exact is EXCLUDED from the headline as an ORACLE
     # TWIN: dedup_simhash above carries the SimHash perf trendline with
     # cheap xxhash64 word hashes; the md5-nibble twin exists for value

@@ -338,12 +338,13 @@ from tdei_extract_load_service_spark.catalog_entries import (  # noqa: E402,F401
 # column_profile, column_profile_categorical) = 50.
 #
 # ROUND-12 WINDOW (pre-committed): contract (20) + rule (a) — every
-# round-11 registration, TWELVE in all (stream_enrich_shadow,
+# round-11 registration, THIRTEEN in all (stream_enrich_shadow,
 # embedding_lsh_probe_multiband, dedup_bloom_prefilter,
 # distinct_rollup_windows, stream_late_data_shadow, and the third wave:
 # dedup_span_ngram, text_bpe_pairs, stream_outer_join_shadow,
 # table_changes, stream_timeout_shadow, multimodal_image_dedup,
-# dedup_simhash_exact) — + rule (b) oldest-first: the remaining 27
+# dedup_simhash_exact, dedup_minhash_exact) — + rule (b) oldest-first:
+# the remaining 27
 # r7-cohort entries (corpus_prep, dedup_cluster, dedup_embedding_lsh,
 # dedup_winnow, dynamic_query, embedding_quantize, grouped_normalize,
 # histogram_auto, join_asof, join_range, multimodal_decode,
@@ -352,14 +353,14 @@ from tdei_extract_load_service_spark.catalog_entries import (  # noqa: E402,F401
 # text_pack_sequences, text_repetition_stats, text_tfidf_topk,
 # text_winnow_fingerprint, tpch_q1_pricing_summary,
 # tpch_q3_shipping_priority, tpch_q5_local_volume,
-# tpch_q6_forecast_revenue, window_tumbling) — 20 + 12 + 27 = 59 > 50,
-# so per the drop-from-the-TAIL rule the nine alphabetical-tail r7
-# entries (text_repetition_stats, text_tfidf_topk,
+# tpch_q6_forecast_revenue, window_tumbling) — 20 + 13 + 27 = 60 > 50,
+# so per the drop-from-the-TAIL rule TEN alphabetical-tail r7 entries
+# (text_pack_sequences, text_repetition_stats, text_tfidf_topk,
 # text_winnow_fingerprint, tpch_q1_pricing_summary,
 # tpch_q3_shipping_priority, tpch_q5_local_volume,
-# tpch_q6_forecast_revenue, window_tumbling, text_pack_sequences)
+# tpch_q6_forecast_revenue, window_tumbling, similarity_ivf_kmeans)
 # defer to r13, which begins the r8 cohort sweep (25 entries) plus
-# those nine.
+# those ten.
 DRIVER_WINDOW: list[str] = [
     # --- the 20-op v1 engine contract (SURVEY §2.4, permanent) ---
     "scan",

@@ -668,3 +668,33 @@ def q_dedup_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cluster_id").asc())
     )
+
+
+@register(
+    "dedup_minhash_exact",
+    ORACLES.minhash_md5_oracle_sql(
+        n=3, num_hashes=64, bands=16, threshold=0.5, seed=2024
+    ),
+)
+def q_dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + LSH(16 bands) near-dup pairs, FULLY VALUE-ORACLE-
+    CHECKED — the upgrade dedup_minhash_lsh's xxhash64 signatures could
+    never have: one md5 base hash per shingle (leading 8 hex chars,
+    parsed identically by Spark conv() and DuckDB's '0x' cast) fans out
+    through 64 SEEDED linear permutations (a*h + b) % (2^61-1) — pure
+    ANSI-safe integer arithmetic — so the oracle restates the whole
+    construction: signatures, band collisions, first-collision dedup
+    AND the integer match count. Candidates are pairs sharing at least
+    one full band; a pair survives at estimated Jaccard >= 0.5
+    (n_matching >= 32). The xxhash64 original stays on the bench
+    trendline as the cheap-hash production form (operators/dedup.py
+    minhash_md5_pairs; one md5 per shingle — the 64-way fan-out is
+    integer ops over the persisted base array)."""
+    from tdei_extract_load_service_spark.operators.dedup import (
+        minhash_md5_pairs,
+    )
+
+    return minhash_md5_pairs(
+        _read(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, num_hashes=64, bands=16, threshold=0.5, seed=2024,
+    ).orderBy(F.col("doc_a").asc(), F.col("doc_b").asc())

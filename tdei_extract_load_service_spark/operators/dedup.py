@@ -303,6 +303,146 @@ def minhash_lsh_pairs(
     )
 
 
+#: 2^61 - 1 (Mersenne prime): the permutation modulus. a*h + b stays
+#: under 2^63 for a,b < 2^31 and h < 2^32, so the arithmetic is
+#: ANSI-overflow-safe on both engines.
+_MINHASH_P = (1 << 61) - 1
+
+
+def minhash_md5_coeffs(
+    num_hashes: int = 64, seed: int = 2024
+) -> list[tuple[int, int]]:
+    """Seeded (a, b) pairs for the linear MinHash permutations
+    ``(a*h + b) % P`` — driver-side PRNG integers injected as literals
+    into BOTH engines (the seeded-literals discipline the LSH planes and
+    PQ codebooks use). ``a`` is odd and positive; both under 2^31 so the
+    permutation never overflows a BIGINT."""
+    import random
+
+    rnd = random.Random(seed)
+    return [
+        (rnd.randrange(1, 2**31) | 1, rnd.randrange(0, 2**31))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_md5_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 2024,
+    eager: bool = True,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, ENGINE-MIRRORABLE — the
+    value-certifiable twin of :func:`minhash_lsh_pairs` (whose xxhash64
+    signatures keep ``dedup_minhash_lsh`` rows-only): ONE md5 base hash
+    per shingle (its leading 8 hex chars as a 32-bit integer — DuckDB
+    parses the identical value with a '0x' cast) fans out through
+    ``num_hashes`` seeded linear permutations ``(a*h + b) % (2^61-1)``
+    — pure ANSI-safe integer arithmetic both engines state verbatim, so
+    signatures, band collisions AND match counts are bit-identical and
+    the catalog oracle can restate the ENTIRE construction (not just a
+    verify closure).
+
+    Shape: the (id, base-hash array) frame persists once (one md5 per
+    DISTINCT shingle occurrence — the 64-permutation fan-out is integer
+    ops over the cached array, never 64 md5s); banded self-join on
+    per-band signature-slice keys with the first-collision-band filter
+    (no pair-dedup exchange); a pair survives when its estimated
+    Jaccard — ``n_matching / num_hashes`` — reaches ``threshold``.
+    Returns ``(doc_a, doc_b, n_matching)``; the estimate stays an exact
+    INTEGER so no float ever crosses an engine boundary."""
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    rows_per_band = num_hashes // bands
+    coeffs = minhash_md5_coeffs(num_hashes, seed)
+    base = (
+        spread(df)
+        .select(
+            _col(id_col).alias("id"),
+            F.transform(
+                word_shingles(text_col, n),
+                lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast(
+                    "long"
+                ),
+            ).alias("hb"),
+        )
+        .persist()
+    )
+    base.count()  # fill the cache before the 64-way fan-out references it
+    def _perm(a: int, b: int):
+        # a closure factory, NOT default-arg binding: pyspark counts a
+        # lambda's parameters to pick the HOF arity, so `lambda h, a=a`
+        # reads as the 3-argument form and fails analysis
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MINHASH_P)
+
+    sig_cols = [
+        F.array_min(F.transform(F.col("hb"), _perm(a, b))).alias(f"_m{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    # materialize the 64 signature columns behind a cache BARRIER: the
+    # band keys and the carried sig array reference them ~3x each, and
+    # projection collapse would clone all 64 transform trees into every
+    # consumer — the resulting Column tree OOMed the DRIVER during
+    # analysis before a single task ran (the huge-Column-tree failure
+    # mode, this time in plan space). Behind the persist they are plain
+    # attributes.
+    sigs = base.select("id", *sig_cols).persist()
+    sigs.count()
+    base.unpersist()
+    band_cols = [
+        F.concat_ws(
+            ",",
+            *[
+                F.col(f"_m{b * rows_per_band + j}").cast("string")
+                for j in range(rows_per_band)
+            ],
+        ).alias(f"_bd{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        "id",
+        F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("sig"),
+        F.array(*band_cols).alias("bd"),
+    ).select("id", "sig", "bd", F.posexplode("bd").alias("band_idx", "band"))
+    a_s, b_s = banded.alias("a"), banded.hint("merge").alias("b")
+    first_band = F.array_position(
+        F.zip_with(F.col("a.bd"), F.col("b.bd"), lambda x, y: x == y),
+        F.lit(True),
+    )
+    n_matching = F.size(
+        F.filter(
+            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    min_match = int(threshold * num_hashes)
+    out = (
+        a_s.join(
+            b_s,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .where(first_band == F.col("a.band_idx") + 1)
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            n_matching.cast("int").alias("n_matching"),
+        )
+        .where(F.col("n_matching") >= min_match)
+    )
+    if not eager:
+        return out
+    result = out.localCheckpoint(eager=True)
+    sigs.unpersist()
+    return result
+
+
 def _band_hashes(num_hashes: int, bands: int) -> Column:
     """Per-band bucket ids from a ``sig`` column: xxhash64 of the band's
     row slice (hashed as an array value directly) salted with the band

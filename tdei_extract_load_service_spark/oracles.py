@@ -385,3 +385,74 @@ def ivf_pq_oracle_sql(
     ORDER BY approx_dist ASC, id ASC
     LIMIT {k}
     """
+
+
+def minhash_md5_oracle_sql(
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 2024,
+) -> str:
+    """Exact restatement of ``dedup.minhash_md5_pairs`` — shingles, md5
+    base hashes ('0x' hex cast), the seeded linear permutations (same
+    driver-side PRNG literals), banded candidates AND the integer match
+    count — so the approximate operator's whole construction is
+    value-certified, not just a verify closure."""
+    from tdei_extract_load_service_spark.operators.dedup import (
+        _MINHASH_P,
+        minhash_md5_coeffs,
+    )
+
+    coeffs = minhash_md5_coeffs(num_hashes, seed)
+    rpb = num_hashes // bands
+    sig_items = ",\n               ".join(
+        f"list_aggregate(list_transform(hb, h -> ({a} * h + {b}) % {_MINHASH_P}), 'min')"
+        for a, b in coeffs
+    )
+    band_items = ",\n               ".join(
+        "concat_ws(','"
+        + "".join(
+            f", sig[{b * rpb + j + 1}]::VARCHAR" for j in range(rpb)
+        )
+        + ")"
+        for b in range(bands)
+    )
+    min_match = int(threshold * num_hashes)
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text, ' ')) - {n - 1}, 0)),
+               i -> array_to_string(string_split(text, ' ')[i:i+{n - 1}], ' '))) AS sh
+      FROM documents
+    ),
+    hbase AS (
+      SELECT doc_id,
+             list_transform(sh,
+               s -> CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)) AS hb
+      FROM d
+    ),
+    s AS (
+      SELECT doc_id,
+             [{sig_items}] AS sig
+      FROM hbase
+    ),
+    bnd AS (
+      SELECT doc_id, sig,
+             [{band_items}] AS bd
+      FROM s
+    ),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_filter(generate_series(1, {num_hashes}),
+                  k -> a.sig[k] = b.sig[k])) AS INT) AS n_matching
+      FROM bnd a, bnd b
+      WHERE a.doc_id < b.doc_id
+        AND len(list_filter(generate_series(1, {bands}),
+                bb -> a.bd[bb] = b.bd[bb])) > 0
+    )
+    SELECT doc_a, doc_b, n_matching FROM p
+    WHERE n_matching >= {min_match}
+    ORDER BY doc_a ASC, doc_b ASC
+    """

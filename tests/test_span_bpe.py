@@ -330,3 +330,61 @@ def test_simhash_md5_matches_python_reference(spark):
     d01 = bin((got[0] ^ got[1]) & ((1 << 64) - 1)).count("1")
     d02 = bin((got[0] ^ got[2]) & ((1 << 64) - 1)).count("1")
     assert d01 < d02
+
+
+def test_minhash_md5_matches_python_reference(spark):
+    """The md5-based MinHash twin: signatures from the seeded linear
+    permutations must reproduce the pure-python construction, and the
+    banded pair set must equal brute force over the same signatures
+    (candidates, first-band dedup and match counts)."""
+    import hashlib
+    import random
+
+    from tdei_extract_load_service_spark.operators.dedup import (
+        _MINHASH_P,
+        minhash_md5_coeffs,
+        minhash_md5_pairs,
+    )
+
+    texts = {
+        1: "a b c d e f g h",
+        2: "a b c d e f g x",      # high overlap with 1
+        3: "a b c d e f g h",      # exact dup of 1 -> all bands collide
+        4: "p q r s t u v w",      # disjoint
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    got = sorted(
+        tuple(r)
+        for r in minhash_md5_pairs(
+            df, "doc_id", "text", n=3, num_hashes=64, bands=16,
+            threshold=0.5,
+        ).collect()
+    )
+
+    coeffs = minhash_md5_coeffs(64, 2024)
+
+    def sig(text):
+        toks = text.split(" ")
+        sh = list(dict.fromkeys(
+            " ".join(toks[i:i + 3]) for i in range(len(toks) - 2)
+        ))
+        hb = [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in sh]
+        return [min((a * h + b) % _MINHASH_P for h in hb) for a, b in coeffs]
+
+    sigs = {k: sig(t) for k, t in texts.items()}
+    want = []
+    for a in sorted(sigs):
+        for b in sorted(sigs):
+            if a >= b:
+                continue
+            sa, sb = sigs[a], sigs[b]
+            bands_hit = any(
+                sa[4 * i:4 * i + 4] == sb[4 * i:4 * i + 4] for i in range(16)
+            )
+            n_match = sum(x == y for x, y in zip(sa, sb))
+            if bands_hit and n_match >= 32:
+                want.append((a, b, n_match))
+    assert got == sorted(want)
+    assert (1, 3, 64) in got  # the exact dup: every component matches

@@ -406,6 +406,9 @@ EXPECTATIONS: dict[str, list[str]] = {
     # HOF-free span construction), map-side-combined counts, limit as
     # TakeOrderedAndProject — no join, no Python
     "dedup_span_ngram": ["Window", "posexplode\\(split", "partial_count", "TakeOrderedAndProject", "!Join", "!ArrowEvalPython"],
+    # oracle-checked MinHash twin: signatures behind a cache barrier
+    # (plain attributes downstream), banded merge self-join, no Python
+    "dedup_minhash_exact": ["SortMergeJoin", "InMemoryTableScan", "!ArrowEvalPython", "!BatchEvalPython", "!CartesianProduct"],
     # oracle-checked SimHash twin: JVM-side hash fold (no Python), the
     # chunk-blocked spillable merge join, bit_count(xor) verify
     "dedup_simhash_exact": ["bit_count", "SortMergeJoin", "!ArrowEvalPython", "!BatchEvalPython", "!CartesianProduct"],
@@ -489,6 +492,17 @@ def main() -> int:
             "media_id", "ahash", max_hamming=4, chunks=8, eager=False,
         )
 
+    def _lazy_minhash_exact(spark, sf_dir):
+        from tdei_extract_load_service_spark.catalog import _read
+        from tdei_extract_load_service_spark.operators.dedup import (
+            minhash_md5_pairs,
+        )
+
+        return minhash_md5_pairs(
+            _read(spark, sf_dir, "documents"), "doc_id", "text",
+            n=3, num_hashes=64, bands=16, threshold=0.5, eager=False,
+        )
+
     def _lazy_simhash_exact(spark, sf_dir):
         from tdei_extract_load_service_spark.catalog import _read
         from tdei_extract_load_service_spark.operators.dedup import (
@@ -514,6 +528,7 @@ def main() -> int:
         "dedup_winnow": _lazy_winnow,
         "multimodal_image_dedup": _lazy_image_dedup,
         "dedup_simhash_exact": _lazy_simhash_exact,
+        "dedup_minhash_exact": _lazy_minhash_exact,
     }
 
     sections, failures = [], []
