@@ -169,6 +169,12 @@ HEADLINE_EXTENSIONS = (
     "dedup_span_ngram",
     "text_bpe_pairs",
     "table_changes",
+    # round-11 fourth wave: graph/DQ/merge/containment/batch-ANN
+    "graph_triangles",
+    "dq_expectations",
+    "merge_upsert",
+    "dedup_ngram_containment",
+    "embedding_knn_batch",
     # dedup_minhash_exact is likewise EXCLUDED as the ORACLE TWIN of
     # dedup_minhash_lsh above (md5 base hashes + seeded linear
     # permutations for cross-engine value certification; the xxhash64

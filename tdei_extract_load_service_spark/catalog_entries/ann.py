@@ -326,3 +326,33 @@ def q_similarity_ivf_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFra
     return ivf_pq_topk_stored(
         spark, merged, model_rows, _query_vec(spark, sf_dir), cbs, k=10, n_probe=4
     )
+
+
+@register("embedding_knn_batch", ORACLES.lsh_batch_topk_oracle_sql(k=5, stride=100, n_planes=4))
+def q_embedding_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH bucketed ANN (operators/similarity.py lsh_bucket_topk_batch):
+    top-5 per query for the sampled query batch ``vec_id % 100 = 0`` as
+    ONE bucket-equi join + ONE ranking window — the production serving
+    shape for "top-k for these 10M users" (single-query probes cost one
+    scheduled job each; the batch form is a join). Identical plane
+    literals to similarity_lsh_bucketed, so buckets — and therefore the
+    result — are bit-identical with per-query single probes; the oracle
+    restates the whole pipeline including the rank."""
+    from tdei_extract_load_service_spark.operators.similarity import (
+        lsh_bucket_topk_batch,
+        make_planes,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return lsh_bucket_topk_batch(
+        emb,
+        "vec_id",
+        "embedding",
+        emb.where(F.col("vec_id") % 100 == 0),
+        "vec_id",
+        "embedding",
+        k=5,
+        dim=64,
+        n_planes=4,
+        planes=make_planes(4, 64),
+    ).orderBy(F.col("query_id").asc(), F.col("rnk").asc())

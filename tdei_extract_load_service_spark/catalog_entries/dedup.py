@@ -84,6 +84,44 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_ngram_containment",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+               i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
+      FROM documents
+    )
+    SELECT doc_a, doc_b, containment, jaccard FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             ROUND(len(list_intersect(a.sh, b.sh))
+                   / least(len(a.sh), len(b.sh)), 6) AS containment,
+             ROUND(len(list_intersect(a.sh, b.sh))
+                   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+      FROM d a, d b
+      WHERE a.doc_id < b.doc_id
+    ) WHERE containment >= 0.9
+    """,
+)
+def q_dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram CONTAINMENT pairs at >= 0.9 (Broder's asymmetric
+    coefficient |A∩B|/min(|A|,|B|)) — the sub-document-duplication
+    signal Jaccard structurally misses (a boilerplate block inside a
+    long page unions away). Same inverted-index blocking as
+    dedup_ngram_jaccard; both coefficients emitted so the value hash
+    certifies the containment arithmetic even where the fixture's pair
+    set coincides with the Jaccard one."""
+    from tdei_extract_load_service_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    return ngram_containment_pairs(
+        _read(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.9
+    )
+
+
 @register("dedup_minhash_lsh", None)
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + LSH(16 bands) candidate pairs with estimated

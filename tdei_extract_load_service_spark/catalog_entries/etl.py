@@ -1229,3 +1229,87 @@ def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice_before").alias("price_before"),
         F.col("o_totalprice_after").alias("price_after"),
     ).orderBy(F.col("o_orderkey").asc())
+
+
+@register(
+    "merge_upsert",
+    """
+    WITH upd AS (
+      SELECT c_custkey AS k,
+             CAST(c_custkey % 500 - 250 AS DOUBLE) AS delta,
+             c_custkey % 21 = 0 AS is_del
+      FROM customer WHERE c_custkey % 7 = 0
+    ),
+    ins AS (
+      SELECT c_custkey + 1000000 AS k,
+             concat('NEW#', CAST(c_custkey AS VARCHAR)) AS new_name,
+             CAST(c_custkey % 1000 AS DOUBLE) AS bal
+      FROM customer WHERE c_custkey % 13 = 0
+    ),
+    kept AS (
+      SELECT c.c_custkey, c.c_name,
+             CASE WHEN u.k IS NULL THEN c.c_acctbal
+                  ELSE c.c_acctbal + u.delta END AS acctbal,
+             c.c_mktsegment
+      FROM customer c LEFT JOIN upd u ON c.c_custkey = u.k
+      WHERE u.k IS NULL OR NOT u.is_del
+    )
+    SELECT * FROM kept
+    UNION ALL
+    SELECT k AS c_custkey, new_name AS c_name, bal AS acctbal,
+           'NEW' AS c_mktsegment
+    FROM ins
+    ORDER BY c_custkey ASC
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Condition-driven MERGE INTO (operators/cdc.py merge_upsert) —
+    the warehouse-migration idiom cdc_apply's op-column feed cannot
+    express: actions DERIVED from match state and predicates. One
+    deterministic source frame carries all three arms — matched
+    updates (custkey % 7: balance += delta), matched deletes
+    (% 21: ``WHEN MATCHED AND is_del THEN DELETE``), and inserts
+    (% 13, keys offset by 1e6 so they never match). The ORACLE
+    reconstructs the merge through the independent
+    left-join + anti-filter + union formulation; the Spark side is
+    ONE full-outer sort-merge join (full outer cannot broadcast). The
+    unchanged arm emits the target double untouched (no +0.0) so
+    kept balances are bit-identical on both engines."""
+    from tdei_extract_load_service_spark.operators.cdc import merge_upsert
+
+    cust = _read(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    key = F.col("c_custkey")
+    upd = cust.where(key % 7 == 0).select(
+        key.alias("c_custkey"),
+        (key % 500 - 250).cast("double").alias("delta"),
+        (key % 21 == 0).alias("is_del"),
+        F.lit(None).cast("string").alias("new_name"),
+    )
+    ins = cust.where(key % 13 == 0).select(
+        (key + 1000000).alias("c_custkey"),
+        (key % 1000).cast("double").alias("delta"),
+        F.lit(False).alias("is_del"),
+        F.concat(F.lit("NEW#"), key.cast("string")).alias("new_name"),
+    )
+    merged = merge_upsert(
+        cust,
+        upd.unionByName(ins),
+        ["c_custkey"],
+        update_set={
+            "c_acctbal": F.col("t.c_acctbal") + F.col("s.delta"),
+        },
+        matched_delete=F.col("s.is_del"),
+        insert_values={
+            "c_name": F.col("s.new_name"),
+            "c_acctbal": F.col("s.delta"),
+            "c_mktsegment": F.lit("NEW"),
+        },
+    )
+    return merged.select(
+        "c_custkey",
+        "c_name",
+        F.col("c_acctbal").alias("acctbal"),
+        "c_mktsegment",
+    ).orderBy(F.col("c_custkey").asc())

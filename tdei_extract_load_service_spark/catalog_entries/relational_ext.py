@@ -1372,3 +1372,144 @@ def q_zorder_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder_range_scan(
         spark, path, spec, 256, 1023, 50000, 150000
     ).orderBy(F.col("o_orderkey").asc())
+
+
+@register(
+    "graph_triangles",
+    """
+    WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 3 = 0),
+    e0 AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e0 e1
+      JOIN e0 e2 ON e1.v = e2.u
+      JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT node, COUNT(*) AS n_triangles FROM (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    ) GROUP BY node ORDER BY node ASC
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the co-purchase graph (parts
+    sharing an order; endpoint sample ``l_partkey % 3 = 0`` scopes the
+    demo graph the way join_fuzzy scopes its dirty side — the operator
+    itself is corpus-general). Spark runs DEGREE-ORDERED edge
+    orientation (operators/graph.py triangle_counts — wedges rooted
+    only at the minimum-degree vertex, out-degrees bounded O(sqrt m)
+    regardless of hub skew); the ORACLE derives the identical counts
+    through the INDEPENDENT id-ordered a<b<c triple join, so the
+    orientation machinery is value-certified, not just row-counted."""
+    from tdei_extract_load_service_spark.operators.graph import triangle_counts
+
+    li = (
+        _read(spark, sf_dir, "lineitem")
+        .where(F.col("l_partkey") % 3 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+    return triangle_counts(edges, "u", "v").orderBy(F.col("node").asc())
+
+
+@register(
+    "dq_expectations",
+    """
+    WITH m AS (
+      SELECT COUNT(*) AS n,
+             COUNT(o_orderkey) AS nn_key,
+             COUNT(DISTINCT o_orderkey) AS nd_key,
+             SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM',
+                                               '4-NOT SPECIFIED','5-LOW')
+                      THEN 1 ELSE 0 END) AS acc_pri,
+             SUM(CASE WHEN o_orderstatus IN ('F','O') THEN 1 ELSE 0 END) AS acc_status,
+             SUM(CASE WHEN o_totalprice BETWEEN 1000 AND 300000
+                      THEN 1 ELSE 0 END) AS in_range
+      FROM orders
+    )
+    SELECT rule, kind, metric_fp, threshold_fp, passed FROM (
+      SELECT 'orderkey_not_null' AS rule, 'not_null' AS kind,
+             CAST((1000000 * nn_key) // n AS BIGINT) AS metric_fp,
+             CAST(1000000 AS BIGINT) AS threshold_fp,
+             (1000000 * nn_key) // n >= 1000000 AS passed FROM m
+      UNION ALL
+      SELECT 'orderkey_unique', 'unique',
+             CAST((1000000 * nd_key) // n AS BIGINT), CAST(1000000 AS BIGINT),
+             (1000000 * nd_key) // n >= 1000000 FROM m
+      UNION ALL
+      SELECT 'priority_accepted', 'accepted_values',
+             CAST((1000000 * acc_pri) // n AS BIGINT), CAST(1000000 AS BIGINT),
+             (1000000 * acc_pri) // n >= 1000000 FROM m
+      UNION ALL
+      SELECT 'status_strict', 'accepted_values',
+             CAST((1000000 * acc_status) // n AS BIGINT), CAST(1000000 AS BIGINT),
+             (1000000 * acc_status) // n >= 1000000 FROM m
+      UNION ALL
+      SELECT 'totalprice_range', 'between',
+             CAST((1000000 * in_range) // n AS BIGINT), CAST(500000 AS BIGINT),
+             (1000000 * in_range) // n >= 500000 FROM m
+      UNION ALL
+      SELECT 'row_count', 'row_count_between',
+             CAST(n AS BIGINT), CAST(100 AS BIGINT),
+             n BETWEEN 100 AND 10000000000 FROM m
+    ) ORDER BY rule ASC
+    """,
+)
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectation suite (operators/
+    profiling.py dq_check — the Deequ/Great-Expectations contract-check
+    idiom): six rules over orders, ALL metrics from ONE aggregation
+    pass (T rules over 100 TB = one scan, not T scans), reported in
+    exact integer micro-units with per-rule verdicts. ``status_strict``
+    is deliberately failing ('P' exists beyond the accepted F/O set) so
+    the FALSE arm of the verdict is value-certified, not just the happy
+    path. Generalizes referential_audit's lake-side enforcement stance
+    (no database to reject bad loads -> the audit IS the contract)
+    from FKs to arbitrary column expectations."""
+    from tdei_extract_load_service_spark.operators.profiling import dq_check
+
+    return dq_check(
+        _read(spark, sf_dir, "orders"),
+        [
+            {"rule": "orderkey_not_null", "kind": "not_null", "col": "o_orderkey"},
+            {"rule": "orderkey_unique", "kind": "unique", "col": "o_orderkey"},
+            {
+                "rule": "priority_accepted",
+                "kind": "accepted_values",
+                "col": "o_orderpriority",
+                "values": [
+                    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+                ],
+            },
+            {
+                "rule": "status_strict",
+                "kind": "accepted_values",
+                "col": "o_orderstatus",
+                "values": ["F", "O"],
+            },
+            {
+                "rule": "totalprice_range",
+                "kind": "between",
+                "col": "o_totalprice",
+                "lo": 1000,
+                "hi": 300000,
+                "min_ratio": 0.5,
+            },
+            {
+                "rule": "row_count",
+                "kind": "row_count_between",
+                "lo": 100,
+                "hi": 10_000_000_000,
+            },
+        ],
+    )

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -228,3 +228,74 @@ def incremental_agg_maintain(
         )
         .where(F.col(n_col) > 0)
     )
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    key_cols: Sequence[str],
+    update_set: dict[str, Column] | None = None,
+    matched_delete: Column | None = None,
+    insert_values: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Condition-driven MERGE (ANSI ``MERGE INTO`` / Delta ``merge``):
+    the dual of ``cdc_apply``. Where cdc_apply folds a feed that SAYS
+    what to do per row (an op column), merge_upsert DERIVES the action
+    from match state and predicates — the idiom a user migrating a
+    warehouse MERGE statement reaches for:
+
+    - ``WHEN MATCHED AND matched_delete`` -> row removed;
+    - ``WHEN MATCHED`` -> ``update_set`` columns replaced (expressions
+      reference the two sides as ``t.<col>`` / ``s.<col>``; omitted
+      columns keep the target value);
+    - ``WHEN NOT MATCHED`` (source-only key) -> insert from
+      ``insert_values`` (same ``s.`` references; target columns absent
+      from the mapping become NULL). Pass ``insert_values=None`` to
+      disable inserts (update/delete-only merge);
+    - target-only keys pass through unchanged.
+
+    Returns the merged table with exactly the target's columns.
+    PRECONDITIONS (the same ones ANSI MERGE enforces with a runtime
+    error): source keys are unique — a duplicate source key would
+    multiply its matched target row (collapse a raw feed upstream with
+    ``cdc_apply``-style latest-wins first) — and key columns are
+    non-null on both sides (match state is derived from key nullness
+    post-join, the standard full-outer encoding).
+
+    Scale shape: ONE full-outer join on the key (full-outer joins
+    cannot broadcast — Spark plans a spillable sort-merge, which is the
+    right tool: both sides stream) — the 100 TB target shuffles exactly
+    once. Both sides bucketed by key -> shuffle-free, the same layout
+    contract as ``cdc_apply``.
+    """
+    keys = list(key_cols)
+    t, s = target.alias("t"), source.alias("s")
+    cond = None
+    for k in keys:
+        eq = F.col(f"t.{k}") == F.col(f"s.{k}")
+        cond = eq if cond is None else (cond & eq)
+    joined = t.join(s, cond, "full_outer")
+    matched = F.col(f"s.{keys[0]}").isNotNull() & F.col(f"t.{keys[0]}").isNotNull()
+    source_only = F.col(f"t.{keys[0]}").isNull()
+    update_set = update_set or {}
+    out_cols = []
+    for c in target.columns:
+        if c in keys:
+            val = F.coalesce(F.col(f"t.{c}"), F.col(f"s.{c}"))
+        else:
+            updated = update_set.get(c, F.col(f"t.{c}"))
+            inserted = (
+                insert_values.get(c, F.lit(None))
+                if insert_values is not None
+                else F.lit(None)
+            )
+            val = (
+                F.when(matched, updated)
+                .when(source_only, inserted)
+                .otherwise(F.col(f"t.{c}"))
+            )
+        out_cols.append(val.alias(c))
+    keep = ~matched | matched_delete.isNull() | ~matched_delete if matched_delete is not None else F.lit(True)
+    if insert_values is None:
+        keep = keep & ~source_only
+    return joined.where(keep).select(*out_cols)

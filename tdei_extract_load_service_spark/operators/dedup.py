@@ -86,21 +86,23 @@ def dedup_exact(df: DataFrame, content_cols: list[str]) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def ngram_jaccard_pairs(
+def _shingle_shared_counts(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    n: int = 3,
-    threshold: float = 0.8,
-    max_shingle_df: int | None = None,
+    n: int,
+    max_shingle_df: int | None,
+    scope: str,
 ) -> DataFrame:
-    """ALL pairs with shingle-Jaccard >= threshold, computed exactly.
+    """Shared core of the exact shingle-overlap family: per unordered doc
+    pair sharing at least one n-gram, the distinct-shingle counts of both
+    docs and the intersection size — ``(doc_a, doc_b, n_a, n_b,
+    n_shared)``. Jaccard and containment are projections over this frame.
 
     Inverted-index formulation: explode shingles, self-join on the shingle
-    (only docs *sharing* a shingle ever meet — any pair with Jaccard > 0
+    (only docs *sharing* a shingle ever meet — any pair with overlap > 0
     shares one, so no qualifying pair is missed), count shared shingles per
-    pair, then ``|A∩B| / (|A|+|B|-|A∩B|)``. Work is Σ per-shingle df², not
-    |docs|².
+    pair. Work is Σ per-shingle df², not |docs|².
     """
     sh = spread(df).select(
         _col(id_col).alias("id"), word_shingles(text_col, n).alias("shingles")
@@ -115,7 +117,7 @@ def ngram_jaccard_pairs(
     ex = persist_scoped(
         sh.select("id", "n_shingles", F.explode("shingles").alias("shingle_text"))
         .select("id", "n_shingles", F.xxhash64("shingle_text").alias("shingle")),
-        "dedup.ngram_jaccard.ex",
+        scope,
     )
     if max_shingle_df is not None:
         ex = (
@@ -130,7 +132,7 @@ def ngram_jaccard_pairs(
     # (1.45s both). The hint still forbids the other failure mode — the
     # optimizer broadcast-building a corpus-sized side (OOMed at x10).
     a, b = ex.alias("a"), ex.hint("merge").alias("b")
-    shared = (
+    return (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(
             F.col("a.id").alias("doc_a"),
@@ -140,11 +142,69 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count("*").alias("n_shared"))
     )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """ALL pairs with shingle-Jaccard >= threshold, computed exactly:
+    ``|A∩B| / (|A|+|B|-|A∩B|)`` over ``_shingle_shared_counts`` (see
+    there for the inverted-index shape and its scale bounds)."""
+    shared = _shingle_shared_counts(
+        df, id_col, text_col, n, max_shingle_df, "dedup.ngram_jaccard.ex"
+    )
     jaccard = F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
     return (
         shared.withColumn("jaccard", F.round(jaccard, 6))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.9,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """ALL pairs with shingle-CONTAINMENT >= threshold, computed exactly —
+    Broder's containment coefficient ``|A∩B| / min(|A|, |B|)``, the
+    sub-document-duplication signal Jaccard structurally misses: a 200-word
+    boilerplate block pasted into a 20k-word page has near-zero Jaccard
+    (the union is huge) but containment ~1.0. Corpus-prep pipelines need
+    both — Jaccard for whole-document near-dups, containment for
+    quote/boilerplate/template detection (the same asymmetry
+    ``text_contamination`` exploits for train-test overlap, here applied
+    within one corpus).
+
+    Emits ``(doc_a, doc_b, containment, jaccard)`` so the asymmetric and
+    symmetric coefficients travel together — a pair with high containment
+    and low Jaccard is an embedding, one high on both is a near-dup.
+
+    Same inverted-index machinery and scale bounds as
+    ``ngram_jaccard_pairs`` (``_shingle_shared_counts``); candidate work is
+    Σ per-shingle df², never |docs|². ``max_shingle_df`` matters MORE here:
+    a stop-shingle shared by every document contributes its full df² to the
+    candidate volume, and containment (unlike Jaccard) can stay high for
+    small docs made of common shingles.
+    """
+    shared = _shingle_shared_counts(
+        df, id_col, text_col, n, max_shingle_df, "dedup.ngram_containment.ex"
+    )
+    containment = F.col("n_shared") / F.least(F.col("n_a"), F.col("n_b"))
+    jaccard = F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+    return (
+        shared.withColumn("containment", F.round(containment, 6))
+        .withColumn("jaccard", F.round(jaccard, 6))
+        .where(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment", "jaccard")
     )
 
 

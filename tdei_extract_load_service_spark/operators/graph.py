@@ -174,3 +174,101 @@ def pagerank(
 
     persist_scoped(ranks, "graph.pagerank.final_ranks")
     return out
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts over an UNDIRECTED edge list via
+    degree-ordered edge orientation (Cohen 2009 / Suri-Vassilvitskii
+    "Counting triangles and the curse of the last reducer", WWW'11 —
+    the MapReduce-era result that made triangle counting shuffle-safe
+    on power-law graphs).
+
+    Input may carry either or both orientations, duplicates and
+    self-loops; it is canonicalized first (u < v, distinct, loops
+    dropped). Returns ``(node, n_triangles)`` for every node in at
+    least one triangle.
+
+    Scale shape — why orientation is the whole algorithm:
+
+    - Each undirected edge is ORIENTED from its lower to its higher
+      endpoint under the total order ``(degree, id)``. Every triangle
+      then has exactly ONE wedge rooted at its minimum-order vertex, so
+      each triangle is produced once, with no post-hoc dedup exchange.
+    - Wedge volume is Σ out-degree², and orienting toward higher
+      degree bounds every out-degree by O(√m) REGARDLESS of how skewed
+      the raw degrees are — a celebrity node with 10M followers roots
+      no wedges at all (its edges all point outward-in). Id-ordered
+      orientation has no such bound; on this corpus it produces ~20%
+      more wedges (measured, SCALE.md), and on a power-law web graph
+      the gap is the difference between feasible and not.
+    - The plan is three shuffles independent of triangle count: edge
+      canonicalization (groupBy u,v), the wedge self-join on the shared
+      root, and the closing-edge join on ``(y, z)`` — each keyed by
+      small bigint pairs, never by adjacency lists, so no single
+      reducer ever holds a hub's full neighborhood (the "curse of the
+      last reducer" this orientation exists to avoid).
+
+    The DuckDB oracle derives the same counts through the INDEPENDENT
+    id-ordered formulation (a < b < c triple join) — orientation
+    choice provably cannot change the triangle set, only the work.
+    """
+    u, v = F.col(src), F.col(dst)
+    canon = (
+        edges.where(u != v)
+        .select(
+            F.least(u, v).alias("u"),
+            F.greatest(u, v).alias("v"),
+        )
+        .distinct()
+    )
+    from tdei_extract_load_service_spark.session import persist_scoped
+
+    canon = persist_scoped(canon, "graph.triangles.canon")
+    deg = (
+        canon.select(F.col("u").alias("node"))
+        .unionByName(canon.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    # orient each edge toward the HIGHER (deg, id) endpoint; deg is
+    # |nodes|-sized (small next to edges) so both attach joins broadcast
+    du = F.broadcast(deg.select(F.col("node").alias("u"), F.col("deg").alias("du")))
+    dv = F.broadcast(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")))
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = persist_scoped(
+        canon.join(du, "u").join(dv, "v").select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("x"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("y"),
+            F.when(lower_first, F.col("du")).otherwise(F.col("dv")).alias("dx"),
+            F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("dy"),
+        ),
+        "graph.triangles.oriented",
+    )
+    # wedges rooted at the minimum-order vertex: two out-edges of x,
+    # ordered so (y, z) is itself an ORIENTED pair — the closing edge,
+    # if present, is stored exactly as (y, z)
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    y_before_z = (F.col("o1.dy") < F.col("o2.dy")) | (
+        (F.col("o1.dy") == F.col("o2.dy")) & (F.col("o1.y") < F.col("o2.y"))
+    )
+    wedges = o1.join(o2, (F.col("o1.x") == F.col("o2.x")) & y_before_z).select(
+        F.col("o1.x").alias("a"),
+        F.col("o1.y").alias("b"),
+        F.col("o2.y").alias("c"),
+    )
+    closing = oriented.select(F.col("x").alias("b"), F.col("y").alias("c"))
+    triangles = wedges.join(closing, ["b", "c"], "left_semi")
+    out = (
+        triangles.select(F.col("a").alias("node"))
+        .unionByName(triangles.select(F.col("b").alias("node")))
+        .unionByName(triangles.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return out

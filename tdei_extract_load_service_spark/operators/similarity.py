@@ -432,6 +432,70 @@ def lsh_bucket_topk(
     )
 
 
+def lsh_bucket_topk_batch(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: DataFrame,
+    query_id_col: str,
+    query_vec_col: str,
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 8,
+    planes: list[list[float]] | None = None,
+) -> DataFrame:
+    """BATCH bucketed ANN: top-k neighbors for EVERY row of a query
+    frame in one shot — the production serving shape ``lsh_bucket_topk``
+    (one driver-side query vector) cannot reach. A recommendation or
+    retrieval pipeline asks "top-k for these 10M users", not one top-k
+    at a time: the batch form turns Q queries from Q scheduled jobs into
+    ONE join.
+
+    Plan shape: bucket the corpus once (same sign-pattern hyperplane
+    buckets as the single-query path — identical plane literals give
+    identical buckets, so results agree row-for-row with Q independent
+    ``lsh_bucket_topk`` calls); bucket the query frame with the same
+    planes; equi-join on the bucket with the QUERY side broadcast (a
+    batch of queries is model-sized next to the corpus — for a
+    corpus-sized query frame drop the broadcast and it degrades to a
+    spillable shuffle join on the bucket, same semantics); rank
+    candidates per query with ONE window (row_number over cosine desc,
+    id asc — total, deterministic) and keep k. Per-query candidate work
+    is |corpus| / 2^n_planes — the bucketing does to the batch join
+    what an index does to a point lookup.
+
+    Returns ``(query_id, id, cosine, rnk)`` for the k best candidates
+    per query (fewer if the query's bucket is small; the self-match
+    arrives at cosine 1.0 like the single-query operator — callers that
+    want it excluded filter ``id != query_id`` before ranking).
+    """
+    from pyspark.sql import Window
+
+    bucketed = df.select(
+        _col(id_col).alias("id"),
+        _col(vec_col).alias("vec"),
+        lsh_bucket(_col(vec_col), dim, n_planes, planes).alias("bucket"),
+    )
+    q = queries.select(
+        _col(query_id_col).alias("query_id"),
+        _col(query_vec_col).alias("qvec"),
+        lsh_bucket(_col(query_vec_col), dim, n_planes, planes).alias("bucket"),
+    )
+    cand = bucketed.join(F.broadcast(q), "bucket").select(
+        "query_id",
+        "id",
+        F.round(cosine_similarity(F.col("vec"), F.col("qvec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("id").asc()
+    )
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "id", "cosine", "rnk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ) — compressed ANN for the 100 TB memory story
 # ---------------------------------------------------------------------------

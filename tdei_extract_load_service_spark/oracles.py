@@ -456,3 +456,44 @@ def minhash_md5_oracle_sql(
     WHERE n_matching >= {min_match}
     ORDER BY doc_a ASC, doc_b ASC
     """
+
+
+def lsh_batch_topk_oracle_sql(k: int = 5, stride: int = 100, n_planes: int = 4) -> str:
+    """DuckDB twin of ``lsh_bucket_topk_batch`` over the sampled query
+    batch (``vec_id % stride = 0``): same seeded plane literals as the
+    Spark side, so buckets are bit-identical; candidates are the
+    bucket-equi join; per-query ranking is row_number over (cosine DESC,
+    id ASC) — the identical total order."""
+    from tdei_extract_load_service_spark.operators.similarity import make_planes
+
+    terms = []
+    for p, plane in enumerate(make_planes(n_planes, 64)):
+        lit = "[" + ",".join(repr(v) for v in plane) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {lit}) >= 0"
+            f" THEN {2 ** p} ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    bb AS (SELECT vec_id, v, {bucket} AS bucket FROM b),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM bb WHERE vec_id % {stride} = 0),
+    cand AS (
+      SELECT q.query_id, bb.vec_id AS id,
+             ROUND(list_dot_product(bb.v, q.qv)
+                   / (sqrt(list_dot_product(bb.v, bb.v))
+                      * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+      FROM bb JOIN q ON bb.bucket = q.bucket
+    ),
+    r AS (
+      SELECT query_id, id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, id ASC) AS rnk
+      FROM cand
+    )
+    SELECT query_id, id, cosine, CAST(rnk AS INT) AS rnk
+    FROM r WHERE rnk <= {k}
+    ORDER BY query_id ASC, rnk ASC
+    """

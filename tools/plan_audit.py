@@ -420,6 +420,27 @@ EXPECTATIONS: dict[str, list[str]] = {
     # then weighted pair counts over the |vocab|-sized frame) — the only
     # corpus-sized shuffle is the word-key exchange; no join, no Python
     "text_bpe_pairs": ["explode\\(split", "partial_count", "partial_sum", "TakeOrderedAndProject", "!Join", "!ArrowEvalPython"],
+    # degree-ordered triangle counting: the degree attach joins
+    # broadcast (|nodes|-sized dim), the closing-edge check is a SEMI
+    # join (each wedge emitted at most once — no post-join dedup), and
+    # nothing may degenerate to a cross product
+    "graph_triangles": ["BroadcastHashJoin", "LeftSemi", "partial_count", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
+    # declarative DQ suite: the WHOLE report is one aggregation pass —
+    # a single scan feeding partial counts (the distinct rule rides the
+    # same scan via the group-by-key rewrite), rule rows exploded from
+    # the one aggregate row; a per-rule UNION would re-scan per rule
+    "dq_expectations": ["=1:FileScan", "partial_count", "Generate explode", "!Union", "!Join"],
+    # condition-driven MERGE: ONE full-outer join (cannot broadcast —
+    # must stay the spillable sort-merge), actions as projections over
+    # the joined row, never a second pass over the target
+    "merge_upsert": ["FullOuter", "=1:SortMergeJoin", "!BroadcastHashJoin", "!Window", "!CartesianProduct"],
+    # batch ANN: corpus scanned once, query batch BROADCAST onto the
+    # bucket equi-join, one ranking window — no corpus-side shuffle
+    # before the per-query candidate window
+    "embedding_knn_batch": ["BroadcastHashJoin", "Window", "row_number", "!SortMergeJoin", "!CartesianProduct"],
+    # containment pairs: same spillable merge-join discipline as the
+    # jaccard family (corpus-sized self-join must stay SMJ)
+    "dedup_ngram_containment": ["SortMergeJoin", "!BroadcastHashJoin", "!ShuffledHashJoin", "!CartesianProduct"],
 }
 
 
