@@ -169,11 +169,16 @@ HEADLINE_EXTENSIONS = (
     "dedup_span_ngram",
     "text_bpe_pairs",
     "table_changes",
-    # round-11 fourth wave: graph/DQ/merge/containment/batch-ANN
+    # round-11 fourth wave: graph/DQ/merge/batch-ANN.
+    # dedup_ngram_containment is EXCLUDED like exact ngram_jaccard above
+    # (same exact inverted-index machinery, same quadratic-ish candidate
+    # volume on the replicated-fixture smoke: x10 output pairs 979x,
+    # SCALE.md — the headline carries sub-quadratic production paths);
+    # correctness runs at sf0.01, the join plan is audited like the
+    # other dedup self-joins.
     "graph_triangles",
     "dq_expectations",
     "merge_upsert",
-    "dedup_ngram_containment",
     "embedding_knn_batch",
     # dedup_minhash_exact is likewise EXCLUDED as the ORACLE TWIN of
     # dedup_minhash_lsh above (md5 base hashes + seeded linear
