@@ -1077,3 +1077,43 @@ def q_corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "stratum", "n_tokens", total_budget=4000, alpha=0.5
     )
     return out.select("doc_id", "stratum", "n_tokens", "budget", "cum_tokens")
+
+
+@register(
+    "stream_merge_shadow",
+    """
+    WITH latest AS (
+      SELECT user_id AS k, event_type, value FROM (
+        SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) t WHERE rn = 1
+    ),
+    up AS (SELECT k, value FROM latest WHERE event_type <> 'error'),
+    del AS (SELECT k FROM latest WHERE event_type = 'error')
+    SELECT COALESCE(c.c_custkey, u.k) AS user_id,
+           COALESCE(u.value, c.c_acctbal) AS balance
+    FROM customer c FULL JOIN up u ON c.c_custkey = u.k
+    WHERE COALESCE(c.c_custkey, u.k) NOT IN (SELECT k FROM del)
+    ORDER BY user_id ASC
+    """,
+)
+def q_stream_merge_shadow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWELFTH streaming certification: foreachBatch MERGE/upsert —
+    the Delta-style streaming-upsert sink (streaming/shadow.py
+    merge_shadow -> streaming/sink.manifest_merge_sink ->
+    operators/cdc.merge_upsert). State lives in the TABLE: each
+    micro-batch's latest-wins actions merge into the customer-seeded
+    balances table (latest 'error' deletes; other events upsert; unseen
+    user 0 exercises the conditional-insert arm), each version
+    publishing as one manifest transaction keyed by the batch id.
+    Sequential per-batch merges equal the one-shot batch MERGE because
+    the staged (ts, event_id) range split is a per-user prefix split of
+    that total order — exactly the relational statement the oracle
+    makes (the cdc_apply shape, so the batch operator and the streaming
+    sink are certified against the same recurrence by independent
+    paths). Exactly-once replay and drain/resume convergence are pinned
+    in pytest."""
+    from tdei_extract_load_service_spark.streaming.shadow import merge_shadow
+
+    return merge_shadow(spark, sf_dir, n_batches=4)

@@ -237,6 +237,7 @@ def merge_upsert(
     update_set: dict[str, Column] | None = None,
     matched_delete: Column | None = None,
     insert_values: dict[str, Column] | None = None,
+    insert_condition: Column | None = None,
 ) -> DataFrame:
     """Condition-driven MERGE (ANSI ``MERGE INTO`` / Delta ``merge``):
     the dual of ``cdc_apply``. Where cdc_apply folds a feed that SAYS
@@ -248,10 +249,14 @@ def merge_upsert(
     - ``WHEN MATCHED`` -> ``update_set`` columns replaced (expressions
       reference the two sides as ``t.<col>`` / ``s.<col>``; omitted
       columns keep the target value);
-    - ``WHEN NOT MATCHED`` (source-only key) -> insert from
-      ``insert_values`` (same ``s.`` references; target columns absent
-      from the mapping become NULL). Pass ``insert_values=None`` to
-      disable inserts (update/delete-only merge);
+    - ``WHEN NOT MATCHED [AND insert_condition]`` (source-only key) ->
+      insert from ``insert_values`` (same ``s.`` references; target
+      columns absent from the mapping become NULL). Pass
+      ``insert_values=None`` to disable inserts (update/delete-only
+      merge); ``insert_condition`` is ANSI's conditional-insert arm —
+      source-only rows failing it are dropped, the guard a CDC feed
+      needs so a delete action for a key the table never held does not
+      resurrect as an insert;
     - target-only keys pass through unchanged.
 
     Returns the merged table with exactly the target's columns.
@@ -298,4 +303,8 @@ def merge_upsert(
     keep = ~matched | matched_delete.isNull() | ~matched_delete if matched_delete is not None else F.lit(True)
     if insert_values is None:
         keep = keep & ~source_only
+    elif insert_condition is not None:
+        keep = keep & (
+            ~source_only | insert_condition.isNotNull() & insert_condition
+        )
     return joined.where(keep).select(*out_cols)

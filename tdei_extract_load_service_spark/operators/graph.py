@@ -180,6 +180,7 @@ def triangle_counts(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
+    broadcast_max_nodes: int = 2_000_000,
 ) -> DataFrame:
     """Per-node triangle counts over an UNDIRECTED edge list via
     degree-ordered edge orientation (Cohen 2009 / Suri-Vassilvitskii
@@ -228,16 +229,24 @@ def triangle_counts(
     from tdei_extract_load_service_spark.session import persist_scoped
 
     canon = persist_scoped(canon, "graph.triangles.canon")
-    deg = (
+    deg = persist_scoped(
         canon.select(F.col("u").alias("node"))
         .unionByName(canon.select(F.col("v").alias("node")))
         .groupBy("node")
-        .agg(F.count("*").alias("deg"))
+        .agg(F.count("*").alias("deg")),
+        "graph.triangles.deg",
     )
-    # orient each edge toward the HIGHER (deg, id) endpoint; deg is
-    # |nodes|-sized (small next to edges) so both attach joins broadcast
-    du = F.broadcast(deg.select(F.col("node").alias("u"), F.col("deg").alias("du")))
-    dv = F.broadcast(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")))
+    # orient each edge toward the HIGHER (deg, id) endpoint. The degree
+    # frame is |nodes|-sized — usually model-small next to edges, but a
+    # billion-node graph must NOT be forced into executor memory, so the
+    # broadcast is size-GATED exactly like pagerank's rank join (the
+    # count is one cheap job over the already-persisted canon cache);
+    # past the gate both attaches degrade to spillable shuffle joins
+    n_nodes = deg.count()
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    if n_nodes <= broadcast_max_nodes:
+        du, dv = F.broadcast(du), F.broadcast(dv)
     lower_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )

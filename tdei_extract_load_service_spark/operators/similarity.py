@@ -443,6 +443,7 @@ def lsh_bucket_topk_batch(
     dim: int = 64,
     n_planes: int = 8,
     planes: list[list[float]] | None = None,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """BATCH bucketed ANN: top-k neighbors for EVERY row of a query
     frame in one shot — the production serving shape ``lsh_bucket_topk``
@@ -457,8 +458,9 @@ def lsh_bucket_topk_batch(
     ``lsh_bucket_topk`` calls); bucket the query frame with the same
     planes; equi-join on the bucket with the QUERY side broadcast (a
     batch of queries is model-sized next to the corpus — for a
-    corpus-sized query frame drop the broadcast and it degrades to a
-    spillable shuffle join on the bucket, same semantics); rank
+    corpus-sized query frame pass ``broadcast_queries=False`` and it
+    degrades to a spillable shuffle join on the bucket, same
+    semantics); rank
     candidates per query with ONE window (row_number over cosine desc,
     id asc — total, deterministic) and keep k. Per-query candidate work
     is |corpus| / 2^n_planes — the bucketing does to the batch join
@@ -481,7 +483,9 @@ def lsh_bucket_topk_batch(
         _col(query_vec_col).alias("qvec"),
         lsh_bucket(_col(query_vec_col), dim, n_planes, planes).alias("bucket"),
     )
-    cand = bucketed.join(F.broadcast(q), "bucket").select(
+    if broadcast_queries:
+        q = F.broadcast(q)
+    cand = bucketed.join(q, "bucket").select(
         "query_id",
         "id",
         F.round(cosine_similarity(F.col("vec"), F.col("qvec")), 6).alias("cosine"),

@@ -1041,3 +1041,102 @@ def late_data_shadow(
     shutil.rmtree(live, ignore_errors=True)
     shutil.rmtree(out_dir, ignore_errors=True)
     return result
+
+
+def merge_shadow(
+    spark: SparkSession,
+    sf_dir: str,
+    n_batches: int = 4,
+) -> DataFrame:
+    """Streaming MERGE/upsert into a warehouse table — the TWELFTH
+    streaming certification, and the incremental dual of the sixth
+    (sink_shadow replaces a complete-mode snapshot per batch; here the
+    state lives IN THE TABLE and each micro-batch evolves it through
+    ``streaming/sink.manifest_merge_sink`` -> ``operators/cdc.
+    merge_upsert`` — the Delta-style ``foreachBatch`` streaming-upsert
+    recipe, which no prior cert exercises because every other sink is
+    append or snapshot-replace).
+
+    Harness: the customer snapshot seeds the table (one manifest
+    transaction, dataset key 'seed'); the staged event micro-batches
+    replay through a plain append-mode stream whose ONLY stateful part
+    is the sink — per batch, latest-wins actions merge in (latest
+    'error' deletes, other events upsert the balance, unseen user_ids
+    insert: user 0 exercises the conditional-insert arm, custkeys start
+    at 1), and each merged table version publishes atomically with the
+    batch id as its dataset key.
+
+    The final table equals the GLOBAL latest-wins merge (the cdc_apply
+    oracle shape) because the staging's (ts, event_id) range split
+    makes every batch a per-user prefix of that total order — so
+    sequential per-batch merges compose to the one-shot batch MERGE,
+    which is exactly what the SQL oracle states. Exactly-once and
+    crash-resume live in pytest (replayed batch id is a no-op on the
+    version ledger; a drained-then-resumed stream converges to the
+    same table), mirroring the restart_shadow discipline.
+
+    No event-time state, no watermark: ``balance`` carries the raw
+    double (identical on both engines), and the only timestamps are
+    inside the per-batch row_number, NTZ end-to-end.
+    """
+    from tdei_extract_load_service_spark.sinks.manifest import (
+        ManifestTxn,
+        read_table,
+    )
+    from tdei_extract_load_service_spark.streaming.sink import (
+        manifest_merge_sink,
+    )
+
+    stage = stage_event_stream(spark, sf_dir, n_batches)
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="stream_merge_shadow_")
+    seed = (
+        spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_acctbal").alias("balance"),
+        )
+    )
+    txn = ManifestTxn(root)
+    txn.write("balances", seed.coalesce(1), "seed")
+    txn.commit()
+    schema = spark.read.parquet(stage).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("event_type").alias("op"),
+            F.col("value").alias("balance"),
+        )
+    )
+    name = _query_name()
+    q = (
+        src.writeStream.foreachBatch(
+            manifest_merge_sink(
+                root,
+                "balances",
+                "user_id",
+                ("ts", "event_id"),
+                "op",
+                "balance",
+                delete_op="error",
+            )
+        )
+        .outputMode("append")
+        .option(
+            "checkpointLocation", f"/tmp/spark_graft_stream_ckpt/{name}"
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        read_table(spark, root, "balances")
+        .select("user_id", "balance")
+        .orderBy(F.col("user_id").asc())
+    )

@@ -63,3 +63,90 @@ def manifest_snapshot_sink(root: str, table: str, dataset_prefix: str = "b"):
             raise
 
     return handle
+
+
+def manifest_merge_sink(
+    root: str,
+    table: str,
+    key_col: str,
+    seq_cols: tuple[str, ...],
+    op_col: str,
+    value_col: str,
+    delete_op: str = "error",
+    dataset_prefix: str = "b",
+):
+    """Return a ``foreachBatch`` handler that MERGES each micro-batch
+    into the table — the Delta-style streaming-upsert sink, and the
+    incremental dual of ``manifest_snapshot_sink`` (which REPLACES a
+    complete-mode snapshot; here the state lives in the TABLE and each
+    batch evolves it).
+
+    Per batch: the raw rows reduce to one action per key (latest by
+    ``seq_cols`` — a replayed at-least-once feed may carry several),
+    then ``operators/cdc.merge_upsert`` applies them — matched
+    ``delete_op`` rows delete, other matches update ``value_col``,
+    unmatched non-delete rows insert (``insert_condition`` guards the
+    delete-of-absent-key resurrection case) — and the merged table
+    publishes as ONE manifest transaction that supersedes the previous
+    version. The new parquet is fully materialized by ``txn.write``
+    BEFORE the pointer swap, so the merge plan reads the old version's
+    files while they are still live; a crash mid-write leaves an
+    orphan and readers on the old version (the O18 guarantee,
+    streaming form).
+
+    Exactly-once: the committed batch id is the dataset key inside the
+    same pointer swap (the ``manifest_snapshot_sink`` ledger); a
+    replayed batch id returns without writing, so at-least-once
+    delivery becomes exactly-once table evolution.
+
+    Scale shape: one full-outer SMJ per micro-batch between the table
+    and the (small) batch — the table never shuffles twice per batch;
+    at warehouse scale the table side would be bucketed by key, making
+    the per-batch merge shuffle-free on the big side.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from tdei_extract_load_service_spark.operators.cdc import merge_upsert
+    from tdei_extract_load_service_spark.sinks.manifest import read_table
+
+    def handle(batch_df, batch_id: int) -> None:
+        manifest = read_manifest(root)
+        existing = manifest["tables"].get(table, {})
+        committed = [
+            int(k[len(dataset_prefix):])
+            for k in existing
+            if k.startswith(dataset_prefix)
+        ]
+        if committed and max(committed) >= batch_id:
+            return
+        spark = batch_df.sparkSession
+        current = read_table(spark, root, table)
+        w = Window.partitionBy(key_col).orderBy(
+            *[F.col(c).desc() for c in seq_cols]
+        )
+        actions = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(key_col, op_col, value_col)
+        )
+        merged = merge_upsert(
+            current,
+            actions,
+            [key_col],
+            update_set={value_col: F.col(f"s.{value_col}")},
+            matched_delete=F.col(f"s.{op_col}") == delete_op,
+            insert_values={value_col: F.col(f"s.{value_col}")},
+            insert_condition=F.col(f"s.{op_col}") != delete_op,
+        )
+        txn = ManifestTxn(root)
+        try:
+            for k in existing:
+                txn.delete(table, k)
+            txn.write(table, merged.coalesce(1), f"{dataset_prefix}{batch_id}")
+            txn.commit()
+        except Exception:
+            txn.abort()
+            raise
+
+    return handle
