@@ -180,6 +180,9 @@ HEADLINE_EXTENSIONS = (
     "dq_expectations",
     "merge_upsert",
     "embedding_knn_batch",
+    # round-11 sixth wave: merge_asof completion + structured privacy
+    "join_asof_nearest",
+    "anonymize_k",
     # dedup_minhash_exact is likewise EXCLUDED as the ORACLE TWIN of
     # dedup_minhash_lsh above (md5 base hashes + seeded linear
     # permutations for cross-engine value certification; the xxhash64

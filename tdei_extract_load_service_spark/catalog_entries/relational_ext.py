@@ -1513,3 +1513,47 @@ def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             },
         ],
     )
+
+
+@register(
+    "anonymize_k",
+    """
+    SELECT c_custkey, c_nationkey, c_mktsegment, bal_band, eq_class_n
+    FROM (
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment,
+                            CAST(FLOOR(c_acctbal / 1000) AS BIGINT))
+               AS eq_class_n
+      FROM customer
+    ) WHERE eq_class_n >= 5
+    ORDER BY c_custkey ASC
+    """,
+)
+def q_anonymize_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release (operators/privacy.py k_anonymize):
+    generalize the exact balance to a 1000-unit band, then suppress
+    every row whose (nation, segment, band) equivalence class holds
+    fewer than k=5 records — the structured-data dual of text_pii_scrub
+    (free-text identifiers there, quasi-identifier re-identification
+    here). Class sizes ride ONE window count (a single quasi-key
+    shuffle, no groupBy+join-back); the custkey is retained solely as
+    the verification row id — a real release drops direct identifiers.
+    The oracle restates the window+filter; eq_class_n traveling in the
+    output value-certifies the class accounting, not just the survivor
+    set."""
+    from tdei_extract_load_service_spark.operators.privacy import k_anonymize
+
+    cust = _read(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    out = k_anonymize(
+        cust.withColumn(
+            "bal_band", F.floor(F.col("c_acctbal") / 1000).cast("long")
+        ).drop("c_acctbal"),
+        ["c_nationkey", "c_mktsegment", "bal_band"],
+        k=5,
+    )
+    return out.select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "bal_band", "eq_class_n"
+    ).orderBy(F.col("c_custkey").asc())

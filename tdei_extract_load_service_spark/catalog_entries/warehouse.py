@@ -984,3 +984,69 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         _read(spark, sf_dir, "part"),
         _read(spark, sf_dir, "supplier"),
     )
+
+
+@register(
+    "join_asof_nearest",
+    """
+    WITH L AS (SELECT user_id, ts::TIMESTAMP AS ts, event_id FROM events WHERE event_type = 'click'),
+    R AS (SELECT user_id, ts::TIMESTAMP AS ts, event_id, value FROM events WHERE event_type = 'purchase'),
+    cand AS (
+      SELECT l.user_id, l.event_id, l.ts AS lts,
+             r.event_id AS r_event_id, r.value AS r_value,
+             CASE WHEN r.ts <= l.ts THEN l.ts - r.ts ELSE r.ts - l.ts END AS dist,
+             CASE WHEN r.ts <= l.ts THEN 0 ELSE 1 END AS fwd
+      FROM L l JOIN R r ON l.user_id = r.user_id
+      WHERE (CASE WHEN r.ts <= l.ts THEN l.ts - r.ts ELSE r.ts - l.ts END)
+            <= INTERVAL 2 HOUR
+    ),
+    best AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY user_id, event_id
+               ORDER BY dist ASC, fwd ASC, r_event_id DESC, r_value DESC
+             ) AS rn
+      FROM cand
+    )
+    SELECT l.user_id, l.event_id,
+           b.r_event_id AS asof_event_id,
+           ROUND(b.r_value, 2) AS asof_value
+    FROM L l LEFT JOIN best b
+      ON b.user_id = l.user_id AND b.event_id = l.event_id AND b.rn = 1
+    ORDER BY l.user_id ASC, l.event_id ASC
+    """,
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of join with a tolerance — the other two
+    thirds of the pandas merge_asof surface (operators/asof.py
+    join_asof(direction=, tolerance=)): every click matched to the
+    user's temporally CLOSEST purchase within 2 hours, ties backward,
+    simultaneous-purchase ties to the largest payload tuple. Spark runs
+    the union+double-window carry (one key shuffle, asc+desc sorts —
+    never a per-row subquery); the ORACLE independently derives the
+    same matches by ranking the full per-user candidate join on
+    (distance, direction, payload) — two constructions, one result."""
+    from tdei_extract_load_service_spark.operators.asof import join_asof
+
+    ev = _read_events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = join_asof(
+        clicks,
+        purchases,
+        "user_id",
+        "ts",
+        "ts",
+        ["event_id", "value"],
+        direction="nearest",
+        tolerance=F.expr("INTERVAL 2 HOURS"),
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("asof_event_id"),
+        F.round("asof_value", 2).alias("asof_value"),
+    ).orderBy(F.col("user_id").asc(), F.col("event_id").asc())

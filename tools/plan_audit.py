@@ -441,6 +441,13 @@ EXPECTATIONS: dict[str, list[str]] = {
     # containment pairs: same spillable merge-join discipline as the
     # jaccard family (corpus-sized self-join must stay SMJ)
     "dedup_ngram_containment": ["SortMergeJoin", "!BroadcastHashJoin", "!ShuffledHashJoin", "!CartesianProduct"],
+    # nearest as-of: the union+double-window carry — NO join of any
+    # kind (the naive nearest is a per-row subquery or a range cross
+    # join; this plan must never contain one)
+    "join_asof_nearest": ["Window", "last\\(", "!Join", "!CartesianProduct"],
+    # k-anonymity: one scan, one window count over the quasi key — a
+    # groupBy+join-back would scan and shuffle twice
+    "anonymize_k": ["Window", "=1:FileScan", "!Join"],
 }
 
 
