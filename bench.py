@@ -183,6 +183,8 @@ HEADLINE_EXTENSIONS = (
     # round-11 sixth wave: merge_asof completion + structured privacy
     "join_asof_nearest",
     "anonymize_k",
+    # round-11 seventh wave: time-series OHLC resample
+    "ts_resample_ohlc",
     # dedup_minhash_exact is likewise EXCLUDED as the ORACLE TWIN of
     # dedup_minhash_lsh above (md5 base hashes + seeded linear
     # permutations for cross-engine value certification; the xxhash64

@@ -1117,3 +1117,60 @@ def q_stream_merge_shadow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tdei_extract_load_service_spark.streaming.shadow import merge_shadow
 
     return merge_shadow(spark, sf_dir, n_batches=4)
+
+
+@register(
+    "ts_resample_ohlc",
+    """
+    WITH x AS (
+      SELECT event_type, date_trunc('day', ts) AS bar, value,
+             row_number() OVER w AS rn,
+             COUNT(*) OVER (PARTITION BY event_type, date_trunc('day', ts)) AS n
+      FROM events
+      WINDOW w AS (PARTITION BY event_type, date_trunc('day', ts)
+                   ORDER BY ts ASC, event_id ASC)
+    )
+    SELECT event_type,
+           strftime(bar, '%Y-%m-%dT%H:%M:%S') AS bar,
+           MAX(CASE WHEN rn = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn = n THEN value END) AS close,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS total_value
+    FROM x GROUP BY 1, 2
+    ORDER BY event_type ASC, bar ASC
+    """,
+)
+def q_ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC time-series resample (operators/events.py resample_ohlc):
+    per (event_type, day) bar — open (first value by (ts, event_id)),
+    high, low, close (last by the same total order), count and
+    exact-DECIMAL total. ONE shuffle: a single ascending window marks
+    rn and bucket size so close needs no second descending sort, and
+    the following group-by aggregates on the window's own partition
+    keys. Bars are wall-clock epoch floors (the window_tumbling tz
+    recipe — date_trunc on NTZ shifted day boundaries under the
+    VANILLA America/LA sweep), rendered via TS.normalize_ts. The
+    oracle restates the identical construction (the rn==1 / rn==n
+    selection is the determinism contract, stated in SQL);
+    total_value folds through DECIMAL(18,6) so the sum is exact on
+    both engines."""
+    from tdei_extract_load_service_spark.operators.events import resample_ohlc
+
+    ev = _read_events(spark, sf_dir)
+    out = resample_ohlc(
+        ev, "ts", "value", unit="day", keys=("event_type",),
+        tiebreak=("event_id",),
+    )
+    return out.select(
+        "event_type",
+        TS.normalize_ts(F.col("bar"), "yyyy-MM-dd'T'HH:mm:ss").alias("bar"),
+        "open",
+        "high",
+        "low",
+        "close",
+        "n_events",
+        "total_value",
+    ).orderBy(F.col("event_type").asc(), F.col("bar").asc())

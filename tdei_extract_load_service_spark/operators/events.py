@@ -310,3 +310,108 @@ def event_transition_matrix(
             6,
         ).alias("p"),
     ).orderBy(F.col("prev_type").asc(), F.col("next_type").asc())
+
+
+def resample_ohlc(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    unit: str = "day",
+    keys: tuple[str, ...] = (),
+    tiebreak: tuple[str, ...] = (),
+) -> DataFrame:
+    """Time-series downsampling to OHLC bars: per (``keys``,
+    ``date_trunc(unit, ts)``) bucket, the opening value (first by
+    ``(ts, *tiebreak)``), high, low, closing value (last by the same
+    order), event count and exact-DECIMAL value total. The financial
+    bar idiom generalized to any event stream — the resample step every
+    metrics pipeline needs before charting/modeling raw events.
+
+    Pass a ``tiebreak`` (e.g. the event id) that makes ``(ts,
+    *tiebreak)`` total per bucket, or simultaneous first/last rows are
+    arrival-nondeterministic.
+
+    Scale shape: ONE shuffle. A single ascending window assigns
+    ``row_number`` and the bucket size (count over the same partition),
+    so open is the rn==1 row and close the rn==n row WITHOUT a second
+    descending sort; the group-by that follows aggregates on the same
+    keys the window partitioned by, so it rides the exchange already
+    done. No per-bucket collect, no value buffering beyond the window
+    sort (which spills).
+
+    Session-tz discipline (the window_tumbling precedent): bucketing is
+    FLOOR arithmetic on the WALL-CLOCK epoch, so the bar boundary is
+    the same under any session timezone (``date_trunc`` on the raw
+    column resolves through the session zone — the first cut moved day
+    boundaries under the VANILLA America/LA sweep). The wall epoch is
+    dtype-dispatched exactly like ``catalog._read``'s normalization:
+
+    - an already-normalized TIMESTAMP (what ``_read``/``_read_events``
+      return — the instant whose UTC wall clock is the fixture wall
+      clock) is used as-is; re-pinning it would double-shift (the
+      second VANILLA failure mode this operator hit);
+    - a raw TIMESTAMP_NTZ column is pinned here with the ``_read``
+      recipe (cast, then ``from_utc_timestamp`` under a non-UTC
+      session — the ``utc_literal`` direction lesson: ``to_utc_``
+      shifts the same way as the cast and doubles it).
+
+    ``pmod`` keeps the floor mathematical for pre-epoch timestamps.
+    The returned ``bar`` is the instant whose UTC wall clock is the
+    truncated input wall clock — render it with ``TS.normalize_ts``.
+    """
+    unit_us = {
+        "minute": 60_000_000,
+        "hour": 3_600_000_000,
+        "day": 86_400_000_000,
+    }.get(unit)
+    if unit_us is None:
+        raise ValueError("unit must be minute, hour or day")
+    ts_attr = F.col(ts_col)
+    if df.schema[ts_col].dataType.typeName() == "timestamp_ntz":
+        session_tz = df.sparkSession.conf.get(
+            "spark.sql.session.timeZone", "UTC"
+        )
+        ts_attr = ts_attr.cast("timestamp")
+        if session_tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+            ts_attr = F.from_utc_timestamp(ts_attr, F.current_timezone())
+    wall = F.unix_micros(ts_attr)
+    bar_col = F.timestamp_micros(wall - F.pmod(wall, F.lit(unit_us)))
+    # project bar to an ATTRIBUTE before the window so the downstream
+    # group-by keys are the window's own partition attributes — grouping
+    # by a re-derived expression reads as a different key to Catalyst
+    # and costs a second hash exchange (measured: 3 exchanges, not 2)
+    base = df.select(
+        *[F.col(k) for k in keys],
+        bar_col.alias("bar"),
+        F.col(ts_col).alias("_ts"),
+        *[F.col(c).alias(f"_tb_{c}") for c in tiebreak],
+        F.col(value_col).alias("_v"),
+    )
+    part = [*[F.col(k) for k in keys], F.col("bar")]
+    order = [F.col("_ts").asc(), *[F.col(f"_tb_{c}").asc() for c in tiebreak]]
+    w = Window.partitionBy(*part).orderBy(*order)
+    wc = Window.partitionBy(*part)
+    marked = base.select(
+        *[F.col(k) for k in keys],
+        "bar",
+        "_v",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(wc).alias("_n"),
+    )
+    return (
+        marked.groupBy(*[F.col(k) for k in keys], F.col("bar"))
+        .agg(
+            F.max(F.when(F.col("_rn") == 1, F.col("_v"))).alias("open"),
+            F.max("_v").alias("high"),
+            F.min("_v").alias("low"),
+            F.max(
+                F.when(F.col("_rn") == F.col("_n"), F.col("_v"))
+            ).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("_v").cast("decimal(18,6)")).alias("_tv"),
+        )
+        .withColumn(
+            "total_value", F.round(F.col("_tv"), 2).cast("double")
+        )
+        .drop("_tv")
+    )

@@ -448,6 +448,11 @@ EXPECTATIONS: dict[str, list[str]] = {
     # k-anonymity: one scan, one window count over the quasi key — a
     # groupBy+join-back would scan and shuffle twice
     "anonymize_k": ["Window", "=1:FileScan", "!Join"],
+    # OHLC resample: ONE window exchange shared by rn/count AND the
+    # group-by (bar is projected to an attribute before the window so
+    # Catalyst unifies the keys — the expression form cost a third
+    # exchange); exactly the window + output-sort exchanges, no join
+    "ts_resample_ohlc": ["Window", "row_number", "=1:FileScan", "=2:Exchange", "!Join"],
 }
 
 
