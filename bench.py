@@ -185,6 +185,14 @@ HEADLINE_EXTENSIONS = (
     "anonymize_k",
     # round-11 seventh wave: time-series OHLC resample
     "ts_resample_ohlc",
+    # dedup_semantic (SemDeDup) is EXCLUDED from the headline like
+    # similarity_ivf_kmeans, whose Lloyd training it composes: the
+    # entry's cost is ~85% deterministic-kmeans training (a per-corpus
+    # write-once model in production, measured 9-12s of the 10s total
+    # at sf0.1) + the within-cluster cosine verify the embedding-dedup
+    # family already trendlines. Correctness runs at sf0.01 (the oracle
+    # restates the ENTIRE pipeline); the pair join plan is audited like
+    # the other dedup self-joins.
     # dedup_minhash_exact is likewise EXCLUDED as the ORACLE TWIN of
     # dedup_minhash_lsh above (md5 base hashes + seeded linear
     # permutations for cross-engine value certification; the xxhash64

@@ -736,3 +736,30 @@ def q_dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         _read(spark, sf_dir, "documents"), "doc_id", "text",
         n=3, num_hashes=64, bands=16, threshold=0.5, seed=2024,
     ).orderBy(F.col("doc_a").asc(), F.col("doc_b").asc())
+
+
+@register(
+    "dedup_semantic",
+    ORACLES.semantic_dedup_oracle_sql(k=8, dim=64, iters=2, threshold=0.45),
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) — SEMANTIC dedup over the embedding
+    corpus (operators/dedup.py semantic_dedup): deterministic exact
+    k-means (the DECIMAL-mean Lloyd machinery similarity_ivf_kmeans
+    certifies), then within-cluster cosine pruning keeping the lowest
+    id per similar pair (threshold 0.45 — the embedding fixture's
+    near-dup regime, shared with the dedup_embedding_lsh family, so
+    the drop arm actually fires: 9 drops at sf0.01). The cluster fence collapses the O(n²)
+    cosine work to Σ per-cluster size² and makes every cluster's pass
+    an independent task — the published trade (boundary-straddling dups
+    unexamined) is documented on the operator; the banded-LSH family is
+    the exhaustive-recall alternative. The ORACLE restates the ENTIRE
+    pipeline — Lloyd iterations, assignment, pair dominance, survivor
+    anti-set — via the shared _kmeans_af_ctes chain, so the semantic
+    dedup is value-certified end to end."""
+    from tdei_extract_load_service_spark.operators.dedup import semantic_dedup
+
+    return semantic_dedup(
+        _read(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        k_clusters=8, iters=2, threshold=0.45, dim=64,
+    ).orderBy(F.col("id").asc())

@@ -2047,3 +2047,76 @@ def duplicate_spans(
         )
     )
     return out.limit(top_k) if top_k is not None else out
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k_clusters: int = 8,
+    iters: int = 2,
+    threshold: float = 0.9,
+    dim: int = 64,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC
+    deduplication over an embedding column — k-means the corpus, then
+    within each cluster drop every vector that has a more-senior
+    near-twin (cosine >= ``threshold``), keeping the lowest id per
+    similar pair. The published recipe's point is the cluster fence:
+    the O(n²) cosine work collapses to Σ per-cluster size², and at
+    100 TB the clustering IS the index (each cluster's pair pass is an
+    independent task — no corpus-wide candidate join at all). The
+    price, as published: duplicates that straddle a cluster boundary
+    are not examined (raise ``k_clusters`` or lower ``iters``'s seeding
+    sensitivity to trade recall vs cost; the banded-LSH family here is
+    the exhaustive-recall alternative).
+
+    Survivor rule: drop ``b`` iff SOME same-cluster ``a < b`` has
+    ``cosine(a, b) >= threshold`` — the pairwise-dominance greedy (the
+    first-collision convention of this module's LSH family), not
+    connected components; a chain a~b~c with a!~c keeps ``a`` AND
+    drops both others only if b,c each pair with a smaller survivor...
+    i.e. c is dropped iff a~c or b~c — deterministic and
+    SQL-restatable, which is what makes the whole pipeline (Lloyd
+    iterations included — ``kmeans_centroids_exact``'s DECIMAL-mean
+    determinism) value-oracle-checkable.
+
+    Returns surviving ``(id, centroid_id)`` rows.
+    """
+    from tdei_extract_load_service_spark.operators.similarity import (
+        ivf_assign_model,
+        kmeans_centroids_exact,
+    )
+    from tdei_extract_load_service_spark.session import persist_scoped
+
+    model = kmeans_centroids_exact(
+        df, id_col, vec_col, k=k_clusters, iters=iters, dim=dim
+    )
+    assigned = persist_scoped(
+        ivf_assign_model(df, model, id_col, vec_col).select(
+            "id",
+            "centroid_id",
+            "vec",
+            F.sqrt(_dot(F.col("vec"), F.col("vec"))).alias("_nrm"),
+        ),
+        "dedup.semantic.assigned",
+    )
+    a, b = assigned.alias("a"), assigned.hint("merge").alias("b")
+    sim = F.round(
+        _dot(F.col("a.vec"), F.col("b.vec"))
+        / (F.col("a._nrm") * F.col("b._nrm")),
+        6,
+    )
+    drops = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .where(sim >= threshold)
+        .select(F.col("b.id").alias("id"))
+        .distinct()
+    )
+    return assigned.select("id", "centroid_id").join(
+        drops, "id", "left_anti"
+    )

@@ -634,7 +634,13 @@ def dq_check(df: DataFrame, rules: list[dict]) -> DataFrame:
         else:
             min_ratio = float(r.get("min_ratio", 1.0))
             threshold = F.lit(int(round(min_ratio * 1_000_000))).cast("long")
-            metric = F.expr(f"_raw{i} DIV _n").cast("long")
+            # nullif guards the empty-table edge: a bare DIV 0 returns
+            # null silently in default mode but THROWS under ANSI; an
+            # empty table's ratio rules report metric 0 / failed (pair a
+            # row_count_between rule to make the emptiness explicit)
+            metric = F.coalesce(
+                F.expr(f"_raw{i} DIV nullif(_n, 0)"), F.lit(0)
+            ).cast("long")
             passed = metric >= threshold
         structs.append(
             F.struct(

@@ -120,22 +120,23 @@ def lsh_multiband_probe_oracle_sql(
     """
 
 
-def ivf_kmeans_oracle_sql(k: int = 8, dim: int = 64, iters: int = 2, n_probe: int = 2, topk: int = 10) -> str:
-    """DuckDB twin of the deterministic k-means IVF query.
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"ROUND(list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
 
-    The whole Lloyd loop is unrolled as a CTE chain (assign -> decimal-sum
-    mean -> rebuilt centroids, per iteration). Because the centroid update
-    uses exact DECIMAL sums (order-independent) and both engines round the
-    same double quotient to 9 places, the centroid vectors — and therefore
-    every downstream cosine — are bit-identical across engines (see
-    operators/similarity.py kmeans_centroids_exact)."""
 
-    def cos(a: str, b: str) -> str:
-        return (
-            f"ROUND(list_dot_product({a}, {b}) / "
-            f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
-        )
-
+def _kmeans_af_ctes(k: int, dim: int, iters: int) -> tuple[list, str]:
+    """The unrolled deterministic Lloyd chain (assign -> decimal-sum
+    mean -> rebuilt centroids, per iteration) ending in the final
+    assignment CTE ``af`` (id, vec, centroid_id) — shared by every
+    oracle that consumes exact k-means clusters. Because the centroid
+    update uses exact DECIMAL sums (order-independent) and both engines
+    round the same double quotient to 9 places, the centroid vectors —
+    and every downstream cosine — are bit-identical across engines
+    (operators/similarity.py kmeans_centroids_exact)."""
+    cos = _cos_sql
     ctes = [
         f"c0 AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv "
         f"FROM embeddings ORDER BY vec_id LIMIT {k})"
@@ -171,6 +172,14 @@ def ivf_kmeans_oracle_sql(k: int = 8, dim: int = 64, iters: int = 2, n_probe: in
       QUALIFY row_number() OVER (PARTITION BY e.vec_id
         ORDER BY {cos("e.embedding::DOUBLE[]", "c.cv")} DESC, c.centroid_id ASC) = 1)"""
     )
+    return ctes, prev
+
+
+def ivf_kmeans_oracle_sql(k: int = 8, dim: int = 64, iters: int = 2, n_probe: int = 2, topk: int = 10) -> str:
+    """DuckDB twin of the deterministic k-means IVF query (Lloyd chain
+    from ``_kmeans_af_ctes``)."""
+    cos = _cos_sql
+    ctes, prev = _kmeans_af_ctes(k, dim, iters)
     ctes.append("q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)")
     ctes.append(
         f"""probe AS (
@@ -497,3 +506,29 @@ def lsh_batch_topk_oracle_sql(k: int = 5, stride: int = 100, n_planes: int = 4) 
     FROM r WHERE rnk <= {k}
     ORDER BY query_id ASC, rnk ASC
     """
+
+
+def semantic_dedup_oracle_sql(
+    k: int = 8, dim: int = 64, iters: int = 2, threshold: float = 0.9
+) -> str:
+    """DuckDB twin of semantic_dedup (SemDeDup): the shared Lloyd chain
+    assigns clusters bit-identically, then a within-cluster pair join
+    derives the pairwise-dominance drops and the survivors are the
+    anti-set — every stage of the published recipe restated in SQL."""
+    cos = _cos_sql
+    ctes, _ = _kmeans_af_ctes(k, dim, iters)
+    ctes.append(
+        f"""drops AS (
+      SELECT DISTINCT b.id
+      FROM af a JOIN af b
+        ON a.centroid_id = b.centroid_id AND a.id < b.id
+      WHERE {cos("a.vec", "b.vec")} >= {threshold})"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT a.id, a.centroid_id
+    FROM af a WHERE a.id NOT IN (SELECT id FROM drops)
+    ORDER BY a.id ASC"""
+    )

@@ -295,3 +295,76 @@ def test_batch_topk_equals_per_query_probes(spark):
         assert [(r["id"], r["cosine"]) for r in got] == [
             (r["id"], r["cosine"]) for r in single
         ]
+
+
+def test_dq_check_empty_table(spark):
+    """Ratio rules over an empty table must not divide by zero (ANSI
+    DIV 0 throws): metric 0, failed; row_count reports the emptiness."""
+    from tdei_extract_load_service_spark.operators.profiling import dq_check
+
+    df = spark.range(0).select(F.col("id").alias("v"))
+    out = {
+        r["rule"]: (r["metric_fp"], r["passed"])
+        for r in dq_check(
+            df,
+            [
+                {"rule": "nn", "kind": "not_null", "col": "v"},
+                {"rule": "cnt", "kind": "row_count_between",
+                 "lo": 1, "hi": 10},
+            ],
+        ).collect()
+    }
+    assert out["nn"] == (0, False)
+    assert out["cnt"] == (0, False)
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup (SemDeDup)
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_drop_rule_and_cluster_fence(spark):
+    """Within-cluster near-twins drop to the lowest id; a near-identical
+    pair SPLIT by the cluster boundary survives (the published
+    SemDeDup trade, asserted so the fence is a pinned behavior, not an
+    accident)."""
+    import pandas as pd
+
+    from tdei_extract_load_service_spark.operators.dedup import semantic_dedup
+
+    dim = 4
+
+    def vec(*xs):
+        return [float(x) for x in xs] + [0.0] * (dim - len(xs))
+
+    rows = [
+        # cluster around +x: ids 0,1 nearly identical -> 1 drops;
+        # id 2 orthogonal-ish enough to survive the 0.95 bar
+        (0, vec(1.0, 0.0)),
+        (1, vec(0.999, 0.01)),
+        (2, vec(0.8, 0.6)),
+        # cluster around +y: 3,4 near-identical -> 4 drops
+        (3, vec(0.0, 1.0)),
+        (4, vec(0.01, 0.999)),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    )
+    got = {
+        r["id"]: r["centroid_id"]
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", k_clusters=2, iters=2,
+            threshold=0.95, dim=dim,
+        ).collect()
+    }
+    assert set(got) == {0, 2, 3}
+    # the fence: 0 and 3's clusters differ, so even a threshold of -1
+    # (everything similar) would never compare them across clusters
+    all_pairs = semantic_dedup(
+        df, "vec_id", "embedding", k_clusters=2, iters=2,
+        threshold=-1.0, dim=dim,
+    ).collect()
+    survivors = {r["id"] for r in all_pairs}
+    # one survivor PER CLUSTER (threshold -1 drops every within-cluster
+    # junior), proving cross-cluster pairs were never examined
+    assert len(survivors) == 2

@@ -453,6 +453,10 @@ EXPECTATIONS: dict[str, list[str]] = {
     # Catalyst unifies the keys — the expression form cost a third
     # exchange); exactly the window + output-sort exchanges, no join
     "ts_resample_ohlc": ["Window", "row_number", "=1:FileScan", "=2:Exchange", "!Join"],
+    # SemDeDup: the within-cluster pair pass must stay the spillable
+    # sort-merge self-join on the PERSISTED assignment (corpus-sized
+    # sides — the dedup-family discipline), never a cross product
+    "dedup_semantic": ["SortMergeJoin", "InMemoryTableScan", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
 }
 
 
