@@ -2053,10 +2053,11 @@ def semantic_dedup(
     df: DataFrame,
     id_col: str,
     vec_col: str,
-    k_clusters: int = 8,
+    k_clusters: int | None = None,
     iters: int = 2,
     threshold: float = 0.9,
     dim: int = 64,
+    target_cluster: int = 256,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC
     deduplication over an embedding column — k-means the corpus, then
@@ -2081,8 +2082,24 @@ def semantic_dedup(
     iterations included — ``kmeans_centroids_exact``'s DECIMAL-mean
     determinism) value-oracle-checkable.
 
+    SIZE k TO THE CORPUS (the ``planes_per_band_for`` lesson, again):
+    with a FIXED k, per-cluster population grows linearly with the
+    corpus and the within-cluster pair pass grows QUADRATICALLY
+    (measured x10: 25M pairs, 10x runtime — SCALE.md). The default
+    (``k_clusters=None``) therefore derives ``k = max(8, n //
+    target_cluster)`` from one cheap count, keeping pair work
+    ~``n * target_cluster / 2`` — linear — exactly how the paper runs
+    it (k ~ 100k on billion-scale corpora). Pass an explicit
+    ``k_clusters`` only to reproduce against an external oracle. The
+    exact-literal Lloyd trainer holds the k x dim model driver-side and
+    inlines it as plan literals, so this recipe is for k up to the low
+    thousands; beyond that, swap the trainer for an approximate one —
+    the fence/prune stages are unchanged.
+
     Returns surviving ``(id, centroid_id)`` rows.
     """
+    if k_clusters is None:
+        k_clusters = max(8, df.count() // target_cluster)
     from tdei_extract_load_service_spark.operators.similarity import (
         ivf_assign_model,
         kmeans_centroids_exact,
