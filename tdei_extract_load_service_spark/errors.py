@@ -100,3 +100,18 @@ def classify_db_error(exc: BaseException) -> BaseException:
         first_line = text.splitlines()[0] if text else "foreign key violation"
         return ForeignKeyError(first_line, FOREIGN_KEY_VIOLATION)
     return exc
+
+
+class ExpectationFailedError(Exception):
+    """A write-audit-publish gate rejected a staged dataset: one or more
+    declarative expectations (operators/profiling.dq_check) failed
+    against the PHYSICALLY STAGED files, so the manifest pointer was
+    never swapped and readers keep the previous version. Carries the
+    failed rule rows for the caller's error report (the lake-side
+    analogue of O21's typed constraint errors — the database rejects a
+    bad row, the WAP gate rejects a bad dataset)."""
+
+    def __init__(self, failed: list):
+        self.failed = failed
+        names = ", ".join(sorted(r["rule"] for r in failed))
+        super().__init__(f"expectations failed: {names}")

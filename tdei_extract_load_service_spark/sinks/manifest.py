@@ -408,3 +408,59 @@ def read_table_at(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.parquet(*paths)
+
+
+def write_audit_publish(
+    root: str,
+    table: str,
+    df,
+    rules: list[dict],
+    dataset_id: str = "wap",
+    supersede: bool = False,
+):
+    """WRITE-AUDIT-PUBLISH (the Netflix/Iceberg WAP pattern): stage the
+    frame as an uncommitted manifest write, run the declarative
+    expectation suite (operators/profiling.dq_check) against the
+    PHYSICALLY STAGED parquet — auditing what was actually written,
+    including any corruption the write itself could introduce, not the
+    logical plan that produced it — and swap the pointer only if every
+    rule passes. On any failure the transaction aborts (staged
+    directories removed) and ``errors.ExpectationFailedError`` carries
+    the failed rule rows; readers never observe the rejected data.
+
+    ``supersede=True`` additionally deletes every existing dataset of
+    the table in the same commit (snapshot-replace semantics); default
+    appends the dataset alongside (the load-job O17 key-scoped
+    idiom stays available via delete_dataset).
+
+    Returns the full audit report rows (pass AND fail) so callers can
+    ship the metrics to monitoring either way.
+
+    This composes two certified mechanisms — dq_check's one-pass
+    metrics and ManifestTxn's atomic pointer swap (O18) — into the
+    contract a 100 TB nightly load needs: a bad batch costs one staged
+    directory and an error, never a reader-visible bad table.
+    """
+    from tdei_extract_load_service_spark.errors import ExpectationFailedError
+    from tdei_extract_load_service_spark.operators.profiling import dq_check
+
+    spark = df.sparkSession
+    txn = ManifestTxn(root)
+    try:
+        txn.write(table, df, dataset_id)
+        _table, _dataset, reldir = txn._writes[-1]
+        staged = spark.read.parquet(os.path.join(root, reldir))
+        report = dq_check(staged, rules).collect()
+        failed = [r for r in report if not r["passed"]]
+        if failed:
+            txn.abort()
+            raise ExpectationFailedError(failed)
+        if supersede:
+            current = read_manifest(root)["tables"].get(table, {})
+            for k in current:
+                txn.delete(table, k)
+        txn.commit()
+        return report
+    except Exception:
+        txn.abort()  # no-op if already committed/aborted
+        raise
