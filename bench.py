@@ -183,8 +183,9 @@ HEADLINE_EXTENSIONS = (
     # round-11 sixth wave: merge_asof completion + structured privacy
     "join_asof_nearest",
     "anonymize_k",
-    # round-11 seventh wave: time-series OHLC resample
+    # round-11 seventh wave: time-series OHLC resample + rolling WAU
     "ts_resample_ohlc",
+    "events_rolling_active",
     # dedup_semantic (SemDeDup) is EXCLUDED from the headline like
     # similarity_ivf_kmeans, whose Lloyd training it composes: the
     # entry's cost is ~85% deterministic-kmeans training (a per-corpus

@@ -338,7 +338,7 @@ from tdei_extract_load_service_spark.catalog_entries import (  # noqa: E402,F401
 # column_profile, column_profile_categorical) = 50.
 #
 # ROUND-12 WINDOW (pre-committed): contract (20) + rule (a) — every
-# round-11 registration, TWENTY-THREE in all (stream_enrich_shadow,
+# round-11 registration, TWENTY-FOUR in all (stream_enrich_shadow,
 # embedding_lsh_probe_multiband, dedup_bloom_prefilter,
 # distinct_rollup_windows, stream_late_data_shadow, the third wave:
 # dedup_span_ngram, text_bpe_pairs, stream_outer_join_shadow,
@@ -347,12 +347,12 @@ from tdei_extract_load_service_spark.catalog_entries import (  # noqa: E402,F401
 # graph_triangles, dq_expectations, merge_upsert,
 # dedup_ngram_containment, embedding_knn_batch, the fifth:
 # stream_merge_shadow, the sixth: join_asof_nearest, anonymize_k, and
-# the seventh: ts_resample_ohlc, dedup_semantic) — + rule (b)
-# oldest-first from the 27 remaining r7-cohort entries;
-# 20 + 23 + 27 = 70 > 50, so per the drop-from-the-TAIL rule the SEVEN
+# the seventh: ts_resample_ohlc, dedup_semantic, events_rolling_active)
+# — + rule (b) oldest-first from the 27 remaining r7-cohort entries;
+# 20 + 24 + 27 = 71 > 50, so per the drop-from-the-TAIL rule the SIX
 # alphabetical-HEAD r7 entries ride (corpus_prep, dedup_cluster,
-# dedup_embedding_lsh, dedup_winnow, dynamic_query, embedding_quantize,
-# grouped_normalize) and the TWENTY tail entries (histogram_auto,
+# dedup_embedding_lsh, dedup_winnow, dynamic_query, embedding_quantize)
+# and the TWENTY-ONE tail entries (grouped_normalize, histogram_auto,
 # join_asof, join_range, multimodal_decode, multimodal_decode_jpeg,
 # multimodal_resize, multimodal_video_frames, quantiles,
 # session_window, similarity_ivf, similarity_ivf_kmeans,
@@ -360,7 +360,7 @@ from tdei_extract_load_service_spark.catalog_entries import (  # noqa: E402,F401
 # text_winnow_fingerprint, tpch_q1_pricing_summary,
 # tpch_q3_shipping_priority, tpch_q5_local_volume,
 # tpch_q6_forecast_revenue, window_tumbling) defer to r13, which
-# begins the r8 cohort sweep (25 entries) plus those twenty.
+# begins the r8 cohort sweep (25 entries) plus those twenty-one.
 DRIVER_WINDOW: list[str] = [
     # --- the 20-op v1 engine contract (SURVEY §2.4, permanent) ---
     "scan",

@@ -1174,3 +1174,53 @@ def q_ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     ).orderBy(F.col("event_type").asc(), F.col("bar").asc())
+
+
+@register(
+    "events_rolling_active",
+    """
+    WITH daily AS (
+      SELECT DISTINCT
+             epoch_us(ts) // 86400000000
+               + (CASE WHEN epoch_us(ts) % 86400000000 < 0 THEN -1 ELSE 0 END)
+               AS d,
+             user_id
+      FROM events
+    ),
+    targets AS (
+      SELECT DISTINCT d + t.i AS target FROM daily, range(0, 7) t(i)
+    ),
+    grid AS (
+      SELECT t.target, daily.user_id
+      FROM targets t JOIN daily
+        ON daily.d BETWEEN t.target - 6 AND t.target
+    )
+    SELECT strftime(make_timestamp(target * 86400000000), '%Y-%m-%dT%H:%M:%S') AS day,
+           COUNT(DISTINCT user_id) AS n_active
+    FROM grid GROUP BY target ORDER BY day ASC
+    """,
+)
+def q_events_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users (the WAU curve;
+    operators/events.py rolling_active_users): events collapse to the
+    daily-distinct frame FIRST (the 1000x reduction — raw events never
+    touch the window machinery), then each (day, user) row fans out to
+    its 7 target days via a bounded sequence explode and ONE
+    count_distinct per target closes it — never a per-day rescan.
+    Convention: every day whose trailing window is non-empty reports
+    (including the 6 days after the last event — a live dashboard keeps
+    reporting the decaying WAU); the ORACLE derives identical counts
+    through the INDEPENDENT day-grid range join over the same target
+    set (the first cut restricted the oracle grid to own-activity days
+    and the value compare caught the 6 extra Spark rows — conventions
+    are now pinned on both engines)."""
+    from tdei_extract_load_service_spark.operators.events import (
+        rolling_active_users,
+    )
+
+    ev = _read_events(spark, sf_dir)
+    out = rolling_active_users(ev, "ts", "user_id", window_days=7)
+    return out.select(
+        TS.normalize_ts(F.col("day"), "yyyy-MM-dd'T'HH:mm:ss").alias("day"),
+        "n_active",
+    ).orderBy(F.col("day").asc())

@@ -86,3 +86,48 @@ def test_resample_ohlc_bad_unit_raises(spark):
     )
     with pytest.raises(ValueError, match="unit"):
         resample_ohlc(df, "ts", "v", unit="fortnight")
+
+
+def test_rolling_active_users_gapped_fixture(spark):
+    """Gap days report while their trailing window is non-empty; the
+    window truncates correctly; counts are DISTINCT users."""
+    import pandas as pd
+
+    from tdei_extract_load_service_spark.functions import timestamps as TS
+    from tdei_extract_load_service_spark.operators.events import (
+        rolling_active_users,
+    )
+
+    day = "2024-03-{:02d} 12:00:00"
+    rows = [
+        (1, day.format(1)),
+        (2, day.format(1)),
+        (1, day.format(2)),
+        # gap: 03-03 .. 03-05 have no events
+        (3, day.format(6)),
+        (1, day.format(6)),
+        (1, day.format(6)),  # duplicate user-day collapses
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "ts"]),
+        schema="user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r["day"]: r["n_active"]
+        for r in rolling_active_users(df, "ts", "user_id", window_days=3)
+        .select(
+            TS.normalize_ts(F.col("day"), "yyyy-MM-dd").alias("day"),
+            "n_active",
+        )
+        .collect()
+    }
+    assert got == {
+        "2024-03-01": 2,  # {1,2}
+        "2024-03-02": 2,  # {1,2} (day1 still in window)
+        "2024-03-03": 2,  # gap day, window [1..3] non-empty
+        "2024-03-04": 1,  # {1} (day2 only)
+        # 03-05: window [3..5] empty -> absent
+        "2024-03-06": 2,  # {1,3}
+        "2024-03-07": 2,
+        "2024-03-08": 2,
+    }

@@ -457,6 +457,10 @@ EXPECTATIONS: dict[str, list[str]] = {
     # sort-merge self-join on the PERSISTED assignment (corpus-sized
     # sides — the dedup-family discipline), never a cross product
     "dedup_semantic": ["SortMergeJoin", "InMemoryTableScan", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
+    # rolling active users: daily-distinct FIRST (partial_count over the
+    # day/user key), bounded sequence explode, one count_distinct — no
+    # per-day rescan join, one scan of events
+    "events_rolling_active": ["Generate explode\\(sequence", "HashAggregate", "=1:FileScan", "!Join"],
 }
 
 
