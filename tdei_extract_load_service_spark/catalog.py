@@ -383,41 +383,38 @@ DRIVER_WINDOW: list[str] = [
     "topk_similarity",
     "text_quality",
     "etl_load_dataset",
-    # --- rule (a): the 5 round-10 registrations (never driver-sampled) ---
-    "dedup_embedding_lsh_stored",
-    "embedding_lsh_probe_stored",
-    "dedup_incremental",
-    "dedup_embedding_incremental",
-    "stream_restart_shadow",
-    # --- rule (b): the r4 cohort (stalest re-certification debts) ---
-    "approx_distinct",
-    "join_outer",
-    "pivot",
-    "rollup",
-    "sample_hash",
-    "set_ops",
-    "window_rank",
-    # --- rule (b): the r5 cohort ---
-    "multimodal_meta",
-    "paginate",
-    "similarity_lsh_bucketed",
-    "text_langid",
-    "text_token_count",
-    "window_lag_delta",
-    # --- rule (b): the r6 cohort ---
-    "grouping_sets",
-    "histogram",
-    "interval_join",
-    "multimodal_audio",
-    "text_fingerprint",
-    "text_ngram_topk",
-    "unpivot",
-    "window_range_frame",
-    # --- rule (b): the 4 oldest-alphabetical r7-cohort entries ---
-    "agg_stats",
-    "column_correlations",
-    "column_profile",
-    "column_profile_categorical",
+    # --- rule (a): the 24 round-11 registrations (never driver-sampled) ---
+    "stream_enrich_shadow",
+    "embedding_lsh_probe_multiband",
+    "dedup_bloom_prefilter",
+    "distinct_rollup_windows",
+    "stream_late_data_shadow",
+    "dedup_span_ngram",
+    "text_bpe_pairs",
+    "stream_outer_join_shadow",
+    "table_changes",
+    "stream_timeout_shadow",
+    "multimodal_image_dedup",
+    "dedup_simhash_exact",
+    "dedup_minhash_exact",
+    "graph_triangles",
+    "dq_expectations",
+    "merge_upsert",
+    "dedup_ngram_containment",
+    "embedding_knn_batch",
+    "stream_merge_shadow",
+    "join_asof_nearest",
+    "anonymize_k",
+    "ts_resample_ohlc",
+    "dedup_semantic",
+    "events_rolling_active",
+    # --- rule (b): the 6 alphabetical-head r7-cohort entries ---
+    "corpus_prep",
+    "dedup_cluster",
+    "dedup_embedding_lsh",
+    "dedup_winnow",
+    "dynamic_query",
+    "embedding_quantize",
 ]
 
 
