@@ -8,8 +8,12 @@ subquery or a range cross-join:
 
 1. tag right rows and union them with left rows on (key, ts);
 2. one window per key ordered by (ts, right-first, tiebreak) carries the
-   latest non-null right payload forward (``last(..., ignorenulls=True)``);
-3. keep only left rows.
+   latest right row forward as ONE struct (``last(when(_is_right,
+   struct(...)), ignorenulls=True)``) — a single struct per direction so
+   timestamp and payload always come from the SAME right row, even when
+   that row holds NULL payload values (pandas ``merge_asof`` returns the
+   matched row's NaN, never an older row's value);
+3. keep only left rows and project the struct's fields.
 
 One shuffle on the key + one per-partition sort — O(n log n) per key at any
 scale; skewed keys split by AQE. Right-before-left at equal timestamps
@@ -95,7 +99,12 @@ def join_asof(
         # at equal _ts the right row must be visible to the left row in
         # either scan direction (inclusive at-or-before / at-or-after),
         # and simultaneous right rows order by payload so last() —
-        # the row nearest the current one — is the largest tuple
+        # the row nearest the current one — is the largest tuple.
+        # ONE struct per direction: the when() is NULL exactly for left
+        # rows, so ignorenulls skips those but never a right row with a
+        # NULL payload field — the matched timestamp and every payload
+        # column come from the same right row (the ADVICE r11 mixed-row
+        # carry defect).
         w = (
             Window.partitionBy("_k")
             .orderBy(
@@ -107,15 +116,18 @@ def join_asof(
         )
         return frame.select(
             "*",
-            *[
-                F.last(
-                    F.when(F.col("_is_right") == 1, F.col(o)),
-                    ignorenulls=True,
-                )
-                .over(w)
-                .alias(f"_{tag}_{o}")
-                for o in carry_cols
-            ],
+            F.last(
+                F.when(
+                    F.col("_is_right") == 1,
+                    F.struct(*[F.col(o).alias(o) for o in carry_cols]),
+                ),
+                ignorenulls=True,
+            )
+            .over(w)
+            .alias(f"_{tag}_m"),
+        ).select(
+            "*",
+            *[F.col(f"_{tag}_m.{o}").alias(f"_{tag}_{o}") for o in carry_cols],
         )
 
     def _tol_ok(tag: str) -> F.Column:

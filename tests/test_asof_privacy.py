@@ -69,6 +69,58 @@ def test_join_asof_matches_pandas(spark, direction, tol):
     assert len(got) == len(left)
 
 
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_join_asof_null_payload_comes_from_matched_row(spark, direction):
+    """ADVICE r11 regression: a NULL payload value in the matched right
+    row must surface as NULL (pandas returns the matched row's NaN),
+    never as a non-null value carried from an OLDER right row — the
+    per-column-carry defect mixed columns across right rows."""
+    from tdei_extract_load_service_spark.operators.asof import join_asof
+
+    left, right = _asof_fixture()
+    rng = random.Random(7)
+    right["val"] = [
+        None if rng.random() < 0.4 else v for v in right["val"]
+    ]
+    got = (
+        join_asof(
+            spark.createDataFrame(left),
+            spark.createDataFrame(
+                right, schema="k long, ts long, rid long, val double"
+            ),
+            "k",
+            "ts",
+            "ts",
+            ["rid", "val"],
+            direction=direction,
+        )
+        .orderBy("lid")
+        .collect()
+    )
+    ref = pd.merge_asof(
+        left.sort_values("ts"),
+        right.sort_values("ts").rename(columns={"ts": "rts"}),
+        left_on="ts",
+        right_on="rts",
+        by="k",
+        direction=direction,
+    )
+    want = {
+        int(r.lid): (
+            None if pd.isna(r.rid) else int(r.rid),
+            None if pd.isna(r.val) else round(float(r.val), 9),
+        )
+        for r in ref.itertuples()
+    }
+    assert {
+        r["lid"]: (
+            r["asof_rid"],
+            None if r["asof_val"] is None else round(r["asof_val"], 9),
+        )
+        for r in got
+    } == want
+
+
 def test_join_asof_bad_direction_raises(spark):
     from tdei_extract_load_service_spark.operators.asof import join_asof
 
