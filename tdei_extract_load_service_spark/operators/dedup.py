@@ -1861,12 +1861,41 @@ def build_bloom(
     (m/64 rows) collects to a driver numpy bitmap.
 
     Returns ``(words, m, n_hashes)`` with ``words`` an int64 numpy
-    array of ceil(m/64) words. Memory: bits_per_key=16 costs 2 bytes/
-    key — 2 GB broadcast for a billion-key index, the standard trade
-    for pruning a shuffle of mostly-new keys (false-positive rate
-    ~(1-e^(-k*n/m))^k ≈ 0.046% at 16 bits / 5 hashes)."""
+    array of ceil(m/64) words — the driver-resident form for tooling
+    and the pytest false-positive bound. The PROBE path at scale should
+    use :func:`build_bloom_words` instead, which returns the same word
+    table as a DataFrame and never lands on the driver. Memory:
+    bits_per_key=16 costs 2 bytes/key — 2 GB for a billion-key index,
+    the standard trade for pruning a shuffle of mostly-new keys
+    (false-positive rate ~(1-e^(-k*n/m))^k ≈ 0.046% at 16 bits /
+    5 hashes)."""
     import numpy as np
 
+    words_df, m, n_hashes = build_bloom_words(
+        df, key_col, n_keys=n_keys, bits_per_key=bits_per_key,
+        n_hashes=n_hashes,
+    )
+    words = np.zeros((m + 63) // 64, dtype=np.int64)
+    for r in words_df.collect():
+        words[r.widx] = r.word
+    return words, m, n_hashes
+
+
+def build_bloom_words(
+    df: DataFrame,
+    key_col: str,
+    n_keys: int | None = None,
+    bits_per_key: int = 16,
+    n_hashes: int = 5,
+):
+    """:func:`build_bloom` without the driver collect: returns
+    ``(words_df, m, n_hashes)`` with ``words_df`` the distributed
+    ``(widx BIGINT, word BIGINT)`` frame of set 64-bit words (absent
+    widx == all-zero word). This is the 100 TB form — the bitmap never
+    concentrates on the driver and never rides a Python closure; the
+    probe broadcast-joins it JVM-side (one copy per executor JVM,
+    shared by every task thread, vs one copy per PYTHON WORKER for a
+    numpy closure — 32 workers/host × 2 GB was the r11 scale flag)."""
     if n_keys is None:
         n_keys = df.select(key_col).distinct().count()
     m = max(64, int(n_keys) * bits_per_key)
@@ -1878,7 +1907,7 @@ def build_bloom(
             ]
         )
     ).alias("pos")
-    words_rows = (
+    words_df = (
         df.select(pos)
         .select(
             F.expr("pos DIV 64").alias("widx"),
@@ -1890,37 +1919,103 @@ def build_bloom(
         )
         .groupBy("widx")
         .agg(F.bit_or("bit").alias("word"))
-        .collect()
     )
-    words = np.zeros((m + 63) // 64, dtype=np.int64)
-    for r in words_rows:
-        words[r.widx] = r.word
-    return words, m, n_hashes
+    return words_df, m, n_hashes
 
 
 def bloom_might_contain(
     df: DataFrame, key_col: str, bloom, out_col: str = "might_contain"
 ) -> DataFrame:
-    """Vectorized membership probe against a ``build_bloom`` bitmap:
-    the ``n_hashes`` candidate positions are computed JVM-side (the
-    same codegen xxhash64 expressions the build used — no Python in
-    the hash path), and ONE Arrow-batched pandas UDF gathers the bits
-    from the broadcast numpy bitmap. No false negatives by
-    construction; false positives at the configured rate — callers
-    exact-verify survivors (``bloom_prefilter_members``)."""
+    """Membership probe against a built bloom filter. No false
+    negatives by construction; false positives at the configured rate —
+    callers exact-verify survivors (``bloom_prefilter_members``).
+
+    Two forms, keyed on what the build returned:
+
+    - ``(words_df, m, k)`` from :func:`build_bloom_words` — fully
+      JVM-side: the k candidate positions are codegen xxhash64
+      expressions, and k broadcast hash joins gather the words. The k
+      joins reference the SAME words frame with the same column names,
+      so canonicalization collapses them into ONE reused broadcast
+      exchange (one bitmap copy per executor JVM); a missing widx is an
+      all-zero word via coalesce. No Python anywhere — this is the
+      scale path.
+    - ``(numpy_words, m, k)`` from :func:`build_bloom` — one
+      Arrow-batched pandas UDF gathers bits from the array, which is
+      shipped via ``SparkContext.broadcast`` (torrent-distributed,
+      disk-backed) rather than pickled into every task closure. Still
+      one in-memory copy per Python worker on first access — fine for
+      tooling-sized bitmaps, not for the billion-key tier."""
+    words, m, n_hashes = bloom
+    if isinstance(words, DataFrame):
+        return _bloom_probe_jvm(df, key_col, words, m, n_hashes, out_col)
+    return _bloom_probe_arrow(df, key_col, words, m, n_hashes, out_col)
+
+
+def _bloom_probe_jvm(
+    df: DataFrame,
+    key_col: str,
+    words_df: DataFrame,
+    m: int,
+    n_hashes: int,
+    out_col: str,
+) -> DataFrame:
+    # one identically-named projection reused by every join so the
+    # broadcast exchange canonicalizes equal and is built ONCE
+    words = words_df.select(
+        F.col("widx").alias("_bl_widx"), F.col("word").alias("word")
+    )
+    probed = df.select(
+        "*",
+        *[
+            F.pmod(F.xxhash64(_col(key_col), F.lit(i)), F.lit(m)).alias(
+                f"_bl_pos{i}"
+            )
+            for i in range(n_hashes)
+        ],
+    )
+    for i in range(n_hashes):
+        probed = (
+            probed.withColumn("_bl_widx", F.expr(f"_bl_pos{i} DIV 64"))
+            .join(F.broadcast(words), "_bl_widx", "left")
+            .withColumnRenamed("word", f"_bl_w{i}")
+            .drop("_bl_widx")
+        )
+    hit = F.lit(True)
+    for i in range(n_hashes):
+        bit = F.expr(
+            f"shiftright(_bl_w{i}, CAST(_bl_pos{i} % 64 AS INT)) & 1"
+        )
+        hit = hit & (F.coalesce(bit, F.lit(0)) == 1)
+    return probed.withColumn(out_col, hit).drop(
+        *[f"_bl_pos{i}" for i in range(n_hashes)],
+        *[f"_bl_w{i}" for i in range(n_hashes)],
+    )
+
+
+def _bloom_probe_arrow(
+    df: DataFrame,
+    key_col: str,
+    words,
+    m: int,
+    n_hashes: int,
+    out_col: str,
+) -> DataFrame:
     import numpy as np
     from pyspark.sql import types as T
     from pyspark.sql.functions import pandas_udf
 
-    words, m, n_hashes = bloom
-    # numpy closure rides the UDF's pickled payload once per executor
-    words_arr = np.asarray(words, dtype=np.int64)
+    # torrent-broadcast the bitmap instead of closing over it: the task
+    # closure stays tiny and each host fetches the blocks once
+    sc = df.sparkSession.sparkContext
+    bcast = sc.broadcast(np.asarray(words, dtype=np.int64))
 
     @pandas_udf(T.BooleanType())
     def _probe(pos_lists: pd.Series) -> pd.Series:
         # one (batch, n_hashes) gather per Arrow batch — pandas_udf
         # forbids variadic signatures, so the k positions arrive as one
         # array column
+        words_arr = bcast.value
         pv = np.vstack(pos_lists.to_numpy()).astype(np.int64)
         bits = (words_arr[pv >> 6] >> (pv & 63)) & 1
         return pd.Series(bits.all(axis=1))
@@ -1956,11 +2051,14 @@ def bloom_prefilter_members(
     straight EXISTS SQL.
 
     Why this is the 100 TB shape: a fresh crawl is mostly-new, so the
-    bloom (a broadcast bitmap, no shuffle) discards the bulk of the
-    delta at scan speed and only the small might-be-dup fraction pays
-    the hash-wide join's shuffle. ``stats`` (optional) receives
-    ``n_delta / n_candidates / n_members`` so callers (and the pytest
-    error-bound) can see the pruning and the false-positive volume."""
+    bloom (a broadcast word table, no shuffle of the delta) discards
+    the bulk of the delta at scan speed and only the small might-be-dup
+    fraction pays the hash-wide join's shuffle. The probe is the fully
+    JVM-side :func:`build_bloom_words` form — the bitmap never lands on
+    the driver and never duplicates per Python worker (the r11 scale
+    flag). ``stats`` (optional) receives ``n_delta / n_candidates /
+    n_members`` so callers (and the pytest error-bound) can see the
+    pruning and the false-positive volume."""
     hashed = delta.select(
         _col(id_col).alias("id"),
         F.md5(F.concat_ws("\x1f", *[_col(c) for c in content_cols])).alias(
@@ -1968,8 +2066,8 @@ def bloom_prefilter_members(
         ),
     )
     idx = spark.read.parquet(index_path).select("content_hash")
-    bloom = build_bloom(idx, "content_hash", bits_per_key=bits_per_key,
-                        n_hashes=n_hashes)
+    bloom = build_bloom_words(idx, "content_hash",
+                              bits_per_key=bits_per_key, n_hashes=n_hashes)
     flagged = bloom_might_contain(hashed, "content_hash", bloom)
     candidates = flagged.where(F.col("might_contain")).drop("might_contain")
     out = candidates.join(idx, "content_hash", "semi").select(

@@ -786,6 +786,40 @@ def test_bloom_no_false_negatives_and_bounded_fp(spark):
     assert fp / 8000 < 0.02, f"false-positive rate too high: {fp}/8000"
 
 
+def test_bloom_jvm_probe_equals_arrow_probe(spark):
+    """The JVM broadcast-join probe (build_bloom_words, the scale path
+    with no driver collect and no per-Python-worker bitmap copy) must
+    flag EXACTLY the same rows as the numpy/Arrow probe over the same
+    built filter, and its plan must be Python-free with a single reused
+    broadcast exchange."""
+    base = spark.range(0, 4000).select(
+        F.md5(F.col("id").cast("string")).alias("k")
+    )
+    probe = spark.range(2000, 10_000).select(
+        F.md5(F.col("id").cast("string")).alias("k")
+    )
+    arrow_bloom = D.build_bloom(base, "k", bits_per_key=16, n_hashes=5)
+    jvm_bloom = D.build_bloom_words(base, "k", bits_per_key=16, n_hashes=5)
+    flagged_jvm = D.bloom_might_contain(probe, "k", jvm_bloom)
+    got_arrow = {
+        r.k
+        for r in D.bloom_might_contain(probe, "k", arrow_bloom)
+        .where(F.col("might_contain"))
+        .collect()
+    }
+    rows = flagged_jvm.collect()
+    got_jvm = {r.k for r in rows if r.might_contain}
+    assert got_jvm == got_arrow
+    # reuse is an AQE runtime decision: assert on the EXECUTED plan —
+    # the 5 per-hash joins must share ONE materialized bitmap broadcast
+    plan = flagged_jvm._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan  # fully JVM-side
+    import re
+
+    stages = set(re.findall(r"BroadcastQueryStage \d+", plan))
+    assert len(stages) == 5 and plan.count("ReusedExchange") == 4
+
+
 def test_bloom_prefilter_members_equals_exact_and_prunes(spark, tmp_path):
     """The bloom-accelerated membership must equal the plain semi join
     EXACTLY, and on a mostly-new delta the bloom must prune most rows

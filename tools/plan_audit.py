@@ -98,14 +98,19 @@ EXPECTATIONS: dict[str, list[str]] = {
         "TakeOrderedAndProject",
         "!Join",
     ],
-    # bloom membership prefilter: the Arrow-batched bitmap probe must
-    # gate the delta BEFORE the exact-verify semi join (the join's
-    # probe side only carries bloom survivors); JVM-side xxhash64
-    # positions, no cartesian anything
+    # bloom membership prefilter: the probe is now FULLY JVM-side
+    # (r12) — k broadcast hash joins against the word table gather the
+    # bits (shiftright/&), gating the delta BEFORE the exact-verify
+    # semi join; no Python eval anywhere, no cartesian anything. AQE
+    # collapses the k identical broadcasts at runtime (pytest asserts
+    # ReusedExchange on the executed plan; static plan shows k).
     "dedup_bloom_prefilter": [
-        "ArrowEvalPython|BatchEvalPython",
+        "BroadcastHashJoin",
+        "shiftright",
         "LeftSemi",
         "xxhash64",
+        "!ArrowEvalPython",
+        "!BatchEvalPython",
         "!CartesianProduct",
         "!BroadcastNestedLoopJoin",
     ],
