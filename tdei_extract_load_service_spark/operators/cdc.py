@@ -260,28 +260,60 @@ def merge_upsert(
     - target-only keys pass through unchanged.
 
     Returns the merged table with exactly the target's columns.
-    PRECONDITIONS (the same ones ANSI MERGE enforces with a runtime
-    error): source keys are unique — a duplicate source key would
-    multiply its matched target row (collapse a raw feed upstream with
-    ``cdc_apply``-style latest-wins first) — and key columns are
-    non-null on both sides (match state is derived from key nullness
-    post-join, the standard full-outer encoding).
+    Violations ANSI MERGE raises on are raised here too: a source key
+    matching a target row MORE THAN ONCE raises a runtime cardinality
+    error (collapse a raw feed upstream with ``cdc_apply``-style
+    latest-wins first — ``manifest_merge_sink`` does). NULL keys are
+    well-defined, not a precondition: match state comes from explicit
+    presence flags, never key nullness, so a null-keyed source row
+    simply never matches (SQL join semantics) and flows to the
+    NOT MATCHED arm; a null-keyed target row passes through.
 
     Scale shape: ONE full-outer join on the key (full-outer joins
     cannot broadcast — Spark plans a spillable sort-merge, which is the
     right tool: both sides stream) — the 100 TB target shuffles exactly
-    once. Both sides bucketed by key -> shuffle-free, the same layout
-    contract as ``cdc_apply``.
+    once. The cardinality guard is a count window over the source
+    partitioned by the SAME keys, so its exchange is the join's own
+    (one extra sort of the small side, no extra shuffle). Both sides
+    bucketed by key -> shuffle-free, the same layout contract as
+    ``cdc_apply``.
     """
+    from pyspark.sql import Window
+
     keys = list(key_cols)
-    t, s = target.alias("t"), source.alias("s")
+    # explicit presence flags: key nullness cannot stand in for match
+    # state (a NULL key on either side would mis-derive it)
+    src_n = F.count(F.lit(1)).over(Window.partitionBy(*keys))
+    t = target.withColumn("_mrg_t", F.lit(1)).alias("t")
+    s = (
+        source.withColumn("_mrg_s", F.lit(1))
+        .withColumn("_mrg_sn", src_n)
+        .alias("s")
+    )
     cond = None
     for k in keys:
         eq = F.col(f"t.{k}") == F.col(f"s.{k}")
         cond = eq if cond is None else (cond & eq)
     joined = t.join(s, cond, "full_outer")
-    matched = F.col(f"s.{keys[0]}").isNotNull() & F.col(f"t.{keys[0]}").isNotNull()
-    source_only = F.col(f"t.{keys[0]}").isNull()
+    matched = (
+        F.col("s._mrg_s").isNotNull() & F.col("t._mrg_t").isNotNull()
+    )
+    source_only = F.col("t._mrg_t").isNull()
+    # ANSI cardinality violation: >1 source row hit this target row
+    matched = F.when(
+        matched & (F.col("s._mrg_sn") > 1),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "MERGE cardinality violation: duplicate source key ("
+                ),
+                F.concat_ws(
+                    ", ", *[F.col(f"s.{k}").cast("string") for k in keys]
+                ),
+                F.lit(") matched a target row more than once"),
+            )
+        ).cast("boolean"),
+    ).otherwise(matched)
     update_set = update_set or {}
     out_cols = []
     for c in target.columns:

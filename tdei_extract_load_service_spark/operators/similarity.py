@@ -444,6 +444,7 @@ def lsh_bucket_topk_batch(
     n_planes: int = 8,
     planes: list[list[float]] | None = None,
     broadcast_queries: bool = True,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """BATCH bucketed ANN: top-k neighbors for EVERY row of a query
     frame in one shot — the production serving shape ``lsh_bucket_topk``
@@ -467,9 +468,13 @@ def lsh_bucket_topk_batch(
     what an index does to a point lookup.
 
     Returns ``(query_id, id, cosine, rnk)`` for the k best candidates
-    per query (fewer if the query's bucket is small; the self-match
-    arrives at cosine 1.0 like the single-query operator — callers that
-    want it excluded filter ``id != query_id`` before ranking).
+    per query (fewer if the query's bucket is small). The self-match
+    arrives at cosine 1.0 like the single-query operator; pass
+    ``exclude_self=True`` to drop ``id == query_id`` rows BEFORE the
+    ranking window, so ranks stay dense 1..k and the k-th real
+    neighbor is not displaced (ranking happens inside this operator —
+    post-hoc filtering by the caller could only yield k-1 gapped
+    rows).
     """
     from pyspark.sql import Window
 
@@ -490,6 +495,8 @@ def lsh_bucket_topk_batch(
         "id",
         F.round(cosine_similarity(F.col("vec"), F.col("qvec")), 6).alias("cosine"),
     )
+    if exclude_self:
+        cand = cand.where(F.col("id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("id").asc()
     )

@@ -428,10 +428,16 @@ def write_audit_publish(
     directories removed) and ``errors.ExpectationFailedError`` carries
     the failed rule rows; readers never observe the rejected data.
 
-    ``supersede=True`` additionally deletes every existing dataset of
-    the table in the same commit (snapshot-replace semantics); default
-    appends the dataset alongside (the load-job O17 key-scoped
-    idiom stays available via delete_dataset).
+    ``supersede=True`` additionally deletes every dataset the table
+    held AT TRANSACTION START in the same commit (snapshot-replace
+    semantics; the delete set is captured once up front, so datasets a
+    concurrent committer lands mid-audit are not swept). The default
+    appends the dataset alongside the table's existing datasets —
+    PROVIDED the caller passes a unique ``dataset_id`` per publish: the
+    manifest is keyed by dataset id, so re-publishing under the same id
+    (including the default ``"wap"``) REPLACES that dataset's previous
+    version rather than appending a new one (the load-job O17
+    key-scoped idiom stays available via delete_dataset).
 
     Returns the full audit report rows (pass AND fail) so callers can
     ship the metrics to monitoring either way.
@@ -446,6 +452,10 @@ def write_audit_publish(
 
     spark = df.sparkSession
     txn = ManifestTxn(root)
+    # snapshot the supersede delete set at TXN START: a concurrent
+    # commit landing while the audit runs must not be swept by a
+    # decision made against a manifest it was not part of
+    initial_keys = list(read_manifest(root)["tables"].get(table, {}))
     try:
         txn.write(table, df, dataset_id)
         _table, _dataset, reldir = txn._writes[-1]
@@ -456,8 +466,7 @@ def write_audit_publish(
             txn.abort()
             raise ExpectationFailedError(failed)
         if supersede:
-            current = read_manifest(root)["tables"].get(table, {})
-            for k in current:
+            for k in initial_keys:
                 txn.delete(table, k)
         txn.commit()
         return report

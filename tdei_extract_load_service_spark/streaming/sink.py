@@ -49,6 +49,11 @@ def manifest_snapshot_sink(root: str, table: str, dataset_prefix: str = "b"):
             int(k[len(dataset_prefix):])
             for k in existing
             if k.startswith(dataset_prefix)
+            # non-batch keys under the prefix (e.g. a seed dataset
+            # named 'baseline' with the default prefix 'b') are NOT
+            # ledger rows — skip them instead of int()-crashing the
+            # stream on every batch
+            and k[len(dataset_prefix):].isdigit()
         ]
         if committed and max(committed) >= batch_id:
             return
@@ -117,6 +122,11 @@ def manifest_merge_sink(
             int(k[len(dataset_prefix):])
             for k in existing
             if k.startswith(dataset_prefix)
+            # non-batch keys under the prefix (e.g. a seed dataset
+            # named 'baseline' with the default prefix 'b') are NOT
+            # ledger rows — skip them instead of int()-crashing the
+            # stream on every batch
+            and k[len(dataset_prefix):].isdigit()
         ]
         if committed and max(committed) >= batch_id:
             return

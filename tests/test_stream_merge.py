@@ -99,6 +99,28 @@ def test_merge_sink_replayed_batch_is_noop(spark):
     assert list(live) == ["b0"]
 
 
+def test_merge_sink_tolerates_non_batch_dataset_keys(spark):
+    """ADVICE r11: a dataset key that starts with the batch prefix but
+    has a non-integer suffix (a seed named 'baseline' under the default
+    prefix 'b') is NOT a ledger row — it must be skipped, not
+    int()-crash the stream on every batch."""
+    from tdei_extract_load_service_spark.sinks.manifest import ManifestTxn
+
+    root = tempfile.mkdtemp(prefix="merge_sink_test_")
+    seed = spark.createDataFrame(
+        pd.DataFrame([(1, 10.0)], columns=["user_id", "balance"])
+    )
+    txn = ManifestTxn(root)
+    txn.write("balances", seed.coalesce(1), "baseline")
+    txn.commit()
+    handle = _handler(root)
+    handle(_batch(spark, [(1, 100, 1, "U", 11.0)]), 0)
+    assert _state(spark, root) == {1: 11.0}
+    # replay still a no-op with the odd key present
+    handle(_batch(spark, [(1, 999, 9, "U", 666.0)]), 0)
+    assert _state(spark, root) == {1: 11.0}
+
+
 def test_merge_shadow_drain_resume_converges(spark):
     """Kill the stream after two micro-batches, resume on the SAME
     checkpoint with the full stage visible: offsets skip the committed

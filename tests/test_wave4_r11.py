@@ -202,6 +202,56 @@ def test_merge_upsert_no_delete_clause(spark):
     assert got == {1: 10.0, 2: 5.0, 3: 0.0, 4: 40.0, 9: 99.0}
 
 
+def test_merge_upsert_duplicate_matched_key_raises(spark):
+    """ANSI MERGE cardinality violation (ADVICE r11): a source key that
+    matches a target row more than once must RAISE at runtime, never
+    silently multiply the target row."""
+    import pytest as _pytest
+
+    from tdei_extract_load_service_spark.operators.cdc import merge_upsert
+
+    target, _ = _merge_fixture(spark)
+    dup = spark.createDataFrame(
+        [(2, 1.0, False, None), (2, 2.0, False, None)],
+        "k long, delta double, is_del boolean, new_name string",
+    )
+    out = merge_upsert(
+        target,
+        dup,
+        ["k"],
+        update_set={"bal": F.col("s.delta")},
+        insert_values={"bal": F.col("s.delta")},
+    )
+    with _pytest.raises(Exception, match="cardinality violation"):
+        out.collect()
+
+
+def test_merge_upsert_null_and_insert_dup_keys_are_well_defined(spark):
+    """NULL keys derive match state from presence flags, not key
+    nullness: a null-keyed source row never matches (SQL join
+    semantics) and flows to the insert arm; duplicate keys on the
+    INSERT side insert both rows (ANSI does not raise there)."""
+    from tdei_extract_load_service_spark.operators.cdc import merge_upsert
+
+    target, _ = _merge_fixture(spark)
+    src = spark.createDataFrame(
+        [(None, 7.0, False, "nul"), (9, 1.0, False, "x"), (9, 2.0, False, "y")],
+        "k long, delta double, is_del boolean, new_name string",
+    )
+    out = merge_upsert(
+        target,
+        src,
+        ["k"],
+        update_set={"bal": F.col("s.delta")},
+        insert_values={"name": F.col("s.new_name"), "bal": F.col("s.delta")},
+    ).collect()
+    assert len(out) == 4 + 3  # 4 target rows untouched + 3 inserts
+    inserted = sorted(
+        (r["name"], r["bal"]) for r in out if r["k"] is None or r["k"] == 9
+    )
+    assert inserted == [("nul", 7.0), ("x", 1.0), ("y", 2.0)]
+
+
 # ---------------------------------------------------------------------------
 # ngram_containment_pairs
 # ---------------------------------------------------------------------------
@@ -295,6 +345,42 @@ def test_batch_topk_equals_per_query_probes(spark):
         assert [(r["id"], r["cosine"]) for r in got] == [
             (r["id"], r["cosine"]) for r in single
         ]
+
+
+def test_batch_topk_exclude_self(spark):
+    """exclude_self drops id == query_id BEFORE the ranking window:
+    ranks stay dense 1..k and the k-th real neighbor is kept (a
+    post-hoc filter would yield k-1 gapped rows — ADVICE r11)."""
+    from tdei_extract_load_service_spark.operators.similarity import (
+        lsh_bucket_topk_batch,
+        make_planes,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    planes = make_planes(4, 64)
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    kwargs = dict(k=5, dim=64, n_planes=4, planes=planes)
+    with_self = lsh_bucket_topk_batch(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding", **kwargs
+    ).collect()
+    no_self = lsh_bucket_topk_batch(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+        exclude_self=True, **kwargs
+    ).collect()
+    assert all(r["id"] != r["query_id"] for r in no_self)
+    by_q: dict[int, list] = {}
+    for r in no_self:
+        by_q.setdefault(r["query_id"], []).append(r["rnk"])
+    # dense 1..n ranks per query, no gaps
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+    # equal to ranking the self-free candidate set (not post-filtering):
+    # every query whose bucket held >= 6 candidates still gets 5 rows
+    with_by_q: dict[int, int] = {}
+    for r in with_self:
+        with_by_q[r["query_id"]] = max(with_by_q.get(r["query_id"], 0), r["rnk"])
+    for qid, rnks in by_q.items():
+        if with_by_q.get(qid, 0) == 5:
+            assert len(rnks) >= 4
 
 
 def test_dq_check_empty_table(spark):
