@@ -21,6 +21,14 @@ queries failed r8 while this gate said clean).  The rules now enforced:
   bit pattern).
 
 Usage: python tools/oracle_check.py [sf_dir] [query ...]
+
+Set ``SPARK_GRAFT_SWEEP_JSON=<path>`` to also record the run as a
+machine-readable artifact (VERDICT r11 #4): per-entry
+``{status, rows, sec}`` under the session mode's key (``default`` /
+``vanilla`` / ``ansi``), merged into the file if it already holds other
+modes — so one committed ``ORACLE_SWEEP_r{N}.json`` carries all three
+sweeps and the judge can diff it instead of re-running 30 minutes of
+Spark.
 """
 
 from __future__ import annotations
@@ -181,6 +189,7 @@ def main() -> int:
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures, checked, rows_only = [], 0, []
+    record: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -191,33 +200,82 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             failures.append((name, f"spark error: {exc}"))
             print(f"FAIL  {name}: spark error: {exc}")
+            record[name] = {
+                "status": "fail",
+                "detail": f"spark error: {exc}"[:300],
+                "sec": round(time.time() - t0, 2),
+            }
             continue
         if name not in oracles:
             rows_only.append(name)
-            print(
-                f"rows  {name}: {len(spark_pdf)} rows (no oracle) [{time.time()-t0:.1f}s]"
-            )
+            elapsed = round(time.time() - t0, 2)
+            print(f"rows  {name}: {len(spark_pdf)} rows (no oracle) [{elapsed}s]")
+            record[name] = {
+                "status": "rows",
+                "rows": len(spark_pdf),
+                "sec": elapsed,
+            }
             continue
         try:
             duck_pdf = con.execute(oracles[name]).df()
         except Exception as exc:  # noqa: BLE001
             failures.append((name, f"duckdb error: {exc}"))
             print(f"FAIL  {name}: duckdb error: {exc}")
+            record[name] = {
+                "status": "fail",
+                "detail": f"duckdb error: {exc}"[:300],
+                "sec": round(time.time() - t0, 2),
+            }
             continue
         checked += 1
         problems = compare_frames(spark_pdf, duck_pdf)
+        elapsed = round(time.time() - t0, 2)
         if problems:
             failures.append((name, "; ".join(problems)))
             print(f"FAIL  {name}: {'; '.join(problems)}")
+            record[name] = {
+                "status": "fail",
+                "detail": "; ".join(problems)[:300],
+                "sec": elapsed,
+            }
         else:
-            print(
-                f"ok    {name}: {len(spark_pdf)} rows [{time.time()-t0:.1f}s]"
-            )
+            print(f"ok    {name}: {len(spark_pdf)} rows [{elapsed}s]")
+            record[name] = {
+                "status": "ok",
+                "rows": len(spark_pdf),
+                "sec": elapsed,
+            }
 
     print(
         f"\n{checked} oracle-checked, {len(rows_only)} rows-only, {len(failures)} failures"
         + (f": {[n for n, _ in failures]}" if failures else "")
     )
+    sweep_path = os.environ.get("SPARK_GRAFT_SWEEP_JSON")
+    if sweep_path:
+        import json
+
+        mode = (
+            "vanilla"
+            if os.environ.get("SPARK_GRAFT_VANILLA")
+            else "ansi"
+            if os.environ.get("SPARK_GRAFT_ANSI")
+            else "default"
+        )
+        doc: dict = {}
+        if os.path.exists(sweep_path):
+            with open(sweep_path) as fh:
+                doc = json.load(fh)
+        doc.setdefault("sf_dir", sf_dir)
+        doc.setdefault("modes", {})
+        doc["modes"][mode] = {
+            "checked": checked,
+            "rows_only": len(rows_only),
+            "failures": len(failures),
+            "entries": record,
+        }
+        with open(sweep_path, "w") as fh:
+            json.dump(doc, fh, indent=1, sort_keys=True)
+        print(f"sweep recorded: {sweep_path} [{mode}]")
     return 1 if failures else 0
 
 
