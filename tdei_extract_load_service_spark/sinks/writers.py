@@ -137,12 +137,38 @@ def _replace_where_predicate(key_col: str, keys: list) -> str:
     return f"{key_col} IN ({', '.join(render(k) for k in keys)})"
 
 
+#: ``overwrite_by_key_delta`` derives its replaceWhere keys from the frame
+#: when the caller passes none — that collect is DRIVER state, so it is
+#: bounded: above this many distinct keys the predicate would be a
+#: multi-megabyte SQL string and the collect a scale hazard; callers
+#: replacing that many partitions should pass ``keys`` explicitly (they
+#: know the set without a scan) or use a full overwrite.
+MAX_REPLACE_KEYS = 10_000
+
+
+def _collect_replace_keys(df: DataFrame, key_col: str, max_keys: int) -> list:
+    """Distinct key values of ``df``, bounded collect (pure helper so the
+    bound is testable without the Delta package): reads at most
+    ``max_keys + 1`` rows and raises beyond the bound instead of hauling
+    an unbounded key set onto the driver."""
+    rows = df.select(key_col).distinct().limit(max_keys + 1).collect()
+    if len(rows) > max_keys:
+        raise ValueError(
+            f"overwrite_by_key_delta: more than {max_keys} distinct "
+            f"{key_col!r} values — pass keys= explicitly (or raise "
+            "max_keys) rather than deriving a predicate this large from "
+            "a full distinct scan"
+        )
+    return [r[0] for r in rows]
+
+
 def overwrite_by_key_delta(
     df: DataFrame,
     path: str,
     key_col: str = "tdei_dataset_id",
     keys: list | None = None,
     extra_partition_cols: tuple[str, ...] = (),
+    max_keys: int = MAX_REPLACE_KEYS,
 ) -> None:
     """``overwrite_by_key`` with true single-commit-point semantics: Delta's
     ``replaceWhere`` replaces the key's rows and commits one transaction-log
@@ -156,8 +182,11 @@ def overwrite_by_key_delta(
     remains the dependency-free default.
 
     ``keys``: the key values being replaced. Defaults to the distinct
-    values in ``df`` — bounded collect: one value per dataset being loaded
-    (the reference processes exactly one per message).
+    values in ``df`` — a collect bounded at ``max_keys``
+    (``MAX_REPLACE_KEYS``): one value per dataset in the reference's
+    per-message flow, but a caller pointing this at an arbitrary frame
+    gets a ValueError instead of an unbounded driver collect and a
+    multi-megabyte predicate.
     """
     try:
         import delta  # noqa: F401
@@ -168,7 +197,7 @@ def overwrite_by_key_delta(
             "spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension"
         ) from exc
     if keys is None:
-        keys = [r[0] for r in df.select(key_col).distinct().collect()]
+        keys = _collect_replace_keys(df, key_col, max_keys)
         if not keys:
             return  # nothing to replace, nothing to write
     predicate = _replace_where_predicate(key_col, keys)

@@ -111,6 +111,27 @@ def test_replace_where_predicate_rendering():
         _replace_where_predicate("k", [])
 
 
+def test_collect_replace_keys_bound(spark):
+    """VERDICT r11 #6: the keys-derivation collect is bounded — above
+    max_keys it raises (with the pass-keys-explicitly recipe) instead of
+    hauling an unbounded distinct key set onto the driver; at or under
+    the bound it returns the distinct values."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from tdei_extract_load_service_spark.sinks.writers import (
+        _collect_replace_keys,
+    )
+
+    small = spark.range(0, 50).select((F.col("id") % 5).alias("k"))
+    assert sorted(_collect_replace_keys(small, "k", 10)) == [0, 1, 2, 3, 4]
+    assert sorted(_collect_replace_keys(small, "k", 5)) == [0, 1, 2, 3, 4]
+    wide = spark.range(0, 100).select(F.col("id").alias("k"))
+    with _pytest.raises(ValueError, match="pass keys= explicitly"):
+        _collect_replace_keys(wide, "k", 99)
+
+
 def test_overwrite_by_key_delta_gate(spark, tmp_path):
     """Without delta-spark installed the adapter raises the documented
     NotImplementedError; with it installed, it performs a single-commit
