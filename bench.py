@@ -186,6 +186,11 @@ HEADLINE_EXTENSIONS = (
     # round-11 seventh wave: time-series OHLC resample + rolling WAU
     "ts_resample_ohlc",
     "events_rolling_active",
+    # round-12 additions: the retrieve+rerank serving funnel (pairs with
+    # similarity_ivf_pq above: the delta IS the rerank stage's cost) and
+    # the stored-model classifier projection
+    "similarity_rerank",
+    "text_quality_classifier",
     # dedup_semantic (SemDeDup) is EXCLUDED from the headline like
     # similarity_ivf_kmeans, whose Lloyd training it composes: the
     # entry's cost is ~85% deterministic-kmeans training (a per-corpus

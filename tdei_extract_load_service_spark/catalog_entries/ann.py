@@ -246,6 +246,36 @@ def q_similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("similarity_rerank", ORACLES.ann_rerank_oracle_sql())
+def q_similarity_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval (VERDICT r11 #8): the stored-IVFPQ index
+    RETRIEVES 50 candidates (partition-pruned 8-int scan), then ONLY
+    those candidates' full vectors are fetched and RE-SCORED with exact
+    cosine — the production RAG funnel (retrieve cheap, rerank exact),
+    where the expensive scorer's cost is O(candidates), constant in
+    corpus size. Exact-score order is final; the ANN distance rides
+    along so the funnel disagreement is observable
+    (operators/similarity.py ann_rerank_topk)."""
+    from tdei_extract_load_service_spark.operators.similarity import (
+        ann_rerank_topk,
+    )
+
+    path, model_rows, cbs = _pq_index(spark, sf_dir)
+    return ann_rerank_topk(
+        spark,
+        path,
+        model_rows,
+        _query_vec(spark, sf_dir),
+        cbs,
+        spread(_read(spark, sf_dir, "embeddings")),
+        "vec_id",
+        "embedding",
+        k=10,
+        n_candidates=50,
+        n_probe=4,
+    )
+
+
 @register("similarity_pq_trained", None)
 def q_similarity_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained-PQ production path (VERDICT r7 #4): per-subspace Lloyd

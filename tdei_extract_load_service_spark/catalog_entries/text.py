@@ -303,6 +303,58 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_quality_classifier",
+    r"""
+    WITH m AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS words,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '[ \t\n\r\f\v]+')) END AS n_words,
+             CASE WHEN len(text) > 0
+                  THEN len(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) / len(text)
+                  ELSE 0.0 END AS punct_raw
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             ROUND(least(n_words / 100.0, 1.0), 6) AS length_term,
+             ROUND(CASE WHEN len(words) > 0
+                   THEN list_sum(list_transform(words, w -> len(w))) / len(words)
+                   ELSE 0.0 END, 6) AS avg_word_len,
+             ROUND(punct_raw, 6) AS punct_ratio,
+             ROUND(CASE WHEN len(words) > 0
+                   THEN len(list_filter(words, w -> lower(w) IN ('the','a','and','of','to','is','in'))) / len(words)
+                   ELSE 0.0 END, 6) AS stopword_ratio
+      FROM m
+    ),
+    z AS (
+      SELECT *,
+             -2.0 + 2.2 * length_term + 0.15 * avg_word_len
+                  + -7.0 * punct_ratio + 4.0 * stopword_ratio AS logit_raw
+      FROM f
+    ),
+    p AS (SELECT *, ROUND(1.0 / (1.0 + exp(-logit_raw)), 6) AS prob FROM z)
+    SELECT doc_id AS id, length_term, avg_word_len, punct_ratio,
+           stopword_ratio, ROUND(logit_raw, 6) AS logit, prob,
+           CASE WHEN prob >= 0.5 THEN 'keep' ELSE 'drop' END AS label
+    FROM p
+    """,
+)
+def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored-model quality classifier (VERDICT r11 #8;
+    operators/text.py quality_classifier): logistic weights as driver
+    literals over the certified text_quality features — features rounded
+    to 6 BEFORE weighting so the classifier inputs (and therefore the
+    logit, probability and keep/drop decision) are bit-identical across
+    engines. One codegen projection; no shuffle, no UDF, no model
+    runtime."""
+    from tdei_extract_load_service_spark.operators import text as TX
+
+    docs = spread(_read(spark, sf_dir, "documents"))
+    return TX.quality_classifier(docs, "doc_id", "text")
+
+
+@register(
     "text_bm25_topk_stored",
     r"""
     WITH dl AS (

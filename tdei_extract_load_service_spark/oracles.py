@@ -334,12 +334,12 @@ def pq_recall_oracle_sql(k: int = 10) -> str:
     """
 
 
-def ivf_pq_oracle_sql(
-    num_centroids: int = 16, n_probe: int = 4, k: int = 10
-) -> str:
-    """DuckDB twin of similarity_ivf_pq: the IVF assignment/probe CTEs
-    from the similarity_ivf oracle composed with the PQ code/LUT CTEs
-    from pq_topk_oracle_sql, restricted to the probed cells."""
+def _ivf_pq_cte_sql(num_centroids: int, n_probe: int) -> tuple[str, str]:
+    """Shared WITH-clause body of the IVFPQ oracles (assignment, probe,
+    PQ code and LUT CTEs) and the ADC sum expression — the single
+    construction ``ivf_pq_oracle_sql`` and ``ann_rerank_oracle_sql``
+    both select from, so the retrieve stage of the rerank oracle is
+    literally the certified IVFPQ oracle."""
     from tdei_extract_load_service_spark.operators.similarity import make_codebooks
 
     cbs = make_codebooks()
@@ -359,8 +359,7 @@ def ivf_pq_oracle_sql(
         for s_i in range(len(cbs))
     )
     adc = " + ".join(f"l{s_i}[c{s_i} + 1]" for s_i in range(len(cbs)))
-    return f"""
-    WITH c AS (
+    ctes = f"""c AS (
       SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
       FROM embeddings ORDER BY vec_id LIMIT {num_centroids}
     ),
@@ -388,11 +387,58 @@ def ivf_pq_oracle_sql(
     subs AS (SELECT id, {', '.join(sub_cols)} FROM cands),
     coded AS (SELECT id, {', '.join(code_cols)} FROM subs),
     q AS (SELECT {qsub_cols} FROM embeddings WHERE vec_id = 0),
-    luts AS (SELECT {', '.join(lut_cols)} FROM q)
+    luts AS (SELECT {', '.join(lut_cols)} FROM q)"""
+    return ctes, adc
+
+
+def ivf_pq_oracle_sql(
+    num_centroids: int = 16, n_probe: int = 4, k: int = 10
+) -> str:
+    """DuckDB twin of similarity_ivf_pq: the IVF assignment/probe CTEs
+    from the similarity_ivf oracle composed with the PQ code/LUT CTEs
+    from pq_topk_oracle_sql, restricted to the probed cells."""
+    ctes, adc = _ivf_pq_cte_sql(num_centroids, n_probe)
+    return f"""
+    WITH {ctes}
     SELECT id, ROUND({adc}, 6) AS approx_dist
     FROM coded, luts
     ORDER BY approx_dist ASC, id ASC
     LIMIT {k}
+    """
+
+
+def ann_rerank_oracle_sql(
+    num_centroids: int = 16,
+    n_probe: int = 4,
+    n_candidates: int = 50,
+    k: int = 10,
+) -> str:
+    """DuckDB twin of the two-stage retrieve+rerank
+    (similarity.ann_rerank_topk): the certified IVFPQ oracle CTEs
+    retrieve ``n_candidates`` ids by ADC distance, then ONLY those ids'
+    full vectors are re-scored with exact cosine (the topk_cosine
+    formula) and ranked — same rounding, same id tiebreaks."""
+    ctes, adc = _ivf_pq_cte_sql(num_centroids, n_probe)
+    return f"""
+    WITH {ctes},
+    retrieved AS (
+      SELECT id, ROUND({adc}, 6) AS approx_dist
+      FROM coded, luts
+      ORDER BY approx_dist ASC, id ASC
+      LIMIT {n_candidates}
+    ),
+    rescored AS (
+      SELECT r.id, r.approx_dist,
+             ROUND(list_dot_product(e.embedding::DOUBLE[], qv)
+                   / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+      FROM retrieved r JOIN embeddings e ON e.vec_id = r.id, qfull
+    )
+    SELECT id, approx_dist, cosine,
+           CAST(row_number() OVER (ORDER BY cosine DESC, id ASC) AS INT) AS rnk
+    FROM rescored
+    QUALIFY rnk <= {k}
+    ORDER BY rnk
     """
 
 

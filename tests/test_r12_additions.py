@@ -1,0 +1,200 @@
+"""Round-12 additions: two-stage ANN retrieve+rerank and the
+stored-model quality classifier — each pinned against an independent
+reference (numpy / pure Python)."""
+
+from __future__ import annotations
+
+import math
+import re
+from decimal import ROUND_HALF_UP, Decimal
+
+import numpy as np
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _round6(x: float) -> float:
+    # Spark F.round is HALF_UP; Python round() is half-even
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+
+# ---------------------------------------------------------------------------
+# ann_rerank_topk
+# ---------------------------------------------------------------------------
+
+
+def _rerank_fixture(spark):
+    from tdei_extract_load_service_spark.catalog_entries.ann import _pq_index
+    from tdei_extract_load_service_spark.catalog import _query_vec
+
+    path, model_rows, cbs = _pq_index(spark, SF_DIR)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    return path, model_rows, cbs, emb, _query_vec(spark, SF_DIR)
+
+
+def test_rerank_rescore_matches_numpy(spark):
+    """Stage 2 pinned independently: the rerank output must equal
+    numpy's exact-cosine ranking of stage 1's candidate set (same
+    round-to-6, same id tiebreak)."""
+    from tdei_extract_load_service_spark.operators.similarity import (
+        ann_rerank_topk,
+        ivf_pq_topk_stored,
+    )
+
+    path, model_rows, cbs, emb, qvec = _rerank_fixture(spark)
+    cands = ivf_pq_topk_stored(
+        spark, path, model_rows, qvec, cbs, k=50, n_probe=4
+    ).collect()
+    cand_ids = {r.id for r in cands}
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in emb.collect()
+        if r.vec_id in cand_ids
+    }
+    q = np.array(qvec, dtype=np.float64)
+    scored = sorted(
+        (
+            (
+                -_round6(float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))),
+                i,
+            )
+            for i, v in vecs.items()
+        ),
+    )
+    want = [(i, -c) for c, i in scored[:10]]
+
+    got = ann_rerank_topk(
+        spark, path, model_rows, qvec, cbs, emb, "vec_id", "embedding",
+        k=10, n_candidates=50, n_probe=4,
+    ).collect()
+    assert [(r.id, r.cosine) for r in got] == want
+    assert [r.rnk for r in got] == list(range(1, 11))
+    assert all(r.id in cand_ids for r in got)
+
+
+def test_rerank_recall_at_least_ann(spark):
+    """The rerank's whole point: against the exact-cosine top-10 ground
+    truth, exact re-scoring of the 50-candidate pool must recall at
+    least as much as the raw ADC top-10 (deterministic fixtures — a
+    pinned measurement, not a statistical claim)."""
+    from tdei_extract_load_service_spark.operators.similarity import (
+        ann_rerank_topk,
+        ivf_pq_topk_stored,
+        topk_cosine,
+    )
+
+    path, model_rows, cbs, emb, qvec = _rerank_fixture(spark)
+    exact = {r.id for r in topk_cosine(emb, "vec_id", "embedding", qvec, 10).collect()}
+    ann = {
+        r.id
+        for r in ivf_pq_topk_stored(
+            spark, path, model_rows, qvec, cbs, k=10, n_probe=4
+        ).collect()
+    }
+    rerank = {
+        r.id
+        for r in ann_rerank_topk(
+            spark, path, model_rows, qvec, cbs, emb, "vec_id", "embedding",
+            k=10, n_candidates=50, n_probe=4,
+        ).collect()
+    }
+    assert len(rerank & exact) >= len(ann & exact)
+
+
+# ---------------------------------------------------------------------------
+# quality_classifier
+# ---------------------------------------------------------------------------
+
+_EN_STOP = {"the", "a", "and", "of", "to", "is", "in"}
+_PUNCT = set(".,;:!?'\"()-")
+
+
+def _py_classify(text: str, w=None, threshold=0.5):
+    """Pure-Python restatement of quality_classifier's semantics."""
+    weights = {
+        "intercept": -2.0, "length_term": 2.2, "avg_word_len": 0.15,
+        "punct_ratio": -7.0, "stopword_ratio": 4.0,
+    }
+    if w:
+        weights.update(w)
+    trimmed = text.strip()
+    n_words = 0 if trimmed == "" else len(re.split(r"[ \t\n\r\f\v]+", trimmed))
+    words = text.split(" ")
+    awl = sum(len(x) for x in words) / len(words) if words else 0.0
+    pr = (
+        sum(1 for ch in text if ch in _PUNCT) / len(text) if text else 0.0
+    )
+    lwords = text.lower().split(" ")
+    sr = (
+        sum(1 for x in lwords if x in _EN_STOP) / len(lwords)
+        if lwords
+        else 0.0
+    )
+    f = {
+        "length_term": _round6(min(n_words / 100.0, 1.0)),
+        "avg_word_len": _round6(awl),
+        "punct_ratio": _round6(pr),
+        "stopword_ratio": _round6(sr),
+    }
+    logit = weights["intercept"]
+    for k in ("length_term", "avg_word_len", "punct_ratio", "stopword_ratio"):
+        logit = logit + weights[k] * f[k]
+    prob = _round6(1.0 / (1.0 + math.exp(-logit)))
+    return f, _round6(logit), prob, ("keep" if prob >= threshold else "drop")
+
+
+def test_quality_classifier_matches_python(spark):
+    docs = [
+        ("empty", ""),
+        ("soup", "!!! ??? ... ,,, ;;; ::: ((( )))"),
+        (
+            "good",
+            "the quick brown fox is a friend of the lazy dog and the "
+            "cat is in the garden to watch the birds of the morning",
+        ),
+        ("short", "word"),
+        ("longish", " ".join(f"token{i} the of to" for i in range(40))),
+    ]
+    from tdei_extract_load_service_spark.operators.text import (
+        quality_classifier,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {
+        r.id: r.asDict()
+        for r in quality_classifier(df, "doc_id", "text").collect()
+    }
+    assert set(got) == {d for d, _ in docs}
+    for doc_id, text in docs:
+        f, logit, prob, label = _py_classify(text)
+        row = got[doc_id]
+        for k, v in f.items():
+            assert abs(row[k] - v) < 1e-9, (doc_id, k, row[k], v)
+        assert abs(row["logit"] - logit) < 1e-9, doc_id
+        assert abs(row["prob"] - prob) < 1e-6, doc_id
+        assert row["label"] == label, doc_id
+    # the intended separations: natural text keeps, punct soup drops
+    assert got["good"]["label"] == "keep"
+    assert got["soup"]["label"] == "drop"
+    assert got["empty"]["label"] == "drop"
+
+
+def test_quality_classifier_custom_weights_and_threshold(spark):
+    """Weight overrides are serving-time literals: flipping the punct
+    weight's sign must flip the soup doc's decision; a threshold of 0
+    keeps everything."""
+    from tdei_extract_load_service_spark.operators.text import (
+        quality_classifier,
+    )
+
+    df = spark.createDataFrame(
+        [("soup", "!!! ??? ... ,,, ;;; ::: ((( )))")],
+        "doc_id string, text string",
+    )
+    flipped = quality_classifier(
+        df, "doc_id", "text", weights={"punct_ratio": 7.0, "intercept": 0.0}
+    ).collect()[0]
+    assert flipped.label == "keep"
+    keep_all = quality_classifier(df, "doc_id", "text", threshold=0.0).collect()[0]
+    assert keep_all.label == "keep"

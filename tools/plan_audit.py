@@ -243,6 +243,19 @@ EXPECTATIONS: dict[str, list[str]] = {
     # layout — directory pruning, not a row filter — then literal-LUT
     # ADC projection + TakeOrdered; no join, no shuffle
     "similarity_ivf_pq": ["TakeOrderedAndProject", "PartitionFilters: \\[.*centroid_id", "!Join", "!hashpartitioning"],
+    # two-stage retrieve+rerank: stage 1 is the partition-pruned stored
+    # IVFPQ scan; stage 2 fetches ONLY the candidate ids' vectors via a
+    # broadcast equi-join (the corpus never shuffles) and ranks the
+    # bounded candidate head in one window — no corpus-wide exchange,
+    # no cartesian anything
+    "similarity_rerank": [
+        "PartitionFilters: \\[.*centroid_id",
+        "BroadcastHashJoin",
+        "Window",
+        "!SortMergeJoin",
+        "!CartesianProduct",
+        "!hashpartitioning",
+    ],
     # NFC normalization: one Arrow-batched O(len) fan-out, no shuffle
     "text_normalize": ["MapInPandas", "!Join", "!hashpartitioning"],
     # chunking: same O(len) fan-out shape (the transform-over-slices
@@ -301,6 +314,16 @@ EXPECTATIONS: dict[str, list[str]] = {
     # persisted tf frame (model + score join both read the cache); the
     # alphabet-bounded model broadcasts back — never a shuffle join
     "text_lm_score": ["InMemoryTableScan", "BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"],
+    # stored-model classifier serving: ONE codegen projection over the
+    # scan (plus the round-robin input spread) — no keyed shuffle, no
+    # join, no Python anywhere
+    "text_quality_classifier": [
+        "Project",
+        "!Join",
+        "!hashpartitioning",
+        "!MapInPandas",
+        "!ArrowEvalPython",
+    ],
     # weighted mix: identical shape to token_budget_sample — one stratum
     # window, budget CASE map is a literal projection, no join
     "corpus_mix_sample": ["Window", "Exchange hashpartitioning\\(source", "!Join", "!rangepartitioning"],
@@ -437,8 +460,12 @@ EXPECTATIONS: dict[str, list[str]] = {
     "dq_expectations": ["=1:FileScan", "partial_count", "Generate explode", "!Union", "!Join"],
     # condition-driven MERGE: ONE full-outer join (cannot broadcast —
     # must stay the spillable sort-merge), actions as projections over
-    # the joined row, never a second pass over the target
-    "merge_upsert": ["FullOuter", "=1:SortMergeJoin", "!BroadcastHashJoin", "!Window", "!CartesianProduct"],
+    # the joined row, never a second pass over the target. The r12
+    # cardinality guard adds a count window on the SOURCE side
+    # partitioned by the join keys, so it rides the join's own exchange:
+    # exactly TWO hash exchanges (one per join side), same as before
+    # the guard — the window must not cost a third.
+    "merge_upsert": ["FullOuter", "=1:SortMergeJoin", "=1:Window", "=2:Exchange hashpartitioning", "!BroadcastHashJoin", "!CartesianProduct"],
     # batch ANN: corpus scanned once, query batch BROADCAST onto the
     # bucket equi-join, one ranking window — no corpus-side shuffle
     # before the per-query candidate window
