@@ -187,10 +187,14 @@ HEADLINE_EXTENSIONS = (
     "ts_resample_ohlc",
     "events_rolling_active",
     # round-12 additions: the retrieve+rerank serving funnel (pairs with
-    # similarity_ivf_pq above: the delta IS the rerank stage's cost) and
-    # the stored-model classifier projection
+    # similarity_ivf_pq above: the delta IS the rerank stage's cost),
+    # the stored-model classifier projection, hard-negative mining
+    # (embedding_knn_batch's join shape + the exclude_self predicate)
+    # and the l-diversity audit riding anonymize_k's exchange
     "similarity_rerank",
     "text_quality_classifier",
+    "embedding_hard_negatives",
+    "anonymize_l_diversity",
     # dedup_semantic (SemDeDup) is EXCLUDED from the headline like
     # similarity_ivf_kmeans, whose Lloyd training it composes: the
     # entry's cost is ~85% deterministic-kmeans training (a per-corpus

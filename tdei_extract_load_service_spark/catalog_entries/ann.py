@@ -386,3 +386,40 @@ def q_embedding_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_planes=4,
         planes=make_planes(4, 64),
     ).orderBy(F.col("query_id").asc(), F.col("rnk").asc())
+
+
+@register(
+    "embedding_hard_negatives",
+    ORACLES.lsh_batch_topk_oracle_sql(
+        k=5, stride=100, n_planes=4, exclude_self=True
+    ),
+)
+def q_embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR/SimCSE
+    data-prep step): every anchor's top-k nearest corpus rows EXCLUDING
+    the anchor itself — high-similarity non-matches are the negatives
+    that make a retriever learn. Exactly ``embedding_knn_batch``'s
+    one-join batch shape with the r12 ``exclude_self`` flag: the
+    self-pair is dropped BEFORE the ranking window, so ranks stay dense
+    1..k and the k-th real negative is kept (a post-hoc filter would
+    lose it). Oracle: the same batch-topk SQL with the self-pair
+    excluded in the candidate join."""
+    from tdei_extract_load_service_spark.operators.similarity import (
+        lsh_bucket_topk_batch,
+        make_planes,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return lsh_bucket_topk_batch(
+        emb,
+        "vec_id",
+        "embedding",
+        emb.where(F.col("vec_id") % 100 == 0),
+        "vec_id",
+        "embedding",
+        k=5,
+        dim=64,
+        n_planes=4,
+        planes=make_planes(4, 64),
+        exclude_self=True,
+    ).orderBy(F.col("query_id").asc(), F.col("rnk").asc())

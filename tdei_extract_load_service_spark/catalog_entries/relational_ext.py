@@ -1557,3 +1557,55 @@ def q_anonymize_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "c_custkey", "c_nationkey", "c_mktsegment", "bal_band", "eq_class_n"
     ).orderBy(F.col("c_custkey").asc())
+
+
+@register(
+    "anonymize_l_diversity",
+    """
+    WITH rel AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             c_custkey
+      FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment,
+                                 CAST(FLOOR(c_acctbal / 1000) AS BIGINT)) AS n
+        FROM customer
+      ) WHERE n >= 5
+    )
+    SELECT c_nationkey, c_mktsegment, bal_band,
+           COUNT(*) AS n_records,
+           COUNT(DISTINCT c_custkey % 7) AS n_sensitive,
+           COUNT(DISTINCT c_custkey % 7) >= 3 AS diverse
+    FROM rel
+    GROUP BY c_nationkey, c_mktsegment, bal_band
+    """,
+)
+def q_anonymize_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit OVER the k-anonymized release
+    (operators/privacy.py l_diversity_audit): per equivalence class, the
+    count of DISTINCT sensitive values (here a synthetic 7-way attribute
+    derived from the row id) and whether it reaches l=3 — the
+    homogeneity-attack check a k-anonymous release still needs (a class
+    where everyone shares one diagnosis leaks it at any k). Composes the
+    certified anonymize_k pipeline with ONE further aggregation on the
+    quasi key — at scale the window exchange and this groupBy share the
+    same hash partitioning, so the audit costs one extra partial agg,
+    not a second shuffle of the release."""
+    from tdei_extract_load_service_spark.operators.privacy import (
+        k_anonymize,
+        l_diversity_audit,
+    )
+
+    cust = _read(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    released = k_anonymize(
+        cust.withColumn(
+            "bal_band", F.floor(F.col("c_acctbal") / 1000).cast("long")
+        ).drop("c_acctbal"),
+        ["c_nationkey", "c_mktsegment", "bal_band"],
+        k=5,
+    ).withColumn("sensitive", F.col("c_custkey") % 7)
+    return l_diversity_audit(
+        released, ["c_nationkey", "c_mktsegment", "bal_band"], "sensitive", l=3
+    )

@@ -513,12 +513,17 @@ def minhash_md5_oracle_sql(
     """
 
 
-def lsh_batch_topk_oracle_sql(k: int = 5, stride: int = 100, n_planes: int = 4) -> str:
+def lsh_batch_topk_oracle_sql(
+    k: int = 5, stride: int = 100, n_planes: int = 4,
+    exclude_self: bool = False,
+) -> str:
     """DuckDB twin of ``lsh_bucket_topk_batch`` over the sampled query
     batch (``vec_id % stride = 0``): same seeded plane literals as the
     Spark side, so buckets are bit-identical; candidates are the
     bucket-equi join; per-query ranking is row_number over (cosine DESC,
-    id ASC) — the identical total order."""
+    id ASC) — the identical total order. ``exclude_self`` mirrors the
+    operator flag: the self-pair is dropped BEFORE ranking, keeping
+    ranks dense (the hard-negative-mining contract)."""
     from tdei_extract_load_service_spark.operators.similarity import make_planes
 
     terms = []
@@ -540,7 +545,7 @@ def lsh_batch_topk_oracle_sql(k: int = 5, stride: int = 100, n_planes: int = 4) 
              ROUND(list_dot_product(bb.v, q.qv)
                    / (sqrt(list_dot_product(bb.v, bb.v))
                       * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
-      FROM bb JOIN q ON bb.bucket = q.bucket
+      FROM bb JOIN q ON bb.bucket = q.bucket{" AND bb.vec_id <> q.query_id" if exclude_self else ""}
     ),
     r AS (
       SELECT query_id, id, cosine,

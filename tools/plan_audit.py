@@ -466,6 +466,23 @@ EXPECTATIONS: dict[str, list[str]] = {
     # exactly TWO hash exchanges (one per join side), same as before
     # the guard — the window must not cost a third.
     "merge_upsert": ["FullOuter", "=1:SortMergeJoin", "=1:Window", "=2:Exchange hashpartitioning", "!BroadcastHashJoin", "!CartesianProduct"],
+    # hard-negative mining: embedding_knn_batch's exact shape (the
+    # exclude_self filter is a pre-window predicate, not a plan change)
+    "embedding_hard_negatives": [
+        "BroadcastHashJoin",
+        "Window",
+        "!SortMergeJoin",
+        "!CartesianProduct",
+    ],
+    # l-diversity audit over the k-anonymized release: the window
+    # count and the audit groupBy key on the SAME quasi attributes, so
+    # ONE hash exchange serves both (the project-before-window rule)
+    "anonymize_l_diversity": [
+        "Window",
+        "count\\(distinct",
+        "=1:Exchange hashpartitioning",
+        "!Join",
+    ],
     # batch ANN: corpus scanned once, query batch BROADCAST onto the
     # bucket equi-join, one ranking window — no corpus-side shuffle
     # before the per-query candidate window
