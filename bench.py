@@ -195,6 +195,7 @@ HEADLINE_EXTENSIONS = (
     "text_quality_classifier",
     "embedding_hard_negatives",
     "anonymize_l_diversity",
+    "corpus_shard_export",
     # dedup_semantic (SemDeDup) is EXCLUDED from the headline like
     # similarity_ivf_kmeans, whose Lloyd training it composes: the
     # entry's cost is ~85% deterministic-kmeans training (a per-corpus

@@ -385,6 +385,45 @@ def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_shard_export",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR) || 'epoch0') AS digest
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, digest,
+             CAST(CAST(('0x' || substr(digest, 1, 8)) AS BIGINT) % 8 AS INT) AS shard
+      FROM h
+    )
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard
+                                   ORDER BY digest ASC, doc_id ASC) AS INT) AS pos
+    FROM s
+    """,
+)
+def q_corpus_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shuffled-shard layout (operators/sampling.py
+    shard_assign) — the final stage of a training-data pipeline: each
+    document's shard (md5 bucket of the key, engine-portable hex-prefix
+    parse) and its position within the shard under a seeded
+    pseudo-random total order, so training reads shard files whose
+    within-file order is a reproducible global shuffle (bump the seed
+    per epoch for a fresh permutation — an epoch-level reshuffle moves
+    shard membership too, by design). ONE hash
+    exchange on the shard serves both the position window and a
+    partitionBy(shard) sink; the oracle restates bucket, order and
+    rank."""
+    from tdei_extract_load_service_spark.operators.sampling import (
+        shard_assign,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return shard_assign(docs, "doc_id", n_shards=8, seed="epoch0")
+
+
+@register(
     "text_char_entropy",
     """
     WITH c AS (

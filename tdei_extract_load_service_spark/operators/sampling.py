@@ -15,7 +15,7 @@ DuckDB oracle compute identical digests, keeping the op verifiable.)
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -257,3 +257,53 @@ def temperature_mix_sample(
     return mix_budget_sample(
         df, key_col, strata_col, tokens_col, weights, total_budget
     )
+
+
+def shard_assign(
+    df: DataFrame,
+    key_col: str | Column,
+    n_shards: int,
+    seed: str = "",
+    with_position: bool = True,
+) -> DataFrame:
+    """Deterministic shuffled-shard layout — the LAST stage of every
+    training-data pipeline: assign each row a shard in ``[0, n_shards)``
+    by key hash and (optionally) its position within the shard under a
+    pseudo-random but fully deterministic order, so a training job reads
+    shard files whose within-file order is a seeded global shuffle that
+    any engine can reproduce. Bumping ``seed`` per epoch yields a fresh
+    global permutation — shard MEMBERSHIP moves too (the digest seeds
+    both), which is exactly an epoch-level reshuffle; hold ``seed``
+    fixed where stable shard composition matters (incremental appends).
+
+    ``shard`` is the md5 bucket of the key (``hash_bucket`` machinery —
+    hex-prefix parse, engine-portable); ``_shuffle_key`` is the full md5
+    digest, and ``pos`` is the row_number within the shard ordered by
+    (digest, key) — collision-proof total order.
+
+    Scale shape: ONE hash exchange on ``shard`` serves both the window
+    position and a ``write.partitionBy("shard")`` sink; the per-shard
+    sort the window pays IS the deterministic within-file order the
+    sink needs (``sortWithinPartitions`` would repeat it). With
+    ``with_position=False`` the assignment is a pure projection — no
+    shuffle at all (use when the sink sorts).
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    key = _col(key_col)
+    digest = F.md5(F.concat(key.cast("string"), F.lit(seed)))
+    out = df.withColumn("_shuffle_key", digest).withColumn(
+        "shard",
+        (
+            F.conv(F.substring(F.col("_shuffle_key"), 1, 8), 16, 10).cast(
+                "bigint"
+            )
+            % n_shards
+        ).cast("int"),
+    )
+    if not with_position:
+        return out.drop("_shuffle_key")
+    w = Window.partitionBy("shard").orderBy(
+        F.col("_shuffle_key").asc(), key.asc()
+    )
+    return out.withColumn("pos", F.row_number().over(w)).drop("_shuffle_key")

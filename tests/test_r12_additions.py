@@ -180,6 +180,38 @@ def test_quality_classifier_matches_python(spark):
     assert got["empty"]["label"] == "drop"
 
 
+def test_shard_assign_properties(spark):
+    """Every row lands in exactly one shard; positions are dense 1..n
+    per shard; the layout is deterministic across invocations; a new
+    seed produces a different global permutation; with_position=False
+    is assignment-only (no pos column)."""
+    from tdei_extract_load_service_spark.operators.sampling import (
+        shard_assign,
+    )
+
+    df = spark.range(0, 2000).select(F.col("id").alias("k"))
+    a = shard_assign(df, "k", n_shards=4, seed="e0").collect()
+    assert len(a) == 2000
+    by_shard: dict[int, list[int]] = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # deterministic re-run
+    b = shard_assign(df, "k", n_shards=4, seed="e0").collect()
+    assert {(r.k, r.shard, r.pos) for r in a} == {
+        (r.k, r.shard, r.pos) for r in b
+    }
+    # a new epoch seed is a fresh permutation
+    c = shard_assign(df, "k", n_shards=4, seed="e1").collect()
+    assert {(r.k, r.shard, r.pos) for r in a} != {
+        (r.k, r.shard, r.pos) for r in c
+    }
+    no_pos = shard_assign(df, "k", n_shards=4, with_position=False)
+    assert "pos" not in no_pos.columns and "shard" in no_pos.columns
+
+
 def test_quality_classifier_custom_weights_and_threshold(spark):
     """Weight overrides are serving-time literals: flipping the punct
     weight's sign must flip the soup doc's decision; a threshold of 0

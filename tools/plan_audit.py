@@ -474,6 +474,13 @@ EXPECTATIONS: dict[str, list[str]] = {
         "!SortMergeJoin",
         "!CartesianProduct",
     ],
+    # shuffled-shard export: ONE hash exchange on the shard serves the
+    # position window (and would serve a partitionBy sink); no join
+    "corpus_shard_export": [
+        "Window",
+        "=1:Exchange hashpartitioning",
+        "!Join",
+    ],
     # l-diversity audit over the k-anonymized release: the window
     # count and the audit groupBy key on the SAME quasi attributes, so
     # ONE hash exchange serves both (the project-before-window rule)
