@@ -213,6 +213,12 @@ HEADLINE_EXTENSIONS = (
     # cheap xxhash64 word hashes; the md5-nibble twin exists for value
     # certification (2x md5 per word, ~5s at sf0.1 — correctness runs
     # at sf0.01, plan audited like the other dedup joins).
+    # multimodal_audio_dedup (r12) is EXCLUDED from the headline for the
+    # same fixture pathology as multimodal_image_dedup directly below:
+    # the synthetic energy envelopes form giant equal-hash clusters, so
+    # output pair volume is quadratic BY CONSTRUCTION (measured x10:
+    # pairs 172k -> 17.4M, 101x — SCALE.md). Correctness runs at sf0.01
+    # (closed-form oracle); the blocked-join plan is audited.
     # multimodal_image_dedup is EXCLUDED from the sf0.1 headline for the
     # same fixture pathology as dedup_winnow below: the synthetic pixel
     # streams make identical-aHash clusters whose size grows with the

@@ -277,6 +277,73 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_audio_dedup",
+    """
+    WITH p AS (
+      SELECT doc_id, 800 + doc_id % 5 * 100 AS n FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n,
+             list_transform(generate_series(0, n - 1),
+               i -> abs(((doc_id * 31 + i * 17 + 977) % 4001) - 2000)) AS a
+      FROM p
+    ),
+    e AS (
+      SELECT doc_id, n, a,
+             CAST(list_aggregate(a, 'sum') AS BIGINT) AS tot
+      FROM s
+    ),
+    bits AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, 63), j ->
+               CASE WHEN CAST(list_aggregate(
+                        a[(j * n) // 64 + 1 : ((j + 1) * n) // 64],
+                        'sum') AS BIGINT) * n
+                      > tot * (((j + 1) * n) // 64 - (j * n) // 64)
+                    THEN 1 ELSE 0 END) AS bl
+      FROM e
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_filter(generate_series(1, 64),
+                  j -> a.bl[j] <> b.bl[j])) AS INT) AS hamming
+      FROM bits a, bits b
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM pairs
+    WHERE hamming <= 4
+    ORDER BY doc_a ASC, doc_b ASC
+    """,
+)
+def q_multimodal_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO near-dup pairs via energy-envelope fingerprint — completes
+    the modality row the image entry started (r11): real stdlib WAV
+    decode -> channel-0 absolute amplitudes -> 64 equal time windows ->
+    one bit per window via the EXACT-integer cross-multiplied
+    mean-energy test (binary_ops.audio_envelope_hash; no float mean, so
+    the oracle recomputes the hash in closed form from the fixture's
+    sample formula) -> Hamming-blocked pairs
+    (hamming_hash_pairs: max_hamming=4 < 8 chunks -> PIGEONHOLE-COMPLETE
+    blocking; the blocked join provably equals the oracle's cross
+    join). Verification one whole-stage bit_count(xor) per candidate."""
+    from tdei_extract_load_service_spark.multimodal.binary_ops import (
+        audio_envelope_hash,
+        synth_wav,
+    )
+    from tdei_extract_load_service_spark.operators.dedup import (
+        hamming_hash_pairs,
+    )
+
+    docs = spread(_read(spark, sf_dir, "documents").select("doc_id"))
+    hashes = audio_envelope_hash(synth_wav(docs, "doc_id"))
+    pairs = hamming_hash_pairs(
+        hashes.where("decoded"), "media_id", "ehash",
+        max_hamming=4, chunks=8,
+    )
+    return pairs.orderBy(F.col("doc_a").asc(), F.col("doc_b").asc())
+
+
+@register(
     "multimodal_image_dedup",
     """
     WITH p AS (

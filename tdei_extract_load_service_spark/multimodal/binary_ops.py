@@ -542,6 +542,68 @@ def image_ahash(
     return df.select(id_col, content_col).mapInPandas(ahash, schema=AHASH_SCHEMA)
 
 
+EHASH_SCHEMA = "media_id bigint, ehash bigint, decoded boolean, error string"
+
+
+def audio_envelope_hash(
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    windows: int = 64,
+) -> DataFrame:
+    """Energy-envelope fingerprint over the real WAV decode path — the
+    AUDIO twin of ``image_ahash``: decode (stdlib RIFF/PCM16 walk) ->
+    channel-0 absolute amplitudes -> ``windows`` equal time windows ->
+    one bit per window, set iff the window's MEAN absolute amplitude
+    strictly exceeds the clip's (the comparison cross-multiplied in
+    EXACT integers — ``e_j * n > E * len_j`` — no float mean, so the
+    hash is bit-reproducible and the catalog oracle restates it in
+    closed form over the deterministic fixture samples). Bits pack
+    MSB-first (window 0 is bit 63) into a two's-complement BIGINT for
+    one-``bit_count(xor)`` Hamming distances downstream.
+
+    Arrow-batched ``mapInPandas``; per-row codec failures land in
+    ``error`` (ehash NULL). Feed to ``hamming_hash_pairs`` for blocked
+    near-dup pairs — same pigeonhole-complete blocking as the image
+    entry."""
+    if not 1 <= windows <= 64:
+        raise ValueError("windows must be in [1, 64] (one bit per window)")
+
+    def ehash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "ehash", "decoded", "error")}
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                rec = dict(
+                    media_id=int(mid), ehash=None, decoded=False, error=None
+                )
+                try:
+                    d = decode_wav_audio(blob)
+                    s = [abs(v) for v in d["samples"]]
+                    n = len(s)
+                    if n < windows:
+                        raise ValueError(
+                            f"clip too short: {n} samples < {windows} windows"
+                        )
+                    total = sum(s)
+                    h = 0
+                    for j in range(windows):
+                        a, b = (j * n) // windows, ((j + 1) * n) // windows
+                        e_j = sum(s[a:b])
+                        h = (h << 1) | (
+                            1 if e_j * n > total * (b - a) else 0
+                        )
+                    if h >= 1 << 63:  # two's-complement BIGINT
+                        h -= 1 << 64
+                    rec.update(ehash=h, decoded=True)
+                except Exception as exc:  # noqa: BLE001
+                    rec["error"] = f"{type(exc).__name__}: {exc}"
+                for k, v in rec.items():
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, content_col).mapInPandas(ehash, schema=EHASH_SCHEMA)
+
+
 def synth_avi(df: DataFrame, id_col: str = "media_id", n_frames: int = 6) -> DataFrame:
     """Deterministic MJPEG-AVI fixture generator: ``n_frames`` frames of
     16x16 DC-only baseline JPEG per media id — frame f, block b carries

@@ -13,13 +13,14 @@ import os
 
 from tdei_extract_load_service_spark.catalog import DRIVER_WINDOW, REGISTRY, ordered_registry
 
-# Entries that must always be driver-checked.  r11 rotation (VERDICT
-# r10 #1): the permanent core is the 20-op v1 engine contract (never
-# rotated out), plus rule (a) — all 5 round-10 registrations, never
-# driver-sampled — plus rule (b) oldest-first: the complete r4/r5/r6
-# re-certification cohorts and the 4 oldest-alphabetical r7 entries.
-# Everything rotated out stays swept by tools/oracle_check.py every
-# round.
+# Entries that must always be driver-checked.  r12 rotation (VERDICT
+# r11 #1): the permanent core is the 20-op v1 engine contract (never
+# rotated out), plus rule (a) — ALL 24 round-11 registrations, never
+# driver-sampled — plus rule (b) oldest-first: the 6 alphabetical-head
+# r7-cohort re-certification debts.  Everything rotated out stays swept
+# by tools/oracle_check.py every round.  This list mirrors
+# catalog.DRIVER_WINDOW deliberately: every rotation must edit BOTH (a
+# silent window edit fails here loudly).
 FLAGSHIPS = [
     # the 20-op v1 contract
     "scan",
@@ -42,41 +43,38 @@ FLAGSHIPS = [
     "topk_similarity",
     "text_quality",
     "etl_load_dataset",
-    # rule (a): the 5 round-10 registrations (never driver-sampled)
-    "dedup_embedding_lsh_stored",
-    "embedding_lsh_probe_stored",
-    "dedup_incremental",
-    "dedup_embedding_incremental",
-    "stream_restart_shadow",
-    # rule (b): the r4 cohort
-    "approx_distinct",
-    "join_outer",
-    "pivot",
-    "rollup",
-    "sample_hash",
-    "set_ops",
-    "window_rank",
-    # rule (b): the r5 cohort
-    "multimodal_meta",
-    "paginate",
-    "similarity_lsh_bucketed",
-    "text_langid",
-    "text_token_count",
-    "window_lag_delta",
-    # rule (b): the r6 cohort
-    "grouping_sets",
-    "histogram",
-    "interval_join",
-    "multimodal_audio",
-    "text_fingerprint",
-    "text_ngram_topk",
-    "unpivot",
-    "window_range_frame",
-    # rule (b): the 4 oldest-alphabetical r7-cohort entries
-    "agg_stats",
-    "column_correlations",
-    "column_profile",
-    "column_profile_categorical",
+    # rule (a): the 24 round-11 registrations (never driver-sampled)
+    "stream_enrich_shadow",
+    "embedding_lsh_probe_multiband",
+    "dedup_bloom_prefilter",
+    "distinct_rollup_windows",
+    "stream_late_data_shadow",
+    "dedup_span_ngram",
+    "text_bpe_pairs",
+    "stream_outer_join_shadow",
+    "table_changes",
+    "stream_timeout_shadow",
+    "multimodal_image_dedup",
+    "dedup_simhash_exact",
+    "dedup_minhash_exact",
+    "graph_triangles",
+    "dq_expectations",
+    "merge_upsert",
+    "dedup_ngram_containment",
+    "embedding_knn_batch",
+    "stream_merge_shadow",
+    "join_asof_nearest",
+    "anonymize_k",
+    "ts_resample_ohlc",
+    "dedup_semantic",
+    "events_rolling_active",
+    # rule (b): the 6 alphabetical-head r7-cohort entries
+    "corpus_prep",
+    "dedup_cluster",
+    "dedup_embedding_lsh",
+    "dedup_winnow",
+    "dynamic_query",
+    "embedding_quantize",
 ]
 
 

@@ -180,6 +180,41 @@ def test_quality_classifier_matches_python(spark):
     assert got["empty"]["label"] == "drop"
 
 
+def test_audio_envelope_hash_matches_python(spark):
+    """The envelope hash over the REAL WAV decode must equal a pure-
+    Python restatement from the fixture's closed-form sample formula
+    (integer cross-multiplied mean test — no float anywhere), and a
+    truncated/garbage blob must land in the error column."""
+    from tdei_extract_load_service_spark.multimodal.binary_ops import (
+        audio_envelope_hash,
+        synth_wav,
+    )
+
+    ids = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+    got = {
+        r.media_id: (r.ehash, r.decoded)
+        for r in audio_envelope_hash(synth_wav(ids, "doc_id")).collect()
+    }
+
+    def py_hash(mid: int) -> int:
+        n = 800 + (mid % 5) * 100
+        s = [abs(((mid * 31 + i * 17 + 977) % 4001) - 2000) for i in range(n)]
+        total = sum(s)
+        h = 0
+        for j in range(64):
+            a, b = (j * n) // 64, ((j + 1) * n) // 64
+            h = (h << 1) | (1 if sum(s[a:b]) * n > total * (b - a) else 0)
+        return h - (1 << 64) if h >= 1 << 63 else h
+
+    assert got == {m: (py_hash(m), True) for m in range(40)}
+
+    bad = spark.createDataFrame(
+        [(99, b"RIFFxxxxWAVEgarbage")], "media_id long, content binary"
+    )
+    row = audio_envelope_hash(bad).collect()[0]
+    assert not row.decoded and row.ehash is None and row.error
+
+
 def test_shard_assign_properties(spark):
     """Every row lands in exactly one shard; positions are dense 1..n
     per shard; the layout is deterministic across invocations; a new

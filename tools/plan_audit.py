@@ -444,6 +444,10 @@ EXPECTATIONS: dict[str, list[str]] = {
     # chunk-blocked spillable merge join verified by one whole-stage
     # bit_count(xor) — never a cross product
     "multimodal_image_dedup": ["MapInPandas", "bit_count", "SortMergeJoin", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
+    # audio envelope-hash near-dup: same shape — Arrow-batched WAV
+    # decode+hash fan-out, chunk-blocked spillable merge join,
+    # bit_count(xor) verify, never a cross product
+    "multimodal_audio_dedup": ["MapInPandas", "bit_count", "SortMergeJoin", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
     # BPE pair table: two map-side-combinable aggregations (word counts,
     # then weighted pair counts over the |vocab|-sized frame) — the only
     # corpus-sized shuffle is the word-key exchange; no join, no Python
@@ -589,6 +593,23 @@ def main() -> int:
             "media_id", "ahash", max_hamming=4, chunks=8, eager=False,
         )
 
+    def _lazy_audio_dedup(spark, sf_dir):
+        from tdei_extract_load_service_spark.catalog import _read
+        from tdei_extract_load_service_spark.multimodal.binary_ops import (
+            audio_envelope_hash,
+            synth_wav,
+        )
+        from tdei_extract_load_service_spark.operators.dedup import (
+            hamming_hash_pairs,
+        )
+        from tdei_extract_load_service_spark.session import spread
+
+        docs = spread(_read(spark, sf_dir, "documents").select("doc_id"))
+        return hamming_hash_pairs(
+            audio_envelope_hash(synth_wav(docs, "doc_id")).where("decoded"),
+            "media_id", "ehash", max_hamming=4, chunks=8, eager=False,
+        )
+
     def _lazy_minhash_exact(spark, sf_dir):
         from tdei_extract_load_service_spark.catalog import _read
         from tdei_extract_load_service_spark.operators.dedup import (
@@ -624,6 +645,7 @@ def main() -> int:
         "dedup_embedding_lsh_stored": _lazy_embedding_lsh_stored,
         "dedup_winnow": _lazy_winnow,
         "multimodal_image_dedup": _lazy_image_dedup,
+        "multimodal_audio_dedup": _lazy_audio_dedup,
         "dedup_simhash_exact": _lazy_simhash_exact,
         "dedup_minhash_exact": _lazy_minhash_exact,
     }
