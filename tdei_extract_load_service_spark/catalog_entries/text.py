@@ -329,13 +329,23 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     z AS (
       SELECT *,
-             -2.0 + 2.2 * length_term + 0.15 * avg_word_len
-                  + -7.0 * punct_ratio + 4.0 * stopword_ratio AS logit_raw
+             CAST(-200 * 1000000
+                  + 220 * CAST(ROUND(length_term * 1000000, 0) AS BIGINT)
+                  + 15 * CAST(ROUND(avg_word_len * 1000000, 0) AS BIGINT)
+                  + -700 * CAST(ROUND(punct_ratio * 1000000, 0) AS BIGINT)
+                  + 400 * CAST(ROUND(stopword_ratio * 1000000, 0) AS BIGINT)
+               AS BIGINT) AS l8
       FROM f
     ),
-    p AS (SELECT *, ROUND(1.0 / (1.0 + exp(-logit_raw)), 6) AS prob FROM z)
+    p AS (
+      SELECT *,
+             CAST(l8 AS DOUBLE) / 100000000.0 AS logit,
+             0.5 + 0.5 * CAST(l8 AS DOUBLE)
+                 / CAST(100000000 + abs(l8) AS DOUBLE) AS prob
+      FROM z
+    )
     SELECT doc_id AS id, length_term, avg_word_len, punct_ratio,
-           stopword_ratio, ROUND(logit_raw, 6) AS logit, prob,
+           stopword_ratio, logit, prob,
            CASE WHEN prob >= 0.5 THEN 'keep' ELSE 'drop' END AS label
     FROM p
     """,
@@ -346,7 +356,10 @@ def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     literals over the certified text_quality features — features rounded
     to 6 BEFORE weighting so the classifier inputs (and therefore the
     logit, probability and keep/drop decision) are bit-identical across
-    engines. One codegen projection; no shuffle, no UDF, no model
+    engines; the link is the ALGEBRAIC sigmoid z/(1+|z|) because libm
+    exp differs between JVM and DuckDB in the last ulp (measured: one
+    sf0.001 doc flipped a ROUND(x,6) half-point — the text_readability
+    lesson). One codegen projection; no shuffle, no UDF, no model
     runtime."""
     from tdei_extract_load_service_spark.operators import text as TX
 

@@ -117,11 +117,21 @@ def quality_classifier(
 
     Per document: the four certified quality features (saturating
     length term, avg word length, punctuation ratio, stopword ratio) are
-    computed and ROUNDED to 6 — pinning the classifier inputs
-    bit-identical across engines — then ``logit = b + w·f`` folds
-    left-associated over the rounded features, ``prob = 1/(1+exp(-logit))``
-    and ``label = keep/drop`` at ``threshold`` on the ROUNDED
-    probability (so the decision boundary is engine-stable too).
+    computed, ROUNDED to 6 and lifted to BIGINT micro-units; the logit
+    is then EXACT fixed-point arithmetic — ``L = 1e8*b + 100*w·f_micro``
+    with the weights' two decimals scaled to integers (the r9
+    text_readability recipe: 1-2-decimal weights times 6-decimal
+    features land exactly on ROUND(x, 6) half-points, where Spark's
+    shortest-decimal HALF_UP and DuckDB's binary rounding genuinely
+    diverge — measured again here at r12 BEFORE this form). The output
+    ``logit`` is ``L/1e8`` and ``prob`` the ALGEBRAIC sigmoid
+    ``0.5 + 0.5*L/(1e8+|L|)`` — same shape and the same
+    ``L >= 0 <=> prob >= 0.5`` boundary as the logistic, but exact
+    integer → double conversions plus correctly-rounded IEEE ops only
+    (never libm ``exp``, whose last ulp differs across engines, and no
+    float ROUND anywhere downstream of the features) — so both columns
+    are BIT-identical cross-engine at full double precision.
+    ``label = keep/drop`` at ``threshold`` on that probability.
 
     Output: ``(id, length_term, avg_word_len, punct_ratio,
     stopword_ratio, logit, prob, label)``.
@@ -133,6 +143,17 @@ def quality_classifier(
     w = dict(QUALITY_CLF_WEIGHTS)
     if weights:
         w.update(weights)
+    # weights carry at most 2 decimals by contract — scaled to exact
+    # integers so the weighted sum is BIGINT arithmetic
+    w100 = {}
+    for k, v in w.items():
+        scaled = round(float(v) * 100)
+        if abs(scaled - float(v) * 100) > 1e-9:
+            raise ValueError(
+                f"classifier weight {k}={v} has more than 2 decimals; "
+                "the fixed-point contract needs centi-unit weights"
+            )
+        w100[k] = int(scaled)
     t = _col(text_col)
     feats = {
         "length_term": F.least(
@@ -143,15 +164,25 @@ def quality_classifier(
         "stopword_ratio": stopword_ratio(t),
     }
     rounded = {k: F.round(v, 6) for k, v in feats.items()}
-    logit = F.lit(float(w["intercept"]))
+    # feature micro-units: f is an exact multiple of 1e-6 after the
+    # round, so f*1e6 is within one ulp of an integer — ROUND(...,0)
+    # recovers it exactly on every engine
+    micro = {
+        k: F.round(v * F.lit(1_000_000.0), 0).cast("bigint")
+        for k, v in rounded.items()
+    }
+    L = F.lit(int(w100["intercept"]) * 1_000_000).cast("bigint")
     for k in ("length_term", "avg_word_len", "punct_ratio", "stopword_ratio"):
-        logit = logit + F.lit(float(w[k])) * rounded[k]
-    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+        L = L + F.lit(w100[k]).cast("bigint") * micro[k]
+    logit = L.cast("double") / F.lit(100_000_000.0)
+    prob = F.lit(0.5) + F.lit(0.5) * L.cast("double") / (
+        (F.lit(100_000_000).cast("bigint") + F.abs(L)).cast("double")
+    )
     return df.select(
         _col(id_col).alias("id"),
         *[rounded[k].alias(k) for k in
           ("length_term", "avg_word_len", "punct_ratio", "stopword_ratio")],
-        F.round(logit, 6).alias("logit"),
+        logit.alias("logit"),
         prob.alias("prob"),
         F.when(prob >= F.lit(float(threshold)), F.lit("keep"))
         .otherwise(F.lit("drop"))

@@ -137,11 +137,12 @@ def _py_classify(text: str, w=None, threshold=0.5):
         "punct_ratio": _round6(pr),
         "stopword_ratio": _round6(sr),
     }
-    logit = weights["intercept"]
+    L = round(weights["intercept"] * 100) * 1_000_000
     for k in ("length_term", "avg_word_len", "punct_ratio", "stopword_ratio"):
-        logit = logit + weights[k] * f[k]
-    prob = _round6(1.0 / (1.0 + math.exp(-logit)))
-    return f, _round6(logit), prob, ("keep" if prob >= threshold else "drop")
+        L += round(weights[k] * 100) * round(f[k] * 1_000_000)
+    logit = L / 1e8
+    prob = 0.5 + 0.5 * L / float(100_000_000 + abs(L))
+    return f, logit, prob, ("keep" if prob >= threshold else "drop")
 
 
 def test_quality_classifier_matches_python(spark):
@@ -171,8 +172,8 @@ def test_quality_classifier_matches_python(spark):
         row = got[doc_id]
         for k, v in f.items():
             assert abs(row[k] - v) < 1e-9, (doc_id, k, row[k], v)
-        assert abs(row["logit"] - logit) < 1e-9, doc_id
-        assert abs(row["prob"] - prob) < 1e-6, doc_id
+        assert row["logit"] == logit, doc_id  # bit-identical by design
+        assert row["prob"] == prob, doc_id
         assert row["label"] == label, doc_id
     # the intended separations: natural text keeps, punct soup drops
     assert got["good"]["label"] == "keep"
