@@ -443,6 +443,9 @@ def main() -> None:
         "zorder_range_scan",
         "similarity_ivf_pq_incremental",
         "distinct_rollup_windows",
+        # r12: the rerank's stage 1 serves from the shared stored PQ
+        # index — its first rep pays that build when cold
+        "similarity_rerank",
     )
     stored_first_run = {
         n: first_runs[n] for n in STORED_BUILD_ENTRIES if n in first_runs

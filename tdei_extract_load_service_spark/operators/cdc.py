@@ -281,6 +281,14 @@ def merge_upsert(
     from pyspark.sql import Window
 
     keys = list(key_cols)
+    clash = {"_mrg_t", "_mrg_s", "_mrg_sn"} & (
+        set(target.columns) | set(source.columns)
+    )
+    if clash:
+        raise ValueError(
+            f"merge_upsert reserves working columns {sorted(clash)} — "
+            "rename them on the input frames first"
+        )
     # explicit presence flags: key nullness cannot stand in for match
     # state (a NULL key on either side would mis-derive it)
     src_n = F.count(F.lit(1)).over(Window.partitionBy(*keys))

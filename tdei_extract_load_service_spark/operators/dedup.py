@@ -1960,6 +1960,15 @@ def _bloom_probe_jvm(
     n_hashes: int,
     out_col: str,
 ) -> DataFrame:
+    reserved = {"_bl_widx", "word"} | {
+        f"_bl_pos{i}" for i in range(n_hashes)
+    } | {f"_bl_w{i}" for i in range(n_hashes)}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"bloom probe reserves working columns {sorted(clash)} — "
+            "rename them on the input frame first"
+        )
     # one identically-named projection reused by every join so the
     # broadcast exchange canonicalizes equal and is built ONCE
     words = words_df.select(

@@ -290,6 +290,13 @@ def shard_assign(
     """
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
+    clash = {"shard", "_shuffle_key"} | ({"pos"} if with_position else set())
+    clash &= set(df.columns)
+    if clash:
+        raise ValueError(
+            f"shard_assign writes columns {sorted(clash)} that already "
+            "exist on the input — rename them first"
+        )
     key = _col(key_col)
     digest = F.md5(F.concat(key.cast("string"), F.lit(seed)))
     out = df.withColumn("_shuffle_key", digest).withColumn(
