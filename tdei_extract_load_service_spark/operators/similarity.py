@@ -465,7 +465,12 @@ def lsh_bucket_topk_batch(
     candidates per query with ONE window (row_number over cosine desc,
     id asc — total, deterministic) and keep k. Per-query candidate work
     is |corpus| / 2^n_planes — the bucketing does to the batch join
-    what an index does to a point lookup.
+    what an index does to a point lookup. A FIXED ``n_planes`` is the
+    quadratic trap when the query batch grows WITH the corpus (total
+    candidate volume |corpus|·|queries|/2^n_planes — measured 11.9x
+    time at x100, SCALE.md): size it corpus-aware with
+    ``dedup.planes_per_band_for(n_rows)`` so per-bucket population
+    stays bounded as the corpus grows.
 
     Returns ``(query_id, id, cosine, rnk)`` for the k best candidates
     per query (fewer if the query's bucket is small). The self-match

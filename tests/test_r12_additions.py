@@ -118,7 +118,9 @@ def _py_classify(text: str, w=None, threshold=0.5):
     }
     if w:
         weights.update(w)
-    trimmed = text.strip()
+    # Spark/DuckDB trim strips SPACES only — not \n\t (hypothesis caught
+    # a python .strip() here treating "\n" as empty)
+    trimmed = text.strip(" ")
     n_words = 0 if trimmed == "" else len(re.split(r"[ \t\n\r\f\v]+", trimmed))
     words = text.split(" ")
     awl = sum(len(x) for x in words) / len(words) if words else 0.0
@@ -266,3 +268,74 @@ def test_quality_classifier_custom_weights_and_threshold(spark):
     assert flipped.label == "keep"
     keep_all = quality_classifier(df, "doc_id", "text", threshold=0.0).collect()[0]
     assert keep_all.label == "keep"
+
+
+# ---------------------------------------------------------------------------
+# property tests (hypothesis)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from(
+            list("abcdefghijklmnopqrstuvwxyz .,!?;:'\"()-0123456789\t\n")
+        ),
+        max_size=120,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts=_texts)
+def test_quality_classifier_equals_python_for_any_text(spark, texts):
+    """For ANY ascii-ish text the classifier's every output column must
+    equal the pure-Python mirror — logit and prob BIT-identically (the
+    fixed-point construction's whole claim)."""
+    from tdei_extract_load_service_spark.operators.text import (
+        quality_classifier,
+    )
+
+    df = spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(texts)],
+        "doc_id string, text string",
+    )
+    got = {
+        r.id: r.asDict()
+        for r in quality_classifier(df, "doc_id", "text").collect()
+    }
+    for i, t in enumerate(texts):
+        f, logit, prob, label = _py_classify(t)
+        row = got[str(i)]
+        for k, v in f.items():
+            assert row[k] == v, (t, k, row[k], v)
+        assert row["logit"] == logit and row["prob"] == prob, t
+        assert row["label"] == label, t
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    keys=st.lists(st.integers(-1000, 1000), min_size=1, max_size=60, unique=True),
+    n_shards=st.integers(1, 7),
+    seed=st.sampled_from(["", "e1", "x"]),
+)
+def test_shard_assign_partition_properties(spark, keys, n_shards, seed):
+    """For ANY unique key set: shards partition the input (every row in
+    exactly one shard in [0, n_shards)), and positions are dense 1..n
+    within each shard."""
+    from tdei_extract_load_service_spark.operators.sampling import (
+        shard_assign,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    rows = shard_assign(df, "k", n_shards=n_shards, seed=seed).collect()
+    assert sorted(r.k for r in rows) == sorted(keys)
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        assert 0 <= r.shard < n_shards
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
