@@ -196,6 +196,9 @@ HEADLINE_EXTENSIONS = (
     "embedding_hard_negatives",
     "anonymize_l_diversity",
     "corpus_shard_export",
+    # drift report: cost is the two 64-wide DECIMAL cell aggs (a
+    # model-width codegen constant, flat at x10/x100 — SCALE.md)
+    "embedding_drift_report",
     # dedup_semantic (SemDeDup) is EXCLUDED from the headline like
     # similarity_ivf_kmeans, whose Lloyd training it composes: the
     # entry's cost is ~85% deterministic-kmeans training (a per-corpus

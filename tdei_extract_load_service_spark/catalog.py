@@ -362,14 +362,14 @@ from tdei_extract_load_service_spark.catalog_entries import (  # noqa: E402,F401
 # tpch_q6_forecast_revenue, window_tumbling) defer to r13, which
 # begins the r8 cohort sweep (25 entries) plus those twenty-one.
 #
-# ROUND-13 WINDOW (pre-committed): contract (20) + rule (a) — the SIX
+# ROUND-13 WINDOW (pre-committed): contract (20) + rule (a) — the SEVEN
 # round-12 registrations (similarity_rerank, text_quality_classifier,
 # embedding_hard_negatives, anonymize_l_diversity, corpus_shard_export,
-# multimodal_audio_dedup) — + rule (b) oldest-first: the TWENTY-ONE
-# deferred r7-tail entries listed above fill 20+6+21 = 47; the
-# remaining 3 slots start the r8 cohort sweep alphabetically
-# (cdc_apply, corpus_mix_sample, dedup_golden_record). r14 continues
-# the r8 cohort plus any r13 registrations per rule (a).
+# multimodal_audio_dedup, embedding_drift_report) — + rule (b)
+# oldest-first: the TWENTY-ONE deferred r7-tail entries listed above
+# fill 20+7+21 = 48; the remaining 2 slots start the r8 cohort sweep
+# alphabetically (cdc_apply, corpus_mix_sample). r14 continues the r8
+# cohort plus any r13 registrations per rule (a).
 DRIVER_WINDOW: list[str] = [
     # --- the 20-op v1 engine contract (SURVEY §2.4, permanent) ---
     "scan",

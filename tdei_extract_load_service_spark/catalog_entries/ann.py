@@ -276,6 +276,31 @@ def q_similarity_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("embedding_drift_report", ORACLES.embedding_drift_oracle_sql())
+def q_embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift between two corpus snapshots
+    (operators/similarity.py embedding_drift_report) — the monitoring
+    primitive that catches a silent embedding-model or preprocessing
+    change before it poisons training. Snapshots simulated as the
+    even/odd vec_id halves; cells seeded from snapshot A's lowest ids
+    (the similarity_ivf recipe); per cell: populations, shares and the
+    cosine between DECIMAL-exact mean vectors. One aggregation per
+    side, model-sized join — no vector ever crosses a shuffle."""
+    from tdei_extract_load_service_spark.operators.similarity import (
+        embedding_drift_report,
+    )
+
+    emb = spread(_read(spark, sf_dir, "embeddings"))
+    return embedding_drift_report(
+        emb.where(F.col("vec_id") % 2 == 0),
+        emb.where(F.col("vec_id") % 2 == 1),
+        "vec_id",
+        "embedding",
+        num_centroids=16,
+        dim=64,
+    )
+
+
 @register("similarity_pq_trained", None)
 def q_similarity_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained-PQ production path (VERDICT r7 #4): per-subspace Lloyd

@@ -983,6 +983,94 @@ def ann_rerank_topk(
     )
 
 
+def embedding_drift_report(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    id_col: str,
+    vec_col: str,
+    num_centroids: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-distribution DRIFT between two corpus snapshots — the
+    monitoring primitive an embedding pipeline needs before a silent
+    model/preprocessing change poisons training: partition the space
+    into ``num_centroids`` cells (seeded from snapshot A's lowest-id
+    vectors — deterministic, the similarity_ivf recipe), then per cell
+    report each side's population and share and the cosine between the
+    two sides' EXACT mean vectors. Healthy pipelines show shares stable
+    and mean cosines ~1; a drifted cell surfaces as a share swing or a
+    mean rotation.
+
+    Determinism/parity: assignment is the shuffle-free rounded-cosine
+    argmax projection (``ivf_assign_model``); per-cell means are
+    DECIMAL(25,12)-summed and rounded to 9 (order-independent — the
+    kmeans_centroids_exact recipe), so both engines derive bit-identical
+    mean vectors and the drift cosine is oracle-checkable.
+
+    Scale shape: ONE aggregation per side — the shuffle carries
+    ``num_centroids x dim`` decimal partials per task (map-side
+    combine), never vectors; the join of the two cell frames is
+    model-sized (``num_centroids`` rows). A cell empty on one side
+    reports n=0 / share 0.0 and a NULL drift cosine."""
+    from tdei_extract_load_service_spark.operators.dedup import (
+        cosine_similarity,
+    )
+
+    model_rows = ivf_centroids(df_a, id_col, vec_col, num_centroids).collect()
+
+    def cell_stats(df: DataFrame, tag: str) -> DataFrame:
+        assigned = ivf_assign_model(df, model_rows, id_col, vec_col)
+        n = F.count(F.lit(1))
+        aggd = assigned.groupBy("centroid_id").agg(
+            n.alias(f"n_{tag}"),
+            *[
+                F.round(
+                    F.sum(
+                        F.col("vec")[i].cast("double").cast("decimal(25,12)")
+                    ).cast("double")
+                    / n,
+                    9,
+                ).alias(f"_m{i}")
+                for i in range(dim)
+            ],
+        )
+        return aggd.select(
+            "centroid_id",
+            f"n_{tag}",
+            F.array(*[F.col(f"_m{i}") for i in range(dim)]).alias(
+                f"mean_{tag}"
+            ),
+        )
+    a, b = cell_stats(df_a, "a"), cell_stats(df_b, "b")
+    joined = a.join(b, "centroid_id", "full_outer").select(
+        "centroid_id",
+        F.coalesce(F.col("n_a"), F.lit(0)).alias("n_a"),
+        F.coalesce(F.col("n_b"), F.lit(0)).alias("n_b"),
+        "mean_a",
+        "mean_b",
+    )
+    tot = joined.agg(
+        F.sum("n_a").alias("_ta"), F.sum("n_b").alias("_tb")
+    )
+    return (
+        joined.join(F.broadcast(tot))
+        .select(
+            "centroid_id",
+            "n_a",
+            "n_b",
+            F.round(F.col("n_a") / F.col("_ta"), 6).alias("share_a"),
+            F.round(F.col("n_b") / F.col("_tb"), 6).alias("share_b"),
+            F.when(
+                F.col("mean_a").isNotNull() & F.col("mean_b").isNotNull(),
+                F.round(
+                    cosine_similarity(F.col("mean_a"), F.col("mean_b")), 6
+                ),
+            ).alias("mean_cosine"),
+        )
+        .orderBy("centroid_id")
+    )
+
+
 def pq_trained_vs_seeded_recall(
     df: DataFrame,
     id_col: str,

@@ -442,6 +442,69 @@ def ann_rerank_oracle_sql(
     """
 
 
+def embedding_drift_oracle_sql(num_centroids: int = 16, dim: int = 64) -> str:
+    """DuckDB twin of similarity.embedding_drift_report over the
+    even/odd snapshot split: snapshot-A-seeded cells (lowest even ids),
+    the certified rounded-cosine argmax assignment, DECIMAL-exact
+    per-cell means rounded to 9 (bit-identical to the Spark side), and
+    the drift cosine between the two mean lists."""
+    cos = _cos_sql
+
+    def assign(side: str) -> str:
+        return f"""a{side} AS (
+      SELECT s.vec_id, s.vec, c.centroid_id
+      FROM s{side} s, c
+      QUALIFY row_number() OVER (PARTITION BY s.vec_id
+        ORDER BY {cos("s.vec", "c.cv")} DESC, c.centroid_id ASC) = 1
+    )"""
+
+    def means(side: str) -> str:
+        return f"""m{side} AS (
+      SELECT a.centroid_id, t.i AS pos,
+             ROUND(CAST(SUM(CAST(a.vec[t.i] AS DECIMAL(25,12))) AS DOUBLE)
+                   / COUNT(*), 9) AS comp
+      FROM a{side} a, range(1, {dim + 1}) t(i)
+      GROUP BY a.centroid_id, t.i
+    ),
+    ml{side} AS (
+      SELECT centroid_id, list(comp ORDER BY pos) AS mean_{side}
+      FROM m{side} GROUP BY centroid_id
+    ),
+    n{side} AS (
+      SELECT centroid_id, COUNT(*) AS n_{side} FROM a{side}
+      GROUP BY centroid_id
+    )"""
+
+    return f"""
+    WITH c AS (
+      SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT {num_centroids}
+    ),
+    sa AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings WHERE vec_id % 2 = 0),
+    sb AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings WHERE vec_id % 2 = 1),
+    {assign('a')},
+    {assign('b')},
+    {means('a')},
+    {means('b')},
+    j AS (
+      SELECT COALESCE(na.centroid_id, nb.centroid_id) AS centroid_id,
+             COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+      FROM na FULL OUTER JOIN nb USING (centroid_id)
+    ),
+    tot AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM j)
+    SELECT j.centroid_id, j.n_a, j.n_b,
+           ROUND(j.n_a / tot.ta, 6) AS share_a,
+           ROUND(j.n_b / tot.tb, 6) AS share_b,
+           CASE WHEN mla.mean_a IS NULL OR mlb.mean_b IS NULL THEN NULL
+                ELSE {cos("mla.mean_a", "mlb.mean_b")} END AS mean_cosine
+    FROM j
+    LEFT JOIN mla ON mla.centroid_id = j.centroid_id
+    LEFT JOIN mlb ON mlb.centroid_id = j.centroid_id
+    CROSS JOIN tot
+    ORDER BY j.centroid_id
+    """
+
+
 def minhash_md5_oracle_sql(
     n: int = 3,
     num_hashes: int = 64,

@@ -339,3 +339,98 @@ def test_shard_assign_partition_properties(spark, keys, n_shards, seed):
         by_shard.setdefault(r.shard, []).append(r.pos)
     for poss in by_shard.values():
         assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+# ---------------------------------------------------------------------------
+# embedding_drift_report
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_drift_matches_numpy(spark):
+    """The drift report must equal an independent numpy restatement:
+    same seeded cells, same rounded-cosine argmax assignment, DECIMAL
+    means mirrored as round-9 of exact fraction sums, drift cosine on
+    those means. Identical snapshots must report mean_cosine == 1.0 and
+    equal shares."""
+    from fractions import Fraction
+
+    from tdei_extract_load_service_spark.operators.similarity import (
+        embedding_drift_report,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    a_ids = sorted(i for i in rows if i % 2 == 0)
+    b_ids = sorted(i for i in rows if i % 2 == 1)
+    cents = {cid: rows[cid] for cid in a_ids[:16]}
+
+    def assign(ids):
+        out: dict[int, list[int]] = {}
+        for i in ids:
+            v = rows[i]
+            best = max(
+                sorted(cents),
+                key=lambda c: (
+                    _round6(
+                        float(
+                            v @ cents[c]
+                            / (np.linalg.norm(v) * np.linalg.norm(cents[c]))
+                        )
+                    ),
+                    -c,
+                ),
+            )
+            out.setdefault(best, []).append(i)
+        return out
+
+    def means(cells):
+        return {
+            c: np.array(
+                [
+                    round(
+                        float(
+                            sum(Fraction(repr(rows[i][d])) for i in ids)
+                            / len(ids)
+                        ),
+                        9,
+                    )
+                    for d in range(64)
+                ]
+            )
+            for c, ids in cells.items()
+        }
+
+    ca, cb = assign(a_ids), assign(b_ids)
+    ma, mb = means(ca), means(cb)
+    got = {
+        r.centroid_id: r.asDict()
+        for r in embedding_drift_report(
+            emb.where(F.col("vec_id") % 2 == 0),
+            emb.where(F.col("vec_id") % 2 == 1),
+            "vec_id",
+            "embedding",
+        ).collect()
+    }
+    assert set(got) == set(ca) | set(cb)
+    for cid, row in got.items():
+        assert row["n_a"] == len(ca.get(cid, []))
+        assert row["n_b"] == len(cb.get(cid, []))
+        assert row["share_a"] == _round6(len(ca.get(cid, [])) / len(a_ids))
+        if cid in ma and cid in mb:
+            va, vb = ma[cid], mb[cid]
+            want = _round6(
+                float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+            )
+            assert abs(row["mean_cosine"] - want) < 2e-6, (cid, row["mean_cosine"], want)
+
+    # identical snapshots: zero drift by construction
+    same = {
+        r.centroid_id: r
+        for r in embedding_drift_report(
+            emb.where(F.col("vec_id") % 2 == 0),
+            emb.where(F.col("vec_id") % 2 == 0),
+            "vec_id",
+            "embedding",
+        ).collect()
+    }
+    assert all(r.mean_cosine == 1.0 and r.n_a == r.n_b for r in same.values())

@@ -470,6 +470,19 @@ EXPECTATIONS: dict[str, list[str]] = {
     # exactly TWO hash exchanges (one per join side), same as before
     # the guard — the window must not cost a third.
     "merge_upsert": ["FullOuter", "=1:SortMergeJoin", "=1:Window", "=2:Exchange hashpartitioning", "!BroadcastHashJoin", "!CartesianProduct"],
+    # snapshot drift report: one aggregation per side (the shuffle
+    # carries 16 x 64 decimal partials, never vectors), model-sized
+    # cell join, broadcast total — no vector-wide exchange, no
+    # cartesian anything
+    # (the 64-wide decimal agg's partial_* list is truncated out of
+    # toString, so assert the agg + join shape instead: two cell-frame
+    # joins at most — the 16-row full-outer merge cannot broadcast —
+    # plus the 1-row broadcast total; never a cartesian)
+    "embedding_drift_report": [
+        "HashAggregate",
+        "BroadcastNestedLoopJoin",
+        "!CartesianProduct",
+    ],
     # hard-negative mining: embedding_knn_batch's exact shape (the
     # exclude_self filter is a pre-window predicate, not a plan change)
     "embedding_hard_negatives": [
