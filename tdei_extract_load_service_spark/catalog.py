@@ -370,6 +370,26 @@ from tdei_extract_load_service_spark.catalog_entries import (  # noqa: E402,F401
 # fill 20+7+21 = 48; the remaining 2 slots start the r8 cohort sweep
 # alphabetically (cdc_apply, corpus_mix_sample). r14 continues the r8
 # cohort plus any r13 registrations per rule (a).
+#
+# ROUND-14 WINDOW (pre-committed): contract (20) + rule (a) — every
+# round-13 registration (embedding_drift_alert,
+# stream_dedup_incremental_shadow) — + rule (b) oldest-first.  Staleness
+# is measured by LAST DRIVER ROW, computed from the CORRECTNESS_r*.json
+# history (53 entries sat at ≤r9 going into r13; this window burned 2,
+# cdc_apply + corpus_mix_sample).  The 25 oldest (last row r8,
+# alphabetical): dedup_lsh_verified, dedup_winnow_cluster, events_funnel,
+# events_retention, events_retention_cohorts, similarity_ivf_pq,
+# similarity_pq, similarity_pq_recall, stream_funnel_shadow, text_chunk,
+# text_contamination, text_normalize, tpch_q10_returned_items,
+# tpch_q13_customer_distribution, tpch_q14_promo_effect,
+# tpch_q15_top_supplier, tpch_q17_small_quantity_revenue,
+# tpch_q18_large_volume_customer, tpch_q19_discounted_revenue,
+# tpch_q20_potential_part_promotion, tpch_q21_suppliers_kept_waiting,
+# tpch_q22_global_sales_opportunity, tpch_q2_minimum_cost_supplier,
+# tpch_q4_order_priority, tpch_q7_volume_shipping — 20+2+25 = 47; the
+# remaining 3 slots take the alphabetical head of the last-row-r9 set
+# (corpus_prep_full, dedup_golden_record, embedding_normalize). r15
+# continues the last-row-r9 set (23 remain) per rule (b).
 DRIVER_WINDOW: list[str] = [
     # --- the 20-op v1 engine contract (SURVEY §2.4, permanent) ---
     "scan",
@@ -392,38 +412,39 @@ DRIVER_WINDOW: list[str] = [
     "topk_similarity",
     "text_quality",
     "etl_load_dataset",
-    # --- rule (a): the 24 round-11 registrations (never driver-sampled) ---
-    "stream_enrich_shadow",
-    "embedding_lsh_probe_multiband",
-    "dedup_bloom_prefilter",
-    "distinct_rollup_windows",
-    "stream_late_data_shadow",
-    "dedup_span_ngram",
-    "text_bpe_pairs",
-    "stream_outer_join_shadow",
-    "table_changes",
-    "stream_timeout_shadow",
-    "multimodal_image_dedup",
-    "dedup_simhash_exact",
-    "dedup_minhash_exact",
-    "graph_triangles",
-    "dq_expectations",
-    "merge_upsert",
-    "dedup_ngram_containment",
-    "embedding_knn_batch",
-    "stream_merge_shadow",
-    "join_asof_nearest",
-    "anonymize_k",
-    "ts_resample_ohlc",
-    "dedup_semantic",
-    "events_rolling_active",
-    # --- rule (b): the 6 alphabetical-head r7-cohort entries ---
-    "corpus_prep",
-    "dedup_cluster",
-    "dedup_embedding_lsh",
-    "dedup_winnow",
-    "dynamic_query",
-    "embedding_quantize",
+    # --- rule (a): the 7 round-12 registrations (never driver-sampled) ---
+    "similarity_rerank",
+    "text_quality_classifier",
+    "embedding_hard_negatives",
+    "anonymize_l_diversity",
+    "corpus_shard_export",
+    "multimodal_audio_dedup",
+    "embedding_drift_report",
+    # --- rule (b): the 21 r7-tail entries deferred from the r12 window ---
+    "grouped_normalize",
+    "histogram_auto",
+    "join_asof",
+    "join_range",
+    "multimodal_decode",
+    "multimodal_decode_jpeg",
+    "multimodal_resize",
+    "multimodal_video_frames",
+    "quantiles",
+    "session_window",
+    "similarity_ivf",
+    "similarity_ivf_kmeans",
+    "text_pack_sequences",
+    "text_repetition_stats",
+    "text_tfidf_topk",
+    "text_winnow_fingerprint",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_volume",
+    "tpch_q6_forecast_revenue",
+    "window_tumbling",
+    # --- rule (b): r8-cohort sweep starts (alphabetical head) ---
+    "cdc_apply",
+    "corpus_mix_sample",
 ]
 
 

@@ -13,12 +13,13 @@ import os
 
 from tdei_extract_load_service_spark.catalog import DRIVER_WINDOW, REGISTRY, ordered_registry
 
-# Entries that must always be driver-checked.  r12 rotation (VERDICT
-# r11 #1): the permanent core is the 20-op v1 engine contract (never
-# rotated out), plus rule (a) — ALL 24 round-11 registrations, never
-# driver-sampled — plus rule (b) oldest-first: the 6 alphabetical-head
-# r7-cohort re-certification debts.  Everything rotated out stays swept
-# by tools/oracle_check.py every round.  This list mirrors
+# Entries that must always be driver-checked.  r13 rotation (VERDICT
+# r12 #1): the permanent core is the 20-op v1 engine contract (never
+# rotated out), plus rule (a) — ALL 7 round-12 registrations, never
+# driver-sampled — plus rule (b) oldest-first: the 21 r7-tail entries
+# deferred from the r12 window, then the alphabetical head of the r8
+# cohort (cdc_apply, corpus_mix_sample).  Everything rotated out stays
+# swept by tools/oracle_check.py every round.  This list mirrors
 # catalog.DRIVER_WINDOW deliberately: every rotation must edit BOTH (a
 # silent window edit fails here loudly).
 FLAGSHIPS = [
@@ -43,38 +44,39 @@ FLAGSHIPS = [
     "topk_similarity",
     "text_quality",
     "etl_load_dataset",
-    # rule (a): the 24 round-11 registrations (never driver-sampled)
-    "stream_enrich_shadow",
-    "embedding_lsh_probe_multiband",
-    "dedup_bloom_prefilter",
-    "distinct_rollup_windows",
-    "stream_late_data_shadow",
-    "dedup_span_ngram",
-    "text_bpe_pairs",
-    "stream_outer_join_shadow",
-    "table_changes",
-    "stream_timeout_shadow",
-    "multimodal_image_dedup",
-    "dedup_simhash_exact",
-    "dedup_minhash_exact",
-    "graph_triangles",
-    "dq_expectations",
-    "merge_upsert",
-    "dedup_ngram_containment",
-    "embedding_knn_batch",
-    "stream_merge_shadow",
-    "join_asof_nearest",
-    "anonymize_k",
-    "ts_resample_ohlc",
-    "dedup_semantic",
-    "events_rolling_active",
-    # rule (b): the 6 alphabetical-head r7-cohort entries
-    "corpus_prep",
-    "dedup_cluster",
-    "dedup_embedding_lsh",
-    "dedup_winnow",
-    "dynamic_query",
-    "embedding_quantize",
+    # rule (a): the 7 round-12 registrations (never driver-sampled)
+    "similarity_rerank",
+    "text_quality_classifier",
+    "embedding_hard_negatives",
+    "anonymize_l_diversity",
+    "corpus_shard_export",
+    "multimodal_audio_dedup",
+    "embedding_drift_report",
+    # rule (b): the 21 r7-tail entries deferred from the r12 window
+    "grouped_normalize",
+    "histogram_auto",
+    "join_asof",
+    "join_range",
+    "multimodal_decode",
+    "multimodal_decode_jpeg",
+    "multimodal_resize",
+    "multimodal_video_frames",
+    "quantiles",
+    "session_window",
+    "similarity_ivf",
+    "similarity_ivf_kmeans",
+    "text_pack_sequences",
+    "text_repetition_stats",
+    "text_tfidf_topk",
+    "text_winnow_fingerprint",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_volume",
+    "tpch_q6_forecast_revenue",
+    "window_tumbling",
+    # rule (b): r8-cohort sweep starts (alphabetical head)
+    "cdc_apply",
+    "corpus_mix_sample",
 ]
 
 
