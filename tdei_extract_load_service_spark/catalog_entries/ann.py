@@ -415,8 +415,8 @@ def q_embedding_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_hard_negatives",
-    ORACLES.lsh_batch_topk_oracle_sql(
-        k=5, stride=100, n_planes=4, exclude_self=True
+    ORACLES.lsh_batch_topk_corpus_aware_oracle_sql(
+        k=5, stride=100, exclude_self=True
     ),
 )
 def q_embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -427,14 +427,26 @@ def q_embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-join batch shape with the r12 ``exclude_self`` flag: the
     self-pair is dropped BEFORE the ranking window, so ranks stay dense
     1..k and the k-th real negative is kept (a post-hoc filter would
-    lose it). Oracle: the same batch-topk SQL with the self-pair
-    excluded in the candidate join."""
+    lose it).
+
+    CORPUS-AWARE SIZING (r13, VERDICT r12 #1): the anchor batch grows
+    WITH the corpus (every 100th row), so a fixed plane count is the
+    quadratic trap — candidate volume |corpus|·|queries|/2^n. n_planes
+    is derived from the corpus count via ``planes_per_band_for`` (one
+    bounded COUNT, integer-exact smallest k in [4,24] with
+    256·2^k ≥ n), so per-bucket population — and therefore candidates
+    PER ANCHOR — stays ~constant as the corpus grows. The oracle
+    derives the same n from COUNT(*) in SQL over the same 24-plane
+    literal batch (``make_planes`` prefix property), so the entry stays
+    value-checked at every SF without a pinned literal."""
+    from tdei_extract_load_service_spark.operators.dedup import planes_per_band_for
     from tdei_extract_load_service_spark.operators.similarity import (
         lsh_bucket_topk_batch,
         make_planes,
     )
 
     emb = _read(spark, sf_dir, "embeddings")
+    n_planes = planes_per_band_for(emb.count())
     return lsh_bucket_topk_batch(
         emb,
         "vec_id",
@@ -444,7 +456,7 @@ def q_embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         k=5,
         dim=64,
-        n_planes=4,
-        planes=make_planes(4, 64),
+        n_planes=n_planes,
+        planes=make_planes(n_planes, 64),
         exclude_self=True,
     ).orderBy(F.col("query_id").asc(), F.col("rnk").asc())

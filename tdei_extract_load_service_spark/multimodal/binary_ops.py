@@ -559,7 +559,11 @@ def audio_envelope_hash(
     EXACT integers — ``e_j * n > E * len_j`` — no float mean, so the
     hash is bit-reproducible and the catalog oracle restates it in
     closed form over the deterministic fixture samples). Bits pack
-    MSB-first (window 0 is bit 63) into a two's-complement BIGINT for
+    left-to-right into the LOW ``windows`` bits: window 0 lands at bit
+    ``windows - 1`` — bit 63 at the default ``windows=64``, where the
+    two's-complement fold applies; for ``windows < 64`` the high bits
+    stay zero and the value is always non-negative (ADVICE r12: the old
+    text claimed bit 63 unconditionally). Either way the BIGINT supports
     one-``bit_count(xor)`` Hamming distances downstream.
 
     Arrow-batched ``mapInPandas``; per-row codec failures land in

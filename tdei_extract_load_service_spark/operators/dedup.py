@@ -949,12 +949,19 @@ def planes_per_band_for(n_rows: int, target_bucket: int = 256) -> int:
     """The LSH sizing knob: planes per band so the expected per-bucket
     population is ~``target_bucket`` (candidate work per band is then
     ``n_rows * target_bucket / 2`` — linear in the corpus, not quadratic).
-    Floor 4, cap 24 (beyond 2^24 buckets the band join key is just an id)."""
-    import math
+    Floor 4, cap 24 (beyond 2^24 buckets the band join key is just an id).
 
+    INTEGER-EXACT on purpose (r13): the value is the smallest ``k`` with
+    ``target_bucket * 2**k >= n_rows`` (clamped to [4, 24]) — equivalent
+    to ``ceil(log2(n_rows / target_bucket))`` but computed without libm,
+    so a DuckDB oracle deriving the same ``k`` from ``COUNT(*)`` (the
+    corpus-aware ``embedding_hard_negatives`` oracle) can never disagree
+    at an exact power-of-two boundary where ``log2`` last-ulp error
+    would flip ``ceil``."""
     if n_rows <= target_bucket:
         return 4
-    return max(4, min(24, math.ceil(math.log2(n_rows / target_bucket))))
+    q = -(-n_rows // target_bucket)  # ceil(n_rows / target_bucket), exact
+    return max(4, min(24, (q - 1).bit_length()))
 
 
 def _lsh_band_cols(
@@ -2002,6 +2009,34 @@ def _bloom_probe_jvm(
     )
 
 
+# one torrent-broadcast per DISTINCT bitmap per SparkContext (ADVICE r12:
+# a fresh broadcast per probe call is an unbounded leak in a long-lived
+# session — the result is lazy, so "unpersist on materialize" has no safe
+# hook; reuse is the fix). Keyed by bitmap content, capped LRU.
+_BLOOM_BCAST_CACHE: dict = {}
+_BLOOM_BCAST_CACHE_MAX = 4
+
+
+def _bloom_bitmap_broadcast(sc, arr):
+    import hashlib
+
+    key = (id(sc), hashlib.md5(arr.tobytes()).hexdigest())
+    # a new SparkContext invalidates every old broadcast — drop them
+    for stale in [k for k in _BLOOM_BCAST_CACHE if k[0] != id(sc)]:
+        _BLOOM_BCAST_CACHE.pop(stale, None)
+    bcast = _BLOOM_BCAST_CACHE.pop(key, None)  # pop+reinsert = LRU touch
+    if bcast is None:
+        while len(_BLOOM_BCAST_CACHE) >= _BLOOM_BCAST_CACHE_MAX:
+            old = _BLOOM_BCAST_CACHE.pop(next(iter(_BLOOM_BCAST_CACHE)))
+            try:
+                old.unpersist()
+            except Exception:
+                pass  # context mid-shutdown: nothing to release
+        bcast = sc.broadcast(arr)
+    _BLOOM_BCAST_CACHE[key] = bcast
+    return bcast
+
+
 def _bloom_probe_arrow(
     df: DataFrame,
     key_col: str,
@@ -2017,7 +2052,7 @@ def _bloom_probe_arrow(
     # torrent-broadcast the bitmap instead of closing over it: the task
     # closure stays tiny and each host fetches the blocks once
     sc = df.sparkSession.sparkContext
-    bcast = sc.broadcast(np.asarray(words, dtype=np.int64))
+    bcast = _bloom_bitmap_broadcast(sc, np.asarray(words, dtype=np.int64))
 
     @pandas_udf(T.BooleanType())
     def _probe(pos_lists: pd.Series) -> pd.Series:

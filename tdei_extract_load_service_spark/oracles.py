@@ -622,6 +622,63 @@ def lsh_batch_topk_oracle_sql(
     """
 
 
+def lsh_batch_topk_corpus_aware_oracle_sql(
+    k: int = 5, stride: int = 100, exclude_self: bool = False,
+    target_bucket: int = 256, max_planes: int = 24,
+) -> str:
+    """Corpus-aware twin of ``lsh_batch_topk_oracle_sql`` (VERDICT r12
+    #1 fix): instead of pinning ``n_planes``, the SQL derives it from
+    ``COUNT(*)`` with the SAME integer-exact rule as
+    ``dedup.planes_per_band_for`` — the smallest ``k`` in [4, 24] with
+    ``target_bucket * 2^k >= count`` — so the oracle tracks the entry at
+    EVERY scale factor without a restated literal. All ``max_planes``
+    seeded plane literals are embedded (``make_planes`` is a single
+    sequential PRNG, so the first-n planes of the 24-plane batch are
+    bit-identical to ``make_planes(n)``); each bucket term is gated on
+    ``p < n`` so terms beyond the derived count contribute 0, exactly
+    like the Spark side building the bucket from only n terms."""
+    from tdei_extract_load_service_spark.operators.similarity import make_planes
+
+    terms = []
+    for p, plane in enumerate(make_planes(max_planes, 64)):
+        lit = "[" + ",".join(repr(v) for v in plane) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN {p} < np.n AND list_dot_product(v, {lit}) >= 0"
+            f" THEN {2 ** p} ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    return f"""
+    WITH sz AS (SELECT COUNT(*) AS cnt FROM embeddings),
+    np AS (
+      SELECT COALESCE(
+        (SELECT MIN(t.k) FROM range(4, {max_planes + 1}) t(k), sz
+          WHERE {target_bucket} * (1::BIGINT << t.k) >= sz.cnt),
+        {max_planes}) AS n
+    ),
+    b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    bb AS (SELECT vec_id, v, {bucket} AS bucket FROM b CROSS JOIN np),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM bb WHERE vec_id % {stride} = 0),
+    cand AS (
+      SELECT q.query_id, bb.vec_id AS id,
+             ROUND(list_dot_product(bb.v, q.qv)
+                   / (sqrt(list_dot_product(bb.v, bb.v))
+                      * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+      FROM bb JOIN q ON bb.bucket = q.bucket{" AND bb.vec_id <> q.query_id" if exclude_self else ""}
+    ),
+    r AS (
+      SELECT query_id, id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, id ASC) AS rnk
+      FROM cand
+    )
+    SELECT query_id, id, cosine, CAST(rnk AS INT) AS rnk
+    FROM r WHERE rnk <= {k}
+    ORDER BY query_id ASC, rnk ASC
+    """
+
+
 def semantic_dedup_oracle_sql(
     k: int = 8, dim: int = 64, iters: int = 2, threshold: float = 0.9
 ) -> str:

@@ -278,6 +278,31 @@ def test_planes_per_band_sizing_keeps_buckets_bounded():
         assert n / (2 ** p) <= 256 or p == 24
 
 
+def test_planes_per_band_matches_sql_derivation():
+    """The corpus-aware hard-negatives oracle derives n_planes from
+    COUNT(*) in DuckDB SQL; it must agree with planes_per_band_for for
+    EVERY corpus size — including exact power-of-two boundaries, which
+    is why both sides are integer-exact (smallest k in [4,24] with
+    256·2^k >= n) instead of ceil(log2(...)) through libm."""
+    import duckdb
+
+    from tdei_extract_load_service_spark.operators.dedup import planes_per_band_for
+
+    sql = """
+    SELECT COALESCE(
+      (SELECT MIN(t.k) FROM range(4, 25) t(k) WHERE 256 * (1::BIGINT << t.k) >= ?),
+      24) AS n
+    """
+    boundary = [1, 100, 255, 256, 257, 511, 512, 513, 4095, 4096, 4097]
+    boundary += [256 * 2**k for k in (4, 5, 10, 20, 24, 25)]
+    boundary += [256 * 2**k + d for k in (4, 10, 24) for d in (-1, 1)]
+    boundary += [60_000, 10**6, 10**9, 10**12]
+    con = duckdb.connect()
+    for n in boundary:
+        got = con.execute(sql, [n]).fetchone()[0]
+        assert got == planes_per_band_for(n), f"SQL/Python sizing split at n={n}"
+
+
 def test_dedup_clusters_reports_non_convergence(spark):
     """max_iter exhaustion on a path longer than the budget must be
     visible via metrics, not silent: labels are a valid PARTIAL

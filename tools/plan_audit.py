@@ -484,7 +484,10 @@ EXPECTATIONS: dict[str, list[str]] = {
         "!CartesianProduct",
     ],
     # hard-negative mining: embedding_knn_batch's exact shape (the
-    # exclude_self filter is a pre-window predicate, not a plan change)
+    # exclude_self filter is a pre-window predicate, not a plan change).
+    # r13: n_planes is now derived corpus-aware (planes_per_band_for over
+    # one bounded count) — same plan, the bucket expression just carries
+    # the derived number of sign terms
     "embedding_hard_negatives": [
         "BroadcastHashJoin",
         "Window",
