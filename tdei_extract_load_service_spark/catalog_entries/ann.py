@@ -301,6 +301,42 @@ def q_embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_drift_alert",
+    ORACLES.embedding_drift_alert_oracle_sql(min_mean_cosine_fp=300_000),
+)
+def q_embedding_drift_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run drift ALERTING (operators/similarity.py
+    embedding_drift_alerts — VERDICT r12 #6a): the dq_expectations
+    threshold-rule idiom applied over an embedding snapshot HISTORY.
+    Four deterministic snapshots (vec_id % 4 — standing in for four
+    ingestion days), one frozen cell model, ONE grouped pass for all
+    snapshots, then per consecutive pair and cell the four alert rules
+    (share_swing / mean_rotation / cell_vanished / sustained_swing),
+    every metric an exact integer micro-unit so both the fired and the
+    quiet arms hash-certify. sustained_swing is the genuinely cross-run
+    rule a single A-vs-B drift report cannot express. The rotation
+    threshold is 0.30 here (production default 0.95) because the
+    fixture's random small-cell means make cosines noisy — 0.30 splits
+    the verdicts at BOTH test SFs so each rule's true and false arms
+    are certified."""
+    from tdei_extract_load_service_spark.operators.similarity import (
+        embedding_drift_alerts,
+    )
+
+    emb = spread(_read(spark, sf_dir, "embeddings"))
+    return embedding_drift_alerts(
+        emb,
+        "vec_id",
+        "embedding",
+        snapshot_of=lambda c: c % 4,
+        snapshots=[0, 1, 2, 3],
+        num_centroids=16,
+        dim=64,
+        min_mean_cosine_fp=300_000,
+    )
+
+
 @register("similarity_pq_trained", None)
 def q_similarity_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained-PQ production path (VERDICT r7 #4): per-subspace Lloyd

@@ -1120,6 +1120,39 @@ def q_stream_merge_shadow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_dedup_incremental_shadow",
+    """
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_dups
+    FROM documents GROUP BY 1
+    ORDER BY content_hash ASC
+    """,
+)
+def q_stream_dedup_incremental_shadow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """THIRTEENTH streaming certification (VERDICT r12 #6b): streaming
+    incremental dedup — foreachBatch feeding the stored exact-dedup
+    survivor state (streaming/shadow.py dedup_incremental_shadow ->
+    streaming/sink.dedup_merge_sink -> operators/dedup.
+    merge_survivor_states). Four document micro-batches merge into an
+    initially empty manifest table, one exactly-once transaction per
+    batch; the final state equals dedup_exact_groups over the WHOLE
+    corpus because the merge algebra (min keep_id, summed n_dups per
+    hash) is associative and commutative — convergence holds for ANY
+    batch split, a strictly stronger claim than merge_shadow's
+    prefix-order argument. The oracle is the full-table dedup SQL
+    (dedup_incremental's oracle, ordered), so streamed == recomputed is
+    value-certified every round; replay/resume discipline is pinned in
+    pytest."""
+    from tdei_extract_load_service_spark.streaming.shadow import (
+        dedup_incremental_shadow,
+    )
+
+    return dedup_incremental_shadow(spark, sf_dir, n_batches=4)
+
+
+@register(
     "ts_resample_ohlc",
     """
     WITH x AS (

@@ -1242,10 +1242,22 @@ def dedup_incremental(
     idx = spark.read.parquet(index_path).select(
         "content_hash", "keep_id", "n_dups"
     )
-    d = dedup_exact_groups(delta, id_col, content_cols)
+    return merge_survivor_states(idx, dedup_exact_groups(delta, id_col, content_cols))
+
+
+def merge_survivor_states(current: DataFrame, delta: DataFrame) -> DataFrame:
+    """Merge two exact-dedup survivor states ``(content_hash, keep_id,
+    n_dups)``: per hash, least surviving id on either side and added
+    counts — ``dedup_incremental``'s core algebra, shared with the
+    streaming ``dedup_merge_sink``. ASSOCIATIVE and COMMUTATIVE (min and
+    + over hash groups), so any sequence of partial merges over any
+    partition of the corpus equals ``dedup_exact_groups`` recomputed
+    from scratch — the property both the nightly and the streaming
+    certification rest on. One hash-wide full-outer join of (hash, id,
+    count) rows; never the documents."""
     return (
-        idx.alias("i")
-        .join(d.alias("d"), "content_hash", "full_outer")
+        current.alias("i")
+        .join(delta.alias("d"), "content_hash", "full_outer")
         .select(
             "content_hash",
             F.least(F.col("i.keep_id"), F.col("d.keep_id")).alias("keep_id"),

@@ -622,6 +622,123 @@ def lsh_batch_topk_oracle_sql(
     """
 
 
+def embedding_drift_alert_oracle_sql(
+    num_centroids: int = 16,
+    dim: int = 64,
+    modulus: int = 4,
+    share_swing_fp: int = 20_000,
+    min_mean_cosine_fp: int = 950_000,
+) -> str:
+    """DuckDB twin of ``similarity.embedding_drift_alerts`` over the
+    ``vec_id % modulus`` snapshot slicing: frozen whole-corpus lowest-id
+    centroid model, certified rounded-cosine argmax assignment, ONE
+    grouped pass per (snapshot, cell) with DECIMAL-exact means, a dense
+    snapshot×cell skeleton, integer micro-unit shares, and the four
+    consecutive-pair alert rules (share_swing / mean_rotation /
+    cell_vanished / sustained_swing) — every metric integer-exact so the
+    fired verdicts cannot split on a float boundary."""
+    cos = _cos_sql
+    return f"""
+    WITH c AS (
+      SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+      FROM embeddings ORDER BY vec_id LIMIT {num_centroids}
+    ),
+    s AS (
+      SELECT vec_id, vec_id % {modulus} AS snap,
+             embedding::DOUBLE[] AS vec
+      FROM embeddings
+    ),
+    a AS (
+      SELECT s.snap, s.vec_id, s.vec, c.centroid_id
+      FROM s, c
+      QUALIFY row_number() OVER (PARTITION BY s.vec_id
+        ORDER BY {cos("s.vec", "c.cv")} DESC, c.centroid_id ASC) = 1
+    ),
+    nn AS (
+      SELECT snap, centroid_id, COUNT(*) AS n FROM a GROUP BY snap, centroid_id
+    ),
+    m AS (
+      SELECT a.snap, a.centroid_id, t.i AS pos,
+             ROUND(CAST(SUM(CAST(a.vec[t.i] AS DECIMAL(25,12))) AS DOUBLE)
+                   / COUNT(*), 9) AS comp
+      FROM a, range(1, {dim + 1}) t(i)
+      GROUP BY a.snap, a.centroid_id, t.i
+    ),
+    ml AS (
+      SELECT snap, centroid_id, list(comp ORDER BY pos) AS mean
+      FROM m GROUP BY snap, centroid_id
+    ),
+    skel AS (
+      SELECT sn.s AS snap, c.centroid_id FROM range(0, {modulus}) sn(s), c
+    ),
+    d AS (
+      SELECT skel.snap, skel.centroid_id,
+             COALESCE(nn.n, 0) AS n, ml.mean
+      FROM skel
+      LEFT JOIN nn ON nn.snap = skel.snap AND nn.centroid_id = skel.centroid_id
+      LEFT JOIN ml ON ml.snap = skel.snap AND ml.centroid_id = skel.centroid_id
+    ),
+    sh AS (
+      SELECT snap, centroid_id, n, mean,
+             (1000000 * n) // SUM(n) OVER (PARTITION BY snap) AS share_fp
+      FROM d
+    ),
+    lagged AS (
+      SELECT snap, centroid_id, n, share_fp, mean,
+             LAG(n) OVER w AS prev_n,
+             LAG(share_fp) OVER w AS prev_share_fp,
+             LAG(mean) OVER w AS prev_mean
+      FROM sh
+      WINDOW w AS (PARTITION BY centroid_id ORDER BY snap)
+    ),
+    paired AS (
+      SELECT snap, centroid_id, n, prev_n,
+             ABS(share_fp - prev_share_fp) AS swing_fp,
+             CASE WHEN mean IS NOT NULL AND prev_mean IS NOT NULL THEN
+               CAST(ROUND(1000000.0 * {cos("prev_mean", "mean")}, 0) AS BIGINT)
+             END AS rot_fp
+      FROM lagged WHERE prev_share_fp IS NOT NULL
+    ),
+    fired AS (
+      SELECT *,
+             swing_fp >= {share_swing_fp} AS swing_fired,
+             LAG(swing_fp >= {share_swing_fp}) OVER (
+               PARTITION BY centroid_id ORDER BY snap) AS prev_swing_fired
+      FROM paired
+    ),
+    streaked AS (
+      SELECT *,
+             CASE WHEN NOT swing_fired THEN 0
+                  ELSE 1 + (CASE WHEN COALESCE(prev_swing_fired, FALSE)
+                                 THEN 1 ELSE 0 END)
+             END AS streak
+      FROM fired
+    )
+    SELECT snap AS snapshot_id, centroid_id, rule, metric_fp, threshold_fp, fired
+    FROM (
+      SELECT snap, centroid_id, 'cell_vanished' AS rule,
+             CAST(n AS BIGINT) AS metric_fp, CAST(1 AS BIGINT) AS threshold_fp,
+             (prev_n > 0 AND n = 0) AS fired
+      FROM streaked
+      UNION ALL
+      SELECT snap, centroid_id, 'mean_rotation',
+             rot_fp, CAST({min_mean_cosine_fp} AS BIGINT),
+             COALESCE(rot_fp IS NOT NULL AND rot_fp < {min_mean_cosine_fp}, FALSE)
+      FROM streaked
+      UNION ALL
+      SELECT snap, centroid_id, 'share_swing',
+             CAST(swing_fp AS BIGINT), CAST({share_swing_fp} AS BIGINT),
+             swing_fired
+      FROM streaked
+      UNION ALL
+      SELECT snap, centroid_id, 'sustained_swing',
+             CAST(streak AS BIGINT), CAST(2 AS BIGINT), streak >= 2
+      FROM streaked
+    )
+    ORDER BY snapshot_id ASC, centroid_id ASC, rule ASC
+    """
+
+
 def lsh_batch_topk_corpus_aware_oracle_sql(
     k: int = 5, stride: int = 100, exclude_self: bool = False,
     target_bucket: int = 256, max_planes: int = 24,

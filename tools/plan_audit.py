@@ -483,6 +483,20 @@ EXPECTATIONS: dict[str, list[str]] = {
         "BroadcastNestedLoopJoin",
         "!CartesianProduct",
     ],
+    # drift ALERTING (r13): ONE fact scan + ONE map-side-combined
+    # (snapshot x cell) aggregation; the dense skeleton is a nested
+    # literal explode broadcast-joined (never a cartesian); everything
+    # after the agg (share window, lag windows, rule explode) operates
+    # on model-sized rows
+    "embedding_drift_alert": [
+        "=1:FileScan",
+        "HashAggregate",
+        "BroadcastHashJoin",
+        "Window",
+        "Generate explode",
+        "!CartesianProduct",
+        "!SortMergeJoin",
+    ],
     # hard-negative mining: embedding_knn_batch's exact shape (the
     # exclude_self filter is a pre-window predicate, not a plan change).
     # r13: n_planes is now derived corpus-aware (planes_per_band_for over
