@@ -199,15 +199,18 @@ HEADLINE_EXTENSIONS = (
     # drift report: cost is the two 64-wide DECIMAL cell aggs (a
     # model-width codegen constant, flat at x10/x100 — SCALE.md)
     "embedding_drift_report",
-    # round-13 addition: drift ALERTING — ONE (snapshot x cell) DECIMAL
+    # round-13 additions: drift ALERTING — ONE (snapshot x cell) DECIMAL
     # agg over the fact scan (drift_report's recipe, one pass for all
-    # snapshots) + model-sized rule windows.
+    # snapshots) + model-sized rule windows — and its stored serving
+    # twin (first rep builds the history index, later reps measure the
+    # corpus-free serving read, the dedup_embedding_lsh_stored pattern).
     # stream_dedup_incremental_shadow (r13) is EXCLUDED like every other
     # stream_*_shadow certification: its wall time measures micro-batch
     # scheduling + manifest txn machinery, not a query plan; the merge
     # algebra it runs per batch is dedup_incremental's, already
     # trendlined, and SCALE.md carries its x10 ladder.
     "embedding_drift_alert",
+    "embedding_drift_alert_stored",
     # dedup_semantic (SemDeDup) is EXCLUDED from the headline like
     # similarity_ivf_kmeans, whose Lloyd training it composes: the
     # entry's cost is ~85% deterministic-kmeans training (a per-corpus

@@ -373,7 +373,8 @@ from tdei_extract_load_service_spark.catalog_entries import (  # noqa: E402,F401
 #
 # ROUND-14 WINDOW (pre-committed): contract (20) + rule (a) — every
 # round-13 registration (embedding_drift_alert,
-# stream_dedup_incremental_shadow) — + rule (b) oldest-first.  Staleness
+# embedding_drift_alert_stored, stream_dedup_incremental_shadow) — +
+# rule (b) oldest-first.  Staleness
 # is measured by LAST DRIVER ROW, computed from the CORRECTNESS_r*.json
 # history (53 entries sat at ≤r9 going into r13; this window burned 2,
 # cdc_apply + corpus_mix_sample).  The 25 oldest (last row r8,
@@ -386,10 +387,10 @@ from tdei_extract_load_service_spark.catalog_entries import (  # noqa: E402,F401
 # tpch_q18_large_volume_customer, tpch_q19_discounted_revenue,
 # tpch_q20_potential_part_promotion, tpch_q21_suppliers_kept_waiting,
 # tpch_q22_global_sales_opportunity, tpch_q2_minimum_cost_supplier,
-# tpch_q4_order_priority, tpch_q7_volume_shipping — 20+2+25 = 47; the
-# remaining 3 slots take the alphabetical head of the last-row-r9 set
-# (corpus_prep_full, dedup_golden_record, embedding_normalize). r15
-# continues the last-row-r9 set (23 remain) per rule (b).
+# tpch_q4_order_priority, tpch_q7_volume_shipping — 20+3+25 = 48; the
+# remaining 2 slots take the alphabetical head of the last-row-r9 set
+# (corpus_prep_full, dedup_golden_record). r15 continues the
+# last-row-r9 set (24 remain) per rule (b).
 DRIVER_WINDOW: list[str] = [
     # --- the 20-op v1 engine contract (SURVEY §2.4, permanent) ---
     "scan",

@@ -337,6 +337,46 @@ def q_embedding_drift_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_drift_alert_stored",
+    ORACLES.embedding_drift_alert_oracle_sql(min_mean_cosine_fp=300_000),
+)
+def q_embedding_drift_alert_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift alerting served from the STORED history table
+    (operators/similarity.py build_drift_history_index →
+    drift_alerts_stored) — the production monitoring shape: the
+    (snapshot, cell) stats materialize once per corpus (nightly append
+    per snapshot in production; each row depends only on its own
+    snapshot against the frozen model, so grown == rebuilt
+    bit-identically, the dedup_incremental property), and every alert
+    evaluation reads the model-sized stats partitions, never the
+    corpus. Same oracle as embedding_drift_alert: stored == inline is
+    value-certified every round (counts are longs; round-9 means
+    round-trip parquet exactly)."""
+    import os
+
+    from tdei_extract_load_service_spark.operators.similarity import (
+        build_drift_history_index,
+        drift_alerts_stored,
+    )
+
+    emb = spread(_read(spark, sf_dir, "embeddings"))
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    path = build_drift_history_index(
+        emb,
+        "vec_id",
+        "embedding",
+        snapshot_of=lambda c: c % 4,
+        num_centroids=16,
+        dim=64,
+        corpus_key=f"{src}:{st.st_size}:{st.st_mtime_ns}:drift4",
+    )
+    return drift_alerts_stored(
+        spark, path, snapshots=[0, 1, 2, 3], min_mean_cosine_fp=300_000
+    )
+
+
 @register("similarity_pq_trained", None)
 def q_similarity_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained-PQ production path (VERDICT r7 #4): per-subspace Lloyd

@@ -1247,20 +1247,33 @@ def embedding_drift_alerts(
     Reference: extract-load-service.ts has no monitoring surface; this
     extends the engine's north-star LLM-pipeline family.
     """
-    from pyspark.sql import Window
-
-    from tdei_extract_load_service_spark.operators.dedup import (
-        cosine_similarity,
-    )
-
     model_rows = ivf_centroids(df, id_col, vec_col, num_centroids).collect()
     cell_ids = sorted(int(r["centroid_id"]) for r in model_rows)
+    hist = drift_history_stats(df, id_col, vec_col, snapshot_of, model_rows, dim)
+    return drift_alerts_over_history(
+        hist, cell_ids, snapshots, share_swing_fp, min_mean_cosine_fp
+    )
 
+
+def drift_history_stats(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    snapshot_of,
+    model_rows: list,
+    dim: int = 64,
+) -> DataFrame:
+    """The aggregation half of ``embedding_drift_alerts``: per
+    (snapshot, cell) — population and the DECIMAL-exact round-9 mean
+    vector, ONE map-side-combined pass over the fact scan against a
+    FROZEN cell model. This frame IS the stored drift-history table of
+    the production shape: one nightly append per snapshot, with alert
+    evaluation reading the stats — never the corpus — afterwards."""
     assigned = ivf_assign_model(df, model_rows, id_col, vec_col).withColumn(
         "_snap", snapshot_of(F.col("id")).cast("long")
     )
     n = F.count(F.lit(1))
-    hist = (
+    return (
         assigned.groupBy("_snap", "centroid_id")
         .agg(
             n.alias("n"),
@@ -1282,10 +1295,128 @@ def embedding_drift_alerts(
             F.array(*[F.col(f"_m{i}") for i in range(dim)]).alias("mean"),
         )
     )
+
+
+_DRIFT_HISTORY_ROOT = "/tmp/spark_graft_drift_history"
+_DRIFT_HISTORY_CACHE: dict = {}
+
+
+def build_drift_history_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    snapshot_of,
+    num_centroids: int = 16,
+    dim: int = 64,
+    corpus_key: str | None = None,
+) -> str:
+    """Write-once stored drift-history table — the monitoring twin of
+    the stored fingerprint/LSH/PQ indexes: ``drift_history_stats``'s
+    (snapshot, cell, n, mean) rows materialize ONCE per corpus as
+    parquet partitioned by ``_snap``, atomically published via
+    ``staged_build`` with the frozen cell ids in the meta JSON.
+
+    This is the PRODUCTION drift-alerting shape: a nightly snapshot
+    appends its model-sized stats partition (a directory, one
+    aggregation over only the new snapshot's rows); alert evaluation —
+    every threshold probe, every dashboard — reads the stats table and
+    NEVER re-touches the corpus. Each (snapshot, cell) row depends only
+    on its own snapshot's rows against the frozen model, so a history
+    grown snapshot-by-snapshot is bit-identical to a full rebuild
+    (pinned in tests/test_r13_additions.py — the dedup_incremental
+    property, monitoring form). Counts are exact longs and the round-9
+    mean doubles round-trip parquet exactly, so stored alerts ==
+    inline alerts bit-for-bit."""
+    import hashlib
+    import json
+    import os
+
+    from tdei_extract_load_service_spark.operators.staging import (
+        staged_build,
+        sweep_index_root,
+        touch_snapshot,
+    )
+
+    key = (corpus_key or "anon", id_col, vec_col, num_centroids, dim)
+    hit = _DRIFT_HISTORY_CACHE.get(key)
+    if hit is not None and os.path.exists(os.path.join(hit, "_meta.json")):
+        return touch_snapshot(hit)
+    digest = hashlib.md5(repr(key).encode()).hexdigest()[:24]
+    path = os.path.join(_DRIFT_HISTORY_ROOT, digest)
+    if not os.path.exists(os.path.join(path, "_meta.json")):
+        model_rows = ivf_centroids(df, id_col, vec_col, num_centroids).collect()
+        cell_ids = sorted(int(r["centroid_id"]) for r in model_rows)
+        hist = drift_history_stats(
+            df, id_col, vec_col, snapshot_of, model_rows, dim
+        )
+        with staged_build(path, marker="_meta.json") as tmp:
+            hist.write.mode("overwrite").partitionBy("_snap").parquet(tmp)
+            with open(os.path.join(tmp, "_meta.json"), "w") as fh:
+                json.dump(
+                    {"cell_ids": cell_ids, "dim": dim,
+                     "num_centroids": num_centroids},
+                    fh,
+                )
+        sweep_index_root(_DRIFT_HISTORY_ROOT, keep_latest=8)
+    else:
+        touch_snapshot(path)
+    _DRIFT_HISTORY_CACHE[key] = path
+    return path
+
+
+def drift_alerts_stored(
+    spark,
+    index_path: str,
+    snapshots: list[int],
+    share_swing_fp: int = 20_000,
+    min_mean_cosine_fp: int = 950_000,
+) -> DataFrame:
+    """Alert evaluation served from the STORED drift-history table:
+    scan the model-sized stats partitions, run the rules half — no
+    corpus access at all, which is the whole point of storing the
+    history. Bit-identical to ``embedding_drift_alerts`` over the same
+    corpus (counts are longs; round-9 means round-trip parquet)."""
+    import json
+    import os
+
+    with open(os.path.join(index_path, "_meta.json")) as fh:
+        meta = json.load(fh)
+    hist = spark.read.parquet(index_path).select(
+        # partition-column inference narrows _snap to int — restore long
+        F.col("_snap").cast("long").alias("_snap"),
+        "centroid_id",
+        "n",
+        "mean",
+    )
+    return drift_alerts_over_history(
+        hist, meta["cell_ids"], snapshots, share_swing_fp, min_mean_cosine_fp
+    )
+
+
+def drift_alerts_over_history(
+    hist: DataFrame,
+    cell_ids: list[int],
+    snapshots: list[int],
+    share_swing_fp: int = 20_000,
+    min_mean_cosine_fp: int = 950_000,
+) -> DataFrame:
+    """The rules half of ``embedding_drift_alerts``: dense skeleton,
+    integer shares, lag chain and the four alert rules over a
+    (snapshot, cell, n, mean) history frame — whether freshly
+    aggregated or scanned from the stored history table, the alerts
+    are bit-identical because counts are exact longs and the round-9
+    mean doubles round-trip parquet exactly. Model-sized work:
+    |snapshots|·|cells| rows end to end."""
+    from pyspark.sql import Window
+
+    from tdei_extract_load_service_spark.operators.dedup import (
+        cosine_similarity,
+    )
+
     # dense (snapshot x cell) skeleton — absent cells must participate in
     # the lag chain (cell_vanished is ABOUT them)
     skel = (
-        df.sparkSession.range(1)
+        hist.sparkSession.range(1)
         .select(F.explode(F.lit([int(s) for s in snapshots])).alias("_snap"))
         .select("_snap", F.explode(F.lit(cell_ids)).alias("centroid_id"))
     )

@@ -154,6 +154,53 @@ def test_drift_alerts_full_matrix_and_invariants(spark):
             assert r.metric_fp == 0
 
 
+def test_drift_alerts_stored_equals_inline(spark):
+    """The stored-history serving path must be bit-identical to the
+    inline operator (parquet round-trip of longs + round-9 doubles)."""
+    from tdei_extract_load_service_spark.catalog import REGISTRY
+
+    inline = sorted(
+        tuple(r)
+        for r in REGISTRY["embedding_drift_alert"].query(spark, SF_DIR).collect()
+    )
+    stored = sorted(
+        tuple(r)
+        for r in REGISTRY["embedding_drift_alert_stored"]
+        .query(spark, SF_DIR)
+        .collect()
+    )
+    assert stored == inline
+
+
+def test_drift_history_grown_equals_rebuilt(spark, tmp_path):
+    """The nightly-append property: a history grown snapshot-by-snapshot
+    equals the full rebuild, because each (snapshot, cell) row depends
+    only on its own snapshot's rows against the frozen model."""
+    from pyspark.sql import functions as F
+
+    from tdei_extract_load_service_spark.operators.similarity import (
+        drift_history_stats,
+        ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    model = ivf_centroids(emb, "vec_id", "embedding", 16).collect()
+    snap = lambda c: c % 4  # noqa: E731
+    full = drift_history_stats(emb, "vec_id", "embedding", snap, model, 64)
+    grown_path = str(tmp_path / "hist")
+    for s in range(4):
+        drift_history_stats(
+            emb.where(F.col("vec_id") % 4 == s),
+            "vec_id", "embedding", snap, model, 64,
+        ).write.mode("append").partitionBy("_snap").parquet(grown_path)
+    grown = spark.read.parquet(grown_path).select(
+        F.col("_snap").cast("long"), "centroid_id", "n", "mean"
+    )
+    want = sorted(tuple(r) for r in full.collect())
+    got = sorted(tuple(r) for r in grown.collect())
+    assert got == want
+
+
 # ---------------------------------------------------------------------------
 # stream_dedup_incremental_shadow
 # ---------------------------------------------------------------------------

@@ -497,6 +497,17 @@ EXPECTATIONS: dict[str, list[str]] = {
         "!CartesianProduct",
         "!SortMergeJoin",
     ],
+    # stored serving twin: ONE scan of the model-sized history table
+    # (never the corpus — no aggregate left in the plan), same rules half
+    "embedding_drift_alert_stored": [
+        "=1:FileScan",
+        "!HashAggregate",
+        "BroadcastHashJoin",
+        "Window",
+        "Generate explode",
+        "!CartesianProduct",
+        "!SortMergeJoin",
+    ],
     # hard-negative mining: embedding_knn_batch's exact shape (the
     # exclude_self filter is a pre-window predicate, not a plan change).
     # r13: n_planes is now derived corpus-aware (planes_per_band_for over
