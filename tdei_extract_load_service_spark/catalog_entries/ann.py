@@ -371,6 +371,7 @@ def q_embedding_drift_alert_stored(spark: SparkSession, sf_dir: str) -> DataFram
         num_centroids=16,
         dim=64,
         corpus_key=f"{src}:{st.st_size}:{st.st_mtime_ns}:drift4",
+        snapshot_key="vec_id%4",
     )
     return drift_alerts_stored(
         spark, path, snapshots=[0, 1, 2, 3], min_mean_cosine_fp=300_000

@@ -2024,29 +2024,37 @@ def _bloom_probe_jvm(
 # one torrent-broadcast per DISTINCT bitmap per SparkContext (ADVICE r12:
 # a fresh broadcast per probe call is an unbounded leak in a long-lived
 # session — the result is lazy, so "unpersist on materialize" has no safe
-# hook; reuse is the fix). Keyed by bitmap content, capped LRU.
+# hook; reuse is the fix). Keyed by bitmap content + applicationId (NOT
+# id(sc): CPython reuses addresses, so a new context could be served a
+# dead broadcast — r13 review finding); locked because foreachBatch
+# handlers may probe from worker threads. Capped LRU.
+import threading as _threading  # noqa: E402  (cache lock below)
+
 _BLOOM_BCAST_CACHE: dict = {}
 _BLOOM_BCAST_CACHE_MAX = 4
+_BLOOM_BCAST_LOCK = _threading.Lock()
 
 
 def _bloom_bitmap_broadcast(sc, arr):
     import hashlib
 
-    key = (id(sc), hashlib.md5(arr.tobytes()).hexdigest())
-    # a new SparkContext invalidates every old broadcast — drop them
-    for stale in [k for k in _BLOOM_BCAST_CACHE if k[0] != id(sc)]:
-        _BLOOM_BCAST_CACHE.pop(stale, None)
-    bcast = _BLOOM_BCAST_CACHE.pop(key, None)  # pop+reinsert = LRU touch
-    if bcast is None:
-        while len(_BLOOM_BCAST_CACHE) >= _BLOOM_BCAST_CACHE_MAX:
-            old = _BLOOM_BCAST_CACHE.pop(next(iter(_BLOOM_BCAST_CACHE)))
-            try:
-                old.unpersist()
-            except Exception:
-                pass  # context mid-shutdown: nothing to release
-        bcast = sc.broadcast(arr)
-    _BLOOM_BCAST_CACHE[key] = bcast
-    return bcast
+    app_id = sc.applicationId
+    key = (app_id, hashlib.md5(arr.tobytes()).hexdigest())
+    with _BLOOM_BCAST_LOCK:
+        # a new SparkContext invalidates every old broadcast — drop them
+        for stale in [k for k in _BLOOM_BCAST_CACHE if k[0] != app_id]:
+            _BLOOM_BCAST_CACHE.pop(stale, None)
+        bcast = _BLOOM_BCAST_CACHE.pop(key, None)  # pop+reinsert = LRU touch
+        if bcast is None:
+            while len(_BLOOM_BCAST_CACHE) >= _BLOOM_BCAST_CACHE_MAX:
+                old = _BLOOM_BCAST_CACHE.pop(next(iter(_BLOOM_BCAST_CACHE)))
+                try:
+                    old.unpersist()
+                except Exception:
+                    pass  # context mid-shutdown: nothing to release
+            bcast = sc.broadcast(arr)
+        _BLOOM_BCAST_CACHE[key] = bcast
+        return bcast
 
 
 def _bloom_probe_arrow(

@@ -1309,6 +1309,7 @@ def build_drift_history_index(
     num_centroids: int = 16,
     dim: int = 64,
     corpus_key: str | None = None,
+    snapshot_key: str = "",
 ) -> str:
     """Write-once stored drift-history table — the monitoring twin of
     the stored fingerprint/LSH/PQ indexes: ``drift_history_stats``'s
@@ -1337,7 +1338,19 @@ def build_drift_history_index(
         touch_snapshot,
     )
 
-    key = (corpus_key or "anon", id_col, vec_col, num_centroids, dim)
+    # snapshot_of is a Column-builder and cannot be content-hashed, so
+    # the caller must name the mapping: snapshot_key is part of the
+    # content address (two callers with the same corpus but different
+    # snapshot slicings must NOT share a history — wrong fired verdicts
+    # with no error otherwise; r13 review finding)
+    key = (
+        corpus_key or "anon",
+        id_col,
+        vec_col,
+        num_centroids,
+        dim,
+        snapshot_key,
+    )
     hit = _DRIFT_HISTORY_CACHE.get(key)
     if hit is not None and os.path.exists(os.path.join(hit, "_meta.json")):
         return touch_snapshot(hit)
@@ -1428,7 +1441,14 @@ def drift_alerts_over_history(
     )
     dense = dense.withColumn(
         "_tot", F.sum("n").over(Window.partitionBy("_snap"))
-    ).withColumn("share_fp", F.expr("(1000000 * n) DIV _tot"))
+    ).withColumn(
+        # an EMPTY snapshot (a requested label with zero corpus rows) has
+        # _tot = 0: define every cell's share as 0 instead of 0 DIV 0 —
+        # which throws under ANSI (a certified sweep mode) and yields a
+        # NULL that would poison the streak logic downstream
+        "share_fp",
+        F.expr("CASE WHEN _tot = 0 THEN 0 ELSE (1000000 * n) DIV _tot END"),
+    )
 
     w = Window.partitionBy("centroid_id").orderBy("_snap")
     paired = (
@@ -1462,7 +1482,12 @@ def drift_alerts_over_history(
     paired = paired.withColumn(
         "prev_swing_fired", F.lag("swing_fired").over(w)
     )
-    streak = F.when(~F.col("swing_fired"), F.lit(0)).otherwise(
+    # null-safe on purpose: swing_fired cannot be NULL now that empty
+    # snapshots share 0, but the streak must never invert on a NULL
+    # condition (a NULL ~cond takes the otherwise branch)
+    streak = F.when(
+        ~F.coalesce(F.col("swing_fired"), F.lit(False)), F.lit(0)
+    ).otherwise(
         F.lit(1)
         + F.when(F.coalesce(F.col("prev_swing_fired"), F.lit(False)), 1).otherwise(0)
     )

@@ -680,7 +680,9 @@ def embedding_drift_alert_oracle_sql(
     ),
     sh AS (
       SELECT snap, centroid_id, n, mean,
-             (1000000 * n) // SUM(n) OVER (PARTITION BY snap) AS share_fp
+             CASE WHEN SUM(n) OVER (PARTITION BY snap) = 0 THEN 0
+                  ELSE (1000000 * n) // SUM(n) OVER (PARTITION BY snap)
+             END AS share_fp
       FROM d
     ),
     lagged AS (

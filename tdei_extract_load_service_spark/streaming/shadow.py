@@ -46,26 +46,27 @@ def _query_name() -> str:
 _STAGE_CACHE: dict[str, str] = {}
 
 
-def stage_event_stream(
-    spark: SparkSession, sf_dir: str, n_batches: int = 4
+def _stage_parquet_batches(
+    spark: SparkSession,
+    src: str,
+    order_cols: tuple[str, ...],
+    n_batches: int,
+    key_suffix: str = "",
+    fixup=None,
 ) -> str:
-    """Stage the bounded events fixture as ``n_batches`` parquet files
-    ordered by event time, with strictly increasing mtimes — so a file
-    source with ``maxFilesPerTrigger=1`` replays them as a deterministic
-    sequence of micro-batches. Per-user arrival is in event-time order
-    across batches (a global ts-range split IS a per-user prefix split),
-    which is the regime where the one-pass stateful funnel equals the
-    batch recurrence exactly (windows.stream_funnel docstring).
-
-    Content-addressed under /tmp and reused across sessions; this
-    staging is harness plumbing — production streams arrive from a real
-    source (O1's queue contract, streaming/consumer.py)."""
+    """Shared staging machinery for file-source micro-batch replay:
+    split ``src`` into ``n_batches`` single-file parquet chunks by the
+    ``order_cols`` total order, with strictly increasing mtimes so a
+    file source with ``maxFilesPerTrigger=1`` replays a deterministic
+    batch sequence. Content-addressed under /tmp (``key_suffix``
+    disambiguates fixtures sharing a path format) and reused across
+    sessions. ``fixup`` (optional) normalizes the frame post-read —
+    the events legacy-nanos rebuild lives there."""
     import hashlib
     import shutil
 
-    src = os.path.join(sf_dir, "events.parquet")
     st = os.stat(src)
-    key = f"{src}:{st.st_size}:{st.st_mtime_ns}:{n_batches}"
+    key = f"{src}:{st.st_size}:{st.st_mtime_ns}:{n_batches}{key_suffix}"
     hit = _STAGE_CACHE.get(key)
     if hit is not None:
         return hit
@@ -73,27 +74,17 @@ def stage_event_stream(
     root = "/tmp/spark_graft_stream_stage"
     stage = os.path.join(root, digest)
     if not os.path.isdir(stage) or len(os.listdir(stage)) != n_batches:
-        ev = spark.read.parquet(src)
-        if dict(ev.dtypes).get("ts") == "bigint":
-            # legacy TIMESTAMP(NANOS) vintage read as int64 ns: rebuild
-            # NTZ via an exact DECIMAL-seconds interval (micros ~1.7e18
-            # are beyond double's exact range — float seconds banned)
-            ev = ev.withColumn(
-                "ts",
-                F.expr(
-                    "make_timestamp_ntz(1970, 1, 1, 0, 0, 0)"
-                    " + make_dt_interval(0, 0, 0,"
-                    " CAST(ts DIV 1000 AS DECIMAL(20, 0)) / 1000000)"
-                ),
-            )
+        df = spark.read.parquet(src)
+        if fixup is not None:
+            df = fixup(df)
         from pyspark.sql import Window
 
-        n = ev.count()
+        n = df.count()
         per = -(-n // n_batches)
-        ranked = ev.withColumn(
+        ranked = df.withColumn(
             "_rn",
             F.row_number().over(
-                Window.orderBy(F.col("ts").asc(), F.col("event_id").asc())
+                Window.orderBy(*[F.col(c).asc() for c in order_cols])
             ),
         )
         # a stale INCOMPLETE stage (listdir != n_batches) must not
@@ -125,6 +116,45 @@ def stage_event_stream(
                 os.utime(dst, (st.st_mtime + i, st.st_mtime + i))
     _STAGE_CACHE[key] = stage
     return stage
+
+
+def stage_event_stream(
+    spark: SparkSession, sf_dir: str, n_batches: int = 4
+) -> str:
+    """Stage the bounded events fixture as ``n_batches`` parquet files
+    ordered by event time, with strictly increasing mtimes — so a file
+    source with ``maxFilesPerTrigger=1`` replays them as a deterministic
+    sequence of micro-batches. Per-user arrival is in event-time order
+    across batches (a global ts-range split IS a per-user prefix split),
+    which is the regime where the one-pass stateful funnel equals the
+    batch recurrence exactly (windows.stream_funnel docstring).
+
+    Content-addressed under /tmp and reused across sessions; this
+    staging is harness plumbing — production streams arrive from a real
+    source (O1's queue contract, streaming/consumer.py)."""
+
+    def _nanos_fixup(ev: DataFrame) -> DataFrame:
+        if dict(ev.dtypes).get("ts") == "bigint":
+            # legacy TIMESTAMP(NANOS) vintage read as int64 ns: rebuild
+            # NTZ via an exact DECIMAL-seconds interval (micros ~1.7e18
+            # are beyond double's exact range — float seconds banned)
+            ev = ev.withColumn(
+                "ts",
+                F.expr(
+                    "make_timestamp_ntz(1970, 1, 1, 0, 0, 0)"
+                    " + make_dt_interval(0, 0, 0,"
+                    " CAST(ts DIV 1000 AS DECIMAL(20, 0)) / 1000000)"
+                ),
+            )
+        return ev
+
+    return _stage_parquet_batches(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        ("ts", "event_id"),
+        n_batches,
+        fixup=_nanos_fixup,
+    )
 
 
 def run_bounded_stream(
@@ -1148,55 +1178,18 @@ def stage_document_stream(
     """Stage the bounded documents fixture as ``n_batches`` parquet
     files split by doc_id order with strictly increasing mtimes — the
     documents twin of ``stage_event_stream`` for file-source replay
-    with ``maxFilesPerTrigger=1``. Unlike the event staging, NO ordering
-    property is load-bearing downstream: the dedup merge algebra is
-    associative/commutative, so any split certifies; doc_id ranges just
-    keep the staging content-addressed and the batches human-readable."""
-    import hashlib
-    import shutil
-
-    src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
-    key = f"{src}:{st.st_size}:{st.st_mtime_ns}:{n_batches}:docs"
-    hit = _STAGE_CACHE.get(key)
-    if hit is not None:
-        return hit
-    digest = hashlib.md5(key.encode()).hexdigest()[:24]
-    root = "/tmp/spark_graft_stream_stage"
-    stage = os.path.join(root, digest)
-    if not os.path.isdir(stage) or len(os.listdir(stage)) != n_batches:
-        from pyspark.sql import Window
-
-        docs = spark.read.parquet(src)
-        n = docs.count()
-        per = -(-n // n_batches)
-        ranked = docs.withColumn(
-            "_rn", F.row_number().over(Window.orderBy(F.col("doc_id").asc()))
-        )
-        shutil.rmtree(stage, ignore_errors=True)
-        with staged_build(stage, marker=None) as build:
-            os.makedirs(build)
-            for i in range(n_batches):
-                chunk_dir = os.path.join(build, f"_chunk{i}")
-                (
-                    ranked.where(
-                        (F.col("_rn") > i * per)
-                        & (F.col("_rn") <= (i + 1) * per)
-                    )
-                    .drop("_rn")
-                    .coalesce(1)
-                    .write.mode("overwrite")
-                    .parquet(chunk_dir)
-                )
-                part = next(
-                    p for p in os.listdir(chunk_dir) if p.endswith(".parquet")
-                )
-                dst = os.path.join(build, f"{i:03d}.parquet")
-                os.replace(os.path.join(chunk_dir, part), dst)
-                shutil.rmtree(chunk_dir)
-                os.utime(dst, (st.st_mtime + i, st.st_mtime + i))
-    _STAGE_CACHE[key] = stage
-    return stage
+    with ``maxFilesPerTrigger=1``, sharing ``_stage_parquet_batches``.
+    Unlike the event staging, NO ordering property is load-bearing
+    downstream: the dedup merge algebra is associative/commutative, so
+    any split certifies; doc_id ranges just keep the staging
+    content-addressed and the batches human-readable."""
+    return _stage_parquet_batches(
+        spark,
+        os.path.join(sf_dir, "documents.parquet"),
+        ("doc_id",),
+        n_batches,
+        key_suffix=":docs",
+    )
 
 
 def dedup_incremental_shadow(

@@ -154,6 +154,48 @@ def test_drift_alerts_full_matrix_and_invariants(spark):
             assert r.metric_fp == 0
 
 
+def test_drift_alerts_empty_snapshot_is_defined(spark):
+    """A requested snapshot label with ZERO corpus rows must not divide
+    by zero (ANSI throws) nor poison the streak with NULLs: every cell
+    of the empty snapshot reports share 0, cell_vanished fires for
+    cells populated at t-1, and no fired verdict is NULL (r13 review
+    finding)."""
+    from tdei_extract_load_service_spark.operators.similarity import (
+        embedding_drift_alerts,
+    )
+
+    dim = 8
+    vecs = {
+        0: [1.0] + [0.0] * (dim - 1),
+        1: [0.0, 1.0] + [0.0] * (dim - 2),
+        2: [0.9, 0.1] + [0.0] * (dim - 2),
+        # snapshot 1 (ids 10..19): EMPTY — no ids in range
+        20: [0.8, 0.2] + [0.0] * (dim - 2),
+    }
+    pdf = pd.DataFrame(
+        {"vec_id": list(vecs), "embedding": [vecs[k] for k in vecs]}
+    )
+    df = spark.createDataFrame(pdf)
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        rows = embedding_drift_alerts(
+            df, "vec_id", "embedding",
+            snapshot_of=lambda c: F.floor(c / 10),
+            snapshots=[0, 1, 2],
+            num_centroids=2, dim=dim,
+        ).collect()
+    finally:
+        spark.conf.unset("spark.sql.ansi.enabled")
+    assert rows and all(r.fired is not None for r in rows)
+    by = {(r.snapshot_id, r.centroid_id, r.rule): r for r in rows}
+    # both cells populated at snap 0 vanish at the empty snap 1
+    assert by[(1, 0, "cell_vanished")].fired
+    assert by[(1, 1, "cell_vanished")].fired
+    # shares at the empty snapshot are 0, so the swing vs snap 0 is
+    # snap 0's full share
+    assert by[(1, 0, "share_swing")].metric_fp > 0
+
+
 def test_drift_alerts_stored_equals_inline(spark):
     """The stored-history serving path must be bit-identical to the
     inline operator (parquet round-trip of longs + round-9 doubles)."""

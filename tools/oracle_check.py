@@ -192,6 +192,13 @@ def sweep_destination(sweep_path, only, env) -> tuple:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # resolve the sweep destination UP FRONT: the ambiguous-mode guard
+    # must fire before the session is even built — not after a full
+    # multi-minute sweep whose every check ran under a config matching
+    # neither recorded mode (r13 review finding)
+    sweep_path, sweep_mode = sweep_destination(
+        os.environ.get("SPARK_GRAFT_SWEEP_JSON"), only, os.environ
+    )
 
     import __spark_entry__ as entry_mod
 
@@ -283,9 +290,7 @@ def main() -> int:
         f"\n{checked} oracle-checked, {len(rows_only)} rows-only, {len(failures)} failures"
         + (f": {[n for n, _ in failures]}" if failures else "")
     )
-    sweep_path, mode = sweep_destination(
-        os.environ.get("SPARK_GRAFT_SWEEP_JSON"), only, os.environ
-    )
+    mode = sweep_mode  # resolved (and guarded) at the top of main
     if sweep_path:
         import json
 
