@@ -154,6 +154,63 @@ def test_drift_alerts_full_matrix_and_invariants(spark):
             assert r.metric_fp == 0
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    data=st.lists(
+        st.lists(
+            st.integers(min_value=-99, max_value=99).map(lambda v: v / 10.0),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=4,
+        max_size=24,
+    ),
+    n_snaps=st.integers(min_value=2, max_value=4),
+)
+def test_drift_alerts_property_matches_reference(spark, data, n_snaps):
+    """Randomized corpora through the operator must equal the
+    pure-Python restatement — the drift-alert analogue of the r11
+    property suites. Zero vectors are nudged (cosine undefined);
+    snapshot = id % n_snaps, 2 cells, dim 4."""
+    from tdei_extract_load_service_spark.operators.similarity import (
+        embedding_drift_alerts,
+    )
+
+    dim, C = 4, 2
+    vecs = {}
+    for i, v in enumerate(data):
+        if all(x == 0.0 for x in v):
+            v = [1.0] + v[1:]
+        vecs[i] = v
+    snaps = list(range(n_snaps))
+    got = [
+        tuple(r)
+        for r in embedding_drift_alerts(
+            spark.createDataFrame(
+                pd.DataFrame(
+                    {"vec_id": list(vecs), "embedding": [vecs[k] for k in vecs]}
+                )
+            ),
+            "vec_id",
+            "embedding",
+            snapshot_of=lambda c: c % n_snaps,
+            snapshots=snaps,
+            num_centroids=C,
+            dim=dim,
+            share_swing_fp=150_000,
+            min_mean_cosine_fp=900_000,
+        ).collect()
+    ]
+    want = _alerts_reference(
+        vecs, snaps, C, dim, 150_000, 900_000, lambda i: i % n_snaps
+    )
+    assert sorted(got) == want
+
+
 def test_drift_alerts_empty_snapshot_is_defined(spark):
     """A requested snapshot label with ZERO corpus rows must not divide
     by zero (ANSI throws) nor poison the streak with NULLs: every cell
