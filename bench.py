@@ -211,6 +211,10 @@ HEADLINE_EXTENSIONS = (
     # trendlined, and SCALE.md carries its x10 ladder.
     "embedding_drift_alert",
     "embedding_drift_alert_stored",
+    # round-13 continuation: DSIR importance selection — one (doc,
+    # bucket) hash-agg over the bigram stream, broadcast 128-row weight
+    # dim, TakeOrdered cut (plan-audited; x10 in SCALE.md)
+    "text_dsir_select",
     # dedup_semantic (SemDeDup) is EXCLUDED from the headline like
     # similarity_ivf_kmeans, whose Lloyd training it composes: the
     # entry's cost is ~85% deterministic-kmeans training (a per-corpus

@@ -498,3 +498,76 @@ def q_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tdei_extract_load_service_spark.operators.text import bpe_pair_counts
 
     return bpe_pair_counts(_read(spark, sf_dir, "documents"), "text", top_k=30)
+
+
+@register(
+    "text_dsir_select",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang = 'en' AS is_t,
+             unnest(list_transform(
+               generate_series(1, greatest(len(string_split(text, ' ')) - 1, 0)),
+               i -> array_to_string(string_split(text, ' ')[i:i+1], ' '))) AS ng
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, is_t,
+             CAST(concat('0x', substr(md5(ng), 1, 8)) AS BIGINT) % 128 AS bucket
+      FROM toks
+    ),
+    f AS (
+      SELECT doc_id, is_t, bucket, COUNT(*) AS f FROM occ GROUP BY 1, 2, 3
+    ),
+    w AS (
+      SELECT bucket, SUM(f) AS r_cnt,
+             SUM(CASE WHEN is_t THEN f ELSE 0 END) AS t_cnt
+      FROM f GROUP BY 1
+    ),
+    tot AS (SELECT SUM(r_cnt) AS r_tot, SUM(t_cnt) AS t_tot FROM w),
+    wt AS (
+      SELECT bucket,
+             CAST(((t_cnt + 1) * 1000000000) // (t_tot + 128) AS BIGINT) AS pt,
+             CAST(((r_cnt + 1) * 1000000000) // (r_tot + 128) AS BIGINT) AS pr
+      FROM w, tot
+    ),
+    s AS (
+      SELECT f.doc_id,
+             CAST(SUM(f.f * (wt.pt - wt.pr)) AS BIGINT) AS dsir_score
+      FROM f JOIN wt USING (bucket) GROUP BY 1
+    )
+    SELECT s.doc_id, d.lang, s.dsir_score
+    FROM s JOIN documents d ON s.doc_id = d.doc_id
+    ORDER BY s.dsir_score DESC, s.doc_id ASC
+    LIMIT 50
+    """,
+)
+def q_text_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (operators/text.py dsir_scores): rank
+    the corpus by hashed-bigram importance weight against the trusted
+    slice (``lang = 'en'`` stands in for the paper's target domain) and
+    keep the top 50. The weight is the integer fixed-point probability
+    difference over 128 md5-hashed buckets with add-one smoothing — the
+    exact-arithmetic surrogate for the paper's log-likelihood ratio
+    (quality_classifier's algebraic-sigmoid lesson), so the ORACLE
+    restates the entire estimator: token stream, bucket hash, both
+    distributions, every weight, every score, and the selection cut.
+    ``lang`` rides along to make the selection's domain shift visible
+    in the certified output. Scale shape: one (doc, bucket) hash-agg
+    is the only corpus-keyed shuffle; weights are a broadcast
+    128-row dim; the cut is a TakeOrdered, never a global sort; the
+    lang join BROADCASTS the 50 selected ids back onto the corpus."""
+    from tdei_extract_load_service_spark.operators.text import dsir_scores
+
+    docs = _read(spark, sf_dir, "documents")
+    scores = dsir_scores(
+        docs, "doc_id", "text", target=F.col("lang") == "en"
+    )
+    top = scores.orderBy(
+        F.col("dsir_score").desc(), F.col("doc_id").asc()
+    ).limit(50)
+    return (
+        F.broadcast(top)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "dsir_score")
+        .orderBy(F.col("dsir_score").desc(), F.col("doc_id").asc())
+    )

@@ -1498,3 +1498,120 @@ def bpe_pair_counts(
         .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
     )
     return out.limit(top_k) if top_k is not None else out
+
+
+def word_ngrams(text: str | Column, n: int = 2) -> Column:
+    """All word ``n``-grams IN ORDER, WITH MULTIPLICITY — the feature
+    stream for distribution estimators (DSIR importance weights), where
+    occurrence COUNTS are the signal. ``dedup.word_shingles`` is the
+    set-semantics twin (it dedups for Jaccard/MinHash); this one must
+    not dedup. Split on a single space to stay byte-compatible with the
+    DuckDB oracle (``string_split(text, ' ')``)."""
+    words = F.split(_col(text), " ")
+    count = F.size(words) - (n - 1)
+    return F.when(
+        count >= 1,
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dsir_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: Column,
+    n: int = 2,
+    num_buckets: int = 128,
+    scale: int = 10**9,
+) -> DataFrame:
+    """DSIR-style data selection: importance weights from hashed n-gram
+    bucket distributions (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling"). Documents whose hashed-n-gram
+    profile looks like the TARGET slice (``target`` boolean column, e.g.
+    a trusted high-quality subset) score high; generic documents score
+    ~0; off-distribution documents score negative. No reference twin —
+    the reference (extract-load-service.ts) has no corpus-curation
+    surface; this extends the engine's training-data program alongside
+    quality_classifier (supervised) and corpus_mix (quota-driven).
+
+    Construction, exact on both engines:
+    - feature stream = word n-grams WITH multiplicity, hashed to
+      ``num_buckets`` buckets via the md5-head-8-hex recipe the minhash
+      family certifies (Spark ``conv(substring(md5,1,8),16,10)`` ==
+      DuckDB ``CAST(concat('0x', substr(md5,1,8)) AS BIGINT)``);
+    - bucket distributions with add-one smoothing in INTEGER fixed
+      point: ``p_b = ((cnt_b + 1) * scale) DIV (tot + num_buckets)`` —
+      the paper's log-likelihood-ratio weight is replaced by the scaled
+      probability DIFFERENCE ``pt_b - pr_b`` so every weight and every
+      document score is a BIGINT that both engines compute bit-
+      identically (the algebraic-sigmoid lesson from
+      quality_classifier: exact surrogate over libm transcendentals;
+      production swaps one projection to get literal log-ratios);
+    - ``dsir_score(d) = sum_b f_b(d) * (pt_b - pr_b)`` where ``f_b`` is
+      the document's bucket count.
+
+    Returns ``(id, dsir_score)`` for every document with at least one
+    n-gram (shorter documents carry no feature evidence and are
+    excluded on both engines).
+
+    Scale shape: ONE pass over the token stream builds the (doc,
+    bucket) count frame ``f`` (hash-aggregate with map-side partials;
+    persisted — it is the compact profile, |docs| x <=num_buckets, that
+    both the weight estimate and the scoring read). Bucket weights
+    derive from ``f``, not a second corpus pass: a num_buckets-row
+    aggregate crossed with a one-row total, BROADCAST back onto ``f``.
+    The only corpus-keyed shuffle is the (doc, bucket) aggregation. At
+    100 TB nothing else grows: weights stay num_buckets rows. Overflow
+    headroom: ``(cnt+1)*scale`` caps BIGINT at ~9.2e9 n-grams per
+    bucket (~1.2e12 tokens at 128 buckets); larger corpora raise
+    num_buckets or drop ``scale`` a decade — documented, not silent.
+    """
+    from tdei_extract_load_service_spark.session import persist_scoped, spread
+
+    b = int(num_buckets)
+    toks = spread(df).select(
+        _col(id_col).alias("_id"),
+        target.alias("_is_t"),
+        F.explode(word_ngrams(text_col, n)).alias("_ng"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("_ng")), 1, 8), 16, 10).cast("long")
+        % F.lit(b)
+    ).alias("bucket")
+    f = persist_scoped(
+        toks.select("_id", "_is_t", bucket)
+        .groupBy("_id", "_is_t", "bucket")
+        .agg(F.count(F.lit(1)).alias("_f")),
+        "text.dsir_scores.f",
+    )
+    w = f.groupBy("bucket").agg(
+        F.sum("_f").alias("_r_cnt"),
+        F.sum(F.when(F.col("_is_t"), F.col("_f")).otherwise(F.lit(0))).alias(
+            "_t_cnt"
+        ),
+    )
+    tot = w.agg(
+        F.sum("_r_cnt").alias("_r_tot"), F.sum("_t_cnt").alias("_t_tot")
+    )
+    wt = w.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.expr(
+            f"(( _t_cnt + 1) * {int(scale)}L) DIV (_t_tot + {b})"
+        ).alias("_pt"),
+        F.expr(
+            f"(( _r_cnt + 1) * {int(scale)}L) DIV (_r_tot + {b})"
+        ).alias("_pr"),
+    )
+    return (
+        f.join(F.broadcast(wt), "bucket")
+        .groupBy("_id")
+        .agg(
+            F.sum(F.col("_f") * (F.col("_pt") - F.col("_pr"))).alias(
+                "dsir_score"
+            )
+        )
+        .select(F.col("_id").alias(id_col), "dsir_score")
+    )

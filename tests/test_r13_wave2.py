@@ -1,0 +1,108 @@
+"""Round-13 second wave: DSIR importance selection — pinned against an
+independent pure-Python reference (hashlib.md5 + integer arithmetic,
+no Spark/DuckDB machinery)."""
+
+from __future__ import annotations
+
+import random
+from hashlib import md5
+
+from pyspark.sql import functions as F
+
+
+def _dsir_reference(rows, is_target, n=2, buckets=128, scale=10**9):
+    """Pure-Python restatement of operators/text.dsir_scores: word
+    n-grams with multiplicity, md5-head bucket hash, add-one-smoothed
+    integer fixed-point distributions, probability-difference weights."""
+
+    def ngrams(text):
+        words = text.split(" ")
+        return [
+            " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
+        ]
+
+    def bucket(ng):
+        return int(md5(ng.encode()).hexdigest()[:8], 16) % buckets
+
+    f: dict[tuple[int, int], int] = {}
+    targ: dict[int, bool] = {}
+    for doc_id, text in rows:
+        targ[doc_id] = is_target(doc_id, text)
+        for ng in ngrams(text):
+            key = (doc_id, bucket(ng))
+            f[key] = f.get(key, 0) + 1
+    r_cnt: dict[int, int] = {}
+    t_cnt: dict[int, int] = {}
+    for (doc_id, b), cnt in f.items():
+        r_cnt[b] = r_cnt.get(b, 0) + cnt
+        if targ[doc_id]:
+            t_cnt[b] = t_cnt.get(b, 0) + cnt
+    r_tot = sum(r_cnt.values())
+    t_tot = sum(t_cnt.values())
+    pt = {
+        b: ((t_cnt.get(b, 0) + 1) * scale) // (t_tot + buckets)
+        for b in r_cnt
+    }
+    pr = {b: ((c + 1) * scale) // (r_tot + buckets) for b, c in r_cnt.items()}
+    scores: dict[int, int] = {}
+    for (doc_id, b), cnt in f.items():
+        scores[doc_id] = scores.get(doc_id, 0) + cnt * (pt[b] - pr[b])
+    return scores
+
+
+def _corpus(seed=13, n_docs=60):
+    rng = random.Random(seed)
+    vocab_target = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    vocab_other = ["zeta", "eta", "theta", "iota", "kappa", "lam", "mu"]
+    rows = []
+    for i in range(n_docs):
+        on_target = i % 3 == 0
+        vocab = vocab_target if on_target else vocab_other
+        # mix in shared words so distributions overlap
+        words = [
+            rng.choice(vocab if rng.random() < 0.7 else vocab_target + vocab_other)
+            for _ in range(rng.randint(2, 30))
+        ]
+        rows.append((i, " ".join(words)))
+    # degenerate docs: no bigram evidence -> excluded on both sides
+    rows.append((n_docs, "single"))
+    rows.append((n_docs + 1, ""))
+    return rows
+
+
+def test_dsir_scores_match_pure_python(spark):
+    from tdei_extract_load_service_spark.operators.text import dsir_scores
+
+    rows = _corpus()
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["dsir_score"]
+        for r in dsir_scores(
+            df, "doc_id", "text", target=F.col("doc_id") % 3 == 0
+        ).collect()
+    }
+    want = _dsir_reference(rows, lambda d, t: d % 3 == 0)
+    assert got == want
+    # docs without a single bigram carry no feature evidence: excluded
+    assert len(rows) - 2 not in got and len(rows) - 1 not in got
+    # the synthetic target vocabulary must dominate the top of the
+    # ranking: every score is exact, so this is a semantics check, not
+    # a statistical one
+    top10 = sorted(got, key=lambda d: (-got[d], d))[:10]
+    assert sum(1 for d in top10 if d % 3 == 0) >= 8
+
+
+def test_dsir_scores_empty_target_is_defined(spark):
+    """No target docs at all: smoothing keeps every weight defined and
+    every score exact (pt uniform at scale//(0+buckets))."""
+    from tdei_extract_load_service_spark.operators.text import dsir_scores
+
+    rows = _corpus(seed=7, n_docs=20)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["dsir_score"]
+        for r in dsir_scores(df, "doc_id", "text", target=F.lit(False)).collect()
+    }
+    want = _dsir_reference(rows, lambda d, t: False)
+    assert got == want
+    assert got  # non-degenerate docs all scored

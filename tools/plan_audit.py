@@ -324,6 +324,20 @@ EXPECTATIONS: dict[str, list[str]] = {
         "!MapInPandas",
         "!ArrowEvalPython",
     ],
+    # DSIR selection: the (doc,bucket) profile is built once and CACHED
+    # (weights + scoring read it, never the token stream twice); bucket
+    # weights are a broadcast 128-row dim; the selection cut is a
+    # TakeOrdered (no global sort of scores); the lang join broadcasts
+    # the 50 winners — the corpus never shuffles for it
+    "text_dsir_select": [
+        "TakeOrderedAndProject",
+        "BroadcastHashJoin",
+        "InMemoryTableScan",
+        "!SortMergeJoin",
+        "!CartesianProduct",
+        "!MapInPandas",
+        "!ArrowEvalPython",
+    ],
     # weighted mix: identical shape to token_budget_sample — one stratum
     # window, budget CASE map is a literal projection, no join
     "corpus_mix_sample": ["Window", "Exchange hashpartitioning\\(source", "!Join", "!rangepartitioning"],
