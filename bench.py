@@ -215,6 +215,10 @@ HEADLINE_EXTENSIONS = (
     # bucket) hash-agg over the bigram stream, broadcast 128-row weight
     # dim, TakeOrdered cut (plan-audited; x10 in SCALE.md)
     "text_dsir_select",
+    # round-13 continuation: t-closeness — completes the anonymize
+    # release-audit trio; one corpus shuffle (the k-anon window),
+    # everything downstream cell-sized (plan-audited; x10 in SCALE.md)
+    "anonymize_t_closeness",
     # dedup_semantic (SemDeDup) is EXCLUDED from the headline like
     # similarity_ivf_kmeans, whose Lloyd training it composes: the
     # entry's cost is ~85% deterministic-kmeans training (a per-corpus

@@ -1648,3 +1648,92 @@ def q_anonymize_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l_diversity_audit(
         released, ["c_nationkey", "c_mktsegment", "bal_band"], "sensitive", l=3
     )
+
+
+@register(
+    "anonymize_t_closeness",
+    """
+    WITH rel AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             c_custkey % 7 AS s
+      FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment,
+                                 CAST(FLOOR(c_acctbal / 1000) AS BIGINT)) AS n
+        FROM customer
+      ) WHERE n >= 5
+    ),
+    cell AS (
+      SELECT c_nationkey, c_mktsegment, bal_band, s, COUNT(*) AS c
+      FROM rel GROUP BY 1, 2, 3, 4
+    ),
+    g AS (SELECT s, SUM(c) AS g FROM cell GROUP BY 1),
+    scal AS (SELECT SUM(g) AS N, COUNT(*) AS m FROM g),
+    cls AS (
+      SELECT c_nationkey, c_mktsegment, bal_band, SUM(c) AS n_c
+      FROM cell GROUP BY 1, 2, 3
+    ),
+    grid AS (
+      SELECT cls.c_nationkey, cls.c_mktsegment, cls.bal_band, cls.n_c,
+             g.s, g.g, COALESCE(cell.c, 0) AS c
+      FROM cls CROSS JOIN g
+      LEFT JOIN cell ON cell.c_nationkey = cls.c_nationkey
+                    AND cell.c_mktsegment = cls.c_mktsegment
+                    AND cell.bal_band = cls.bal_band AND cell.s = g.s
+    ),
+    cum AS (
+      SELECT *,
+             SUM(c) OVER (PARTITION BY c_nationkey, c_mktsegment, bal_band
+                          ORDER BY s) AS cum_c,
+             SUM(g) OVER (PARTITION BY c_nationkey, c_mktsegment, bal_band
+                          ORDER BY s) AS cum_g
+      FROM grid
+    )
+    SELECT c_nationkey, c_mktsegment, bal_band,
+           CAST(n_c AS BIGINT) AS n_records,
+           CAST(SUM(ABS(N * cum_c - n_c * cum_g)) AS BIGINT) AS emd_num,
+           CAST((m - 1) * n_c * N AS BIGINT) AS emd_den,
+           25 * SUM(ABS(N * cum_c - n_c * cum_g)) <= 3 * ((m - 1) * n_c * N)
+             AS t_close
+    FROM cum, scal
+    GROUP BY c_nationkey, c_mktsegment, bal_band, n_c, N, m
+    """,
+)
+def q_anonymize_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit OVER the k-anonymized release
+    (operators/privacy.py t_closeness_audit) — the third rung of the
+    release-audit ladder: anonymize_k bounds re-identification,
+    anonymize_l_diversity bounds homogeneity, this bounds attribute
+    disclosure by DISTRIBUTION skew (ordered-attribute EMD between each
+    class's sensitive distribution and the global one). The threshold
+    t = 3/25 = 0.12 sits inside the fixture's class-t range at both
+    test SFs, so both the close and violating arms hash-certify. All
+    arithmetic is integer (numerator/denominator travel in the output;
+    the verdict is a cross-multiplied comparison), so the oracle
+    restates the whole metric exactly. Scale shape: ONE corpus-keyed
+    aggregation — the (quasi, sensitive) cells; the global m-row
+    distribution broadcasts onto the dense class x m grid; both
+    cumulative sums share one quasi-partitioned window and the final
+    fold groups by the window's own partition attributes."""
+    from tdei_extract_load_service_spark.operators.privacy import (
+        k_anonymize,
+        t_closeness_audit,
+    )
+
+    cust = _read(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    released = k_anonymize(
+        cust.withColumn(
+            "bal_band", F.floor(F.col("c_acctbal") / 1000).cast("long")
+        ).drop("c_acctbal"),
+        ["c_nationkey", "c_mktsegment", "bal_band"],
+        k=5,
+    ).withColumn("sensitive", F.col("c_custkey") % 7)
+    return t_closeness_audit(
+        released,
+        ["c_nationkey", "c_mktsegment", "bal_band"],
+        "sensitive",
+        t_num=3,
+        t_den=25,
+    )

@@ -549,6 +549,21 @@ EXPECTATIONS: dict[str, list[str]] = {
         "=1:Exchange hashpartitioning",
         "!Join",
     ],
+    # t-closeness: the k-anon window exchange is the ONLY corpus-sized
+    # shuffle; the (quasi, sensitive) cell agg rides the window's quasi
+    # partitioning (no exchange), the cached cell frame feeds cls/g
+    # (two cell-sized exchanges), the m-row global dist broadcasts onto
+    # the grid, both cumsums share one quasi window and the final fold
+    # groups by that window's partition attributes (no exchange)
+    "anonymize_t_closeness": [
+        "Window",
+        "=3:Exchange hashpartitioning",
+        "InMemoryTableScan",
+        "BroadcastExchange",
+        "!SortMergeJoin",
+        "!CartesianProduct",
+        "!MapInPandas",
+    ],
     # batch ANN: corpus scanned once, query batch BROADCAST onto the
     # bucket equi-join, one ranking window — no corpus-side shuffle
     # before the per-query candidate window
