@@ -219,6 +219,10 @@ HEADLINE_EXTENSIONS = (
     # release-audit trio; one corpus shuffle (the k-anon window),
     # everything downstream cell-sized (plan-audited; x10 in SCALE.md)
     "anonymize_t_closeness",
+    # round-13 continuation: MMR diversity rerank — one
+    # TakeOrderedAndProject retrieve + k bounded greedy jobs over a
+    # 24-row cache (plan-audited; x10 in SCALE.md)
+    "similarity_mmr",
     # dedup_semantic (SemDeDup) is EXCLUDED from the headline like
     # similarity_ivf_kmeans, whose Lloyd training it composes: the
     # entry's cost is ~85% deterministic-kmeans training (a per-corpus

@@ -537,3 +537,29 @@ def q_embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         planes=make_planes(n_planes, 64),
         exclude_self=True,
     ).orderBy(F.col("query_id").asc(), F.col("rnk").asc())
+
+
+@register("similarity_mmr", ORACLES.mmr_oracle_sql(n_candidates=24, k=8))
+def q_similarity_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-ranking (operators/similarity.py mmr_topk):
+    retrieve the exact cosine top-24, then greedily keep 8 results that
+    trade relevance against redundancy (lam = 1/2) — the coverage dual
+    of similarity_rerank's precision re-scoring; retrieval feeding a
+    dedup'd context window wants exactly this selection rule. The
+    ORACLE unrolls the greedy loop into 8 one-row CTEs, restating every
+    candidate, every pairwise rounded cosine, every marginal score and
+    every tiebreak. Scale shape: stage 1 is topk_cosine's
+    TakeOrderedAndProject (corpus never shuffles); everything after is
+    bounded at 24 rows / 576 cached sims, so the 8 greedy rounds are
+    tiny jobs with one-row collects — the bounded-model-collect
+    discipline, never a corpus collect."""
+    from tdei_extract_load_service_spark.operators.similarity import mmr_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    # vec_id 0 IS the query vector: left in, it wins pick 1 at rel=1.0
+    # and every later marginal collapses to 0.5*(rel - max(rel, ...)) —
+    # the exclude_self rule from embedding_hard_negatives
+    return mmr_topk(
+        emb.where(F.col("vec_id") != 0), "vec_id", "embedding",
+        _query_vec(spark, sf_dir), n_candidates=24, k=8, lam=0.5,
+    )

@@ -1533,3 +1533,123 @@ def drift_alerts_over_history(
         )
         .orderBy("snapshot_id", "centroid_id", "rule")
     )
+
+
+def mmr_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    n_candidates: int = 24,
+    k: int = 8,
+    lam: float = 0.5,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): retrieve ``n_candidates`` by exact cosine, then greedily pick
+    ``k`` results trading relevance against redundancy —
+    ``argmax lam*rel(c) - (1-lam)*max_{s in S} sim(c, s)`` each round,
+    id tiebreak. The diversity dual of similarity_rerank (which
+    re-scores for PRECISION; MMR re-scores for COVERAGE — retrieval
+    feeding dedup'd context windows wants exactly this).
+
+    Exactness: ``rel`` and all pairwise ``sim`` are the certified
+    ROUND-6 cosine; the marginal score is ``lam*rel - (1-lam)*ms`` over
+    those rounded doubles with ``lam`` a dyadic rational (default 1/2 —
+    exact in binary), and it is NOT re-rounded: 0.5*(a-b) of 1e-6-grid
+    values lands exactly ON half-points, where HALF_UP vs binary
+    rounding diverges (the classifier lesson) — the raw double is
+    bit-identical on both engines instead. First pick's redundancy term
+    is ``(1-lam)*0.0`` so one expression tree serves every round.
+
+    Scale shape: stage 1 is topk_cosine's TakeOrderedAndProject — the
+    corpus never shuffles. Everything after is bounded by construction
+    at ``n_candidates`` rows / ``n_candidates**2`` sims (both cached),
+    so the k greedy rounds are k tiny jobs with one-row collects — the
+    bounded-model-collect discipline (ivf centroids, label-propagation
+    probes), never a corpus collect. At 100 TB only stage 1 sees data.
+    """
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("lam must be in [0, 1]")
+    if k > n_candidates:
+        raise ValueError("k cannot exceed n_candidates")
+    from tdei_extract_load_service_spark.session import persist_scoped
+
+    q = _vec_lit(query_vec)
+    cand = persist_scoped(
+        spread(df)
+        .select(
+            _col(id_col).alias("id"),
+            _col(vec_col).alias("vec"),
+            F.round(cosine_similarity(_col(vec_col), q), 6).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), F.col("id").asc())
+        .limit(n_candidates),
+        "similarity.mmr.cand",
+    )
+    a = cand.select(F.col("id").alias("ia"), F.col("vec").alias("va"))
+    b = cand.select(F.col("id").alias("ib"), F.col("vec").alias("vb"))
+    sims = persist_scoped(
+        a.crossJoin(b).select(
+            "ia",
+            "ib",
+            F.round(
+                cosine_similarity(F.col("va"), F.col("vb")), 6
+            ).alias("sim"),
+        ),
+        "similarity.mmr.sims",
+    )
+    lam_l, red_l = F.lit(float(lam)), F.lit(1.0 - float(lam))
+    picked: list[tuple] = []  # (id, rel, mmr_score)
+    for _ in range(k):
+        sel_ids = [p[0] for p in picked]
+        if not picked:
+            scored = cand.select(
+                "id", "rel", (lam_l * F.col("rel") - red_l * F.lit(0.0)).alias("mmr_score")
+            )
+        else:
+            ms = (
+                sims.where(
+                    F.col("ib").isin(sel_ids) & ~F.col("ia").isin(sel_ids)
+                )
+                .groupBy("ia")
+                .agg(F.max("sim").alias("ms"))
+            )
+            scored = (
+                cand.where(~F.col("id").isin(sel_ids))
+                .join(ms, cand["id"] == ms["ia"])
+                .select(
+                    "id",
+                    "rel",
+                    (lam_l * F.col("rel") - red_l * F.col("ms")).alias(
+                        "mmr_score"
+                    ),
+                )
+            )
+        row = (
+            scored.orderBy(F.col("mmr_score").desc(), F.col("id").asc())
+            .limit(1)
+            .collect()
+        )
+        if not row:  # fewer than k candidates exist
+            break
+        r = row[0]
+        picked.append((r["id"], r["rel"], r["mmr_score"]))
+    rank_expr = F.lit(None).cast("int")
+    score_expr = F.lit(None).cast("double")
+    for i, (pid, _, score) in enumerate(picked):
+        rank_expr = F.when(F.col("id") == pid, F.lit(i + 1)).otherwise(
+            rank_expr
+        )
+        score_expr = F.when(F.col("id") == pid, F.lit(float(score))).otherwise(
+            score_expr
+        )
+    return (
+        cand.where(F.col("id").isin([p[0] for p in picked]))
+        .select(
+            "id",
+            "rel",
+            score_expr.alias("mmr_score"),
+            rank_expr.cast("int").alias("mmr_rank"),
+        )
+        .orderBy(F.col("mmr_rank").asc())
+    )

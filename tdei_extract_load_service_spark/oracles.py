@@ -822,3 +822,59 @@ def semantic_dedup_oracle_sql(
     FROM af a WHERE a.id NOT IN (SELECT id FROM drops)
     ORDER BY a.id ASC"""
     )
+
+
+def mmr_oracle_sql(n_candidates: int = 24, k: int = 8) -> str:
+    """DuckDB twin of ``similarity.mmr_topk`` with lam = 1/2: the greedy
+    selection is UNROLLED into k chained one-row CTEs (s1..sk, with
+    running union u1..uk) — a recursive CTE cannot carry the argmax-
+    with-LIMIT step portably, and k is a small query constant, so the
+    unrolled form keeps the oracle pure ANSI-ish SQL that restates
+    every pick: candidate set, every pairwise rounded cosine, every
+    marginal score, every tiebreak. The marginal score
+    ``0.5*rel - 0.5*ms`` is deliberately NOT re-rounded (half-point
+    hazard on the 1e-6 grid); it is bit-identical to Spark's because
+    both engines fold the same doubles in the same order."""
+    cos = _cos_sql("a.v", "b.v")
+    steps = []
+    for t in range(2, k + 1):
+        prev = f"u{t - 1}"
+        steps.append(f"""
+    s{t} AS MATERIALIZED (
+      SELECT c.id, c.rel, 0.5 * c.rel - 0.5 * m.ms AS mmr_score,
+             {t} AS mmr_rank
+      FROM cand c JOIN (
+        SELECT ia, MAX(sim) AS ms FROM sims
+        WHERE ib IN (SELECT id FROM {prev})
+          AND ia NOT IN (SELECT id FROM {prev})
+        GROUP BY ia
+      ) m ON m.ia = c.id
+      ORDER BY mmr_score DESC, c.id ASC LIMIT 1
+    ),
+    u{t} AS MATERIALIZED (SELECT * FROM u{t - 1} UNION ALL SELECT * FROM s{t}),""")
+    return f"""
+    WITH base AS (
+      SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE vec_id <> 0
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    cand AS MATERIALIZED (
+      SELECT id, v,
+             ROUND(list_dot_product(v, qv)
+                   / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS rel
+      FROM base, q
+      ORDER BY rel DESC, id ASC LIMIT {n_candidates}
+    ),
+    sims AS MATERIALIZED (
+      SELECT a.id AS ia, b.id AS ib, {cos} AS sim
+      FROM cand a, cand b
+    ),
+    s1 AS MATERIALIZED (
+      SELECT id, rel, 0.5 * rel - 0.5 * 0.0 AS mmr_score, 1 AS mmr_rank
+      FROM cand ORDER BY rel DESC, id ASC LIMIT 1
+    ),
+    u1 AS MATERIALIZED (SELECT * FROM s1),{"".join(steps)}
+    fin AS (SELECT * FROM u{k})
+    SELECT id, rel, mmr_score, CAST(mmr_rank AS INT) AS mmr_rank
+    FROM fin ORDER BY mmr_rank ASC
+    """

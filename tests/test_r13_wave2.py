@@ -187,3 +187,98 @@ def test_t_closeness_identical_distribution_is_zero(spark):
     df = spark.createDataFrame(rows, "grp int, sensitive int")
     for r in t_closeness_audit(df, ["grp"], "sensitive", 0, 1).collect():
         assert r["emd_num"] == 0 and r["t_close"]
+
+
+# ---------------------------------------------------------------------------
+# mmr_topk
+# ---------------------------------------------------------------------------
+
+
+def _rnd6(x):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+
+def _cos(a, b):
+    import math
+
+    d = na = nb = 0.0
+    for x, y in zip(a, b):
+        d += x * y
+        na += x * x
+        nb += y * y
+    return d / (math.sqrt(na) * math.sqrt(nb))
+
+
+def _mmr_reference(vecs, qv, n_candidates, k, lam=0.5):
+    """Pure-Python greedy MMR over ROUND-6 cosines, id tiebreaks."""
+    rel = {i: _rnd6(_cos(v, qv)) for i, v in vecs.items()}
+    cand = sorted(rel, key=lambda i: (-rel[i], i))[:n_candidates]
+    sim = {
+        (a, b): _rnd6(_cos(vecs[a], vecs[b])) for a in cand for b in cand
+    }
+    picked = []
+    while len(picked) < min(k, len(cand)):
+        best = None
+        for c in cand:
+            if c in [p[0] for p in picked]:
+                continue
+            ms = max((sim[(c, s)] for s, _, _ in picked), default=0.0)
+            score = lam * rel[c] - (1 - lam) * ms
+            key = (-score, c)
+            if best is None or key < best[0]:
+                best = (key, c, score)
+        picked.append((best[1], rel[best[1]], best[2]))
+    return picked
+
+
+def test_mmr_matches_pure_python(spark):
+    from tdei_extract_load_service_spark.operators.similarity import mmr_topk
+
+    rng = random.Random(41)
+    vecs = {
+        i: [rng.uniform(-1, 1) for _ in range(8)] for i in range(30)
+    }
+    qv = [rng.uniform(-1, 1) for _ in range(8)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    got = [
+        (r["id"], r["rel"], r["mmr_score"], r["mmr_rank"])
+        for r in mmr_topk(
+            df, "vec_id", "embedding", qv, n_candidates=12, k=5
+        ).collect()
+    ]
+    want = _mmr_reference(vecs, qv, n_candidates=12, k=5)
+    assert [(g[0], g[3]) for g in got] == [
+        (w[0], t + 1) for t, w in enumerate(want)
+    ]
+    for g, w in zip(got, want):
+        assert g[1] == w[1] and abs(g[2] - w[2]) < 1e-12
+
+
+def test_mmr_skips_redundant_near_duplicate(spark):
+    """Two near-identical top-relevance vectors: MMR must NOT take both
+    back to back when a diverse alternative exists — the semantics the
+    operator exists for."""
+    from tdei_extract_load_service_spark.operators.similarity import mmr_topk
+
+    qv = [1.0, 0.0, 0.0]
+    rows = [
+        (1, [0.9, 0.1, 0.0]),    # top relevance
+        (2, [0.9, 0.100001, 0.0]),  # its near-duplicate
+        (3, [0.5, 0.0, 0.8]),    # diverse, decent relevance
+        (4, [-0.2, 0.9, 0.1]),   # diverse, low relevance
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = [
+        (r["id"], r["mmr_rank"])
+        for r in mmr_topk(
+            df, "vec_id", "embedding", qv, n_candidates=4, k=3
+        ).collect()
+    ]
+    order = [g[0] for g in got]
+    assert order[0] == 1
+    assert order[1] == 3  # the near-dup of 1 is deferred behind diverse 3
+    # relevance-only ranking would have produced [1, 2, 3]

@@ -248,6 +248,18 @@ EXPECTATIONS: dict[str, list[str]] = {
     # broadcast equi-join (the corpus never shuffles) and ranks the
     # bounded candidate head in one window — no corpus-wide exchange,
     # no cartesian anything
+    # MMR: stage 1 is topk_cosine's TakeOrderedAndProject (the corpus
+    # never shuffles); the greedy rounds run as bounded side jobs over
+    # the 24-row cached candidate frame, so the SERVED plan is a
+    # filter+case projection on that cache — no corpus-keyed exchange
+    "similarity_mmr": [
+        "TakeOrderedAndProject",
+        "InMemoryTableScan",
+        "!SortMergeJoin",
+        "!CartesianProduct",
+        "!MapInPandas",
+        "!Exchange hashpartitioning",
+    ],
     "similarity_rerank": [
         "PartitionFilters: \\[.*centroid_id",
         "BroadcastHashJoin",
