@@ -204,11 +204,13 @@ HEADLINE_EXTENSIONS = (
     # snapshots) + model-sized rule windows — and its stored serving
     # twin (first rep builds the history index, later reps measure the
     # corpus-free serving read, the dedup_embedding_lsh_stored pattern).
-    # stream_dedup_incremental_shadow (r13) is EXCLUDED like every other
-    # stream_*_shadow certification: its wall time measures micro-batch
-    # scheduling + manifest txn machinery, not a query plan; the merge
-    # algebra it runs per batch is dedup_incremental's, already
-    # trendlined, and SCALE.md carries its x10 ladder.
+    # stream_dedup_incremental_shadow (r13) and
+    # stream_drift_history_shadow (r13) are EXCLUDED like every other
+    # stream_*_shadow certification: their wall time measures
+    # micro-batch scheduling + manifest txn machinery, not a query
+    # plan; the per-batch algebra (dedup merge / drift history stats)
+    # is already trendlined inline, and SCALE.md carries their x10
+    # ladders.
     "embedding_drift_alert",
     "embedding_drift_alert_stored",
     # round-13 continuation: DSIR importance selection — one (doc,

@@ -563,3 +563,31 @@ def q_similarity_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.where(F.col("vec_id") != 0), "vec_id", "embedding",
         _query_vec(spark, sf_dir), n_candidates=24, k=8, lam=0.5,
     )
+
+
+@register(
+    "stream_drift_history_shadow",
+    ORACLES.embedding_drift_alert_oracle_sql(min_mean_cosine_fp=300_000),
+)
+def q_stream_drift_history_shadow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FOURTEENTH streaming certification: streaming drift-history
+    maintenance (streaming/shadow.py drift_history_shadow →
+    streaming/sink.drift_history_sink → operators/similarity.
+    drift_history_stats). Four snapshot-ALIGNED embedding micro-batches
+    append their model-sized (snapshot, cell) stats to an initially
+    empty history table — one exactly-once manifest transaction per
+    batch, the sink REFUSING misaligned batches (rounded per-snapshot
+    means cannot merge across partial batches; the nightly-append
+    contract is enforced, not assumed) — then the four alert rules
+    evaluate over the streamed table. Bit-identical to the inline
+    embedding_drift_alert because each history row depends only on its
+    own snapshot and the FROZEN cell model (the grown == rebuilt
+    property); the oracle is the same full-corpus alert SQL, so
+    streamed == recomputed is value-certified every round."""
+    from tdei_extract_load_service_spark.streaming.shadow import (
+        drift_history_shadow,
+    )
+
+    return drift_history_shadow(spark, sf_dir, n_snapshots=4)

@@ -53,6 +53,7 @@ def _stage_parquet_batches(
     n_batches: int,
     key_suffix: str = "",
     fixup=None,
+    split_expr: str | None = None,
 ) -> str:
     """Shared staging machinery for file-source micro-batch replay:
     split ``src`` into ``n_batches`` single-file parquet chunks by the
@@ -61,12 +62,19 @@ def _stage_parquet_batches(
     batch sequence. Content-addressed under /tmp (``key_suffix``
     disambiguates fixtures sharing a path format) and reused across
     sessions. ``fixup`` (optional) normalizes the frame post-read —
-    the events legacy-nanos rebuild lives there."""
+    the events legacy-nanos rebuild lives there. ``split_expr``
+    (optional) is a SQL expression yielding each row's batch index
+    0..n-1; when given it REPLACES the rank-range split — the
+    drift-history certification needs snapshot-ALIGNED batches (its
+    nightly-append contract), not equal-size ones."""
     import hashlib
     import shutil
 
     st = os.stat(src)
-    key = f"{src}:{st.st_size}:{st.st_mtime_ns}:{n_batches}{key_suffix}"
+    key = (
+        f"{src}:{st.st_size}:{st.st_mtime_ns}:{n_batches}"
+        f"{key_suffix}:{split_expr}"
+    )
     hit = _STAGE_CACHE.get(key)
     if hit is not None:
         return hit
@@ -79,14 +87,17 @@ def _stage_parquet_batches(
             df = fixup(df)
         from pyspark.sql import Window
 
-        n = df.count()
-        per = -(-n // n_batches)
-        ranked = df.withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.orderBy(*[F.col(c).asc() for c in order_cols])
-            ),
-        )
+        if split_expr is None:
+            n = df.count()
+            per = -(-n // n_batches)
+            ranked = df.withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.orderBy(*[F.col(c).asc() for c in order_cols])
+                ),
+            )
+        else:
+            ranked = df.withColumn("_rn", F.expr(split_expr))
         # a stale INCOMPLETE stage (listdir != n_batches) must not
         # survive the rebuild: remove it up front so the publish rename
         # below cannot be swallowed by its existence
@@ -95,11 +106,14 @@ def _stage_parquet_batches(
             os.makedirs(build)
             for i in range(n_batches):
                 chunk_dir = os.path.join(build, f"_chunk{i}")
+                mask = (
+                    F.col("_rn") == i
+                    if split_expr is not None
+                    else (F.col("_rn") > i * per)
+                    & (F.col("_rn") <= (i + 1) * per)
+                )
                 (
-                    ranked.where(
-                        (F.col("_rn") > i * per)
-                        & (F.col("_rn") <= (i + 1) * per)
-                    )
+                    ranked.where(mask)
                     .drop("_rn")
                     .coalesce(1)
                     .write.mode("overwrite")
@@ -1251,4 +1265,100 @@ def dedup_incremental_shadow(
     return (
         read_table(spark, root, "dedup_state", schema=DEDUP_STATE_SCHEMA)
         .orderBy(F.col("content_hash").asc())
+    )
+
+
+def drift_history_shadow(
+    spark: SparkSession,
+    sf_dir: str,
+    n_snapshots: int = 4,
+    num_centroids: int = 16,
+    dim: int = 64,
+    min_mean_cosine_fp: int = 300_000,
+) -> DataFrame:
+    """Streaming drift-history maintenance — the FOURTEENTH streaming
+    certification: an embedding stream feeds the stored drift history
+    through ``foreachBatch`` → ``streaming/sink.drift_history_sink`` →
+    ``operators/similarity.drift_history_stats``, and the alert rules
+    evaluate over the streamed table — closing the loop between the
+    streaming story and the MONITORING story
+    (``build_drift_history_index``'s nightly append run continuously).
+
+    Harness: the embeddings fixture replays as ``n_snapshots``
+    file-source micro-batches ALIGNED to snapshot boundaries
+    (``vec_id % n`` — load-bearing, unlike the dedup shadow's arbitrary
+    split: rounded per-snapshot means cannot merge across partial
+    batches, and the sink enforces exactly that contract). The cell
+    model is FROZEN before the stream starts (the lowest-id vectors —
+    production reads the stored model artifact); the history table
+    starts EMPTY and each batch appends its snapshot's model-sized
+    stats as one exactly-once manifest transaction.
+
+    The final alerts are BIT-IDENTICAL to ``embedding_drift_alerts``
+    over the whole corpus (each history row depends only on its own
+    snapshot and the frozen model — the grown == rebuilt property the
+    stored index pins), which is exactly the SQL the catalog oracle
+    states — streamed == recomputed, value-certified every round.
+    """
+    import tempfile
+
+    from tdei_extract_load_service_spark.operators.similarity import (
+        drift_alerts_over_history,
+        ivf_centroids,
+    )
+    from tdei_extract_load_service_spark.sinks.manifest import read_table
+    from tdei_extract_load_service_spark.streaming.sink import (
+        DRIFT_HISTORY_SCHEMA,
+        drift_history_sink,
+    )
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    emb = spark.read.parquet(src)
+    model_rows = ivf_centroids(
+        emb, "vec_id", "embedding", num_centroids
+    ).collect()  # bounded: the frozen monitoring model, not data
+    cell_ids = sorted(int(r["centroid_id"]) for r in model_rows)
+    stage = _stage_parquet_batches(
+        spark,
+        src,
+        ("vec_id",),
+        n_snapshots,
+        key_suffix=":driftsnap",
+        split_expr=f"vec_id % {n_snapshots}",
+    )
+    root = tempfile.mkdtemp(prefix="stream_drift_hist_")
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+        .select("vec_id", "embedding")
+    )
+    name = _query_name()
+    q = (
+        stream.writeStream.foreachBatch(
+            drift_history_sink(
+                root,
+                "drift_history",
+                "vec_id",
+                "embedding",
+                lambda c: c % n_snapshots,
+                model_rows,
+                dim,
+            )
+        )
+        .outputMode("append")
+        .option("checkpointLocation", f"/tmp/spark_graft_stream_ckpt/{name}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    hist = read_table(
+        spark, root, "drift_history", schema=DRIFT_HISTORY_SCHEMA
+    )
+    return drift_alerts_over_history(
+        hist,
+        cell_ids,
+        snapshots=list(range(n_snapshots)),
+        min_mean_cosine_fp=min_mean_cosine_fp,
     )

@@ -237,3 +237,102 @@ def dedup_merge_sink(
             raise
 
     return handle
+
+
+#: drift-history stats schema the append sink publishes
+DRIFT_HISTORY_SCHEMA = (
+    "_snap bigint, centroid_id bigint, n bigint, mean array<double>"
+)
+
+
+def drift_history_sink(
+    root: str,
+    table: str,
+    id_col: str,
+    vec_col: str,
+    snapshot_of,
+    model_rows: list,
+    dim: int = 64,
+    dataset_prefix: str = "b",
+):
+    """Return a ``foreachBatch`` handler that APPENDS each micro-batch's
+    (snapshot, cell) drift statistics to the stored history table —
+    ``build_drift_history_index``'s nightly append run CONTINUOUSLY
+    (the dedup_merge_sink pattern applied to the monitoring story):
+    drift alerting stays current as snapshots arrive instead of
+    waiting for the nightly history job.
+
+    Per batch: ``drift_history_stats`` reduces the batch to model-sized
+    (snapshot, cell, n, round-9 mean) rows against the FROZEN cell
+    model, published as ONE append-only manifest dataset keyed by the
+    batch id (exactly-once under at-least-once replay — a replayed id
+    returns without writing).
+
+    CONTRACT — snapshot atomicity: each snapshot must arrive WITHIN one
+    batch (the production nightly-append unit). Unlike the dedup merge
+    algebra, rounded mean vectors CANNOT be merged across partial
+    batches of one snapshot, so the sink REFUSES a new batch whose
+    snapshot labels already exist in the table (a misaligned staging,
+    not a replay — replays are filtered by the ledger first) instead of
+    silently double-counting. Under that contract streamed == rebuilt
+    holds bit-identically because each history row depends only on its
+    own snapshot's rows and the frozen model.
+
+    Scale shape: the batch aggregation is ONE map-side-combined pass
+    over the micro-batch; the contract probe and the append are
+    model-sized (|snapshots| x |cells| rows). The corpus is never
+    re-read.
+    """
+    from tdei_extract_load_service_spark.operators.similarity import (
+        drift_history_stats,
+    )
+    from tdei_extract_load_service_spark.sinks.manifest import read_table
+
+    def handle(batch_df, batch_id: int) -> None:
+        manifest = read_manifest(root)
+        existing = manifest["tables"].get(table, {})
+        committed = [
+            int(k[len(dataset_prefix):])
+            for k in existing
+            if k.startswith(dataset_prefix)
+            and k[len(dataset_prefix):].isdigit()
+        ]
+        if committed and max(committed) >= batch_id:
+            return
+        spark = batch_df.sparkSession
+        stats = drift_history_stats(
+            batch_df, id_col, vec_col, snapshot_of, model_rows, dim
+        )
+        batch_snaps = {
+            int(r["_snap"]) for r in stats.select("_snap").distinct().collect()
+        }
+        seen_snaps = {
+            int(r["_snap"])
+            for r in read_table(
+                spark, root, table, schema=DRIFT_HISTORY_SCHEMA
+            )
+            .select("_snap")
+            .distinct()
+            .collect()
+        }
+        overlap = batch_snaps & seen_snaps
+        if overlap:
+            raise ValueError(
+                "drift_history_sink: snapshot(s) "
+                f"{sorted(overlap)} already present in '{table}' — the "
+                "nightly-append contract requires each snapshot to "
+                "arrive within exactly one batch (rounded means cannot "
+                "merge across partial batches); align the stream's "
+                "batch boundaries to snapshot boundaries"
+            )
+        txn = ManifestTxn(root)
+        try:
+            txn.write(
+                table, stats.coalesce(1), f"{dataset_prefix}{batch_id}"
+            )
+            txn.commit()
+        except Exception:
+            txn.abort()
+            raise
+
+    return handle

@@ -282,3 +282,118 @@ def test_mmr_skips_redundant_near_duplicate(spark):
     assert order[0] == 1
     assert order[1] == 3  # the near-dup of 1 is deferred behind diverse 3
     # relevance-only ranking would have produced [1, 2, 3]
+
+
+# ---------------------------------------------------------------------------
+# stream_drift_history_shadow
+# ---------------------------------------------------------------------------
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_stream_drift_equals_inline_alerts(spark):
+    """Streamed history -> alerts must be BIT-identical to the inline
+    embedding_drift_alerts over the whole corpus."""
+    from tdei_extract_load_service_spark.operators.similarity import (
+        embedding_drift_alerts,
+    )
+    from tdei_extract_load_service_spark.streaming.shadow import (
+        drift_history_shadow,
+    )
+
+    streamed = drift_history_shadow(
+        spark, SF_DIR, n_snapshots=4
+    ).collect()
+    inline = embedding_drift_alerts(
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet"),
+        "vec_id",
+        "embedding",
+        snapshot_of=lambda c: c % 4,
+        snapshots=[0, 1, 2, 3],
+        num_centroids=16,
+        dim=64,
+        min_mean_cosine_fp=300_000,
+    ).collect()
+    key = lambda r: (r["snapshot"], r["centroid_id"], r["rule"])  # noqa: E731
+    assert sorted(map(tuple, streamed)) == sorted(map(tuple, inline))
+    assert len(streamed) > 0
+
+
+def test_drift_history_sink_replay_and_alignment(spark, tmp_path):
+    """Exactly-once: a replayed batch id is a no-op. Contract: a NEW
+    batch carrying an already-appended snapshot is refused loudly."""
+    import pytest
+
+    from tdei_extract_load_service_spark.operators.similarity import (
+        ivf_centroids,
+    )
+    from tdei_extract_load_service_spark.sinks.manifest import read_table
+    from tdei_extract_load_service_spark.streaming.sink import (
+        DRIFT_HISTORY_SCHEMA,
+        drift_history_sink,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    model = ivf_centroids(emb, "vec_id", "embedding", 16).collect()
+    root = str(tmp_path / "hist")
+    handle = drift_history_sink(
+        root, "drift_history", "vec_id", "embedding",
+        lambda c: c % 4, model,
+    )
+    b0 = emb.where(F.col("vec_id") % 4 == 0)
+    handle(b0, 0)
+    first = sorted(
+        map(tuple, read_table(
+            spark, root, "drift_history", schema=DRIFT_HISTORY_SCHEMA
+        ).collect())
+    )
+    # replayed batch id: no-op (at-least-once delivery -> exactly-once)
+    handle(b0, 0)
+    assert sorted(
+        map(tuple, read_table(
+            spark, root, "drift_history", schema=DRIFT_HISTORY_SCHEMA
+        ).collect())
+    ) == first
+    # a NEW batch id reintroducing snapshot 0 violates the
+    # nightly-append contract and must be refused, not double-counted
+    with pytest.raises(ValueError, match="nightly-append"):
+        handle(b0, 1)
+    # the next aligned snapshot appends cleanly
+    handle(emb.where(F.col("vec_id") % 4 == 1), 1)
+    snaps = {
+        r["_snap"]
+        for r in read_table(
+            spark, root, "drift_history", schema=DRIFT_HISTORY_SCHEMA
+        ).select("_snap").distinct().collect()
+    }
+    assert snaps == {0, 1}
+
+
+def test_stage_split_expr_aligns_batches(spark):
+    """split_expr staging: every staged file holds exactly one snapshot."""
+    from tdei_extract_load_service_spark.streaming.shadow import (
+        _stage_parquet_batches,
+    )
+
+    stage = _stage_parquet_batches(
+        spark,
+        f"{SF_DIR}/embeddings.parquet",
+        ("vec_id",),
+        4,
+        key_suffix=":driftsnap",
+        split_expr="vec_id % 4",
+    )
+    import os
+
+    files = sorted(
+        f for f in os.listdir(stage) if f.endswith(".parquet")
+    )
+    assert len(files) == 4
+    for i, f in enumerate(files):
+        snaps = (
+            spark.read.parquet(os.path.join(stage, f))
+            .select((F.col("vec_id") % 4).alias("s"))
+            .distinct()
+            .collect()
+        )
+        assert {r["s"] for r in snaps} == {i}
