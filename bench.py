@@ -225,6 +225,10 @@ HEADLINE_EXTENSIONS = (
     # TakeOrderedAndProject retrieve + k bounded greedy jobs over a
     # 24-row cache (plan-audited; x10 in SCALE.md)
     "similarity_mmr",
+    # round-13 continuation: BPE tokenizer training — the corpus
+    # collapses once to the |vocab| word-count table, then 6
+    # vocab-sized merge rounds (x10 in SCALE.md)
+    "text_bpe_train",
     # dedup_semantic (SemDeDup) is EXCLUDED from the headline like
     # similarity_ivf_kmeans, whose Lloyd training it composes: the
     # entry's cost is ~85% deterministic-kmeans training (a per-corpus

@@ -373,12 +373,15 @@ from tdei_extract_load_service_spark.catalog_entries import (  # noqa: E402,F401
 #
 # ROUND-14 WINDOW (pre-committed): contract (20) + rule (a) — every
 # round-13 registration (embedding_drift_alert,
-# embedding_drift_alert_stored, stream_dedup_incremental_shadow) — +
-# rule (b) oldest-first.  Staleness
+# embedding_drift_alert_stored, stream_dedup_incremental_shadow,
+# text_dsir_select, anonymize_t_closeness, similarity_mmr,
+# stream_drift_history_shadow, text_bpe_train — the last five landed
+# in the r13 continuation session) — + rule (b) oldest-first.  Staleness
 # is measured by LAST DRIVER ROW, computed from the CORRECTNESS_r*.json
 # history (53 entries sat at ≤r9 going into r13; this window burned 2,
-# cdc_apply + corpus_mix_sample).  The 25 oldest (last row r8,
-# alphabetical): dedup_lsh_verified, dedup_winnow_cluster, events_funnel,
+# cdc_apply + corpus_mix_sample).  Rule (a) now takes 8 slots, so rule
+# (b) gets 22: the 22 oldest of the last-row-r8 cohort (alphabetical):
+# dedup_lsh_verified, dedup_winnow_cluster, events_funnel,
 # events_retention, events_retention_cohorts, similarity_ivf_pq,
 # similarity_pq, similarity_pq_recall, stream_funnel_shadow, text_chunk,
 # text_contamination, text_normalize, tpch_q10_returned_items,
@@ -386,11 +389,12 @@ from tdei_extract_load_service_spark.catalog_entries import (  # noqa: E402,F401
 # tpch_q15_top_supplier, tpch_q17_small_quantity_revenue,
 # tpch_q18_large_volume_customer, tpch_q19_discounted_revenue,
 # tpch_q20_potential_part_promotion, tpch_q21_suppliers_kept_waiting,
-# tpch_q22_global_sales_opportunity, tpch_q2_minimum_cost_supplier,
-# tpch_q4_order_priority, tpch_q7_volume_shipping — 20+3+25 = 48; the
-# remaining 2 slots take the alphabetical head of the last-row-r9 set
-# (corpus_prep_full, dedup_golden_record). r15 continues the
-# last-row-r9 set (24 remain) per rule (b).
+# tpch_q22_global_sales_opportunity —
+# 20+8+22 = 50. The displaced r8-cohort tail
+# (tpch_q2_minimum_cost_supplier, tpch_q4_order_priority,
+# tpch_q7_volume_shipping) heads the r15 rule-(b) queue, followed by
+# the last-row-r9 set (26 remain, starting corpus_prep_full,
+# dedup_golden_record).
 DRIVER_WINDOW: list[str] = [
     # --- the 20-op v1 engine contract (SURVEY §2.4, permanent) ---
     "scan",

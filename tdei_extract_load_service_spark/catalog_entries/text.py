@@ -571,3 +571,22 @@ def q_text_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "dsir_score")
         .orderBy(F.col("dsir_score").desc(), F.col("doc_id").asc())
     )
+
+
+@register("text_bpe_train", ORACLES.bpe_train_oracle_sql(k=6))
+def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING (operators/text.py bpe_train): six greedy
+    merge rounds over the corpus vocabulary — the full iterative loop
+    behind text_bpe_pairs' single round; the returned merge table IS
+    the trained tokenizer model (at sf0.01 round 6 already learns a
+    multi-char merge, 'm'+'er'). Greedy application is a
+    sentinel-bounded string replace stated verbatim by both engines;
+    the ORACLE unrolls all six rounds into MATERIALIZED CTE triplets
+    (pair counts, argmax with the count-then-text tiebreak, merge
+    projection), value-certifying the whole training trajectory. Scale
+    shape: the corpus collapses once to the |vocab| word-count table
+    (the only corpus-keyed shuffle); every round is vocab-sized plus a
+    one-row argmax collect — the bounded-model discipline."""
+    from tdei_extract_load_service_spark.operators.text import bpe_train
+
+    return bpe_train(_read(spark, sf_dir, "documents"), "text", k=6)

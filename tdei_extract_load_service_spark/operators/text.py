@@ -1615,3 +1615,109 @@ def dsir_scores(
         )
         .select(F.col("_id").alias(id_col), "dsir_score")
     )
+
+
+def bpe_train(df: DataFrame, text_col: str, k: int = 6) -> DataFrame:
+    """BPE tokenizer TRAINING (Sennrich et al. 2016) — ``k`` greedy
+    merges, not just the single-iteration pair table
+    (``bpe_pair_counts``): each round picks the most frequent adjacent
+    symbol pair (count desc, then pair text — deterministic) and merges
+    every non-overlapping left-to-right occurrence across the vocab,
+    exactly the loop a real tokenizer trainer runs. Returns the merge
+    table ``(step, left_sym, right_sym, pair_count)`` — the trained
+    model.
+
+    Greedy-merge application is a STRING REPLACE over a
+    sentinel-bounded symbol encoding: a word's segmentation travels as
+    ``\\x1f sym \\x1f\\x1f sym ... \\x1f`` and merging pair (a, b) is
+    ``replace(b, '\\x1f a \\x1f\\x1f b \\x1f', '\\x1f ab \\x1f')`` —
+    both engines' ``replace`` scans left-to-right over non-overlapping
+    occurrences, which IS greedy BPE ("aaa" + (a,a) -> ["aa","a"]), and
+    the sentinels make cross-symbol false matches impossible for any
+    multi-char symbols (constraint: symbols must not contain \\x1f —
+    byte-level pretokenizers guarantee it; the fixture is ASCII). The
+    DuckDB oracle restates all k rounds as unrolled MATERIALIZED CTEs.
+
+    Scale shape: the corpus collapses ONCE to its |vocab|-sized
+    word-count table (the only corpus-keyed shuffle; map-side partials
+    absorb Zipf's head) — the standard BPE trick that makes every
+    iteration corpus-size-independent. Each round is a projection +
+    pair aggregation over the vocab frame plus a ONE-ROW argmax collect
+    (the bounded-model discipline: the merge list IS the model). At
+    100 TB the trainer's per-round cost is the vocab size, not the
+    corpus.
+    """
+    import pandas as pd
+
+    from tdei_extract_load_service_spark.session import persist_scoped, spread
+
+    sep = "\x1f"
+    words = (
+        spread(df)
+        .select(F.explode(F.split(_col(text_col), " ")).alias("word"))
+        .where(F.length("word") > 0)
+    )
+    b0 = F.concat(
+        F.lit(sep),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word")),
+                lambda i: F.col("word").substr(i, F.lit(1)),
+            ),
+            sep + sep,
+        ),
+        F.lit(sep),
+    )
+    vocab = persist_scoped(
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("cnt", b0.alias("b")),
+        "text.bpe_train.vocab",
+    )
+    merges: list[tuple] = []
+    for t in range(1, k + 1):
+        sym = F.split(F.btrim(F.col("b"), F.lit(sep)), sep + sep)
+        pair_arr = F.when(
+            F.size(sym) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(sym) - 1),
+                lambda i: F.struct(
+                    F.element_at(sym, i).alias("l"),
+                    F.element_at(sym, i + 1).alias("r"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+        row = (
+            vocab.select("cnt", F.explode(pair_arr).alias("p"))
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("cnt").alias("pair_count"))
+            .orderBy(
+                F.col("pair_count").desc(),
+                F.col("l").asc(),
+                F.col("r").asc(),
+            )
+            .limit(1)
+            .collect()
+        )
+        if not row:  # vocabulary fully merged — nothing left to learn
+            break
+        a, b = row[0]["l"], row[0]["r"]
+        merges.append((t, a, b, int(row[0]["pair_count"])))
+        vocab = vocab.withColumn(
+            "b",
+            F.replace(
+                F.col("b"),
+                F.lit(f"{sep}{a}{sep}{sep}{b}{sep}"),
+                F.lit(f"{sep}{a}{b}{sep}"),
+            ),
+        )
+    out = pd.DataFrame(
+        merges, columns=["step", "left_sym", "right_sym", "pair_count"]
+    )
+    return (
+        df.sparkSession.createDataFrame(
+            out,
+            "step int, left_sym string, right_sym string, pair_count long",
+        )
+        .orderBy(F.col("step").asc())
+    )

@@ -878,3 +878,51 @@ def mmr_oracle_sql(n_candidates: int = 24, k: int = 8) -> str:
     SELECT id, rel, mmr_score, CAST(mmr_rank AS INT) AS mmr_rank
     FROM fin ORDER BY mmr_rank ASC
     """
+
+
+def bpe_train_oracle_sql(k: int = 6) -> str:
+    """DuckDB twin of ``text.bpe_train``: the k greedy merge rounds are
+    UNROLLED into MATERIALIZED CTE triplets (pair counts -> one-row
+    argmax -> replace projection), the mmr_oracle_sql discipline —
+    default CTE inlining would re-expand each round's whole history.
+    The sentinel-bounded symbol string and left-to-right replace are
+    stated verbatim, so every round's pair table, argmax tiebreak and
+    merge application are value-certified."""
+    steps = []
+    for t in range(1, k + 1):
+        steps.append(f"""
+    p{t} AS MATERIALIZED (
+      SELECT s[i] AS left_sym, s[i + 1] AS right_sym, SUM(cnt) AS pair_count
+      FROM (
+        SELECT cnt, s, unnest(generate_series(1, len(s) - 1)) AS i
+        FROM (SELECT cnt, string_split(trim(b, chr(31)), chr(31) || chr(31)) AS s
+              FROM v{t - 1})
+      ) GROUP BY 1, 2
+    ),
+    m{t} AS MATERIALIZED (
+      SELECT {t} AS step, left_sym, right_sym, pair_count FROM p{t}
+      ORDER BY pair_count DESC, left_sym ASC, right_sym ASC LIMIT 1
+    ),
+    v{t} AS MATERIALIZED (
+      SELECT cnt, replace(b,
+        chr(31) || left_sym || chr(31) || chr(31) || right_sym || chr(31),
+        chr(31) || left_sym || right_sym || chr(31)) AS b
+      FROM v{t - 1}, m{t}
+    ),""")
+    unions = " UNION ALL ".join(f"SELECT * FROM m{t}" for t in range(1, k + 1))
+    return f"""
+    WITH v0 AS MATERIALIZED (
+      SELECT COUNT(*) AS cnt,
+             chr(31) || array_to_string(
+               list_transform(generate_series(1, len(word)),
+                              i -> substr(word, i, 1)),
+               chr(31) || chr(31)) || chr(31) AS b
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE len(word) > 0
+      GROUP BY word
+    ),{"".join(steps)}
+    fin AS ({unions})
+    SELECT CAST(step AS INT) AS step, left_sym, right_sym,
+           CAST(pair_count AS BIGINT) AS pair_count
+    FROM fin ORDER BY step ASC
+    """

@@ -397,3 +397,76 @@ def test_stage_split_expr_aligns_batches(spark):
             .collect()
         )
         assert {r["s"] for r in snaps} == {i}
+
+
+# ---------------------------------------------------------------------------
+# bpe_train
+# ---------------------------------------------------------------------------
+
+
+def _bpe_reference(texts, k):
+    """Pure-Python BPE trainer: word counts, greedy left-to-right merge
+    per round, (count desc, pair text asc) argmax tiebreak."""
+    wc: dict[str, int] = {}
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                wc[w] = wc.get(w, 0) + 1
+    segs = {w: [c for c in w] for w in wc}
+    merges = []
+    for step in range(1, k + 1):
+        pairs: dict[tuple, int] = {}
+        for w, s in segs.items():
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] = pairs.get((s[i], s[i + 1]), 0) + wc[w]
+        if not pairs:
+            break
+        (a, b), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, a, b, cnt))
+        for w, s in segs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            segs[w] = out
+    return merges
+
+
+def test_bpe_train_matches_pure_python(spark):
+    from tdei_extract_load_service_spark.operators.text import bpe_train
+
+    rng = random.Random(53)
+    vocab = ["banana", "bandana", "ananas", "cabana", "nab", "an", "a"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12)))
+        for _ in range(40)
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        (r["step"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_train(df, "text", k=5).collect()
+    ]
+    assert got == _bpe_reference(texts, 5)
+    # the 'an'-rich vocab guarantees multi-char merges appear: the
+    # trainer genuinely iterates (a merged symbol wins a later round)
+    assert any(len(l) > 1 or len(r) > 1 for _, l, r, _ in got)
+
+
+def test_bpe_train_greedy_overlap_semantics(spark):
+    """'aaaa' + merge (a,a) must segment as [aa, aa] (left-to-right
+    non-overlapping), and round 2 must then merge (aa, aa) — pinning
+    that replace() IS greedy BPE on the sentinel encoding."""
+    from tdei_extract_load_service_spark.operators.text import bpe_train
+
+    df = spark.createDataFrame([("aaaa aaaa aaaa",)], "text string")
+    got = [
+        (r["step"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_train(df, "text", k=2).collect()
+    ]
+    assert got == [(1, "a", "a", 9), (2, "aa", "aa", 3)]
