@@ -1671,9 +1671,21 @@ def bpe_train(df: DataFrame, text_col: str, k: int = 6) -> DataFrame:
     vocab = persist_scoped(
         words.groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .select("cnt", b0.alias("b")),
+        .select("word", "cnt", b0.alias("b")),
         "text.bpe_train.vocab",
     )
+    # enforce the documented sentinel constraint instead of trusting it
+    # (review r13): a word containing \x1f would corrupt the bounded
+    # encoding IDENTICALLY on both engines — twin-identical wrongness
+    # the oracle cannot catch — so it must fail loudly, not certify.
+    # One vocab-sized job against the cached frame, not a corpus pass.
+    bad = vocab.where(F.col("word").contains(sep)).count()
+    if bad:
+        raise ValueError(
+            f"bpe_train: {bad} vocabulary word(s) contain the \\x1f "
+            "sentinel — pre-tokenize to a byte/char alphabet that "
+            "excludes it before training"
+        )
     merges: list[tuple] = []
     for t in range(1, k + 1):
         sym = F.split(F.btrim(F.col("b"), F.lit(sep)), sep + sep)

@@ -98,6 +98,21 @@ def _stage_parquet_batches(
             )
         else:
             ranked = df.withColumn("_rn", F.expr(split_expr))
+            # coverage guard (review r13): the chunk masks are _rn == i
+            # for i in 0..n-1, so any expression value outside that
+            # range (negative dividends — Spark % keeps the sign — or
+            # an overshooting key) would stage a corpus silently
+            # missing rows and certify against a truncated stream
+            total = df.count()
+            covered = ranked.where(
+                (F.col("_rn") >= 0) & (F.col("_rn") < n_batches)
+            ).count()
+            if covered != total:
+                raise ValueError(
+                    f"_stage_parquet_batches: split_expr {split_expr!r} "
+                    f"covers {covered} of {total} rows — every row must "
+                    f"map into 0..{n_batches - 1}"
+                )
         # a stale INCOMPLETE stage (listdir != n_batches) must not
         # survive the rebuild: remove it up front so the publish rename
         # below cannot be swallowed by its existence

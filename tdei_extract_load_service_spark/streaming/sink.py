@@ -300,12 +300,16 @@ def drift_history_sink(
         if committed and max(committed) >= batch_id:
             return
         spark = batch_df.sparkSession
-        stats = drift_history_stats(
+        # materialize the aggregation ONCE: the result is model-sized
+        # (<= |snapshots-in-batch| x |cells| rows), and both the contract
+        # probe and the append read it — leaving it lazy re-ran the
+        # corpus-sized DECIMAL aggregation a second time inside
+        # txn.write (review r13)
+        stat_rows = drift_history_stats(
             batch_df, id_col, vec_col, snapshot_of, model_rows, dim
-        )
-        batch_snaps = {
-            int(r["_snap"]) for r in stats.select("_snap").distinct().collect()
-        }
+        ).collect()
+        stats = spark.createDataFrame(stat_rows, DRIFT_HISTORY_SCHEMA)
+        batch_snaps = {int(r["_snap"]) for r in stat_rows}
         seen_snaps = {
             int(r["_snap"])
             for r in read_table(

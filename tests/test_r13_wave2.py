@@ -470,3 +470,41 @@ def test_bpe_train_greedy_overlap_semantics(spark):
         for r in bpe_train(df, "text", k=2).collect()
     ]
     assert got == [(1, "a", "a", 9), (2, "aa", "aa", 3)]
+
+
+# ---------------------------------------------------------------------------
+# review-fix regressions
+# ---------------------------------------------------------------------------
+
+
+def test_stage_split_expr_rejects_partial_coverage(spark):
+    """A split expression that maps rows outside 0..n-1 must fail
+    loudly instead of staging (and certifying against) a truncated
+    stream."""
+    import pytest
+
+    from tdei_extract_load_service_spark.streaming.shadow import (
+        _stage_parquet_batches,
+    )
+
+    with pytest.raises(ValueError, match="covers"):
+        _stage_parquet_batches(
+            spark,
+            "/root/testdata/sf0.001/embeddings.parquet",
+            ("vec_id",),
+            4,
+            key_suffix=":badcov",
+            split_expr="vec_id % 5",  # values 4 fall outside 0..3
+        )
+
+
+def test_bpe_train_rejects_sentinel_in_input(spark):
+    """Words containing \\x1f corrupt the bounded encoding identically
+    on both engines (oracle-invisible) — must raise, not certify."""
+    import pytest
+
+    from tdei_extract_load_service_spark.operators.text import bpe_train
+
+    df = spark.createDataFrame([("ok a\x1fb ok",)], "text string")
+    with pytest.raises(ValueError, match="sentinel"):
+        bpe_train(df, "text", k=2)
