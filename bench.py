@@ -229,6 +229,12 @@ HEADLINE_EXTENSIONS = (
     # collapses once to the |vocab| word-count table, then 6
     # vocab-sized merge rounds (x10 in SCALE.md)
     "text_bpe_train",
+    # round-13 continuation: BPE encode (token-usage table) and
+    # fertility audit — both ride the same cached vocab collapse as
+    # bpe_train; apply adds one vocab-bounded explode+agg, fertility a
+    # one-row aggregate (plan-audited; x10 in SCALE.md)
+    "text_bpe_apply",
+    "text_bpe_fertility",
     # dedup_semantic (SemDeDup) is EXCLUDED from the headline like
     # similarity_ivf_kmeans, whose Lloyd training it composes: the
     # entry's cost is ~85% deterministic-kmeans training (a per-corpus

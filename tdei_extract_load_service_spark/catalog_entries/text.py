@@ -590,3 +590,36 @@ def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tdei_extract_load_service_spark.operators.text import bpe_train
 
     return bpe_train(_read(spark, sf_dir, "documents"), "text", k=6)
+
+
+@register("text_bpe_apply", ORACLES.bpe_apply_oracle_sql(k=6))
+def q_text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING (operators/text.py bpe_apply) — the serving half of
+    text_bpe_train: the six learned merges applied greedily to every
+    word, returned as the corpus token-usage table (token, token_len,
+    frequency-weighted occurrences, vocab slot count). The apply pass
+    is FREE: training round t rewrites the vocabulary encoding in
+    place, so the post-round-6 encoding IS rank-order greedy
+    application — the oracle's unrolled round CTEs certify the full
+    trajectory and the final unnest+aggregate certifies the encoding
+    itself (every token boundary, not just the merge list). Scale
+    shape: one corpus→vocab collapse, then vocab-bounded explode+agg
+    over the cached frame."""
+    from tdei_extract_load_service_spark.operators.text import bpe_apply
+
+    return bpe_apply(_read(spark, sf_dir, "documents"), "text", k=6)
+
+
+@register("text_bpe_fertility", ORACLES.bpe_fertility_oracle_sql(k=6))
+def q_text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility / compression audit (operators/text.py
+    bpe_fertility): the one-row summary a tokenizer-selection pipeline
+    compares across candidate vocabularies — total words/tokens/chars
+    plus tokens-per-1000-words and chars-per-token in INTEGER
+    micro-units (x * scale DIV y == DuckDB // on all-positive
+    operands), so the ratios are bit-identical cross-engine. Scale
+    shape: |vocab|-sized projection (size(split(..)), no explode) + a
+    one-row aggregate over the cached vocab frame."""
+    from tdei_extract_load_service_spark.operators.text import bpe_fertility
+
+    return bpe_fertility(_read(spark, sf_dir, "documents"), "text", k=6)

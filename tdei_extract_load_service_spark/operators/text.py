@@ -1617,38 +1617,17 @@ def dsir_scores(
     )
 
 
-def bpe_train(df: DataFrame, text_col: str, k: int = 6) -> DataFrame:
-    """BPE tokenizer TRAINING (Sennrich et al. 2016) — ``k`` greedy
-    merges, not just the single-iteration pair table
-    (``bpe_pair_counts``): each round picks the most frequent adjacent
-    symbol pair (count desc, then pair text — deterministic) and merges
-    every non-overlapping left-to-right occurrence across the vocab,
-    exactly the loop a real tokenizer trainer runs. Returns the merge
-    table ``(step, left_sym, right_sym, pair_count)`` — the trained
-    model.
-
-    Greedy-merge application is a STRING REPLACE over a
-    sentinel-bounded symbol encoding: a word's segmentation travels as
-    ``\\x1f sym \\x1f\\x1f sym ... \\x1f`` and merging pair (a, b) is
-    ``replace(b, '\\x1f a \\x1f\\x1f b \\x1f', '\\x1f ab \\x1f')`` —
-    both engines' ``replace`` scans left-to-right over non-overlapping
-    occurrences, which IS greedy BPE ("aaa" + (a,a) -> ["aa","a"]), and
-    the sentinels make cross-symbol false matches impossible for any
-    multi-char symbols (constraint: symbols must not contain \\x1f —
-    byte-level pretokenizers guarantee it; the fixture is ASCII). The
-    DuckDB oracle restates all k rounds as unrolled MATERIALIZED CTEs.
-
-    Scale shape: the corpus collapses ONCE to its |vocab|-sized
-    word-count table (the only corpus-keyed shuffle; map-side partials
-    absorb Zipf's head) — the standard BPE trick that makes every
-    iteration corpus-size-independent. Each round is a projection +
-    pair aggregation over the vocab frame plus a ONE-ROW argmax collect
-    (the bounded-model discipline: the merge list IS the model). At
-    100 TB the trainer's per-round cost is the vocab size, not the
-    corpus.
-    """
-    import pandas as pd
-
+def _bpe_learn(
+    df: DataFrame, text_col: str, k: int
+) -> tuple[DataFrame, list[tuple]]:
+    """Shared BPE training loop behind ``bpe_train`` / ``bpe_apply`` /
+    ``bpe_fertility``: collapses the corpus ONCE to its |vocab|
+    word-count table, then runs ``k`` greedy merge rounds over the
+    sentinel-bounded symbol encoding. Returns ``(vocab, merges)`` where
+    ``vocab`` is the (word, cnt, b) frame with all learned merges
+    APPLIED — after round t, column ``b`` is exactly the greedy BPE
+    encoding of each word under merges 1..t, so the trained model and
+    the encoded corpus come out of the same bounded loop."""
     from tdei_extract_load_service_spark.session import persist_scoped, spread
 
     sep = "\x1f"
@@ -1723,6 +1702,42 @@ def bpe_train(df: DataFrame, text_col: str, k: int = 6) -> DataFrame:
                 F.lit(f"{sep}{a}{b}{sep}"),
             ),
         )
+    return vocab, merges
+
+
+def bpe_train(df: DataFrame, text_col: str, k: int = 6) -> DataFrame:
+    """BPE tokenizer TRAINING (Sennrich et al. 2016) — ``k`` greedy
+    merges, not just the single-iteration pair table
+    (``bpe_pair_counts``): each round picks the most frequent adjacent
+    symbol pair (count desc, then pair text — deterministic) and merges
+    every non-overlapping left-to-right occurrence across the vocab,
+    exactly the loop a real tokenizer trainer runs. Returns the merge
+    table ``(step, left_sym, right_sym, pair_count)`` — the trained
+    model.
+
+    Greedy-merge application is a STRING REPLACE over a
+    sentinel-bounded symbol encoding: a word's segmentation travels as
+    ``\\x1f sym \\x1f\\x1f sym ... \\x1f`` and merging pair (a, b) is
+    ``replace(b, '\\x1f a \\x1f\\x1f b \\x1f', '\\x1f ab \\x1f')`` —
+    both engines' ``replace`` scans left-to-right over non-overlapping
+    occurrences, which IS greedy BPE ("aaa" + (a,a) -> ["aa","a"]), and
+    the sentinels make cross-symbol false matches impossible for any
+    multi-char symbols (constraint: symbols must not contain \\x1f —
+    byte-level pretokenizers guarantee it; the fixture is ASCII). The
+    DuckDB oracle restates all k rounds as unrolled MATERIALIZED CTEs.
+
+    Scale shape: the corpus collapses ONCE to its |vocab|-sized
+    word-count table (the only corpus-keyed shuffle; map-side partials
+    absorb Zipf's head) — the standard BPE trick that makes every
+    iteration corpus-size-independent. Each round is a projection +
+    pair aggregation over the vocab frame plus a ONE-ROW argmax collect
+    (the bounded-model discipline: the merge list IS the model). At
+    100 TB the trainer's per-round cost is the vocab size, not the
+    corpus.
+    """
+    import pandas as pd
+
+    _, merges = _bpe_learn(df, text_col, k)
     out = pd.DataFrame(
         merges, columns=["step", "left_sym", "right_sym", "pair_count"]
     )
@@ -1732,4 +1747,84 @@ def bpe_train(df: DataFrame, text_col: str, k: int = 6) -> DataFrame:
             "step int, left_sym string, right_sym string, pair_count long",
         )
         .orderBy(F.col("step").asc())
+    )
+
+
+def bpe_apply(df: DataFrame, text_col: str, k: int = 6) -> DataFrame:
+    """BPE ENCODING — the serving half of ``bpe_train``: train ``k``
+    merges on the corpus, apply them greedily to every word, and return
+    the resulting token-usage table ``(token, token_len, occurrences,
+    vocab_slots)`` — ``occurrences`` is corpus-frequency-weighted,
+    ``vocab_slots`` counts encoding positions across distinct words.
+    No separate apply pass exists or is needed: training round ``t``
+    REWRITES the vocabulary encoding in place, so after ``k`` rounds
+    the vocab's ``b`` column IS the greedy encoding of each word under
+    the learned merge list (training-order application == rank-order
+    application, the standard BPE identity).
+
+    Scale shape: inherits ``bpe_train``'s — the corpus collapses once
+    to the |vocab| word-count table (the only corpus-keyed shuffle);
+    the token table is vocab-bounded, produced by one explode +
+    hash-aggregate over the CACHED vocab frame. At 100 TB the encode
+    step costs |vocab|, not the corpus; re-encoding raw documents is a
+    broadcast join of this bounded word→tokens map back onto the token
+    stream."""
+    sep = "\x1f"
+    vocab, _ = _bpe_learn(df, text_col, k)
+    toks = F.split(F.btrim(F.col("b"), F.lit(sep)), sep + sep)
+    return (
+        vocab.select("cnt", F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.sum("cnt").alias("occurrences"),
+            F.count(F.lit(1)).alias("vocab_slots"),
+        )
+        .select(
+            "token",
+            F.length("token").cast("int").alias("token_len"),
+            "occurrences",
+            "vocab_slots",
+        )
+        .orderBy(F.col("occurrences").desc(), F.col("token").asc())
+    )
+
+
+def bpe_fertility(df: DataFrame, text_col: str, k: int = 6) -> DataFrame:
+    """Tokenizer FERTILITY / compression audit over a ``k``-merge BPE:
+    the one-row corpus summary a tokenizer-selection pipeline compares
+    across candidate vocabularies — total words/tokens/chars plus the
+    two classic ratios, tokens-per-1000-words and chars-per-token, in
+    INTEGER micro-units (``x * scale DIV y``) so the verdict is
+    bit-identical cross-engine (the fixed-point discipline of
+    text_quality_classifier / dsir_scores).
+
+    Scale shape: one |vocab|-sized projection (token count via
+    ``size(split(...))`` — no explode) + a one-row aggregate over the
+    CACHED vocab frame from ``_bpe_learn``. Corpus-keyed work remains
+    the single word-count collapse."""
+    sep = "\x1f"
+    vocab, _ = _bpe_learn(df, text_col, k)
+    per = vocab.select(
+        "cnt",
+        F.length("word").cast("long").alias("_nchar"),
+        F.size(F.split(F.btrim(F.col("b"), F.lit(sep)), sep + sep))
+        .cast("long")
+        .alias("_ntok"),
+    )
+    return per.agg(
+        F.sum("cnt").alias("total_words"),
+        F.count(F.lit(1)).alias("distinct_words"),
+        F.sum(F.col("cnt") * F.col("_ntok")).alias("total_tokens"),
+        F.sum(F.col("cnt") * F.col("_nchar")).alias("total_chars"),
+    ).select(
+        "total_words",
+        "distinct_words",
+        "total_tokens",
+        "total_chars",
+        F.expr("(total_tokens * 1000L) DIV total_words").alias(
+            "tokens_per_kword"
+        ),
+        F.expr("(total_chars * 1000000L) DIV total_tokens").alias(
+            "chars_per_token_micro"
+        ),
     )

@@ -880,14 +880,15 @@ def mmr_oracle_sql(n_candidates: int = 24, k: int = 8) -> str:
     """
 
 
-def bpe_train_oracle_sql(k: int = 6) -> str:
-    """DuckDB twin of ``text.bpe_train``: the k greedy merge rounds are
-    UNROLLED into MATERIALIZED CTE triplets (pair counts -> one-row
-    argmax -> replace projection), the mmr_oracle_sql discipline —
-    default CTE inlining would re-expand each round's whole history.
-    The sentinel-bounded symbol string and left-to-right replace are
-    stated verbatim, so every round's pair table, argmax tiebreak and
-    merge application are value-certified."""
+def _bpe_rounds_with(k: int) -> str:
+    """Shared WITH-body behind the BPE oracle family: the k greedy
+    merge rounds UNROLLED into MATERIALIZED CTE triplets (pair counts
+    -> one-row argmax -> replace projection), the mmr_oracle_sql
+    discipline — default CTE inlining would re-expand each round's
+    whole history. The sentinel-bounded symbol string and left-to-right
+    replace are stated verbatim, so every round's pair table, argmax
+    tiebreak and merge application are value-certified. Ends with a
+    trailing comma: callers append their own final CTE / select."""
     steps = []
     for t in range(1, k + 1):
         steps.append(f"""
@@ -904,15 +905,14 @@ def bpe_train_oracle_sql(k: int = 6) -> str:
       ORDER BY pair_count DESC, left_sym ASC, right_sym ASC LIMIT 1
     ),
     v{t} AS MATERIALIZED (
-      SELECT cnt, replace(b,
+      SELECT word, cnt, replace(b,
         chr(31) || left_sym || chr(31) || chr(31) || right_sym || chr(31),
         chr(31) || left_sym || right_sym || chr(31)) AS b
       FROM v{t - 1}, m{t}
     ),""")
-    unions = " UNION ALL ".join(f"SELECT * FROM m{t}" for t in range(1, k + 1))
     return f"""
     WITH v0 AS MATERIALIZED (
-      SELECT COUNT(*) AS cnt,
+      SELECT word, COUNT(*) AS cnt,
              chr(31) || array_to_string(
                list_transform(generate_series(1, len(word)),
                               i -> substr(word, i, 1)),
@@ -920,9 +920,54 @@ def bpe_train_oracle_sql(k: int = 6) -> str:
       FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
       WHERE len(word) > 0
       GROUP BY word
-    ),{"".join(steps)}
+    ),{"".join(steps)}"""
+
+
+def bpe_train_oracle_sql(k: int = 6) -> str:
+    """DuckDB twin of ``text.bpe_train`` over the shared unrolled
+    rounds (``_bpe_rounds_with``): the trained merge table is the union
+    of the per-round argmax rows."""
+    unions = " UNION ALL ".join(f"SELECT * FROM m{t}" for t in range(1, k + 1))
+    return f"""{_bpe_rounds_with(k)}
     fin AS ({unions})
     SELECT CAST(step AS INT) AS step, left_sym, right_sym,
            CAST(pair_count AS BIGINT) AS pair_count
     FROM fin ORDER BY step ASC
+    """
+
+
+def bpe_apply_oracle_sql(k: int = 6) -> str:
+    """DuckDB twin of ``text.bpe_apply``: after the k unrolled rounds,
+    v{k}'s encoding column IS the greedy BPE encoding of every word —
+    the token-usage table is one unnest + aggregate over it."""
+    return f"""{_bpe_rounds_with(k)}
+    fin AS (
+      SELECT cnt, unnest(string_split(trim(b, chr(31)), chr(31) || chr(31))) AS token
+      FROM v{k}
+    )
+    SELECT token, CAST(len(token) AS INT) AS token_len,
+           CAST(SUM(cnt) AS BIGINT) AS occurrences,
+           CAST(COUNT(*) AS BIGINT) AS vocab_slots
+    FROM fin GROUP BY token
+    ORDER BY occurrences DESC, token ASC
+    """
+
+
+def bpe_fertility_oracle_sql(k: int = 6) -> str:
+    """DuckDB twin of ``text.bpe_fertility``: one-row corpus summary
+    over v{k} with the two ratios in integer micro-units (``//`` floor
+    division == Spark ``DIV`` on the all-positive operands)."""
+    return f"""{_bpe_rounds_with(k)}
+    fin AS (
+      SELECT cnt, len(word) AS nchar,
+             len(string_split(trim(b, chr(31)), chr(31) || chr(31))) AS ntok
+      FROM v{k}
+    )
+    SELECT CAST(SUM(cnt) AS BIGINT) AS total_words,
+           CAST(COUNT(*) AS BIGINT) AS distinct_words,
+           CAST(SUM(cnt * ntok) AS BIGINT) AS total_tokens,
+           CAST(SUM(cnt * nchar) AS BIGINT) AS total_chars,
+           CAST((SUM(cnt * ntok) * 1000) // SUM(cnt) AS BIGINT) AS tokens_per_kword,
+           CAST((SUM(cnt * nchar) * 1000000) // SUM(cnt * ntok) AS BIGINT) AS chars_per_token_micro
+    FROM fin
     """

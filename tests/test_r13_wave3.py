@@ -1,0 +1,131 @@
+"""Round-13 third wave: BPE apply/fertility — pinned against an
+independent pure-Python reference (greedy merge training + rank-order
+encoding on plain lists, no Spark/DuckDB machinery)."""
+
+from __future__ import annotations
+
+
+def _bpe_reference(texts, k):
+    """Pure-Python BPE: train k greedy merges (count desc, then pair
+    text asc) over the word-count vocab, applying each merge
+    left-to-right non-overlapping; return (merges, encodings) where
+    encodings maps word -> its token list after all k merges."""
+    vocab: dict[str, int] = {}
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                vocab[w] = vocab.get(w, 0) + 1
+    enc = {w: list(w) for w in vocab}
+    merges = []
+    for step in range(1, k + 1):
+        pairs: dict[tuple[str, str], int] = {}
+        for w, cnt in vocab.items():
+            s = enc[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] = pairs.get((s[i], s[i + 1]), 0) + cnt
+        if not pairs:
+            break
+        (a, b), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, a, b, cnt))
+        for w in enc:
+            s, out, i = enc[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            enc[w] = out
+    return merges, vocab, enc
+
+
+def _token_table(vocab, enc):
+    stats: dict[str, list[int]] = {}
+    for w, cnt in vocab.items():
+        for tok in enc[w]:
+            s = stats.setdefault(tok, [0, 0])
+            s[0] += cnt
+            s[1] += 1
+    return {
+        tok: (len(tok), occ, slots) for tok, (occ, slots) in stats.items()
+    }
+
+
+def test_bpe_apply_matches_pure_python(spark):
+    from tdei_extract_load_service_spark.operators.text import bpe_apply
+
+    texts = [
+        "the cat sat on the mat",
+        "the rat sat on the cat",
+        "that hat is the cat hat",
+        "aaaa aaaa aa",  # overlap: greedy left-to-right on (a,a)
+        "",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = {
+        r["token"]: (r["token_len"], r["occurrences"], r["vocab_slots"])
+        for r in bpe_apply(df, "text", k=5).collect()
+    }
+    merges, vocab, enc = _bpe_reference(texts, 5)
+    assert got == _token_table(vocab, enc)
+    # the 'aaaa' word must encode greedily: (a,a) is learned in round 2
+    # (pair count 7 beats (t,h)'s 6) and merges left-to-right
+    # non-overlapping, giving [aa, aa] — never [a, aa, a]
+    assert ("a", "a") in {(m[1], m[2]) for m in merges}
+    assert enc["aaaa"] == ["aa", "aa"]
+    assert "aa" in got
+
+
+def test_bpe_fertility_matches_pure_python(spark):
+    from tdei_extract_load_service_spark.operators.text import bpe_fertility
+
+    texts = [
+        "banana bandana ban",
+        "an a anna banana",
+        "nab nab an anna",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    row = bpe_fertility(df, "text", k=4).collect()[0]
+    merges, vocab, enc = _bpe_reference(texts, 4)
+    total_words = sum(vocab.values())
+    total_tokens = sum(cnt * len(enc[w]) for w, cnt in vocab.items())
+    total_chars = sum(cnt * len(w) for w, cnt in vocab.items())
+    assert row["total_words"] == total_words
+    assert row["distinct_words"] == len(vocab)
+    assert row["total_tokens"] == total_tokens
+    assert row["total_chars"] == total_chars
+    assert row["tokens_per_kword"] == (total_tokens * 1000) // total_words
+    assert (
+        row["chars_per_token_micro"]
+        == (total_chars * 1000000) // total_tokens
+    )
+    # k merges strictly compress this corpus: fewer tokens than chars,
+    # at least one token per word
+    assert total_words <= total_tokens < total_chars
+
+
+def test_bpe_apply_train_consistency(spark):
+    """The apply entry's token table must be consistent with the merge
+    table bpe_train returns on the same corpus: every merged symbol in
+    the merge list appears as a token or was further merged away."""
+    from tdei_extract_load_service_spark.operators.text import (
+        bpe_apply,
+        bpe_train,
+    )
+
+    texts = ["low lower lowest", "new newer newest", "low new low new"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    merges = bpe_train(df, "text", k=4).collect()
+    toks = {r["token"] for r in bpe_apply(df, "text", k=4).collect()}
+    merges_ref, _, enc = _bpe_reference(texts, 4)
+    assert [(m["step"], m["left_sym"], m["right_sym"], m["pair_count"]) for m in merges] == merges_ref
+    produced = {m["left_sym"] + m["right_sym"] for m in merges}
+    survivors = {t for toks_ in enc.values() for t in toks_}
+    assert toks == survivors
+    # each produced symbol either survives as a token or is a strict
+    # substring of a later merge's product
+    for p in produced:
+        assert p in survivors or any(p in q and p != q for q in produced)

@@ -478,6 +478,16 @@ EXPECTATIONS: dict[str, list[str]] = {
     # then weighted pair counts over the |vocab|-sized frame) — the only
     # corpus-sized shuffle is the word-key exchange; no join, no Python
     "text_bpe_pairs": ["explode\\(split", "partial_count", "partial_sum", "TakeOrderedAndProject", "!Join", "!ArrowEvalPython"],
+    # BPE encode (apply): the SERVED plan is one token explode
+    # (split over the sentinel-bounded encoding) + hash-agg over the
+    # CACHED |vocab| frame (the k merge rounds already ran as bounded
+    # side jobs) — the corpus is never re-scanned or re-joined
+    "text_bpe_apply": ["InMemoryTableScan", "explode\\(split\\(trim\\(b", "partial_sum", "!Join", "!CartesianProduct", "!MapInPandas"],
+    # BPE fertility: token counts via size(split(..)) — a |vocab|-sized
+    # projection feeding ONE one-row aggregate; no explode of the TOKEN
+    # stream (the cached vocab's build subtree legitimately shows the
+    # word fan-out, so the ban targets the btrim token split), no join
+    "text_bpe_fertility": ["InMemoryTableScan", "partial_sum", "!explode\\(split\\(trim\\(b", "!Join", "!MapInPandas"],
     # degree-ordered triangle counting: the degree attach joins
     # broadcast (|nodes|-sized dim), the closing-edge check is a SEMI
     # join (each wedge emitted at most once — no post-join dedup), and
