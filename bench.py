@@ -235,6 +235,10 @@ HEADLINE_EXTENSIONS = (
     # one-row aggregate (plan-audited; x10 in SCALE.md)
     "text_bpe_apply",
     "text_bpe_fertility",
+    # round-13 continuation: embedding-space quality filter — one
+    # DECIMAL-sum centroid pass (1-row model) + one scoring pass into
+    # three bounded TakeOrdered heaps (plan-audited; x10 in SCALE.md)
+    "embedding_outliers",
     # dedup_semantic (SemDeDup) is EXCLUDED from the headline like
     # similarity_ivf_kmeans, whose Lloyd training it composes: the
     # entry's cost is ~85% deterministic-kmeans training (a per-corpus

@@ -591,3 +591,33 @@ def q_stream_drift_history_shadow(
     )
 
     return drift_history_shadow(spark, sf_dir, n_snapshots=4)
+
+
+@register(
+    "embedding_outliers",
+    ORACLES.embedding_outliers_oracle_sql(dim=64, k_semantic=20, k_norm=10),
+)
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space quality filtering (operators/similarity.py
+    embedding_outliers): the rows a curation pipeline drops before
+    training — the 20 vectors least aligned with the corpus centroid
+    (off-manifold) plus the 10 largest / 10 smallest squared norms
+    (un-normalized or collapsed rows). The centroid direction comes
+    from exact DECIMAL(25,12) per-dimension sums (cosine is
+    scale-invariant, so the SUM vector replaces the mean and no
+    decimal division can diverge); metrics round to 6 before rank-based
+    cuts with id tiebreaks. Scale: one aggregation pass to a 1-row
+    model, one scoring pass feeding three bounded TakeOrdered heaps —
+    output is k-bounded at any corpus size."""
+    from tdei_extract_load_service_spark.operators.similarity import (
+        embedding_outliers,
+    )
+
+    return embedding_outliers(
+        _read(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        dim=64,
+        k_semantic=20,
+        k_norm=10,
+    )

@@ -1653,3 +1653,87 @@ def mmr_topk(
         )
         .orderBy(F.col("mmr_rank").asc())
     )
+
+
+def embedding_outliers(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int = 64,
+    k_semantic: int = 20,
+    k_norm: int = 10,
+) -> DataFrame:
+    """Embedding-space QUALITY FILTERING — the vector analogue of the
+    text_quality family: flag the corpus rows a curation pipeline would
+    drop before training. Three rank-based verdicts, each a bounded
+    top-k (never a threshold a float ulp could flip):
+
+    - ``low_centroid_cosine`` — the ``k_semantic`` vectors least aligned
+      with the corpus centroid (off-manifold / garbage embeddings);
+    - ``extreme_high_norm`` / ``extreme_low_norm`` — the ``k_norm``
+      largest / smallest squared L2 norms (un-normalized or collapsed
+      rows, the standard pre-normalization audit).
+
+    Determinism: the centroid direction comes from per-dimension
+    DECIMAL(25,12) sums (drift_report's recipe — associative exact
+    addition, so the aggregate is partitioning-independent), and cosine
+    is taken against the SUM vector directly (scaling never changes
+    cosine, so the mean division — whose decimal scale rules differ
+    across engines — is skipped entirely). Per-row metrics are rounded
+    to 6 before ranking with an id tiebreak, the topk_cosine pin.
+
+    Scale shape: pass 1 is ONE map-side-combined aggregation producing
+    a single 64-decimal row (a model, broadcast back via the Q22/Q15
+    one-row scalar crossJoin); pass 2 scores each row inline and feeds
+    three TakeOrdered heaps over the cached narrow (id, cos, norm2)
+    frame — outputs are k-bounded at any corpus size, and nothing
+    corpus-sized ever shuffles (degenerate all-zero corpora yield NaN
+    cosines, which rank deterministically and would all be flagged)."""
+    from tdei_extract_load_service_spark.operators.dedup import _dot
+    from tdei_extract_load_service_spark.session import persist_scoped
+
+    v = _col(vec_col)
+    sums = df.agg(
+        *[
+            F.sum(v[i].cast("double").cast("decimal(25,12)"))
+            .cast("double")
+            .alias(f"_s{i}")
+            for i in range(dim)
+        ]
+    ).select(F.array(*[F.col(f"_s{i}") for i in range(dim)]).alias("_cv"))
+    scored = persist_scoped(
+        spread(df)
+        .crossJoin(F.broadcast(sums))
+        .select(
+            _col(id_col).alias("id"),
+            F.round(cosine_similarity(v, F.col("_cv")), 6).alias(
+                "cos_centroid"
+            ),
+            F.round(_dot(v, v), 6).alias("norm2"),
+        ),
+        "similarity.embedding_outliers.scored",
+    )
+
+    def _cut(order, k, reason):
+        return (
+            scored.orderBy(*order)
+            .limit(k)
+            .select(
+                "id", "cos_centroid", "norm2", F.lit(reason).alias("reason")
+            )
+        )
+
+    sem = _cut(
+        [F.col("cos_centroid").asc(), F.col("id").asc()],
+        k_semantic,
+        "low_centroid_cosine",
+    )
+    hi = _cut(
+        [F.col("norm2").desc(), F.col("id").asc()],
+        k_norm,
+        "extreme_high_norm",
+    )
+    lo = _cut(
+        [F.col("norm2").asc(), F.col("id").asc()], k_norm, "extreme_low_norm"
+    )
+    return sem.unionAll(hi).unionAll(lo).orderBy("reason", "id")

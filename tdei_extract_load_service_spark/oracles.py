@@ -971,3 +971,39 @@ def bpe_fertility_oracle_sql(k: int = 6) -> str:
            CAST((SUM(cnt * nchar) * 1000000) // SUM(cnt * ntok) AS BIGINT) AS chars_per_token_micro
     FROM fin
     """
+
+
+def embedding_outliers_oracle_sql(
+    dim: int = 64, k_semantic: int = 20, k_norm: int = 10
+) -> str:
+    """DuckDB twin of ``similarity.embedding_outliers``: per-dimension
+    DECIMAL(25,12) sums give the exact centroid direction (cosine is
+    scale-invariant, so the SUM vector stands in for the mean — no
+    decimal division whose scale rules could diverge); per-row cosine /
+    norm2 via list_dot_product over DOUBLE[] with the ROUND-6-then-rank
+    pin; three LIMIT cuts with id tiebreaks, unioned."""
+    sum_cols = ", ".join(
+        f"CAST(SUM(CAST(CAST(embedding[{i + 1}] AS DOUBLE) AS DECIMAL(25,12))) AS DOUBLE) AS s{i}"
+        for i in range(dim)
+    )
+    arr = ", ".join(f"s{i}" for i in range(dim))
+    return f"""
+    WITH s AS MATERIALIZED (SELECT {sum_cols} FROM embeddings),
+    c AS (SELECT [{arr}]::DOUBLE[] AS cv FROM s),
+    scored AS MATERIALIZED (
+      SELECT vec_id AS id,
+             ROUND(list_dot_product(v, cv)
+                   / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) AS cos_centroid,
+             ROUND(list_dot_product(v, v), 6) AS norm2
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), c
+    ),
+    sem AS (SELECT id, cos_centroid, norm2, 'low_centroid_cosine' AS reason
+            FROM scored ORDER BY cos_centroid ASC, id ASC LIMIT {k_semantic}),
+    hi AS (SELECT id, cos_centroid, norm2, 'extreme_high_norm' AS reason
+           FROM scored ORDER BY norm2 DESC, id ASC LIMIT {k_norm}),
+    lo AS (SELECT id, cos_centroid, norm2, 'extreme_low_norm' AS reason
+           FROM scored ORDER BY norm2 ASC, id ASC LIMIT {k_norm})
+    SELECT * FROM (SELECT * FROM sem UNION ALL SELECT * FROM hi
+                   UNION ALL SELECT * FROM lo)
+    ORDER BY reason, id
+    """

@@ -129,3 +129,70 @@ def test_bpe_apply_train_consistency(spark):
     # substring of a later merge's product
     for p in produced:
         assert p in survivors or any(p in q and p != q for q in produced)
+
+
+# ---------------------------------------------------------------------------
+# embedding_outliers
+# ---------------------------------------------------------------------------
+
+
+def _outliers_reference(rows, dim, k_semantic, k_norm):
+    """Pure-Python restatement: centroid = per-dim sums, cosine /
+    norm2 rounded to 6, three rank cuts with id tiebreaks. The test
+    vectors are exact binary fractions, so float sums are exact in any
+    order and the DECIMAL plumbing cannot mask a semantics bug."""
+    import math
+
+    cv = [sum(v[d] for _, v in rows) for d in range(dim)]
+    cn = math.sqrt(sum(x * x for x in cv))
+    scored = []
+    for i, v in rows:
+        dot = sum(a * b for a, b in zip(v, cv))
+        n2 = sum(a * a for a in v)
+        cos = round(dot / (math.sqrt(n2) * cn), 6) if n2 and cn else None
+        scored.append((i, cos, round(n2, 6)))
+    sem = sorted(scored, key=lambda r: (r[1], r[0]))[:k_semantic]
+    hi = sorted(scored, key=lambda r: (-r[2], r[0]))[:k_norm]
+    lo = sorted(scored, key=lambda r: (r[2], r[0]))[:k_norm]
+    out = []
+    for cut, reason in (
+        (sem, "low_centroid_cosine"),
+        (hi, "extreme_high_norm"),
+        (lo, "extreme_low_norm"),
+    ):
+        out += [(i, c, n, reason) for i, c, n in cut]
+    return sorted(out, key=lambda r: (r[3], r[0]))
+
+
+def test_embedding_outliers_matches_pure_python(spark):
+    from tdei_extract_load_service_spark.operators.similarity import (
+        embedding_outliers,
+    )
+
+    dim = 8
+    rows = []
+    for i in range(40):
+        # mostly-aligned cloud with exact 1/64 components
+        v = [((i * 7 + d * 3) % 32 + 16) / 64.0 for d in range(dim)]
+        rows.append((i, v))
+    # planted outliers: anti-aligned, giant norm, tiny norm
+    rows.append((100, [-1.0] * dim))
+    rows.append((101, [8.0] * dim))
+    rows.append((102, [1.0 / 64.0] + [0.0] * (dim - 1)))
+    df = spark.createDataFrame(
+        [(i, v) for i, v in rows], "vec_id long, embedding array<double>"
+    )
+    got = [
+        (r["id"], r["cos_centroid"], r["norm2"], r["reason"])
+        for r in embedding_outliers(
+            df, "vec_id", "embedding", dim=dim, k_semantic=5, k_norm=3
+        ).collect()
+    ]
+    want = _outliers_reference(rows, dim, 5, 3)
+    assert got == want
+    by_reason = {}
+    for i, _, _, reason in got:
+        by_reason.setdefault(reason, []).append(i)
+    assert 100 in by_reason["low_centroid_cosine"]
+    assert 101 in by_reason["extreme_high_norm"]
+    assert 102 in by_reason["extreme_low_norm"]

@@ -483,6 +483,11 @@ EXPECTATIONS: dict[str, list[str]] = {
     # CACHED |vocab| frame (the k merge rounds already ran as bounded
     # side jobs) — the corpus is never re-scanned or re-joined
     "text_bpe_apply": ["InMemoryTableScan", "explode\\(split\\(trim\\(b", "partial_sum", "!Join", "!CartesianProduct", "!MapInPandas"],
+    # embedding outlier filter: three bounded TakeOrdered heaps over
+    # the cached narrow (id, cos, norm2) frame, unioned — the only
+    # nested-loop is the 1-row centroid scalar crossJoin in the cached
+    # build subtree (Q22/Q15 pattern); never a keyed corpus shuffle
+    "embedding_outliers": ["Union", "TakeOrderedAndProject", "InMemoryTableScan", "!SortMergeJoin", "!CartesianProduct", "!MapInPandas", "!hashpartitioning"],
     # BPE fertility: token counts via size(split(..)) — a |vocab|-sized
     # projection feeding ONE one-row aggregate; no explode of the TOKEN
     # stream (the cached vocab's build subtree legitimately shows the
