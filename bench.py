@@ -204,13 +204,13 @@ HEADLINE_EXTENSIONS = (
     # snapshots) + model-sized rule windows — and its stored serving
     # twin (first rep builds the history index, later reps measure the
     # corpus-free serving read, the dedup_embedding_lsh_stored pattern).
-    # stream_dedup_incremental_shadow (r13) and
-    # stream_drift_history_shadow (r13) are EXCLUDED like every other
-    # stream_*_shadow certification: their wall time measures
+    # stream_dedup_incremental_shadow (r13), stream_drift_history_shadow
+    # (r13) and stream_bm25_index_shadow (r13) are EXCLUDED like every
+    # other stream_*_shadow certification: their wall time measures
     # micro-batch scheduling + manifest txn machinery, not a query
-    # plan; the per-batch algebra (dedup merge / drift history stats)
-    # is already trendlined inline, and SCALE.md carries their x10
-    # ladders.
+    # plan; the per-batch algebra (dedup merge / drift history stats /
+    # postings appends) is already trendlined inline, and SCALE.md
+    # carries their x10 ladders.
     "embedding_drift_alert",
     "embedding_drift_alert_stored",
     # round-13 continuation: DSIR importance selection — one (doc,

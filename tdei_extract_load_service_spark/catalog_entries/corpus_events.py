@@ -1257,3 +1257,60 @@ def q_events_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
         TS.normalize_ts(F.col("day"), "yyyy-MM-dd'T'HH:mm:ss").alias("day"),
         "n_active",
     ).orderBy(F.col("day").asc())
+
+
+@register(
+    "stream_bm25_index_shadow",
+    r"""
+    WITH dl AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '[ \t\n\r\f\v]+')) END AS dl
+      FROM documents),
+    scal AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(CAST(dl AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl),
+    tf AS (
+      SELECT doc_id, t.term, COUNT(*) AS tf
+      FROM documents, unnest(regexp_split_to_array(trim(text), '[ \t\n\r\f\v]+')) AS t(term)
+      WHERE t.term IN ('spark', 'join', 'window', 'scan')
+      GROUP BY doc_id, t.term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+    SELECT tf.doc_id,
+           ROUND(CAST(SUM(CAST(
+              ln(1.0 + (scal.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (tf.tf * 2.2)
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / scal.avgdl))
+           AS DECIMAL(28,12))) AS DOUBLE), 6) AS bm25,
+           COUNT(*) AS n_terms_hit
+    FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN scal
+    GROUP BY tf.doc_id
+    ORDER BY bm25 DESC, tf.doc_id ASC
+    LIMIT 10
+    """,
+)
+def q_stream_bm25_index_shadow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FIFTEENTH streaming certification: streaming BM25 index
+    maintenance (streaming/shadow.py bm25_index_shadow ->
+    streaming/sink.bm25_index_sink -> operators/text.bm25_batch_stats).
+    Four document micro-batches append full-vocabulary postings + doc
+    lengths to an initially empty manifest index — postings and doclen
+    commit in the SAME exactly-once transaction per batch — then the
+    query serves from the STREAMED tables, deriving df / avgdl at
+    query time (never stored: IDF's denominator is corpus-wide) and
+    ranking through the SAME _bm25_rank expression tree as inline
+    bm25_topk. Per-batch rows are disjoint unions (associative,
+    commutative — the dedup-sink algebra class), so streamed ==
+    recomputed holds for ANY batch split; the oracle is
+    text_bm25_topk's full-corpus SQL, value-certifying the closed
+    loop between the streaming story and the search story."""
+    from tdei_extract_load_service_spark.streaming.shadow import (
+        bm25_index_shadow,
+    )
+
+    return bm25_index_shadow(
+        spark, sf_dir, ["spark", "join", "window", "scan"], n_batches=4, k=10
+    )

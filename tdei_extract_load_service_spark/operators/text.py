@@ -1128,6 +1128,23 @@ def bm25_topk(
         .agg(F.count("*").alias("tf")),
         "text.bm25_topk.tf",
     )
+    return _bm25_rank(tf, dl, scal, k=k, k1=k1, b=b)
+
+
+def _bm25_rank(
+    tf: DataFrame,
+    dl: DataFrame,
+    scal: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """The BM25 scoring tail shared by ``bm25_topk`` (inline postings)
+    and the streamed-index serve path (``streaming/shadow.
+    bm25_index_shadow``): query-filtered tf + doc lengths + the one-row
+    corpus scalar → broadcast df, the pre-folded IEEE score tree,
+    DECIMAL-summed per-doc totals, TakeOrdered. ONE expression tree, so
+    inline == served is structural, not coincidental."""
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     per = (
         tf.join(F.broadcast(dfreq), "term")
@@ -1162,6 +1179,39 @@ def bm25_topk(
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def bm25_batch_stats(
+    docs: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """The per-batch contribution a streaming BM25 index appends:
+    FULL-vocabulary postings ``(doc_id, term, tf)`` plus doc lengths
+    ``(doc_id, dl)`` — computed exactly as ``bm25_topk`` computes them
+    inline (same tokenizer, same empty-text guard), so appended batches
+    union to the inline frames verbatim. Because each document lives in
+    exactly ONE micro-batch, per-batch postings/doclen rows are
+    disjoint and the merge is pure union — associative AND commutative,
+    the dedup-sink algebra class: streamed == recomputed for any batch
+    split. df / avgdl are NOT stored — they are derived at serve time
+    from the streamed tables (IDF depends on the whole corpus, so
+    storing it per batch would bake in a stale denominator)."""
+    ws = _WS_CLASS
+    postings = (
+        docs.select(
+            _col(id_col).alias("doc_id"),
+            F.explode(F.split(F.trim(_col(text_col)), ws)).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dl = docs.select(
+        _col(id_col).alias("doc_id"),
+        F.when(F.trim(_col(text_col)) == "", 0)
+        .otherwise(F.size(F.split(F.trim(_col(text_col)), ws)))
+        .alias("dl"),
+    )
+    return postings, dl
 
 
 def lm_bigram_score(

@@ -1377,3 +1377,82 @@ def drift_history_shadow(
         snapshots=list(range(n_snapshots)),
         min_mean_cosine_fp=min_mean_cosine_fp,
     )
+
+
+def bm25_index_shadow(
+    spark: SparkSession,
+    sf_dir: str,
+    terms: list[str],
+    n_batches: int = 4,
+    k: int = 10,
+) -> DataFrame:
+    """Streaming BM25 index maintenance — the FIFTEENTH streaming
+    certification: a document stream feeds the stored inverted index
+    through ``foreachBatch`` → ``streaming/sink.bm25_index_sink`` →
+    ``operators/text.bm25_batch_stats``, then the query serves from the
+    STREAMED postings/doclen tables — closing the loop between the
+    streaming story and the SEARCH story (``build_bm25_index``'s
+    nightly build run continuously).
+
+    Harness: the documents fixture replays as ``n_batches`` file-source
+    micro-batches (doc_id-range split — NOT load-bearing: per-batch
+    postings/doclen rows are disjoint unions, associative and
+    commutative, so any split converges); both index tables start
+    EMPTY and each batch appends in one exactly-once manifest
+    transaction (a replayed batch id is a no-op; postings and doclen
+    commit in the SAME pointer swap so they can never disagree).
+
+    Serving derives df / avgdl from the streamed tables at query time
+    (IDF's denominator is corpus-wide — storing it per batch would
+    bake in staleness) and ranks through the SAME ``_bm25_rank``
+    expression tree as inline ``bm25_topk``, so the result is
+    BIT-IDENTICAL to the full-corpus query — which is exactly the SQL
+    the catalog oracle states: streamed == recomputed, value-certified
+    every round."""
+    import tempfile
+
+    from tdei_extract_load_service_spark.operators.text import _bm25_rank
+    from tdei_extract_load_service_spark.session import persist_scoped
+    from tdei_extract_load_service_spark.sinks.manifest import read_table
+    from tdei_extract_load_service_spark.streaming.sink import (
+        BM25_DOCLEN_SCHEMA,
+        BM25_POSTINGS_SCHEMA,
+        bm25_index_sink,
+    )
+
+    stage = stage_document_stream(spark, sf_dir, n_batches)
+    root = tempfile.mkdtemp(prefix="stream_bm25_idx_")
+    schema = spark.read.parquet(stage).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+        .select("doc_id", "text")
+    )
+    name = _query_name()
+    q = (
+        src.writeStream.foreachBatch(
+            bm25_index_sink(root, "bm25_postings", "bm25_doclen", "doc_id", "text")
+        )
+        .outputMode("append")
+        .option("checkpointLocation", f"/tmp/spark_graft_stream_ckpt/{name}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    postings = read_table(
+        spark, root, "bm25_postings", schema=BM25_POSTINGS_SCHEMA
+    )
+    dl = read_table(spark, root, "bm25_doclen", schema=BM25_DOCLEN_SCHEMA)
+    scal = dl.agg(
+        F.count("*").alias("n_docs"),
+        (
+            F.sum(F.col("dl").cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+        ).alias("avgdl"),
+    )
+    tf = persist_scoped(
+        postings.where(F.col("term").isin(list(terms))),
+        "streaming.bm25_index_shadow.tf",
+    )
+    return _bm25_rank(tf, dl, scal, k=k, k1=1.2, b=0.75)

@@ -340,3 +340,73 @@ def drift_history_sink(
             raise
 
     return handle
+
+
+#: streamed BM25 index schemas the append sink publishes
+BM25_POSTINGS_SCHEMA = "doc_id bigint, term string, tf bigint"
+BM25_DOCLEN_SCHEMA = "doc_id bigint, dl int"
+
+
+def bm25_index_sink(
+    root: str,
+    postings_table: str,
+    doclen_table: str,
+    id_col: str,
+    text_col: str,
+    dataset_prefix: str = "b",
+):
+    """Return a ``foreachBatch`` handler that APPENDS each micro-batch's
+    full-vocabulary postings ``(doc_id, term, tf)`` and doc lengths
+    ``(doc_id, dl)`` to the streamed BM25 index — ``build_bm25_index``
+    run CONTINUOUSLY (the dedup/drift sink pattern applied to the
+    SEARCH story): the inverted index stays current as documents
+    arrive instead of waiting for a nightly index build.
+
+    Both tables land in ONE manifest transaction keyed by the batch id
+    (exactly-once under at-least-once replay; postings and doclen can
+    never disagree about which batches are in). Each document lives in
+    exactly one micro-batch, so per-batch rows are DISJOINT and the
+    merge is pure union — associative and commutative like the dedup
+    algebra: streamed == recomputed holds for ANY batch split, no
+    alignment contract needed. df / IDF / avgdl are never stored — the
+    serve path derives them from the streamed tables, so a growing
+    corpus can't leave a stale denominator baked into the index.
+
+    Scale shape: per batch, one map-side-combined (doc, term)
+    aggregation + one projection over the MICRO-BATCH only; the commit
+    is one pointer swap. At warehouse scale the postings append would
+    be partitioned by term bucket exactly like ``build_bm25_index``'s
+    layout — the manifest dataset-per-batch layout here IS that shape
+    with batch as the outer key."""
+    from tdei_extract_load_service_spark.operators.text import (
+        bm25_batch_stats,
+    )
+
+    def handle(batch_df, batch_id: int) -> None:
+        manifest = read_manifest(root)
+        existing = manifest["tables"].get(postings_table, {})
+        committed = [
+            int(k[len(dataset_prefix):])
+            for k in existing
+            if k.startswith(dataset_prefix)
+            and k[len(dataset_prefix):].isdigit()
+        ]
+        if committed and max(committed) >= batch_id:
+            return
+        postings, dl = bm25_batch_stats(batch_df, id_col, text_col)
+        txn = ManifestTxn(root)
+        try:
+            txn.write(
+                postings_table,
+                postings.coalesce(1),
+                f"{dataset_prefix}{batch_id}",
+            )
+            txn.write(
+                doclen_table, dl.coalesce(1), f"{dataset_prefix}{batch_id}"
+            )
+            txn.commit()
+        except Exception:
+            txn.abort()
+            raise
+
+    return handle

@@ -196,3 +196,103 @@ def test_embedding_outliers_matches_pure_python(spark):
     assert 100 in by_reason["low_centroid_cosine"]
     assert 101 in by_reason["extreme_high_norm"]
     assert 102 in by_reason["extreme_low_norm"]
+
+
+# ---------------------------------------------------------------------------
+# stream_bm25_index_shadow (FIFTEENTH streaming certification)
+# ---------------------------------------------------------------------------
+
+SF_DIR = "/root/testdata/sf0.001"
+_TERMS = ["spark", "join", "window", "scan"]
+
+
+def test_stream_bm25_equals_inline_recompute(spark):
+    """The streamed-index serve must be bit-identical to inline
+    bm25_topk over the whole corpus — for a batch count that does NOT
+    divide the corpus evenly (the any-split disjoint-union claim)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from tdei_extract_load_service_spark.operators.text import bm25_topk
+    from tdei_extract_load_service_spark.streaming.shadow import (
+        bm25_index_shadow,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    want = [
+        tuple(r) for r in bm25_topk(docs, "doc_id", "text", _TERMS, k=10).collect()
+    ]
+    got = [
+        tuple(r)
+        for r in bm25_index_shadow(spark, SF_DIR, _TERMS, n_batches=3, k=10).collect()
+    ]
+    assert got == want
+
+
+def test_bm25_batch_stats_union_is_full_corpus(spark):
+    """Per-batch postings/doclen are disjoint and union to the
+    full-corpus frames verbatim — in any order (commutativity)."""
+    from pyspark.sql import functions as F
+
+    from tdei_extract_load_service_spark.operators.text import (
+        bm25_batch_stats,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    full_p, full_d = bm25_batch_stats(docs, "doc_id", "text")
+    want_p = sorted(tuple(r) for r in full_p.collect())
+    want_d = sorted(tuple(r) for r in full_d.collect())
+    parts = [
+        bm25_batch_stats(
+            docs.where(F.col("doc_id") % 3 == i), "doc_id", "text"
+        )
+        for i in (2, 0, 1)  # deliberately out of order
+    ]
+    got_p = sorted(
+        tuple(r) for p, _ in parts for r in p.collect()
+    )
+    got_d = sorted(tuple(r) for _, d in parts for r in d.collect())
+    assert got_p == want_p
+    assert got_d == want_d
+
+
+def test_bm25_index_sink_replayed_batch_is_noop(spark, tmp_path):
+    """Exactly-once: a replayed batch id (even with corrupted content)
+    must change neither table; a new id appends to BOTH in one txn."""
+    from pyspark.sql import functions as F
+
+    from tdei_extract_load_service_spark.sinks.manifest import read_table
+    from tdei_extract_load_service_spark.streaming.sink import (
+        BM25_DOCLEN_SCHEMA,
+        BM25_POSTINGS_SCHEMA,
+        bm25_index_sink,
+    )
+
+    root = str(tmp_path / "bm25_root")
+    handler = bm25_index_sink(root, "bm25_postings", "bm25_doclen", "doc_id", "text")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(20)
+    handler(docs, 0)
+
+    def snap():
+        p = sorted(
+            tuple(r)
+            for r in read_table(
+                spark, root, "bm25_postings", schema=BM25_POSTINGS_SCHEMA
+            ).collect()
+        )
+        d = sorted(
+            tuple(r)
+            for r in read_table(
+                spark, root, "bm25_doclen", schema=BM25_DOCLEN_SCHEMA
+            ).collect()
+        )
+        return p, d
+
+    before = snap()
+    handler(docs.withColumn("text", F.lit("poison poison")), 0)
+    assert snap() == before
+    handler(
+        docs.limit(5).withColumn("doc_id", F.col("doc_id") + 100000), 1
+    )
+    after_p, after_d = snap()
+    assert len(after_p) > len(before[0])
+    assert len(after_d) == len(before[1]) + 5
