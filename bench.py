@@ -239,6 +239,11 @@ HEADLINE_EXTENSIONS = (
     # DECIMAL-sum centroid pass (1-row model) + one scoring pass into
     # three bounded TakeOrdered heaps (plan-audited; x10 in SCALE.md)
     "embedding_outliers",
+    # round-13 continuation: PCA power iteration — one corpus pass
+    # builds the 64x64 DECIMAL moment matrix; three matvec rounds over
+    # the cached 4096-row model (plan-audited; x10 flat in SCALE.md —
+    # wall time is JIT-dominated, the corpus-linear part is sub-second)
+    "embedding_pca_power",
     # dedup_semantic (SemDeDup) is EXCLUDED from the headline like
     # similarity_ivf_kmeans, whose Lloyd training it composes: the
     # entry's cost is ~85% deterministic-kmeans training (a per-corpus

@@ -621,3 +621,28 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         k_semantic=20,
         k_norm=10,
     )
+
+
+@register(
+    "embedding_pca_power",
+    ORACLES.embedding_pca_power_oracle_sql(dim=64, iters=3),
+)
+def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding second-moment
+    matrix (operators/similarity.py embedding_pca_power) — the
+    all-but-the-top / dominant-direction-removal primitive an embedding
+    post-processing pipeline runs before similarity search. One
+    map-side-combined DECIMAL pass builds the 64x64 moment matrix (2080
+    upper-triangle partials, mirrored in-engine); three power-iteration
+    rounds run as joins over the 4096-row matrix with DECIMAL-summed
+    matvecs and ROUND-9 renormalization, so the whole trajectory — not
+    just the fixed point — is value-certified against the oracle's
+    unrolled CTE rounds. Corpus-sized work: exactly one pass, at any
+    scale."""
+    from tdei_extract_load_service_spark.operators.similarity import (
+        embedding_pca_power,
+    )
+
+    return embedding_pca_power(
+        _read(spark, sf_dir, "embeddings"), "embedding", dim=64, iters=3
+    )

@@ -1737,3 +1737,117 @@ def embedding_outliers(
         [F.col("norm2").asc(), F.col("id").asc()], k_norm, "extreme_low_norm"
     )
     return sem.unionAll(hi).unionAll(lo).orderBy("reason", "id")
+
+
+def embedding_pca_power(
+    df: DataFrame,
+    vec_col: str,
+    dim: int = 64,
+    iters: int = 3,
+) -> DataFrame:
+    """Dominant principal direction of the embedding SECOND-MOMENT
+    matrix via ``iters`` power-iteration rounds — the all-but-the-top /
+    dominant-direction-removal primitive (Mu & Viswanath 2018) an
+    embedding post-processing pipeline runs before similarity search,
+    and the direction drift monitors track. Returns ``(pos, pc1)`` —
+    the 64 components of the unit dominant direction after the final
+    round (ROUND 9 per round, the kmeans_centroids_exact discipline).
+
+    Cross-engine exactness, by construction rather than tolerance:
+
+    - the moment matrix ``S[i][j] = Σ_rows x_i·x_j`` is ONE
+      map-side-combined aggregation of per-row double products cast to
+      DECIMAL(28,12) — associative exact addition, so the matrix is
+      partitioning-independent; only the upper triangle's 2080 pairs
+      fan out (a single-expression nested-transform explode, immediately
+      absorbed by the hash-agg's map-side partials — a 2080-column-wide
+      agg was measured at 76s plan build + 41s codegen-fallback exec
+      and rejected) and the lower triangle is mirrored RELATIONALLY,
+      which equals the oracle's full 64x64 because double multiply is
+      commutative;
+    - every matvec / norm sum runs over DECIMAL-cast products of the
+      64-row bounded frames, and each round renormalizes with
+      ROUND(w / sqrt(ss), 9) — both engines state the identical tree,
+      so the trajectory (not just the fixed point) is value-certified;
+    - v0 is the fixed all-⅛ unit vector: deterministic, and positively
+      aligned with the dominant direction of any moment matrix whose
+      top eigenvector has a dominant sign — no sign ambiguity.
+
+    Scale shape: the ONLY corpus-sized work is the single moment pass
+    (2080 decimal partials per task — the drift_report codegen-width
+    trade, accepted there at 1024); every iteration is joins over the
+    4096-row mirrored matrix and a 64-row vector. At 100 TB the
+    iteration cost is literally constant; ``iters`` is a fixed plan
+    depth, not a convergence loop (production runs more rounds — the
+    entry certifies the recurrence, which is what makes any depth
+    trustworthy)."""
+    from tdei_extract_load_service_spark.session import persist_scoped, spread
+
+    # upper-triangle pair fan-out as ONE parsed expression (a Python
+    # loop of 2080 Column objects costs ~76s of py4j round-trips)
+    pair_expr = (
+        f"flatten(transform(sequence(0, {dim - 1}), i -> "
+        f"transform(sequence(i, {dim - 1}), j -> "
+        f"struct(i, j, cast(element_at({vec_col}, i + 1) as double)"
+        f" * cast(element_at({vec_col}, j + 1) as double) as p))))"
+    )
+    # per-term cast is the COMPACT decimal(18,12): same scale-12
+    # rounding as (28,12) — term values are identical — but Spark's
+    # long-backed representation, measured 2x faster on the 41M-term
+    # sf0.1 pass. 6 integer digits bound each TERM (|x_i·x_j| < 1e6 —
+    # unit-ish embeddings are ~1); the SUM accumulates at (28,12), 16
+    # integer digits, safe past 1e12 rows.
+    tri = (
+        spread(df)
+        .select(F.explode(F.expr(pair_expr)).alias("e"))
+        .groupBy(F.col("e.i").alias("i"), F.col("e.j").alias("j"))
+        .agg(
+            F.sum(F.col("e.p").cast("decimal(18,12)"))
+            .cast("double")
+            .alias("m")
+        )
+    )
+    # mirror the upper triangle into the full matrix RELATIONALLY
+    # (S is symmetric; double multiply is commutative, so the mirrored
+    # cell is bit-equal to the oracle's independently-computed one)
+    # the mirrored matrix is 4096 rows — ONE partition, so the nine
+    # bounded iteration stages schedule single tasks instead of 64-way
+    # shuffles of model-sized frames (measured: the tiny-stage
+    # scheduling, not the corpus pass, dominated the un-coalesced form)
+    mom = persist_scoped(
+        tri.unionAll(
+            tri.where(F.col("j") > F.col("i")).select(
+                F.col("j").alias("i"), F.col("i").alias("j"), "m"
+            )
+        ).coalesce(1),
+        "similarity.embedding_pca_power.mom",
+    )
+    spark = df.sparkSession
+    vec = spark.range(dim).select(
+        F.col("id").cast("int").alias("pos"),
+        F.lit(1.0 / 8.0).alias("comp"),
+    )
+    for _ in range(iters):
+        w = (
+            mom.join(vec, mom["j"] == vec["pos"])
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    (F.col("m") * F.col("comp")).cast("decimal(28,12)")
+                )
+                .cast("double")
+                .alias("w")
+            )
+        )
+        ss = w.agg(
+            F.sum((F.col("w") * F.col("w")).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("ss")
+        )
+        vec = w.crossJoin(F.broadcast(ss)).select(
+            F.col("i").cast("int").alias("pos"),
+            F.round(F.col("w") / F.sqrt(F.col("ss")), 9).alias("comp"),
+        )
+    return vec.select("pos", F.col("comp").alias("pc1")).orderBy(
+        F.col("pos").asc()
+    )

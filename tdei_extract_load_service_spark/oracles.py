@@ -1007,3 +1007,41 @@ def embedding_outliers_oracle_sql(
                    UNION ALL SELECT * FROM lo)
     ORDER BY reason, id
     """
+
+
+def embedding_pca_power_oracle_sql(dim: int = 64, iters: int = 3) -> str:
+    """DuckDB twin of ``similarity.embedding_pca_power``: the full
+    64x64 second-moment matrix from DECIMAL(28,12)-cast double products
+    (bit-equal to the Spark side's mirrored upper triangle — double
+    multiply is commutative, decimal addition associative), then the
+    power-iteration rounds UNROLLED into matvec / norm / renormalize
+    CTE triplets, each renormalization ROUND(w / sqrt(ss), 9)."""
+    steps = []
+    prev = "v0"
+    for t in range(1, iters + 1):
+        steps.append(f"""
+    w{t} AS MATERIALIZED (
+      SELECT m0.i AS pos,
+             CAST(SUM(CAST(m0.m * {prev}.comp AS DECIMAL(28,12))) AS DOUBLE) AS w
+      FROM m0 JOIN {prev} ON m0.j = {prev}.pos
+      GROUP BY 1
+    ),
+    s{t} AS MATERIALIZED (
+      SELECT CAST(SUM(CAST(w * w AS DECIMAL(28,12))) AS DOUBLE) AS ss FROM w{t}
+    ),
+    v{t} AS MATERIALIZED (
+      SELECT pos, ROUND(w / sqrt(ss), 9) AS comp FROM w{t}, s{t}
+    ),""")
+        prev = f"v{t}"
+    return f"""
+    WITH m0 AS MATERIALIZED (
+      SELECT t1.i - 1 AS i, t2.j - 1 AS j,
+             CAST(SUM(CAST(v[t1.i] * v[t2.j] AS DECIMAL(18,12))) AS DOUBLE) AS m
+      FROM (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+           range(1, {dim + 1}) t1(i), range(1, {dim + 1}) t2(j)
+      GROUP BY 1, 2
+    ),
+    v0 AS (SELECT i - 1 AS pos, 0.125 AS comp FROM range(1, {dim + 1}) t(i)),{"".join(steps)}
+    fin AS (SELECT * FROM v{iters})
+    SELECT CAST(pos AS INT) AS pos, comp AS pc1 FROM fin ORDER BY pos ASC
+    """

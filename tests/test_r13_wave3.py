@@ -296,3 +296,60 @@ def test_bm25_index_sink_replayed_batch_is_noop(spark, tmp_path):
     after_p, after_d = snap()
     assert len(after_p) > len(before[0])
     assert len(after_d) == len(before[1]) + 5
+
+
+# ---------------------------------------------------------------------------
+# embedding_pca_power
+# ---------------------------------------------------------------------------
+
+
+def _pca_power_reference(vecs, dim, iters):
+    """Pure-Python power iteration on the exact second-moment matrix:
+    the test vectors are exact binary fractions, so float sums are
+    exact in any order and ROUND-9 renormalization is the only lossy
+    step — exactly the operator's stated semantics."""
+    import math
+
+    m = [[0.0] * dim for _ in range(dim)]
+    for v in vecs:
+        for i in range(dim):
+            for j in range(dim):
+                m[i][j] += v[i] * v[j]
+    comp = [1.0 / 8.0] * dim if dim == 64 else [1.0 / 8.0] * dim
+    for _ in range(iters):
+        w = [sum(m[i][j] * comp[j] for j in range(dim)) for i in range(dim)]
+        ss = sum(x * x for x in w)
+        comp = [round(x / math.sqrt(ss), 9) for x in w]
+    return comp
+
+
+def test_embedding_pca_power_matches_pure_python(spark):
+    from tdei_extract_load_service_spark.operators.similarity import (
+        embedding_pca_power,
+    )
+
+    dim = 8
+    vecs = []
+    for r in range(30):
+        # a dominant direction along alternating signs + binary noise
+        base = [(1.0 if d % 2 == 0 else -1.0) * (r % 4 + 1) / 4.0 for d in range(dim)]
+        noise = [((r * 5 + d) % 8) / 64.0 for d in range(dim)]
+        vecs.append([b + n for b, n in zip(base, noise)])
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["pos"]: r["pc1"]
+        for r in embedding_pca_power(df, "embedding", dim=dim, iters=3).collect()
+    }
+    # reference starts from the same all-1/8 v0 the operator uses
+    want = _pca_power_reference(vecs, dim, 3)
+    assert got == {i: want[i] for i in range(dim)}
+    # the learned direction must be (close to) unit and aligned with
+    # the planted alternating-sign structure
+    assert abs(sum(x * x for x in want) - 1.0) < 1e-6
+    signs = [1 if want[d] > 0 else -1 for d in range(dim)]
+    assert signs == [1 if d % 2 == 0 else -1 for d in range(dim)] or signs == [
+        -1 if d % 2 == 0 else 1 for d in range(dim)
+    ]

@@ -483,6 +483,11 @@ EXPECTATIONS: dict[str, list[str]] = {
     # CACHED |vocab| frame (the k merge rounds already ran as bounded
     # side jobs) — the corpus is never re-scanned or re-joined
     "text_bpe_apply": ["InMemoryTableScan", "explode\\(split\\(trim\\(b", "partial_sum", "!Join", "!CartesianProduct", "!MapInPandas"],
+    # PCA power iteration: the served plan is matvec joins + norm
+    # scalars over the CACHED 4096-row moment matrix (the one corpus
+    # pass already ran into the cache) — tiny frames, so joins must
+    # stay broadcast/hash, never a corpus-sized sort-merge; no Python
+    "embedding_pca_power": ["InMemoryTableScan", "partial_sum", "!SortMergeJoin", "!CartesianProduct", "!MapInPandas", "!ArrowEvalPython"],
     # embedding outlier filter: three bounded TakeOrdered heaps over
     # the cached narrow (id, cos, norm2) frame, unioned — the only
     # nested-loop is the 1-row centroid scalar crossJoin in the cached
