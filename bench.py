@@ -244,6 +244,10 @@ HEADLINE_EXTENSIONS = (
     # the cached 4096-row model (plan-audited; x10 flat in SCALE.md —
     # wall time is JIT-dominated, the corpus-linear part is sub-second)
     "embedding_pca_power",
+    # round-13 continuation: ABTT corrected retrieval — the PCA pass +
+    # one scoring scan into a single top-k heap (plan-audited; x10 in
+    # SCALE.md)
+    "embedding_abtt_topk",
     # dedup_semantic (SemDeDup) is EXCLUDED from the headline like
     # similarity_ivf_kmeans, whose Lloyd training it composes: the
     # entry's cost is ~85% deterministic-kmeans training (a per-corpus

@@ -646,3 +646,33 @@ def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_pca_power(
         _read(spark, sf_dir, "embeddings"), "embedding", dim=64, iters=3
     )
+
+
+@register(
+    "embedding_abtt_topk",
+    ORACLES.abtt_topk_oracle_sql(dim=64, iters=3, k=10),
+)
+def q_embedding_abtt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-top corrected retrieval (operators/similarity.py
+    abtt_topk) — the serving half of embedding_pca_power: the dominant
+    direction is removed from corpus and query, and the top-10 ranks by
+    corrected cosine (raw cosine returned alongside, so the entry
+    certifies the correction's effect on the ranking, not just the
+    direction). The direction re-enters as a 1-row ordered
+    collect_list array via the scalar crossJoin; correction and both
+    cosines are the oracle's identical IEEE trees with ROUND-6 + id
+    tiebreaks. Corpus work: the PCA moment pass + one scoring pass into
+    a single top-k heap."""
+    from tdei_extract_load_service_spark.operators.similarity import (
+        abtt_topk,
+    )
+
+    return abtt_topk(
+        _read(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        _query_vec(spark, sf_dir),
+        dim=64,
+        iters=3,
+        k=10,
+    )

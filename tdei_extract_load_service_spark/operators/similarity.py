@@ -1851,3 +1851,58 @@ def embedding_pca_power(
     return vec.select("pos", F.col("comp").alias("pc1")).orderBy(
         F.col("pos").asc()
     )
+
+
+def abtt_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    dim: int = 64,
+    iters: int = 3,
+    k: int = 10,
+) -> DataFrame:
+    """All-but-the-top CORRECTED retrieval (Mu & Viswanath 2018) — the
+    serving half of ``embedding_pca_power``: remove the dominant
+    direction from both corpus and query, then rank by cosine over the
+    corrected vectors. Returns the top-``k`` ``(id, cos_raw,
+    cos_abtt)`` so the correction's effect on the ranking is visible in
+    the result itself.
+
+    The dominant direction comes from the value-certified power
+    iteration (same rounds, same ROUND-9 trajectory); it re-enters the
+    scoring pass as a 1-row array via the Q22/Q15 scalar crossJoin —
+    ordered ``collect_list`` over the 64-row vector frame, never a
+    driver round-trip. Correction is ``x - (v·u)·u_i`` element-wise
+    (identical IEEE tree to the oracle's indexed ``list_transform``);
+    cosine rounds to 6 before the id-tiebroken TakeOrdered.
+
+    Scale shape: pass 1 is the PCA moment pass (bounded model out);
+    pass 2 scores each row inline against the broadcast direction and
+    feeds ONE top-k heap — the per-row proj fold is 64 multiplies, so
+    the re-inlined references cost flops, not another winnow-class
+    closure. Nothing corpus-sized shuffles in either pass."""
+    from tdei_extract_load_service_spark.operators.dedup import _dot
+
+    pc = embedding_pca_power(df, vec_col, dim=dim, iters=iters)
+    u_row = pc.agg(
+        F.array_sort(F.collect_list(F.struct("pos", "pc1"))).alias("_s")
+    ).select(F.transform(F.col("_s"), lambda s: s["pc1"]).alias("_u"))
+    v = _col(vec_col)
+    q = _vec_lit(query_vec)
+    u = F.col("_u")
+    proj_v = _dot(v, u)
+    proj_q = _dot(q, u)
+    cv = F.zip_with(v, u, lambda x, y: x.cast("double") - proj_v * y)
+    cq = F.zip_with(q, u, lambda x, y: x.cast("double") - proj_q * y)
+    return (
+        spread(df)
+        .crossJoin(F.broadcast(u_row))
+        .select(
+            _col(id_col).alias("id"),
+            F.round(cosine_similarity(v, q), 6).alias("cos_raw"),
+            F.round(cosine_similarity(cv, cq), 6).alias("cos_abtt"),
+        )
+        .orderBy(F.col("cos_abtt").desc(), F.col("id").asc())
+        .limit(k)
+    )

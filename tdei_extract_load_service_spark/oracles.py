@@ -1045,3 +1045,37 @@ def embedding_pca_power_oracle_sql(dim: int = 64, iters: int = 3) -> str:
     fin AS (SELECT * FROM v{iters})
     SELECT CAST(pos AS INT) AS pos, comp AS pc1 FROM fin ORDER BY pos ASC
     """
+
+
+def abtt_topk_oracle_sql(dim: int = 64, iters: int = 3, k: int = 10) -> str:
+    """DuckDB twin of ``similarity.abtt_topk``: the unrolled power
+    rounds (shared with the pca oracle), the direction assembled with
+    an ordered list() aggregate, the correction as an indexed
+    list_transform (identical IEEE tree to Spark's zip_with), cosine
+    ROUND-6 + id tiebreak."""
+    pca = embedding_pca_power_oracle_sql(dim=dim, iters=iters)
+    # reuse the WITH body up to v{iters}; strip the pca oracle's final
+    # select (everything from the 'fin AS' clause on)
+    body = pca[: pca.index("fin AS")]
+    return f"""{body}uv AS (SELECT list(comp ORDER BY pos) AS u FROM v{iters}),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    pj AS (
+      SELECT vec_id AS id, embedding::DOUBLE[] AS v, uv.u AS u, q.qv AS qv,
+             list_dot_product(embedding::DOUBLE[], uv.u) AS pv,
+             list_dot_product(q.qv, uv.u) AS pq
+      FROM embeddings, uv, q
+    ),
+    corr AS (
+      SELECT id, v, qv,
+             list_transform(generate_series(1, {dim}), i -> v[i] - pv * u[i]) AS cv,
+             list_transform(generate_series(1, {dim}), i -> qv[i] - pq * u[i]) AS cq
+      FROM pj
+    )
+    SELECT id,
+           ROUND(list_dot_product(v, qv)
+                 / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_raw,
+           ROUND(list_dot_product(cv, cq)
+                 / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(cq, cq))), 6) AS cos_abtt
+    FROM corr
+    ORDER BY cos_abtt DESC, id ASC LIMIT {k}
+    """

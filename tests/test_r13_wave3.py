@@ -353,3 +353,59 @@ def test_embedding_pca_power_matches_pure_python(spark):
     assert signs == [1 if d % 2 == 0 else -1 for d in range(dim)] or signs == [
         -1 if d % 2 == 0 else 1 for d in range(dim)
     ]
+
+
+def test_abtt_topk_matches_pure_python(spark):
+    """All-but-the-top serving: correct with the reference direction,
+    rank by corrected cosine — and removing the dominant direction must
+    actually change the ranking on a corpus with a strong common
+    component (the correction's whole point)."""
+    import math
+
+    from tdei_extract_load_service_spark.operators.similarity import (
+        abtt_topk,
+    )
+
+    dim = 8
+    vecs = []
+    for r in range(36):
+        common = [2.0] * dim  # strong shared direction drowns raw cosine
+        idio = [((r * 11 + d * 5) % 16 - 8) / 16.0 for d in range(dim)]
+        vecs.append([c + x for c, x in zip(common, idio)])
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    qv = vecs[0]
+    got = [
+        (r["id"], r["cos_raw"], r["cos_abtt"])
+        for r in abtt_topk(df, "vec_id", "embedding", qv, dim=dim, iters=3, k=5).collect()
+    ]
+
+    u = _pca_power_reference(vecs, dim, 3)
+
+    def correct(v, pv):
+        return [x - pv * uu for x, uu in zip(v, u)]
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return round(
+            num
+            / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))),
+            6,
+        )
+
+    pq = sum(x * y for x, y in zip(qv, u))
+    cq = correct(qv, pq)
+    scored = []
+    for i, v in enumerate(vecs):
+        pv = sum(x * y for x, y in zip(v, u))
+        scored.append((i, cos(v, qv), cos(correct(v, pv), cq)))
+    want = sorted(scored, key=lambda r: (-r[2], r[0]))[:5]
+    assert got == want
+    # with the common component removed, raw-cosine near-ties must
+    # separate: corrected scores spread far wider than raw scores
+    raws = [r[1] for r in scored]
+    abtts = [r[2] for r in scored]
+    assert (max(raws) - min(raws)) < 0.2
+    assert (max(abtts) - min(abtts)) > 0.5

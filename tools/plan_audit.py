@@ -488,6 +488,12 @@ EXPECTATIONS: dict[str, list[str]] = {
     # pass already ran into the cache) — tiny frames, so joins must
     # stay broadcast/hash, never a corpus-sized sort-merge; no Python
     "embedding_pca_power": ["InMemoryTableScan", "partial_sum", "!SortMergeJoin", "!CartesianProduct", "!MapInPandas", "!ArrowEvalPython"],
+    # ABTT corrected retrieval: one TakeOrdered heap over the scoring
+    # scan; the direction enters via the 1-row scalar crossJoin (BNLJ
+    # allowed, Q22/Q15 pattern) from the cached PCA matrix chain — the
+    # corpus never shuffles on its id (the cached PCA build subtree
+    # legitimately shows the matrix groupBy exchanges) and no Python runs
+    "embedding_abtt_topk": ["TakeOrderedAndProject", "InMemoryTableScan", "!SortMergeJoin", "!CartesianProduct", "!MapInPandas", "!Exchange hashpartitioning\\(id"],
     # embedding outlier filter: three bounded TakeOrdered heaps over
     # the cached narrow (id, cos, norm2) frame, unioned — the only
     # nested-loop is the 1-row centroid scalar crossJoin in the cached
