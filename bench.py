@@ -248,6 +248,11 @@ HEADLINE_EXTENSIONS = (
     # one scoring scan into a single top-k heap (plan-audited; x10 in
     # SCALE.md)
     "embedding_abtt_topk",
+    # round-13 continuation: per-doc keyword extraction (one postings
+    # shuffle + per-doc window) and interval union length (single
+    # key-partitioned sort) — plan-audited; x10 in SCALE.md
+    "text_keywords",
+    "events_interval_coverage",
     # dedup_semantic (SemDeDup) is EXCLUDED from the headline like
     # similarity_ivf_kmeans, whose Lloyd training it composes: the
     # entry's cost is ~85% deterministic-kmeans training (a per-corpus

@@ -1314,3 +1314,72 @@ def q_stream_bm25_index_shadow(
     return bm25_index_shadow(
         spark, sf_dir, ["spark", "join", "window", "scan"], n_batches=4, k=10
     )
+
+
+@register(
+    "events_interval_coverage",
+    """
+    WITH iv AS (
+      SELECT user_id, event_id, ts AS s,
+             ts + to_minutes(CAST(greatest(floor(value), 0) AS BIGINT)) AS e
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN max(e) OVER (
+               PARTITION BY user_id ORDER BY s ASC, e ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) IS NULL OR s > max(e) OVER (
+               PARTITION BY user_id ORDER BY s ASC, e ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) THEN 1 ELSE 0 END AS flag
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id,
+             SUM(flag) OVER (
+               PARTITION BY user_id ORDER BY s ASC, e ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS island, s, e
+      FROM flagged
+    ),
+    merged AS (
+      SELECT user_id, island, MIN(s) AS s, MAX(e) AS e, COUNT(*) AS n
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(SUM(n) AS BIGINT) AS n_intervals,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(date_diff('microsecond', s, e)) // 1000000 AS BIGINT) AS covered_s
+    FROM merged GROUP BY user_id
+    ORDER BY user_id ASC
+    """,
+)
+def q_events_interval_coverage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Interval union length per user (operators/relational.py
+    interval_coverage): each event opens a [ts, ts + max(floor(value),
+    0) minutes] activity interval; overlapping/touching intervals merge
+    into islands (gaps-and-islands over ONE key-partitioned sort, the
+    scd2 discipline) and coverage is the summed island span in integer
+    seconds (summed in microseconds, the timestamps' native unit, so
+    both engines count the same elapsed quantity; the SECOND-unit forms
+    diverge by one on sub-second timestamps — truncation vs boundary
+    crossing — and the oracle caught exactly that on first contact).
+    Timestamp DIFFERENCES are session-timezone-independent.
+    The island partition is order-independent under the (s, e, id)
+    tiebreak because equal-start intervals always overlap."""
+    from tdei_extract_load_service_spark.operators.relational import (
+        interval_coverage,
+    )
+
+    ev = _read_events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("s"),
+        F.expr(
+            "timestampadd(MINUTE, cast(greatest(floor(value), 0.0) as int), ts)"
+        ).alias("e"),
+    )
+    return interval_coverage(ev, "user_id", "s", "e", "event_id")

@@ -623,3 +623,50 @@ def q_text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tdei_extract_load_service_spark.operators.text import bpe_fertility
 
     return bpe_fertility(_read(spark, sf_dir, "documents"), "text", k=6)
+
+
+@register(
+    "text_keywords",
+    r"""
+    WITH docs AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f\v]+') AS words
+      FROM documents
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    tf AS (
+      SELECT d.doc_id, len(d.words) AS dl, w.term, COUNT(*) AS tf
+      FROM docs d, UNNEST(d.words) AS w(term)
+      WHERE w.term <> ''
+      GROUP BY d.doc_id, len(d.words), w.term
+    ),
+    dfreq AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df_t FROM tf GROUP BY term
+    )
+    SELECT doc_id, term,
+           CAST((1000000000 * tf * n_docs) // (df_t * dl) AS BIGINT) AS tfidf_fp,
+           CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT tf.doc_id, tf.term, tf.tf, tf.dl, f.df_t, n.n_docs,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY (1000000000 * tf.tf * n.n_docs) // (f.df_t * tf.dl) DESC,
+                        tf.term ASC
+             ) AS rnk
+      FROM tf JOIN dfreq f USING (term) CROSS JOIN n
+    )
+    WHERE rnk <= 3
+    ORDER BY doc_id ASC, rnk ASC
+    """,
+)
+def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction (operators/text.py
+    keywords_topm): top-3 TF-IDF terms per doc with tfidf_topk's
+    fixed-point integer scoring — (1e9 * tf * N) DIV (df * dl), true
+    integer division — so every rank is bit-identical cross-engine.
+    One postings shuffle, vocab-bounded df joined without a broadcast
+    hint (AQE decides), one per-doc window."""
+    from tdei_extract_load_service_spark.operators.text import keywords_topm
+
+    return keywords_topm(
+        _read(spark, sf_dir, "documents"), "doc_id", "text", m=3
+    )

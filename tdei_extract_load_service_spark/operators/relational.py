@@ -272,3 +272,79 @@ def time_window_agg(
             *aggs.keys(),
         )
     )
+
+
+def interval_coverage(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Interval UNION length per key — the sweep-line / gaps-and-islands
+    composition behind uptime, SLA and session-coverage reporting:
+    overlapping (and touching) intervals merge into islands, and the
+    key's coverage is the summed island span, never double-counting
+    overlap. Returns ``(key, n_intervals, n_islands, covered_s)``.
+
+    Determinism: islands derive from a running ``max(end)`` over rows
+    ordered by (start, end, id) — and the partition into islands is
+    ORDER-INDEPENDENT under the tiebreak because equal-start intervals
+    always overlap (end >= start), so a tie permutation can never flip
+    a merge decision; both engines state the identical window. Spans
+    are integer seconds (``timestampdiff`` / ``date_diff`` — timestamp
+    DIFFERENCES are session-timezone-independent, unlike formatting).
+
+    Spans are summed in MICROSECONDS (the timestamps' native unit, so
+    elapsed == boundary count and DuckDB's boundary-crossing date_diff
+    agrees with Spark's truncating timestampdiff — at SECOND
+    granularity the two semantics diverge by 1 on any sub-second
+    timestamp, caught by the oracle on first contact); the reported
+    covered_s is the integer-divided total.
+
+    Scale shape: ONE key-partitioned sort feeds both windows (the
+    scd2_history single-exchange discipline), then two map-side-
+    combinable aggregations (per-island, per-key). Nothing else
+    shuffles; state per key is bounded by its interval count."""
+    from pyspark.sql.window import Window
+
+    key = F.col(key_col)
+    order = [
+        F.col(start_col).asc(),
+        F.col(end_col).asc(),
+        F.col(id_col).asc(),
+    ]
+    w_prev = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_max = F.max(F.col(end_col)).over(w_prev)
+    flag = F.when(
+        prev_max.isNull() | (F.col(start_col) > prev_max), 1
+    ).otherwise(0)
+    islands = (
+        df.withColumn("_island", F.sum(flag).over(w_run))
+        .groupBy(key.alias("_key"), F.col("_island"))
+        .agg(
+            F.min(F.col(start_col)).alias("_s"),
+            F.max(F.col(end_col)).alias("_e"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    return (
+        islands.groupBy(F.col("_key").alias(key_col))
+        .agg(
+            F.sum("_n").alias("n_intervals"),
+            F.count(F.lit(1)).alias("n_islands"),
+            F.expr(
+                "sum(timestampdiff(MICROSECOND, _s, _e)) DIV 1000000"
+            ).alias("covered_s"),
+        )
+        .orderBy(F.col(key_col).asc())
+    )

@@ -1878,3 +1878,73 @@ def bpe_fertility(df: DataFrame, text_col: str, k: int = 6) -> DataFrame:
             "chars_per_token_micro"
         ),
     )
+
+
+def keywords_topm(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    m: int = 3,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Per-document keyword extraction — the corpus-TAGGING dual of
+    ``tfidf_topk`` (that ranks documents for a query; this ranks terms
+    for every document): the ``m`` highest TF-IDF terms per doc, scored
+    with the SAME fixed-point integer formula ``(scale * tf * N) DIV
+    (df * dl)`` so ranks are bit-identical cross-engine (true integer
+    division, never floor-of-double — the tfidf_topk lesson). The
+    standard corpus-curation primitive behind topic tagging, cluster
+    labeling and near-dup cluster naming.
+
+    Returns ``(doc_id, term, tfidf_fp, rnk)`` for ranks 1..m (score
+    desc, term asc tiebreak — rank computed on the exact integer).
+
+    Scale shape: one token explode feeds the (doc, term) tf aggregation
+    (map-side combinable — the only corpus-sized shuffle carries
+    postings, not text); df is a |vocab|-bounded aggregate joined back
+    WITHOUT a broadcast hint (vocab grows with real corpora — AQE/stats
+    pick the strategy, the text_contamination discipline); the per-doc
+    top-m is one window over the postings partitioned by doc. The
+    driver-side N / max_dl scalar pass doubles as the overflow guard:
+    Spark's non-ANSI bigint multiply wraps silently past 2^63 where
+    DuckDB errors, so an unguarded overflow would be a cross-engine
+    MISMATCH, not a crash."""
+    from pyspark.sql.window import Window
+
+    docs = df.select(
+        _col(id_col).alias("doc_id"),
+        F.split(F.lower(F.trim(_col(text_col))), _WS_CLASS).alias("words"),
+    ).withColumn("dl", F.size("words"))
+    stats = docs.agg(
+        F.count("*").alias("n"), F.max("dl").alias("max_dl")
+    ).collect()[0]
+    n, max_dl = stats["n"], stats["max_dl"] or 0
+    if scale * max(n, 1) * max(max_dl, 1) > 2**63 - 1:
+        raise ValueError(
+            "keywords_topm: scale * N * max_dl exceeds int64 — lower the "
+            "scale or pre-chunk pathological documents"
+        )
+    tf = (
+        docs.select("doc_id", "dl", F.explode("words").alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df_t")
+    )
+    scored = tf.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        F.expr(
+            f"({int(scale)}L * tf * {int(n)}L) DIV (df_t * dl)"
+        ).alias("tfidf_fp"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf_fp").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= m)
+        .orderBy(F.col("doc_id").asc(), F.col("rnk").asc())
+    )

@@ -409,3 +409,97 @@ def test_abtt_topk_matches_pure_python(spark):
     abtts = [r[2] for r in scored]
     assert (max(raws) - min(raws)) < 0.2
     assert (max(abtts) - min(abtts)) > 0.5
+
+
+# ---------------------------------------------------------------------------
+# text_keywords / events_interval_coverage
+# ---------------------------------------------------------------------------
+
+
+def test_keywords_topm_matches_pure_python(spark):
+    from tdei_extract_load_service_spark.operators.text import keywords_topm
+
+    texts = [
+        "Spark spark JOIN window",
+        "join join join scan",
+        "vector   scan",
+        "",
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r["doc_id"], r["term"], r["tfidf_fp"], r["rnk"])
+        for r in keywords_topm(df, "doc_id", "text", m=2).collect()
+    ]
+
+    # pure-python restatement (same lower/trim/split + fixed-point)
+    docs = {}
+    for i, t in rows:
+        words = [w for w in t.strip().lower().split() if w]
+        # NB the engine's dl counts split() slots incl. the '' of an
+        # empty doc — replicate split semantics exactly
+        import re
+
+        slots = re.split(r"[ \t\n\r\f\v]+", t.strip().lower())
+        docs[i] = (slots, [w for w in slots if w])
+    n = len(rows)
+    dfreq = {}
+    for i, (slots, words) in docs.items():
+        for w in set(words):
+            dfreq[w] = dfreq.get(w, 0) + 1
+    want = []
+    for i, (slots, words) in docs.items():
+        dl = len(slots)
+        tf = {}
+        for w in words:
+            tf[w] = tf.get(w, 0) + 1
+        scored = sorted(
+            (
+                (w, (10**9 * c * n) // (dfreq[w] * dl))
+                for w, c in tf.items()
+            ),
+            key=lambda x: (-x[1], x[0]),
+        )[:2]
+        want += [(i, w, s, r + 1) for r, (w, s) in enumerate(scored)]
+    want.sort(key=lambda x: (x[0], x[3]))
+    assert got == want
+    # rare terms must outrank common ones at equal tf: 'window' (df=1)
+    # makes doc 0's top-2 over 'join' (df=2, same tf)
+    d0 = [w for (i, w, s, r) in got if i == 0]
+    assert d0 == ["spark", "window"]
+
+
+def test_interval_coverage_matches_pure_python(spark):
+    import datetime as dt
+
+    from tdei_extract_load_service_spark.operators.relational import (
+        interval_coverage,
+    )
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # key 1: [0,10) [5,15) [15,20) -> one island [0,20): touching merges
+        (1, 10, base, base + dt.timedelta(minutes=10)),
+        (1, 11, base + dt.timedelta(minutes=5), base + dt.timedelta(minutes=15)),
+        (1, 12, base + dt.timedelta(minutes=15), base + dt.timedelta(minutes=20)),
+        # key 1: disjoint [30,31)
+        (1, 13, base + dt.timedelta(minutes=30), base + dt.timedelta(minutes=31)),
+        # key 2: containment [0,60) contains [10,20); plus equal starts
+        (2, 20, base, base + dt.timedelta(minutes=60)),
+        (2, 21, base + dt.timedelta(minutes=10), base + dt.timedelta(minutes=20)),
+        (2, 22, base, base + dt.timedelta(seconds=1)),
+        # key 3: zero-length interval
+        (3, 30, base, base),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, s timestamp_ntz, e timestamp_ntz"
+    )
+    got = {
+        r["user_id"]: (r["n_intervals"], r["n_islands"], r["covered_s"])
+        for r in interval_coverage(df, "user_id", "s", "e", "event_id").collect()
+    }
+    assert got == {
+        1: (4, 2, 20 * 60 + 60),
+        2: (3, 1, 60 * 60),
+        3: (1, 1, 0),
+    }

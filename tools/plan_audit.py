@@ -483,6 +483,15 @@ EXPECTATIONS: dict[str, list[str]] = {
     # CACHED |vocab| frame (the k merge rounds already ran as bounded
     # side jobs) — the corpus is never re-scanned or re-joined
     "text_bpe_apply": ["InMemoryTableScan", "explode\\(split\\(trim\\(b", "partial_sum", "!Join", "!CartesianProduct", "!MapInPandas"],
+    # per-doc keyword extraction: one postings explode+agg, the
+    # vocab-bounded df joined WITHOUT a broadcast hint (AQE decides at
+    # audit scale it broadcasts), one per-doc row_number window; the
+    # scoring stays integer (no double division anywhere)
+    "text_keywords": ["Generate explode", "Window", "row_number", "!CartesianProduct", "!MapInPandas", "!BroadcastNestedLoopJoin"],
+    # interval union length: gaps-and-islands over ONE key-partitioned
+    # sort (both windows share the user_id exchange, the scd2 pin),
+    # then two aggregations — no join anywhere, no Python
+    "events_interval_coverage": ["Window", "Exchange hashpartitioning\\(user_id", "partial_min", "!Join", "!MapInPandas"],
     # PCA power iteration: the served plan is matvec joins + norm
     # scalars over the CACHED 4096-row moment matrix (the one corpus
     # pass already ran into the cache) — tiny frames, so joins must
