@@ -253,6 +253,11 @@ HEADLINE_EXTENSIONS = (
     # key-partitioned sort) — plan-audited; x10 in SCALE.md
     "text_keywords",
     "events_interval_coverage",
+    # round-13 continuation: DSIR systematic resampling (the dsir
+    # profile + one stratum window pair) and the A/B profile drift
+    # audit (one Expand aggregation pass) — plan-audited; x10 SCALE.md
+    "text_dsir_resample",
+    "dq_profile_diff",
     # dedup_semantic (SemDeDup) is EXCLUDED from the headline like
     # similarity_ivf_kmeans, whose Lloyd training it composes: the
     # entry's cost is ~85% deterministic-kmeans training (a per-corpus

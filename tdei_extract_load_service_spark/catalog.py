@@ -378,19 +378,20 @@ from tdei_extract_load_service_spark.catalog_entries import (  # noqa: E402,F401
 # stream_drift_history_shadow, text_bpe_train, text_bpe_apply,
 # text_bpe_fertility, embedding_outliers, stream_bm25_index_shadow,
 # embedding_pca_power, embedding_abtt_topk, text_keywords,
-# events_interval_coverage — the last thirteen landed in the r13
-# continuation sessions) — + rule (b) oldest-first.  Staleness is
-# measured by LAST DRIVER ROW, computed from the CORRECTNESS_r*.json
-# history (53 entries sat at ≤r9 going into r13; this window burned 2,
-# cdc_apply + corpus_mix_sample).  Rule (a) now takes 16 slots, so rule
-# (b) gets 14: the 14 oldest of the last-row-r8 cohort (alphabetical):
+# events_interval_coverage, text_dsir_resample, dq_profile_diff — the
+# last fifteen landed in the r13 continuation sessions) — + rule (b)
+# oldest-first.  Staleness is measured by LAST DRIVER ROW, computed
+# from the CORRECTNESS_r*.json history (53 entries sat at ≤r9 going
+# into r13; this window burned 2, cdc_apply + corpus_mix_sample).
+# Rule (a) now takes 18 slots, so rule (b) gets 12: the 12 oldest of
+# the last-row-r8 cohort (alphabetical):
 # dedup_lsh_verified, dedup_winnow_cluster, events_funnel,
 # events_retention, events_retention_cohorts, similarity_ivf_pq,
 # similarity_pq, similarity_pq_recall, stream_funnel_shadow, text_chunk,
-# text_contamination, text_normalize, tpch_q10_returned_items,
-# tpch_q13_customer_distribution —
-# 20+16+14 = 50. The displaced r8-cohort tail
-# (tpch_q14_promo_effect, tpch_q15_top_supplier,
+# text_contamination, text_normalize —
+# 20+18+12 = 50. The displaced r8-cohort tail
+# (tpch_q10_returned_items, tpch_q13_customer_distribution,
+# tpch_q14_promo_effect, tpch_q15_top_supplier,
 # tpch_q17_small_quantity_revenue, tpch_q18_large_volume_customer,
 # tpch_q19_discounted_revenue, tpch_q20_potential_part_promotion,
 # tpch_q21_suppliers_kept_waiting, tpch_q22_global_sales_opportunity,

@@ -1737,3 +1737,72 @@ def q_anonymize_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         t_num=3,
         t_den=25,
     )
+
+
+@register(
+    "dq_profile_diff",
+    """
+    WITH two AS (
+      SELECT CAST(o_orderkey % 2 AS INT) AS snap,
+             COUNT(*) AS n_rows,
+             COUNT(DISTINCT o_custkey) AS o_custkey_distinct,
+             COUNT(DISTINCT o_orderstatus) AS o_orderstatus_distinct,
+             MIN(ROUND(o_totalprice, 2)) AS o_totalprice_min,
+             MAX(ROUND(o_totalprice, 2)) AS o_totalprice_max
+      FROM orders GROUP BY 1
+    ),
+    one AS (
+      SELECT
+        MAX(CASE WHEN snap = 0 THEN n_rows END) AS n_rows_a,
+        MAX(CASE WHEN snap = 1 THEN n_rows END) AS n_rows_b,
+        MAX(CASE WHEN snap = 0 THEN o_custkey_distinct END) AS cd_a,
+        MAX(CASE WHEN snap = 1 THEN o_custkey_distinct END) AS cd_b,
+        MAX(CASE WHEN snap = 0 THEN o_orderstatus_distinct END) AS sd_a,
+        MAX(CASE WHEN snap = 1 THEN o_orderstatus_distinct END) AS sd_b,
+        MAX(CASE WHEN snap = 0 THEN o_totalprice_min END) AS mn_a,
+        MAX(CASE WHEN snap = 1 THEN o_totalprice_min END) AS mn_b,
+        MAX(CASE WHEN snap = 0 THEN o_totalprice_max END) AS mx_a,
+        MAX(CASE WHEN snap = 1 THEN o_totalprice_max END) AS mx_b
+      FROM two
+    )
+    SELECT metric, snap_a, snap_b, flagged FROM (
+      SELECT 'n_rows' AS metric, CAST(n_rows_a AS DOUBLE) AS snap_a,
+             CAST(n_rows_b AS DOUBLE) AS snap_b,
+             10 * abs(n_rows_a - n_rows_b) > 1 * greatest(n_rows_a, n_rows_b) AS flagged
+      FROM one
+      UNION ALL
+      SELECT 'o_custkey_distinct', CAST(cd_a AS DOUBLE), CAST(cd_b AS DOUBLE),
+             10 * abs(cd_a - cd_b) > 1 * greatest(cd_a, cd_b)
+      FROM one
+      UNION ALL
+      SELECT 'o_orderstatus_distinct', CAST(sd_a AS DOUBLE), CAST(sd_b AS DOUBLE),
+             10 * abs(sd_a - sd_b) > 1 * greatest(sd_a, sd_b)
+      FROM one
+      UNION ALL
+      SELECT 'o_totalprice_min', mn_a, mn_b, mn_a <> mn_b FROM one
+      UNION ALL
+      SELECT 'o_totalprice_max', mx_a, mx_b, mx_a <> mx_b FROM one
+    )
+    ORDER BY metric ASC
+    """,
+)
+def q_dq_profile_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B table-profile drift audit (operators/profiling.py
+    profile_diff): orders split by o_orderkey parity stands in for
+    yesterday's-vs-today's snapshot; row counts, per-column distinct
+    counts and the o_totalprice range compared with integer
+    cross-multiplied verdicts (>10% swing flags counts, any change
+    flags range bounds). ONE grouped aggregation pass (count-distincts
+    ride Expand), then constant-sized pivots — the nightly
+    pre-publication data-quality regression gate."""
+    from tdei_extract_load_service_spark.operators.profiling import (
+        profile_diff,
+    )
+
+    return profile_diff(
+        _read(spark, sf_dir, "orders"),
+        F.col("o_orderkey") % 2,
+        ("o_custkey", "o_orderstatus"),
+        "o_totalprice",
+        rel_tenths=1,
+    )

@@ -670,3 +670,80 @@ def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keywords_topm(
         _read(spark, sf_dir, "documents"), "doc_id", "text", m=3
     )
+
+
+@register(
+    "text_dsir_resample",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang = 'en' AS is_t,
+             unnest(list_transform(
+               generate_series(1, greatest(len(string_split(text, ' ')) - 1, 0)),
+               i -> array_to_string(string_split(text, ' ')[i:i+1], ' '))) AS ng
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, is_t,
+             CAST(concat('0x', substr(md5(ng), 1, 8)) AS BIGINT) % 128 AS bucket
+      FROM toks
+    ),
+    f AS (
+      SELECT doc_id, is_t, bucket, COUNT(*) AS f FROM occ GROUP BY 1, 2, 3
+    ),
+    w AS (
+      SELECT bucket, SUM(f) AS r_cnt,
+             SUM(CASE WHEN is_t THEN f ELSE 0 END) AS t_cnt
+      FROM f GROUP BY 1
+    ),
+    tot AS (SELECT SUM(r_cnt) AS r_tot, SUM(t_cnt) AS t_tot FROM w),
+    wt AS (
+      SELECT bucket,
+             CAST(((t_cnt + 1) * 1000000000) // (t_tot + 128) AS BIGINT) AS pt,
+             CAST(((r_cnt + 1) * 1000000000) // (r_tot + 128) AS BIGINT) AS pr
+      FROM w, tot
+    ),
+    s AS (
+      SELECT f.doc_id,
+             CAST(SUM(f.f * (wt.pt - wt.pr)) AS BIGINT) AS dsir_score
+      FROM f JOIN wt USING (bucket) GROUP BY 1
+    ),
+    base AS (
+      SELECT d.lang AS stratum, s.doc_id,
+             greatest(s.dsir_score, 0) AS weight
+      FROM s JOIN documents d ON s.doc_id = d.doc_id
+    ),
+    cum AS (
+      SELECT stratum, doc_id, weight,
+             SUM(weight) OVER (PARTITION BY stratum ORDER BY doc_id ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(weight) OVER (PARTITION BY stratum) AS w_tot
+      FROM base
+    )
+    SELECT stratum, doc_id, CAST(weight AS BIGINT) AS weight,
+           CAST(((cum - weight) * 20) // w_tot AS INT) AS slot
+    FROM cum
+    WHERE w_tot > 0
+      AND (cum * 20) // w_tot > ((cum - weight) * 20) // w_tot
+    ORDER BY stratum ASC, doc_id ASC
+    """,
+)
+def q_text_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic importance resampling over DSIR weights
+    (operators/text.py dsir_resample) — the second half of the DSIR
+    recipe: per-lang stratum, 20 equally-spaced cumulative-weight
+    thresholds stated entirely in integer arithmetic ((cum*k) DIV W
+    crossings over id-ordered docs), weights = greatest(score, 0).
+    Proportional sampling preserves the target distribution where the
+    top-k cut (text_dsir_select) collapses onto its mode; every pick is
+    bit-identical cross-engine because no float and no RNG exists
+    anywhere in the selection."""
+    from tdei_extract_load_service_spark.operators.text import dsir_resample
+
+    return dsir_resample(
+        _read(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        target=F.col("lang") == "en",
+        stratum_col="lang",
+        k_per_stratum=20,
+    )

@@ -1948,3 +1948,84 @@ def keywords_topm(
         .where(F.col("rnk") <= m)
         .orderBy(F.col("doc_id").asc(), F.col("rnk").asc())
     )
+
+
+def dsir_resample(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target,
+    stratum_col: str,
+    k_per_stratum: int = 20,
+    n: int = 2,
+    num_buckets: int = 128,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Systematic importance RESAMPLING over DSIR weights — the second
+    half of the DSIR recipe (Xie et al. 2023): ``dsir_scores`` ranks,
+    this SAMPLES proportional to weight, which preserves the target
+    distribution instead of collapsing onto its mode the way a pure
+    top-k cut does. Deterministic low-variance systematic sampling in
+    EXACT integers: within each stratum, docs ordered by id carry a
+    cumulative weight ``cum``; doc i is selected iff
+    ``(cum_i * k) DIV W > (cum_{i-1} * k) DIV W`` — the k equally-spaced
+    thresholds of classic systematic resampling, stated entirely in
+    integer arithmetic so both engines agree on every pick (no float
+    cumulative sum, no RNG). Weights are ``greatest(dsir_score, 0)``
+    (the fixed-point probability-difference scores; non-target-leaning
+    docs get weight 0 and can never be picked). Returns
+    ``(stratum, doc_id, weight, slot)`` where ``slot`` is the picked
+    threshold index.
+
+    Scale shape: dsir_scores' one corpus-keyed (doc, bucket) shuffle,
+    then ONE stratum-partitioned window pair (cumsum + lag — they share
+    the stratum exchange, the token_budget_sample discipline) and a
+    filter. Per-stratum totals ride the same window (no second pass).
+    At 100 TB the stratum window is the bounded-state concern exactly
+    as in token_budget_sample: strata are the parallelism unit."""
+    from pyspark.sql.window import Window
+
+    scores = dsir_scores(
+        df, id_col, text_col, target=target, n=n,
+        num_buckets=num_buckets, scale=scale,
+    )
+    base = (
+        df.select(_col(id_col).alias("doc_id"), _col(stratum_col).alias("stratum"))
+        .join(scores.withColumnRenamed(id_col, "doc_id"), "doc_id")
+        .select(
+            "stratum",
+            "doc_id",
+            F.greatest(F.col("dsir_score"), F.lit(0)).alias("weight"),
+        )
+    )
+    w_run = (
+        Window.partitionBy("stratum")
+        .orderBy(F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("stratum")
+    cum = base.select(
+        "stratum",
+        "doc_id",
+        "weight",
+        F.sum("weight").over(w_run).alias("cum"),
+        F.sum("weight").over(w_all).alias("w_tot"),
+    )
+    kk = int(k_per_stratum)
+    sel = cum.where(F.col("w_tot") > 0).select(
+        "stratum",
+        "doc_id",
+        "weight",
+        F.expr(f"(cum * {kk}L) DIV w_tot").alias("_hi"),
+        F.expr(f"((cum - weight) * {kk}L) DIV w_tot").alias("_lo"),
+    )
+    return (
+        sel.where(F.col("_hi") > F.col("_lo"))
+        .select(
+            "stratum",
+            "doc_id",
+            "weight",
+            F.col("_lo").cast("int").alias("slot"),
+        )
+        .orderBy(F.col("stratum").asc(), F.col("doc_id").asc())
+    )

@@ -503,3 +503,90 @@ def test_interval_coverage_matches_pure_python(spark):
         2: (3, 1, 60 * 60),
         3: (1, 1, 0),
     }
+
+
+# ---------------------------------------------------------------------------
+# text_dsir_resample / dq_profile_diff
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_resample_matches_pure_python(spark):
+    """Systematic importance resampling: integer threshold crossings
+    over id-ordered cumulative weights, per stratum — checked against
+    the dsir reference scores from test_r13_wave2 plus a plain-Python
+    restatement of the slot logic."""
+    from pyspark.sql import functions as F
+
+    from tests.test_r13_wave2 import _corpus, _dsir_reference
+    from tdei_extract_load_service_spark.operators.text import dsir_resample
+
+    rows = _corpus(seed=29, n_docs=80)
+    strata = {i: ("s1" if i % 2 == 0 else "s2") for i, _ in rows}
+    df = spark.createDataFrame(
+        [(i, t, strata[i]) for i, t in rows],
+        "doc_id long, text string, stratum string",
+    )
+    k = 7
+    got = [
+        (r["stratum"], r["doc_id"], r["weight"], r["slot"])
+        for r in dsir_resample(
+            df, "doc_id", "text",
+            target=F.col("doc_id") % 3 == 0,
+            stratum_col="stratum", k_per_stratum=k,
+        ).collect()
+    ]
+    scores = _dsir_reference(rows, lambda d, t: d % 3 == 0)
+    want = []
+    for s in ("s1", "s2"):
+        docs = sorted(d for d in scores if strata[d] == s)
+        weights = {d: max(scores[d], 0) for d in docs}
+        w_tot = sum(weights.values())
+        if w_tot == 0:
+            continue
+        cum = 0
+        for d in docs:
+            lo = (cum * k) // w_tot
+            cum += weights[d]
+            hi = (cum * k) // w_tot
+            if hi > lo:
+                want.append((s, d, weights[d], lo))
+    want.sort(key=lambda r: (r[0], r[1]))
+    assert got == want
+    # proportionality sanity: every pick has positive weight, and no
+    # stratum exceeds k picks
+    assert all(w > 0 for _, _, w, _ in got)
+    from collections import Counter
+
+    per = Counter(s for s, *_ in got)
+    assert all(v <= k for v in per.values()) and len(per) == 2
+
+
+def test_profile_diff_flags_planted_drift(spark):
+    from pyspark.sql import functions as F
+
+    from tdei_extract_load_service_spark.operators.profiling import (
+        profile_diff,
+    )
+
+    rows = []
+    # snapshot 0 (even ids): 60 rows, 30 distinct keys, values 1..60
+    for i in range(60):
+        rows.append((i * 2, i % 30, "A", float(i + 1)))
+    # snapshot 1 (odd ids): 40 rows (>10% row drift), 30 distinct keys,
+    # values 1..40 (max drifts, min stays)
+    for i in range(40):
+        rows.append((i * 2 + 1, i % 30, "A", float(i + 1)))
+    df = spark.createDataFrame(
+        rows, "k long, cust long, status string, price double"
+    )
+    got = {
+        r["metric"]: (r["snap_a"], r["snap_b"], r["flagged"])
+        for r in profile_diff(
+            df, F.col("k") % 2, ("cust", "status"), "price"
+        ).collect()
+    }
+    assert got["n_rows"] == (60.0, 40.0, True)
+    assert got["cust_distinct"] == (30.0, 30.0, False)
+    assert got["status_distinct"] == (1.0, 1.0, False)
+    assert got["price_min"] == (1.0, 1.0, False)
+    assert got["price_max"] == (60.0, 40.0, True)

@@ -492,6 +492,15 @@ EXPECTATIONS: dict[str, list[str]] = {
     # sort (both windows share the user_id exchange, the scd2 pin),
     # then two aggregations — no join anywhere, no Python
     "events_interval_coverage": ["Window", "Exchange hashpartitioning\\(user_id", "partial_min", "!Join", "!MapInPandas"],
+    # DSIR systematic resampling: dsir_scores' cached (doc,bucket)
+    # profile + ONE stratum-partitioned window pair sharing the stratum
+    # exchange (the token_budget_sample discipline); selection is a
+    # pure integer filter — no float, no RNG, no second corpus pass
+    "text_dsir_resample": ["InMemoryTableScan", "Window", "Exchange hashpartitioning\\(stratum", "!CartesianProduct", "!MapInPandas", "!ArrowEvalPython"],
+    # A/B profile drift: ONE grouped aggregation pass (count-distincts
+    # ride Expand, the column_profile shape) to a 2-row frame, then
+    # constant-sized pivots — no join, no second scan, no Python
+    "dq_profile_diff": ["Expand", "partial_count", "!Join", "!MapInPandas", "=1:FileScan parquet"],
     # PCA power iteration: the served plan is matvec joins + norm
     # scalars over the CACHED 4096-row moment matrix (the one corpus
     # pass already ran into the cache) — tiny frames, so joins must
