@@ -1259,37 +1259,7 @@ def q_events_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("day").asc())
 
 
-@register(
-    "stream_bm25_index_shadow",
-    r"""
-    WITH dl AS (
-      SELECT doc_id,
-             CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(regexp_split_to_array(trim(text), '[ \t\n\r\f\v]+')) END AS dl
-      FROM documents),
-    scal AS (
-      SELECT COUNT(*) AS n_docs,
-             CAST(SUM(CAST(dl AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avgdl
-      FROM dl),
-    tf AS (
-      SELECT doc_id, t.term, COUNT(*) AS tf
-      FROM documents, unnest(regexp_split_to_array(trim(text), '[ \t\n\r\f\v]+')) AS t(term)
-      WHERE t.term IN ('spark', 'join', 'window', 'scan')
-      GROUP BY doc_id, t.term),
-    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
-    SELECT tf.doc_id,
-           ROUND(CAST(SUM(CAST(
-              ln(1.0 + (scal.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
-              * (tf.tf * 2.2)
-              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / scal.avgdl))
-           AS DECIMAL(28,12))) AS DOUBLE), 6) AS bm25,
-           COUNT(*) AS n_terms_hit
-    FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN scal
-    GROUP BY tf.doc_id
-    ORDER BY bm25 DESC, tf.doc_id ASC
-    LIMIT 10
-    """,
-)
+@register("stream_bm25_index_shadow", ORACLES.bm25_topk_oracle_sql())
 def q_stream_bm25_index_shadow(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1325,7 +1295,7 @@ def q_stream_bm25_index_shadow(
       FROM events
     ),
     flagged AS (
-      SELECT user_id, s, e,
+      SELECT user_id, event_id, s, e,
              CASE WHEN max(e) OVER (
                PARTITION BY user_id ORDER BY s ASC, e ASC, event_id ASC
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
@@ -1338,7 +1308,7 @@ def q_stream_bm25_index_shadow(
     islands AS (
       SELECT user_id,
              SUM(flag) OVER (
-               PARTITION BY user_id ORDER BY s ASC, e ASC
+               PARTITION BY user_id ORDER BY s ASC, e ASC, event_id ASC
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
              ) AS island, s, e
       FROM flagged

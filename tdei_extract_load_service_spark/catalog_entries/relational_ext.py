@@ -1768,20 +1768,20 @@ def q_anonymize_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT metric, snap_a, snap_b, flagged FROM (
       SELECT 'n_rows' AS metric, CAST(n_rows_a AS DOUBLE) AS snap_a,
              CAST(n_rows_b AS DOUBLE) AS snap_b,
-             10 * abs(n_rows_a - n_rows_b) > 1 * greatest(n_rows_a, n_rows_b) AS flagged
+             COALESCE(10 * abs(n_rows_a - n_rows_b) > 1 * greatest(n_rows_a, n_rows_b), TRUE) AS flagged
       FROM one
       UNION ALL
       SELECT 'o_custkey_distinct', CAST(cd_a AS DOUBLE), CAST(cd_b AS DOUBLE),
-             10 * abs(cd_a - cd_b) > 1 * greatest(cd_a, cd_b)
+             COALESCE(10 * abs(cd_a - cd_b) > 1 * greatest(cd_a, cd_b), TRUE)
       FROM one
       UNION ALL
       SELECT 'o_orderstatus_distinct', CAST(sd_a AS DOUBLE), CAST(sd_b AS DOUBLE),
-             10 * abs(sd_a - sd_b) > 1 * greatest(sd_a, sd_b)
+             COALESCE(10 * abs(sd_a - sd_b) > 1 * greatest(sd_a, sd_b), TRUE)
       FROM one
       UNION ALL
-      SELECT 'o_totalprice_min', mn_a, mn_b, mn_a <> mn_b FROM one
+      SELECT 'o_totalprice_min', mn_a, mn_b, COALESCE(mn_a <> mn_b, TRUE) FROM one
       UNION ALL
-      SELECT 'o_totalprice_max', mx_a, mx_b, mx_a <> mx_b FROM one
+      SELECT 'o_totalprice_max', mx_a, mx_b, COALESCE(mx_a <> mx_b, TRUE) FROM one
     )
     ORDER BY metric ASC
     """,

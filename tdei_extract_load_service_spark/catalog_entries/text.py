@@ -160,37 +160,7 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", TX.fingerprint("text").alias("fp"))
 
 
-@register(
-    "text_bm25_topk",
-    r"""
-    WITH dl AS (
-      SELECT doc_id,
-             CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(regexp_split_to_array(trim(text), '[ \t\n\r\f\v]+')) END AS dl
-      FROM documents),
-    scal AS (
-      SELECT COUNT(*) AS n_docs,
-             CAST(SUM(CAST(dl AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avgdl
-      FROM dl),
-    tf AS (
-      SELECT doc_id, t.term, COUNT(*) AS tf
-      FROM documents, unnest(regexp_split_to_array(trim(text), '[ \t\n\r\f\v]+')) AS t(term)
-      WHERE t.term IN ('spark', 'join', 'window', 'scan')
-      GROUP BY doc_id, t.term),
-    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
-    SELECT tf.doc_id,
-           ROUND(CAST(SUM(CAST(
-              ln(1.0 + (scal.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
-              * (tf.tf * 2.2)
-              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / scal.avgdl))
-           AS DECIMAL(28,12))) AS DOUBLE), 6) AS bm25,
-           COUNT(*) AS n_terms_hit
-    FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN scal
-    GROUP BY tf.doc_id
-    ORDER BY bm25 DESC, tf.doc_id ASC
-    LIMIT 10
-    """,
-)
+@register("text_bm25_topk", ORACLES.bm25_topk_oracle_sql())
 def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-10 for a fixed 4-term query (operators/text.py
     bm25_topk): filtered-postings tf, broadcast df + one-row corpus

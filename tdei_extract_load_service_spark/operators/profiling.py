@@ -676,7 +676,11 @@ def profile_diff(
 
     Returns ``(metric, snap_a, snap_b, flagged)`` — one row per metric,
     every number exact (counts; the range bounds ROUND-2), every
-    verdict integer arithmetic.
+    verdict integer arithmetic. A MISSING snapshot side (one snapshot
+    wrote zero rows — the most drastic regression) yields NULL metric
+    values, which COALESCE to flagged=true: the gate fails loudly
+    instead of letting NULL verdicts sail through a
+    ``flagged = true`` filter (found by review).
 
     Scale shape: ONE grouped aggregation pass over the fact scan (the
     count-distincts ride Spark's Expand, the column_profile shape),
@@ -710,9 +714,10 @@ def profile_diff(
                 F.lit(m).alias("metric"),
                 a.cast("double").alias("snap_a"),
                 b.cast("double").alias("snap_b"),
-                (
+                F.coalesce(
                     F.lit(10) * F.abs(a - b)
-                    > F.lit(int(rel_tenths)) * F.greatest(a, b)
+                    > F.lit(int(rel_tenths)) * F.greatest(a, b),
+                    F.lit(True),
                 ).alias("flagged"),
             )
         )
@@ -723,7 +728,7 @@ def profile_diff(
                 F.lit(m).alias("metric"),
                 a.cast("double").alias("snap_a"),
                 b.cast("double").alias("snap_b"),
-                (a != b).alias("flagged"),
+                F.coalesce(a != b, F.lit(True)).alias("flagged"),
             )
         )
     return (

@@ -1058,6 +1058,33 @@ def source_overlap(
     )
 
 
+def _bm25_token_stream(
+    docs: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """The tokenize/doc-length half shared by ``bm25_topk`` (inline)
+    and ``bm25_batch_stats`` (the streamed-index append): one token
+    explode and the empty-text dl=0 guard, defined ONCE so the
+    streamed == inline bit-identity is structural on BOTH halves of
+    the query (the _bm25_rank extraction covered the scoring half; a
+    review pass found the tokenizer half still hand-duplicated).
+    Returns ``(tokens, dl)`` with ``tokens`` the un-aggregated
+    (doc_id, term) stream — callers filter (query terms / non-empty)
+    BEFORE aggregating, so the inline path keeps its
+    filter-before-shuffle plan."""
+    ws = _WS_CLASS
+    tokens = docs.select(
+        _col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(_col(text_col)), ws)).alias("term"),
+    )
+    dl = docs.select(
+        _col(id_col).alias("doc_id"),
+        F.when(F.trim(_col(text_col)) == "", 0)
+        .otherwise(F.size(F.split(F.trim(_col(text_col)), ws)))
+        .alias("dl"),
+    )
+    return tokens, dl
+
+
 def bm25_topk(
     docs: DataFrame,
     id_col: str,
@@ -1097,13 +1124,7 @@ def bm25_topk(
     nondeterminism can't flip ties (see memory: parity recipes)."""
     if not terms:
         raise ValueError("terms must be non-empty")
-    ws = _WS_CLASS
-    dl = docs.select(
-        _col(id_col).alias("doc_id"),
-        F.when(F.trim(_col(text_col)) == "", 0)
-        .otherwise(F.size(F.split(F.trim(_col(text_col)), ws)))
-        .alias("dl"),
-    )
+    tokens, dl = _bm25_token_stream(docs, id_col, text_col)
     scal = dl.agg(
         F.count("*").alias("n_docs"),
         (
@@ -1119,11 +1140,7 @@ def bm25_topk(
     from tdei_extract_load_service_spark.session import persist_scoped
 
     tf = persist_scoped(
-        docs.select(
-            _col(id_col).alias("doc_id"),
-            F.explode(F.split(F.trim(_col(text_col)), ws)).alias("term"),
-        )
-        .where(F.col("term").isin(list(terms)))
+        tokens.where(F.col("term").isin(list(terms)))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf")),
         "text.bm25_topk.tf",
@@ -1195,21 +1212,11 @@ def bm25_batch_stats(
     split. df / avgdl are NOT stored — they are derived at serve time
     from the streamed tables (IDF depends on the whole corpus, so
     storing it per batch would bake in a stale denominator)."""
-    ws = _WS_CLASS
+    tokens, dl = _bm25_token_stream(docs, id_col, text_col)
     postings = (
-        docs.select(
-            _col(id_col).alias("doc_id"),
-            F.explode(F.split(F.trim(_col(text_col)), ws)).alias("term"),
-        )
-        .where(F.col("term") != "")
+        tokens.where(F.col("term") != "")
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
-    )
-    dl = docs.select(
-        _col(id_col).alias("doc_id"),
-        F.when(F.trim(_col(text_col)) == "", 0)
-        .otherwise(F.size(F.split(F.trim(_col(text_col)), ws)))
-        .alias("dl"),
     )
     return postings, dl
 
@@ -1998,6 +2005,20 @@ def dsir_resample(
             F.greatest(F.col("dsir_score"), F.lit(0)).alias("weight"),
         )
     )
+    kk = kk_guard = int(k_per_stratum)
+    # overflow guard (the keywords_topm discipline): the threshold
+    # products cum * k reach w_tot * k at the stratum tail, and Spark's
+    # non-ANSI bigint multiply wraps silently where DuckDB errors — an
+    # unguarded overflow is a cross-engine MISMATCH, not a crash. One
+    # bounded (|strata|-row) aggregate over the cached dsir profile.
+    max_tot = base.groupBy("stratum").agg(
+        F.sum("weight").alias("_w")
+    ).agg(F.max("_w").alias("_m")).collect()[0]["_m"]
+    if max_tot is not None and int(max_tot) * kk_guard > 2**63 - 1:
+        raise ValueError(
+            "dsir_resample: stratum weight total * k exceeds int64 — "
+            "lower the fixed-point scale or split the stratum"
+        )
     w_run = (
         Window.partitionBy("stratum")
         .orderBy(F.col("doc_id").asc())
@@ -2011,7 +2032,6 @@ def dsir_resample(
         F.sum("weight").over(w_run).alias("cum"),
         F.sum("weight").over(w_all).alias("w_tot"),
     )
-    kk = int(k_per_stratum)
     sel = cum.where(F.col("w_tot") > 0).select(
         "stratum",
         "doc_id",

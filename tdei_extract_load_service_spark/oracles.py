@@ -887,8 +887,14 @@ def _bpe_rounds_with(k: int) -> str:
     discipline — default CTE inlining would re-expand each round's
     whole history. The sentinel-bounded symbol string and left-to-right
     replace are stated verbatim, so every round's pair table, argmax
-    tiebreak and merge application are value-certified. Ends with a
-    trailing comma: callers append their own final CTE / select."""
+    tiebreak and merge application are value-certified. A round whose
+    pair table is EMPTY (vocabulary fully merged before round k) must
+    not empty the chain: v{t} LEFT-JOINs its merge row and COALESCEs
+    the replace back to the previous encoding, mirroring _bpe_learn's
+    loop break (found by review — the cross-join form zeroed
+    bpe_apply/bpe_fertility on fully-merged corpora while bpe_train,
+    which only unions the m CTEs, hid it). Ends with a trailing comma:
+    callers append their own final CTE / select."""
     steps = []
     for t in range(1, k + 1):
         steps.append(f"""
@@ -905,10 +911,10 @@ def _bpe_rounds_with(k: int) -> str:
       ORDER BY pair_count DESC, left_sym ASC, right_sym ASC LIMIT 1
     ),
     v{t} AS MATERIALIZED (
-      SELECT word, cnt, replace(b,
+      SELECT word, cnt, COALESCE(replace(b,
         chr(31) || left_sym || chr(31) || chr(31) || right_sym || chr(31),
-        chr(31) || left_sym || right_sym || chr(31)) AS b
-      FROM v{t - 1}, m{t}
+        chr(31) || left_sym || right_sym || chr(31)), b) AS b
+      FROM v{t - 1} LEFT JOIN m{t} ON TRUE
     ),""")
     return f"""
     WITH v0 AS MATERIALIZED (
@@ -1079,3 +1085,39 @@ def abtt_topk_oracle_sql(dim: int = 64, iters: int = 3, k: int = 10) -> str:
     FROM corr
     ORDER BY cos_abtt DESC, id ASC LIMIT {k}
     """
+
+
+def bm25_topk_oracle_sql() -> str:
+    """The canonical BM25 top-10 oracle (fixed 4-term query, folded
+    k1/b literals, DECIMAL-summed term scores) — ONE definition shared
+    by text_bm25_topk AND stream_bm25_index_shadow so the streamed
+    cert can never drift from the inline cert (hoisted by review: the
+    two registrations carried byte-identical 28-line copies)."""
+    return r'''
+    WITH dl AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '[ \t\n\r\f\v]+')) END AS dl
+      FROM documents),
+    scal AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(CAST(dl AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl),
+    tf AS (
+      SELECT doc_id, t.term, COUNT(*) AS tf
+      FROM documents, unnest(regexp_split_to_array(trim(text), '[ \t\n\r\f\v]+')) AS t(term)
+      WHERE t.term IN ('spark', 'join', 'window', 'scan')
+      GROUP BY doc_id, t.term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+    SELECT tf.doc_id,
+           ROUND(CAST(SUM(CAST(
+              ln(1.0 + (scal.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (tf.tf * 2.2)
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / scal.avgdl))
+           AS DECIMAL(28,12))) AS DOUBLE), 6) AS bm25,
+           COUNT(*) AS n_terms_hit
+    FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN scal
+    GROUP BY tf.doc_id
+    ORDER BY bm25 DESC, tf.doc_id ASC
+    LIMIT 10
+    '''

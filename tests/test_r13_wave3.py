@@ -590,3 +590,113 @@ def test_profile_diff_flags_planted_drift(spark):
     assert got["status_distinct"] == (1.0, 1.0, False)
     assert got["price_min"] == (1.0, 1.0, False)
     assert got["price_max"] == (60.0, 40.0, True)
+
+
+# ---------------------------------------------------------------------------
+# review-pass regressions (third continuation wave)
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_oracle_survives_fully_merged_vocab(spark):
+    """Review fix: a merge round with NO remaining pairs must not empty
+    the oracle's CTE chain — Spark breaks its loop with the vocab
+    intact, and the LEFT JOIN/COALESCE form now mirrors that. Checked
+    end-to-end through DuckDB on a corpus that fully merges before
+    k=6."""
+    import duckdb
+
+    from tdei_extract_load_service_spark import oracles as O
+    from tdei_extract_load_service_spark.operators.text import (
+        bpe_apply,
+        bpe_fertility,
+    )
+
+    # two-char words: every vocab entry merges to ONE symbol in <=2
+    # rounds, leaving rounds 3..6 with empty pair tables
+    texts = [("ab ab cd",), ("ab cd cd",)]
+    df = spark.createDataFrame(texts, "text string")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES ('ab ab cd'), ('ab cd cd')) t(text)"
+    )
+    duck_apply = con.execute(O.bpe_apply_oracle_sql(k=6)).fetchall()
+    got_apply = [
+        (r["token"], r["token_len"], r["occurrences"], r["vocab_slots"])
+        for r in bpe_apply(df, "text", k=6).collect()
+    ]
+    assert [tuple(r) for r in duck_apply] == got_apply
+    assert got_apply == [("ab", 2, 3, 1), ("cd", 2, 3, 1)]
+    duck_fert = con.execute(O.bpe_fertility_oracle_sql(k=6)).fetchone()
+    got_fert = tuple(bpe_fertility(df, "text", k=6).collect()[0])
+    assert tuple(duck_fert) == got_fert
+    assert got_fert[0] == 6 and got_fert[2] == 6  # words == tokens
+
+
+def test_profile_diff_missing_snapshot_flags_loudly(spark):
+    """Review fix: a one-sided (empty) snapshot yields NULL metric
+    values which must COALESCE to flagged=true — the gate fails loudly
+    on the most drastic regression instead of NULLing through."""
+    from pyspark.sql import functions as F
+
+    from tdei_extract_load_service_spark.operators.profiling import (
+        profile_diff,
+    )
+
+    rows = [(i * 2, i % 5, "A", float(i)) for i in range(1, 20)]  # even only
+    df = spark.createDataFrame(
+        rows, "k long, cust long, status string, price double"
+    )
+    out = profile_diff(
+        df, F.col("k") % 2, ("cust", "status"), "price"
+    ).collect()
+    assert len(out) == 5
+    assert all(r["flagged"] for r in out)
+    assert all(r["snap_b"] is None for r in out)
+
+
+def test_interval_coverage_tied_duplicate_intervals(spark):
+    """Review fix: identical (s, e) intervals for one key must land in
+    the same island deterministically (the islands window now carries
+    the id tiebreak in BOTH engines)."""
+    import datetime as dt
+
+    from tdei_extract_load_service_spark.operators.relational import (
+        interval_coverage,
+    )
+
+    base = dt.datetime(2024, 6, 1, 9, 0, 0)
+    rows = [
+        (1, 1, base, base + dt.timedelta(minutes=5)),
+        (1, 2, base, base + dt.timedelta(minutes=5)),  # exact duplicate
+        (1, 3, base + dt.timedelta(minutes=10), base + dt.timedelta(minutes=11)),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, s timestamp_ntz, e timestamp_ntz"
+    )
+    got = interval_coverage(df, "user_id", "s", "e", "event_id").collect()
+    assert [tuple(r) for r in got] == [(1, 3, 2, 6 * 60)]
+
+
+def test_dsir_resample_overflow_guard(spark):
+    """Review fix: a stratum weight total whose threshold product would
+    exceed int64 must raise loudly (Spark would wrap silently where
+    DuckDB errors — a cross-engine mismatch, not a crash)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tdei_extract_load_service_spark.operators.text import dsir_resample
+
+    from tests.test_r13_wave2 import _corpus
+
+    rows = _corpus(seed=3, n_docs=30)
+    df = spark.createDataFrame(
+        [(i, t, "s") for i, t in rows],
+        "doc_id long, text string, stratum string",
+    )
+    with pytest.raises(ValueError, match="int64"):
+        dsir_resample(
+            df, "doc_id", "text",
+            target=F.col("doc_id") % 3 == 0,
+            stratum_col="stratum",
+            k_per_stratum=2**62,
+        )
