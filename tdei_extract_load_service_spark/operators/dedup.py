@@ -964,15 +964,42 @@ def planes_per_band_for(n_rows: int, target_bucket: int = 256) -> int:
     return max(4, min(24, (q - 1).bit_length()))
 
 
+def _vec_in(vec_col: str | Column) -> Column | str:
+    """Column-name input as a SQL fragment (for the codegen form of
+    ``lsh_bucket``); Column input passes through to the fluent form."""
+    from tdei_extract_load_service_spark.operators.similarity import (
+        _ident_sql,
+    )
+
+    return _ident_sql(vec_col) if isinstance(vec_col, str) else vec_col
+
+
+def _nrm_expr(vec_col: str | Column, dim: int | None) -> Column:
+    """``sqrt(_dot(vec, vec))`` aliased ``_nrm`` — unrolled to codegen
+    arithmetic when the column name and dim are statically known (same
+    left-assoc fold, bit-identical doubles; see similarity._dot_cols_sql)."""
+    if isinstance(vec_col, str) and dim is not None:
+        from tdei_extract_load_service_spark.operators.similarity import (
+            _dot_cols_sql,
+            _ident_sql,
+        )
+
+        v = _ident_sql(vec_col)
+        return F.expr(f"sqrt({_dot_cols_sql(v, v, dim)})").alias("_nrm")
+    return F.sqrt(_dot(_col(vec_col), _col(vec_col))).alias("_nrm")
+
+
 def _lsh_band_cols(
-    vec: Column,
+    vec: Column | str,
     dim: int,
     n_bands: int,
     planes_per_band: int,
     planes: list[list[float]],
 ) -> list[Column]:
     """One sign-pattern bucket column per band, each band over its own
-    plane slice (shared by the inline and stored LSH paths)."""
+    plane slice (shared by the inline and stored LSH paths). Pass
+    ``vec`` as a SQL fragment (``similarity._ident_sql`` of the column
+    name) for the one-round-trip codegen form of ``lsh_bucket``."""
     from tdei_extract_load_service_spark.operators.similarity import lsh_bucket
 
     cols = []
@@ -985,16 +1012,33 @@ def _lsh_band_cols(
 
 
 def _lsh_pairs_from_banded(
-    banded: DataFrame, n_bands: int, threshold: float
+    banded: DataFrame, n_bands: int, threshold: float, dim: int | None = None
 ) -> DataFrame:
-    """The verify half of banded LSH: per band, a merge-hinted self-join
-    on the band bucket keeping a pair only in its FIRST colliding band,
-    then exact-cosine verification. ``banded`` must carry
-    ``id, vec, _nrm, _b0.._b{n-1}`` — whether freshly computed
+    """The verify half of banded LSH: ONE merge-hinted self-join on the
+    exploded (band, bucket) key keeping a pair only in its FIRST
+    colliding band, then exact-cosine verification. ``banded`` must
+    carry ``id, vec, _nrm, _b0.._b{n-1}`` — whether freshly computed
     (``embedding_lsh_pairs``) or scanned from a stored index
     (``embedding_lsh_pairs_stored``), the emitted pairs are
     bit-identical because the doubles come along unchanged."""
-    return _lsh_pairs_between(banded, banded, n_bands, threshold)
+    return _lsh_pairs_between(banded, banded, n_bands, threshold, dim=dim)
+
+
+def _explode_banded(df: DataFrame, n_bands: int) -> DataFrame:
+    """(id, vec, _nrm, _b0.._b{n-1}) -> one row per band carrying the
+    full bucket array: (id, vec, _nrm, _bs, _band, _bkt)."""
+    return df.select(
+        "id",
+        "vec",
+        "_nrm",
+        F.array(*[F.col(f"_b{i}") for i in range(n_bands)]).alias("_bs"),
+    ).select(
+        "id",
+        "vec",
+        "_nrm",
+        "_bs",
+        F.posexplode(F.col("_bs")).alias("_band", "_bkt"),
+    )
 
 
 def _lsh_pairs_between(
@@ -1003,6 +1047,7 @@ def _lsh_pairs_between(
     n_bands: int,
     threshold: float,
     broadcast_side: str | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Two-frame form of the first-collision-band verify join (the
     self-join is the ``a_df is b_df`` special case). First-collision
@@ -1011,44 +1056,84 @@ def _lsh_pairs_between(
     reproduces the single-frame output exactly — the property the
     incremental path relies on.
 
+    ONE join, not one per band (optimization r13, guide §2.2/§2.4): the
+    former shape ran ``n_bands`` separate self-joins — 2·n_bands
+    exchanges and sorts of the same frame, whose fixed stage overhead
+    dominated at small SF and whose many-small-shuffles shape is
+    exactly what degrades at scale. Both sides now posexplode to
+    (band, bucket) rows ONCE and equi-join on that composite key — the
+    same total rows cross the network (n_bands copies either way) in 2
+    exchanges instead of 2·n_bands. First-collision membership rides
+    the exploded row's bucket ARRAY as a join residual:
+    ``array_position(zip_with(a._bs, b._bs, eq), true) == band + 1``
+    holds iff the pair collides at ``band`` and at no earlier band —
+    identical to the old per-band "earlier buckets differ" predicates
+    (bucket expressions are never NULL: ``lsh_bucket`` folds through
+    ``otherwise(0)``, so the boolean array is null-free and
+    array_position is exact).
+
     ``broadcast_side`` ('a' | 'b' | None): the corpus SELF-join pins
     sort-merge (broadcast OOMs at x10, shuffle_hash at x100 —
     SCALE.md), but the incremental two-frame form is ASYMMETRIC — a
-    small delta against a big index — and broadcasting the delta side
-    removes the per-band shuffle+sort of the index entirely (measured
+    small delta against a big index — and broadcasting the (exploded)
+    delta side removes the shuffle+sort of the index entirely (measured
     4.4s -> 2.5s at sf0.1, r11). Callers gate it on the delta's actual
     row count; results are join-strategy-independent."""
-    if broadcast_side == "a":
-        a_df = F.broadcast(a_df)
-    elif broadcast_side == "b":
-        b_df = F.broadcast(b_df)
-    elif broadcast_side is not None:
+    if broadcast_side not in (None, "a", "b"):
         raise ValueError("broadcast_side must be 'a', 'b' or None")
-    a, b = a_df.alias("a"), b_df.alias("b")
-    if broadcast_side is None:
+    a = _explode_banded(a_df, n_bands).alias("a")
+    b = _explode_banded(b_df, n_bands).alias("b")
+    if broadcast_side == "a":
+        a = F.broadcast(a)
+    elif broadcast_side == "b":
+        b = F.broadcast(b)
+    else:
         b = b.hint("merge")
-    per_band = []
-    for band in range(n_bands):
-        cond = (F.col(f"a._b{band}") == F.col(f"b._b{band}")) & (
-            F.col("a.id") < F.col("b.id")
+    # first-collision residual as a flat CASE (the first band whose
+    # buckets agree): identical to array_position over the zip_with
+    # boolean array — bucket values are never NULL — but evaluated as
+    # codegen branches, no per-pair array allocation
+    first_hit = (
+        "(CASE "
+        + " ".join(
+            f"WHEN a._bs[{i}] = b._bs[{i}] THEN {i + 1}"
+            for i in range(n_bands)
         )
-        for earlier in range(band):
-            cond &= F.col(f"a._b{earlier}") != F.col(f"b._b{earlier}")
-        per_band.append(
-            a.join(b, cond).select(
-                F.col("a.id").alias("id_a"),
-                F.col("b.id").alias("id_b"),
-                F.round(
-                    _dot(F.col("a.vec"), F.col("b.vec"))
-                    / (F.col("a._nrm") * F.col("b._nrm")),
-                    6,
-                ).alias("cosine"),
-            )
+        + " END)"
+    )
+    cond = (
+        (F.col("a._band") == F.col("b._band"))
+        & (F.col("a._bkt") == F.col("b._bkt"))
+        & (F.col("a.id") < F.col("b.id"))
+        & (F.expr(first_hit) == F.col("a._band") + F.lit(1))
+    )
+    if dim is not None:
+        # unrolled verify cosine (similarity._dot_cols_sql): the join's
+        # hot loop is one cosine per candidate — codegen arithmetic with
+        # the identical left-assoc fold, bit-identical doubles
+        from tdei_extract_load_service_spark.operators.similarity import (
+            _dot_cols_sql,
         )
-    out = per_band[0]
-    for frame in per_band[1:]:
-        out = out.unionByName(frame)
-    return out.where(F.col("cosine") >= threshold)
+
+        cos = F.expr(
+            f"round({_dot_cols_sql('a.vec', 'b.vec', dim)}"
+            " / (a._nrm * b._nrm), 6)"
+        )
+    else:
+        cos = F.round(
+            _dot(F.col("a.vec"), F.col("b.vec"))
+            / (F.col("a._nrm") * F.col("b._nrm")),
+            6,
+        )
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
 
 
 def embedding_lsh_pairs(
@@ -1137,12 +1222,14 @@ def embedding_lsh_pairs(
             # sees ~bucket_size candidates per row, and recomputing
             # sqrt(dot(v,v)) per PAIR costs a second 64-wide fold per
             # candidate. Same doubles, same ops -> bit-identical cosines.
-            F.sqrt(_dot(_col(vec_col), _col(vec_col))).alias("_nrm"),
-            *_lsh_band_cols(_col(vec_col), dim, n_bands, planes_per_band, planes),
+            _nrm_expr(vec_col, dim),
+            *_lsh_band_cols(
+                _vec_in(vec_col), dim, n_bands, planes_per_band, planes
+            ),
         )
         .persist()
     )
-    out = _lsh_pairs_from_banded(banded, n_bands, threshold)
+    out = _lsh_pairs_from_banded(banded, n_bands, threshold, dim=dim)
     if not eager:
         # lazy escape hatch (plan inspection / caller-managed lifetime):
         # the banded frame stays persisted; the CALLER owns unpersisting it
@@ -1371,9 +1458,9 @@ def build_embedding_lsh_index(
         banded = spread(df).select(
             _col(id_col).alias("id"),
             _col(vec_col).alias("vec"),
-            F.sqrt(_dot(_col(vec_col), _col(vec_col))).alias("_nrm"),
+            _nrm_expr(vec_col, dim),
             *_lsh_band_cols(
-                _col(vec_col), dim, n_bands, planes_per_band, planes
+                _vec_in(vec_col), dim, n_bands, planes_per_band, planes
             ),
         )
         if replicate_bands:
@@ -1438,7 +1525,9 @@ def embedding_lsh_pairs_stored(
     (different thresholds, downstream clusterings) run many times."""
     meta = _emb_lsh_meta(index_path)
     banded = spark.read.parquet(index_path).persist()
-    out = _lsh_pairs_from_banded(banded, meta["n_bands"], threshold)
+    out = _lsh_pairs_from_banded(
+        banded, meta["n_bands"], threshold, dim=meta.get("dim")
+    )
     if not eager:
         # caller owns the banded cache lifetime (plan inspection)
         return out
@@ -1612,9 +1701,9 @@ def dedup_embedding_incremental(
     delta_banded = spread(delta).select(
         _col(id_col).alias("id"),
         _col(vec_col).alias("vec"),
-        F.sqrt(_dot(_col(vec_col), _col(vec_col))).alias("_nrm"),
+        _nrm_expr(vec_col, meta["dim"]),
         *_lsh_band_cols(
-            _col(vec_col),
+            _vec_in(vec_col),
             meta["dim"],
             n_bands,
             meta["planes_per_band"],
@@ -1652,6 +1741,7 @@ def dedup_embedding_incremental(
         n_bands,
         threshold,
         broadcast_side="b" if bcast else None,
+        dim=meta["dim"],
     )
     # pairs where the delta id sorts BELOW an index id
     touching_a = _lsh_pairs_between(
@@ -1660,6 +1750,7 @@ def dedup_embedding_incremental(
         n_bands,
         threshold,
         broadcast_side="a" if bcast else None,
+        dim=meta["dim"],
     )
     result = touching_b.unionByName(touching_a).localCheckpoint(eager=True)
     delta_banded.unpersist()
