@@ -1709,52 +1709,65 @@ def mmr_topk(
     )
     a = cand.select(F.col("id").alias("ia"), F.col("vec").alias("va"))
     b = cand.select(F.col("id").alias("ib"), F.col("vec").alias("vb"))
-    sims = persist_scoped(
-        a.crossJoin(b).select(
-            "ia",
-            "ib",
-            F.round(
-                cosine_similarity(F.col("va"), F.col("vb")), 6
-            ).alias("sim"),
-        ),
-        "similarity.mmr.sims",
+    sims = a.crossJoin(b).select(
+        "ia",
+        "ib",
+        F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("sim"),
     )
-    lam_l, red_l = F.lit(float(lam)), F.lit(1.0 - float(lam))
+    # The greedy argmax runs DRIVER-side over the two bounded collected
+    # models (n_candidates rows of (id, rel), n_candidates^2 rounded
+    # sims — both Spark-computed, so every certified double arrives
+    # unchanged). The former loop ran one orderBy/limit(1)/collect JOB
+    # per pick — k scheduled jobs whose fixed overhead dominated the
+    # query (guide §1: the profiler showed 19 jobs/rep, build-bound).
+    # Python floats are IEEE doubles and the scoring expression is
+    # replayed with the identical operation order
+    # (lam*rel - (1-lam)*ms), so every picked id and emitted score is
+    # bit-identical to the per-round SQL. Null semantics replicated
+    # exactly: SQL MAX skips NULL sims; a NULL rel or all-NULL ms makes
+    # the score NULL, which sorts LAST under (score DESC, id ASC).
+    cand_rows = cand.select("id", "rel").collect()
+    sim_rows = sims.collect()
+    relmap = {r["id"]: r["rel"] for r in cand_rows}
+    simmap = {(r["ia"], r["ib"]): r["sim"] for r in sim_rows}
+    red = 1.0 - float(lam)
+    lam = float(lam)
     picked: list[tuple] = []  # (id, rel, mmr_score)
     for _ in range(k):
         sel_ids = [p[0] for p in picked]
-        if not picked:
-            scored = cand.select(
-                "id", "rel", (lam_l * F.col("rel") - red_l * F.lit(0.0)).alias("mmr_score")
-            )
-        else:
-            ms = (
-                sims.where(
-                    F.col("ib").isin(sel_ids) & ~F.col("ia").isin(sel_ids)
+        best_key = None
+        best = None
+        for cid, rel in relmap.items():
+            if cid in sel_ids:
+                continue
+            if not picked:
+                score = None if rel is None else lam * rel - red * 0.0
+            else:
+                ms = None
+                for s in sel_ids:
+                    v = simmap.get((cid, s))
+                    if v is not None and (ms is None or v > ms):
+                        ms = v
+                score = (
+                    None
+                    if rel is None or ms is None
+                    else lam * rel - red * ms
                 )
-                .groupBy("ia")
-                .agg(F.max("sim").alias("ms"))
-            )
-            scored = (
-                cand.where(~F.col("id").isin(sel_ids))
-                .join(ms, cand["id"] == ms["ia"])
-                .select(
-                    "id",
-                    "rel",
-                    (lam_l * F.col("rel") - red_l * F.col("ms")).alias(
-                        "mmr_score"
-                    ),
-                )
-            )
-        row = (
-            scored.orderBy(F.col("mmr_score").desc(), F.col("id").asc())
-            .limit(1)
-            .collect()
-        )
-        if not row:  # fewer than k candidates exist
+            # Spark orders doubles totally (-0.0 < 0.0, so DESC puts
+            # +0.0 first) while Python compares them equal — break the
+            # zero tie on the sign bit before the id tiebreak
+            if score is None:
+                key = (1, 0.0, 0, cid)
+            else:
+                import math
+
+                neg_zero = 1 if score == 0.0 and math.copysign(1.0, score) < 0 else 0
+                key = (0, -score, neg_zero, cid)
+            if best_key is None or key < best_key:
+                best_key, best = key, (cid, rel, score)
+        if best is None:  # fewer than k candidates exist
             break
-        r = row[0]
-        picked.append((r["id"], r["rel"], r["mmr_score"]))
+        picked.append(best)
     rank_expr = F.lit(None).cast("int")
     score_expr = F.lit(None).cast("double")
     for i, (pid, _, score) in enumerate(picked):
@@ -1960,14 +1973,23 @@ def embedding_pca_power(
                 .alias("w")
             )
         )
-        ss = w.agg(
+        # the norm rides an unpartitioned window instead of a separate
+        # agg + crossJoin: the former referenced ``w`` twice, so each
+        # iteration's matvec subtree was re-expanded by its consumer —
+        # ~2^iters matvec evaluations instead of iters (the
+        # drift_report common-subplan lesson; Spark does not dedup).
+        # Same SUM over the same 64 rows of exact decimals -> identical
+        # ss, identical rounded components.
+        from pyspark.sql.window import Window as _W
+
+        ss = (
             F.sum((F.col("w") * F.col("w")).cast("decimal(28,12)"))
+            .over(_W.partitionBy())
             .cast("double")
-            .alias("ss")
         )
-        vec = w.crossJoin(F.broadcast(ss)).select(
+        vec = w.select(
             F.col("i").cast("int").alias("pos"),
-            F.round(F.col("w") / F.sqrt(F.col("ss")), 9).alias("comp"),
+            F.round(F.col("w") / F.sqrt(ss), 9).alias("comp"),
         )
     return vec.select("pos", F.col("comp").alias("pc1")).orderBy(
         F.col("pos").asc()

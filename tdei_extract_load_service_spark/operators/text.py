@@ -862,10 +862,21 @@ def corpus_prep_full(
     # collided 'dog bites man' with 'man bites dog' and silently
     # dropped one (ADVICE r7)
     fp = F.md5(F.col("text_norm"))
-    surv = (
+    from tdei_extract_load_service_spark.session import persist_scoped
+
+    # the survivor frame feeds TWO consumers (the contamination gram
+    # fan-out and the final anti-join): without a persist the whole
+    # upstream subtree — the Arrow normalize pass, the quality filter
+    # and the fingerprint window — runs twice, because the opaque
+    # mapInPandas defeats common-subplan reuse (guide §2.4; the
+    # formatted plan showed two full normalize+window branches).
+    # Persist only the NARROW projection the consumers need.
+    surv = persist_scoped(
         kept.withColumn("_fp", fp)
         .withColumn("_keep", F.min(id_col).over(Window.partitionBy("_fp")))
         .where(F.col(id_col) == F.col("_keep"))
+        .select(id_col, source_col, "text_norm", "n_words"),
+        "text.corpus_prep_full.surv",
     )
     bench_norm = normalize_text(docs.where(bench_pred), id_col, text_col)
     bench_grams = (
@@ -1996,14 +2007,22 @@ def dsir_resample(
         df, id_col, text_col, target=target, n=n,
         num_buckets=num_buckets, scale=scale,
     )
-    base = (
+    from tdei_extract_load_service_spark.session import persist_scoped
+
+    # TWO consumers read this frame (the overflow-guard aggregate and
+    # the stratum window pass): without a persist each re-runs the whole
+    # dsir_scores pipeline — the (doc, bucket) bigram shuffle included
+    # (guide §2.4: the formatted plan showed the scores subtree twice).
+    # The persisted projection is three narrow columns.
+    base = persist_scoped(
         df.select(_col(id_col).alias("doc_id"), _col(stratum_col).alias("stratum"))
         .join(scores.withColumnRenamed(id_col, "doc_id"), "doc_id")
         .select(
             "stratum",
             "doc_id",
             F.greatest(F.col("dsir_score"), F.lit(0)).alias("weight"),
-        )
+        ),
+        "text.dsir_resample.base",
     )
     kk = kk_guard = int(k_per_stratum)
     # overflow guard (the keywords_topm discipline): the threshold
