@@ -327,6 +327,88 @@ def column_distinct_counts(
     return one.select(F.inline(F.array(*structs)))
 
 
+def exact_percentiles_distributed(
+    df: DataFrame, value_col: str, ps: list[float]
+) -> list[float | None]:
+    """Exact interpolated percentiles, bit-identical to Spark's
+    ``percentile`` (and therefore to DuckDB ``quantile_cont``), computed
+    WITHOUT the built-in's single-threaded value-buffer merge.
+
+    ``percentile`` accumulates every distinct value into one
+    per-partition OpenHashMap and merges + sorts the maps on a single
+    thread — measured ~2s of the histogram_auto build at sf0.1 while the
+    matching histogram aggregation over the same rows takes 0.1s
+    (optimization r13, guide §1.2: fix the distributed algorithm first).
+    This form distributes the combine as a (value, count) hash
+    aggregation — map-side partials absorb duplicates — and reads back
+    only the <= 2·len(ps) boundary rows whose cumulative-count range
+    covers an interpolation rank; the final cumulative pass is one
+    sorted single-partition window over the |distinct| frame, exactly
+    the state the built-in's merge thread held anyway.
+
+    Value identity: Spark's ``Percentile.getPercentile`` computes
+    ``position = p * (n - 1)`` and returns
+    ``(higher - position) * valueAt(floor) + (position - lower) *
+    valueAt(ceil)`` — replayed here over the same doubles in the same
+    order, so the result is bit-identical (pinned against the built-in
+    by tests at all fixture SFs). NULLs are ignored like the built-in;
+    an all-NULL column returns Nones."""
+    import math
+
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("_v").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    cum = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .select(
+            "_v",
+            "_c",
+            F.sum("_c").over(w).alias("_cum"),
+            F.sum("_c").over(w_all).alias("_tot"),
+        )
+    )
+    # a 0-based rank r belongs to the value whose cumulative range
+    # (cum - c, cum] contains r + 1. The interpolation ranks are stated
+    # IN SQL from the windowed total (double multiply of p * (n-1),
+    # identical to the Python replay below), so the total and the
+    # boundary rows come back from ONE job — no separate count pass.
+    hits = []
+    for p in ps:
+        x = f"(CAST({float(p)!r} AS DOUBLE) * (_tot - 1))"
+        for r in (f"FLOOR({x})", f"CEIL({x})"):
+            hits.append(f"((_cum - _c <= {r}) AND ({r} < _cum))")
+    rows = cum.where(F.expr(" OR ".join(hits))).collect()
+    if not rows:
+        return [None] * len(ps)
+    n = rows[0]["_tot"]
+
+    def value_at(r: int) -> float:
+        for row in rows:
+            if row["_cum"] - row["_c"] <= r < row["_cum"]:
+                return row["_v"]
+        raise AssertionError(f"rank {r} not covered by boundary rows")
+
+    out: list[float | None] = []
+    for p in ps:
+        x = float(p) * (n - 1)
+        lower, higher = math.floor(x), math.ceil(x)
+        lo_v = value_at(lower)
+        if higher == lower:
+            out.append(lo_v)
+            continue
+        hi_v = value_at(higher)
+        if hi_v == lo_v:
+            out.append(lo_v)
+            continue
+        out.append((higher - x) * lo_v + (x - lower) * hi_v)
+    return out
+
+
 def quantile_bounds_histogram(
     df: DataFrame,
     value_col: str,
@@ -344,32 +426,37 @@ def quantile_bounds_histogram(
     The collected bounds are a TWO-VALUE model, not data — the same
     driver-side contract as the k-means centroids. Default bounds come
     from the Greenwald-Khanna sketch (``approx_percentile``, O(accuracy *
-    log n) state — the 100 TB path); ``exact=True`` switches to the exact
-    interpolated percentile (buffers the column in one aggregation
-    buffer) for oracle reproducibility, where DuckDB's ``quantile_cont``
-    computes bit-identical bounds.
+    log n) state — the 100 TB path); ``exact=True`` switches to
+    ``exact_percentiles_distributed`` (a distributed (value, count)
+    aggregation + boundary-rank lookup, bit-identical to the built-in
+    ``percentile`` and therefore to DuckDB's ``quantile_cont``, without
+    the built-in's single-threaded value-buffer merge — measured 2.2s ->
+    0.9s for histogram_auto at sf0.1, optimization r13).
 
-    Plan: one quantile aggregation + one histogram aggregation — two
-    passes total, both map-side combined, no join. Both bounds come from
-    ONE percentile call with an array argument: two separate calls each
-    build (and for the exact path, sort-merge) their own value buffer —
-    measured 2x the time of the shared-buffer form at sf0.1 — and the
-    bounds scan is ``spread`` so a single-row-group fixture still
-    computes partials on every core."""
+    Plan: one quantile pass + one histogram aggregation, both map-side
+    combined, no join; the bounds scan is ``spread`` so a single-row-group
+    fixture still computes partials on every core. Both bounds come from
+    ONE pass (two separate passes each re-aggregate the column — measured
+    2x the shared form at sf0.1)."""
     from tdei_extract_load_service_spark.session import spread
 
     if n_bins < 1:
         raise ValueError("n_bins must be >= 1")
-    fn = "percentile" if exact else "approx_percentile"
-    extra = "" if exact else f", {accuracy}"
     # pre-alias to a fixed safe identifier so arbitrary column names
     # (spaces, hyphens, dots) survive the expr interpolation (ADVICE r6)
-    row = (
-        spread(df.select(F.col(value_col).alias("__qbh_v")))
-        .agg(F.expr(f"{fn}(__qbh_v, array({p_lo}D, {p_hi}D){extra})").alias("b"))
-        .first()
-    )
-    lo, hi = (row["b"] or (None, None))[0], (row["b"] or (None, None))[1]
+    vals = spread(df.select(F.col(value_col).alias("__qbh_v")))
+    if exact:
+        lo, hi = exact_percentiles_distributed(
+            vals, "__qbh_v", [p_lo, p_hi]
+        )
+    else:
+        row = vals.agg(
+            F.expr(
+                f"approx_percentile(__qbh_v, array({p_lo}D, {p_hi}D),"
+                f" {accuracy})"
+            ).alias("b")
+        ).first()
+        lo, hi = (row["b"] or (None, None))[0], (row["b"] or (None, None))[1]
     if lo is None or hi is None:
         raise ValueError(f"no non-null values in {value_col!r} to bound a histogram")
     if not hi > lo:

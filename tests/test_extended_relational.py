@@ -280,6 +280,53 @@ def test_quantile_bounds_histogram_covers_every_row(spark):
     assert sum(r["n"] for r in hist) == 100
 
 
+def test_exact_percentiles_distributed_matches_builtin(spark):
+    """The distributed exact-percentile rewrite (optimization r13) must
+    be BIT-identical to Spark's built-in ``percentile`` — on the real
+    fixture column at two SFs and on synthetic edge shapes (duplicates
+    straddling an interpolation rank, exact-integer ranks, a two-value
+    column, NULLs mixed in)."""
+    from pyspark.sql import functions as F
+
+    from tdei_extract_load_service_spark.operators.profiling import (
+        exact_percentiles_distributed,
+    )
+
+    ps = [0.01, 0.25, 0.5, 0.75, 0.99]
+    frames = [
+        spark.read.parquet(f"/root/testdata/{sf}/lineitem.parquet").select(
+            F.col("l_extendedprice").alias("v")
+        )
+        for sf in ("sf0.001", "sf0.01")
+    ]
+    frames.append(
+        spark.createDataFrame(
+            [(1.0,), (1.0,), (1.0,), (2.5,), (None,), (2.5,), (9.0,)],
+            "v: double",
+        )
+    )
+    frames.append(spark.createDataFrame([(3.25,), (None,), (7.5,)], "v: double"))
+    frames.append(
+        spark.createDataFrame([(float(i % 5),) for i in range(101)], ["v"])
+    )
+    for df in frames:
+        want = df.agg(
+            F.expr(
+                "percentile(v, array("
+                + ",".join(f"{p}D" for p in ps)
+                + "))"
+            ).alias("b")
+        ).first()["b"]
+        got = exact_percentiles_distributed(df, "v", ps)
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert repr(g) == repr(w), (g, w)
+
+    # all-NULL column: the built-in returns NULL; the rewrite returns Nones
+    nulls = spark.createDataFrame([(None,), (None,)], "v: double")
+    assert exact_percentiles_distributed(nulls, "v", ps) == [None] * len(ps)
+
+
 class TestSCD2Intervals:
     def _stream(self, spark, rows):
         import pandas as pd
