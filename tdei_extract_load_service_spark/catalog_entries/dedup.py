@@ -661,12 +661,11 @@ def q_dedup_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct sources as a sorted joined list, total chars). Pair
     generation and components are the production sub-quadratic path
     (lsh_verified_pairs + min-label propagation); the survivor is a
-    per-cluster window argmax while the ORACLE derives it through
-    MAX-then-MIN aggregation — independent constructions. Sorted
+    struct-min argmax (min over (-n_chars, doc_id)) folded into the
+    lineage aggregation, while the ORACLE derives it through
+    MAX-then-MIN aggregation joins — independent constructions. Sorted
     array_join makes the collected source set order-deterministic on
     both engines."""
-    from pyspark.sql import Window
-
     from tdei_extract_load_service_spark.operators.dedup import (
         dedup_clusters,
         lsh_verified_pairs,
@@ -678,24 +677,28 @@ def q_dedup_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = labels.join(
         docs.select("doc_id", "n_chars", "source"), "doc_id"
     )
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.col("n_chars").desc(), F.col("doc_id").asc()
-    )
-    surv = (
-        g.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select("cluster_id", F.col("doc_id").alias("survivor_id"))
-    )
-    merged = g.groupBy("cluster_id").agg(
-        F.count("*").alias("n_members"),
-        F.countDistinct("source").alias("n_sources"),
-        F.array_join(F.array_sort(F.collect_set("source")), ",").alias(
-            "sources"
-        ),
-        F.sum("n_chars").alias("total_chars"),
-    )
+    # survivor argmax folded INTO the lineage aggregation: the (n_chars
+    # desc, doc_id asc) winner is min(struct(-n_chars, doc_id)) — exact
+    # because n_chars is never NULL (fixture and oracle agree) — so one
+    # grouped pass replaces the old window + second evaluation of ``g``
+    # + merged-x-surv join (Spark does not dedup common subplans; ``g``
+    # ran twice and its cluster_id exchange three times)
     return (
-        merged.join(surv, "cluster_id")
+        g.groupBy("cluster_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("n_chars")).alias("_neg_chars"),
+                    F.col("doc_id").alias("_doc"),
+                )
+            )["_doc"].alias("survivor_id"),
+            F.count("*").alias("n_members"),
+            F.countDistinct("source").alias("n_sources"),
+            F.array_join(F.array_sort(F.collect_set("source")), ",").alias(
+                "sources"
+            ),
+            F.sum("n_chars").alias("total_chars"),
+        )
         .select(
             "cluster_id",
             "survivor_id",

@@ -273,10 +273,17 @@ def triangle_counts(
     )
     closing = oriented.select(F.col("x").alias("b"), F.col("y").alias("c"))
     triangles = wedges.join(closing, ["b", "c"], "left_semi")
+    # each triangle credits all three corners: explode the corner array
+    # instead of unioning three projections of ``triangles`` — Spark does
+    # not dedup common subplans, so the union form re-ran the wedge join
+    # + closing semi-join THREE times (one per branch; only canon/deg/
+    # oriented sit behind caches)
     out = (
-        triangles.select(F.col("a").alias("node"))
-        .unionByName(triangles.select(F.col("b").alias("node")))
-        .unionByName(triangles.select(F.col("c").alias("node")))
+        triangles.select(
+            F.explode(
+                F.array(F.col("a"), F.col("b"), F.col("c"))
+            ).alias("node")
+        )
         .groupBy("node")
         .agg(F.count("*").alias("n_triangles"))
     )

@@ -410,9 +410,11 @@ EXPECTATIONS: dict[str, list[str]] = {
     # the cache; scalar combines are 1-row (BNLJ allowed), fact once
     "key_skew_profile": ["InMemoryTableScan", "partial_count", "!SortMergeJoin"],
     # golden record: clusters ride the cached label frame (min-label
-    # propagation output); survivor argmax is a window, merge is one
-    # aggregation — no quadratic anything
-    "dedup_golden_record": ["Window", "HashAggregate", "!CartesianProduct"],
+    # propagation output); survivor argmax is min(struct(-n_chars,
+    # doc_id)) folded into the ONE merge aggregation (r13: the window +
+    # second pass over the labels-x-docs join collapsed into it) — no
+    # quadratic anything
+    "dedup_golden_record": ["min\\(struct", "ObjectHashAggregate", "!Window", "!CartesianProduct"],
     # compaction: the serve read after the rewrite is a plain pruned
     # scan of the compacted version dir
     "table_compact": ["HashAggregate", "partial_count", "!Join"],
@@ -545,12 +547,15 @@ EXPECTATIONS: dict[str, list[str]] = {
     # cell join, broadcast total — no vector-wide exchange, no
     # cartesian anything
     # (the 64-wide decimal agg's partial_* list is truncated out of
-    # toString, so assert the agg + join shape instead: two cell-frame
-    # joins at most — the 16-row full-outer merge cannot broadcast —
-    # plus the 1-row broadcast total; never a cartesian)
+    # toString, so assert the agg + join shape instead: the 16-row
+    # full-outer merge cannot broadcast; the totals ride an
+    # unpartitioned window over the model-sized joined frame — r13:
+    # the crossJoin(broadcast(totals)) + its duplicate corpus agg are
+    # gone, so no BroadcastNestedLoopJoin remains; never a cartesian)
     "embedding_drift_report": [
         "HashAggregate",
-        "BroadcastNestedLoopJoin",
+        "Window",
+        "!BroadcastNestedLoopJoin",
         "!CartesianProduct",
     ],
     # drift ALERTING (r13): ONE fact scan + ONE map-side-combined
