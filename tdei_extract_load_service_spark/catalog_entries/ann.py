@@ -28,7 +28,7 @@ from tdei_extract_load_service_spark.operators import relational as R
 from tdei_extract_load_service_spark.operators.query_builder import (
     DynamicQueryBuilder,
 )
-from tdei_extract_load_service_spark.session import spread
+from tdei_extract_load_service_spark.session import sort_boundary, spread
 
 
 # ---------------------------------------------------------------------------
@@ -487,6 +487,10 @@ def q_embedding_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=64,
         n_planes=4,
         planes=make_planes(4, 64),
+    ).transform(
+        # sort_boundary: the bucket-join top-k window is the final
+        # stage (r13)
+        lambda d: sort_boundary(d, "query_id", "rnk")
     ).orderBy(F.col("query_id").asc(), F.col("rnk").asc())
 
 
@@ -536,6 +540,10 @@ def q_embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_planes=n_planes,
         planes=make_planes(n_planes, 64),
         exclude_self=True,
+    ).transform(
+        # sort_boundary: the bucket-join top-k window is the final
+        # stage (r13)
+        lambda d: sort_boundary(d, "query_id", "rnk")
     ).orderBy(F.col("query_id").asc(), F.col("rnk").asc())
 
 

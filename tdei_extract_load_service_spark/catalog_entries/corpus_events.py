@@ -26,7 +26,7 @@ from tdei_extract_load_service_spark.operators import relational as R
 from tdei_extract_load_service_spark.operators.query_builder import (
     DynamicQueryBuilder,
 )
-from tdei_extract_load_service_spark.session import spread
+from tdei_extract_load_service_spark.session import sort_boundary, spread
 
 
 # ---------------------------------------------------------------------------
@@ -711,9 +711,10 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _read_events(spark, sf_dir).select("event_id", "event_type", "value")
     out = zscore_outliers(ev, "event_type", "value", threshold=1.6)
-    return out.select("event_id", "event_type", "value", "z").orderBy(
-        F.col("event_id").asc()
-    )
+    # sort_boundary: the z-score join + filter is the final stage (r13)
+    return sort_boundary(
+        out.select("event_id", "event_type", "value", "z"), "event_id"
+    ).orderBy(F.col("event_id").asc())
 
 
 @register(
@@ -967,13 +968,17 @@ def q_ts_fill_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _read_events(spark, sf_dir).select("event_type", "ts", "value")
     out = fill_time_gaps(ev, "event_type", "ts", "value")
-    return out.select(
+    sel = out.select(
         F.col("group").alias("event_type"),
         F.col("bucket").alias("hour_bucket"),
         "n_events",
         F.round(F.col("value_locf"), 4).alias("value_locf"),
         "is_gap",
-    ).orderBy(F.col("event_type").asc(), F.col("hour_bucket").asc())
+    )
+    # sort_boundary: the gap join + LOCF window is the final stage (r13)
+    return sort_boundary(sel, "event_type", "hour_bucket").orderBy(
+        F.col("event_type").asc(), F.col("hour_bucket").asc()
+    )
 
 
 @register(
@@ -1197,7 +1202,7 @@ def q_ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "ts", "value", unit="day", keys=("event_type",),
         tiebreak=("event_id",),
     )
-    return out.select(
+    sel = out.select(
         "event_type",
         TS.normalize_ts(F.col("bar"), "yyyy-MM-dd'T'HH:mm:ss").alias("bar"),
         "open",
@@ -1206,7 +1211,11 @@ def q_ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "close",
         "n_events",
         "total_value",
-    ).orderBy(F.col("event_type").asc(), F.col("bar").asc())
+    )
+    # sort_boundary: the OHLC window/agg stack is the final stage (r13)
+    return sort_boundary(sel, "event_type", "bar").orderBy(
+        F.col("event_type").asc(), F.col("bar").asc()
+    )
 
 
 @register(
@@ -1253,10 +1262,13 @@ def q_events_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _read_events(spark, sf_dir)
     out = rolling_active_users(ev, "ts", "user_id", window_days=7)
-    return out.select(
+    sel = out.select(
         TS.normalize_ts(F.col("day"), "yyyy-MM-dd'T'HH:mm:ss").alias("day"),
         "n_active",
-    ).orderBy(F.col("day").asc())
+    )
+    # sort_boundary: the rolling-window distinct stack is the final
+    # stage (r13)
+    return sort_boundary(sel, "day").orderBy(F.col("day").asc())
 
 
 @register("stream_bm25_index_shadow", ORACLES.bm25_topk_oracle_sql())

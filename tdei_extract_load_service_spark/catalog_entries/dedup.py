@@ -26,7 +26,7 @@ from tdei_extract_load_service_spark.operators import relational as R
 from tdei_extract_load_service_spark.operators.query_builder import (
     DynamicQueryBuilder,
 )
-from tdei_extract_load_service_spark.session import spread
+from tdei_extract_load_service_spark.session import sort_boundary, spread
 
 
 # ---------------------------------------------------------------------------
@@ -429,7 +429,8 @@ def q_dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = bloom_prefilter_members(
         spark, path, docs.where(delta_cond), "doc_id", ["text_head"]
     )
-    return out.orderBy(F.col("id").asc())
+    # sort_boundary: the bloom word-probe joins are the final stage (r13)
+    return sort_boundary(out, "id").orderBy(F.col("id").asc())
 
 
 @register(
@@ -707,6 +708,10 @@ def q_dedup_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sources",
             "total_chars",
         )
+        # sort_boundary: the merge aggregation (collect_set +
+        # countDistinct over the labels-x-docs join) is the final
+        # stage (r13)
+        .transform(lambda d: sort_boundary(d, "cluster_id"))
         .orderBy(F.col("cluster_id").asc())
     )
 

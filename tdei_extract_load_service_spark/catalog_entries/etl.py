@@ -26,7 +26,7 @@ from tdei_extract_load_service_spark.operators import relational as R
 from tdei_extract_load_service_spark.operators.query_builder import (
     DynamicQueryBuilder,
 )
-from tdei_extract_load_service_spark.session import spread
+from tdei_extract_load_service_spark.session import sort_boundary, spread
 
 
 # ---------------------------------------------------------------------------
@@ -969,11 +969,15 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = incremental_agg_maintain(
         base, feed, "g", "n_customers", "total_bal", "bg", "bv", "ag", "av"
     )
-    return out.select(
+    sel = out.select(
         F.col("g").alias("c_mktsegment"),
         "n_customers",
         F.round(F.col("total_bal").cast("double"), 2).alias("total_bal"),
-    ).orderBy(F.col("c_mktsegment").asc())
+    )
+    # sort_boundary: the base+delta merge join is the final stage (r13)
+    return sort_boundary(sel, "c_mktsegment").orderBy(
+        F.col("c_mktsegment").asc()
+    )
 
 
 @register(
@@ -1221,14 +1225,19 @@ def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table_at(spark, root, "ord_cdf", 2),
         ["o_orderkey"],
     )
-    return feed.select(
+    sel = feed.select(
         "o_orderkey",
         "change_op",
         F.col("o_orderstatus_before").alias("status_before"),
         F.col("o_orderstatus_after").alias("status_after"),
         F.col("o_totalprice_before").alias("price_before"),
         F.col("o_totalprice_after").alias("price_after"),
-    ).orderBy(F.col("o_orderkey").asc())
+    )
+    # sort_boundary: the before/after snapshot join is the final stage
+    # (r13)
+    return sort_boundary(sel, "o_orderkey").orderBy(
+        F.col("o_orderkey").asc()
+    )
 
 
 @register(
@@ -1307,9 +1316,11 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_mktsegment": F.lit("NEW"),
         },
     )
-    return merged.select(
+    sel = merged.select(
         "c_custkey",
         "c_name",
         F.col("c_acctbal").alias("acctbal"),
         "c_mktsegment",
-    ).orderBy(F.col("c_custkey").asc())
+    )
+    # sort_boundary: the full-outer merge join is the final stage (r13)
+    return sort_boundary(sel, "c_custkey").orderBy(F.col("c_custkey").asc())

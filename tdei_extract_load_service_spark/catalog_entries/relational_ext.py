@@ -26,7 +26,7 @@ from tdei_extract_load_service_spark.operators import relational as R
 from tdei_extract_load_service_spark.operators.query_builder import (
     DynamicQueryBuilder,
 )
-from tdei_extract_load_service_spark.session import spread
+from tdei_extract_load_service_spark.session import sort_boundary, spread
 
 
 # ---------------------------------------------------------------------------
@@ -647,13 +647,19 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         tiebreak_cols=["o_orderkey"],
     )
-    return out.select(
+    sel = out.select(
         "o_custkey",
         "o_orderstatus",
         TS.normalize_ts("valid_from", "yyyy-MM-dd").alias("valid_from"),
         TS.normalize_ts("valid_to", "yyyy-MM-dd").alias("valid_to"),
         "n_obs",
-    ).orderBy(F.col("o_custkey").asc(), F.col("valid_from").asc())
+    )
+    # sort_boundary: the gaps-and-islands window stack is the final
+    # stage — materialize it so the range sampler doesn't re-run the
+    # three windows (guide §2.4)
+    return sort_boundary(sel, "o_custkey", "valid_from").orderBy(
+        F.col("o_custkey").asc(), F.col("valid_from").asc()
+    )
 
 
 @register(
@@ -723,7 +729,7 @@ def q_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     facts = ev.withColumn("lookup_ts", F.expr("ts - INTERVAL 1 HOUR"))
     joined = temporal_join(facts, dim, ["user_id"], "lookup_ts")
-    return joined.select(
+    out = joined.select(
         "event_id",
         "user_id",
         "event_type",
@@ -731,7 +737,11 @@ def q_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         TS.normalize_ts("valid_from", "yyyy-MM-dd'T'HH:mm:ss").alias(
             "version_from"
         ),
-    ).orderBy(F.col("event_id").asc())
+    )
+    # sort_boundary: the point-in-time join residual (facts x per-user
+    # version list) is the expensive final stage — without the boundary
+    # the range sampler re-executes it (r13: 1.78 -> 1.30s at sf0.1)
+    return sort_boundary(out, "event_id").orderBy(F.col("event_id").asc())
 
 
 @register(
@@ -945,13 +955,19 @@ def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = fuzzy_join_blocked(
         dirty, cust, "dirty_key", "c_custkey", "dirty_name", "c_name"
     )
-    return out.select(
+    sel = out.select(
         "dirty_key",
         F.col("c_custkey").alias("clean_key"),
         "dirty_name",
         "c_name",
         "dist",
-    ).orderBy(F.col("dirty_key").asc(), F.col("clean_key").asc())
+    )
+    # sort_boundary: the signature equi-join + levenshtein verify is the
+    # expensive final stage — materialize it so the range sampler reads
+    # shuffle files instead of re-running the verify (guide §2.4)
+    return sort_boundary(sel, "dirty_key", "clean_key").orderBy(
+        F.col("dirty_key").asc(), F.col("clean_key").asc()
+    )
 
 
 @register(
@@ -1063,13 +1079,17 @@ def q_window_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("o_orderpriority").orderBy(
         F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
     )
-    return orders.select(
+    sel = orders.select(
         "o_orderkey",
         "o_orderpriority",
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.ntile(4).over(w).alias("quartile"),
-    ).orderBy(F.col("o_orderkey").asc())
+    )
+    # sort_boundary: the ranking window is the final stage above the
+    # priority exchange — without the boundary the range sampler runs
+    # the whole window pass twice (guide §2.4)
+    return sort_boundary(sel, "o_orderkey").orderBy(F.col("o_orderkey").asc())
 
 
 @register(
@@ -1268,12 +1288,17 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "credit",
         F.round(F.col("value") / n_touch, 6).cast("decimal(18,6)"),
     )
-    return (
+    agg = (
         credited.groupBy(F.col("vid").alias("view_id"))
         .agg(
             F.count("*").alias("n_purchases"),
             F.round(F.sum("credit").cast("double"), 4).alias("credit"),
         )
+    )
+    # sort_boundary: the attribution join + final agg is the final
+    # stage (r13)
+    return (
+        sort_boundary(agg, "view_id")
         .orderBy(F.col("view_id").asc())
     )
 
@@ -1593,9 +1618,11 @@ def q_anonymize_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["c_nationkey", "c_mktsegment", "bal_band"],
         k=5,
     )
-    return out.select(
+    sel = out.select(
         "c_custkey", "c_nationkey", "c_mktsegment", "bal_band", "eq_class_n"
-    ).orderBy(F.col("c_custkey").asc())
+    )
+    # sort_boundary: the equivalence-class window is the final stage (r13)
+    return sort_boundary(sel, "c_custkey").orderBy(F.col("c_custkey").asc())
 
 
 @register(

@@ -233,11 +233,16 @@ def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
         ).alias("aug"),
     )
-    return aug.select(
+    from tdei_extract_load_service_spark.session import sort_boundary
+
+    sel = aug.select(
         "doc_id",
         *TX.pii_match_counts("aug"),
         F.md5(TX.redact_pii("aug")).alias("redacted_md5"),
-    ).orderBy(F.col("doc_id").asc())
+    )
+    # sort_boundary: the regex match/redact projection is the final
+    # stage — without it the range sampler runs every regex twice (r13)
+    return sort_boundary(sel, "doc_id").orderBy(F.col("doc_id").asc())
 
 
 @register(
@@ -535,10 +540,18 @@ def q_text_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = scores.orderBy(
         F.col("dsir_score").desc(), F.col("doc_id").asc()
     ).limit(50)
-    return (
+    from tdei_extract_load_service_spark.session import sort_boundary
+
+    sel = (
         F.broadcast(top)
         .join(docs.select("doc_id", "lang"), "doc_id")
         .select("doc_id", "lang", "dsir_score")
+    )
+    # sort_boundary: the final stage is the corpus scan + lang join —
+    # materialize the 50-row result so the range sampler reads it
+    # instead of re-scanning the corpus (guide §2.4)
+    return (
+        sort_boundary(sel, "doc_id")
         .orderBy(F.col("dsir_score").desc(), F.col("doc_id").asc())
     )
 

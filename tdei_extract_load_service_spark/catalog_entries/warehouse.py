@@ -29,7 +29,7 @@ from tdei_extract_load_service_spark.operators import relational as R
 from tdei_extract_load_service_spark.operators.query_builder import (
     DynamicQueryBuilder,
 )
-from tdei_extract_load_service_spark.session import spread
+from tdei_extract_load_service_spark.session import sort_boundary, spread
 
 
 # ---------------------------------------------------------------------------
@@ -1044,9 +1044,14 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         direction="nearest",
         tolerance=F.expr("INTERVAL 2 HOURS"),
     )
-    return out.select(
+    sel = out.select(
         "user_id",
         "event_id",
         F.col("asof_event_id"),
         F.round("asof_value", 2).alias("asof_value"),
-    ).orderBy(F.col("user_id").asc(), F.col("event_id").asc())
+    )
+    # sort_boundary: the nearest-asof window/join stack is the final
+    # stage (r13)
+    return sort_boundary(sel, "user_id", "event_id").orderBy(
+        F.col("user_id").asc(), F.col("event_id").asc()
+    )

@@ -243,6 +243,32 @@ def spread(df: DataFrame, factor: int = 1, well_partitioned: bool = False) -> Da
     return df.repartition(target)
 
 
+def sort_boundary(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Materialization boundary for a final global ``orderBy``: hash-
+    repartition on the output sort keys immediately below the sort.
+
+    A bare ``orderBy`` plans Exchange(rangepartitioning), whose
+    RangePartitioner runs a SAMPLING job over the child RDD before the
+    shuffle-map job — and under AQE both jobs re-execute everything above
+    the last materialized stage. When the final stage holds the query's
+    expensive work (a join residual, a window, a verify pass), that work
+    runs TWICE (guide §2.4: duplicated subtrees). Interposing one hash
+    exchange on the sort keys materializes the stage as shuffle files, so
+    the sampling pass and the range shuffle both READ instead of
+    recompute (measured: temporal_join 1.78 -> 1.30s at sf0.1).
+
+    Cost/benefit at scale: one extra exchange of the OUTPUT rows. Worth
+    it exactly when the final stage is more expensive than shuffling its
+    output once — use for sorts over join/window/HOF stages; a plain
+    ``orderBy`` stays right when the sort input is already behind its
+    own exchange (a final aggregate) or trivially cheap. Partition count
+    follows ``spark.sql.shuffle.partitions`` + AQE coalescing, so the
+    boundary stays scale-adaptive."""
+    from pyspark.sql import functions as F
+
+    return df.repartition(*[F.col(k) for k in key_cols])
+
+
 def load_tables(
     spark: SparkSession,
     sf_dir: str = DEFAULT_SF_DIR,

@@ -319,9 +319,10 @@ EXPECTATIONS: dict[str, list[str]] = {
     # the one-row corpus scalar broadcast, final ranking a top-k; the
     # only nested-loop is the 1-row scalar crossJoin (Q22/Q15 pattern)
     "text_bm25_topk": ["TakeOrderedAndProject", "BroadcastHashJoin", "InMemoryTableScan", "!CartesianProduct", "!SortMergeJoin"],
-    # PII scrub: chained regexp map-only pass — no join, no aggregate,
-    # no hash exchange (the only exchange is the output presentation sort)
-    "text_pii_scrub": ["regexp_replace", "!Join", "!HashAggregate", "!hashpartitioning"],
+    # PII scrub: chained regexp map-only pass — no join, no aggregate;
+    # exactly ONE hash exchange: the r13 sort_boundary below the output
+    # sort (without it the range sampler ran every regex twice)
+    "text_pii_scrub": ["regexp_replace", "!Join", "!HashAggregate", "=1:Exchange hashpartitioning"],
     # char-bigram LM: the bigram explode materializes ONCE into the
     # persisted tf frame (model + score join both read the cache); the
     # alphabet-bounded model broadcasts back — never a shuffle join
@@ -539,9 +540,9 @@ EXPECTATIONS: dict[str, list[str]] = {
     # the joined row, never a second pass over the target. The r12
     # cardinality guard adds a count window on the SOURCE side
     # partitioned by the join keys, so it rides the join's own exchange:
-    # exactly TWO hash exchanges (one per join side), same as before
-    # the guard — the window must not cost a third.
-    "merge_upsert": ["FullOuter", "=1:SortMergeJoin", "=1:Window", "=2:Exchange hashpartitioning", "!BroadcastHashJoin", "!CartesianProduct"],
+    # two hash exchanges (one per join side) + the r13 sort_boundary
+    # below the output sort — the guard window must not cost its own.
+    "merge_upsert": ["FullOuter", "=1:SortMergeJoin", "=1:Window", "=3:Exchange hashpartitioning", "!BroadcastHashJoin", "!CartesianProduct"],
     # snapshot drift report: one aggregation per side (the shuffle
     # carries 16 x 64 decimal partials, never vectors), model-sized
     # cell join, broadcast total — no vector-wide exchange, no
@@ -648,8 +649,9 @@ EXPECTATIONS: dict[str, list[str]] = {
     # OHLC resample: ONE window exchange shared by rn/count AND the
     # group-by (bar is projected to an attribute before the window so
     # Catalyst unifies the keys — the expression form cost a third
-    # exchange); exactly the window + output-sort exchanges, no join
-    "ts_resample_ohlc": ["Window", "row_number", "=1:FileScan", "=2:Exchange", "!Join"],
+    # exchange); the window exchange + the r13 sort_boundary + the
+    # output-sort exchange, no join
+    "ts_resample_ohlc": ["Window", "row_number", "=1:FileScan", "=3:Exchange", "!Join"],
     # SemDeDup: the within-cluster pair pass must stay the spillable
     # sort-merge self-join on the PERSISTED assignment (corpus-sized
     # sides — the dedup-family discipline), never a cross product
