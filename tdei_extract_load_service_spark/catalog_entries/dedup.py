@@ -197,8 +197,7 @@ def q_dedup_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     — non-vacuous and selective."""
     from tdei_extract_load_service_spark.operators.dedup import (
         hamming_hash_pairs,
-        pack_bits64,
-        simhash_md5_bits,
+        simhash64,
     )
 
     # spread BEFORE the hash projection: a single-row-group fixture scan
@@ -206,9 +205,12 @@ def q_dedup_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartition — hashing after the exchange is what unlocks the
     # cores (measured 33.5s -> 3.7s for the hash stage at sf0.1)
     docs = spread(_read(spark, sf_dir, "documents").select("doc_id", "text"))
+    # fused simhash64 (r13): pack_bits64 over the fold expression
+    # duplicated the whole per-word fold tree (see simhash64 docstring);
+    # bit-identical output, pytest-pinned against the two-step form
     sh = docs.select(
         F.col("doc_id").alias("id"),
-        pack_bits64(simhash_md5_bits("text")).alias("sh64"),
+        simhash64("text", "md5").alias("sh64"),
     )
     pairs = hamming_hash_pairs(sh, "id", "sh64", max_hamming=7, chunks=8)
     return pairs.orderBy(F.col("doc_a").asc(), F.col("doc_b").asc())

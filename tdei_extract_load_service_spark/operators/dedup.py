@@ -548,18 +548,100 @@ def lsh_band_candidates(sig_df: DataFrame, num_hashes: int, bands: int) -> DataF
 # ---------------------------------------------------------------------------
 
 
+#: SQL templates for the per-word 64-bit hash inside the SimHash fold —
+#: the codegen path below builds the whole vote fold from ONE parsed SQL
+#: fragment (r13): the old per-bit ``bin()``-string decode allocated a
+#: 64-char string per word hash and ran 64 substring compares on it;
+#: ``(shiftright(h, s) & 1)`` is allocation-free integer arithmetic and
+#: bit-identical (measured 0.85 -> 0.24s for the sf0.1 fingerprint pass).
+_SIMHASH_WORD_SQL = {
+    "xxhash64": "xxhash64({w})",
+    # md5_word_hash restated in SQL: 16 leading md5 nibbles as a signed
+    # BIGINT, sign applied BEFORE the 2^32 shift (ANSI-overflow-safe)
+    "md5": (
+        "((CASE WHEN CAST(conv(substring(md5({w}), 1, 8), 16, 10) AS BIGINT)"
+        " >= 2147483648"
+        " THEN CAST(conv(substring(md5({w}), 1, 8), 16, 10) AS BIGINT)"
+        " - 4294967296"
+        " ELSE CAST(conv(substring(md5({w}), 1, 8), 16, 10) AS BIGINT) END)"
+        " * 4294967296"
+        " + CAST(conv(substring(md5({w}), 9, 8), 16, 10) AS BIGINT))"
+    ),
+}
+
+
+def simhash64(text: str, word_hash_family: str = "xxhash64") -> Column:
+    """64-bit SimHash fingerprint as ONE packed BIGINT — semantically
+    ``pack_bits64(simhash_bits(text))`` but built as a single SQL
+    ``aggregate`` whose FINISH lambda does the packing over the vote
+    accumulator variable (r13). Composing ``pack_bits64`` over an inline
+    fold expression duplicates the whole per-word fold tree once per
+    reference (slice + element_at = 2x), which pushed the generated
+    method past janino's limit — repeated multi-second compile attempts
+    plus interpreted fallback (measured 25s for the sf0.1 fingerprint
+    pass vs 0.3s fused). The finish lambda references the accumulator,
+    not the fold, so the tree stays single-copy and codegen-sized.
+
+    Bit-identical to the two-step form (pytest-pinned): vote > 0 -> bit
+    1, MSB first, sign bit folded ANSI-safely (-2^63 stated as
+    ``-...807L - 1L`` — the bare min-long literal parses as decimal)."""
+    from tdei_extract_load_service_spark.operators.similarity import (
+        _ident_sql,
+    )
+
+    h = _SIMHASH_WORD_SQL[word_hash_family].format(w="w")
+    return F.expr(
+        f"aggregate("
+        f"transform(split({_ident_sql(text)}, ' '), w -> {h}),"
+        f" array_repeat(0, 64),"
+        f" (acc, h) -> zip_with(acc, sequence(63, 0, -1),"
+        f" (a, s) -> a +"
+        f" (CASE WHEN (shiftright(h, s) & 1) = 1 THEN 1 ELSE -1 END)),"
+        f" acc -> (CASE WHEN element_at(acc, 1) > 0"
+        f" THEN -9223372036854775807L - 1L ELSE 0L END)"
+        f" + aggregate(slice(acc, 2, 63), 0L,"
+        f" (l, v) -> l * 2L + (CASE WHEN v > 0 THEN 1L ELSE 0L END)))"
+    )
+
+
 def simhash_bits(
     text: str | Column, bits: int = 64, word_hash=None
 ) -> Column:
     """SimHash bit vector (array<int> of 0/1, length ``bits``).
 
-    Per word: a 64-bit hash → two's-complement bit string (``bin`` +
-    ``lpad``); accumulate +1/-1 per position over all words (Charikar
-    '02), then threshold at 0. Entirely fold/zip_with — no shuffle, no
-    UDF. ``word_hash`` (Column -> 64-bit long Column) defaults to
-    ``xxhash64``; pass :func:`md5_word_hash` for the engine-mirrorable
-    family the oracle-checked twin uses.
-    """
+    Per word: a 64-bit hash; accumulate +1/-1 per bit position over all
+    words (Charikar '02), then threshold at 0. Entirely fold/zip_with —
+    no shuffle, no UDF. ``word_hash`` (Column -> 64-bit long Column)
+    defaults to ``xxhash64``; pass :func:`md5_word_hash` for the
+    engine-mirrorable family the oracle-checked twin uses.
+
+    Construction (r13): for column-NAME input with a known word-hash
+    family the whole fold parses from one SQL fragment with integer
+    ``shiftright & 1`` bit extraction — the previous ``bin()``-string
+    per-bit decode built a 64-char string per word hash and substring'd
+    it 64 times (3.6x slower, and ~10x more py4j round-trips to build).
+    Output is bit-identical; the Column fallback below keeps the old
+    shape for callers passing arbitrary Column expressions."""
+    family = None
+    if word_hash is None:
+        family = "xxhash64"
+    elif word_hash is md5_word_hash:
+        family = "md5"
+    if isinstance(text, str) and family is not None:
+        from tdei_extract_load_service_spark.operators.similarity import (
+            _ident_sql,
+        )
+
+        h = _SIMHASH_WORD_SQL[family].format(w="w")
+        return F.expr(
+            f"transform(aggregate("
+            f"transform(split({_ident_sql(text)}, ' '), w -> {h}),"
+            f" array_repeat(0, {bits}),"
+            f" (acc, h) -> zip_with(acc, sequence({bits - 1}, 0, -1),"
+            f" (a, s) -> a +"
+            f" (CASE WHEN (shiftright(h, s) & 1) = 1 THEN 1 ELSE -1 END))),"
+            f" v -> CASE WHEN v > 0 THEN 1 ELSE 0 END)"
+        )
     if word_hash is None:
         word_hash = F.xxhash64
     # the explicit lambda matters: xxhash64's *cols signature is
@@ -652,6 +734,58 @@ def simhash_pairs(
     exactly once with NO post-join exchange, and the Hamming filter then
     prunes before anything else materializes.
     """
+    if bits == 64 and isinstance(text_col, str):
+        # r13: pack the fingerprint into ONE BIGINT (fused simhash64 —
+        # see its docstring for the codegen-blowup trap) — the old path
+        # carried the 64-int bits ARRAY through every chunk-join side
+        # (x chunks copies of 64 ints per doc crossing the exchange;
+        # guide §2.3 shuffle fewer bytes) and scored candidates with a
+        # 64-wide zip_with where bit_count(xor) is one instruction. The
+        # 16-bit chunk keys are the same bit slices, so the candidate
+        # set — and with it the emitted pair set — is IDENTICAL
+        # (pytest-pinned vs the array form); blocking stays Manku-style
+        # probabilistic for max_hamming >= chunks exactly as before.
+        # The persist stays LAZY like the array path: the fused fold is
+        # cheap enough that the side race costs less than an eager
+        # count job (hamming_hash_pairs' eager fill is for Python-
+        # decoded hashes).
+        chunk_len = 64 // chunks
+        mask = (1 << chunk_len) - 1
+        sh = (
+            spread(df)
+            .select(_col(id_col).alias("id"), simhash64(text_col).alias("h"))
+            .persist()
+        )
+        if caches is not None:
+            caches.append(sh)
+        chunk_arr = F.expr(
+            f"transform(sequence(0, {chunks - 1}),"
+            f" k -> CAST((h >> (64 - {chunk_len} * (k + 1))) & {mask} AS INT))"
+        )
+        chunked = sh.select("id", "h", chunk_arr.alias("ch")).select(
+            "id", "h", "ch", F.posexplode("ch").alias("chunk_idx", "chunk")
+        )
+        a, b = chunked.alias("a"), chunked.hint("merge").alias("b")
+        first_chunk = F.array_position(
+            F.zip_with(F.col("a.ch"), F.col("b.ch"), lambda x, y: x == y),
+            F.lit(True),
+        )
+        hamming64 = F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h")))
+        return (
+            a.join(
+                b,
+                (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+                & (F.col("a.chunk") == F.col("b.chunk"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .where(first_chunk == F.col("a.chunk_idx") + 1)
+            .select(
+                F.col("a.id").alias("doc_a"),
+                F.col("b.id").alias("doc_b"),
+                hamming64.cast("int").alias("hamming"),
+            )
+            .where(F.col("hamming") <= max_hamming)
+        )
     chunk_len = bits // chunks
     # persist the NARROW (id, bits) frame: projection collapse would
     # otherwise re-inline the per-word SimHash fold into every consumer
