@@ -50,6 +50,20 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+#: (app id, session tz, nanosAsLong, sf_dir, table) -> the immutable
+#: frame ``_read`` built last time. A DataFrame is a logical PLAN — no
+#: rows, no cache — but building one costs 70-120 ms of driver-side work
+#: (parquet footer/schema read + file listing py4j round-trips), and the
+#: catalog re-reads the same fixture tables for every query build: ~0.1-
+#: 0.25 s of pure plan-construction tax per bench rep, ~15-25 s across
+#: the headline (r13, guide §4's Python-boundary tax applied to plan
+#: construction; the load_dataset._transform_exprs precedent). Every
+#: action on the memoized frame still scans parquet — nothing here
+#: persists data. Keyed on the session AND the two confs that change
+#: what ``_read`` builds (timezone branch, nanos vintage).
+_READ_MEMO: dict[tuple, DataFrame] = {}
+
+
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Parquet scan + timestamp normalization.
 
@@ -65,17 +79,27 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     cancelled with ``from_utc_timestamp(cast(c), current_timezone())`` —
     correct everywhere, at the cost of pushdown through the arithmetic
     (acceptable: the engine's canonical sessions pin UTC in session.py)."""
+    session_tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
+    key = (
+        spark.sparkContext.applicationId,
+        session_tz,
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false"),
+        sf_dir,
+        table,
+    )
+    memo = _READ_MEMO.get(key)
+    if memo is not None:
+        return memo
     df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
     ntz_cols = [f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"]
-    if not ntz_cols:
-        return df
-    session_tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
-    utc_session = session_tz in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00")
-    for name in ntz_cols:
-        c = F.col(name).cast("timestamp")
-        if not utc_session:
-            c = F.from_utc_timestamp(c, F.current_timezone())
-        df = df.withColumn(name, c)
+    if ntz_cols:
+        utc_session = session_tz in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00")
+        for name in ntz_cols:
+            c = F.col(name).cast("timestamp")
+            if not utc_session:
+                c = F.from_utc_timestamp(c, F.current_timezone())
+            df = df.withColumn(name, c)
+    _READ_MEMO[key] = df
     return df
 
 
