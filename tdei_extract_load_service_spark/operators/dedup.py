@@ -972,20 +972,31 @@ def dedup_clusters(
     — the observability hook the x100 long-diameter smoke
     (tools/cluster_smoke.py) uses to assert rounds == diameter bound.
     """
-    # the union references the pair frame twice — persist it so expensive
-    # pair generation (an inverted-index or LSH join upstream) runs once
-    pairs_p = pairs.select("doc_a", "doc_b").persist()
+    # both orientations via ONE explode instead of a two-branch union
+    # (r13): the union referenced the pair frame twice, which forced a
+    # dedicated persist of ``pairs`` so expensive pair generation (an
+    # inverted-index or LSH join upstream) would not run once per
+    # branch; the explode reads it once, so the intermediate cache (its
+    # fill pass and its memory) disappears — ``edges`` below is the one
+    # cache the loop needs.
     # no distinct(): duplicate edges cannot change a MIN aggregate, and the
     # dedup would cost an extra corpus-wide shuffle per materialization
     self_edges = ids.select(
         _col(id_col).alias("src"), _col(id_col).alias("dst")
     )
-    edges = (
-        pairs_p.selectExpr("doc_a as src", "doc_b as dst")
-        .union(pairs_p.selectExpr("doc_b as src", "doc_a as dst"))
-        .union(self_edges)
-        .persist()
-    )
+    both_dirs = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                ),
+                F.struct(
+                    F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
+    edges = both_dirs.union(self_edges).persist()
     # localCheckpoint truncates the init frame's lineage (ids may be an
     # expensive upstream plan); loop rounds below use persist — each
     # round references its predecessor ONCE, so plan depth grows
@@ -1052,7 +1063,6 @@ def dedup_clusters(
         metrics["rounds"] = rounds
         metrics["converged"] = converged
     ed_loop.unpersist()
-    pairs_p.unpersist()
     # the final round's frame must stay cached for the caller's action;
     # recycle the previous invocation's generation instead of leaking one
     # per call (and the sameSemantics guard keeps bench reps sharing it)

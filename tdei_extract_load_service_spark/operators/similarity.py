@@ -1073,6 +1073,9 @@ def ann_rerank_topk(
     )
 
 
+_DECIMAL_MEAN_MEMO: dict[tuple, list[Column]] = {}
+
+
 def _decimal_mean_exprs(
     dim: int, vec: str = "vec", cond: str | None = None, tag: str = ""
 ) -> list[Column]:
@@ -1085,6 +1088,14 @@ def _decimal_mean_exprs(
     64 dims). ``cond`` restricts sum and count to matching rows (the
     drift report's side pivot): a decimal SUM skips the CASE's NULLs, so
     it adds exactly the rows a pre-filtered per-side agg would have."""
+    # module-level memo (r13): Columns are immutable unresolved
+    # expression trees (the load_dataset._transform_exprs precedent), and
+    # each F.expr is a py4j parse — 64+ per drift query build. The memo
+    # returns the SAME Column objects; callers only ever embed them.
+    key = (dim, vec, cond, tag)
+    memo = _DECIMAL_MEAN_MEMO.get(key)
+    if memo is not None:
+        return memo
     val = f"CAST(CAST({vec}[{{i}}] AS DOUBLE) AS DECIMAL(25,12))"
     if cond is None:
         body = f"round(CAST(sum({val}) AS DOUBLE) / count(1), 9)"
@@ -1093,9 +1104,11 @@ def _decimal_mean_exprs(
             f"round(CAST(sum(CASE WHEN {cond} THEN {val} END) AS DOUBLE)"
             f" / count(CASE WHEN {cond} THEN 1 END), 9)"
         )
-    return [
+    out = [
         F.expr(body.format(i=i)).alias(f"_m{tag}{i}") for i in range(dim)
     ]
+    _DECIMAL_MEAN_MEMO[key] = out
+    return out
 
 
 def embedding_drift_report(
