@@ -383,7 +383,10 @@ EXPECTATIONS: dict[str, list[str]] = {
     # user_id EQUI join as a residual (any hash/merge equi strategy —
     # the planner broadcasts the collapsed dim at audit scale), never
     # degrade to a nested-loop/cartesian range plan
-    "temporal_join": ["(SortMergeJoin|HashJoin)", "Window", "!BroadcastNestedLoopJoin", "!CartesianProduct"],
+    # + the r13 sort_boundary hash exchange (REPARTITION_BY_COL) below
+    # the output sort, so the range sampler reads shuffle files instead
+    # of re-running the point-in-time join residual
+    "temporal_join": ["(SortMergeJoin|HashJoin)", "Window", "REPARTITION_BY_COL", "!BroadcastNestedLoopJoin", "!CartesianProduct"],
     # co-located bucketed join: both scans must carry the bucket layout
     # and the join+agg must run with ZERO hash exchanges — the only
     # exchange allowed is the output ORDER BY's range partitioning
@@ -469,6 +472,11 @@ EXPECTATIONS: dict[str, list[str]] = {
     # oracle-checked SimHash twin: JVM-side hash fold (no Python), the
     # chunk-blocked spillable merge join, bit_count(xor) verify
     "dedup_simhash_exact": ["bit_count", "SortMergeJoin", "!ArrowEvalPython", "!BatchEvalPython", "!CartesianProduct"],
+    # r13 packed path: ONE BIGINT fingerprint rides the chunk join (the
+    # cached narrow frame shows as InMemoryTableScan), hamming is
+    # bit_count(xor) — the 64-int bits array must never come back (the
+    # only zip_with left is the 4-element first-collision residual)
+    "dedup_simhash": ["bit_count", "SortMergeJoin", "InMemoryTableScan", "!CartesianProduct"],
     # image aHash near-dup: Arrow-batched decode+hash fan-out, then the
     # chunk-blocked spillable merge join verified by one whole-stage
     # bit_count(xor) — never a cross product
@@ -764,16 +772,16 @@ def main() -> int:
         from tdei_extract_load_service_spark.catalog import _read
         from tdei_extract_load_service_spark.operators.dedup import (
             hamming_hash_pairs,
-            pack_bits64,
-            simhash_md5_bits,
+            simhash64,
         )
         from tdei_extract_load_service_spark.session import spread
         from pyspark.sql import functions as F
 
         docs = spread(_read(spark, sf_dir, "documents").select("doc_id", "text"))
+        # mirror the entry's r13 fused simhash64 (see operators.dedup)
         sh = docs.select(
             F.col("doc_id").alias("id"),
-            pack_bits64(simhash_md5_bits("text")).alias("sh64"),
+            simhash64("text", "md5").alias("sh64"),
         )
         return hamming_hash_pairs(
             sh, "id", "sh64", max_hamming=7, chunks=8, eager=False
