@@ -1225,14 +1225,37 @@ def _lsh_pairs_between(
     row count; results are join-strategy-independent."""
     if broadcast_side not in (None, "a", "b"):
         raise ValueError("broadcast_side must be 'a', 'b' or None")
-    a = _explode_banded(a_df, n_bands).alias("a")
-    b = _explode_banded(b_df, n_bands).alias("b")
-    if broadcast_side == "a":
-        a = F.broadcast(a)
-    elif broadcast_side == "b":
-        b = F.broadcast(b)
+    if broadcast_side is None:
+        # The verify stage is CPU-bound on the per-candidate cosine (a
+        # per-bucket-population² residual), not on shuffle bytes — at
+        # small inputs AQE coalesces the tiny (band, bucket) exchange to
+        # a handful of partitions and serializes exactly the expensive
+        # part (measured sf0.1: 4 post-coalesce tasks, 2.25s -> 1.14s
+        # with the explicit layout). An EXPLICIT repartition on the join
+        # key pins the exchange AQE cannot size correctly (it sees
+        # bytes, not residual cost); the count follows
+        # spark.sql.shuffle.partitions, so it stays scale-adaptive —
+        # never a local-core-count constant. The sort-merge hint below
+        # still pins the spillable strategy (broadcast OOMs at x10,
+        # shuffled-hash at x100 — SCALE.md).
+        npart = int(
+            a_df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        key = [F.col("_band"), F.col("_bkt")]
+        a = _explode_banded(a_df, n_bands).repartition(npart, *key).alias("a")
+        b = (
+            _explode_banded(b_df, n_bands)
+            .repartition(npart, *key)
+            .alias("b")
+            .hint("merge")
+        )
     else:
-        b = b.hint("merge")
+        a = _explode_banded(a_df, n_bands).alias("a")
+        b = _explode_banded(b_df, n_bands).alias("b")
+        if broadcast_side == "a":
+            a = F.broadcast(a)
+        else:
+            b = F.broadcast(b)
     # first-collision residual as a flat CASE (the first band whose
     # buckets agree): identical to array_position over the zip_with
     # boolean array — bucket values are never NULL — but evaluated as
