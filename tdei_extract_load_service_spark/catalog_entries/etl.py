@@ -244,7 +244,11 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tdei_extract_load_service_spark.operators.profiling import column_profile
 
     li = _read(spark, sf_dir, "lineitem")
-    return column_profile(li, ("l_quantity", "l_extendedprice", "l_discount"))
+    return column_profile(
+        li,
+        ("l_quantity", "l_extendedprice", "l_discount"),
+        spread_key="l_orderkey",
+    )
 
 
 @register(
@@ -286,7 +290,11 @@ def q_column_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = _read(spark, sf_dir, "lineitem")
-    return column_correlations(li, ("l_quantity", "l_extendedprice", "l_discount"))
+    return column_correlations(
+        li,
+        ("l_quantity", "l_extendedprice", "l_discount"),
+        spread_key="l_orderkey",
+    )
 
 
 @register(
@@ -456,7 +464,13 @@ def q_histogram_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _read(spark, sf_dir, "lineitem")
     return quantile_bounds_histogram(
-        li, "l_extendedprice", n_bins=20, p_lo=0.01, p_hi=0.99, exact=True
+        li,
+        "l_extendedprice",
+        n_bins=20,
+        p_lo=0.01,
+        p_hi=0.99,
+        exact=True,
+        spread_key="l_orderkey",
     )
 
 

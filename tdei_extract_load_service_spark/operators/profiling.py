@@ -72,7 +72,9 @@ def _bound_guard(c: str, n_raw: Column, op: str) -> Column:
     ).otherwise(n_raw)
 
 
-def column_profile(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+def column_profile(
+    df: DataFrame, cols: tuple[str, ...], spread_key: str | None = None
+) -> DataFrame:
     """``df.summary()``-shape column statistics — (column, n, n_null,
     mean, stddev, min, max) per requested numeric column — as ONE
     map-side-combined aggregation over a single scan, unpivoted to long
@@ -94,10 +96,15 @@ def column_profile(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
 
     # DECIMAL partial aggregation is real per-row compute — spread a
     # single-row-group scan so the partial phase uses every core; project
-    # FIRST so the round-robin exchange carries only the profiled columns
+    # FIRST so the exchange carries only the profiled columns (+ the
+    # optional spread key, which skips the round-robin local sort —
+    # session.spread)
     if not cols:
         raise ValueError("column_profile needs at least one column")
-    df = spread(df.select(*cols))
+    if spread_key is not None and spread_key not in cols:
+        df = spread(df.select(*cols, spread_key), key=spread_key).select(*cols)
+    else:
+        df = spread(df.select(*cols), key=spread_key)
     aggs = _moment_aggs(cols)
     for c in cols:
         aggs += [
@@ -136,7 +143,9 @@ def column_profile(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
     return one.select(F.inline(F.array(*structs)))
 
 
-def column_correlations(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+def column_correlations(
+    df: DataFrame, cols: tuple[str, ...], spread_key: str | None = None
+) -> DataFrame:
     """Pairwise Pearson correlation matrix over ``cols`` — the
     feature-selection/profiling pass — as ONE aggregation: for k columns
     the shuffle carries k sums + k sum-of-squares + k*(k-1)/2
@@ -157,8 +166,15 @@ def column_correlations(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
         cond = nn if cond is None else (cond & nn)
     from tdei_extract_load_service_spark.session import spread
 
-    # project before spreading: the exchange carries only `cols`
-    base = spread(df.where(cond).select(*cols))
+    # project before spreading: the exchange carries only `cols` (+ the
+    # optional spread key — see column_profile)
+    filtered = df.where(cond)
+    if spread_key is not None and spread_key not in cols:
+        base = spread(
+            filtered.select(*cols, spread_key), key=spread_key
+        ).select(*cols)
+    else:
+        base = spread(filtered.select(*cols), key=spread_key)
     aggs = [F.count(F.lit(1)).alias("__n")] + _moment_aggs(cols)
     for i, a in enumerate(cols):
         for b in cols[i + 1 :]:
@@ -417,6 +433,7 @@ def quantile_bounds_histogram(
     p_hi: float = 0.99,
     exact: bool = False,
     accuracy: int = 10_000,
+    spread_key: str | None = None,
 ) -> DataFrame:
     """Histogram with DATA-DEPENDENT bounds — the real-world profiling
     shape where the range is not known a priori: one quantile pass finds
@@ -444,7 +461,13 @@ def quantile_bounds_histogram(
         raise ValueError("n_bins must be >= 1")
     # pre-alias to a fixed safe identifier so arbitrary column names
     # (spaces, hyphens, dots) survive the expr interpolation (ADVICE r6)
-    vals = spread(df.select(F.col(value_col).alias("__qbh_v")))
+    if spread_key is not None:
+        vals = spread(
+            df.select(F.col(value_col).alias("__qbh_v"), F.col(spread_key)),
+            key=spread_key,
+        ).select("__qbh_v")
+    else:
+        vals = spread(df.select(F.col(value_col).alias("__qbh_v")))
     if exact:
         lo, hi = exact_percentiles_distributed(
             vals, "__qbh_v", [p_lo, p_hi]

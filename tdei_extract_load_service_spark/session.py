@@ -189,9 +189,28 @@ def _parquet_split_count(files: list[str], stop_at: int) -> int:
     return total
 
 
-def spread(df: DataFrame, factor: int = 1, well_partitioned: bool = False) -> DataFrame:
+def spread(
+    df: DataFrame,
+    factor: int = 1,
+    well_partitioned: bool = False,
+    key: str | list | None = None,
+) -> DataFrame:
     """Round-robin repartition UP to the session's full parallelism —
     a no-op on input that demonstrably already has it.
+
+    ``key`` (optional): name(s) of a HIGH-CARDINALITY column in ``df``.
+    When given, the repartition hashes a deterministic synthetic key
+    (``pmod(xxhash64(key), 100 * target)`` — the guide's deterministic
+    replacement for keyless round-robin) instead of round-robin. This
+    skips the local sort every keyless ``repartition(n)`` pays
+    (``spark.sql.execution.sortBeforeRepartition``, needed so RETRIED
+    map tasks reproduce row-to-partition assignment; a content-derived
+    key is retry-stable by construction, so no sort is needed —
+    measured 0.96s -> 0.55s on the 600k-row column_profile aggregation
+    at sf0.1, the sort being single-threaded on a one-row-group scan).
+    Only pass columns whose value diversity comfortably exceeds 100x
+    the core count; low-cardinality keys would funnel partitions and
+    round-robin stays the safe default.
 
     Parquet scans can't split inside a row group, so a single-row-group
     file (the SF fixtures; any small-file corpus) pins every pre-shuffle
@@ -237,10 +256,23 @@ def spread(df: DataFrame, factor: int = 1, well_partitioned: bool = False) -> Da
             return df
         if _parquet_split_count(files, stop_at=target) >= target:
             return df
-        return df.repartition(target)
+        return _spread_exchange(df, target, key)
     if df.rdd.getNumPartitions() >= target:
         return df
-    return df.repartition(target)
+    return _spread_exchange(df, target, key)
+
+
+def _spread_exchange(df: DataFrame, target: int, key) -> DataFrame:
+    """The spread repartition itself: keyless round-robin by default,
+    deterministic content-hash partitioning when ``key`` is given (see
+    ``spread``)."""
+    if key is None:
+        return df.repartition(target)
+    from pyspark.sql import functions as F
+
+    keys = [key] if isinstance(key, str) else list(key)
+    synth = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(100 * target))
+    return df.repartition(target, synth)
 
 
 def sort_boundary(df: DataFrame, *key_cols: str) -> DataFrame:

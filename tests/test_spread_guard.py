@@ -91,3 +91,50 @@ def test_spread_factor_multiplies_target(spark):
     df = spark.range(100, numPartitions=1)
     out = spread(df, factor=2)
     assert out.rdd.getNumPartitions() == 2 * spark.sparkContext.defaultParallelism
+
+
+def test_keyed_spread_skips_round_robin_sort_and_preserves_rows(spark, tmp_path):
+    """key= replaces keyless round-robin with deterministic hash
+    partitioning (pmod(xxhash64(key), 100*target)): no local sort in the
+    plan, every row present exactly once, and the same guard ladder
+    (a well-partitioned frame is still left alone)."""
+    path = str(tmp_path / "keyed_rg.parquet")
+    _write_parquet(path, n_rows=20_000, row_group_size=1_000_000)
+    df = spark.read.parquet(path)
+    out = spread(df, key="id")
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    # multiset of rows is unchanged
+    assert out.count() == 20_000
+    assert out.agg(F.sum("id")).first()[0] == sum(range(20_000))
+    # the exchange is hash-partitioned on the synthetic key, not
+    # round-robin (whose determinism requires a local sort of the input)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "roundrobin" not in plan.lower()
+    assert "xxhash64" in plan.lower()
+    # guard ladder unchanged: a frame that already has the parallelism
+    # is returned as-is even with a key
+    many = str(tmp_path / "keyed_many_rg.parquet")
+    target = spark.sparkContext.defaultParallelism
+    _write_parquet(many, n_rows=target * 100, row_group_size=100)
+    df2 = spark.read.parquet(many)
+    assert spread(df2, key="id") is df2
+
+
+def test_keyed_spread_distributes_rows(spark, tmp_path):
+    """A high-cardinality key must actually spread rows across tasks —
+    the point of the deterministic synthetic key (guide: 100x more
+    distinct values than partitions)."""
+    path = str(tmp_path / "keyed_dist.parquet")
+    _write_parquet(path, n_rows=20_000, row_group_size=1_000_000)
+    df = spark.read.parquet(path)
+    out = spread(df, key="id")
+    sizes = (
+        out.select(F.spark_partition_id().alias("p"))
+        .groupBy("p")
+        .count()
+        .collect()
+    )
+    non_empty = [r["count"] for r in sizes]
+    target = spark.sparkContext.defaultParallelism
+    assert len(non_empty) >= max(2, target // 2)
+    assert max(non_empty) < 20_000  # not funneled into one task
