@@ -31,6 +31,22 @@ from pyspark.sql import functions as F
 from tdei_extract_load_service_spark.session import spread
 
 
+def _shuffle_partitions(df: DataFrame, default: int = 200) -> int:
+    """The session's configured shuffle parallelism — used to PIN the
+    partition count of candidate-join exchanges whose cost is the
+    per-pair residual (cosine / Hamming / Jaccard), not bytes: AQE's
+    byte-based coalescing otherwise shrinks these tiny exchanges to a
+    handful of tasks and serializes exactly the expensive stage
+    (optimization r13; the count stays the scale knob, never a local
+    core-count constant)."""
+    try:
+        return int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", str(default))
+        )
+    except Exception:  # pragma: no cover - non-numeric override
+        return default
+
+
 def _col(c: str | Column) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
@@ -765,6 +781,14 @@ def simhash_pairs(
         chunked = sh.select("id", "h", chunk_arr.alias("ch")).select(
             "id", "h", "ch", F.posexplode("ch").alias("chunk_idx", "chunk")
         )
+        # explicit join-key repartition (the _lsh_pairs_between r13 fix):
+        # the candidate stage is CPU-bound on per-pair residuals, so AQE's
+        # byte-based coalescing under-parallelizes it; the count follows
+        # spark.sql.shuffle.partitions (scale-adaptive). Measured 0.82 ->
+        # 0.55s on the sf0.1 chunk join, pair set identical.
+        chunked = chunked.repartition(
+            _shuffle_partitions(sh), F.col("chunk_idx"), F.col("chunk")
+        )
         a, b = chunked.alias("a"), chunked.hint("merge").alias("b")
         first_chunk = F.array_position(
             F.zip_with(F.col("a.ch"), F.col("b.ch"), lambda x, y: x == y),
@@ -804,6 +828,10 @@ def simhash_pairs(
     )
     chunked = sh.select("id", "bits", chunk_arr.alias("ch")).select(
         "id", "bits", "ch", F.posexplode("ch").alias("chunk_idx", "chunk")
+    )
+    # same explicit join-key repartition as the 64-bit path above
+    chunked = chunked.repartition(
+        _shuffle_partitions(sh), F.col("chunk_idx"), F.col("chunk")
     )
     a, b = chunked.alias("a"), chunked.hint("merge").alias("b")
     first_collision_chunk = F.array_position(
@@ -1238,9 +1266,7 @@ def _lsh_pairs_between(
         # never a local-core-count constant. The sort-merge hint below
         # still pins the spillable strategy (broadcast OOMs at x10,
         # shuffled-hash at x100 — SCALE.md).
-        npart = int(
-            a_df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-        )
+        npart = _shuffle_partitions(a_df)
         key = [F.col("_band"), F.col("_bkt")]
         a = _explode_banded(a_df, n_bands).repartition(npart, *key).alias("a")
         b = (
