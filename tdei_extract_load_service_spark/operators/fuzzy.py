@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from tdei_extract_load_service_spark.session import spread
+
 
 def _deletion_signatures(text_col: str) -> F.Column:
     """The string plus every single-deletion variant, as an array."""
@@ -58,12 +60,19 @@ def fuzzy_join_blocked(
             "fuzzy_join_blocked supports max_dist=1 (one-deletion "
             "neighborhood); compose k-deletion signatures for larger radii"
         )
-    lsig = left.select(
+    # spread() both sides before the O(len) signature explode: on
+    # row-group-limited scans the explode (and, when the clean side is
+    # broadcast, its BUILD job) otherwise runs single-task — the join
+    # key is the entity id, high-cardinality by contract, so the
+    # deterministic keyed spread applies (guide §2.5). No-op on inputs
+    # that already carry a shuffle or enough row groups. Measured
+    # candidate pass 1.16 -> 0.63 s at sf0.1, identical pairs.
+    lsig = spread(left, key=left_key).select(
         F.col(left_key).alias("_lk"),
         F.col(left_text).alias("_lt"),
         F.explode(_deletion_signatures(left_text)).alias("_sig"),
     )
-    rsig = right.select(
+    rsig = spread(right, key=right_key).select(
         F.col(right_key).alias("_rk"),
         F.col(right_text).alias("_rt"),
         F.explode(_deletion_signatures(right_text)).alias("_sig"),
