@@ -250,6 +250,9 @@ def tfidf_topk(
     from one tiny agg (|query| rows, broadcast back); final score is one
     hash agg + TakeOrderedAndProject. No corpus-sized shuffle carries
     text. One driver-side scalar count supplies N (a model, not data).
+    NOT spread(): the isin filter prunes to query-term hits before any
+    shuffle, so the map side is cheap — an input exchange measured
+    0.55 -> 0.94 s at sf0.1 (3x interleaved A/B, r13).
     """
     docs = df.select(
         _col(id_col).alias("id"),
@@ -331,6 +334,11 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     carries one row per distinct bigram per doc per task — bounded by
     document length, never corpus size. Docs with < 2 words report 0
     bigram fractions (no bigrams to repeat)."""
+    from tdei_extract_load_service_spark.session import spread
+
+    # the word-level HOF ratios run pre-shuffle — spread so a
+    # row-group-limited scan doesn't pin them to one task (no-op at scale)
+    df = spread(df, key=id_col if isinstance(id_col, str) else None)
     words = F.split(F.trim(_col(text_col)), _WS_CLASS)
     base = df.select(
         _col(id_col).alias(id_col),
@@ -1929,6 +1937,9 @@ def keywords_topm(
     MISMATCH, not a crash."""
     from pyspark.sql.window import Window
 
+    # NOT spread(): the postings shuffle (every (doc, term) pair)
+    # dominates, not the tokenize map side — an input exchange measured
+    # 1.05 -> 1.24 s at sf0.1 (3x interleaved A/B, r13)
     docs = df.select(
         _col(id_col).alias("doc_id"),
         F.split(F.lower(F.trim(_col(text_col))), _WS_CLASS).alias("words"),
