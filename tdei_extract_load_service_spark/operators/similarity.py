@@ -1802,6 +1802,44 @@ def mmr_topk(
     )
 
 
+_OUTLIER_EXPR_MEMO: dict[tuple, tuple] = {}
+
+
+def _outlier_exprs(
+    id_col: str, vec_col: str, dim: int
+) -> tuple[list[Column], list[Column]]:
+    """embedding_outliers' plan fragments as parsed SQL, memoized —
+    exactly the trees the fluent form built: per-dimension
+    ``CAST(sum(CAST(CAST(v[i] AS DOUBLE) AS DECIMAL(25,12))) AS DOUBLE)``
+    and the round-6 cosine/norm2 projection over the ``_dot`` fold
+    bodies (``aggregate(zip_with(..), 0.0D, +)`` with elementwise
+    double casts)."""
+    key = (id_col, vec_col, dim)
+    memo = _OUTLIER_EXPR_MEMO.get(key)
+    if memo is not None:
+        return memo
+    sum_cols = [
+        F.expr(
+            f"CAST(sum(CAST(CAST({vec_col}[{i}] AS DOUBLE)"
+            " AS DECIMAL(25,12))) AS DOUBLE)"
+        ).alias(f"_s{i}")
+        for i in range(dim)
+    ]
+    dvv = _dot_cols_sql(vec_col, vec_col, dim)
+    dvc = _dot_cols_sql(vec_col, "_cv", dim)
+    dcc = _dot_cols_sql("_cv", "_cv", dim)
+    score_cols = [
+        F.col(id_col).alias("id"),
+        F.expr(
+            f"round({dvc} / (SQRT({dvv}) * SQRT({dcc})), 6)"
+        ).alias("cos_centroid"),
+        F.expr(f"round({dvv}, 6)").alias("norm2"),
+    ]
+    out = (sum_cols, score_cols)
+    _OUTLIER_EXPR_MEMO[key] = out
+    return out
+
+
 def embedding_outliers(
     df: DataFrame,
     id_col: str,
@@ -1840,25 +1878,39 @@ def embedding_outliers(
     from tdei_extract_load_service_spark.session import persist_scoped
 
     v = _col(vec_col)
-    sums = df.agg(
-        *[
-            F.sum(v[i].cast("double").cast("decimal(25,12)"))
-            .cast("double")
-            .alias(f"_s{i}")
-            for i in range(dim)
-        ]
-    ).select(F.array(*[F.col(f"_s{i}") for i in range(dim)]).alias("_cv"))
+    if isinstance(vec_col, str) and isinstance(id_col, str):
+        # SQL-fragment plan build (the drift _decimal_mean_exprs
+        # precedent, r13): the 64 looped decimal-sum Columns plus the
+        # cosine/norm folds cost ~1 s of py4j round-trips PER BUILD;
+        # the parsed fragments are the identical expression trees
+        # (same casts, same fold bodies), memoized module-level.
+        sum_cols, score_cols = _outlier_exprs(id_col, vec_col, dim)
+        sums = df.agg(*sum_cols).select(
+            F.array(*[F.col(f"_s{i}") for i in range(dim)]).alias("_cv")
+        )
+        scored_proj = spread(df).crossJoin(F.broadcast(sums)).select(*score_cols)
+    else:  # pragma: no cover - Column-object callers keep the fluent form
+        sums = df.agg(
+            *[
+                F.sum(v[i].cast("double").cast("decimal(25,12)"))
+                .cast("double")
+                .alias(f"_s{i}")
+                for i in range(dim)
+            ]
+        ).select(F.array(*[F.col(f"_s{i}") for i in range(dim)]).alias("_cv"))
+        scored_proj = (
+            spread(df)
+            .crossJoin(F.broadcast(sums))
+            .select(
+                _col(id_col).alias("id"),
+                F.round(cosine_similarity(v, F.col("_cv")), 6).alias(
+                    "cos_centroid"
+                ),
+                F.round(_dot(v, v), 6).alias("norm2"),
+            )
+        )
     scored = persist_scoped(
-        spread(df)
-        .crossJoin(F.broadcast(sums))
-        .select(
-            _col(id_col).alias("id"),
-            F.round(cosine_similarity(v, F.col("_cv")), 6).alias(
-                "cos_centroid"
-            ),
-            F.round(_dot(v, v), 6).alias("norm2"),
-        ),
-        "similarity.embedding_outliers.scored",
+        scored_proj, "similarity.embedding_outliers.scored"
     )
 
     def _cut(order, k, reason):

@@ -1312,6 +1312,59 @@ def lm_bigram_score(
 #: session-lifetime BM25 index cache: (corpus_key, n_buckets) -> meta
 _BM25_INDEX_CACHE: dict = {}
 
+#: (app id, terms, n_buckets) -> sorted bucket ids. The buckets are the
+#: ENGINE's xxhash64 over the QUERY LITERALS (never over corpus data),
+#: so memoizing them is plan construction, not result caching — but the
+#: hash itself must stay engine-computed (a Python xxhash64 twin could
+#: drift), hence the one-row job on first use per session.
+_TERM_BUCKET_MEMO: dict[tuple, list[int]] = {}
+
+#: (app id, path) -> parquet read plan. Immutable logical scans of the
+#: CONTENT-ADDRESSED index directory (path embeds corpus mtime), the
+#: catalog._READ_MEMO discipline: every action still scans parquet.
+_INDEX_READ_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _term_buckets(spark, terms: tuple, n_buckets: int) -> list[int]:
+    """Bucket ids for query terms via the engine's own xxhash64 —
+    computed over ONE OneRowRelation job (codegen projection, no
+    pickled-RDD local relation: ``createDataFrame(<python list>)``
+    costs a pickled scan per call — the verify-skill gotcha), memoized
+    per session: the inputs are query literals, not data."""
+    key = (spark.sparkContext.applicationId, terms, n_buckets)
+    hit = _TERM_BUCKET_MEMO.get(key)
+    if hit is not None:
+        return hit
+    row = spark.range(1).select(
+        *[
+            F.pmod(F.xxhash64(F.lit(t)), F.lit(n_buckets))
+            .cast("int")
+            .alias(f"_b{i}")
+            for i, t in enumerate(terms)
+        ]
+    ).first()
+    out = sorted({int(v) for v in row})
+    _TERM_BUCKET_MEMO[key] = out
+    return out
+
+
+def _index_read(spark, path: str) -> DataFrame:
+    import os
+
+    # key on the publish marker's mtime too: a swept-then-rebuilt index
+    # under the SAME path gets new part files, and the memoized plan's
+    # file listing would be stale (the marker is rewritten on publish)
+    try:
+        stamp = os.stat(os.path.join(os.path.dirname(path), "_meta.json")).st_mtime_ns
+    except OSError:
+        stamp = None
+    key = (spark.sparkContext.applicationId, path, stamp)
+    hit = _INDEX_READ_MEMO.get(key)
+    if hit is None:
+        hit = spark.read.parquet(path)
+        _INDEX_READ_MEMO[key] = hit
+    return hit
+
 
 def build_bm25_index(
     docs: DataFrame,
@@ -1438,23 +1491,14 @@ def bm25_topk_stored(
 
     if not terms:
         raise ValueError("terms must be non-empty")
-    buckets = sorted(
-        {
-            int(r["b"])
-            for r in spark.createDataFrame(
-                [(t,) for t in terms], "term string"
-            )
-            .select(F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("b"))
-            .collect()
-        }
-    )
+    buckets = _term_buckets(spark, tuple(terms), n_buckets)
     postings = (
-        spark.read.parquet(os.path.join(index_path, "postings"))
+        _index_read(spark, os.path.join(index_path, "postings"))
         .where(F.col("term_bucket").isin(buckets))
         .where(F.col("term").isin(list(terms)))
     )
     dfreq = (
-        spark.read.parquet(os.path.join(index_path, "df"))
+        _index_read(spark, os.path.join(index_path, "df"))
         .where(F.col("term_bucket").isin(buckets))
         .where(F.col("term").isin(list(terms)))
         .select("term", "df")
