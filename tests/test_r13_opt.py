@@ -94,3 +94,108 @@ def test_sort_boundary_is_ordering_neutral(spark):
         .collect()
     )
     assert plain == bounded
+
+
+def test_outlier_sql_exprs_equal_fluent_form(spark):
+    """embedding_outliers' memoized SQL fragments (_outlier_exprs) must
+    emit bit-identical doubles to the fluent Column form they replaced."""
+    import random
+
+    from tdei_extract_load_service_spark.operators import similarity as S
+    from tdei_extract_load_service_spark.operators.dedup import (
+        _dot,
+        cosine_similarity,
+    )
+
+    rnd = random.Random(7)
+    dim = 8
+    rows = [(i, [rnd.uniform(-2, 2) for _ in range(dim)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vid long, vec array<double>")
+
+    sum_cols, score_cols = S._outlier_exprs("vid", "vec", dim)
+    sums_sql = df.agg(*sum_cols).select(
+        F.array(*[F.col(f"_s{i}") for i in range(dim)]).alias("_cv")
+    )
+    got = sorted(
+        map(tuple, df.crossJoin(F.broadcast(sums_sql)).select(*score_cols).collect())
+    )
+
+    v = F.col("vec")
+    sums_fluent = df.agg(
+        *[
+            F.sum(v[i].cast("double").cast("decimal(25,12)"))
+            .cast("double")
+            .alias(f"_s{i}")
+            for i in range(dim)
+        ]
+    ).select(F.array(*[F.col(f"_s{i}") for i in range(dim)]).alias("_cv"))
+    want = sorted(
+        map(
+            tuple,
+            df.crossJoin(F.broadcast(sums_fluent))
+            .select(
+                F.col("vid").alias("id"),
+                F.round(cosine_similarity(v, F.col("_cv")), 6).alias(
+                    "cos_centroid"
+                ),
+                F.round(_dot(v, v), 6).alias("norm2"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want
+
+
+def test_bm25_index_read_memo_invalidates_on_rebuild(spark, tmp_path):
+    """_index_read memoizes the parquet read PLAN per (session, path,
+    publish-marker mtime): a rebuilt index under the same path (new part
+    files, rewritten _meta.json) must yield fresh rows, never the stale
+    file listing."""
+    import json
+    import os
+    import time
+
+    from tdei_extract_load_service_spark.operators import text as TX
+
+    root = str(tmp_path / "idx")
+    sub = os.path.join(root, "postings")
+    os.makedirs(root, exist_ok=True)
+
+    def publish(vals):
+        spark.createDataFrame(
+            [(t, v) for t, v in vals], "term string, df long"
+        ).coalesce(1).write.mode("overwrite").parquet(sub)
+        with open(os.path.join(root, "_meta.json"), "w") as fh:
+            json.dump({"v": time.time_ns()}, fh)
+
+    publish([("a", 1)])
+    first = TX._index_read(spark, sub).collect()
+    assert [(r["term"], r["df"]) for r in first] == [("a", 1)]
+    # same marker -> memo hit (same plan object)
+    assert TX._index_read(spark, sub) is TX._index_read(spark, sub)
+    time.sleep(0.01)
+    publish([("b", 2), ("c", 3)])
+    second = sorted((r["term"], r["df"]) for r in TX._index_read(spark, sub).collect())
+    assert second == [("b", 2), ("c", 3)]
+
+
+def test_bm25_term_buckets_match_engine_hash(spark):
+    """_term_buckets must agree with the engine's xxhash64 as computed
+    over a plain frame (the shape the old createDataFrame path used)."""
+    from tdei_extract_load_service_spark.operators import text as TX
+
+    terms = ("spark", "join", "window", "scan")
+    got = TX._term_buckets(spark, terms, 64)
+    want = sorted(
+        {
+            int(r["b"])
+            for r in spark.createDataFrame([(t,) for t in terms], "term string")
+            .select(
+                F.pmod(F.xxhash64("term"), F.lit(64)).cast("int").alias("b")
+            )
+            .collect()
+        }
+    )
+    assert got == want
+    # memoized second call returns the identical list
+    assert TX._term_buckets(spark, terms, 64) == want
