@@ -140,6 +140,18 @@ def ivf_assign(
     return ivf_assign_model(df, rows, id_col, vec_col)
 
 
+#: (application id, vec_col, ids, centroid digest) -> the three assign
+#: Columns (vnorm, dots, best). The heavyweight piece is the dim x C
+#: transposed-centroid literal parsed from ONE ~25 KB SQL string — a
+#: py4j parse per ivf_assign_model CALL before this memo (~0.3-0.5 s of
+#: every drift/ivf/pq query BUILD, r14 profile). Columns are immutable
+#: unresolved trees (the _DECIMAL_MEAN_MEMO discipline); the key carries
+#: the collected model VALUES, so the per-rep model job still runs and a
+#: changed corpus misses the memo — plan construction is memoized, never
+#: results.
+_ASSIGN_COL_MEMO: dict[tuple, tuple[Column, Column, Column]] = {}
+
+
 def ivf_assign_model(
     df: DataFrame, rows: list, id_col: str, vec_col: str,
     keep: tuple[str, ...] = (),
@@ -157,6 +169,25 @@ def ivf_assign_model(
     ids = [int(r["centroid_id"]) for r in rows]
     cvecs = [[float(x) for x in r["centroid_vec"]] for r in rows]
     dim, n_c = len(cvecs[0]), len(ids)
+    memo_key = (
+        df.sparkSession.sparkContext.applicationId,
+        str(vec_col),
+        tuple(ids),
+        hash(tuple(x for cv in cvecs for x in cv)),
+    )
+    memo = _ASSIGN_COL_MEMO.get(memo_key)
+    if memo is not None:
+        vnorm_col, dots_col, best = memo
+        pre = spread(df).select(
+            _col(id_col).alias("id"),
+            _col(vec_col).alias("vec"),
+            vnorm_col.alias("_vnorm"),
+            dots_col.alias("_dots"),
+            *[_col(c) for c in keep],
+        )
+        return pre.select(
+            "id", best["centroid_id"].alias("centroid_id"), "vec", *keep
+        )
     # centroid norms driver-side, accumulated in position order — the same
     # left-to-right fold the engines use, so the quotient stays bit-identical
     # to cosine_similarity / the oracle's list_dot_product
@@ -203,16 +234,6 @@ def ivf_assign_model(
             )
         )
 
-    # separate projection: _vnorm is referenced C times downstream, and
-    # CollapseProject keeps non-cheap multiply-referenced expressions
-    # materialized instead of inlining C copies of the fold
-    pre = spread(df).select(
-        _col(id_col).alias("id"),
-        vec.alias("vec"),
-        vnorm(vec).alias("_vnorm"),
-        dots(vec).alias("_dots"),
-        *[_col(c) for c in keep],
-    )
     best = F.array_max(
         F.zip_with(
             F.col("_dots"),
@@ -225,6 +246,18 @@ def ivf_assign_model(
                 F.element_at(ids_lit, j + 1).alias("centroid_id"),
             ),
         )
+    )
+    vnorm_col, dots_col = vnorm(vec), dots(vec)
+    _ASSIGN_COL_MEMO[memo_key] = (vnorm_col, dots_col, best)
+    # separate projection: _vnorm is referenced C times downstream, and
+    # CollapseProject keeps non-cheap multiply-referenced expressions
+    # materialized instead of inlining C copies of the fold
+    pre = spread(df).select(
+        _col(id_col).alias("id"),
+        vec.alias("vec"),
+        vnorm_col.alias("_vnorm"),
+        dots_col.alias("_dots"),
+        *[_col(c) for c in keep],
     )
     return pre.select(
         "id", best["centroid_id"].alias("centroid_id"), "vec", *keep
@@ -1184,6 +1217,12 @@ def embedding_drift_report(
     from pyspark.sql.window import Window
 
     w_all = Window.partitionBy()
+    # model-sized tail on ONE partition (r14): ``joined`` is
+    # num_centroids rows at any corpus scale; the narrow coalesce(1)
+    # makes the unpartitioned window AND the final orderBy exchange-free
+    # (SinglePartition satisfies both distributions) — two fewer AQE
+    # stage jobs per run, same rows (the drift_alert rules-tail recipe).
+    joined = joined.coalesce(1)
     return (
         joined.select(
             "centroid_id",
@@ -1573,18 +1612,52 @@ def drift_alerts_over_history(
         F.coalesce(F.col("n"), F.lit(0)).alias("n"),
         "mean",
     )
-    dense = dense.withColumn(
-        "_tot", F.sum("n").over(Window.partitionBy("_snap"))
-    ).withColumn(
-        # an EMPTY snapshot (a requested label with zero corpus rows) has
-        # _tot = 0: define every cell's share as 0 instead of 0 DIV 0 —
-        # which throws under ANSI (a certified sweep mode) and yields a
-        # NULL that would poison the streak logic downstream
-        "share_fp",
-        F.expr("CASE WHEN _tot = 0 THEN 0 ELSE (1000000 * n) DIV _tot END"),
+    # model-sized tail on ONE partition (r14): the frame is bounded by
+    # construction at |snapshots| x |cells| rows at ANY corpus scale, yet
+    # the three window specs below (share total by _snap, the two lag
+    # chains by centroid_id) plus the final global sort planned FOUR
+    # exchanges — each an AQE stage job moving a handful of rows
+    # (measured: the rules half alone cost 0.76 s at sf0.1, almost all
+    # stage overhead). A narrow coalesce(1) makes the child
+    # SinglePartition, which satisfies every window's ClusteredDistribution
+    # and the sort's OrderedDistribution: zero exchanges, one task, same
+    # rows (guide §2.4 remove shuffles outright; the broadcast-sized
+    # argument drift_report's unpartitioned window already made).
+    dense = dense.coalesce(1)
+    # Every DataFrame op below re-analyzes the WHOLE logical tree — for
+    # the inline caller that tree embeds the 64-wide DECIMAL aggregation
+    # and the dim x C centroid literal, so each op costs ~45 ms of
+    # driver time (measured r14: the rules half spent 0.6 s/build in
+    # ~13 analysis passes). The chain is therefore FUSED into a handful
+    # of selects carrying identical expression trees: values are
+    # unchanged, only the op count (and so the analysis passes) drops.
+    # an EMPTY snapshot (a requested label with zero corpus rows) has
+    # _tot = 0: define every cell's share as 0 instead of 0 DIV 0 —
+    # which throws under ANSI (a certified sweep mode) and yields a
+    # NULL that would poison the streak logic downstream
+    dense = dense.select(
+        "_snap",
+        "centroid_id",
+        "n",
+        "mean",
+        F.sum("n").over(Window.partitionBy("_snap")).alias("_tot"),
+    ).select(
+        "_snap",
+        "centroid_id",
+        "n",
+        "mean",
+        F.expr("CASE WHEN _tot = 0 THEN 0 ELSE (1000000 * n) DIV _tot END").alias(
+            "share_fp"
+        ),
     )
 
     w = Window.partitionBy("centroid_id").orderBy("_snap")
+    # swing_fired's expression is written twice (as the column and inside
+    # the second lag): both trees are identical and deterministic, so the
+    # values match the former two-step withColumn form bit for bit; the
+    # lag-AFTER-filter placement is load-bearing (the first snapshot's
+    # rows leave the frame before the streak lag runs, exactly as before)
+    _swing_fp = F.abs(F.col("share_fp") - F.col("prev_share_fp"))
     paired = (
         dense.select(
             "_snap",
@@ -1597,9 +1670,9 @@ def drift_alerts_over_history(
             F.lag("mean").over(w).alias("prev_mean"),
         )
         .where(F.col("prev_share_fp").isNotNull())
-        .withColumn("swing_fp", F.abs(F.col("share_fp") - F.col("prev_share_fp")))
-        .withColumn(
-            "rot_fp",
+        .select(
+            "*",
+            _swing_fp.alias("swing_fp"),
             F.when(
                 F.col("mean").isNotNull() & F.col("prev_mean").isNotNull(),
                 F.round(
@@ -1609,12 +1682,10 @@ def drift_alerts_over_history(
                     ),
                     0,
                 ).cast("long"),
-            ),
+            ).alias("rot_fp"),
+            (_swing_fp >= share_swing_fp).alias("swing_fired"),
+            F.lag(_swing_fp >= share_swing_fp).over(w).alias("prev_swing_fired"),
         )
-        .withColumn("swing_fired", F.col("swing_fp") >= share_swing_fp)
-    )
-    paired = paired.withColumn(
-        "prev_swing_fired", F.lag("swing_fired").over(w)
     )
     # null-safe on purpose: swing_fired cannot be NULL now that empty
     # snapshots share 0, but the streak must never invert on a NULL
@@ -1651,22 +1722,14 @@ def drift_alerts_over_history(
         rule("share_swing", F.col("swing_fp"), share_swing_fp, F.col("swing_fired")),
         rule("sustained_swing", streak, 2, streak >= 2),
     )
-    return (
-        paired.select(
-            F.col("_snap").alias("snapshot_id"),
-            "centroid_id",
-            F.explode(rules).alias("r"),
-        )
-        .select(
-            "snapshot_id",
-            "centroid_id",
-            F.col("r.rule").alias("rule"),
-            F.col("r.metric_fp").alias("metric_fp"),
-            F.col("r.threshold_fp").alias("threshold_fp"),
-            F.col("r.fired").alias("fired"),
-        )
-        .orderBy("snapshot_id", "centroid_id", "rule")
-    )
+    # F.inline = explode-to-columns in ONE op (the struct aliases above
+    # are already the output names): same rows as the former
+    # explode-then-project pair, one fewer analysis pass
+    return paired.select(
+        F.col("_snap").alias("snapshot_id"),
+        "centroid_id",
+        F.inline(rules),
+    ).orderBy("snapshot_id", "centroid_id", "rule")
 
 
 def mmr_topk(
