@@ -534,24 +534,20 @@ def q_text_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tdei_extract_load_service_spark.operators.text import dsir_scores
 
     docs = _read(spark, sf_dir, "documents")
+    # ``lang`` rides the (doc, bucket) profile aggregation (keep=) — the
+    # former broadcast-top-50 join back onto the corpus was a SECOND
+    # full fact scan just to recover a column the profile pass already
+    # read (guide §2.4; r14). The TakeOrdered cut emits a single
+    # partition, so the final declared ordering is a local sort — no
+    # sort_boundary needed anymore.
     scores = dsir_scores(
-        docs, "doc_id", "text", target=F.col("lang") == "en"
+        docs, "doc_id", "text", target=F.col("lang") == "en",
+        keep=("lang",),
     )
-    top = scores.orderBy(
-        F.col("dsir_score").desc(), F.col("doc_id").asc()
-    ).limit(50)
-    from tdei_extract_load_service_spark.session import sort_boundary
-
-    sel = (
-        F.broadcast(top)
-        .join(docs.select("doc_id", "lang"), "doc_id")
-        .select("doc_id", "lang", "dsir_score")
-    )
-    # sort_boundary: the final stage is the corpus scan + lang join —
-    # materialize the 50-row result so the range sampler reads it
-    # instead of re-scanning the corpus (guide §2.4)
     return (
-        sort_boundary(sel, "doc_id")
+        scores.orderBy(F.col("dsir_score").desc(), F.col("doc_id").asc())
+        .limit(50)
+        .select("doc_id", "lang", "dsir_score")
         .orderBy(F.col("dsir_score").desc(), F.col("doc_id").asc())
     )
 

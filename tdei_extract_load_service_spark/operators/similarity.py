@@ -2100,6 +2100,13 @@ def embedding_pca_power(
                 .cast("double")
                 .alias("w")
             )
+            # dim-row matvec on ONE partition (r14): the unpartitioned
+            # norm window below otherwise plans a SinglePartition
+            # exchange PER ITERATION (an AQE stage job each); with the
+            # agg output coalesced, the window and the final orderBy are
+            # exchange-free. Decimal sums are order-independent, so the
+            # values are untouched.
+            .coalesce(1)
         )
         # the norm rides an unpartitioned window instead of a separate
         # agg + crossJoin: the former referenced ``w`` twice, so each

@@ -1287,13 +1287,19 @@ def lm_bigram_score(
         "text.lm_bigram_score.tf",
     )
     c2 = tf.groupBy("bg").agg(F.sum("tf").alias("c2"))
-    c1 = c2.groupBy(F.substring("bg", 1, 1).alias("a")).agg(
-        F.sum("c2").alias("c1")
-    )
-    model = (
-        c2.withColumn("a", F.substring("bg", 1, 1))
-        .join(F.broadcast(c1), "a")
-        .select("bg", "c2", "c1")
+    # the prefix marginal rides a window over the MODEL-SIZED c2 frame
+    # (bounded by |alphabet|^2 rows at any corpus scale) instead of a
+    # second aggregate + broadcast join: same long SUM over the same
+    # rows (order-independent), one fewer aggregation pass and join —
+    # and the coalesce(1) makes the window exchange-free, so deriving
+    # the model from c2 is a single narrow stage (r14; the drift-family
+    # model-tail recipe)
+    from pyspark.sql.window import Window as _W
+
+    model = c2.coalesce(1).select(
+        "bg",
+        "c2",
+        F.sum("c2").over(_W.partitionBy(F.substring("bg", 1, 1))).alias("c1"),
     )
     return tf.join(F.broadcast(model), "bg").groupBy("doc_id").agg(
         F.round(
@@ -1646,6 +1652,7 @@ def dsir_scores(
     n: int = 2,
     num_buckets: int = 128,
     scale: int = 10**9,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """DSIR-style data selection: importance weights from hashed n-gram
     bucket distributions (Xie et al. 2023, "Data Selection for Language
@@ -1692,9 +1699,17 @@ def dsir_scores(
     from tdei_extract_load_service_spark.session import persist_scoped, spread
 
     b = int(num_buckets)
+    # ``keep``: extra per-document columns carried THROUGH the (doc,
+    # bucket) aggregation (must be functionally dependent on ``id_col``
+    # — one value per document — so the group cardinality is unchanged).
+    # Callers that need such a column in their output (dsir_select's
+    # ``lang``) previously re-joined the corpus to recover it: a whole
+    # second fact-scan for a column the profile pass already read
+    # (guide §2.4 — remove passes outright; r14).
     toks = spread(df).select(
         _col(id_col).alias("_id"),
         target.alias("_is_t"),
+        *[_col(c) for c in keep],
         F.explode(word_ngrams(text_col, n)).alias("_ng"),
     )
     bucket = (
@@ -1702,8 +1717,8 @@ def dsir_scores(
         % F.lit(b)
     ).alias("bucket")
     f = persist_scoped(
-        toks.select("_id", "_is_t", bucket)
-        .groupBy("_id", "_is_t", "bucket")
+        toks.select("_id", "_is_t", *keep, bucket)
+        .groupBy("_id", "_is_t", *keep, "bucket")
         .agg(F.count(F.lit(1)).alias("_f")),
         "text.dsir_scores.f",
     )
@@ -1713,27 +1728,33 @@ def dsir_scores(
             "_t_cnt"
         ),
     )
-    tot = w.agg(
-        F.sum("_r_cnt").alias("_r_tot"), F.sum("_t_cnt").alias("_t_tot")
-    )
-    wt = w.crossJoin(F.broadcast(tot)).select(
+    # totals via unpartitioned windows over the MODEL-SIZED w frame
+    # (num_buckets rows at any corpus scale) instead of a separate
+    # aggregate + crossJoin(broadcast): the old form referenced ``w``
+    # twice (Spark does not dedup common subplans) and paid an extra
+    # aggregation job per run; the coalesce(1) makes the windows
+    # exchange-free (r14, the drift-family model-tail recipe). Integer
+    # sums are order-independent — identical _pt/_pr values.
+    wt = w.coalesce(1).select(
         "bucket",
         F.expr(
-            f"(( _t_cnt + 1) * {int(scale)}L) DIV (_t_tot + {b})"
+            f"(( _t_cnt + 1) * {int(scale)}L)"
+            f" DIV ((sum(_t_cnt) OVER ()) + {b})"
         ).alias("_pt"),
         F.expr(
-            f"(( _r_cnt + 1) * {int(scale)}L) DIV (_r_tot + {b})"
+            f"(( _r_cnt + 1) * {int(scale)}L)"
+            f" DIV ((sum(_r_cnt) OVER ()) + {b})"
         ).alias("_pr"),
     )
     return (
         f.join(F.broadcast(wt), "bucket")
-        .groupBy("_id")
+        .groupBy("_id", *keep)
         .agg(
             F.sum(F.col("_f") * (F.col("_pt") - F.col("_pr"))).alias(
                 "dsir_score"
             )
         )
-        .select(F.col("_id").alias(id_col), "dsir_score")
+        .select(F.col("_id").alias(id_col), *keep, "dsir_score")
     )
 
 
