@@ -460,22 +460,35 @@ def q_similarity_ivf_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-@register("embedding_knn_batch", ORACLES.lsh_batch_topk_oracle_sql(k=5, stride=100, n_planes=4))
+@register(
+    "embedding_knn_batch",
+    ORACLES.lsh_batch_topk_corpus_aware_oracle_sql(k=5, stride=100),
+)
 def q_embedding_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BATCH bucketed ANN (operators/similarity.py lsh_bucket_topk_batch):
     top-5 per query for the sampled query batch ``vec_id % 100 = 0`` as
     ONE bucket-equi join + ONE ranking window — the production serving
     shape for "top-k for these 10M users" (single-query probes cost one
-    scheduled job each; the batch form is a join). Identical plane
-    literals to similarity_lsh_bucketed, so buckets — and therefore the
-    result — are bit-identical with per-query single probes; the oracle
-    restates the whole pipeline including the rank."""
+    scheduled job each; the batch form is a join).
+
+    CORPUS-AWARE SIZING (r14, VERDICT r13 #6 — the hard_negatives
+    precedent): the query batch grows WITH the corpus (every 100th
+    row), so a fixed plane count was the quadratic trap — candidate
+    volume |corpus|·|queries|/2^n. n_planes derives from the corpus
+    count via ``planes_per_band_for`` (integer-exact smallest k in
+    [4, 24] with 256·2^k >= n) and the oracle derives the same n from
+    COUNT(*) over the same 24-plane literal batch (``make_planes``
+    prefix property). At every fixture SF the derived count is 4, so
+    the emitted rows are bit-identical to the former pinned-4 entry;
+    only at corpus scale does the bucket width now track n."""
+    from tdei_extract_load_service_spark.operators.dedup import planes_per_band_for
     from tdei_extract_load_service_spark.operators.similarity import (
         lsh_bucket_topk_batch,
         make_planes,
     )
 
     emb = _read(spark, sf_dir, "embeddings")
+    n_planes = planes_per_band_for(emb.count())
     return lsh_bucket_topk_batch(
         emb,
         "vec_id",
@@ -485,8 +498,8 @@ def q_embedding_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         k=5,
         dim=64,
-        n_planes=4,
-        planes=make_planes(4, 64),
+        n_planes=n_planes,
+        planes=make_planes(n_planes, 64),
     ).transform(
         # sort_boundary: the bucket-join top-k window is the final
         # stage (r13)

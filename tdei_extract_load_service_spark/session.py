@@ -105,6 +105,21 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE size CACHED plans' output partitions by bytes too
+        # (default false): every persisted loop frame (label propagation,
+        # BPE vocab, LSH signature caches) otherwise materializes at the
+        # full shuffle-partition count and each loop round re-scans that
+        # many near-empty partitions. Byte-based and scale-adaptive — big
+        # caches keep their parallelism; explicit repartitions
+        # (session.spread, the r13 residual-join pins) are
+        # REPARTITION_BY_NUM and stay exempt from coalescing. Interleaved
+        # A/B at sf0.1 (r14): dedup_golden_record -0.47 s, text_bpe_train
+        # -0.27 s, dedup_lsh_verified -0.15 s, corpus_prep_full -0.15 s,
+        # nothing worse beyond host noise across 17 probed queries.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
