@@ -407,22 +407,25 @@ from tdei_extract_load_service_spark.catalog_entries import (  # noqa: E402,F401
 # oldest-first.  Staleness is measured by LAST DRIVER ROW, computed
 # from the CORRECTNESS_r*.json history (53 entries sat at ≤r9 going
 # into r13; this window burned 2, cdc_apply + corpus_mix_sample).
-# Rule (a) now takes 18 slots, so rule (b) gets 12: the 12 oldest of
-# the last-row-r8 cohort (alphabetical):
-# dedup_lsh_verified, dedup_winnow_cluster, events_funnel,
+# Rule (a) now takes 18 slots, so rule (b) gets 12. DEVIATION from the
+# pre-committed alphabetical r8-cohort sweep, on VERDICT r13's explicit
+# instruction (#4 "rotate the r13-rewritten paths into DRIVER_WINDOW"
+# — their post-rewrite parity evidence was builder-run only): the 12
+# rule-(b) slots go to the r13/r14-REWRITTEN hot paths so the driver
+# itself certifies them this round —
+# dedup_embedding_lsh, dedup_embedding_lsh_stored,
+# dedup_embedding_incremental, dedup_simhash_exact, merge_upsert,
+# graph_triangles, ts_resample_ohlc, join_asof_nearest (the eight
+# VERDICT-named r13 rewrites), plus embedding_knn_batch (r14
+# corpus-aware oracle restatement), text_lm_score and
+# dedup_golden_record (r14 rewrites), and dedup_lsh_verified (r8
+# cohort AND the r13 pin path) — 20+18+12 = 50. The deferred r8-cohort
+# alphabetical sweep (dedup_winnow_cluster, events_funnel,
 # events_retention, events_retention_cohorts, similarity_ivf_pq,
-# similarity_pq, similarity_pq_recall, stream_funnel_shadow, text_chunk,
-# text_contamination, text_normalize —
-# 20+18+12 = 50. The displaced r8-cohort tail
-# (tpch_q10_returned_items, tpch_q13_customer_distribution,
-# tpch_q14_promo_effect, tpch_q15_top_supplier,
-# tpch_q17_small_quantity_revenue, tpch_q18_large_volume_customer,
-# tpch_q19_discounted_revenue, tpch_q20_potential_part_promotion,
-# tpch_q21_suppliers_kept_waiting, tpch_q22_global_sales_opportunity,
-# tpch_q2_minimum_cost_supplier, tpch_q4_order_priority,
-# tpch_q7_volume_shipping) heads the r15 rule-(b) queue, followed by
-# the last-row-r9 set (26 remain, starting corpus_prep_full,
-# dedup_golden_record).
+# similarity_pq, similarity_pq_recall, stream_funnel_shadow,
+# text_chunk, text_contamination, text_normalize, then the TPC-H tail)
+# heads the r15 rule-(b) queue, followed by the last-row-r9 set
+# (starting corpus_prep_full).
 DRIVER_WINDOW: list[str] = [
     # --- the 20-op v1 engine contract (SURVEY §2.4, permanent) ---
     "scan",
@@ -445,39 +448,38 @@ DRIVER_WINDOW: list[str] = [
     "topk_similarity",
     "text_quality",
     "etl_load_dataset",
-    # --- rule (a): the 7 round-12 registrations (never driver-sampled) ---
-    "similarity_rerank",
-    "text_quality_classifier",
-    "embedding_hard_negatives",
-    "anonymize_l_diversity",
-    "corpus_shard_export",
-    "multimodal_audio_dedup",
-    "embedding_drift_report",
-    # --- rule (b): the 21 r7-tail entries deferred from the r12 window ---
-    "grouped_normalize",
-    "histogram_auto",
-    "join_asof",
-    "join_range",
-    "multimodal_decode",
-    "multimodal_decode_jpeg",
-    "multimodal_resize",
-    "multimodal_video_frames",
-    "quantiles",
-    "session_window",
-    "similarity_ivf",
-    "similarity_ivf_kmeans",
-    "text_pack_sequences",
-    "text_repetition_stats",
-    "text_tfidf_topk",
-    "text_winnow_fingerprint",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_volume",
-    "tpch_q6_forecast_revenue",
-    "window_tumbling",
-    # --- rule (b): r8-cohort sweep starts (alphabetical head) ---
-    "cdc_apply",
-    "corpus_mix_sample",
+    # --- rule (a): the 18 round-13 registrations (never driver-sampled) ---
+    "embedding_drift_alert",
+    "embedding_drift_alert_stored",
+    "stream_dedup_incremental_shadow",
+    "text_dsir_select",
+    "anonymize_t_closeness",
+    "similarity_mmr",
+    "stream_drift_history_shadow",
+    "text_bpe_train",
+    "text_bpe_apply",
+    "text_bpe_fertility",
+    "embedding_outliers",
+    "stream_bm25_index_shadow",
+    "embedding_pca_power",
+    "embedding_abtt_topk",
+    "text_keywords",
+    "events_interval_coverage",
+    "text_dsir_resample",
+    "dq_profile_diff",
+    # --- rule (b): the r13/r14-rewritten hot paths (VERDICT r13 #4) ---
+    "dedup_embedding_lsh",
+    "dedup_embedding_lsh_stored",
+    "dedup_embedding_incremental",
+    "dedup_simhash_exact",
+    "merge_upsert",
+    "graph_triangles",
+    "ts_resample_ohlc",
+    "join_asof_nearest",
+    "embedding_knn_batch",
+    "text_lm_score",
+    "dedup_golden_record",
+    "dedup_lsh_verified",
 ]
 
 

@@ -13,15 +13,15 @@ import os
 
 from tdei_extract_load_service_spark.catalog import DRIVER_WINDOW, REGISTRY, ordered_registry
 
-# Entries that must always be driver-checked.  r13 rotation (VERDICT
-# r12 #1): the permanent core is the 20-op v1 engine contract (never
-# rotated out), plus rule (a) — ALL 7 round-12 registrations, never
-# driver-sampled — plus rule (b) oldest-first: the 21 r7-tail entries
-# deferred from the r12 window, then the alphabetical head of the r8
-# cohort (cdc_apply, corpus_mix_sample).  Everything rotated out stays
-# swept by tools/oracle_check.py every round.  This list mirrors
-# catalog.DRIVER_WINDOW deliberately: every rotation must edit BOTH (a
-# silent window edit fails here loudly).
+# Entries that must always be driver-checked.  r14 rotation: the
+# permanent core is the 20-op v1 engine contract (never rotated out),
+# plus rule (a) — ALL 18 round-13 registrations, never driver-sampled —
+# plus rule (b): the r13/r14-REWRITTEN hot paths, on VERDICT r13 #4's
+# explicit instruction (their post-rewrite parity evidence was
+# builder-run only; this window puts them in front of the driver).
+# Everything rotated out stays swept by tools/oracle_check.py every
+# round.  This list mirrors catalog.DRIVER_WINDOW deliberately: every
+# rotation must edit BOTH (a silent window edit fails here loudly).
 FLAGSHIPS = [
     # the 20-op v1 contract
     "scan",
@@ -44,39 +44,38 @@ FLAGSHIPS = [
     "topk_similarity",
     "text_quality",
     "etl_load_dataset",
-    # rule (a): the 7 round-12 registrations (never driver-sampled)
-    "similarity_rerank",
-    "text_quality_classifier",
-    "embedding_hard_negatives",
-    "anonymize_l_diversity",
-    "corpus_shard_export",
-    "multimodal_audio_dedup",
-    "embedding_drift_report",
-    # rule (b): the 21 r7-tail entries deferred from the r12 window
-    "grouped_normalize",
-    "histogram_auto",
-    "join_asof",
-    "join_range",
-    "multimodal_decode",
-    "multimodal_decode_jpeg",
-    "multimodal_resize",
-    "multimodal_video_frames",
-    "quantiles",
-    "session_window",
-    "similarity_ivf",
-    "similarity_ivf_kmeans",
-    "text_pack_sequences",
-    "text_repetition_stats",
-    "text_tfidf_topk",
-    "text_winnow_fingerprint",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_volume",
-    "tpch_q6_forecast_revenue",
-    "window_tumbling",
-    # rule (b): r8-cohort sweep starts (alphabetical head)
-    "cdc_apply",
-    "corpus_mix_sample",
+    # rule (a): the 18 round-13 registrations (never driver-sampled)
+    "embedding_drift_alert",
+    "embedding_drift_alert_stored",
+    "stream_dedup_incremental_shadow",
+    "text_dsir_select",
+    "anonymize_t_closeness",
+    "similarity_mmr",
+    "stream_drift_history_shadow",
+    "text_bpe_train",
+    "text_bpe_apply",
+    "text_bpe_fertility",
+    "embedding_outliers",
+    "stream_bm25_index_shadow",
+    "embedding_pca_power",
+    "embedding_abtt_topk",
+    "text_keywords",
+    "events_interval_coverage",
+    "text_dsir_resample",
+    "dq_profile_diff",
+    # rule (b): the r13/r14-rewritten hot paths (VERDICT r13 #4)
+    "dedup_embedding_lsh",
+    "dedup_embedding_lsh_stored",
+    "dedup_embedding_incremental",
+    "dedup_simhash_exact",
+    "merge_upsert",
+    "graph_triangles",
+    "ts_resample_ohlc",
+    "join_asof_nearest",
+    "embedding_knn_batch",
+    "text_lm_score",
+    "dedup_golden_record",
+    "dedup_lsh_verified",
 ]
 
 
