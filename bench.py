@@ -514,6 +514,7 @@ def main() -> None:
     }
 
     etl_best, etl_stages = bench_etl_load(spark)
+    first_runs["etl_load"] = etl_best
     etl_2nd, etl_stages_2 = bench_etl_load(spark)
     if etl_2nd < etl_best:
         etl_best, etl_stages = etl_2nd, etl_stages_2
@@ -531,31 +532,74 @@ def main() -> None:
     # preserves insertion order, so the bulky per-query maps go FIRST
     # and every compact headline field (metric/value/subtotal/control)
     # goes LAST — the tail always carries the trendline.
+    control_rel_spread = (
+        round(
+            (max(control_samples) - min(control_samples))
+            / max(min(control_samples), 1e-9),
+            4,
+        )
+        if control_samples
+        else None
+    )
+    matched_r1_subtotal = round(
+        sum(timings[q] for q in matched if q in timings), 4
+    )
+    total = round(sum(timings.values()), 4)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # "queries_first_run" (VERDICT r13 #7, cold-rep honesty): rep 1 of
+    # every query, UNWARMED by that query's own earlier reps — entries
+    # whose scoped persists / stored indexes fill on rep 1 show their
+    # cold cost here while "queries" stays the steady-state min
+    # trendline. Both numbers are in the JSON; neither replaces the
+    # other. Placed AHEAD of the maps the cross-round tooling needs
+    # most, so tail-truncation eats this map's head first.
     print(
         json.dumps(
             {
                 "matched_r1_set": matched,
-                "queries": timings,
+                "queries_first_run": first_runs,
                 "queries_median": medians,
+                "queries": timings,
                 "stored_first_run": stored_first_run,
                 "etl_stages": etl_stages,
                 "bench_reps": reps,
                 "control_query": control_name,
                 "control_samples_sec": control_samples,
-                "control_rel_spread": round(
-                    (max(control_samples) - min(control_samples))
-                    / max(min(control_samples), 1e-9),
-                    4,
-                )
-                if control_samples
-                else None,
-                "matched_r1_subtotal": round(
-                    sum(timings[q] for q in matched if q in timings), 4
-                ),
+                "control_rel_spread": control_rel_spread,
+                "matched_r1_subtotal": matched_r1_subtotal,
                 "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 4),
+                "value": total,
                 "unit": "sec",
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
+            }
+        )
+    )
+    # Truncation-proofing (VERDICT r13 #6/#8): BENCH_r12's archive kept
+    # only the tail of the long line above, so its JSON never parsed and
+    # the r13 per-query comparison was lost (n_common: 0). This second,
+    # shorter line is a SUBSET duplicate of the first (same "queries"
+    # values, same headline fields, minus the bulky first-run/median
+    # maps): printed last, it survives tail-captures whole, and because
+    # it carries every contract field (metric/value/unit/queries/sf) it
+    # parses as a complete bench result no matter which line a consumer
+    # picks. Values are identical by construction — nothing is computed
+    # twice.
+    print(
+        json.dumps(
+            {
+                "compact_duplicate_of_line_above": True,
+                "queries": timings,
+                "stored_first_run": stored_first_run,
+                "etl_stages": etl_stages,
+                "bench_reps": reps,
+                "control_query": control_name,
+                "control_samples_sec": control_samples,
+                "control_rel_spread": control_rel_spread,
+                "matched_r1_subtotal": matched_r1_subtotal,
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "sf": sf_val,
             }
         )
     )
