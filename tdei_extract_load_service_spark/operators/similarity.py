@@ -21,7 +21,7 @@ assignment is written ``partitionBy(centroid_id)``.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tdei_extract_load_service_spark.operators.dedup import cosine_similarity
@@ -1868,31 +1868,35 @@ def mmr_topk(
 _OUTLIER_EXPR_MEMO: dict[tuple, tuple] = {}
 
 
-def _outlier_exprs(
-    id_col: str, vec_col: str, dim: int
-) -> tuple[list[Column], list[Column]]:
+def _outlier_exprs(dim: int) -> tuple[list[Column], list[Column]]:
     """embedding_outliers' plan fragments as parsed SQL, memoized —
     exactly the trees the fluent form built: per-dimension
     ``CAST(sum(CAST(CAST(v[i] AS DOUBLE) AS DECIMAL(25,12))) AS DOUBLE)``
     and the round-6 cosine/norm2 projection over the ``_dot`` fold
     bodies (``aggregate(zip_with(..), 0.0D, +)`` with elementwise
-    double casts)."""
-    key = (id_col, vec_col, dim)
+    double casts). The fragments reference only the fixed pre-aliased
+    names ``__eo_id``/``__eo_v`` (ADVICE r13: raw caller names with
+    spaces/hyphens broke the parse, dotted names silently re-resolved),
+    and the memo is keyed on the application id (ADVICE r13: py4j
+    Column handles must not outlive their session)."""
+    spark = SparkSession.getActiveSession()
+    app_id = spark.sparkContext.applicationId if spark is not None else None
+    key = (app_id, dim)
     memo = _OUTLIER_EXPR_MEMO.get(key)
     if memo is not None:
         return memo
     sum_cols = [
         F.expr(
-            f"CAST(sum(CAST(CAST({vec_col}[{i}] AS DOUBLE)"
+            f"CAST(sum(CAST(CAST(__eo_v[{i}] AS DOUBLE)"
             " AS DECIMAL(25,12))) AS DOUBLE)"
         ).alias(f"_s{i}")
         for i in range(dim)
     ]
-    dvv = _dot_cols_sql(vec_col, vec_col, dim)
-    dvc = _dot_cols_sql(vec_col, "_cv", dim)
+    dvv = _dot_cols_sql("__eo_v", "__eo_v", dim)
+    dvc = _dot_cols_sql("__eo_v", "_cv", dim)
     dcc = _dot_cols_sql("_cv", "_cv", dim)
     score_cols = [
-        F.col(id_col).alias("id"),
+        F.col("__eo_id").alias("id"),
         F.expr(
             f"round({dvc} / (SQRT({dvv}) * SQRT({dcc})), 6)"
         ).alias("cos_centroid"),
@@ -1937,41 +1941,23 @@ def embedding_outliers(
     frame — outputs are k-bounded at any corpus size, and nothing
     corpus-sized ever shuffles (degenerate all-zero corpora yield NaN
     cosines, which rank deterministically and would all be flagged)."""
-    from tdei_extract_load_service_spark.operators.dedup import _dot
     from tdei_extract_load_service_spark.session import persist_scoped
 
-    v = _col(vec_col)
-    if isinstance(vec_col, str) and isinstance(id_col, str):
-        # SQL-fragment plan build (the drift _decimal_mean_exprs
-        # precedent, r13): the 64 looped decimal-sum Columns plus the
-        # cosine/norm folds cost ~1 s of py4j round-trips PER BUILD;
-        # the parsed fragments are the identical expression trees
-        # (same casts, same fold bodies), memoized module-level.
-        sum_cols, score_cols = _outlier_exprs(id_col, vec_col, dim)
-        sums = df.agg(*sum_cols).select(
-            F.array(*[F.col(f"_s{i}") for i in range(dim)]).alias("_cv")
-        )
-        scored_proj = spread(df).crossJoin(F.broadcast(sums)).select(*score_cols)
-    else:  # pragma: no cover - Column-object callers keep the fluent form
-        sums = df.agg(
-            *[
-                F.sum(v[i].cast("double").cast("decimal(25,12)"))
-                .cast("double")
-                .alias(f"_s{i}")
-                for i in range(dim)
-            ]
-        ).select(F.array(*[F.col(f"_s{i}") for i in range(dim)]).alias("_cv"))
-        scored_proj = (
-            spread(df)
-            .crossJoin(F.broadcast(sums))
-            .select(
-                _col(id_col).alias("id"),
-                F.round(cosine_similarity(v, F.col("_cv")), 6).alias(
-                    "cos_centroid"
-                ),
-                F.round(_dot(v, v), 6).alias("norm2"),
-            )
-        )
+    # SQL-fragment plan build (the drift _decimal_mean_exprs precedent,
+    # r13): the 64 looped decimal-sum Columns plus the cosine/norm
+    # folds cost ~1 s of py4j round-trips PER BUILD; the parsed
+    # fragments are the identical expression trees (same casts, same
+    # fold bodies), memoized module-level. The id/vec columns are
+    # pre-aliased to fixed safe identifiers first (ADVICE r13: raw
+    # interpolated names with spaces/hyphens fail to parse and dotted
+    # names silently re-resolve), which also prunes the scan to the two
+    # needed columns and lets Column-object callers share the path.
+    base = df.select(_col(id_col).alias("__eo_id"), _col(vec_col).alias("__eo_v"))
+    sum_cols, score_cols = _outlier_exprs(dim)
+    sums = base.agg(*sum_cols).select(
+        F.array(*[F.col(f"_s{i}") for i in range(dim)]).alias("_cv")
+    )
+    scored_proj = spread(base).crossJoin(F.broadcast(sums)).select(*score_cols)
     scored = persist_scoped(
         scored_proj, "similarity.embedding_outliers.scored"
     )

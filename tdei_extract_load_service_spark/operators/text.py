@@ -1325,10 +1325,13 @@ _BM25_INDEX_CACHE: dict = {}
 #: drift), hence the one-row job on first use per session.
 _TERM_BUCKET_MEMO: dict[tuple, list[int]] = {}
 
-#: (app id, path) -> parquet read plan. Immutable logical scans of the
-#: CONTENT-ADDRESSED index directory (path embeds corpus mtime), the
-#: catalog._READ_MEMO discipline: every action still scans parquet.
-_INDEX_READ_MEMO: dict[tuple, DataFrame] = {}
+#: (app id, path) -> (marker stamp, parquet read plan). Immutable
+#: logical scans of the CONTENT-ADDRESSED index directory (path embeds
+#: corpus mtime), the catalog._READ_MEMO discipline: every action
+#: still scans parquet. Storing per-path with the stamp INSIDE the
+#: value (ADVICE r13) means a refreshed index replaces — not shadows —
+#: the superseded plan.
+_INDEX_READ_MEMO: dict[tuple, tuple] = {}
 
 
 def _term_buckets(spark, terms: tuple, n_buckets: int) -> list[int]:
@@ -1355,21 +1358,30 @@ def _term_buckets(spark, terms: tuple, n_buckets: int) -> list[int]:
 
 
 def _index_read(spark, path: str) -> DataFrame:
+    import hashlib
     import os
 
-    # key on the publish marker's mtime too: a swept-then-rebuilt index
-    # under the SAME path gets new part files, and the memoized plan's
-    # file listing would be stale (the marker is rewritten on publish)
+    # Validate against the publish marker's (mtime, size, content
+    # digest): a swept-then-rebuilt index under the SAME path gets new
+    # part files, and the memoized plan's file listing would be stale.
+    # mtime alone can tie across a rebuild on coarse-granularity
+    # filesystems, so the marker's bytes join the stamp (ADVICE r13);
+    # the marker is rewritten on every publish.
+    marker = os.path.join(os.path.dirname(path), "_meta.json")
     try:
-        stamp = os.stat(os.path.join(os.path.dirname(path), "_meta.json")).st_mtime_ns
+        st = os.stat(marker)
+        with open(marker, "rb") as fh:
+            mbytes = fh.read()
+        stamp = (st.st_mtime_ns, st.st_size, hashlib.md5(mbytes).hexdigest())
     except OSError:
         stamp = None
-    key = (spark.sparkContext.applicationId, path, stamp)
+    key = (spark.sparkContext.applicationId, path)
     hit = _INDEX_READ_MEMO.get(key)
-    if hit is None:
-        hit = spark.read.parquet(path)
-        _INDEX_READ_MEMO[key] = hit
-    return hit
+    if hit is not None and hit[0] == stamp:
+        return hit[1]
+    df = spark.read.parquet(path)
+    _INDEX_READ_MEMO[key] = (stamp, df)
+    return df
 
 
 def build_bm25_index(

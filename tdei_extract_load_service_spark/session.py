@@ -225,7 +225,11 @@ def spread(
     at sf0.1, the sort being single-threaded on a one-row-group scan).
     Only pass columns whose value diversity comfortably exceeds 100x
     the core count; low-cardinality keys would funnel partitions and
-    round-robin stays the safe default.
+    round-robin stays the safe default. The key must also be
+    (near-)non-null: ``xxhash64(NULL)`` is the seed constant, so every
+    null-key row funnels into ONE partition — the exact skew the
+    spread exists to avoid (ADVICE r13). Callers with nullable keys
+    must keep round-robin or coalesce the null away first.
 
     Parquet scans can't split inside a row group, so a single-row-group
     file (the SF fixtures; any small-file corpus) pins every pre-shuffle

@@ -112,12 +112,14 @@ def test_outlier_sql_exprs_equal_fluent_form(spark):
     rows = [(i, [rnd.uniform(-2, 2) for _ in range(dim)]) for i in range(50)]
     df = spark.createDataFrame(rows, "vid long, vec array<double>")
 
-    sum_cols, score_cols = S._outlier_exprs("vid", "vec", dim)
-    sums_sql = df.agg(*sum_cols).select(
+    # r14 (ADVICE r13): the fragments reference fixed pre-aliased names
+    base = df.select(F.col("vid").alias("__eo_id"), F.col("vec").alias("__eo_v"))
+    sum_cols, score_cols = S._outlier_exprs(dim)
+    sums_sql = base.agg(*sum_cols).select(
         F.array(*[F.col(f"_s{i}") for i in range(dim)]).alias("_cv")
     )
     got = sorted(
-        map(tuple, df.crossJoin(F.broadcast(sums_sql)).select(*score_cols).collect())
+        map(tuple, base.crossJoin(F.broadcast(sums_sql)).select(*score_cols).collect())
     )
 
     v = F.col("vec")
@@ -147,10 +149,11 @@ def test_outlier_sql_exprs_equal_fluent_form(spark):
 
 
 def test_bm25_index_read_memo_invalidates_on_rebuild(spark, tmp_path):
-    """_index_read memoizes the parquet read PLAN per (session, path,
-    publish-marker mtime): a rebuilt index under the same path (new part
-    files, rewritten _meta.json) must yield fresh rows, never the stale
-    file listing."""
+    """_index_read memoizes the parquet read PLAN per (session, path),
+    validated against the publish marker's (mtime, size, content
+    digest) (r14, ADVICE r13): a rebuilt index under the same path (new
+    part files, rewritten _meta.json) must yield fresh rows, never the
+    stale file listing."""
     import json
     import os
     import time

@@ -51,6 +51,19 @@ def main() -> int:
                 per[k] = v
         if run.get("matched_r1_set"):
             matched_set = run["matched_r1_set"]
+    # The gate's own matched set wins (ADVICE r13: a folded run must
+    # not silently override what the subtotal means); a run that
+    # disagrees is an error, not a reinterpretation.
+    if gate.get("matched_r1_set"):
+        if matched_set and set(matched_set) != set(gate["matched_r1_set"]):
+            print(
+                "FATAL: folded run's matched_r1_set differs from gate's",
+                file=sys.stderr,
+            )
+            return 1
+        matched_set = gate["matched_r1_set"]
+    elif matched_set:
+        gate["matched_r1_set"] = matched_set
     gate["per_query"] = dict(sorted(per.items()))
     gate["headline_total"] = round(sum(per.values()), 4)
     if matched_set:
