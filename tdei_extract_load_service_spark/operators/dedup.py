@@ -2414,7 +2414,29 @@ def bloom_prefilter_members(
         ),
     )
     idx = spark.read.parquet(index_path).select("content_hash")
-    bloom = build_bloom_words(idx, "content_hash",
+    # Bitmap sizing without a job (guide §1/§5): the stored index is one
+    # row per DISTINCT content hash by construction
+    # (build_fingerprint_index writes dedup_exact_groups' output), so
+    # the parquet footers' num_rows IS the distinct-key count
+    # build_bloom_words would otherwise spend a distinct().count() job
+    # per call to discover. Same n_keys -> same m -> bit-identical
+    # probe outcomes; the fallback keeps non-local paths working.
+    n_keys = None
+    try:
+        import os as _os
+
+        import pyarrow.parquet as pq
+
+        n_keys = 0
+        for dirpath, _dirs, fnames in _os.walk(index_path):
+            for f in fnames:
+                if f.endswith(".parquet"):
+                    n_keys += pq.ParquetFile(
+                        _os.path.join(dirpath, f)
+                    ).metadata.num_rows
+    except Exception:  # pragma: no cover - pyarrow is baked in
+        n_keys = None
+    bloom = build_bloom_words(idx, "content_hash", n_keys=n_keys,
                               bits_per_key=bits_per_key, n_hashes=n_hashes)
     flagged = bloom_might_contain(hashed, "content_hash", bloom)
     candidates = flagged.where(F.col("might_contain")).drop("might_contain")

@@ -53,9 +53,27 @@ def compact_table(
     reldir = manifest["tables"].get(table, {}).get(str(dataset_id))
     if reldir is None:
         raise ValueError(f"no committed data for ({table!r}, {dataset_id!r})")
-    files_before = len(_data_files(root, reldir))
+    files = _data_files(root, reldir)
+    files_before = len(files)
     cur = read_table(spark, root, table, dataset_id=dataset_id)
-    rows = cur.count()
+    # Row count from the parquet footers (driver-side metadata read, the
+    # session.spread footer-probe discipline) instead of a count() job:
+    # the count previously cost a full scheduled scan of the fragmented
+    # table just to size the rewrite — the rewrite then scanned it again
+    # (guide §1/§5: fold driver round-trips). Footer num_rows is the
+    # bit-exact committed count (parquet writers record it per file). At
+    # warehouse scale footer reads are O(files) driver-side — the same
+    # metadata a count() job's tasks would each open anyway, minus the
+    # job; engines that outgrow that store counts in the manifest.
+    try:
+        import pyarrow.parquet as pq
+
+        rows = sum(
+            pq.ParquetFile(os.path.join(root, reldir, f)).metadata.num_rows
+            for f in files
+        )
+    except Exception:  # pragma: no cover - pyarrow is baked in
+        rows = cur.count()
     n_files = max(1, -(-rows // target_rows_per_file))
     txn = ManifestTxn(root)
     try:
