@@ -588,6 +588,7 @@ def main() -> None:
         json.dumps(
             {
                 "compact_duplicate_of_line_above": True,
+                "matched_r1_set": matched,
                 "queries": timings,
                 "stored_first_run": stored_first_run,
                 "etl_stages": etl_stages,
