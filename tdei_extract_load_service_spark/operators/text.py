@@ -1144,6 +1144,19 @@ def bm25_topk(
     if not terms:
         raise ValueError("terms must be non-empty")
     tokens, dl = _bm25_token_stream(docs, id_col, text_col)
+    from tdei_extract_load_service_spark.session import persist_scoped
+
+    # dl persisted (r14): the corpus scan fed THREE subtrees — the
+    # (n_docs, avgdl) scalar agg, the tf explode, and the score join's
+    # doc-length side — and Spark plans each from parquet (no common
+    # subplan dedup), so the text column was re-read and re-split three
+    # times. The cached frame is the NARROW (doc_id, dl) projection —
+    # the "persisted token-count column" the 100 TB note below already
+    # prescribes — never the text; the scalar agg and the join now read
+    # it instead of rescanning the corpus (guide §2.4). Values are
+    # unchanged: same dl expression, and the scalar's DECIMAL sum is
+    # order-independent.
+    dl = persist_scoped(dl, "text.bm25_topk.dl")
     scal = dl.agg(
         F.count("*").alias("n_docs"),
         (
@@ -1156,8 +1169,6 @@ def bm25_topk(
     # (measured via plan probe — the q20/q2/lm_score shared-subtree
     # lesson); the cached frame is postings-sized (query-term matches
     # only), orders of magnitude below the token stream
-    from tdei_extract_load_service_spark.session import persist_scoped
-
     tf = persist_scoped(
         tokens.where(F.col("term").isin(list(terms)))
         .groupBy("doc_id", "term")
